@@ -1,0 +1,361 @@
+"""Integrity-check compute kernels (SURVEY §2.9).
+
+The reference delegates these to SQL Server's ``DBCC`` engine; here
+each kernel is a distributed Spark validation query:
+
+- **CHECKTABLE** — ONE wide single-pass aggregation per table fusing
+  row count, PK null/duplicate detection, NOT-NULL counters, and every
+  DATA_PURITY domain rule (IC:684-687 runs one pass per table; so do
+  we).  The aggregation is compiled from :mod:`..expectations` into
+  ANSI-SQL expressions that are valid in both Spark SQL and DuckDB, so
+  the exact same check list is the correctness oracle.
+- **CHECKALLOC** — file-level allocation integrity from parquet
+  footers: every pinned file exists, parses, is non-empty; footer row
+  counts sum consistently (IC:547-548 analogue). Footer reads are
+  distributed (sources.catalog.footer_stats_df).
+- **CHECKCATALOG** — catalog↔storage consistency: table location has
+  files, schema is readable, footer schemas agree across files, and
+  (when a declared schema is registered) declared == stored
+  (IC:554-555 analogue).
+- **EXTENDED_LOGICAL_CHECKS** — FK-orphan probes via left-anti joins
+  with small parents broadcast (DIC:1361 analogue).
+- **CHECKDB** — composition of the above over a whole namespace
+  (DIC:1352-1365).
+
+Everything stays JVM-side (built-in functions only — no Python UDFs),
+so WholeStageCodegen covers the scan→agg pipeline and predicate
+pushdown/column pruning reach the parquet reader.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..expectations import TableExpectations, expectations_for
+from ..sources.catalog import FileMeta, ObjectMeta, footer_stats_df
+
+BROADCAST_THRESHOLD_BYTES = 256 * 1024 * 1024  # dims under this broadcast
+
+
+# ---------------------------------------------------------------------------
+# CHECKTABLE expression compiler (portable Spark SQL + DuckDB)
+# ---------------------------------------------------------------------------
+
+def _pk_concat(cols: list[str]) -> str:
+    casts = [f"CAST({c} AS STRING)" for c in cols]
+    if len(casts) == 1:
+        return casts[0]
+    return "concat_ws('|', " + ", ".join(casts) + ")"
+
+
+def checktable_agg_exprs(
+    exp: TableExpectations, physical_only: bool = False
+) -> list[tuple[str, str]]:
+    """(alias, ANSI-SQL aggregate expression) pairs for one table.
+
+    Valid both as Spark SQL (``F.expr``) and DuckDB SQL — this single
+    list IS the pinned DATA_PURITY definition (SURVEY §7.4 risk 4).
+    All counters cast to BIGINT so result schemas agree across engines.
+    """
+    exprs: list[tuple[str, str]] = [("n_rows", "CAST(COUNT(*) AS BIGINT)")]
+    if physical_only:
+        return exprs
+    for c in exp.not_null:
+        exprs.append(
+            (f"null_{c}", f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+        )
+    if exp.primary_key:
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in exp.primary_key)
+        null_any = f"SUM(CASE WHEN NOT ({nn}) THEN 1 ELSE 0 END)"
+        distinct = f"COUNT(DISTINCT CASE WHEN {nn} THEN {_pk_concat(exp.primary_key)} END)"
+        exprs.append(("pk_null_rows", f"CAST({null_any} AS BIGINT)"))
+        exprs.append(("pk_dup_rows", f"CAST(COUNT(*) - {null_any} - {distinct} AS BIGINT)"))
+    for rule in exp.domain_rules:
+        exprs.append(
+            (
+                f"viol_{rule.name}",
+                f"CAST(SUM(CASE WHEN NOT {rule.predicate} THEN 1 ELSE 0 END) AS BIGINT)",
+            )
+        )
+    return exprs
+
+
+def checktable_df(
+    df: DataFrame, exp: TableExpectations, physical_only: bool = False
+) -> DataFrame:
+    """The one-pass CHECKTABLE aggregation as a one-row DataFrame."""
+    exprs = checktable_agg_exprs(exp, physical_only)
+    return df.agg(*[F.expr(sql).alias(alias) for alias, sql in exprs])
+
+
+def checktable_oracle_sql(
+    table: str, exp: TableExpectations | None = None, physical_only: bool = False
+) -> str:
+    """The identical aggregation as ANSI SQL for the DuckDB oracle."""
+    exp = exp or expectations_for(table)
+    exprs = checktable_agg_exprs(exp, physical_only)
+    cols = ",\n  ".join(f"{sql} AS {alias}" for alias, sql in exprs)
+    return f"SELECT\n  {cols}\nFROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Kernel results
+# ---------------------------------------------------------------------------
+
+@dataclass
+class KernelResult:
+    kind: str
+    database: str
+    object: str | None
+    passed: bool
+    metrics: dict[str, Any] = field(default_factory=dict)
+    errors: list[str] = field(default_factory=list)
+
+    @property
+    def error_number(self) -> int:
+        return 0 if self.passed else 8900  # generic DBCC-style failure code
+
+
+_NON_VIOLATION_METRICS = {"n_rows", "vector_len_min", "vector_len_max"}
+
+
+def run_checktable(
+    spark: SparkSession,
+    df: DataFrame,
+    database: str,
+    table: str,
+    exp: TableExpectations | None = None,
+    physical_only: bool = False,
+) -> KernelResult:
+    """Execute CHECKTABLE; pass iff every violation counter is zero."""
+    exp = exp or expectations_for(table)
+    row = checktable_df(df, exp, physical_only).collect()[0].asDict()
+    errors = [
+        f"{k} = {v}"
+        for k, v in row.items()
+        if k not in _NON_VIOLATION_METRICS and v not in (0, None)
+    ]
+    # embeddings-style table-level invariant: one consistent vector length
+    if not physical_only and "embedding" in df.columns:
+        lens = df.agg(
+            F.min(F.size("embedding")).alias("vector_len_min"),
+            F.max(F.size("embedding")).alias("vector_len_max"),
+        ).collect()[0]
+        row["vector_len_min"] = lens["vector_len_min"]
+        row["vector_len_max"] = lens["vector_len_max"]
+        if lens["vector_len_min"] != lens["vector_len_max"] or (
+            lens["vector_len_min"] is not None and lens["vector_len_min"] <= 0
+        ):
+            errors.append(
+                f"inconsistent vector length [{lens['vector_len_min']}, {lens['vector_len_max']}]"
+            )
+    return KernelResult("CHECKTABLE", database, table, not errors, row, errors)
+
+
+def checktable_violations_df(df: DataFrame, exp: TableExpectations) -> DataFrame:
+    """Row-level violation listing (second probe, only on failure):
+    each offending row with the rule names it breaks."""
+    rules = [(r.name, r.predicate) for r in exp.domain_rules]
+    for c in exp.not_null:
+        rules.append((f"null_{c}", f"{c} IS NOT NULL"))
+    arr = F.array_compact(
+        F.array(*[F.when(~F.expr(pred), F.lit(name)) for name, pred in rules])
+    )
+    return df.withColumn("violated_rules", arr).filter(F.size("violated_rules") > 0)
+
+
+# ---------------------------------------------------------------------------
+# CHECKALLOC / CHECKCATALOG / EXTENDED / CHECKDB
+# ---------------------------------------------------------------------------
+
+def run_checkalloc(
+    spark: SparkSession,
+    obj: ObjectMeta,
+    full: bool = False,
+) -> KernelResult:
+    """File-allocation integrity for one table's pinned file list.
+
+    Footer-only by default (the PHYSICAL_ONLY fast path, SURVEY §2.9
+    #52); ``full=True`` additionally scans data pages by comparing an
+    actual read count against the footer sum.
+    """
+    errors: list[str] = []
+    if not obj.files:
+        return KernelResult(
+            "CHECKALLOC", obj.database_name, obj.object_name, False, {}, ["no data files"]
+        )
+    stats = footer_stats_df(spark, obj.files)
+    agg = stats.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(~F.col("footer_ok"), 1).otherwise(0)).alias("bad_files"),
+        F.sum(F.when(F.col("size") == 0, 1).otherwise(0)).alias("zero_byte_files"),
+        F.sum("footer_row_count").alias("footer_rows"),
+    ).collect()[0]
+    metrics = {
+        "n_files": agg["n_files"],
+        "bad_files": agg["bad_files"],
+        "zero_byte_files": agg["zero_byte_files"],
+        "footer_rows": agg["footer_rows"],
+        "total_bytes": obj.total_bytes,
+    }
+    if agg["bad_files"]:
+        for r in stats.filter(~F.col("footer_ok")).select("path", "error").collect():
+            errors.append(f"unreadable footer: {r['path']}: {r['error']}")
+    if agg["zero_byte_files"]:
+        errors.append(f"{agg['zero_byte_files']} zero-byte file(s)")
+    if full and not errors:
+        actual = spark.read.parquet(*[f.path for f in obj.files]).count()
+        metrics["scanned_rows"] = actual
+        if actual != agg["footer_rows"]:
+            errors.append(f"scan count {actual} != footer sum {agg['footer_rows']}")
+    return KernelResult(
+        "CHECKALLOC", obj.database_name, obj.object_name, not errors, metrics, errors
+    )
+
+
+def _arrow_schema(path: str) -> list[tuple[str, str]]:
+    import pyarrow.parquet as pq
+
+    local = path[len("file:") :] if path.startswith("file:") else path
+    sch = pq.ParquetFile(local).schema_arrow
+    return [(f.name, str(f.type)) for f in sch]
+
+
+def run_checkcatalog(
+    spark: SparkSession,
+    objs: list[ObjectMeta],
+    declared_schemas: dict[str, list[tuple[str, str]]] | None = None,
+) -> KernelResult:
+    """Metastore↔storage consistency for a whole namespace.
+
+    Checks per table: location has ≥1 file; a schema is readable; all
+    files agree on schema; declared schema (when registered) matches
+    the stored footer schema name-for-name, type-for-type.
+    """
+    errors: list[str] = []
+    declared_schemas = declared_schemas or {}
+    db = objs[0].database_name if objs else "?"
+    for o in objs:
+        if not o.files:
+            errors.append(f"{o.object_name}: location has no data files")
+            continue
+        try:
+            schemas = {tuple(_arrow_schema(f.path)) for f in o.files}
+        except Exception as exc:
+            errors.append(f"{o.object_name}: unreadable schema: {exc}")
+            continue
+        if len(schemas) > 1:
+            errors.append(f"{o.object_name}: files disagree on schema ({len(schemas)} variants)")
+            continue
+        stored = list(next(iter(schemas)))
+        declared = declared_schemas.get(o.object_name)
+        if declared is not None and [tuple(x) for x in declared] != [tuple(x) for x in stored]:
+            errors.append(
+                f"{o.object_name}: declared schema {declared} != stored {stored}"
+            )
+    return KernelResult(
+        "CHECKCATALOG", db, None, not errors, {"n_objects": len(objs)}, errors
+    )
+
+
+def fk_orphan_counts_df(
+    tables: dict[str, DataFrame], exp: TableExpectations
+) -> DataFrame:
+    """EXTENDED_LOGICAL_CHECKS tier: one row per FK with its orphan
+    count (child rows whose key has no parent).  Parents are
+    broadcast — dimension tables are small relative to facts; at
+    100 TB the fact side streams through a broadcast-hash anti-join
+    with no shuffle of the big side."""
+    spark = tables[exp.table].sparkSession
+    out: DataFrame | None = None
+    child = tables[exp.table]
+    for fk in exp.foreign_keys:
+        parent = tables[fk.parent_table]
+        cond = [
+            child[c] == parent[p] for c, p in zip(fk.columns, fk.parent_columns)
+        ]
+        nn = child
+        for c in fk.columns:
+            nn = nn.filter(F.col(c).isNotNull())
+        orphans = nn.join(F.broadcast(parent), cond, "left_anti")
+        one = orphans.agg(F.count("*").cast("long").alias("orphan_rows")).select(
+            F.lit(exp.table).alias("child_table"),
+            F.lit("_".join(fk.columns)).alias("fk_columns"),
+            F.lit(fk.parent_table).alias("parent_table"),
+            "orphan_rows",
+        )
+        out = one if out is None else out.unionByName(one)
+    if out is None:
+        from pyspark.sql import types as T
+
+        out = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("child_table", T.StringType()),
+                    T.StructField("fk_columns", T.StringType()),
+                    T.StructField("parent_table", T.StringType()),
+                    T.StructField("orphan_rows", T.LongType()),
+                ]
+            ),
+        )
+    return out
+
+
+def run_extended_logical(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    database: str,
+    table: str,
+    exp: TableExpectations | None = None,
+) -> KernelResult:
+    exp = exp or expectations_for(table)
+    if not exp.foreign_keys:
+        return KernelResult("EXTENDED_LOGICAL", database, table, True, {"n_fks": 0})
+    rows = fk_orphan_counts_df(tables, exp).collect()
+    errors = [
+        f"FK {r['child_table']}({r['fk_columns']}) → {r['parent_table']}: "
+        f"{r['orphan_rows']} orphan row(s)"
+        for r in rows
+        if r["orphan_rows"]
+    ]
+    metrics = {f"orphans_{r['fk_columns']}": r["orphan_rows"] for r in rows}
+    metrics["n_fks"] = len(rows)
+    return KernelResult("EXTENDED_LOGICAL", database, table, not errors, metrics, errors)
+
+
+def run_checkdb(
+    spark: SparkSession,
+    objs: list[ObjectMeta],
+    database: str,
+    physical_only: bool = False,
+    no_index: bool = False,
+    extended_logical_checks: bool = False,
+    declared_schemas: dict[str, list[tuple[str, str]]] | None = None,
+) -> list[KernelResult]:
+    """CHECKDB = CHECKALLOC + CHECKCATALOG + CHECKTABLE over every
+    table of the namespace (DIC:1352-1365 composition)."""
+    results: list[KernelResult] = []
+    for o in objs:
+        results.append(run_checkalloc(spark, o, full=not physical_only))
+    results.append(run_checkcatalog(spark, objs, declared_schemas))
+    tables: dict[str, DataFrame] = {}
+    if not physical_only:
+        for o in objs:
+            tables[o.object_name] = spark.read.parquet(*[f.path for f in o.files])
+        for o in objs:
+            exp = expectations_for(o.object_name)
+            results.append(
+                run_checktable(spark, tables[o.object_name], database, o.object_name, exp)
+            )
+            if extended_logical_checks and exp.foreign_keys and all(
+                fk.parent_table in tables for fk in exp.foreign_keys
+            ):
+                results.append(
+                    run_extended_logical(spark, tables, database, o.object_name, exp)
+                )
+    return results

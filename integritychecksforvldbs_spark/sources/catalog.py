@@ -1,0 +1,229 @@
+"""Synthetic system catalog over parquet namespaces.
+
+The reference scans ``sys.databases`` / ``sys.objects`` /
+``sys.dm_db_partition_stats`` / ``sys.master_files``
+(IntegrityChecks_VLDB.sql:288-297,429-438,524-527) to build its work
+inventory.  Our equivalents (SURVEY §2.1 #1-#4):
+
+- a *database* is a directory of tables (e.g. ``/root/testdata/sf0.01``)
+- an *object* is a table: a ``<name>.parquet`` file or a directory of
+  parquet part-files
+- *used_page_count* becomes total bytes from the file listing
+- the *data-file scan* is the per-table file list (path, length) — also
+  the engine's snapshot mechanism: the listing is pinned once per DB
+  visit and every kernel reads exactly those files (parquet files are
+  immutable, so a pinned listing is an exact analogue of
+  ``CREATE DATABASE ... AS SNAPSHOT`` IC:523-529).
+
+All of this is metadata-sized and driver-side via the Hadoop
+FileSystem API (works identically on HDFS/S3/local).  Footer row
+counts — needed by CHECKALLOC — are read *distributed* (a Spark job
+over the file list with pyarrow per partition) when the file count is
+large, driver-side otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.selector import DatabaseCandidate, classify_database_type
+
+
+@dataclass
+class FileMeta:
+    path: str
+    size: int
+
+
+@dataclass
+class ObjectMeta:
+    """One table: our ``sys.objects`` + partition-stats row (IC:429-438)."""
+
+    database_name: str
+    schema_name: str  # flat namespaces → 'main' (analogue of dbo)
+    object_name: str
+    object_type: str  # 'U' table | 'V' view
+    path: str
+    files: list[FileMeta] = field(default_factory=list)
+
+    @property
+    def file_count(self) -> int:
+        return len(self.files)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.size for f in self.files)
+
+
+CATALOG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("database_name", T.StringType()),
+        T.StructField("database_type", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("object_name", T.StringType()),
+        T.StructField("object_type", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("file_count", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+)
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def list_parquet_files(spark: SparkSession, path: str) -> list[FileMeta]:
+    """All parquet data files under ``path`` (file or directory)."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out: list[FileMeta] = []
+    stack = [hpath]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                name = st.getPath().getName()
+                if name.endswith(".parquet") or name.startswith("part-"):
+                    out.append(FileMeta(st.getPath().toString(), st.getLen()))
+    if fs.getFileStatus(hpath).isFile():
+        st = fs.getFileStatus(hpath)
+        out = [FileMeta(st.getPath().toString(), st.getLen())]
+    out.sort(key=lambda f: f.path)
+    return out
+
+
+def list_databases(spark: SparkSession, base_dir: str) -> list[DatabaseCandidate]:
+    """Each subdirectory of ``base_dir`` is a database (SURVEY §1.1)."""
+    fs, hpath = _fs_and_path(spark, base_dir)
+    cands = []
+    for st in fs.listStatus(hpath):
+        if st.isDirectory():
+            name = st.getPath().getName()
+            cands.append(DatabaseCandidate(name=name, database_type=classify_database_type(name)))
+    cands.sort(key=lambda c: c.name)
+    return cands
+
+
+def list_objects(spark: SparkSession, database_name: str, db_path: str) -> list[ObjectMeta]:
+    """Tables of one database with their pinned file listings.
+
+    Analogue of the per-DB dynamic-SQL catalog scan (IC:429-438): every
+    ``<name>.parquet`` file or parquet-holding subdirectory is a table
+    ('U'); registered temp views would be 'V'.
+    """
+    fs, hpath = _fs_and_path(spark, db_path)
+    objs: list[ObjectMeta] = []
+    if not fs.exists(hpath):
+        return objs
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        full = st.getPath().toString()
+        if st.isDirectory():
+            files = list_parquet_files(spark, full)
+            if files:
+                objs.append(
+                    ObjectMeta(database_name, "main", name, "U", full, files)
+                )
+        elif name.endswith(".parquet"):
+            objs.append(
+                ObjectMeta(
+                    database_name,
+                    "main",
+                    name[: -len(".parquet")],
+                    "U",
+                    full,
+                    [FileMeta(full, st.getLen())],
+                )
+            )
+    objs.sort(key=lambda o: (o.schema_name, o.object_name))
+    return objs
+
+
+def catalog_meta_df(spark: SparkSession, base_dir: str) -> DataFrame:
+    """The engine's ``sys.databases ⋈ sys.objects`` as a DataFrame
+    (FIXTURES.md §B ``catalog_meta``)."""
+    rows = []
+    for db in list_databases(spark, base_dir):
+        for o in list_objects(spark, db.name, os.path.join(base_dir, db.name)):
+            rows.append(
+                Row(
+                    database_name=db.name,
+                    database_type=db.database_type,
+                    schema_name=o.schema_name,
+                    object_name=o.object_name,
+                    object_type=o.object_type,
+                    path=o.path,
+                    file_count=o.file_count,
+                    total_bytes=o.total_bytes,
+                )
+            )
+    return spark.createDataFrame(rows, CATALOG_META_SCHEMA)
+
+
+FOOTER_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("footer_row_count", T.LongType()),
+        T.StructField("num_row_groups", T.IntegerType()),
+        T.StructField("n_columns", T.IntegerType()),
+        T.StructField("footer_ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _read_footer(path_size: tuple[str, int]) -> Row:
+    """Executor-side footer probe (metadata only — no data pages read)."""
+    path, size = path_size
+    local = path[len("file:") :] if path.startswith("file:") else path
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local).metadata
+        return Row(
+            path=path,
+            size=int(size),
+            footer_row_count=int(md.num_rows),
+            num_row_groups=int(md.num_row_groups),
+            n_columns=int(md.num_columns),
+            footer_ok=True,
+            error=None,
+        )
+    except Exception as exc:  # truncated / zero-byte / not parquet
+        return Row(
+            path=path,
+            size=int(size),
+            footer_row_count=None,
+            num_row_groups=None,
+            n_columns=None,
+            footer_ok=False,
+            error=f"{type(exc).__name__}: {exc}"[:500],
+        )
+
+
+def footer_stats_df(spark: SparkSession, files: list[FileMeta]) -> DataFrame:
+    """Parquet footer stats for a pinned file list.
+
+    Distributed over executors (``parallelize`` + per-partition pyarrow)
+    so a 100 TB table with 10⁵ files fans out instead of serializing
+    footer reads on the driver.  This is the only RDD use in the engine
+    — genuinely per-file imperative metadata IO.
+    """
+    if not files:
+        return spark.createDataFrame([], FOOTER_SCHEMA)
+    pairs = [(f.path, f.size) for f in files]
+    slices = min(len(pairs), spark.sparkContext.defaultParallelism * 2)
+    rows = spark.sparkContext.parallelize(pairs, slices).map(_read_footer)
+    return spark.createDataFrame(rows, FOOTER_SCHEMA)
