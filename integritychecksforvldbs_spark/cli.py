@@ -1,0 +1,68 @@
+"""CLI entry point — the scheduled-job harness analogue (SURVEY §2.12 #71).
+
+The reference installs SQL Agent jobs running the proc with an output
+file (MaintenanceSolution.sql:7970-8135); ours is a plain command line
+suitable for cron/Airflow::
+
+    python -m integritychecksforvldbs_spark.cli \
+        --base-dir /root/testdata --databases USER_DATABASES \
+        --time-limit 3600 --state state.parquet --log commandlog.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="PySpark integrity-check engine")
+    ap.add_argument("--base-dir", required=True, help="directory of database dirs")
+    ap.add_argument("--databases", default=None, help="selection DSL (default ALL_DATABASES)")
+    ap.add_argument("--physical-only", choices=["Y", "N"], default="N")
+    ap.add_argument("--extended-logical-checks", choices=["Y", "N"], default="N")
+    ap.add_argument("--max-dop", type=int, default=None)
+    ap.add_argument("--time-limit", type=int, default=None, help="seconds")
+    ap.add_argument("--no-snapshot", action="store_true")
+    ap.add_argument("--log-to-table", choices=["Y", "N"], default="Y")
+    ap.add_argument("--execute", choices=["Y", "N"], default="Y")
+    ap.add_argument("--state", default=None, help="state parquet path")
+    ap.add_argument("--log", default=None, help="command log parquet path")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    from .plans.scheduler import CheckParams, IntegrityChecker
+    from .session import get_spark
+
+    spark = get_spark(app_name="integrity-check")
+    params = CheckParams(
+        databases=args.databases,
+        physical_only=args.physical_only,
+        extended_logical_checks=args.extended_logical_checks,
+        max_dop=args.max_dop,
+        time_limit=args.time_limit,
+        snapshot_path=None if args.no_snapshot else "DEFAULT",
+        log_to_table=args.log_to_table,
+        execute=args.execute,
+    )
+    checker = IntegrityChecker(spark, args.base_dir, args.state, args.log, params)
+    report = checker.run()
+    failed = [o for o in report.outcomes if o.error_number != 0]
+    print(
+        json.dumps(
+            {
+                "selected_databases": report.selected_databases,
+                "commands": len(report.outcomes),
+                "failed": len(failed),
+                "skipped": len(report.skipped),
+                "merge": report.merge_stats,
+            }
+        )
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..expectations import TableExpectations, expectations_for
 from ..sources.catalog import FileMeta, ObjectMeta, footer_stats_df
+from ..sources.loader import load_table
 
 BROADCAST_THRESHOLD_BYTES = 256 * 1024 * 1024  # dims under this broadcast
 
@@ -208,7 +209,7 @@ def run_checkalloc(
     if agg["zero_byte_files"]:
         errors.append(f"{agg['zero_byte_files']} zero-byte file(s)")
     if full and not errors:
-        actual = spark.read.parquet(*[f.path for f in obj.files]).count()
+        actual = load_table(spark, *[f.path for f in obj.files]).count()
         metrics["scanned_rows"] = actual
         if actual != agg["footer_rows"]:
             errors.append(f"scan count {actual} != footer sum {agg['footer_rows']}")
@@ -346,7 +347,7 @@ def run_checkdb(
     tables: dict[str, DataFrame] = {}
     if not physical_only:
         for o in objs:
-            tables[o.object_name] = spark.read.parquet(*[f.path for f in o.files])
+            tables[o.object_name] = load_table(spark, *[f.path for f in o.files])
         for o in objs:
             exp = expectations_for(o.object_name)
             results.append(

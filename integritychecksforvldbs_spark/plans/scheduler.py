@@ -1,0 +1,360 @@
+"""The budgeted scheduler — the VLDB script's stages A–G (SURVEY §3.1).
+
+Given a fleet of namespaces and a wall-clock budget, decide which
+checks to run on which objects in what order, run them against a
+pinned file listing (snapshot analogue), record per-object runtime
+stats, and resume where the previous run left off
+(IntegrityChecks_VLDB.sql end-to-end).
+
+All scheduling reads/writes are metadata-sized and driver-side; each
+kernel invocation is a Spark job.  Worklists are collected once per DB
+visit and iterated in Python — the reference's ``TOP 1`` re-query per
+object (IC:651) would mean thousands of tiny Spark jobs (SURVEY §7.4
+risk 5).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import SparkSession
+
+from ..expectations import expectations_for
+from ..operators.kernels import (
+    run_checkalloc,
+    run_checkcatalog,
+    run_checktable,
+    run_extended_logical,
+)
+from ..sources.catalog import ObjectMeta, list_databases, list_objects
+from ..sources.loader import load_table
+from ..operators.selector import select_databases
+from .runner import CommandLog, CommandOutcome, run_command
+from .specs import (
+    CHECKALLOC,
+    CHECKCATALOG,
+    CHECKTABLE,
+    CheckSpec,
+    tsql_ts_112,
+    tsql_ts_121,
+)
+from .state import StateStore
+
+logger = logging.getLogger("integritychecksforvldbs_spark")
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+@dataclass
+class CheckParams:
+    """Parameter surface of the VLDB script (IC:22-29, validation
+    IC:355-402).  Same names modulo @-prefix and snake_case; 'Y'/'N'
+    strings accepted where the reference takes them."""
+
+    databases: str | None = None  # NULL → ALL_DATABASES (IC:34-35)
+    physical_only: str = "N"
+    max_dop: int | None = None
+    time_limit: int | None = None  # seconds
+    snapshot_path: str | None = "DEFAULT"  # NULL disables snapshot pinning
+    log_to_table: str = "Y"
+    execute: str = "Y"
+    extended_logical_checks: str = "N"  # DIC:27 extension
+
+    def validate(self) -> None:
+        errors = []
+        if self.physical_only not in ("Y", "N"):
+            errors.append("The value for the parameter @PhysicalOnly is not supported.")
+        if self.max_dop is not None and not (0 <= self.max_dop <= 64):
+            errors.append("The value for the parameter @MaxDOP is not supported.")
+        if self.time_limit is not None and self.time_limit < 0:
+            errors.append("The value for the parameter @TimeLimit is not supported.")
+        if self.log_to_table not in ("Y", "N"):
+            errors.append("The value for the parameter @LogToTable is not supported.")
+        if self.execute not in ("Y", "N"):
+            errors.append("The value for the parameter @Execute is not supported.")
+        if self.extended_logical_checks not in ("Y", "N"):
+            errors.append(
+                "The value for the parameter @ExtendedLogicalChecks is not supported."
+            )
+        if errors:
+            raise ValueError(" ".join(errors))
+
+
+@dataclass
+class RunReport:
+    job_start_time: datetime
+    job_end_time: datetime | None
+    selected_databases: list[str] = field(default_factory=list)
+    outcomes: list[CommandOutcome] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    merge_stats: dict[str, int] = field(default_factory=dict)
+    snapshots: list[str] = field(default_factory=list)
+
+    @property
+    def commands_run(self) -> list[str]:
+        """The CommandsRun oracle (IC:486-494) — ordered command texts."""
+        return [o.spec.command_text() for o in self.outcomes]
+
+
+class IntegrityChecker:
+    """Stages A–G of the VLDB script over parquet namespaces."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        state_path: str | None = None,
+        log_path: str | None = None,
+        params: CheckParams | None = None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.params = params or CheckParams()
+        self.state = StateStore(spark, state_path)
+        self.log = CommandLog(spark, log_path)
+
+    # -- helpers --------------------------------------------------------
+    def _deadline_ok(self, job_end: datetime | None) -> bool:
+        return job_end is None or _utcnow() < job_end
+
+    def run(self) -> RunReport:
+        p = self.params
+        p.validate()  # STAGE A/C (IC:131-207, 355-402)
+        execute = p.execute == "Y"
+        physical_only = p.physical_only == "Y"
+        job_start = _utcnow()
+        job_end = (
+            job_start + timedelta(seconds=p.time_limit) if p.time_limit is not None else None
+        )  # IC:71-72
+        run_date = job_start.date()
+        report = RunReport(job_start, job_end)
+
+        # STAGE B — selection DSL over the database catalog (IC:213-349)
+        dsl = p.databases if p.databases is not None else "ALL_DATABASES"
+        candidates = list_databases(self.spark, self.base_dir)
+        selected = select_databases(dsl, candidates)
+        report.selected_databases = [c.name for c in selected]
+        logger.info("Selected databases: %s", report.selected_databases)
+
+        # STAGE D — inventory via per-DB catalog scan (IC:418-447)
+        inventories: dict[str, list[ObjectMeta]] = {}
+        for db in selected:
+            objs = list_objects(self.spark, db.name, f"{self.base_dir}/{db.name}")
+            inventories[db.name] = objs
+
+        # STAGE E — MERGE into the resume ledger (IC:454-484)
+        inv_rows = [
+            (o.database_name, o.schema_name, o.object_name, o.object_type, o.total_bytes)
+            for objs in inventories.values()
+            for o in objs
+        ]
+        report.merge_stats = self.state.merge_inventory(inv_rows)
+        self.state.save()
+
+        # STAGE F — CHECKALLOC + CHECKCATALOG per DB (IC:505-577)
+        db_types = {c.name: c.database_type for c in selected}
+        for db in selected:
+            if not self._deadline_ok(job_end):
+                break
+            objs = inventories[db.name]
+            # snapshot pinning (IC:519-532): re-list NOW and use this
+            # listing for both kernels; skipped for system DBs or when
+            # snapshot_path is disabled — then kernels read live paths
+            check_db_name = db.name
+            if p.snapshot_path is not None and db_types[db.name] != "S":
+                objs = list_objects(self.spark, db.name, f"{self.base_dir}/{db.name}")
+                check_db_name = f"{db.name}_CHKALOCCAT_snapshot_{tsql_ts_112(job_start)}"
+                report.snapshots.append(check_db_name)
+                logger.info("Snapshot created: [%s]", check_db_name)
+            spec = CheckSpec(
+                CHECKALLOC,
+                db.name,
+                check_db_name=check_db_name,
+                physical_only=physical_only,
+                maxdop=p.max_dop,
+                snapshot_files=[f.path for o in objs for f in o.files],
+            )
+            report.outcomes.append(
+                run_command(
+                    self.spark,
+                    spec,
+                    kernel=lambda objs=objs, db=db: self._alloc_all(db.name, objs, physical_only),
+                    execute=execute,
+                    log=self.log if p.log_to_table == "Y" else None,
+                )
+            )
+            spec = CheckSpec(CHECKCATALOG, db.name, check_db_name=check_db_name)
+            report.outcomes.append(
+                run_command(
+                    self.spark,
+                    spec,
+                    kernel=lambda objs=objs: run_checkcatalog(self.spark, objs),
+                    execute=execute,
+                    log=self.log if p.log_to_table == "Y" else None,
+                )
+            )
+            if check_db_name != db.name:
+                logger.info("Snapshot dropped: [%s]", check_db_name)
+
+        # STAGE G — CHECKTABLE pass, oldest DB first (IC:583-744)
+        order = [
+            (dbname, min_date)
+            for dbname, min_date in self.state.db_order()
+            if dbname in inventories
+        ]
+        initial_run = False
+        for dbname, _min_date in order:
+            if not self._deadline_ok(job_end):
+                break
+            if self.state.is_initial_run(dbname):  # IC:602-604
+                initial_run = True
+            # snapshot pinning for the table pass (IC:609-640)
+            objs = inventories[dbname]
+            check_db_name = dbname
+            if p.snapshot_path is not None and db_types.get(dbname) != "S":
+                objs = list_objects(self.spark, dbname, f"{self.base_dir}/{dbname}")
+                check_db_name = f"{dbname}_CHKTABLE_snapshot_{tsql_ts_112(job_start)}"
+                report.snapshots.append(check_db_name)
+                logger.info("Snapshot created: [%s]", check_db_name)
+            by_name = {o.object_name: o for o in objs}
+            tables_cache: dict[str, object] = {}
+            skipped_this_visit: set[tuple[str, str]] = set()
+            order_by_smallest = False
+            while self._deadline_ok(job_end):
+                # halfway smallest-first switch (IC:647-649)
+                if (
+                    initial_run
+                    and job_end is not None
+                    and _utcnow() > job_start + (job_end - job_start) / 2
+                ):
+                    order_by_smallest = True
+                row = self.state.pick_next(
+                    dbname, run_date, order_by_smallest, skipped_this_visit
+                )
+                if row is None:
+                    break
+                obj = by_name.get(row.object_name)
+                if obj is None:
+                    # existence re-probe (DIC:1616-1621): object vanished
+                    skipped_this_visit.add((row.schema, row.object_name))
+                    continue
+                # skip-if-won't-fit prediction (IC:677-680)
+                now = _utcnow()
+                if job_end is not None and now + timedelta(
+                    milliseconds=row.avg_run_duration_ms
+                ) > job_end + timedelta(minutes=1):
+                    predicted = now + timedelta(milliseconds=row.avg_run_duration_ms)
+                    msg = (
+                        "Skipped due to TimeLimit Constraint: "
+                        f"{tsql_ts_121(predicted)} is greater than "
+                        f"{tsql_ts_121(job_end + timedelta(minutes=1))}"
+                    )
+                    self.state.record_skip(dbname, row.schema, row.object_name, msg)
+                    report.skipped.append(f"{dbname}.{row.schema}.{row.object_name}")
+                    skipped_this_visit.add((row.schema, row.object_name))
+                    continue
+                spec = CheckSpec(
+                    CHECKTABLE,
+                    dbname,
+                    schema=row.schema,
+                    object=row.object_name,
+                    check_db_name=check_db_name,
+                    physical_only=physical_only,
+                    extended_logical_checks=p.extended_logical_checks == "Y",
+                    maxdop=p.max_dop,
+                    snapshot_files=[f.path for f in obj.files],
+                )
+                outcome = run_command(
+                    self.spark,
+                    spec,
+                    kernel=lambda obj=obj, dbname=dbname: self._checktable(
+                        dbname, obj, by_name, tables_cache, physical_only,
+                        p.extended_logical_checks == "Y",
+                    ),
+                    execute=execute,
+                    log=self.log if p.log_to_table == "Y" else None,
+                )
+                report.outcomes.append(outcome)
+                if outcome.error_number == -1:
+                    # infrastructure error — the reference's Mode-1
+                    # EXECUTE would abort before the stats UPDATE
+                    # (CE:197-202), so the object stays due and is
+                    # retried next run; skip it for this visit to
+                    # avoid re-picking it in a loop
+                    skipped_this_visit.add((row.schema, row.object_name))
+                    continue
+                # per-object stats update (IC:696-722) — runs for dry-run
+                # too (the reference updates state regardless of @Execute),
+                # and for kernel-reported violations (the check DID run)
+                self.state.record_run(
+                    dbname,
+                    row.schema,
+                    row.object_name,
+                    outcome.start_time,
+                    outcome.end_time,
+                    spec.command_text(),
+                    run_date,
+                )
+            if check_db_name != dbname:
+                logger.info("Snapshot dropped: [%s]", check_db_name)
+            self.state.save()
+
+        self.state.save()
+        self.log.flush()
+        logger.info("Date and time: %s", _utcnow().strftime("%Y-%m-%d %H:%M:%S"))
+        return report
+
+    # -- kernels --------------------------------------------------------
+    def _alloc_all(self, dbname: str, objs: list[ObjectMeta], physical_only: bool):
+        """CHECKALLOC for the whole DB = per-object file checks folded
+        into one result (a DB here is a directory of tables)."""
+        from ..operators.kernels import KernelResult
+
+        metrics: dict[str, object] = {}
+        errors: list[str] = []
+        for o in objs:
+            r = run_checkalloc(self.spark, o, full=False)
+            metrics[f"{o.object_name}_files"] = r.metrics.get("n_files")
+            metrics[f"{o.object_name}_footer_rows"] = r.metrics.get("footer_rows")
+            errors.extend(f"{o.object_name}: {e}" for e in r.errors)
+        return KernelResult("CHECKALLOC", dbname, None, not errors, metrics, errors)
+
+    def _checktable(
+        self,
+        dbname: str,
+        obj: ObjectMeta,
+        by_name: dict[str, ObjectMeta],
+        tables_cache: dict[str, object],
+        physical_only: bool,
+        extended: bool,
+    ):
+        if obj.object_name not in tables_cache:
+            tables_cache[obj.object_name] = load_table(
+                self.spark, *[f.path for f in obj.files]
+            )
+        df = tables_cache[obj.object_name]
+        exp = expectations_for(obj.object_name)
+        result = run_checktable(
+            self.spark, df, dbname, obj.object_name, exp, physical_only
+        )
+        if extended and exp.foreign_keys and not physical_only:
+            for fk in exp.foreign_keys:
+                if fk.parent_table not in tables_cache and fk.parent_table in by_name:
+                    po = by_name[fk.parent_table]
+                    tables_cache[fk.parent_table] = load_table(
+                        self.spark, *[f.path for f in po.files]
+                    )
+            if all(fk.parent_table in tables_cache for fk in exp.foreign_keys):
+                ext = run_extended_logical(
+                    self.spark, tables_cache, dbname, obj.object_name, exp
+                )
+                result.metrics.update(ext.metrics)
+                if not ext.passed:
+                    result.passed = False
+                    result.errors.extend(ext.errors)
+        return result

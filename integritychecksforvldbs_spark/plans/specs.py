@@ -47,6 +47,14 @@ def validate_check_commands(kinds: list[str]) -> None:
         raise ValueError("The value for the parameter @CheckCommands is not supported.")
 
 
+# CommandType strings used by the VLDB script (IC:548,555,694)
+IC_COMMAND_TYPES = {
+    CHECKALLOC: "Marks Custom CheckAlloc",
+    CHECKCATALOG: "Marks Custom CheckCatalog",
+    CHECKTABLE: "Marks Custom CheckTable",
+}
+
+
 @dataclass
 class CheckSpec:
     """One executable integrity check (the unit CommandExecute runs)."""
@@ -56,6 +64,7 @@ class CheckSpec:
     schema: str | None = None
     object: str | None = None  # table name (CHECKTABLE) or filegroup
     filegroup: str | None = None
+    check_db_name: str | None = None  # snapshot alias when one is pinned
     # option flags (IC:684-687, DIC:1352-1365)
     no_index: bool = False
     physical_only: bool = False
@@ -69,35 +78,88 @@ class CheckSpec:
 
     @property
     def command_type(self) -> str:
-        return COMMAND_TYPES[self.kind]
+        """≤60 chars (CommandExecute.sql:120); IC's custom labels for
+        the three kernels it issues itself, DBCC_* for the rest."""
+        return IC_COMMAND_TYPES.get(self.kind, COMMAND_TYPES[self.kind])
 
     def command_text(self) -> str:
-        """DBCC-style command string, byte-compatible with the shapes
-        the reference builds — this is the golden-test oracle."""
+        """Command string byte-compatible with the shapes the reference
+        builds — the golden-test oracle (CommandsRun, IC:486-494).
+
+        CHECKALLOC/CHECKCATALOG/CHECKTABLE follow the VLDB script
+        (IC:547,554,684-687); CHECKDB/CHECKFILEGROUP follow the vendored
+        proc (DIC:1352-1365,1476-1487).
+        """
+        db = self.check_db_name or self.database
+        if self.kind == CHECKALLOC:
+            cmd = f"DBCC CHECKALLOC([{db}]) WITH NO_INFOMSGS, ALL_ERRORMSGS"
+            if self.tablock:
+                cmd += ", TABLOCK"  # DIC:1522
+            return cmd
+        if self.kind == CHECKCATALOG:
+            return f"DBCC CHECKCATALOG([{db}]) WITH NO_INFOMSGS"
         if self.kind == CHECKTABLE:
-            target = f"(N'[{self.schema}].[{self.object}]')"
-        elif self.kind == CHECKFILEGROUP:
-            target = f"(N'{self.filegroup}')"
-        else:
-            target = f"(N'{self.database}')"
-        parts = [f"DBCC {self.kind} {target}"]
-        opts = ["NO_INFOMSGS", "ALL_ERRORMSGS"]
-        if self.kind in (CHECKDB, CHECKTABLE, CHECKFILEGROUP) and self.no_index:
-            opts.append("NOINDEX")
-        if self.kind in (CHECKDB, CHECKTABLE):
+            cmd = (
+                f"USE [{db}]; DBCC CHECKTABLE ('[{self.schema}].[{self.object}]') "
+                "WITH NO_INFOMSGS, ALL_ERRORMSGS"
+            )
+            if self.no_index:
+                cmd += ", NOINDEX"  # DIC:1644
             if self.physical_only:
-                opts.append("PHYSICAL_ONLY")
+                cmd += ", PHYSICAL_ONLY"
             else:
                 if self.data_purity:
-                    opts.append("DATA_PURITY")
+                    cmd += ", DATA_PURITY"
                 if self.extended_logical_checks:
-                    opts.append("EXTENDED_LOGICAL_CHECKS")
+                    cmd += ", EXTENDED_LOGICAL_CHECKS"  # DIC:1648
+            if self.tablock:
+                cmd += ", TABLOCK"
+            if self.maxdop is not None:
+                cmd += f", MAXDOP = {self.maxdop}"
+            if self.lock_timeout is not None:
+                cmd = f"SET LOCK_TIMEOUT {self.lock_timeout * 1000}; " + cmd
+            return cmd
+        if self.kind == CHECKDB:
+            cmd = f"DBCC CHECKDB ([{db}]) WITH NO_INFOMSGS, ALL_ERRORMSGS"
+            if self.no_index:
+                cmd += ", NOINDEX"
+            if self.physical_only:
+                cmd += ", PHYSICAL_ONLY"
+            else:
+                if self.data_purity:
+                    cmd += ", DATA_PURITY"
+                if self.extended_logical_checks:
+                    cmd += ", EXTENDED_LOGICAL_CHECKS"
+            if self.tablock:
+                cmd += ", TABLOCK"
+            if self.maxdop is not None:
+                cmd += f", MAXDOP = {self.maxdop}"
+            if self.lock_timeout is not None:
+                cmd = f"SET LOCK_TIMEOUT {self.lock_timeout * 1000}; " + cmd
+            return cmd
+        # CHECKFILEGROUP (DIC:1476-1487)
+        cmd = (
+            f"USE [{db}]; DBCC CHECKFILEGROUP ('{self.filegroup}') "
+            "WITH NO_INFOMSGS, ALL_ERRORMSGS"
+        )
+        if self.no_index:
+            cmd += ", NOINDEX"
+        if self.physical_only:
+            cmd += ", PHYSICAL_ONLY"
         if self.tablock:
-            opts.append("TABLOCK")
+            cmd += ", TABLOCK"
         if self.maxdop is not None:
-            opts.append(f"MAXDOP = {self.maxdop}")
-        cmd = parts[0] + " WITH " + ", ".join(opts)
+            cmd += f", MAXDOP = {self.maxdop}"
         if self.lock_timeout is not None:
-            # SET LOCK_TIMEOUT prefix, milliseconds (DIC:1355)
             cmd = f"SET LOCK_TIMEOUT {self.lock_timeout * 1000}; " + cmd
         return cmd
+
+
+def tsql_ts_121(ts) -> str:
+    """CONVERT(nvarchar, dt, 121) → 'yyyy-mm-dd hh:mi:ss.mmm' (IC:679)."""
+    return ts.strftime("%Y-%m-%d %H:%M:%S.") + f"{ts.microsecond // 1000:03d}"
+
+
+def tsql_ts_112(ts) -> str:
+    """CONVERT(nvarchar, dt, 112) → 'yyyymmdd' (snapshot names, IC:522)."""
+    return ts.strftime("%Y%m%d")

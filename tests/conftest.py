@@ -6,6 +6,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from integritychecksforvldbs_spark.session import get_spark  # noqa: E402
+from integritychecksforvldbs_spark.sources.loader import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TESTDATA_ROOT = "/root/testdata"
@@ -31,7 +32,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def tables(spark):
-    return {t: spark.read.parquet(f"{SF_DIR}/{t}.parquet") for t in TABLES}
+    return {t: load_table(spark, f"{SF_DIR}/{t}.parquet") for t in TABLES}
 
 
 @pytest.fixture(scope="session")

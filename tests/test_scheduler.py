@@ -1,0 +1,159 @@
+"""End-to-end scheduler scenarios (SURVEY §5.2 tests 1, 4, 5)."""
+
+from datetime import date
+
+import pytest
+
+from integritychecksforvldbs_spark.plans.scheduler import CheckParams, IntegrityChecker
+from integritychecksforvldbs_spark.plans.state import StateStore
+
+BASE = "/root/testdata"
+N_TABLES = 10
+
+
+def make(spark, tmp_path, **kw):
+    params = CheckParams(databases="sf0.001", **kw)
+    return IntegrityChecker(
+        spark, BASE, str(tmp_path / "state.parquet"), str(tmp_path / "log.parquet"), params
+    )
+
+
+def test_full_run_smoke(spark, tmp_path):
+    """t1-style smoke: one run produces one log row per command,
+    start<=end, and state invariants hold (CL:7-28 shape)."""
+    checker = make(spark, tmp_path)
+    report = checker.run()
+    assert report.selected_databases == ["sf0.001"]
+    assert report.merge_stats["inserted"] == N_TABLES
+    # 1 CHECKALLOC + 1 CHECKCATALOG + N CHECKTABLE
+    assert len(report.outcomes) == 2 + N_TABLES
+    kinds = [o.spec.kind for o in report.outcomes]
+    assert kinds[:2] == ["CHECKALLOC", "CHECKCATALOG"]
+    assert kinds[2:] == ["CHECKTABLE"] * N_TABLES
+    # log rows: one per command, well-formed
+    log = checker.log.df().orderBy("id").collect()
+    assert len(log) == len(report.outcomes)
+    for r in log:
+        assert r["start_time"] <= r["end_time"]
+        assert r["command"] and r["command_type"]
+    # state invariants
+    st = StateStore(spark, str(tmp_path / "state.parquet"))
+    assert len(st.rows) == N_TABLES
+    for row in st.rows.values():
+        assert row.active and row.number_of_executions == 1
+        assert row.last_check_date == report.job_start_time.date()
+
+
+def test_same_day_idempotency_resume(spark, tmp_path):
+    """Second run on the same day re-checks nothing (IC:665)."""
+    make(spark, tmp_path).run()
+    report2 = make(spark, tmp_path).run()
+    assert [o.spec.kind for o in report2.outcomes] == ["CHECKALLOC", "CHECKCATALOG"]
+
+
+def test_resume_after_interrupt(spark, tmp_path):
+    """Kill mid-run → next run starts from the stalest unchecked
+    objects (RM:2 behavior)."""
+    checker = make(spark, tmp_path)
+    # sabotage: stop after 3 checktables by expiring the budget
+    orig = checker._checktable
+    count = {"n": 0}
+
+    def limited(*a, **k):
+        count["n"] += 1
+        if count["n"] > 3:
+            checker.params.time_limit = 0  # force deadline past
+            raise RuntimeError("interrupted")
+        return orig(*a, **k)
+
+    checker._checktable = limited
+    report1 = checker.run()
+    done1 = {
+        o.spec.object for o in report1.outcomes
+        if o.spec.kind == "CHECKTABLE" and o.error_number in (0, 8900)
+    }
+    assert 0 < len(done1) < N_TABLES
+    # fresh run same day: only not-yet-checked objects run
+    report2 = make(spark, tmp_path).run()
+    done2 = {o.spec.object for o in report2.outcomes if o.spec.kind == "CHECKTABLE"}
+    assert done1.isdisjoint(done2)
+    assert len(done1 | done2) == N_TABLES
+
+
+def test_dry_run_generates_commands_only(spark, tmp_path):
+    """@Execute='N' prints/logs commands without running (CE:197,204)."""
+    checker = make(spark, tmp_path, execute="N")
+    report = checker.run()
+    assert len(report.commands_run) == 2 + N_TABLES
+    assert all(o.result is None for o in report.outcomes)
+    log = checker.log.df().collect()
+    assert all(r["error_number"] is None for r in log)  # Not Executed
+    # golden: the exact IC command shapes
+    snap = f"sf0.001_CHKTABLE_snapshot_{report.job_start_time.strftime('%Y%m%d')}"
+    assert (
+        f"USE [{snap}]; DBCC CHECKTABLE ('[main].[customer]') "
+        "WITH NO_INFOMSGS, ALL_ERRORMSGS, DATA_PURITY" in report.commands_run
+    )
+
+
+def test_time_limit_zero_runs_nothing(spark, tmp_path):
+    report = make(spark, tmp_path, time_limit=0).run()
+    assert report.outcomes == []
+
+
+def test_skip_if_wont_fit(spark, tmp_path):
+    """Objects whose predicted duration exceeds the deadline get the
+    style-121 skip record and are not run (IC:677-680)."""
+    checker = make(spark, tmp_path, time_limit=3600)
+    checker.state.merge_inventory(
+        [("sf0.001", "main", t, "U", 1) for t in ("region", "nation")]
+    )
+    # a huge rolling average → prediction overshoots deadline + 1 min
+    checker.state.rows[("sf0.001", "main", "region")].avg_run_duration_ms = 10**10
+    report = checker.run()
+    assert "sf0.001.main.region" in report.skipped
+    row = checker.state.rows[("sf0.001", "main", "region")]
+    assert row.command.startswith("Skipped due to TimeLimit Constraint: ")
+    assert " is greater than " in row.command
+    # style 121: yyyy-mm-dd hh:mi:ss.mmm
+    import re
+
+    assert re.search(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3} is greater than", row.command)
+    assert row.number_of_executions == 0  # never ran
+    # other objects still ran
+    ran = {o.spec.object for o in report.outcomes if o.spec.kind == "CHECKTABLE"}
+    assert "nation" in ran and "region" not in ran
+
+
+def test_physical_only_mode(spark, tmp_path):
+    report = make(spark, tmp_path, physical_only="Y").run()
+    ct = [o for o in report.outcomes if o.spec.kind == "CHECKTABLE"]
+    assert all("PHYSICAL_ONLY" in o.spec.command_text() for o in ct)
+    # lineitem's dup-PK is a logical check — physical-only must pass it
+    li = next(o for o in ct if o.spec.object == "lineitem")
+    assert li.error_number == 0
+
+
+def test_param_validation_messages(spark, tmp_path):
+    for kw, msg in [
+        (dict(physical_only="X"), "@PhysicalOnly"),
+        (dict(max_dop=65), "@MaxDOP"),
+        (dict(time_limit=-1), "@TimeLimit"),
+        (dict(log_to_table="?"), "@LogToTable"),
+        (dict(execute="maybe"), "@Execute"),
+    ]:
+        with pytest.raises(ValueError, match=f"The value for the parameter {msg} is not supported."):
+            make(spark, tmp_path, **kw).run()
+
+
+def test_no_snapshot_mode(spark, tmp_path):
+    report = make(spark, tmp_path, snapshot_path=None).run()
+    assert report.snapshots == []
+    assert "DBCC CHECKALLOC([sf0.001]) WITH NO_INFOMSGS, ALL_ERRORMSGS" in report.commands_run
+
+
+def test_selection_excludes(spark, tmp_path):
+    params = CheckParams(databases="ALL_DATABASES, -sf0.01, -sf0.1")
+    checker = IntegrityChecker(spark, BASE, None, None, params)
+    report = checker.run()
+    assert report.selected_databases == ["sf0.001"]
