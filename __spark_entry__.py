@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CHECKDB composition over sf0.001
+and returns the per-kernel result summary.  ``queries()`` exposes each
+implemented operator from SURVEY.md §2 (plus the north-star LLM-data
+kernels) as a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()``
+gives the equivalent DuckDB SQL over the same parquet views.  The
+CHECKTABLE aggregations are compiled from a single expectations
+registry into ANSI SQL that is valid in BOTH engines, so the Spark
+query and the oracle are definitionally the same check list
+(SURVEY §7.4 risk 4).
 """
 
 from __future__ import annotations
@@ -12,27 +16,257 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
+from integritychecksforvldbs_spark.operators.kernels import (
+    checktable_df,
+    checktable_oracle_sql,
+    fk_orphan_counts_df,
+    run_checkdb,
+)
+from integritychecksforvldbs_spark.sources.catalog import (
+    FileMeta,
+    footer_stats_df,
+    list_objects,
+)
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CHECKDB over the sf0.001 namespace: CHECKALLOC + CHECKCATALOG +
+    one-pass CHECKTABLE per table + FK orphan probes (IC:684-687,
+    DIC:1352-1365 composition) → one summary row per kernel run."""
+    sf_dir = "/root/testdata/sf0.001"
+    objs = list_objects(spark, "sf0.001", sf_dir)
+    results = run_checkdb(
+        spark, objs, "sf0.001", extended_logical_checks=True
+    )
+    rows = [
+        (r.kind, r.database, r.object, r.passed, len(r.errors),
+         int(r.metrics.get("n_rows") or 0))
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "kind string, database_name string, object_name string, "
+        "passed boolean, n_errors int, n_rows long",
+    )
 
+
+# ---------------------------------------------------------------------------
+# CHECKTABLE family — one-pass fused validation agg per table (§2.9 #50/#51)
+# ---------------------------------------------------------------------------
+
+def _checktable_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return checktable_df(_load(spark, sf_dir, table), expectations_for(table))
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# CHECKALLOC — footer row counts per object (§2.9 #48)
+# ---------------------------------------------------------------------------
+
+def _q_checkalloc_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    objs = list_objects(spark, "db", sf_dir)
+    files = [(o.object_name, f.path, f.size) for o in objs for f in o.files]
+    stats = footer_stats_df(spark, [FileMeta(p, s) for _, p, s in files])
+    mapping = spark.createDataFrame(
+        [(o, p) for o, p, _ in files], "object_name string, path string"
+    )
+    return (
+        stats.join(mapping, "path")
+        .groupBy("object_name")
+        .agg(F.sum("footer_row_count").cast("long").alias("footer_rows"))
+    )
+
+
+def _checkalloc_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS object_name, CAST(COUNT(*) AS BIGINT) AS footer_rows FROM {t}"
+        for t in TABLES
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXTENDED_LOGICAL_CHECKS — FK orphan probe per declared FK (§2.9 #56)
+# ---------------------------------------------------------------------------
+
+def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {t: _load(spark, sf_dir, t) for t in TABLES}
+    out: DataFrame | None = None
+    for t in TABLES:
+        exp = expectations_for(t)
+        if not exp.foreign_keys:
+            continue
+        part = fk_orphan_counts_df(tables, exp)
+        out = part if out is None else out.unionByName(part)
+    assert out is not None
+    return out
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for t in TABLES:
+        exp = expectations_for(t)
+        for fk in exp.foreign_keys:
+            cond = " AND ".join(
+                f"p.{pc} = c.{cc}" for cc, pc in zip(fk.columns, fk.parent_columns)
+            )
+            nn = " AND ".join(f"c.{cc} IS NOT NULL" for cc in fk.columns)
+            parts.append(
+                f"SELECT '{t}' AS child_table, "
+                f"'{'_'.join(fk.columns)}' AS fk_columns, "
+                f"'{fk.parent_table}' AS parent_table, "
+                f"CAST(COUNT(*) AS BIGINT) AS orphan_rows "
+                f"FROM {t} c WHERE {nn} "
+                f"AND NOT EXISTS (SELECT 1 FROM {fk.parent_table} p WHERE {cond})"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Relational-operator demos over the fixture tables (§2.4-2.7 families)
+# ---------------------------------------------------------------------------
+
+def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-agg SUM…GROUP BY (§2.4 #31 shape) over the fact table."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_min_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN…GROUP BY priority key (§2.4 #32/#33 shape)."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("min_orderdate"))
+    )
+
+
+def _q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER ordering strategy (§2.5 #40/#41 shape)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        _load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+    )
+
+
+def _q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (§2.4 #39 shape)."""
+    return (
+        _load(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nations"))
+    )
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-k ORDER BY pick (§2.6 #43 shape, deterministic tie-break)."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
+    return (
+        _load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .filter(F.col("n_events") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for t in TABLES:
+        out[f"checktable_{t}"] = _checktable_query(t)
+    out["checkalloc_rowcounts"] = _q_checkalloc_rowcounts
+    out["fk_orphans"] = _q_fk_orphans
+    out["agg_pricing_summary"] = _q_agg_pricing
+    out["min_groupby_priority"] = _q_min_groupby
+    out["row_number_ordering"] = _q_row_number
+    out["string_agg_ordered"] = _q_string_agg
+    out["topk_largest_orders"] = _q_topk
+    out["dup_detection_having"] = _q_dup_detection
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for t in TABLES:
+        out[f"checktable_{t}"] = checktable_oracle_sql(t)
+    out["checkalloc_rowcounts"] = _checkalloc_oracle()
+    out["fk_orphans"] = _fk_oracle()
+    out["agg_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    out["min_groupby_priority"] = (
+        "SELECT o_custkey, MIN(o_orderdate) AS min_orderdate "
+        "FROM orders GROUP BY o_custkey"
+    )
+    out["row_number_ordering"] = (
+        "SELECT c_custkey, c_acctbal, rn FROM ("
+        "SELECT c_custkey, c_acctbal, "
+        "ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn "
+        "FROM customer) t WHERE rn <= 100"
+    )
+    out["string_agg_ordered"] = (
+        "SELECT n_regionkey AS regionkey, "
+        "STRING_AGG(n_name, ', ' ORDER BY n_name) AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    out["topk_largest_orders"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+    out["dup_detection_having"] = (
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id HAVING COUNT(*) > 1"
+    )
+    return out

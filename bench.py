@@ -1,0 +1,69 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "checktable_lineitem",
+    "checktable_orders",
+    "checktable_documents",
+    "checktable_embeddings",
+    "checkalloc_rowcounts",
+    "fk_orphans",
+    "agg_pricing_summary",
+    "row_number_ordering",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as mod
+    from integritychecksforvldbs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = mod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("bench_") and n not in HEADLINE
+    ]
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
