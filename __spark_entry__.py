@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
+from integritychecksforvldbs_spark.operators import dedup
 from integritychecksforvldbs_spark.operators.kernels import (
     checktable_df,
     checktable_oracle_sql,
@@ -231,6 +232,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["string_agg_ordered"] = _q_string_agg
     out["topk_largest_orders"] = _q_topk
     out["dup_detection_having"] = _q_dup_detection
+    # -- dedup kernels (north star; SURVEY §7.2 step 9) --
+    out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
+        _load(spark, sf, "documents")
+    )
+    out["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _load(spark, sf, "documents")
+    )
+    out["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
+        _load(spark, sf, "documents")
+    )
+    out["dedup_simhash"] = lambda spark, sf: dedup.simhash_dup_pairs(
+        _load(spark, sf, "documents")
+    )
+    out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
+        _load(spark, sf, "embeddings"), threshold=0.45
+    )
     return out
 
 
@@ -269,4 +286,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events GROUP BY user_id HAVING COUNT(*) > 1"
     )
+    out["dedup_exact"] = dedup.exact_dup_groups_oracle()
+    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
+    # LSH is exact-verified; at the shipped band settings its output
+    # equals the brute-force pairs, so it shares the oracle
+    out["dedup_minhash_lsh"] = dedup.ngram_jaccard_oracle()
+    out["dedup_simhash"] = dedup.simhash_oracle()
+    out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
     return out

@@ -1,0 +1,454 @@
+"""Deduplication kernels for large-scale training-data pipelines.
+
+The reference's integrity checks validate one table at a time
+(IntegrityChecks_VLDB.sql:684-687); these kernels extend the same
+check framework to *cross-row* redundancy over a document corpus —
+the checks an LLM-data pipeline runs before training (BASELINE.json
+north star).  Five tiers, cheapest first:
+
+1. **Exact** — md5(text) hash-groupBy.  One shuffle on the hash, map-
+   side partial aggregation; at 100 TB this is the canonical
+   hash-partitioned duplicate count.
+2. **N-gram Jaccard (brute force)** — word n-gram shingles, self-join
+   on shingle, exact Jaccard per pair.  Quadratic in corpus size per
+   shared shingle; the *oracle* for the approximate tiers.  An
+   optional ``max_df`` cap drops stop-shingles (bounded join fan-out
+   at scale — the standard frequency-cut).
+3. **MinHash + LSH** — k minhashes per doc (one groupBy), banded into
+   buckets (``bands × rows_per_band = k``); only same-bucket pairs
+   are candidates, each verified with the exact Jaccard of tier 2.
+   Linear in corpus size + candidate count: the 100 TB path.
+4. **SimHash** — 60-bit signature from md5-derived token hashes (md5
+   so the DuckDB oracle computes the *identical* signature); pairs
+   within ``max_hamming`` found losslessly via pigeonhole chunk
+   blocking (``max_hamming+1`` chunks → any pair within distance k
+   shares ≥1 exact chunk), then exact ``bit_count(a^b)`` filter.
+5. **Embedding cosine** — near-dup by cosine ≥ τ over
+   ``array<float>`` embeddings.  Dot products as strict left-to-right
+   folds in double precision so Spark and DuckDB produce bitwise-equal
+   similarities (both engines fold sequentially).
+
+Everything is built-in Spark SQL expressions — no Python UDFs — so
+WholeStageCodegen covers the scan→explode→join→agg pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, dup_count, keeper).
+
+    ``keeper`` is the minimal id — the row a dedup pass would retain.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("dup_count"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dup_groups_oracle(table: str = "documents") -> str:
+    return (
+        "SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS dup_count, "
+        f"MIN(doc_id) AS keeper FROM {table} "
+        "GROUP BY md5(text) HAVING COUNT(*) > 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. word n-gram shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Documents with fewer than ``n`` tokens produce no shingles.
+    ``max_df`` drops shingles occurring in more than that many
+    documents (join fan-out bound for web-scale corpora).
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = (
+        df.filter(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+        sh = (
+            sh.join(freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi")
+        )
+    return sh
+
+
+def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+    """Exact Jaccard over (doc_id_a, doc_id_b) pairs; ``pairs=None`` →
+    all pairs sharing ≥1 shingle (brute force)."""
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    joined = a.join(b, "shingle").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    if pairs is not None:
+        joined = joined.join(pairs, ["doc_id_a", "doc_id_b"], "left_semi")
+    common = joined.groupBy("doc_id_a", "doc_id_b").agg(
+        F.count("*").cast("long").alias("common")
+    )
+    card = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("card"))
+    ca = card.select(F.col("doc_id").alias("doc_id_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_id_b"), F.col("card").alias("card_b"))
+    return (
+        common.join(ca, "doc_id_a")
+        .join(cb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("common")
+                / (F.col("card_a") + F.col("card_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Brute-force exact near-dup pairs: (doc_id_a, doc_id_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, n, max_df)
+    return _jaccard_for_pairs(sh, None, threshold)
+
+
+def ngram_jaccard_oracle(
+    table: str = "documents", n: int = 3, threshold: float = 0.5
+) -> str:
+    """The identical computation in DuckDB SQL (the oracle for tiers
+    2 and 3).  Integer/integer division → bitwise-equal doubles."""
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))) AS g
+    FROM {table}
+    WHERE len(string_split(text, ' ')) >= {n})
+),
+card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS card FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       common / (ca.card + cb.card - common) AS jaccard
+FROM common
+JOIN card ca ON ca.doc_id = doc_id_a
+JOIN card cb ON cb.doc_id = doc_id_b
+WHERE common / (ca.card + cb.card - common) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """k-minhash signature per doc: (doc_id, h0..h{k-1}).
+
+    One shuffle (groupBy doc_id) with map-side partial mins; hash i is
+    ``xxhash64(i, shingle)`` — 64-bit, JVM-side, seed-stable."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Same-bucket candidate pairs from banded minhash signatures."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("doc_id_a"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs, exact-verified: same schema (and,
+    at sane band settings, the same rows) as :func:`ngram_jaccard_pairs`
+    — but linear in corpus size instead of quadratic.
+
+    P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands; defaults give
+    ≥0.9998 recall at s=0.8 and ~1 at s≥0.9.
+    """
+    sh = shingles(df, text_col, id_col, n, max_df)
+    sig = minhash_signatures(sh, bands * rows_per_band)
+    cands = lsh_candidate_pairs(sig, bands, rows_per_band)
+    return _jaccard_for_pairs(sh, cands, threshold)
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → portable to the DuckDB oracle
+
+
+def _tok(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document: (doc_id, simhash).
+
+    Token hash = first 15 hex chars of md5 (portable); bit j of the
+    signature is the sign of Σ_tokens (±1 by token-hash bit j).
+    """
+    tok = _tok(df, text_col, id_col).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits: (doc_id_a, doc_id_b, hamming).
+
+    Lossless chunk blocking: the signature splits into
+    ``max_hamming+1`` chunks; any pair within distance k agrees on ≥1
+    whole chunk (pigeonhole), so the equi-join on (chunk_idx, chunk)
+    misses nothing while avoiding the n² cross join.
+    """
+    n_chunks = max_hamming + 1
+    width = SIMHASH_BITS // n_chunks + (1 if SIMHASH_BITS % n_chunks else 0)
+    mask = (1 << width) - 1
+    sig = simhash_df(df, text_col, id_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {c * width}) & {mask}")
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk_idx",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk_idx",
+        "chunk",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_oracle(table: str = "documents", max_hamming: int = 3) -> str:
+    """Brute-force SimHash pairs in DuckDB — identical signatures (same
+    md5-derived hashes), identical hamming distances."""
+    sum_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM {table})
+  WHERE t <> ''
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+),
+sums AS (
+  SELECT doc_id,
+    {sum_cols}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {combine} AS simhash FROM sums)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: str, b: str) -> Column:
+    """Strict left-to-right double-precision fold — the same summation
+    order DuckDB's list_reduce uses, so cross-engine values are
+    bitwise equal."""
+    return F.expr(
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "norm",
+        F.sqrt(
+            F.expr(
+                f"aggregate(CAST({vec_col} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x)"
+            )
+        ),
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ τ: (vec_id_a, vec_id_b, cosine).
+
+    O(n²) pair enumeration — the verification oracle.  The scale path
+    is LSH bucketing (operators.similarity.srp_ann_topk) feeding the
+    same exact re-rank."""
+    nd = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm"
+    )
+    a = nd.select(
+        F.col("id").alias("vec_id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = nd.select(
+        F.col("id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def cosine_dup_oracle(table: str = "embeddings", threshold: float = 0.8) -> str:
+    return f"""
+WITH nd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x)) AS norm
+  FROM {table}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                     (acc, x) -> acc + x) / (a.norm * b.norm) AS cos_raw
+  FROM nd a JOIN nd b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, round(cos_raw, 6) AS cosine
+FROM pairs WHERE cos_raw >= {threshold}
+"""

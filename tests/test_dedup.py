@@ -1,0 +1,134 @@
+"""Dedup kernels: planted duplicates, LSH recall vs brute force,
+lossless simhash blocking, exact cosines (SURVEY §7.2 step 9)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text with no overlap here at all"),
+        (5, "another unrelated document about spark and parquet files"),
+        (6, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (7, "short text"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(corpus):
+    got = dedup.exact_dup_groups(corpus).collect()
+    assert len(got) == 1
+    assert got[0]["dup_count"] == 2
+    assert got[0]["keeper"] == 1
+
+
+def test_exact_dedup_no_dups(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    assert dedup.exact_dup_groups(df).count() == 0
+
+
+def test_shingles_shape(corpus):
+    sh = dedup.shingles(corpus, n=3)
+    # doc 1: 9 tokens -> 7 trigram positions, all distinct here
+    assert sh.filter(F.col("doc_id") == 1).count() == 7
+    # doc 7 has 2 tokens -> no trigrams
+    assert sh.filter(F.col("doc_id") == 7).count() == 0
+
+
+def test_shingles_max_df(corpus):
+    # shingles shared by >=3 docs get dropped with max_df=2
+    sh_all = dedup.shingles(corpus, n=3)
+    sh_cut = dedup.shingles(corpus, n=3, max_df=2)
+    dropped = sh_all.groupBy("shingle").count().filter("count > 2").count()
+    assert dropped > 0
+    assert sh_cut.count() < sh_all.count()
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    # docs 1 and 2 identical -> jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 share 6 of 8 distinct trigrams -> 6/8 = 0.75
+    assert math.isclose(pairs[(1, 3)], 6 / 8)
+    # docs 1 and 6: doc6 has 8 trigrams (one extra), 7 common, union 8
+    assert math.isclose(pairs[(1, 6)], 7 / 8)
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_matches_bruteforce(corpus):
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    # exact verification makes LSH precision 1; recall 1 on high-sim dups
+    assert lsh == brute
+    assert (1, 2) in lsh
+
+
+def test_simhash_identical_docs_distance_zero(corpus):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df(corpus).collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < (1 << dedup.SIMHASH_BITS)
+
+
+def test_simhash_blocking_is_lossless(corpus, spark):
+    """Chunk-blocked pairs == brute-force hamming pairs."""
+    k = 6
+    sig = dedup.simhash_df(corpus)
+    a = sig.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["ia"], r["ib"], r["d"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("d"))
+        .filter(F.col("d") <= k)
+        .collect()
+    }
+    blocked = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(corpus, max_hamming=k).collect()
+    }
+    assert blocked == brute
+    assert any(d == 0 for (_, _, d) in blocked)  # the exact dup pair
+
+
+def test_cosine_dup_pairs_exact_values(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),     # cos(1,2) = 1
+        (3, [1.0, 1.0, 0.0]),     # cos(1,3) = 1/sqrt(2)
+        (4, [0.0, 0.0, 1.0]),     # orthogonal to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in dedup.cosine_dup_pairs(df, threshold=0.7).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert math.isclose(pairs[(1, 3)], round(1 / math.sqrt(2), 6))
+    assert (1, 4) not in pairs
+    assert (2, 3) in pairs  # same as (1,3)
+
+
+def test_cosine_threshold_filters(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert dedup.cosine_dup_pairs(df, threshold=0.999).count() == 0
+    assert dedup.cosine_dup_pairs(df, threshold=0.9).count() == 1
