@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
-from integritychecksforvldbs_spark.operators import dedup
+from integritychecksforvldbs_spark.operators import dedup, similarity
 from integritychecksforvldbs_spark.operators.kernels import (
     checktable_df,
     checktable_oracle_sql,
@@ -248,6 +248,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
         _load(spark, sf, "embeddings"), threshold=0.45
     )
+
+    # -- similarity search (north star) --
+    def _ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _load(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.brute_force_topk(emb, qs, k=5)
+
+    def _ann_prefiltered(spark: SparkSession, sf: str) -> DataFrame:
+        emb = _load(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.brute_force_topk_prefiltered(emb, qs, k=5)
+
+    out["ann_topk_bruteforce"] = _ann_bruteforce
+    out["ann_topk_prefiltered"] = _ann_prefiltered
     return out
 
 
@@ -293,4 +311,7 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_minhash_lsh"] = dedup.ngram_jaccard_oracle()
     out["dedup_simhash"] = dedup.simhash_oracle()
     out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
+    out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
+    # the prefiltered variant is provably identical to brute force
+    out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
     return out

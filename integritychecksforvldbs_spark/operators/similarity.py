@@ -1,0 +1,272 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Three tiers:
+
+1. **Brute-force top-k** (:func:`brute_force_topk`) — broadcast the
+   (small) query set against the corpus, score every pair with a
+   strict left-to-right double fold (bitwise-portable to the DuckDB
+   oracle, see operators.dedup), rank with a window.  Exact; the
+   oracle for the other tiers.  The window shuffles |corpus|×|Q|
+   score rows — fine to ~10⁹·Q, the verification scale.
+2. **Local-top-k prefilter** (:func:`brute_force_topk_prefiltered`) —
+   same scores, but each partition keeps only its own top-k per query
+   (Arrow-batched ``mapInPandas``; scoring itself stays JVM-side)
+   before the global window.  Shuffle volume drops from |corpus|×|Q|
+   to k×|partitions|×|Q| — the 100 TB path.  Output is provably
+   identical to tier 1 (global top-k ⊆ union of partition top-ks).
+3. **SRP-LSH ANN** (:func:`srp_ann_topk`) — sign-random-projection
+   bucketing: b deterministic hyperplanes → b-bit bucket id; corpus
+   is scored only inside the query's bucket (multi-probe: buckets
+   within hamming ≤ ``probe_hamming``), then exactly re-ranked.
+   Sub-linear candidate sets; approximate recall, measured against
+   tier 1 in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _dot, with_norm
+
+
+def _score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Broadcast-join queries × corpus with exact cosine per pair.
+
+    ``queries``: (query_id, embedding).  Self-matches dropped when ids
+    collide.  ``cos_raw`` keeps full precision for ranking; ``cosine``
+    is the rounded output value.
+    """
+    c = with_norm(corpus).select(
+        F.col("vec_id"), F.col("embedding").alias("cv"), F.col("norm").alias("cn")
+    )
+    q = with_norm(queries).select(
+        F.col("query_id"), F.col("embedding").alias("qv"), F.col("norm").alias("qn")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, rank, cosine).
+
+    Deterministic tie-break on vec_id so ranks are reproducible and
+    portable across engines.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        _score_pairs(corpus, queries)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def brute_force_topk_prefiltered(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Tier 1 with a per-partition top-k prefilter before the window.
+
+    The global top-k per query is contained in the union of partition
+    top-ks, so the result is identical to :func:`brute_force_topk`;
+    only the shuffle shrinks (k rows per partition per query).  The
+    prefilter is the one place Python touches data — an Arrow-batched
+    ``mapInPandas`` doing a nlargest per batch; scoring is JVM-side.
+    """
+    scored = _score_pairs(corpus, queries)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        buf: list = []
+        for pdf in batches:
+            buf.append(pdf)
+        if not buf:
+            return
+        df = pd.concat(buf, ignore_index=True)
+        df = (
+            df.sort_values(["query_id", "cos_raw", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+        yield df
+
+    local = scored.mapInPandas(local_topk, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def topk_oracle(
+    table: str = "embeddings", n_queries: int = 8, k: int = 5
+) -> str:
+    """DuckDB oracle for tier 1 with queries = vec_id < n_queries.
+    Same fold order → bitwise-equal cos_raw → identical ranking."""
+    return f"""
+WITH nd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x)) AS norm
+  FROM {table}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]),
+                     (acc, x) -> acc + x) / (q.norm * c.norm) AS cos_raw
+  FROM nd q JOIN nd c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(cos_raw, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit Gaussian components)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """b-bit SRP bucket id: bit i = sign of <vec, plane_i>."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.expr(
+            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"{_array_sql(p)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _array_sql(xs: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + ")"
+
+
+def _neighbors_within_hamming(bucket: int, n_bits: int, h: int) -> list[int]:
+    """All bucket ids within hamming distance ≤ h (multi-probe set)."""
+    out = {bucket}
+    frontier = {bucket}
+    for _ in range(h):
+        nxt = set()
+        for b in frontier:
+            for i in range(n_bits):
+                nxt.add(b ^ (1 << i))
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-random-projection LSH.
+
+    ``n_tables`` independent b-bit bucketings (OR-amplification); a
+    corpus vector is a candidate if ANY table puts it within
+    ``probe_hamming`` of the query's bucket in that table.  Candidates
+    are exactly re-ranked.  For neighbors at cosine s, per-bit
+    agreement is p = 1 − arccos(s)/π, per-table hit ≈ Σ_{i≤h}
+    C(b,i)·p^{b−i}(1−p)^i, and recall = 1 − (1 − hit)^L — e.g. s=0.9,
+    b=12, h=1, L=8 → ≈0.99 while scoring ~a few % of the corpus per
+    query.  On structure-free (random) corpora no sub-linear method
+    retains recall — measured in tests on planted clusters instead.
+
+    Output may have <k rows per query when buckets are sparse (ANN
+    semantics).  Scale: the corpus is scanned once to compute L bucket
+    ids (one pass, codegen), the probe join is a broadcast hash join
+    on (table, bucket), and only candidates are scored.
+    """
+    dim = len(queries.select("embedding").first()[0])
+    spark = corpus.sparkSession
+
+    c = with_norm(corpus)
+    q = with_norm(queries)
+    bucket_cols_c = []
+    bucket_cols_q = []
+    for t in range(n_tables):
+        planes = srp_planes(dim, n_planes, seed + t)
+        bucket_cols_c.append(_bucket_expr("embedding", planes))
+        bucket_cols_q.append(_bucket_expr("embedding", planes))
+    c = c.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.posexplode(F.array(*bucket_cols_c)).alias("table_id", "bucket"),
+    )
+    q_rows = q.select(
+        "query_id",
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+        *[b.alias(f"b{t}") for t, b in enumerate(bucket_cols_q)],
+    ).collect()
+
+    probe_rows = [
+        (r["query_id"], t, nb)
+        for r in q_rows
+        for t in range(n_tables)
+        for nb in _neighbors_within_hamming(r[f"b{t}"], n_planes, probe_hamming)
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, table_id int, bucket int")
+    qdf = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["qn"]) for r in q_rows],
+        "query_id long, qv array<float>, qn double",
+    )
+    cands = (
+        c.join(F.broadcast(probes), ["table_id", "bucket"])
+        .select("query_id", "vec_id", "cv", "cn")
+        .dropDuplicates(["query_id", "vec_id"])  # collisions across tables — score once
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        cands.select(
+            "query_id",
+            "vec_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,0 +1,125 @@
+"""Similarity search: exact top-k vs numpy, prefiltered == brute
+force, SRP-ANN recall and candidate sub-linearity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import similarity
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def numpy_topk(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = n @ n.T
+
+    def topk(qid: int, k: int) -> list[int]:
+        sims = S[np.where(ids == qid)[0][0]]
+        order = sorted(
+            [(s, i) for s, i in zip(sims, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        return [i for _, i in order[:k]]
+
+    return topk
+
+
+def test_brute_force_topk_matches_numpy(emb, queries, numpy_topk):
+    got = similarity.brute_force_topk(emb, queries, k=5).collect()
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, pairs in by_q.items():
+        ordered = [v for _, v in sorted(pairs)]
+        assert ordered == numpy_topk(qid, 5), f"query {qid}"
+    assert set(by_q) == {0, 1, 2, 3}
+
+
+def test_topk_excludes_self(emb, queries):
+    got = similarity.brute_force_topk(emb, queries, k=5)
+    assert got.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+
+
+def test_prefiltered_identical_to_bruteforce(emb, queries):
+    a = {tuple(r) for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    b = {
+        tuple(r)
+        for r in similarity.brute_force_topk_prefiltered(emb, queries, k=5).collect()
+    }
+    assert a == b
+
+
+def test_srp_ann_recall_on_clustered_data(spark):
+    """On a corpus with real neighbor structure (planted clusters at
+    cosine ≈0.9+), multi-table SRP ANN recovers nearly all true
+    neighbors.  (The fixture embeddings are random — mean pairwise
+    cosine ~0; no sub-linear method has recall there, so recall is
+    measured where it is information-theoretically possible.)"""
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per_cluster = 32, 20, 25
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            # noise norm² ≈ 0.06²·32 ≈ 0.12 → cos(v, center) ≈ 0.94
+            v = c + 0.06 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id").isin([0, 25, 50, 75])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    approx = similarity.srp_ann_topk(
+        corpus, queries, k=5, n_planes=12, n_tables=8, probe_hamming=1
+    ).collect()
+    true_sets: dict[int, set[int]] = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets: dict[int, set[int]] = {}
+    for r in approx:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_srp_buckets_deterministic(emb):
+    planes = similarity.srp_planes(64, 8, seed=42)
+    b1 = emb.select(
+        "vec_id", similarity._bucket_expr("embedding", planes).alias("b")
+    ).collect()
+    b2 = emb.select(
+        "vec_id", similarity._bucket_expr("embedding", planes).alias("b")
+    ).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    buckets = {r["b"] for r in b1}
+    assert len(buckets) > 8  # spread across the 256 possible buckets
+
+
+def test_neighbors_within_hamming():
+    out = similarity._neighbors_within_hamming(0b0000, 4, 1)
+    assert out == [0b0000, 0b0001, 0b0010, 0b0100, 0b1000]
+    assert len(similarity._neighbors_within_hamming(0, 8, 2)) == 1 + 8 + 28
