@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
-from integritychecksforvldbs_spark.operators import dedup, similarity
+from integritychecksforvldbs_spark.operators import dedup, similarity, text
 from integritychecksforvldbs_spark.operators.kernels import (
     checktable_df,
     checktable_oracle_sql,
@@ -266,6 +266,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_topk_bruteforce"] = _ann_bruteforce
     out["ann_topk_prefiltered"] = _ann_prefiltered
+
+    # -- text analysis (north star) --
+    out["text_token_stats"] = lambda spark, sf: text.token_stats(
+        _load(spark, sf, "documents")
+    )
+    out["text_quality"] = lambda spark, sf: text.quality_score(
+        _load(spark, sf, "documents")
+    )
+    out["text_langid"] = lambda spark, sf: text.lang_id(_load(spark, sf, "documents"))
+    out["text_fingerprint"] = lambda spark, sf: text.fingerprint(
+        _load(spark, sf, "documents")
+    )
+    out["text_winnow"] = lambda spark, sf: text.winnow_fingerprints(
+        _load(spark, sf, "documents")
+    )
     return out
 
 
@@ -314,4 +329,9 @@ def oracle_sql() -> dict[str, str]:
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     # the prefiltered variant is provably identical to brute force
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
+    out["text_token_stats"] = text.token_stats_oracle()
+    out["text_quality"] = text.quality_score_oracle()
+    out["text_langid"] = text.lang_id_oracle()
+    out["text_fingerprint"] = text.fingerprint_oracle()
+    out["text_winnow"] = text.winnow_oracle()
     return out

@@ -1,0 +1,274 @@
+"""Text-analysis kernels for training-data pipelines (north star).
+
+Per-document, single-pass, all built-in JVM expressions (no Python
+UDFs): the whole family is a projection over one scan of ``documents``
+— at 100 TB these pipeline behind the parquet reader with column
+pruning (only ``doc_id, text`` read) and whole-stage codegen.
+
+Every kernel has a DuckDB oracle generator computing the *identical*
+value: ratios are integer/integer divisions (bitwise-equal doubles),
+hashes are md5-derived or small-modulus polynomial folds, and the
+winnowing tier uses the same window-frame min in both engines.
+
+- **token_stats** — whitespace tokens + a BPE-ish regex token count
+  (letters runs | single digits | single punctuation).
+- **quality_score** — punctuation/digit/stopword ratios, mean word
+  length, and a 4-point rubric score (discrete, boundary-safe).
+- **lang_id** — stopword-hit argmax over {en, de, fr, es} with a
+  deterministic preference order; 'und' when nothing hits.
+- **fingerprint** — full-document polynomial rolling hash
+  (acc·31 + code) mod 1e9+7.
+- **winnow_fingerprints** — Schleimer et al. winnowing: char k-gram
+  md5 hashes, sliding-window min, distinct per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+PUNCT_REGEX = "[^A-Za-z0-9\\s]"
+DIGIT_REGEX = "[0-9]"
+
+
+def _spark_re(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal.
+
+    Spark SQL literals use Java-style escapes (``'\\s'`` → ``s``), so
+    backslashes must be doubled; DuckDB literals keep them as-is.
+    """
+    return pattern.replace("\\", "\\\\")
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "que", "vous"],
+    "es": ["el", "los", "y", "es", "una", "en", "para", "por", "con"],
+}
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# token stats
+# ---------------------------------------------------------------------------
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = text_col
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"CAST(size(filter(split({t}, ' '), x -> x <> '')) AS BIGINT)").alias(
+            "n_tokens_ws"
+        ),
+        F.expr(
+            f"CAST(size(regexp_extract_all({t}, '{_spark_re(TOKEN_REGEX)}', 0)) AS BIGINT)"
+        ).alias("n_tokens_regex"),
+        F.expr(f"CAST(length({t}) AS BIGINT)").alias("n_chars"),
+    )
+
+
+def token_stats_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens_regex,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Ratios + a discrete 4-point rubric (each criterion 0.25):
+    reasonable length, enough stopwords, limited punctuation, sane
+    mean word length.  Discrete buckets avoid FP-boundary flakiness
+    between engines; the input ratios are exact int/int divisions."""
+    t = text_col
+    en = _sql_list(STOPWORDS["en"])
+    expr = f"""
+    named_struct(
+      'n_tokens', size(filter(split({t}, ' '), x -> x <> '')),
+      'n_punct', size(regexp_extract_all({t}, '{_spark_re(PUNCT_REGEX)}', 0)),
+      'n_digit', size(regexp_extract_all({t}, '{_spark_re(DIGIT_REGEX)}', 0)),
+      'n_stop', size(filter(split(lower({t}), ' '), x -> x IN ({en}))),
+      'n_chars', length({t}),
+      'n_nospace', length(replace({t}, ' ', ''))
+    )
+    """
+    s = df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("m"))
+    return s.select(
+        "doc_id",
+        (F.col("m.n_punct") / F.col("m.n_chars")).alias("punct_ratio"),
+        (F.col("m.n_digit") / F.col("m.n_chars")).alias("digit_ratio"),
+        (F.col("m.n_stop") / F.col("m.n_tokens")).alias("stopword_ratio"),
+        (F.col("m.n_nospace") / F.col("m.n_tokens")).alias("mean_word_len"),
+        (
+            F.when((F.col("m.n_tokens") >= 5) & (F.col("m.n_tokens") <= 10000), 0.25).otherwise(0.0)
+            + F.when(F.col("m.n_stop") / F.col("m.n_tokens") >= 0.05, 0.25).otherwise(0.0)
+            + F.when(F.col("m.n_punct") / F.col("m.n_chars") <= 0.2, 0.25).otherwise(0.0)
+            + F.when(
+                (F.col("m.n_nospace") / F.col("m.n_tokens") >= 2)
+                & (F.col("m.n_nospace") / F.col("m.n_tokens") <= 12),
+                0.25,
+            ).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+def quality_score_oracle(table: str = "documents") -> str:
+    en = _sql_list(STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+    len(regexp_extract_all(text, '{PUNCT_REGEX}')) AS n_punct,
+    len(regexp_extract_all(text, '{DIGIT_REGEX}')) AS n_digit,
+    len(list_filter(string_split(lower(text), ' '), x -> x IN ({en}))) AS n_stop,
+    length(text) AS n_chars,
+    length(replace(text, ' ', '')) AS n_nospace
+  FROM {table}
+)
+SELECT doc_id,
+  n_punct / n_chars AS punct_ratio,
+  n_digit / n_chars AS digit_ratio,
+  n_stop / n_tokens AS stopword_ratio,
+  n_nospace / n_tokens AS mean_word_len,
+  CAST(
+    (CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN n_stop / n_tokens >= 0.05 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN n_punct / n_chars <= 0.2 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN n_nospace / n_tokens BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END)
+  AS DOUBLE) AS quality_score
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# language identification
+# ---------------------------------------------------------------------------
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit argmax with fixed preference order en>de>fr>es;
+    'und' (undetermined) when no list hits."""
+    t = text_col
+    hits = {
+        lang: f"size(filter(split(lower({t}), ' '), x -> x IN ({_sql_list(ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    pred = f"""
+    CASE
+      WHEN {hits['en']} = 0 AND {hits['de']} = 0 AND {hits['fr']} = 0 AND {hits['es']} = 0 THEN 'und'
+      WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} AND {hits['en']} >= {hits['es']} THEN 'en'
+      WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+      WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+      ELSE 'es'
+    END
+    """
+    return df.select(F.col(id_col).alias("doc_id"), F.expr(pred).alias("lang_pred"))
+
+
+def lang_id_oracle(table: str = "documents") -> str:
+    hits = {
+        lang: f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({_sql_list(ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    return f"""
+SELECT doc_id,
+  CASE
+    WHEN {hits['en']} = 0 AND {hits['de']} = 0 AND {hits['fr']} = 0 AND {hits['es']} = 0 THEN 'und'
+    WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} AND {hits['en']} >= {hits['es']} THEN 'en'
+    WHEN {hits['de']} >= {hits['fr']} AND {hits['de']} >= {hits['es']} THEN 'de'
+    WHEN {hits['fr']} >= {hits['es']} THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprints
+# ---------------------------------------------------------------------------
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash of the whole document:
+    fold (acc·{base} + code(char)) mod {mod} left-to-right."""
+    t = text_col
+    expr = (
+        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )
+    return df.filter(F.expr(f"length({t}) > 0")).select(
+        F.col(id_col).alias("doc_id"), F.expr(expr).alias("fingerprint")
+    )
+
+
+def fingerprint_oracle(table: str = "documents") -> str:
+    # list_reduce has no init arg → prepend the 0 seed
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_concat([CAST(0 AS BIGINT)],
+      list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint
+FROM {table} WHERE length(text) > 0
+"""
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): hash every char k-gram
+    (md5-derived 60-bit, portable), keep the min of each sliding
+    window of ``window`` consecutive k-grams, distinct per doc.
+    Robust local fingerprints for plagiarism/near-dup detection."""
+    from pyspark.sql.window import Window as W
+
+    t = text_col
+    grams = df.filter(F.expr(f"length({t}) >= {k}")).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length({t}) - {k - 1}), i -> substring({t}, i, {k}))")
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        hashed.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_oracle(table: str = "documents", k: int = 8, window: int = 4) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(substring(text, i, {k})), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - {k - 1})) AS i
+        FROM {table} WHERE length(text) >= {k})
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint
+FROM grams
+"""

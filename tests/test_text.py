@@ -1,0 +1,103 @@
+"""Text-analysis kernels: hand-computed values on known strings."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat sat on the mat."),
+        (2, "der hund und die katze sind nicht da"),
+        (3, "12345"),
+        (4, "!!! ??? ..."),
+        (5, "a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats_values(docs):
+    got = {r["doc_id"]: r.asDict() for r in T.token_stats(docs).collect()}
+    assert got[1]["n_tokens_ws"] == 6
+    # The|cat|sat|on|the|mat|. -> 6 letter runs + 1 punct
+    assert got[1]["n_tokens_regex"] == 7
+    assert got[1]["n_chars"] == 23
+    # five digits tokenized singly
+    assert got[3]["n_tokens_regex"] == 5
+    assert got[3]["n_tokens_ws"] == 1
+    # punctuation-only: 9 single punct tokens
+    assert got[4]["n_tokens_regex"] == 9
+
+
+def test_quality_score_rubric(docs):
+    got = {r["doc_id"]: r.asDict() for r in T.quality_score(docs).collect()}
+    # doc 1: 6 tokens, 1 punct / 23 chars; stopwords (lowercased) 'the' x2
+    assert got[1]["punct_ratio"] == 1 / 23
+    assert math.isclose(got[1]["stopword_ratio"], 2 / 6)
+    assert got[1]["quality_score"] == 1.0
+    # doc 4: no letters; 9 punct / 11 chars > 0.2, tokens=3 <5
+    assert got[4]["quality_score"] < 0.5
+    # doc 5: single char -> degenerate but defined
+    assert got[5]["punct_ratio"] == 0.0
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+    assert got[4] == "und"
+
+
+def test_fingerprint_matches_python(docs):
+    got = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(docs).collect()}
+
+    def poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * T.FP_BASE + ord(ch)) % T.FP_MOD
+        return acc
+
+    assert got[1] == poly("The cat sat on the mat.")
+    assert got[5] == poly("a")
+
+
+def test_fingerprint_skips_empty(spark):
+    df = spark.createDataFrame([(1, ""), (2, "x")], "doc_id long, text string")
+    got = T.fingerprint(df).collect()
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_winnow_matches_python(spark):
+    s = "abcdefghijklmnop"
+    df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    k, w = 8, 4
+    got = {r["fingerprint"] for r in T.winnow_fingerprints(df, k=k, window=w).collect()}
+
+    def h(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    hashes = [h(s[i : i + k]) for i in range(len(s) - k + 1)]
+    expect = {min(hashes[i : i + w]) for i in range(len(hashes))}
+    assert got == expect
+
+
+def test_winnow_short_text_excluded(spark):
+    df = spark.createDataFrame([(1, "short")], "doc_id long, text string")
+    assert T.winnow_fingerprints(df, k=8).count() == 0
+
+
+def test_winnow_identical_docs_same_fingerprints(spark):
+    s = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, s), (2, s)], "doc_id long, text string")
+    out = T.winnow_fingerprints(df)
+    f1 = {r["fingerprint"] for r in out.filter("doc_id = 1").collect()}
+    f2 = {r["fingerprint"] for r in out.filter("doc_id = 2").collect()}
+    assert f1 == f2 and f1
