@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
-from integritychecksforvldbs_spark.operators import dedup, similarity, text
+from integritychecksforvldbs_spark.operators import dedup, multimodal, similarity, text
 from integritychecksforvldbs_spark.operators.kernels import (
     checktable_df,
     checktable_oracle_sql,
@@ -281,6 +281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_winnow"] = lambda spark, sf: text.winnow_fingerprints(
         _load(spark, sf, "documents")
     )
+
+    # -- multimodal plumbing (north star; decode stubbed, plumbing real) --
+    out["multimodal_binary_stats"] = lambda spark, sf: multimodal.binary_stats(
+        multimodal.media_from_documents(_load(spark, sf, "documents"))
+    )
+    out["multimodal_frame_sample"] = lambda spark, sf: multimodal.sample_frames(
+        multimodal.media_from_documents(_load(spark, sf, "documents"))
+    )
+    # mapInPandas feature extraction — not SQL-expressible; rows-only check
+    out["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
+        multimodal.media_from_documents(_load(spark, sf, "documents"))
+    )
     return out
 
 
@@ -334,4 +346,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_langid"] = text.lang_id_oracle()
     out["text_fingerprint"] = text.fingerprint_oracle()
     out["text_winnow"] = text.winnow_oracle()
+    out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
+    out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
+    # multimodal_features intentionally has no oracle (mapInPandas path)
     return out

@@ -1,0 +1,202 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel through the engine as **opaque binary columns with typed
+metadata** — the schema a 100 TB multimodal training-data lake uses:
+
+    media_id BIGINT, modality STRING, payload BINARY,
+    meta STRUCT<width INT, height INT, sample_rate INT,
+                n_frames INT, format STRING>
+
+Spark-side mechanics are real and tested: Arrow-batched
+``mapInPandas`` for decode/feature-extract (the one place Python may
+touch payload bytes), metadata-only operators as pure JVM expressions
+(frame sampling, byte stats), and stable output schemas.
+
+**Decoding is stubbed**: this container has no image/audio libraries,
+so ``decode=\"fake\"`` (the default) derives deterministic pseudo-
+features from payload bytes, and ``decode=\"real\"`` raises
+``NotImplementedError`` unless PIL is importable.  Swapping in a real
+decoder changes ONE function (``_decode_payload``) — partitioning,
+batch shapes, schemas, and the UDF signature are production-shaped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+MODALITIES = ("image", "audio", "video")
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the ``documents``
+    fixture: payload = utf-8 bytes of the text, modality round-robins
+    by id, metadata synthesized from byte length.  Stands in for a
+    real ingest (S3 blobs / tar shards) with identical schema."""
+    n = F.expr("octet_length(CAST(text AS BINARY))")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(*[F.lit(m) for m in MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "modality"
+        ),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            (n % 640 + 16).cast("int").alias("width"),
+            (n % 480 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (n % 100 + 1).cast("int").alias("n_frames"),
+            F.lit("fake/v1").alias("format"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# byte-level stats (no decode — pure JVM, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def binary_stats(media: DataFrame) -> DataFrame:
+    """Per-blob integrity stats: byte length + md5 — the CHECKALLOC
+    analogue for opaque payload columns."""
+    return media.select(
+        "media_id",
+        "modality",
+        F.expr("CAST(octet_length(payload) AS BIGINT)").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def binary_stats_oracle(table: str = "documents") -> str:
+    """Oracle over documents (payload := encode(text))."""
+    return f"""
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# decode + feature extraction (Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _decode_payload(payload: bytes, modality: str, decode: str):
+    """STUB boundary.  ``decode='real'`` needs an actual media library
+    (PIL/torchaudio/pyav — not in this container); ``decode='fake'``
+    produces a deterministic pseudo-decode from the bytes so the whole
+    pipeline is exercisable end-to-end."""
+    if decode == "real":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real media decoding requires PIL/torchaudio/pyav, "
+                "which are not installed in this environment; "
+                "use decode='fake' or install a decoder"
+            ) from exc
+        raise NotImplementedError("real decode path not implemented yet")
+    # deterministic fake: 16 bytes of md5 as the "decoded signal"
+    return hashlib.md5(payload or b"").digest()
+
+
+def extract_features(
+    media: DataFrame, decode: str = "fake", feature_dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Feature vector per blob via Arrow-batched ``mapInPandas``.
+
+    The UDF sees an iterator of pandas batches (one Spark task per
+    input partition — payload bytes never pass through the driver) and
+    yields frames conforming to FEATURES_SCHEMA.  Fake features are
+    the md5-digest bytes scaled to [0,1] — deterministic, so results
+    are invariant to partitioning/batch size (tested).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
+                sig = _decode_payload(
+                    bytes(payload) if payload is not None else b"", modality, decode
+                )
+                raw = (sig * ((feature_dim // len(sig)) + 1))[:feature_dim]
+                feats.append([float(b) / 255.0 for b in raw])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (metadata-only — pure JVM)
+# ---------------------------------------------------------------------------
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per kept
+    frame index (0, n, 2n, …) — pure metadata expansion; the actual
+    frame decode would happen downstream at the stub boundary.
+    JVM-side ``sequence``/``explode``; no payload bytes move."""
+    return (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.expr(f"sequence(0, meta.n_frames - 1, {every_n})")
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_idx", F.col("frame_idx").cast("long"))
+    )
+
+
+def sample_frames_oracle(table: str = "documents", every_n: int = 10) -> str:
+    """Oracle mirroring media_from_documents' synthesized metadata."""
+    return f"""
+SELECT doc_id AS media_id,
+       unnest(range(0, CAST(octet_length(encode(text)) % 100 + 1 AS BIGINT), {every_n})) AS frame_idx
+FROM {table}
+WHERE CAST(doc_id % 3 AS INT) = 2
+"""

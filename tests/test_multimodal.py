@@ -1,0 +1,103 @@
+"""Multimodal plumbing: schema stability, partitioning invariance of
+the mapInPandas path, stub boundary behavior, frame-sampling plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import multimodal as MM
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, f"{SF_DIR}/documents.parquet")
+    return MM.media_from_documents(docs).cache()
+
+
+def test_media_schema(media):
+    # structural equality (nullability flags differ between derived
+    # and declared schemas and don't matter for the contract)
+    assert media.schema.simpleString() == MM.MEDIA_SCHEMA.simpleString()
+    mods = {r["modality"] for r in media.select("modality").distinct().collect()}
+    assert mods == set(MM.MODALITIES)
+
+
+def test_payload_roundtrip(media, spark):
+    docs = load_table(spark, f"{SF_DIR}/documents.parquet")
+    joined = media.join(docs, media.media_id == docs.doc_id).select(
+        "media_id", "payload", "text"
+    )
+    bad = joined.filter(
+        F.col("payload").cast("string") != F.col("text")
+    ).count()
+    assert bad == 0
+
+
+def test_extract_features_schema_and_values(media):
+    out = MM.extract_features(media)
+    assert out.schema.simpleString() == MM.FEATURES_SCHEMA.simpleString()
+    rows = out.orderBy("media_id").limit(3).collect()
+    for r in rows:
+        assert len(r["feature"]) == MM.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_extract_features_partitioning_invariant(media):
+    """Fake decode is per-row deterministic → results must not depend
+    on partition layout or Arrow batch size."""
+    a = {
+        r["media_id"]: tuple(r["feature"])
+        for r in MM.extract_features(media.repartition(1)).collect()
+    }
+    b = {
+        r["media_id"]: tuple(r["feature"])
+        for r in MM.extract_features(media.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_fake_features_match_python(media):
+    row = media.filter(F.col("media_id") == 0).collect()[0]
+    got = (
+        MM.extract_features(media.filter(F.col("media_id") == 0))
+        .collect()[0]["feature"]
+    )
+    sig = hashlib.md5(bytes(row["payload"])).digest()
+    expect = [float(b) / 255.0 for b in sig[: MM.FEATURE_DIM]]
+    assert [round(x, 6) for x in got] == [round(x, 6) for x in expect]
+
+
+def test_real_decode_raises_without_libs(media):
+    with pytest.raises(Exception) as exc_info:
+        MM.extract_features(media.limit(1), decode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    ) or "real media decoding" in str(exc_info.value)
+
+
+def test_sample_frames_counts(media):
+    out = MM.sample_frames(media, every_n=10)
+    # only video rows contribute
+    videos = media.filter(F.col("modality") == "video")
+    expect = sum(
+        (r["meta"]["n_frames"] + 9) // 10 for r in videos.select("meta").collect()
+    )
+    assert out.count() == expect
+    # every frame_idx is a multiple of 10 and within bounds
+    joined = out.join(videos, "media_id")
+    assert joined.filter("frame_idx % 10 != 0").count() == 0
+    assert joined.filter("frame_idx >= meta.n_frames").count() == 0
+
+
+def test_binary_stats_md5(media, spark):
+    docs = load_table(spark, f"{SF_DIR}/documents.parquet")
+    got = MM.binary_stats(media).filter(F.col("media_id") == 1).collect()[0]
+    txt = docs.filter("doc_id = 1").collect()[0]["text"]
+    assert got["payload_md5"] == hashlib.md5(txt.encode()).hexdigest()
+    assert got["n_bytes"] == len(txt.encode())
