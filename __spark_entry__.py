@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
 from integritychecksforvldbs_spark.operators import dedup, multimodal, similarity, text
+from integritychecksforvldbs_spark.streaming import freshness
+
+# fixed reference instant for the deterministic freshness oracle
+# (events fixture spans 2024-01-01 .. 2024-01-30)
+FRESHNESS_AS_OF = "2024-02-01 00:00:00"
 from integritychecksforvldbs_spark.operators.kernels import (
     checktable_df,
     checktable_oracle_sql,
@@ -293,6 +298,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
         multimodal.media_from_documents(_load(spark, sf, "documents"))
     )
+
+    # -- streaming freshness kernels, batch-equivalent form (§2.10 ext.) --
+    out["events_hourly_counts"] = lambda spark, sf: freshness.hourly_counts(
+        _load(spark, sf, "events")
+    )
+    out["events_freshness"] = lambda spark, sf: freshness.freshness_summary(
+        _load(spark, sf, "events"), as_of=FRESHNESS_AS_OF
+    )
+    out["events_late_counts"] = lambda spark, sf: freshness.late_event_counts(
+        _load(spark, sf, "events")
+    )
     return out
 
 
@@ -349,4 +365,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
     out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
     # multimodal_features intentionally has no oracle (mapInPandas path)
+    out["events_hourly_counts"] = freshness.hourly_counts_oracle()
+    out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
+    out["events_late_counts"] = freshness.late_event_counts_oracle()
     return out

@@ -1,0 +1,155 @@
+"""Structured Streaming freshness kernels: file source → watermarked
+windowed agg → memory sink, and applyInPandasWithState across
+micro-batches, checked against the batch-equivalents."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources.loader import load_table
+from integritychecksforvldbs_spark.streaming import freshness
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir():
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(d, "part-000.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, f"{SF_DIR}/events.parquet").cache()
+
+
+def _run_stream(spark, out_df, name: str, extra=None):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if extra != "update" else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_hourly_counts_match_batch(spark, stream_dir, batch_events):
+    stream = freshness.events_stream(spark, stream_dir)
+    assert stream.isStreaming
+    result = _run_stream(
+        spark, freshness.hourly_counts(stream), "hourly_counts_t"
+    ).cache()
+    expect = freshness.hourly_counts(batch_events).cache()
+    # exact counts per (window, event_type); n_users is HLL on the
+    # stream side so only n_events is compared exactly
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in result.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in expect.collect()
+    }
+    assert got == want
+    assert len(want) > 100
+
+
+def test_streaming_incremental_second_batch(spark, stream_dir, batch_events):
+    """A second file arriving is picked up from the checkpoint and
+    re-aggregated — resume semantics of the file source."""
+    d = tempfile.mkdtemp(prefix="events_incr_")
+    chk = tempfile.mkdtemp(prefix="chk_")
+    try:
+        # mirror the fixture's physical format: ts as raw nanosecond longs
+        def as_fixture(df):
+            return df.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+
+        half = batch_events.filter("event_id % 2 = 0")
+        rest = batch_events.filter("event_id % 2 = 1")
+        as_fixture(half).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+
+        def run_once(qname):
+            stream = freshness.events_stream(spark, d + "/*/")
+            q = (
+                freshness.hourly_counts(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.table(qname)
+
+        n1 = run_once("incr_1").agg(F.sum("n_events")).collect()[0][0]
+        as_fixture(rest).write.mode("overwrite").parquet(os.path.join(d, "b2"))
+        n2 = run_once("incr_2").agg(F.sum("n_events")).collect()[0][0]
+        assert n1 == half.count()
+        assert n2 == batch_events.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_running_max_state_matches_batch(spark, stream_dir, batch_events):
+    stream = freshness.events_stream(spark, stream_dir)
+    out = freshness.running_max_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("runmax_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per key is the final state
+    got = {
+        r["event_type"]: (r["latest_us"], r["n_seen"])
+        for r in spark.table("runmax_t").collect()
+    }
+    expect = {
+        r["event_type"]: (r["latest_us"], r["n_seen"])
+        for r in batch_events.groupBy("event_type")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("latest_us"),
+            F.count("*").alias("n_seen"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_freshness_summary_stale_flag(batch_events):
+    fresh = freshness.freshness_summary(batch_events, as_of="2024-01-30 23:59:00")
+    stale = freshness.freshness_summary(batch_events, as_of="2024-06-01 00:00:00")
+    assert fresh.filter("stale").count() < 5  # most types have recent events
+    assert stale.filter("stale").count() == 5
+
+
+def test_late_event_counts_vs_manual(batch_events):
+    got = {
+        r["event_type"]: r["n_late"]
+        for r in freshness.late_event_counts(batch_events, "1 hour").collect()
+    }
+    mx = batch_events.agg(F.max("ts")).collect()[0][0]
+    manual = {
+        r["event_type"]: r["n"]
+        for r in batch_events.filter(
+            F.col("ts") < F.lit(mx) - F.expr("INTERVAL 1 HOUR")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == manual
+    assert sum(got.values()) > 0
