@@ -181,14 +181,23 @@ def _q_min_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROW_NUMBER ordering strategy (§2.5 #40/#41 shape)."""
+    """ROW_NUMBER ordering strategy (§2.5 #40/#41 shape).
+
+    Top-k first (TakeOrderedAndProject — distributed partial top-k,
+    no global sort/single-partition window over the full table), then
+    rank the k survivors; identical result to a global ROW_NUMBER
+    filter but survives a 100× scale-up.
+    """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    w = Window.orderBy(*order)
     return (
         _load(spark, sf_dir, "customer")
-        .select("c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 100)
+        .select("c_custkey", "c_acctbal")
+        .orderBy(*order)
+        .limit(100)
+        .withColumn("rn", F.row_number().over(w))
     )
 
 

@@ -24,6 +24,12 @@ HEADLINE = [
     "fk_orphans",
     "agg_pricing_summary",
     "row_number_ordering",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_winnow",
+    "text_quality",
+    "ann_topk_prefiltered",
+    "events_hourly_counts",
 ]
 
 

@@ -109,12 +109,23 @@ def shingles(
 
 def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
     """Exact Jaccard over (doc_id_a, doc_id_b) pairs; ``pairs=None`` →
-    all pairs sharing ≥1 shingle (brute force)."""
+    all pairs sharing ≥1 shingle (brute force).
+
+    With candidate ``pairs``, the intersection is computed candidates-
+    first — pairs ⋈ shingles(a) ⋈ shingles(b) — so work scales with
+    |candidates|·|shingles per doc|, NOT with the full self-join (a
+    semi-join *after* the self-join would redo the brute-force work
+    LSH exists to avoid).
+    """
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    joined = a.join(b, "shingle").filter(F.col("doc_id_a") < F.col("doc_id_b"))
     if pairs is not None:
-        joined = joined.join(pairs, ["doc_id_a", "doc_id_b"], "left_semi")
+        joined = (
+            pairs.join(a, "doc_id_a")
+            .join(b, ["doc_id_b", "shingle"])
+        )
+    else:
+        joined = a.join(b, "shingle").filter(F.col("doc_id_a") < F.col("doc_id_b"))
     common = joined.groupBy("doc_id_a", "doc_id_b").agg(
         F.count("*").cast("long").alias("common")
     )
@@ -240,6 +251,10 @@ def minhash_lsh_pairs(
     P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands; defaults give
     ≥0.9998 recall at s=0.8 and ~1 at s≥0.9.
     """
+    # NOTE: the shingle set is read by signatures, both verify sides,
+    # and cardinalities; measured at sf0.1, recomputing it beats
+    # persist() (caching 3.5M rows costs more than the recompute and
+    # blocks plan collapsing) — don't "optimize" this with a cache
     sh = shingles(df, text_col, id_col, n, max_df)
     sig = minhash_signatures(sh, bands * rows_per_band)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)

@@ -46,21 +46,34 @@ BROADCAST_THRESHOLD_BYTES = 256 * 1024 * 1024  # dims under this broadcast
 # CHECKTABLE expression compiler (portable Spark SQL + DuckDB)
 # ---------------------------------------------------------------------------
 
-def _pk_concat(cols: list[str]) -> str:
-    casts = [f"CAST({c} AS STRING)" for c in cols]
-    if len(casts) == 1:
-        return casts[0]
-    return "concat_ws('|', " + ", ".join(casts) + ")"
+def _pk_distinct(cols: list[str], dialect: str) -> str:
+    """COUNT of distinct fully-non-null key tuples, per engine.
+
+    Spark's multi-arg COUNT(DISTINCT a, b) skips rows with any NULL
+    and groups natively on the columns (no string concatenation in
+    the hot aggregation path — at 100 TB the concat dominates).
+    DuckDB has no multi-arg form; its row-value variant counts
+    partially-null rows, so a FILTER reproduces Spark's semantics.
+    Both equal the old concat_ws formulation, without its (tiny)
+    separator-collision risk.
+    """
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    if len(cols) == 1:
+        return f"COUNT(DISTINCT {cols[0]})"
+    if dialect == "spark":
+        return "COUNT(DISTINCT " + ", ".join(cols) + ")"
+    return f"COUNT(DISTINCT ({', '.join(cols)})) FILTER (WHERE {nn})"
 
 
 def checktable_agg_exprs(
-    exp: TableExpectations, physical_only: bool = False
+    exp: TableExpectations, physical_only: bool = False, dialect: str = "spark"
 ) -> list[tuple[str, str]]:
-    """(alias, ANSI-SQL aggregate expression) pairs for one table.
+    """(alias, SQL aggregate expression) pairs for one table.
 
-    Valid both as Spark SQL (``F.expr``) and DuckDB SQL — this single
-    list IS the pinned DATA_PURITY definition (SURVEY §7.4 risk 4).
-    All counters cast to BIGINT so result schemas agree across engines.
+    One list IS the pinned DATA_PURITY definition (SURVEY §7.4 risk 4);
+    every expression is identical across engines except the PK-distinct
+    form (see :func:`_pk_distinct`).  All counters cast to BIGINT so
+    result schemas agree.
     """
     exprs: list[tuple[str, str]] = [("n_rows", "CAST(COUNT(*) AS BIGINT)")]
     if physical_only:
@@ -72,7 +85,7 @@ def checktable_agg_exprs(
     if exp.primary_key:
         nn = " AND ".join(f"{c} IS NOT NULL" for c in exp.primary_key)
         null_any = f"SUM(CASE WHEN NOT ({nn}) THEN 1 ELSE 0 END)"
-        distinct = f"COUNT(DISTINCT CASE WHEN {nn} THEN {_pk_concat(exp.primary_key)} END)"
+        distinct = _pk_distinct(exp.primary_key, dialect)
         exprs.append(("pk_null_rows", f"CAST({null_any} AS BIGINT)"))
         exprs.append(("pk_dup_rows", f"CAST(COUNT(*) - {null_any} - {distinct} AS BIGINT)"))
     for rule in exp.domain_rules:
@@ -89,16 +102,16 @@ def checktable_df(
     df: DataFrame, exp: TableExpectations, physical_only: bool = False
 ) -> DataFrame:
     """The one-pass CHECKTABLE aggregation as a one-row DataFrame."""
-    exprs = checktable_agg_exprs(exp, physical_only)
+    exprs = checktable_agg_exprs(exp, physical_only, dialect="spark")
     return df.agg(*[F.expr(sql).alias(alias) for alias, sql in exprs])
 
 
 def checktable_oracle_sql(
     table: str, exp: TableExpectations | None = None, physical_only: bool = False
 ) -> str:
-    """The identical aggregation as ANSI SQL for the DuckDB oracle."""
+    """The identical aggregation in DuckDB SQL for the oracle."""
     exp = exp or expectations_for(table)
-    exprs = checktable_agg_exprs(exp, physical_only)
+    exprs = checktable_agg_exprs(exp, physical_only, dialect="duckdb")
     cols = ",\n  ".join(f"{sql} AS {alias}" for alias, sql in exprs)
     return f"SELECT\n  {cols}\nFROM {table}"
 
@@ -264,25 +277,36 @@ def run_checkcatalog(
 
 
 def fk_orphan_counts_df(
-    tables: dict[str, DataFrame], exp: TableExpectations
+    tables: dict[str, DataFrame],
+    exp: TableExpectations,
+    broadcast_parents: set[str] | None = None,
 ) -> DataFrame:
     """EXTENDED_LOGICAL_CHECKS tier: one row per FK with its orphan
-    count (child rows whose key has no parent).  Parents are
-    broadcast — dimension tables are small relative to facts; at
-    100 TB the fact side streams through a broadcast-hash anti-join
-    with no shuffle of the big side."""
+    count (child rows whose key has no parent), via left-anti joins.
+
+    Join strategy is left to Catalyst/AQE by default: parquet-backed
+    parents under ``spark.sql.autoBroadcastJoinThreshold`` become
+    broadcast-hash anti-joins (fact side streams, no shuffle); larger
+    parents fall back to shuffle joins — forcing a broadcast of, say,
+    the orders table at 100 TB would OOM every executor.  Callers
+    that KNOW a parent is dimension-sized can name it in
+    ``broadcast_parents`` to pin the hint.
+    """
     spark = tables[exp.table].sparkSession
+    broadcast_parents = broadcast_parents or set()
     out: DataFrame | None = None
     child = tables[exp.table]
     for fk in exp.foreign_keys:
         parent = tables[fk.parent_table]
+        if fk.parent_table in broadcast_parents:
+            parent = F.broadcast(parent)
         cond = [
             child[c] == parent[p] for c, p in zip(fk.columns, fk.parent_columns)
         ]
         nn = child
         for c in fk.columns:
             nn = nn.filter(F.col(c).isNotNull())
-        orphans = nn.join(F.broadcast(parent), cond, "left_anti")
+        orphans = nn.join(parent, cond, "left_anti")
         one = orphans.agg(F.count("*").cast("long").alias("orphan_rows")).select(
             F.lit(exp.table).alias("child_table"),
             F.lit("_".join(fk.columns)).alias("fk_columns"),

@@ -213,17 +213,25 @@ def _read_footer(path_size: tuple[str, int]) -> Row:
         )
 
 
+DRIVER_SIDE_FOOTER_LIMIT = 64
+
+
 def footer_stats_df(spark: SparkSession, files: list[FileMeta]) -> DataFrame:
     """Parquet footer stats for a pinned file list.
 
-    Distributed over executors (``parallelize`` + per-partition pyarrow)
-    so a 100 TB table with 10⁵ files fans out instead of serializing
-    footer reads on the driver.  This is the only RDD use in the engine
-    — genuinely per-file imperative metadata IO.
+    Small listings (≤ 64 files) are probed on the driver — a
+    footer read is ~1 ms of metadata IO and a Spark job costs more
+    than that in scheduling.  Larger listings fan out over executors
+    (``parallelize`` + per-partition pyarrow) so a 100 TB table with
+    10⁵ files parallelizes instead of serializing on the driver; this
+    is the only RDD use in the engine — genuinely per-file imperative
+    metadata IO.
     """
     if not files:
         return spark.createDataFrame([], FOOTER_SCHEMA)
     pairs = [(f.path, f.size) for f in files]
+    if len(pairs) <= DRIVER_SIDE_FOOTER_LIMIT:
+        return spark.createDataFrame([_read_footer(p) for p in pairs], FOOTER_SCHEMA)
     slices = min(len(pairs), spark.sparkContext.defaultParallelism * 2)
     rows = spark.sparkContext.parallelize(pairs, slices).map(_read_footer)
     return spark.createDataFrame(rows, FOOTER_SCHEMA)
