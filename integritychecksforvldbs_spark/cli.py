@@ -30,6 +30,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--execute", choices=["Y", "N"], default="Y")
     ap.add_argument("--state", default=None, help="state parquet path")
     ap.add_argument("--log", default=None, help="command log parquet path")
+    ap.add_argument(
+        "--database-order",
+        default=None,
+        help="DATABASE_{NAME,SIZE,LAST_GOOD_CHECK}_{ASC,DESC} | "
+        "REPLICA_LAST_GOOD_CHECK_{ASC,DESC} (default: oldest-first resume order)",
+    )
+    ap.add_argument(
+        "--databases-in-parallel", choices=["Y", "N"], default="N",
+        help="claim databases from a shared work queue (multi-worker runs)",
+    )
+    ap.add_argument("--queue-root", default=None, help="shared queue directory")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -46,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_path=None if args.no_snapshot else "DEFAULT",
         log_to_table=args.log_to_table,
         execute=args.execute,
+        database_order=args.database_order,
+        databases_in_parallel=args.databases_in_parallel,
+        queue_root=args.queue_root,
     )
     checker = IntegrityChecker(spark, args.base_dir, args.state, args.log, params)
     report = checker.run()

@@ -353,6 +353,43 @@ def run_extended_logical(
     return KernelResult("EXTENDED_LOGICAL", database, table, not errors, metrics, errors)
 
 
+def run_checkfilegroup(
+    spark: SparkSession,
+    obj: ObjectMeta,
+    filegroup: str,
+    files: list[FileMeta],
+    database: str,
+    physical_only: bool = False,
+) -> KernelResult:
+    """CHECKFILEGROUP (SURVEY §2.9 #54; DIC:1476-1487): CHECKALLOC +
+    CHECKTABLE restricted to one filegroup's file subset.  Parquet
+    immutability makes the subset an exact snapshot; the restricted
+    scan reads ONLY those files (partition pruning by construction).
+    """
+    sub = ObjectMeta(
+        obj.database_name, obj.schema_name, obj.object_name, obj.object_type,
+        obj.path, files,
+    )
+    alloc = run_checkalloc(spark, sub, full=False)
+    metrics = {f"alloc_{k}": v for k, v in alloc.metrics.items()}
+    errors = list(alloc.errors)
+    if not physical_only and files and not errors:
+        df = load_table(spark, *[f.path for f in files])
+        tbl = run_checktable(
+            spark, df, database, obj.object_name, expectations_for(obj.object_name)
+        )
+        metrics.update(tbl.metrics)
+        # cross-row uniqueness is a whole-table property — a filegroup
+        # sees only its subset, so PK duplicates spanning filegroups
+        # surface in CHECKTABLE/CHECKDB, not here (mirrors DBCC
+        # CHECKFILEGROUP skipping cross-filegroup index checks)
+        errors.extend(tbl.errors)
+    return KernelResult(
+        "CHECKFILEGROUP", database, f"{obj.object_name}:{filegroup}",
+        not errors, metrics, errors,
+    )
+
+
 def run_checkdb(
     spark: SparkSession,
     objs: list[ObjectMeta],

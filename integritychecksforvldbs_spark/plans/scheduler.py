@@ -64,9 +64,27 @@ class CheckParams:
     log_to_table: str = "Y"
     execute: str = "Y"
     extended_logical_checks: str = "N"  # DIC:27 extension
+    database_order: str | None = None  # DIC @DatabaseOrder (DIC:992-1089)
+    databases_in_parallel: str = "N"  # DIC @DatabasesInParallel (DIC:1095-1228)
+    queue_root: str | None = None  # shared dir for the multi-worker queue
 
     def validate(self) -> None:
+        from .ordering import validate_database_order
+
         errors = []
+        try:
+            validate_database_order(self.database_order)
+        except ValueError as exc:
+            errors.append(str(exc))
+        if self.databases_in_parallel not in ("Y", "N"):
+            errors.append(
+                "The value for the parameter @DatabasesInParallel is not supported."
+            )
+        if self.databases_in_parallel == "Y" and not self.queue_root:
+            errors.append(
+                "The value for the parameter @DatabasesInParallel is not supported."
+                " A queue_root directory is required."
+            )
         if self.physical_only not in ("Y", "N"):
             errors.append("The value for the parameter @PhysicalOnly is not supported.")
         if self.max_dop is not None and not (0 <= self.max_dop <= 64):
@@ -156,61 +174,62 @@ class IntegrityChecker:
         report.merge_stats = self.state.merge_inventory(inv_rows)
         self.state.save()
 
-        # STAGE F — CHECKALLOC + CHECKCATALOG per DB (IC:505-577)
-        db_types = {c.name: c.database_type for c in selected}
-        for db in selected:
-            if not self._deadline_ok(job_end):
-                break
-            objs = inventories[db.name]
-            # snapshot pinning (IC:519-532): re-list NOW and use this
-            # listing for both kernels; skipped for system DBs or when
-            # snapshot_path is disabled — then kernels read live paths
-            check_db_name = db.name
-            if p.snapshot_path is not None and db_types[db.name] != "S":
-                objs = list_objects(self.spark, db.name, f"{self.base_dir}/{db.name}")
-                check_db_name = f"{db.name}_CHKALOCCAT_snapshot_{tsql_ts_112(job_start)}"
-                report.snapshots.append(check_db_name)
-                logger.info("Snapshot created: [%s]", check_db_name)
-            spec = CheckSpec(
-                CHECKALLOC,
-                db.name,
-                check_db_name=check_db_name,
-                physical_only=physical_only,
-                maxdop=p.max_dop,
-                snapshot_files=[f.path for o in objs for f in o.files],
-            )
-            report.outcomes.append(
-                run_command(
-                    self.spark,
-                    spec,
-                    kernel=lambda objs=objs, db=db: self._alloc_all(db.name, objs, physical_only),
-                    execute=execute,
-                    log=self.log if p.log_to_table == "Y" else None,
-                )
-            )
-            spec = CheckSpec(CHECKCATALOG, db.name, check_db_name=check_db_name)
-            report.outcomes.append(
-                run_command(
-                    self.spark,
-                    spec,
-                    kernel=lambda objs=objs: run_checkcatalog(self.spark, objs),
-                    execute=execute,
-                    log=self.log if p.log_to_table == "Y" else None,
-                )
-            )
-            if check_db_name != db.name:
-                logger.info("Snapshot dropped: [%s]", check_db_name)
+        # STAGE G ordering decided up-front (also keys the queue round):
+        # oldest-first from the ledger (IC:583-587) unless an explicit
+        # @DatabaseOrder strategy is set (DIC:992-1089)
+        if p.database_order is not None:
+            visit_order = self._strategy_order(selected, inventories)
+        else:
+            visit_order = [
+                dbname
+                for dbname, _min_date in self.state.db_order()
+                if dbname in inventories
+            ]
+        queue = None
+        if p.databases_in_parallel == "Y":
+            from .queue import WorkQueue
 
-        # STAGE G — CHECKTABLE pass, oldest DB first (IC:583-744)
-        order = [
-            (dbname, min_date)
-            for dbname, min_date in self.state.db_order()
-            if dbname in inventories
-        ]
+            queue = WorkQueue(
+                p.queue_root, self._parameters_string(), visit_order
+            )
+
+        # STAGE F — CHECKALLOC + CHECKCATALOG per DB (IC:505-577).
+        # With a queue, this runs inside each worker's claimed visit
+        # instead (every command family claim-gated, DIC:1341-1695) —
+        # otherwise N workers would all repeat the alloc/catalog pass.
+        db_types = {c.name: c.database_type for c in selected}
+        if queue is None:
+            for db in selected:
+                if not self._deadline_ok(job_end):
+                    break
+                self._alloc_catalog_visit(
+                    db.name, inventories, db_types, job_start, report, execute,
+                    physical_only,
+                )
+
         initial_run = False
-        for dbname, _min_date in order:
+        visit_iter = iter(visit_order)
+        while True:
+            # deadline gate BEFORE claiming: an unclaimed DB stays
+            # available to other workers / the next run (IC:592)
             if not self._deadline_ok(job_end):
                 break
+            # one DB per iteration: locally from the ordered list, or
+            # claimed from the shared queue (one claim at a time so
+            # workers load-balance and stale recovery can reassign)
+            dbname = queue.claim_next() if queue is not None else next(visit_iter, None)
+            if dbname is None:
+                break
+            if dbname not in inventories:
+                if queue is not None:
+                    queue.complete(dbname)  # vanished DB — close the row
+                continue
+            if queue is not None:
+                # claim-gated ALLOC+CATALOG for this worker's DB
+                self._alloc_catalog_visit(
+                    dbname, inventories, db_types, job_start, report, execute,
+                    physical_only,
+                )
             if self.state.is_initial_run(dbname):  # IC:602-604
                 initial_run = True
             # snapshot pinning for the table pass (IC:609-640)
@@ -303,11 +322,103 @@ class IntegrityChecker:
             if check_db_name != dbname:
                 logger.info("Snapshot dropped: [%s]", check_db_name)
             self.state.save()
+            if queue is not None:
+                queue.complete(dbname)  # DatabaseEndTime (DIC:1710-1714)
 
         self.state.save()
         self.log.flush()
         logger.info("Date and time: %s", _utcnow().strftime("%Y-%m-%d %H:%M:%S"))
         return report
+
+    def _alloc_catalog_visit(
+        self,
+        dbname: str,
+        inventories: dict[str, list[ObjectMeta]],
+        db_types: dict[str, str],
+        job_start: datetime,
+        report: RunReport,
+        execute: bool,
+        physical_only: bool,
+    ) -> None:
+        """One DB's CHECKALLOC + CHECKCATALOG pass (IC:505-577) with
+        snapshot pinning (IC:519-532): re-list NOW and use that listing
+        for both kernels; skipped for system DBs or when snapshot_path
+        is disabled — then kernels read live paths."""
+        p = self.params
+        objs = inventories[dbname]
+        check_db_name = dbname
+        if p.snapshot_path is not None and db_types.get(dbname) != "S":
+            objs = list_objects(self.spark, dbname, f"{self.base_dir}/{dbname}")
+            check_db_name = f"{dbname}_CHKALOCCAT_snapshot_{tsql_ts_112(job_start)}"
+            report.snapshots.append(check_db_name)
+            logger.info("Snapshot created: [%s]", check_db_name)
+        spec = CheckSpec(
+            CHECKALLOC,
+            dbname,
+            check_db_name=check_db_name,
+            physical_only=physical_only,
+            maxdop=p.max_dop,
+            snapshot_files=[f.path for o in objs for f in o.files],
+        )
+        report.outcomes.append(
+            run_command(
+                self.spark,
+                spec,
+                kernel=lambda objs=objs: self._alloc_all(dbname, objs, physical_only),
+                execute=execute,
+                log=self.log if p.log_to_table == "Y" else None,
+            )
+        )
+        spec = CheckSpec(CHECKCATALOG, dbname, check_db_name=check_db_name)
+        report.outcomes.append(
+            run_command(
+                self.spark,
+                spec,
+                kernel=lambda objs=objs: run_checkcatalog(self.spark, objs),
+                execute=execute,
+                log=self.log if p.log_to_table == "Y" else None,
+            )
+        )
+        if check_db_name != dbname:
+            logger.info("Snapshot dropped: [%s]", check_db_name)
+
+    # -- ordering / queue helpers ---------------------------------------
+    def _parameters_string(self) -> str:
+        """The run's parameter identity (DIC:215-233 @Parameters) —
+        keys the shared queue so workers with the same invocation
+        cooperate and different invocations don't."""
+        p = self.params
+        return (
+            f"@Databases = {p.databases or 'ALL_DATABASES'}, "
+            f"@PhysicalOnly = '{p.physical_only}', "
+            f"@ExtendedLogicalChecks = '{p.extended_logical_checks}', "
+            f"@DatabaseOrder = {p.database_order or 'NULL'}, "
+            f"@BaseDir = {self.base_dir}"
+        )
+
+    def _strategy_order(self, selected, inventories) -> list[str]:
+        """@DatabaseOrder strategy over the selected DBs (DIC:961-1089):
+        sizes from the inventory, last-good-check from the command log,
+        replica tag from the candidate."""
+        from .ordering import DatabaseOrderRow, order_databases
+        from .runner import last_good_check_df
+
+        lgc: dict[str, object] = {}
+        if self.params.log_to_table == "Y" and self.log.path:
+            for r in last_good_check_df(self.log.df()).collect():
+                lgc[r["database_name"]] = r["last_good_check"]
+        rows = [
+            DatabaseOrderRow(
+                name=c.name,
+                start_position=c.start_position or 1,
+                size_bytes=sum(o.total_bytes for o in inventories.get(c.name, [])),
+                last_good_check=lgc.get(c.name),
+                replica_group=c.availability_group,
+            )
+            for c in selected
+            if c.name in inventories
+        ]
+        return [r.name for r in order_databases(rows, self.params.database_order)]
 
     # -- kernels --------------------------------------------------------
     def _alloc_all(self, dbname: str, objs: list[ObjectMeta], physical_only: bool):

@@ -150,6 +150,30 @@ def list_objects(spark: SparkSession, database_name: str, db_path: str) -> list[
     return objs
 
 
+def list_filegroups(
+    spark: SparkSession, obj: ObjectMeta
+) -> list[tuple[str, list[FileMeta]]]:
+    """Filegroups of one table (SURVEY §2.1 #3; DIC:1374-1377).
+
+    A *filegroup* is a physical storage subset: for a partitioned
+    table, each first-level partition directory (``col=value``); files
+    at the table root (or a single-file table) form PRIMARY.  Ordered
+    PRIMARY-first then by name, mirroring the reference's
+    ``CASE WHEN name = 'PRIMARY' THEN 1 ELSE 0 END DESC, name``.
+    """
+    groups: dict[str, list[FileMeta]] = {}
+    prefix = obj.path.rstrip("/") + "/"
+    for f in obj.files:
+        rest = f.path[len(prefix):] if f.path.startswith(prefix) else ""
+        if "/" in rest:
+            groups.setdefault(rest.split("/", 1)[0], []).append(f)
+        else:
+            groups.setdefault("PRIMARY", []).append(f)
+    return sorted(
+        groups.items(), key=lambda kv: (0 if kv[0] == "PRIMARY" else 1, kv[0])
+    )
+
+
 def catalog_meta_df(spark: SparkSession, base_dir: str) -> DataFrame:
     """The engine's ``sys.databases ⋈ sys.objects`` as a DataFrame
     (FIXTURES.md §B ``catalog_meta``)."""

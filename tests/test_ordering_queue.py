@@ -1,0 +1,195 @@
+"""DatabaseOrder strategies (DIC:992-1089), the multi-worker queue
+claim protocol (DIC:1095-1228), and CHECKFILEGROUP (DIC:1476-1487)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators.kernels import run_checkfilegroup
+from integritychecksforvldbs_spark.plans.ordering import (
+    DatabaseOrderRow,
+    order_databases,
+    order_databases_df,
+    validate_database_order,
+)
+from integritychecksforvldbs_spark.plans.queue import WorkQueue
+from integritychecksforvldbs_spark.sources.catalog import list_filegroups, list_objects
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+
+def _rows():
+    return [
+        DatabaseOrderRow("alpha", 2, 300, datetime(2024, 1, 5), "r1"),
+        DatabaseOrderRow("bravo", 1, 100, None, "r2"),
+        DatabaseOrderRow("charlie", 3, 200, datetime(2024, 1, 1), "r1"),
+    ]
+
+
+ORDER_CASES = {
+    None: ["bravo", "alpha", "charlie"],  # StartPosition, name
+    "DATABASE_NAME_ASC": ["alpha", "bravo", "charlie"],
+    "DATABASE_NAME_DESC": ["charlie", "bravo", "alpha"],
+    "DATABASE_SIZE_ASC": ["bravo", "charlie", "alpha"],
+    "DATABASE_SIZE_DESC": ["alpha", "charlie", "bravo"],
+    # never-checked (bravo) sorts as oldest
+    "DATABASE_LAST_GOOD_CHECK_ASC": ["bravo", "charlie", "alpha"],
+    "DATABASE_LAST_GOOD_CHECK_DESC": ["alpha", "charlie", "bravo"],
+    # replica group first: r1(alpha,charlie) r2(bravo)
+    "REPLICA_LAST_GOOD_CHECK_ASC": ["charlie", "alpha", "bravo"],
+    "REPLICA_LAST_GOOD_CHECK_DESC": ["bravo", "alpha", "charlie"],
+}
+
+
+@pytest.mark.parametrize("order,expect", ORDER_CASES.items())
+def test_order_databases_python(order, expect):
+    got = [r.name for r in order_databases(_rows(), order)]
+    assert got == expect
+    assert [r.order for r in order_databases(_rows(), order)] == [1, 2, 3]
+
+
+@pytest.mark.parametrize("order,expect", ORDER_CASES.items())
+def test_order_databases_df_agrees(spark, order, expect):
+    df = spark.createDataFrame(
+        [(r.name, r.start_position, r.size_bytes, r.last_good_check, r.replica_group)
+         for r in _rows()],
+        "name string, start_position int, size_bytes long, "
+        "last_good_check timestamp, replica_group string",
+    )
+    got = [
+        r["name"]
+        for r in order_databases_df(df, order).orderBy("order").collect()
+    ]
+    assert got == expect
+
+
+def test_validate_database_order_rejects():
+    with pytest.raises(ValueError, match="@DatabaseOrder is not supported"):
+        validate_database_order("DATABASE_SIZE")
+    validate_database_order(None)
+    validate_database_order("DATABASE_SIZE_DESC")
+
+
+# ---------------------------------------------------------------------------
+# WorkQueue
+# ---------------------------------------------------------------------------
+
+
+def test_queue_claims_in_order_once():
+    with tempfile.TemporaryDirectory() as d:
+        q = WorkQueue(d, "params-A", ["db1", "db2", "db3"])
+        assert q.claim_next() == "db1"
+        assert q.claim_next() == "db2"  # db1 still claimed by us
+        q.complete("db1")
+        q.complete("db2")
+        assert q.claim_next() == "db3"
+        q.complete("db3")
+        assert q.claim_next() is None
+        assert q.all_done()
+
+
+def test_queue_two_workers_disjoint():
+    with tempfile.TemporaryDirectory() as d:
+        dbs = [f"db{i}" for i in range(20)]
+        w1 = WorkQueue(d, "P", dbs, session_id="w1")
+        w2 = WorkQueue(d, "P", dbs, session_id="w2")
+        claimed: dict[str, list[str]] = {"w1": [], "w2": []}
+
+        def work(q, name):
+            while True:
+                db = q.claim_next()
+                if db is None:
+                    break
+                claimed[name].append(db)
+                q.complete(db)
+
+        t1 = threading.Thread(target=work, args=(w1, "w1"))
+        t2 = threading.Thread(target=work, args=(w2, "w2"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        all_claimed = claimed["w1"] + claimed["w2"]
+        assert sorted(all_claimed) == sorted(dbs)  # every db exactly once
+        assert len(set(all_claimed)) == len(dbs)
+        assert w1.all_done()
+
+
+def test_queue_stale_claim_recovery():
+    with tempfile.TemporaryDirectory() as d:
+        w1 = WorkQueue(d, "P", ["db1"], session_id="w1", stale_after_s=0.2)
+        assert w1.claim_next() == "db1"
+        # w1 dies without completing; w2 must recover after staleness
+        w2 = WorkQueue(d, "P", ["db1"], session_id="w2", stale_after_s=0.2)
+        assert w2.claim_next() is None  # claim still fresh
+        time.sleep(0.3)
+        assert w2.claim_next() == "db1"  # stale claim released
+        w2.complete("db1")
+        assert w2.all_done()
+
+
+def test_queue_heartbeat_keeps_claim():
+    with tempfile.TemporaryDirectory() as d:
+        w1 = WorkQueue(d, "P", ["db1"], session_id="w1", stale_after_s=0.3)
+        w2 = WorkQueue(d, "P", ["db1"], session_id="w2", stale_after_s=0.3)
+        assert w1.claim_next() == "db1"
+        for _ in range(3):
+            time.sleep(0.15)
+            w1.heartbeat("db1")
+            assert w2.claim_next() is None  # heartbeat keeps it fresh
+        w1.complete("db1")
+
+
+def test_queue_identity_by_parameters():
+    with tempfile.TemporaryDirectory() as d:
+        a = WorkQueue(d, "params-A", ["db1"])
+        b = WorkQueue(d, "params-B", ["db1"])  # different run params
+        assert a.claim_next() == "db1"
+        assert b.claim_next() == "db1"  # independent queues
+        assert a.dir != b.dir
+
+
+# ---------------------------------------------------------------------------
+# CHECKFILEGROUP
+# ---------------------------------------------------------------------------
+
+
+def test_filegroups_flat_table(spark):
+    objs = list_objects(spark, "sf0.001", "/root/testdata/sf0.001")
+    region = next(o for o in objs if o.object_name == "region")
+    fgs = list_filegroups(spark, region)
+    assert [name for name, _ in fgs] == ["PRIMARY"]
+    assert fgs[0][1] == region.files
+
+
+def test_filegroups_partitioned_table(spark, tmp_path):
+    df = load_table(spark, "/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    df.withColumn("status", F.col("o_orderstatus")).write.partitionBy(
+        "status"
+    ).parquet(path)
+    objs = list_objects(spark, "tmpdb", str(tmp_path))
+    obj = next(o for o in objs if o.object_name == "orders_part")
+    fgs = list_filegroups(spark, obj)
+    names = [name for name, _ in fgs]
+    assert set(names) >= {"status=F", "status=O", "status=P"}
+    assert names == sorted(names)  # no PRIMARY here; name order
+    # every data file lands in exactly one filegroup
+    assert sum(len(fs) for _, fs in fgs) == len(obj.files)
+
+
+def test_run_checkfilegroup(spark):
+    objs = list_objects(spark, "sf0.001", "/root/testdata/sf0.001")
+    region = next(o for o in objs if o.object_name == "region")
+    fgs = list_filegroups(spark, region)
+    res = run_checkfilegroup(
+        spark, region, fgs[0][0], fgs[0][1], "sf0.001"
+    )
+    assert res.kind == "CHECKFILEGROUP"
+    assert res.passed
+    assert res.object == "region:PRIMARY"
+    assert res.metrics["n_rows"] == 5
+    assert res.metrics["alloc_n_files"] == 1

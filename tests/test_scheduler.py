@@ -157,3 +157,52 @@ def test_selection_excludes(spark, tmp_path):
     checker = IntegrityChecker(spark, BASE, None, None, params)
     report = checker.run()
     assert report.selected_databases == ["sf0.001"]
+
+
+def test_database_order_strategy(spark, tmp_path):
+    """@DatabaseOrder drives the stage-G visit order (DIC:992-1089)."""
+    params = CheckParams(
+        databases="sf0.001, sf0.01", database_order="DATABASE_SIZE_DESC"
+    )
+    checker = IntegrityChecker(
+        spark, BASE, str(tmp_path / "s.parquet"), str(tmp_path / "l.parquet"), params
+    )
+    report = checker.run()
+    # CHECKTABLE command order: all of the bigger DB (sf0.01) first
+    tables = [o.spec.database for o in report.outcomes if o.spec.kind == "CHECKTABLE"]
+    assert tables[:N_TABLES] == ["sf0.01"] * N_TABLES
+    assert tables[N_TABLES:] == ["sf0.001"] * N_TABLES
+
+
+def test_database_order_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="@DatabaseOrder is not supported"):
+        make(spark, tmp_path, database_order="BOGUS").run()
+
+
+def test_databases_in_parallel_requires_queue_root(spark, tmp_path):
+    with pytest.raises(ValueError, match="@DatabasesInParallel"):
+        make(spark, tmp_path, databases_in_parallel="Y").run()
+
+
+def test_databases_in_parallel_two_workers_split(spark, tmp_path):
+    """Two sequential workers with the same parameters share one queue
+    round: the second worker finds every database already completed
+    (DIC:1196-1228 claim protocol)."""
+    qroot = str(tmp_path / "queue")
+    mk = lambda sub: IntegrityChecker(
+        spark,
+        BASE,
+        str(tmp_path / f"{sub}_state.parquet"),
+        str(tmp_path / f"{sub}_log.parquet"),
+        CheckParams(
+            databases="sf0.001",
+            databases_in_parallel="Y",
+            queue_root=qroot,
+        ),
+    )
+    r1 = mk("w1").run()
+    r2 = mk("w2").run()
+    t1 = [o for o in r1.outcomes if o.spec.kind == "CHECKTABLE"]
+    t2 = [o for o in r2.outcomes if o.spec.kind == "CHECKTABLE"]
+    assert len(t1) == N_TABLES  # worker 1 claimed and processed the DB
+    assert len(t2) == 0  # worker 2 found the round drained
