@@ -122,13 +122,25 @@ def _checkalloc_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from integritychecksforvldbs_spark.operators.kernels import (
+        BROADCAST_THRESHOLD_BYTES,
+    )
+
     tables = {t: _load(spark, sf_dir, t) for t in TABLES}
+    # pin the broadcast hint only for parents the catalog proves small
+    small = {
+        t
+        for t in TABLES
+        if os.path.getsize(f"{sf_dir}/{t}.parquet") < BROADCAST_THRESHOLD_BYTES
+    }
     out: DataFrame | None = None
     for t in TABLES:
         exp = expectations_for(t)
         if not exp.foreign_keys:
             continue
-        part = fk_orphan_counts_df(tables, exp)
+        part = fk_orphan_counts_df(tables, exp, broadcast_parents=small)
         out = part if out is None else out.unionByName(part)
     assert out is not None
     return out
@@ -220,6 +232,31 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_like_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL LIKE selection over data (§2.2 #16/#24 shape): pattern
+    with a character class, translated to a regex — Spark's LIKE has
+    no [...] classes, so the engine matches with rlike."""
+    from integritychecksforvldbs_spark.functions.like import tsql_like_to_regex
+
+    rx = tsql_like_to_regex("BRAND#[12]%", escape_underscore=True)
+    return (
+        _load(spark, sf_dir, "part")
+        .filter(F.upper(F.col("p_brand")).rlike(rx))
+        .select("p_partkey", "p_brand")
+    )
+
+
+def _like_selection_oracle() -> str:
+    from integritychecksforvldbs_spark.functions.like import tsql_like_to_regex
+
+    rx = tsql_like_to_regex("BRAND#[12]%", escape_underscore=True)
+    # rx is already ^…$-anchored by the translator
+    return (
+        f"SELECT p_partkey, p_brand FROM part "
+        f"WHERE regexp_matches(upper(p_brand), '{rx}')"
+    )
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
@@ -246,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["string_agg_ordered"] = _q_string_agg
     out["topk_largest_orders"] = _q_topk
     out["dup_detection_having"] = _q_dup_detection
+    out["like_selection"] = _q_like_selection
     # -- dedup kernels (north star; SURVEY §7.2 step 9) --
     out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
         _load(spark, sf, "documents")
@@ -356,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events GROUP BY user_id HAVING COUNT(*) > 1"
     )
+    out["like_selection"] = _like_selection_oracle()
     out["dedup_exact"] = dedup.exact_dup_groups_oracle()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
     # LSH is exact-verified; at the shipped band settings its output

@@ -52,10 +52,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: damp JIT/IO warm-up noise
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

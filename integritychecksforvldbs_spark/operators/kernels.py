@@ -337,11 +337,12 @@ def run_extended_logical(
     database: str,
     table: str,
     exp: TableExpectations | None = None,
+    broadcast_parents: set[str] | None = None,
 ) -> KernelResult:
     exp = exp or expectations_for(table)
     if not exp.foreign_keys:
         return KernelResult("EXTENDED_LOGICAL", database, table, True, {"n_fks": 0})
-    rows = fk_orphan_counts_df(tables, exp).collect()
+    rows = fk_orphan_counts_df(tables, exp, broadcast_parents).collect()
     errors = [
         f"FK {r['child_table']}({r['fk_columns']}) → {r['parent_table']}: "
         f"{r['orphan_rows']} orphan row(s)"
@@ -407,6 +408,12 @@ def run_checkdb(
     results.append(run_checkcatalog(spark, objs, declared_schemas))
     tables: dict[str, DataFrame] = {}
     if not physical_only:
+        # the catalog knows every table's on-disk size — pin the
+        # broadcast hint for provably small FK parents, let AQE decide
+        # for the rest (a forced broadcast of a large parent would OOM)
+        small = {
+            o.object_name for o in objs if o.total_bytes < BROADCAST_THRESHOLD_BYTES
+        }
         for o in objs:
             tables[o.object_name] = load_table(spark, *[f.path for f in o.files])
         for o in objs:
@@ -418,6 +425,9 @@ def run_checkdb(
                 fk.parent_table in tables for fk in exp.foreign_keys
             ):
                 results.append(
-                    run_extended_logical(spark, tables, database, o.object_name, exp)
+                    run_extended_logical(
+                        spark, tables, database, o.object_name, exp,
+                        broadcast_parents=small,
+                    )
                 )
     return results

@@ -461,8 +461,16 @@ class IntegrityChecker:
                         self.spark, *[f.path for f in po.files]
                     )
             if all(fk.parent_table in tables_cache for fk in exp.foreign_keys):
+                from ..operators.kernels import BROADCAST_THRESHOLD_BYTES
+
+                small = {
+                    name
+                    for name, o in by_name.items()
+                    if o.total_bytes < BROADCAST_THRESHOLD_BYTES
+                }
                 ext = run_extended_logical(
-                    self.spark, tables_cache, dbname, obj.object_name, exp
+                    self.spark, tables_cache, dbname, obj.object_name, exp,
+                    broadcast_parents=small,
                 )
                 result.metrics.update(ext.metrics)
                 if not ext.passed:
