@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
         help="claim databases from a shared work queue (multi-worker runs)",
     )
     ap.add_argument("--queue-root", default=None, help="shared queue directory")
+    ap.add_argument(
+        "--check-commands", default="CHECKDB",
+        help="comma list of CHECKDB|CHECKALLOC|CHECKCATALOG|CHECKTABLE|"
+        "CHECKFILEGROUP (CHECKDB = the composed default)",
+    )
+    ap.add_argument("--objects", default=None, help="Db.Schema.Object selection DSL")
+    ap.add_argument("--filegroups", default=None, help="Db.Filegroup selection DSL")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -60,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         database_order=args.database_order,
         databases_in_parallel=args.databases_in_parallel,
         queue_root=args.queue_root,
+        check_commands=args.check_commands,
+        objects=args.objects,
+        filegroups=args.filegroups,
     )
     checker = IntegrityChecker(spark, args.base_dir, args.state, args.log, params)
     report = checker.run()

@@ -189,6 +189,27 @@ def select_databases(dsl: str, candidates: list[DatabaseCandidate]) -> list[Data
     return out
 
 
+def match_filegroups(
+    dsl_items: list[SelectionItem],
+    pairs: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Evaluate a filegroup-scope DSL over (db, filegroup) pairs
+    (DIC:1393-1400 include/exclude semantics)."""
+    def m(item: SelectionItem, t: tuple[str, str]) -> bool:
+        return (
+            tsql_like_match(t[0], item.database_pattern, escape_underscore=True)
+            and tsql_like_match(t[1], item.schema_pattern or "%", escape_underscore=True)
+        )
+
+    includes = [i for i in dsl_items if i.selected]
+    excludes = [i for i in dsl_items if not i.selected]
+    return [
+        t
+        for t in pairs
+        if any(m(i, t) for i in includes) and not any(m(i, t) for i in excludes)
+    ]
+
+
 def match_objects(
     dsl_items: list[SelectionItem],
     triples: list[tuple[str, str, str]],

@@ -36,6 +36,7 @@ from .runner import CommandLog, CommandOutcome, run_command
 from .specs import (
     CHECKALLOC,
     CHECKCATALOG,
+    CHECKFILEGROUP,
     CHECKTABLE,
     CheckSpec,
     tsql_ts_112,
@@ -67,11 +68,32 @@ class CheckParams:
     database_order: str | None = None  # DIC @DatabaseOrder (DIC:992-1089)
     databases_in_parallel: str = "N"  # DIC @DatabasesInParallel (DIC:1095-1228)
     queue_root: str | None = None  # shared dir for the multi-worker queue
+    # DIC @CheckCommands (DIC:698-724); CHECKDB = the composed default
+    check_commands: str = "CHECKDB"
+    objects: str | None = None  # DIC @Objects 3-part DSL (DIC:645-692)
+    filegroups: str | None = None  # DIC @FileGroups 2-part DSL (DIC:593-639)
+
+    def families(self) -> list[str]:
+        """Expand @CheckCommands: CHECKDB → ALLOC+CATALOG+TABLE
+        (DIC:1352-1365 composition)."""
+        from .specs import CHECKALLOC, CHECKCATALOG, CHECKDB, CHECKTABLE
+
+        kinds = [k.strip().upper() for k in self.check_commands.split(",") if k.strip()]
+        if kinds == [CHECKDB]:
+            return [CHECKALLOC, CHECKCATALOG, CHECKTABLE]
+        return kinds
 
     def validate(self) -> None:
         from .ordering import validate_database_order
+        from .specs import validate_check_commands
 
         errors = []
+        try:
+            validate_check_commands(
+                [k.strip().upper() for k in self.check_commands.split(",") if k.strip()]
+            )
+        except ValueError as exc:
+            errors.append(str(exc))
         try:
             validate_database_order(self.database_order)
         except ValueError as exc:
@@ -193,12 +215,17 @@ class IntegrityChecker:
                 p.queue_root, self._parameters_string(), visit_order
             )
 
-        # STAGE F — CHECKALLOC + CHECKCATALOG per DB (IC:505-577).
-        # With a queue, this runs inside each worker's claimed visit
-        # instead (every command family claim-gated, DIC:1341-1695) —
-        # otherwise N workers would all repeat the alloc/catalog pass.
+        # STAGE F — CHECKALLOC + CHECKCATALOG (+ CHECKFILEGROUP) per DB
+        # (IC:505-577; DIC families gated by @CheckCommands).  With a
+        # queue, this runs inside each worker's claimed visit instead
+        # (every command family claim-gated, DIC:1341-1695) — otherwise
+        # N workers would all repeat the alloc/catalog pass.
+        families = p.families()
         db_types = {c.name: c.database_type for c in selected}
-        if queue is None:
+        if queue is None and (
+            CHECKALLOC in families or CHECKCATALOG in families
+            or CHECKFILEGROUP in families
+        ):
             for db in selected:
                 if not self._deadline_ok(job_end):
                     break
@@ -209,7 +236,7 @@ class IntegrityChecker:
 
         initial_run = False
         visit_iter = iter(visit_order)
-        while True:
+        while CHECKTABLE in families or queue is not None:
             # deadline gate BEFORE claiming: an unclaimed DB stays
             # available to other workers / the next run (IC:592)
             if not self._deadline_ok(job_end):
@@ -230,6 +257,11 @@ class IntegrityChecker:
                     dbname, inventories, db_types, job_start, report, execute,
                     physical_only,
                 )
+            if CHECKTABLE not in families:
+                self.state.save()
+                if queue is not None:
+                    queue.complete(dbname)
+                continue
             if self.state.is_initial_run(dbname):  # IC:602-604
                 initial_run = True
             # snapshot pinning for the table pass (IC:609-640)
@@ -243,6 +275,17 @@ class IntegrityChecker:
             by_name = {o.object_name: o for o in objs}
             tables_cache: dict[str, object] = {}
             skipped_this_visit: set[tuple[str, str]] = set()
+            if p.objects is not None:
+                # @Objects DSL (DIC:645-692): non-matching objects are
+                # out of scope for this run — excluded from the pick
+                from ..operators.selector import match_objects, parse_dsl
+
+                items = parse_dsl(p.objects, scope="object")
+                triples = [(dbname, o.schema_name, o.object_name) for o in objs]
+                allowed = set(match_objects(items, triples))
+                skipped_this_visit |= {
+                    (s, o) for d, s, o in triples if (d, s, o) not in allowed
+                }
             order_by_smallest = False
             while self._deadline_ok(job_end):
                 # halfway smallest-first switch (IC:647-649)
@@ -340,11 +383,14 @@ class IntegrityChecker:
         execute: bool,
         physical_only: bool,
     ) -> None:
-        """One DB's CHECKALLOC + CHECKCATALOG pass (IC:505-577) with
-        snapshot pinning (IC:519-532): re-list NOW and use that listing
-        for both kernels; skipped for system DBs or when snapshot_path
-        is disabled — then kernels read live paths."""
+        """One DB's CHECKALLOC + CHECKCATALOG (+ CHECKFILEGROUP) pass
+        (IC:505-577; DIC:1372-1528), each family gated by
+        @CheckCommands, with snapshot pinning (IC:519-532): re-list NOW
+        and use that listing for every kernel; skipped for system DBs
+        or when snapshot_path is disabled — then kernels read live
+        paths."""
         p = self.params
+        families = p.families()
         objs = inventories[dbname]
         check_db_name = dbname
         if p.snapshot_path is not None and db_types.get(dbname) != "S":
@@ -352,35 +398,93 @@ class IntegrityChecker:
             check_db_name = f"{dbname}_CHKALOCCAT_snapshot_{tsql_ts_112(job_start)}"
             report.snapshots.append(check_db_name)
             logger.info("Snapshot created: [%s]", check_db_name)
-        spec = CheckSpec(
-            CHECKALLOC,
-            dbname,
-            check_db_name=check_db_name,
-            physical_only=physical_only,
-            maxdop=p.max_dop,
-            snapshot_files=[f.path for o in objs for f in o.files],
-        )
-        report.outcomes.append(
-            run_command(
-                self.spark,
-                spec,
-                kernel=lambda objs=objs: self._alloc_all(dbname, objs, physical_only),
-                execute=execute,
-                log=self.log if p.log_to_table == "Y" else None,
+        if CHECKALLOC in families:
+            spec = CheckSpec(
+                CHECKALLOC,
+                dbname,
+                check_db_name=check_db_name,
+                physical_only=physical_only,
+                maxdop=p.max_dop,
+                snapshot_files=[f.path for o in objs for f in o.files],
             )
-        )
-        spec = CheckSpec(CHECKCATALOG, dbname, check_db_name=check_db_name)
-        report.outcomes.append(
-            run_command(
-                self.spark,
-                spec,
-                kernel=lambda objs=objs: run_checkcatalog(self.spark, objs),
-                execute=execute,
-                log=self.log if p.log_to_table == "Y" else None,
+            report.outcomes.append(
+                run_command(
+                    self.spark,
+                    spec,
+                    kernel=lambda objs=objs: self._alloc_all(dbname, objs, physical_only),
+                    execute=execute,
+                    log=self.log if p.log_to_table == "Y" else None,
+                )
             )
-        )
+        if CHECKCATALOG in families:
+            spec = CheckSpec(CHECKCATALOG, dbname, check_db_name=check_db_name)
+            report.outcomes.append(
+                run_command(
+                    self.spark,
+                    spec,
+                    kernel=lambda objs=objs: run_checkcatalog(self.spark, objs),
+                    execute=execute,
+                    log=self.log if p.log_to_table == "Y" else None,
+                )
+            )
+        if CHECKFILEGROUP in families:
+            self._filegroup_pass(
+                dbname, objs, check_db_name, report, execute, physical_only
+            )
         if check_db_name != dbname:
             logger.info("Snapshot dropped: [%s]", check_db_name)
+
+    def _filegroup_pass(
+        self,
+        dbname: str,
+        objs: list[ObjectMeta],
+        check_db_name: str,
+        report: RunReport,
+        execute: bool,
+        physical_only: bool,
+    ) -> None:
+        """CHECKFILEGROUP per (table, filegroup) honoring the
+        @FileGroups DSL (DIC:1372-1510): discover filegroups from the
+        pinned listing, include/exclude, existence already re-probed by
+        the fresh listing, one command per filegroup."""
+        from ..operators.kernels import run_checkfilegroup
+        from ..operators.selector import match_filegroups, parse_dsl
+        from ..sources.catalog import list_filegroups
+
+        p = self.params
+        items = (
+            parse_dsl(p.filegroups, scope="filegroup")
+            if p.filegroups is not None
+            else None
+        )
+        for o in objs:
+            fgs = list_filegroups(self.spark, o)
+            if items is not None:
+                allowed = set(
+                    match_filegroups(items, [(dbname, name) for name, _ in fgs])
+                )
+                fgs = [(name, fs) for name, fs in fgs if (dbname, name) in allowed]
+            for name, files in fgs:
+                spec = CheckSpec(
+                    CHECKFILEGROUP,
+                    dbname,
+                    filegroup=f"{o.object_name}:{name}",
+                    check_db_name=check_db_name,
+                    physical_only=physical_only,
+                    maxdop=p.max_dop,
+                    snapshot_files=[f.path for f in files],
+                )
+                report.outcomes.append(
+                    run_command(
+                        self.spark,
+                        spec,
+                        kernel=lambda o=o, name=name, files=files: run_checkfilegroup(
+                            self.spark, o, name, files, dbname, physical_only
+                        ),
+                        execute=execute,
+                        log=self.log if p.log_to_table == "Y" else None,
+                    )
+                )
 
     # -- ordering / queue helpers ---------------------------------------
     def _parameters_string(self) -> str:

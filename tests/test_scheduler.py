@@ -206,3 +206,62 @@ def test_databases_in_parallel_two_workers_split(spark, tmp_path):
     t2 = [o for o in r2.outcomes if o.spec.kind == "CHECKTABLE"]
     assert len(t1) == N_TABLES  # worker 1 claimed and processed the DB
     assert len(t2) == 0  # worker 2 found the round drained
+
+
+def test_check_commands_families(spark, tmp_path):
+    """@CheckCommands gates command families (DIC:698-724)."""
+    r = make(spark, tmp_path, check_commands="CHECKALLOC,CHECKCATALOG").run()
+    kinds = {o.spec.kind for o in r.outcomes}
+    assert kinds == {"CHECKALLOC", "CHECKCATALOG"}
+    r2 = make(spark, tmp_path / "t2" if False else tmp_path, check_commands="CHECKTABLE").run()
+    # state from the first run persists; fresh objects still due
+    assert {o.spec.kind for o in r2.outcomes} == {"CHECKTABLE"}
+
+
+def test_check_commands_mutual_exclusion(spark, tmp_path):
+    with pytest.raises(ValueError, match="@CheckCommands"):
+        make(spark, tmp_path, check_commands="CHECKDB,CHECKTABLE").run()
+    with pytest.raises(ValueError, match="@CheckCommands"):
+        make(spark, tmp_path, check_commands="CHECKFILEGROUP,CHECKALLOC").run()
+
+
+def test_objects_dsl_limits_checktable(spark, tmp_path):
+    r = make(
+        spark, tmp_path, check_commands="CHECKTABLE",
+        objects="[sf0.001].main.lineitem, [sf0.001].main.orders",
+    ).run()
+    objs = {o.spec.object for o in r.outcomes}
+    assert objs == {"lineitem", "orders"}
+
+
+def test_objects_dsl_exclusion(spark, tmp_path):
+    r = make(
+        spark, tmp_path, check_commands="CHECKTABLE",
+        objects="ALL_OBJECTS, -[sf0.001].main.lineitem",
+    ).run()
+    objs = {o.spec.object for o in r.outcomes}
+    assert "lineitem" not in objs
+    assert len(objs) == N_TABLES - 1
+
+
+def test_checkfilegroup_family(spark, tmp_path):
+    r = make(spark, tmp_path, check_commands="CHECKFILEGROUP").run()
+    kinds = {o.spec.kind for o in r.outcomes}
+    assert kinds == {"CHECKFILEGROUP"}
+    # flat fixture tables -> one PRIMARY filegroup per table
+    fgs = sorted(o.spec.filegroup for o in r.outcomes)
+    assert len(fgs) == N_TABLES
+    assert all(fg.endswith(":PRIMARY") for fg in fgs)
+    # command text takes the DIC CHECKFILEGROUP shape
+    assert any(
+        "DBCC CHECKFILEGROUP" in o.spec.command_text() for o in r.outcomes
+    )
+
+
+def test_filegroups_dsl(spark, tmp_path):
+    r = make(
+        spark, tmp_path, check_commands="CHECKFILEGROUP",
+        filegroups="ALL_FILEGROUPS, -[sf0.001].PRIMARY",
+    ).run()
+    # the exclusion removes every PRIMARY group of this db -> nothing runs
+    assert [o for o in r.outcomes if o.spec.kind == "CHECKFILEGROUP"] == []
