@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--physical-only", choices=["Y", "N"], default="N")
     ap.add_argument("--extended-logical-checks", choices=["Y", "N"], default="N")
     ap.add_argument("--max-dop", type=int, default=None)
+    ap.add_argument(
+        "--lock-timeout", type=int, default=None,
+        help="per-check timeout seconds; past it the check's Spark jobs are cancelled",
+    )
     ap.add_argument("--time-limit", type=int, default=None, help="seconds")
     ap.add_argument("--no-snapshot", action="store_true")
     ap.add_argument("--log-to-table", choices=["Y", "N"], default="Y")
@@ -60,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         physical_only=args.physical_only,
         extended_logical_checks=args.extended_logical_checks,
         max_dop=args.max_dop,
+        lock_timeout=args.lock_timeout,
         time_limit=args.time_limit,
         snapshot_path=None if args.no_snapshot else "DEFAULT",
         log_to_table=args.log_to_table,

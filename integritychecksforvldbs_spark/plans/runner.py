@@ -131,6 +131,48 @@ class CommandOutcome:
         return int((self.end_time - self.start_time).total_seconds() * 1000)
 
 
+LOCK_TIMEOUT_ERROR = 1222  # "Lock request time out period exceeded." (CE:218)
+
+
+def _run_with_timeout(
+    spark: SparkSession, kernel: Callable[[], KernelResult], timeout_s: float, cmd: str
+) -> KernelResult:
+    """Run the kernel in a worker thread with a deadline; past it, the
+    check's Spark jobs are cancelled via its job group — the engine
+    analogue of ``SET LOCK_TIMEOUT`` (SURVEY §2.9 #59, DIC:1355).
+
+    The job group is set INSIDE the worker thread: Spark job groups
+    are thread-local (pinned-thread mode maps each Python thread to
+    its own JVM thread), so setting it on the caller would tag the
+    wrong thread's jobs.
+    """
+    import threading
+
+    group = f"check-{uuid.uuid4().hex[:12]}"
+    holder: dict[str, Any] = {}
+
+    def target() -> None:
+        sc = spark.sparkContext
+        sc.setJobGroup(group, cmd, interruptOnCancel=True)
+        try:
+            holder["result"] = kernel()
+        except Exception as exc:  # surfaced below
+            holder["error"] = exc
+        finally:
+            sc.setJobGroup("", "")
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(30)
+        raise TimeoutError("Lock request time out period exceeded.")
+    if "error" in holder:
+        raise holder["error"]
+    return holder["result"]
+
+
 def run_command(
     spark: SparkSession,
     spec: CheckSpec,
@@ -149,10 +191,16 @@ def run_command(
     error_message: str | None = None
     if execute and kernel is not None:
         try:
-            result = kernel()
+            if spec.lock_timeout is not None:
+                result = _run_with_timeout(spark, kernel, spec.lock_timeout, cmd)
+            else:
+                result = kernel()
             if not result.passed:
                 error_number = result.error_number
                 error_message = "; ".join(result.errors)[:4000]
+        except TimeoutError as exc:  # the 1222 path (CE:216-220)
+            error_number = LOCK_TIMEOUT_ERROR
+            error_message = str(exc)
         except Exception as exc:  # runner never propagates (CE:213-222 Mode 2)
             error_number = -1
             error_message = f"{type(exc).__name__}: {exc}"[:4000]

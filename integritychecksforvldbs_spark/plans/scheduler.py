@@ -65,6 +65,7 @@ class CheckParams:
     log_to_table: str = "Y"
     execute: str = "Y"
     extended_logical_checks: str = "N"  # DIC:27 extension
+    lock_timeout: int | None = None  # DIC @LockTimeout seconds (DIC:1355 analogue)
     database_order: str | None = None  # DIC @DatabaseOrder (DIC:992-1089)
     databases_in_parallel: str = "N"  # DIC @DatabasesInParallel (DIC:1095-1228)
     queue_root: str | None = None  # shared dir for the multi-worker queue
@@ -329,6 +330,7 @@ class IntegrityChecker:
                     physical_only=physical_only,
                     extended_logical_checks=p.extended_logical_checks == "Y",
                     maxdop=p.max_dop,
+                    lock_timeout=p.lock_timeout,
                     snapshot_files=[f.path for f in obj.files],
                 )
                 outcome = run_command(
@@ -405,6 +407,7 @@ class IntegrityChecker:
                 check_db_name=check_db_name,
                 physical_only=physical_only,
                 maxdop=p.max_dop,
+                    lock_timeout=p.lock_timeout,
                 snapshot_files=[f.path for o in objs for f in o.files],
             )
             report.outcomes.append(
@@ -472,6 +475,7 @@ class IntegrityChecker:
                     check_db_name=check_db_name,
                     physical_only=physical_only,
                     maxdop=p.max_dop,
+                    lock_timeout=p.lock_timeout,
                     snapshot_files=[f.path for f in files],
                 )
                 report.outcomes.append(

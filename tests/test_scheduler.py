@@ -265,3 +265,36 @@ def test_filegroups_dsl(spark, tmp_path):
     ).run()
     # the exclusion removes every PRIMARY group of this db -> nothing runs
     assert [o for o in r.outcomes if o.spec.kind == "CHECKFILEGROUP"] == []
+
+
+def test_lock_timeout_cancels_slow_check(spark, tmp_path):
+    """A check exceeding @LockTimeout is cancelled (its Spark jobs
+    killed via the job group) and logged with error 1222 (CE:216-220
+    analogue); the run continues."""
+    import time as _time
+
+    from integritychecksforvldbs_spark.plans.runner import (
+        LOCK_TIMEOUT_ERROR,
+        run_command,
+    )
+    from integritychecksforvldbs_spark.plans.specs import CHECKTABLE, CheckSpec
+
+    def slow_kernel():
+        # guaranteed-slow Spark job: every task sleeps 60s (codegen
+        # can't optimize it away, unlike a cartesian count which a
+        # warm JVM finishes in <2s)
+        import time as _t
+
+        spark.sparkContext.parallelize(range(8), 8).map(
+            lambda x: _t.sleep(60)
+        ).count()
+        raise AssertionError("should have been cancelled")
+
+    spec = CheckSpec(CHECKTABLE, "db", schema="main", object="t", lock_timeout=2)
+    t0 = _time.monotonic()
+    outcome = run_command(spark, spec, kernel=slow_kernel)
+    elapsed = _time.monotonic() - t0
+    assert outcome.error_number == LOCK_TIMEOUT_ERROR
+    assert "Lock request time out" in outcome.error_message
+    assert elapsed < 40, f"cancellation took {elapsed:.0f}s"
+    assert spec.command_text().startswith("SET LOCK_TIMEOUT 2000; ")
