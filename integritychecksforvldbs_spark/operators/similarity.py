@@ -189,6 +189,105 @@ def _neighbors_within_hamming(bucket: int, n_bits: int, h: int) -> list[int]:
     return sorted(out)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF training: Lloyd's k-means on a bounded driver-side sample.
+
+    Standard IVF practice — centroids are trained on a sample (their
+    quality needs only thousands of points regardless of corpus size),
+    then assignment runs distributed.  Deterministic: fixed seed,
+    sample = first ``sample`` rows by vec_id."""
+    rows = (
+        corpus.orderBy("vec_id").limit(sample).select("embedding").collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = X @ C.T  # cosine similarity on normalized vectors
+        assign = d.argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C.tolist()
+
+
+def _cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """argmax-similarity centroid id as a JVM expression (one pass,
+    no Python): array of k dot-product folds → position of the max."""
+    dots = ", ".join(
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {_array_sql(c)}, "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        for c in centroids
+    )
+    return (
+        F.expr(f"array_position(array({dots}), array_max(array({dots})))")
+        .cast("int")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells over the corpus, each
+    query scores only the ``nprobe`` cells nearest its own position,
+    then exact re-rank.  Candidate fraction ≈ nprobe/n_cells of the
+    corpus; on a real deployment the corpus is written partitioned by
+    cell id so the probe prunes partitions at the scan."""
+    centroids = kmeans_centroids(corpus, k=n_cells, seed=seed)
+    C = np.array(centroids)
+    c = with_norm(corpus).select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        F.col("norm").alias("cn"),
+        _cell_expr("embedding", centroids).alias("cell"),
+    )
+    q_rows = with_norm(queries).collect()
+    spark = corpus.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        sims = C @ (qv / max(qn, 1e-12))
+        # cells are 1-based (array_position)
+        for cell in (np.argsort(-sims)[:nprobe] + 1).tolist():
+            probe_rows.append((r["query_id"], int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qdf = spark.createDataFrame(
+        [(r["query_id"], r["embedding"], r["norm"]) for r in q_rows],
+        "query_id long, qv array<float>, qn double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def srp_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

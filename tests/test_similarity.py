@@ -123,3 +123,52 @@ def test_neighbors_within_hamming():
     out = similarity._neighbors_within_hamming(0b0000, 4, 1)
     assert out == [0b0000, 0b0001, 0b0010, 0b0100, 0b1000]
     assert len(similarity._neighbors_within_hamming(0, 8, 2)) == 1 + 8 + 28
+
+
+def test_ivf_ann_recall_on_clustered_data(spark):
+    """IVF with nprobe cells recovers nearly all true neighbors on a
+    clustered corpus while scoring ~nprobe/n_cells of it."""
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per_cluster = 32, 20, 25
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.06 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id").isin([0, 25, 50, 75])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    approx = similarity.ivf_ann_topk(
+        corpus, queries, k=5, n_cells=16, nprobe=4
+    ).collect()
+    true_sets: dict[int, set[int]] = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets: dict[int, set[int]] = {}
+    for r in approx:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivf_cells_cover_corpus(spark, emb):
+    cents = similarity.kmeans_centroids(emb, k=8)
+    assert len(cents) == 8
+    cells = emb.select(
+        similarity._cell_expr("embedding", cents).alias("cell")
+    ).groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    assert all(1 <= r["cell"] <= 8 for r in cells)
+
+
+def test_ivf_deterministic(spark, emb):
+    a = similarity.kmeans_centroids(emb, k=8, seed=7)
+    b = similarity.kmeans_centroids(emb, k=8, seed=7)
+    assert a == b
