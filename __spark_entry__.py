@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = lambda spark, sf: dedup.simhash_dup_pairs(
         _load(spark, sf, "documents")
     )
+    out["dedup_simhash_weighted"] = lambda spark, sf: dedup.simhash_dup_pairs(
+        _load(spark, sf, "documents"), weighted=True
+    )
     out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
         _load(spark, sf, "embeddings"), threshold=0.45
     )
@@ -401,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
     # equals the brute-force pairs, so it shares the oracle
     out["dedup_minhash_lsh"] = dedup.ngram_jaccard_oracle()
     out["dedup_simhash"] = dedup.simhash_oracle()
+    out["dedup_simhash_weighted"] = dedup.simhash_oracle(weighted=True)
     out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     # the prefiltered variant is provably identical to brute force

@@ -136,7 +136,10 @@ def parse_dsl(dsl: str, scope: str = "database") -> list[SelectionItem]:
             else:
                 parts = [_unbracket(p) for p in _split_parts(body)]
                 if len(parts) != 2:
-                    raise ValueError(f"filegroup selection must be Db.Filegroup: {raw!r}")
+                    raise ValueError(
+                        f"filegroup selection must be Db.Filegroup: {raw!r}"
+                        " (bracket names containing dots: [my.db].PRIMARY)"
+                    )
                 item.database_pattern, item.schema_pattern = parts
         elif scope == "object":
             if upper == "ALL_OBJECTS":
@@ -144,7 +147,10 @@ def parse_dsl(dsl: str, scope: str = "database") -> list[SelectionItem]:
             else:
                 parts = [_unbracket(p) for p in _split_parts(body)]
                 if len(parts) != 3:
-                    raise ValueError(f"object selection must be Db.Schema.Object: {raw!r}")
+                    raise ValueError(
+                        f"object selection must be Db.Schema.Object: {raw!r}"
+                        " (bracket names containing dots: [my.db].schema.obj)"
+                    )
                 item.database_pattern, item.schema_pattern, item.object_pattern = parts
         else:
             raise ValueError(f"unknown scope {scope!r}")

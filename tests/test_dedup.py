@@ -132,3 +132,22 @@ def test_cosine_threshold_filters(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     assert dedup.cosine_dup_pairs(df, threshold=0.999).count() == 0
     assert dedup.cosine_dup_pairs(df, threshold=0.9).count() == 1
+
+
+def test_weighted_simhash_reduces_collisions(spark):
+    """On the small-vocabulary fixture corpus, frequency-weighted
+    SimHash separates docs whose distinct token SETS collide."""
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    plain = dedup.simhash_dup_pairs(docs, max_hamming=3).count()
+    weighted = dedup.simhash_dup_pairs(docs, max_hamming=3, weighted=True).count()
+    assert weighted < plain / 2, (weighted, plain)
+
+
+def test_weighted_simhash_identical_docs_still_match(corpus):
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_df(corpus, weighted=True).collect()
+    }
+    assert sig[1] == sig[2]  # exact dups share the signature

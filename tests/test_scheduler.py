@@ -298,3 +298,29 @@ def test_lock_timeout_cancels_slow_check(spark, tmp_path):
     assert "Lock request time out" in outcome.error_message
     assert elapsed < 40, f"cancellation took {elapsed:.0f}s"
     assert spec.command_text().startswith("SET LOCK_TIMEOUT 2000; ")
+
+
+def test_commands_run_golden(spark, tmp_path):
+    """The reference's own oracle (CommandsRun, IC:486-494): a dry run
+    over sf0.001 with snapshots disabled produces this exact ordered
+    command list."""
+    params = CheckParams(
+        databases="sf0.001", execute="N", snapshot_path=None
+    )
+    checker = IntegrityChecker(
+        spark, BASE, str(tmp_path / "s.parquet"), str(tmp_path / "l.parquet"), params
+    )
+    report = checker.run()
+    tables = [
+        "customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier",
+    ]
+    expected = [
+        "DBCC CHECKALLOC([sf0.001]) WITH NO_INFOMSGS, ALL_ERRORMSGS",
+        "DBCC CHECKCATALOG([sf0.001]) WITH NO_INFOMSGS",
+    ] + [
+        f"USE [sf0.001]; DBCC CHECKTABLE ('[main].[{t}]') "
+        "WITH NO_INFOMSGS, ALL_ERRORMSGS, DATA_PURITY"
+        for t in tables
+    ]
+    assert report.commands_run == expected
