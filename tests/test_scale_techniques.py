@@ -1,0 +1,103 @@
+"""Bucketed co-located joins (shuffle-free) and salted skew-safe
+aggregation — the explicit 100 TB techniques, proven on real plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators.skew import salted_agg
+from integritychecksforvldbs_spark.sources.bucketing import (
+    cobucketed_join,
+    plan_has_shuffle,
+    write_bucketed,
+)
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    orders = load_table(spark, f"{SF_DIR}/orders.parquet")
+    lineitem = load_table(spark, f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "orderkey"),
+        "orders_b", ["orderkey"], 8, sort_cols=["orderkey"],
+        path=str(wh / "orders_b"),
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "orderkey"),
+        "lineitem_b", ["orderkey"], 8, sort_cols=["orderkey"],
+        path=str(wh / "lineitem_b"),
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_cobucketed_join_is_shuffle_free(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # disable broadcast so the planner must pick a merge join — the
+    # case bucketing exists for (at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, left, right, ["orderkey"])
+        assert not plan_has_shuffle(joined), (
+            joined._jdf.queryExecution().executedPlan().toString()[:800]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # and it is still a correct join
+    plain = load_table(spark, f"{SF_DIR}/lineitem.parquet").join(
+        load_table(spark, f"{SF_DIR}/orders.parquet"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert joined.count() == plain.count()
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join on plain parquet plans an Exchange."""
+    a = load_table(spark, f"{SF_DIR}/orders.parquet")
+    b = load_table(spark, f"{SF_DIR}/lineitem.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        assert plan_has_shuffle(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load_table(spark, f"{SF_DIR}/events.parquet")
+    got = {
+        r["event_type"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", "*"), "total": ("sum", "value"), "mx": ("max", "value")},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["total"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][2] == want[k][2]
+        assert abs(got[k][1] - want[k][1]) < 1e-6  # FP sum order differs
+
+
+def test_salted_agg_rejects_nonalgebraic(spark):
+    ev = load_table(spark, f"{SF_DIR}/events.parquet")
+    with pytest.raises(ValueError, match="does not decompose"):
+        salted_agg(ev, ["event_type"], {"d": ("countDistinct", "user_id")})
