@@ -344,8 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_frame_sample"] = lambda spark, sf: multimodal.sample_frames(
         multimodal.media_from_documents(_load(spark, sf, "documents"))
     )
-    # mapInPandas feature extraction — not SQL-expressible; rows-only check
-    out["multimodal_features"] = lambda spark, sf: multimodal.extract_features(
+    # mapInPandas feature extraction; gate projection re-encodes the
+    # float vector as its exact integer byte string (oracle-matched)
+    out["multimodal_features"] = lambda spark, sf: multimodal.features_gate(
         multimodal.media_from_documents(_load(spark, sf, "documents"))
     )
 
@@ -416,7 +417,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_winnow"] = text.winnow_oracle()
     out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
     out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
-    # multimodal_features intentionally has no oracle (mapInPandas path)
+    out["multimodal_features"] = multimodal.features_oracle()
     out["events_hourly_counts"] = freshness.hourly_counts_oracle()
     out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
     out["events_late_counts"] = freshness.late_event_counts_oracle()

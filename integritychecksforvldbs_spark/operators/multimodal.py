@@ -171,6 +171,42 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def features_gate(
+    media: DataFrame, decode: str = "fake", feature_dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Scalar-only projection of :func:`extract_features` for the
+    correctness gate: the float feature vector is re-encoded as the
+    comma-joined integer byte string it was derived from (exact — no
+    float formatting in the compared output).  The mapInPandas path is
+    still fully exercised; only the final projection changes."""
+    feats = extract_features(media, decode=decode, feature_dim=feature_dim)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.expr(
+            "concat_ws(',', transform(feature, x -> CAST(round(x * 255) AS INT)))"
+        ).alias("feature_bytes"),
+    )
+
+
+def features_oracle(table: str = "documents", feature_dim: int = FEATURE_DIM) -> str:
+    """DuckDB oracle for the fake-decode feature pipeline: feature byte
+    i is md5-digest byte ``i % 16`` of the payload (the digest repeats
+    when feature_dim > 16), i.e. hex pair ``(i % 16)`` of md5(text)."""
+    byte_exprs = ", ".join(
+        f"CAST('0x' || substr(md5(text), {2 * (i % 16) + 1}, 2) AS BIGINT)"
+        for i in range(feature_dim)
+    )
+    return f"""
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  concat_ws(',', {byte_exprs}) AS feature_bytes
+FROM {table}
+"""
+
+
 # ---------------------------------------------------------------------------
 # frame sampling (metadata-only — pure JVM)
 # ---------------------------------------------------------------------------

@@ -233,29 +233,35 @@ def winnow_fingerprints(
     """Winnowing (Schleimer et al., SIGMOD'03): hash every char k-gram
     (md5-derived 60-bit, portable), keep the min of each sliding
     window of ``window`` consecutive k-grams, distinct per doc.
-    Robust local fingerprints for plagiarism/near-dup detection."""
-    from pyspark.sql.window import Window as W
+    Robust local fingerprints for plagiarism/near-dup detection.
 
+    Computed entirely per-row with array expressions — gram hashes,
+    sliding-window mins, and the per-doc distinct never leave the row,
+    so the whole kernel is a shuffle-free projection (the old
+    posexplode → Window(partitionBy doc_id) → distinct form shuffled
+    every gram twice; at 100 TB that shuffle IS the job).  A document
+    is bounded-size, so the per-row arrays are too.  Equivalent
+    because doc_id is unique: a global distinct over (doc_id,
+    fingerprint) == per-doc ``array_distinct``, and ``slice`` past the
+    array end clips exactly like a ROWS BETWEEN frame at partition end.
+    """
     t = text_col
-    grams = df.filter(F.expr(f"length({t}) >= {k}")).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.expr(f"transform(sequence(1, length({t}) - {k - 1}), i -> substring({t}, i, {k}))")
-        ).alias("pos", "gram"),
+    hashes = (
+        f"transform(sequence(1, length({t}) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring({t}, i, {k})), 1, 15), 16, 10) AS BIGINT))"
     )
-    hashed = grams.select(
-        "doc_id",
-        "pos",
-        F.expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").alias("h"),
-    )
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
+    # sliding min via k-way least (out-of-range get() is NULL — ANSI-
+    # safe, unlike hs[i] — and least skips NULLs → exact end-of-array
+    # clipping, no per-window slice allocation)
+    lasts = ", ".join(f"get(hs, j + {i})" for i in range(window))
+    wins = (
+        f"array_distinct(transform(sequence(0, size(hs) - 1), "
+        f"j -> least({lasts})))"
     )
     return (
-        hashed.select("doc_id", F.min("h").over(w).alias("fingerprint"))
-        .distinct()
+        df.filter(F.expr(f"length({t}) >= {k}"))
+        .select(F.col(id_col).alias("doc_id"), F.expr(hashes).alias("hs"))
+        .select("doc_id", F.explode(F.expr(wins)).alias("fingerprint"))
     )
 
 
