@@ -122,18 +122,17 @@ def _checkalloc_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from integritychecksforvldbs_spark.operators.kernels import (
         BROADCAST_THRESHOLD_BYTES,
     )
+    from integritychecksforvldbs_spark.sources.catalog import list_objects
 
     tables = {t: _load(spark, sf_dir, t) for t in TABLES}
-    # pin the broadcast hint only for parents the catalog proves small
+    # pin the broadcast hint only for parents the catalog proves small;
+    # catalog sizing sums part-files, so directory-backed tables work too
+    sizes = {o.object_name: o.total_bytes for o in list_objects(spark, "db", sf_dir)}
     small = {
-        t
-        for t in TABLES
-        if os.path.getsize(f"{sf_dir}/{t}.parquet") < BROADCAST_THRESHOLD_BYTES
+        t for t in TABLES if sizes.get(t, BROADCAST_THRESHOLD_BYTES) < BROADCAST_THRESHOLD_BYTES
     }
     out: DataFrame | None = None
     for t in TABLES:
@@ -271,6 +270,29 @@ def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract surface
 # ---------------------------------------------------------------------------
 
+# Short documents (< shingle width n=3 tokens) are the edge that crashed
+# the round-2 shingle kernel; the fixture corpus has none, so the gate
+# unions identical literal rows on BOTH the Spark and oracle side.  They
+# produce no shingles, so results are unchanged — but the kernel now has
+# to survive them under Catalyst constraint-folding every round.
+_SHORT_DOCS = [(-1, "tiny"), (-2, "two tokens")]
+
+_AUG_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents"
+    + "".join(
+        f" UNION ALL SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in _SHORT_DOCS
+    )
+    + ") aug_documents"
+)
+
+
+def _docs_with_short_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_SHORT_DOCS, "doc_id bigint, text string")
+    return docs.unionByName(extra)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in TABLES:
@@ -289,10 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(spark, sf, "documents")
     )
     out["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
-        _load(spark, sf, "documents")
+        _docs_with_short_edge(spark, sf)
     )
     out["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
-        _load(spark, sf, "documents")
+        _docs_with_short_edge(spark, sf)
     )
     out["dedup_simhash"] = lambda spark, sf: dedup.simhash_dup_pairs(
         _load(spark, sf, "documents")
@@ -400,10 +422,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["like_selection"] = _like_selection_oracle()
     out["dedup_exact"] = dedup.exact_dup_groups_oracle()
-    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
+    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(table=_AUG_DOCS_SQL)
     # LSH is exact-verified; at the shipped band settings its output
     # equals the brute-force pairs, so it shares the oracle
-    out["dedup_minhash_lsh"] = dedup.ngram_jaccard_oracle()
+    out["dedup_minhash_lsh"] = dedup.ngram_jaccard_oracle(table=_AUG_DOCS_SQL)
     out["dedup_simhash"] = dedup.simhash_oracle()
     out["dedup_simhash_weighted"] = dedup.simhash_oracle(weighted=True)
     out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)

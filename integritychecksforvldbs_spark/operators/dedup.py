@@ -111,16 +111,27 @@ def shingle_arrays(
     The row-local form of :func:`shingles` — documents are bounded
     size, so the array is too, and downstream per-doc work (minhash
     signatures, pairwise intersection) can stay shuffle-free.
+
+    The shingle expression must be *total*: Catalyst's constraint
+    inference can fold it into the Filter stage and evaluate it on
+    rows the ``size >= n`` guard would exclude, where
+    ``sequence(1, size - n + 1)`` turns descending and ``slice``
+    throws. The ``when`` branch keeps short docs on a lazily-skipped
+    path instead of relying on filter ordering.
     """
     toks = F.split(F.col(text_col), " ")
-    return df.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("doc_id"),
+    sh = F.when(
+        F.size(toks) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             )
-        ).alias("sh"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("sh"),
     )
 
 
