@@ -47,13 +47,19 @@ def main() -> None:
         n for n in qs if n.startswith("bench_") and n not in HEADLINE
     ]
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # Warm-up sweep: run EVERY query once before timing anything, so JIT
+    # compilation, codegen caches, and parquet footer reads are paid up
+    # front instead of landing on whichever query runs first (min-of-2 in
+    # one fixed-order session showed ±30-50% round-over-round noise on
+    # untouched queries).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):  # min-of-2: damp JIT/IO warm-up noise
+        for _ in range(3):  # min-of-3 over a warm JVM
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

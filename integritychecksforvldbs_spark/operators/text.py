@@ -245,6 +245,8 @@ def winnow_fingerprints(
     fingerprint) == per-doc ``array_distinct``, and ``slice`` past the
     array end clips exactly like a ROWS BETWEEN frame at partition end.
     """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     t = text_col
     hashes = (
         f"transform(sequence(1, length({t}) - {k - 1}), "
@@ -252,11 +254,13 @@ def winnow_fingerprints(
     )
     # sliding min via k-way least (out-of-range get() is NULL — ANSI-
     # safe, unlike hs[i] — and least skips NULLs → exact end-of-array
-    # clipping, no per-window slice allocation)
+    # clipping, no per-window slice allocation); window=1 degenerates to
+    # the gram hashes themselves (least() needs >= 2 args)
     lasts = ", ".join(f"get(hs, j + {i})" for i in range(window))
+    win_expr = f"least({lasts})" if window > 1 else lasts
     wins = (
         f"array_distinct(transform(sequence(0, size(hs) - 1), "
-        f"j -> least({lasts})))"
+        f"j -> {win_expr}))"
     )
     return (
         df.filter(F.expr(f"length({t}) >= {k}"))

@@ -143,6 +143,81 @@ def test_fk_orphan_detection(spark, tables):
     assert rows["l_orderkey"] - base["l_orderkey"] == n_children
 
 
+def _fk_rows(tables, exp, broadcast):
+    return {
+        (r["fk_columns"], r["parent_table"]): r["orphan_rows"]
+        for r in fk_orphan_counts_df(
+            tables, exp, broadcast_parents=broadcast
+        ).collect()
+    }
+
+
+def test_fk_orphans_fused_equals_antijoin(spark):
+    """The fused all-broadcast branch must match the per-FK anti-join
+    path on its unpinned edges: multi-FK child, a parent with duplicate
+    keys, and NULL child FK values (DIC extended-checks semantics —
+    NULL FKs are not orphans)."""
+    from integritychecksforvldbs_spark.expectations import (
+        ForeignKey,
+        TableExpectations,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, 100),  # both parents present
+            (2, 11, 101),  # a-parent missing
+            (3, None, 100),  # NULL a-key: not an orphan for fk_a
+            (4, 12, None),  # NULL b-key: not an orphan for fk_b
+            (5, 12, 999),  # b-parent missing
+            (6, 10, 100),  # dup of row 1 — counted once per row
+        ],
+        "ck bigint, a_key bigint, b_key bigint",
+    )
+    # parent_a has DUPLICATE keys (10 twice): fan-out must not multiply
+    # the later fk_b orphan counts in the chained fused join
+    parent_a = spark.createDataFrame(
+        [(10, "x"), (10, "y"), (12, "z")], "pa bigint, pad string"
+    )
+    parent_b = spark.createDataFrame([(100,), (101,)], "pb bigint")
+    tables = {"child": child, "parent_a": parent_a, "parent_b": parent_b}
+    exp = TableExpectations(
+        table="child",
+        foreign_keys=[
+            ForeignKey(["a_key"], "parent_a", ["pa"]),
+            ForeignKey(["b_key"], "parent_b", ["pb"]),
+        ],
+    )
+    fused = _fk_rows(tables, exp, {"parent_a", "parent_b"})
+    anti = _fk_rows(tables, exp, set())
+    assert fused == anti
+    assert fused == {
+        ("a_key", "parent_a"): 1,  # row 2 only (row 3 NULL-skipped)
+        ("b_key", "parent_b"): 1,  # row 5 only (row 4 NULL-skipped)
+    }
+
+
+def test_fk_orphans_fused_single_fk_dup_parent(spark):
+    """Single-FK child keeps exact counts without parent dedup even
+    when the parent has duplicate keys (left join fans out matches,
+    never zero-match orphan rows)."""
+    from integritychecksforvldbs_spark.expectations import (
+        ForeignKey,
+        TableExpectations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 77), (4, None)], "ck bigint, a_key bigint"
+    )
+    parent = spark.createDataFrame([(10,), (10,), (11,)], "pa bigint")
+    tables = {"child": child, "parent_a": parent}
+    exp = TableExpectations(
+        table="child", foreign_keys=[ForeignKey(["a_key"], "parent_a", ["pa"])]
+    )
+    fused = _fk_rows(tables, exp, {"parent_a"})
+    anti = _fk_rows(tables, exp, set())
+    assert fused == anti == {("a_key", "parent_a"): 1}
+
+
 def _copy_table(tmp_path, table):
     dst = tmp_path / f"{table}.parquet"
     shutil.copy(f"{SF_DIR}/{table}.parquet", dst)
