@@ -47,6 +47,10 @@ class TableExpectations:
     # columns checked for NaN/Inf by the generic DATA_PURITY tier
     double_columns: list[str] = field(default_factory=list)
     timestamp_columns: list[str] = field(default_factory=list)
+    # DATA_PURITY §2.9 #51 extensions: control-char-free text columns
+    # and BIGINT columns that must survive an INT32 cast round-trip
+    clean_text_columns: list[str] = field(default_factory=list)
+    int32_columns: list[str] = field(default_factory=list)
 
 
 # timestamp sanity window (FIXTURES.md §A domain tier)
@@ -59,6 +63,44 @@ def _ts_rules(cols: list[str]) -> list[DomainRule]:
             f"{c}_in_bounds",
             f"({c} IS NULL OR ({c} >= TIMESTAMP '{TS_MIN} 00:00:00' "
             f"AND {c} < TIMESTAMP '{TS_MAX} 00:00:00'))",
+        )
+        for c in cols
+    ]
+
+
+# C0 control characters except tab(9)/LF(10)/CR(13), plus DEL(127),
+# built with chr() so the literal is identical in Spark SQL and DuckDB
+# (embedded backslash escapes are NOT portable — Spark eats them).
+_CTRL_CHARS = "||".join(
+    f"chr({i})" for i in [*range(1, 9), 11, 12, *range(14, 32), 127]
+)
+
+
+def _clean_text_rules(cols: list[str]) -> list[DomainRule]:
+    """DATA_PURITY string tier (SURVEY §2.9 #51): no control characters
+    in text columns.  ``translate`` deletes every listed char; a clean
+    value keeps its length.  UTF-8 *validity* is structural in both
+    engines (string values are validated at ingest), so a row-level
+    re-check is degenerate by design — byte-level decode validation
+    for opaque payloads lives in the multimodal kernels instead."""
+    return [
+        DomainRule(
+            f"{c}_no_ctrl_chars",
+            f"({c} IS NULL OR length(translate({c}, {_CTRL_CHARS}, '')) = length({c}))",
+        )
+        for c in cols
+    ]
+
+
+def _int32_roundtrip_rules(cols: list[str]) -> list[DomainRule]:
+    """DATA_PURITY cast round-trip tier (SURVEY §2.9 #51): BIGINT
+    values that must survive an INT32 round-trip.  ``try_cast`` is
+    NULL exactly when the value overflows — total (never throws) in
+    both engines, unlike ANSI CAST."""
+    return [
+        DomainRule(
+            f"{c}_int32_roundtrip",
+            f"({c} IS NULL OR try_cast({c} AS INTEGER) IS NOT NULL)",
         )
         for c in cols
     ]
@@ -84,8 +126,12 @@ def build_registry() -> dict[str, TableExpectations]:
 
     def add(t: TableExpectations) -> None:
         # generic tiers expand into domain rules once, here
-        t.domain_rules = list(t.domain_rules) + _finite_rules(t.double_columns) + _ts_rules(
-            t.timestamp_columns
+        t.domain_rules = (
+            list(t.domain_rules)
+            + _finite_rules(t.double_columns)
+            + _ts_rules(t.timestamp_columns)
+            + _clean_text_rules(t.clean_text_columns)
+            + _int32_roundtrip_rules(t.int32_columns)
         )
         t.not_null = list(dict.fromkeys(t.primary_key + t.not_null))
         reg[t.table] = t
@@ -106,6 +152,7 @@ def build_registry() -> dict[str, TableExpectations]:
             not_null=["c_name"],
             foreign_keys=[ForeignKey(["c_nationkey"], "nation", ["n_nationkey"])],
             double_columns=["c_acctbal"],
+            clean_text_columns=["c_name"],
         )
     )
     add(
@@ -174,6 +221,7 @@ def build_registry() -> dict[str, TableExpectations]:
             not_null=["ts", "user_id", "event_type"],
             double_columns=["value"],
             timestamp_columns=["ts"],
+            clean_text_columns=["event_type"],
         )
     )
     add(
@@ -189,6 +237,8 @@ def build_registry() -> dict[str, TableExpectations]:
                     "lang_is_iso2", "(lang IS NULL OR length(lang) = 2)"
                 ),
             ],
+            clean_text_columns=["text", "lang", "source"],
+            int32_columns=["n_chars"],
         )
     )
     add(

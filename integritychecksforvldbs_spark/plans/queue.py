@@ -66,8 +66,33 @@ class WorkQueue:
         self.session_id = session_id or f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
         self.stale_after_s = stale_after_s
         qid = hashlib.sha256(parameters.encode()).hexdigest()[:16]
-        self.dir = os.path.join(root, f"queue_{qid}")
-        os.makedirs(self.dir, exist_ok=True)
+        self.base = os.path.join(root, f"queue_{qid}")
+        os.makedirs(self.base, exist_ok=True)
+        # Round restart (DIC:1127-1152): a run that finds the latest
+        # round fully completed stamps a new QueueStartTime and
+        # re-queues every member — day 2 of a daily cron re-checks the
+        # fleet instead of finding every done.json present and idling.
+        # Concurrent workers arriving mid-round still join that round.
+        cur = self._latest_round()
+        if cur == 0 or self._round_complete(cur):
+            try:
+                os.mkdir(os.path.join(self.base, f"r{cur + 1}"))
+            except FileExistsError:
+                pass  # a racing worker opened the round — adopt it
+            cur = self._latest_round()
+        self.round = cur
+        self.dir = os.path.join(self.base, f"r{cur}")
+        # QueueStartTime stamp (informational; membership mkdir below
+        # is the actual arbiter)
+        start_marker = os.path.join(self.dir, "round.json")
+        if not os.path.exists(start_marker):
+            tmp = os.path.join(self.dir, f".round.{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"round": cur, "queue_start_time": time.time(),
+                     "started_by": self.session_id}, f,
+                )
+            os.replace(tmp, start_marker)
         # first worker materializes membership/order (DIC:1127-1167);
         # mkdir is the arbiter — losers adopt the winner's round
         for order, db in enumerate(databases, start=1):
@@ -80,6 +105,31 @@ class WorkQueue:
                 os.replace(tmp, os.path.join(item_dir, "meta.json"))
             except FileExistsError:
                 pass
+
+    # -- rounds ----------------------------------------------------------
+    def _latest_round(self) -> int:
+        rounds = [
+            int(n[1:])
+            for n in os.listdir(self.base)
+            if n.startswith("r") and n[1:].isdigit()
+        ]
+        return max(rounds, default=0)
+
+    def _round_complete(self, rnum: int) -> bool:
+        """A round with materialized membership where every member has
+        a completion stamp.  An empty round dir (racing worker created
+        it but hasn't populated members yet) is NOT complete — joiners
+        adopt it and materialize membership themselves."""
+        rdir = os.path.join(self.base, f"r{rnum}")
+        try:
+            members = [n for n in os.listdir(rdir) if n.startswith("db_")]
+        except FileNotFoundError:
+            return False
+        if not members:
+            return False
+        return all(
+            os.path.exists(os.path.join(rdir, m, "done.json")) for m in members
+        )
 
     # -- introspection ---------------------------------------------------
     def items(self) -> list[QueueItem]:

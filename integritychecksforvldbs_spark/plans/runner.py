@@ -125,10 +125,19 @@ class CommandOutcome:
     error_message: str | None
     executed: bool
     log_id: int | None = None
+    severity: int = 16  # RAISERROR severity of the failure (CE:213-222)
 
     @property
     def duration_ms(self) -> int:
         return int((self.end_time - self.start_time).total_seconds() * 1000)
+
+    @property
+    def is_error(self) -> bool:
+        """Whether this outcome fails the run.  A lock timeout logged
+        at severity 10 (@LockMessageSeverity, CE:213-220) is recorded
+        — error_number 1222 lands in the command log — but does not
+        count as a job failure."""
+        return self.error_number != 0 and self.severity >= 11
 
 
 LOCK_TIMEOUT_ERROR = 1222  # "Lock request time out period exceeded." (CE:218)
@@ -180,8 +189,15 @@ def run_command(
     execute: bool = True,
     log: CommandLog | None = None,
     session_id: str | None = None,
+    lock_message_severity: int = 16,
 ) -> CommandOutcome:
-    """Execute one check spec through the narrow waist (CE:197-249)."""
+    """Execute one check spec through the narrow waist (CE:197-249).
+
+    ``lock_message_severity`` is @LockMessageSeverity (CE:213-220):
+    16 (default) raises lock timeouts as errors; 10 logs them as
+    informational — the error_number is still recorded in the command
+    log, but the outcome does not fail the run.
+    """
     cmd = spec.command_text()
     start = _utcnow()
     logger.info("Date and time: %s", start.strftime("%Y-%m-%d %H:%M:%S"))
@@ -189,6 +205,7 @@ def run_command(
     result: KernelResult | None = None
     error_number = 0
     error_message: str | None = None
+    severity = 16
     if execute and kernel is not None:
         try:
             if spec.lock_timeout is not None:
@@ -201,11 +218,13 @@ def run_command(
         except TimeoutError as exc:  # the 1222 path (CE:216-220)
             error_number = LOCK_TIMEOUT_ERROR
             error_message = str(exc)
+            severity = lock_message_severity
         except Exception as exc:  # runner never propagates (CE:213-222 Mode 2)
             error_number = -1
             error_message = f"{type(exc).__name__}: {exc}"[:4000]
     end = _utcnow()
-    outcome = "Succeeded" if error_number == 0 else "Failed"
+    failed = error_number != 0 and severity >= 11
+    outcome = "Succeeded" if error_number == 0 else ("Failed" if failed else "Warning")
     if not execute:
         outcome = "Not Executed"  # CE:231
     logger.info("Outcome: %s", outcome)
@@ -236,4 +255,7 @@ def run_command(
                 "error_message": error_message,
             }
         )
-    return CommandOutcome(spec, result, start, end, error_number, error_message, execute, log_id)
+    return CommandOutcome(
+        spec, result, start, end, error_number, error_message, execute, log_id,
+        severity=severity,
+    )

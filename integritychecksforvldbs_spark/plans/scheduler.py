@@ -36,6 +36,7 @@ from .runner import CommandLog, CommandOutcome, run_command
 from .specs import (
     CHECKALLOC,
     CHECKCATALOG,
+    CHECKDB,
     CHECKFILEGROUP,
     CHECKTABLE,
     CheckSpec,
@@ -66,6 +67,9 @@ class CheckParams:
     execute: str = "Y"
     extended_logical_checks: str = "N"  # DIC:27 extension
     lock_timeout: int | None = None  # DIC @LockTimeout seconds (DIC:1355 analogue)
+    # CE @LockMessageSeverity (CE:213-220): 16 = lock timeouts are
+    # errors; 10 = logged as informational, run not failed
+    lock_message_severity: int = 16
     database_order: str | None = None  # DIC @DatabaseOrder (DIC:992-1089)
     databases_in_parallel: str = "N"  # DIC @DatabasesInParallel (DIC:1095-1228)
     queue_root: str | None = None  # shared dir for the multi-worker queue
@@ -121,6 +125,10 @@ class CheckParams:
         if self.extended_logical_checks not in ("Y", "N"):
             errors.append(
                 "The value for the parameter @ExtendedLogicalChecks is not supported."
+            )
+        if self.lock_message_severity not in (10, 16):  # CE:118-121
+            errors.append(
+                "The value for the parameter @LockMessageSeverity is not supported."
             )
         if errors:
             raise ValueError(" ".join(errors))
@@ -230,6 +238,10 @@ class IntegrityChecker:
             for db in selected:
                 if not self._deadline_ok(job_end):
                     break
+                if not self._namespace_readable(db.name):
+                    self._record_suspect(db.name, report, execute)
+                    inventories.pop(db.name, None)  # skip the table pass too
+                    continue
                 self._alloc_catalog_visit(
                     db.name, inventories, db_types, job_start, report, execute,
                     physical_only,
@@ -251,6 +263,14 @@ class IntegrityChecker:
             if dbname not in inventories:
                 if queue is not None:
                     queue.complete(dbname)  # vanished DB — close the row
+                continue
+            if not self._namespace_readable(dbname):
+                # SUSPECT-state analogue (DIC:1699-1705): the namespace
+                # vanished / became unreadable after inventory — one
+                # distinct hard-error row, no per-kernel noise
+                self._record_suspect(dbname, report, execute)
+                if queue is not None:
+                    queue.complete(dbname)
                 continue
             if queue is not None:
                 # claim-gated ALLOC+CATALOG for this worker's DB
@@ -342,6 +362,7 @@ class IntegrityChecker:
                     ),
                     execute=execute,
                     log=self.log if p.log_to_table == "Y" else None,
+                    lock_message_severity=p.lock_message_severity,
                 )
                 report.outcomes.append(outcome)
                 if outcome.error_number == -1:
@@ -374,6 +395,55 @@ class IntegrityChecker:
         self.log.flush()
         logger.info("Date and time: %s", _utcnow().strftime("%Y-%m-%d %H:%M:%S"))
         return report
+
+    SUSPECT_ERROR = 926  # "Database cannot be opened. Marked SUSPECT."
+
+    def _namespace_readable(self, dbname: str) -> bool:
+        """Whether the DB's namespace still exists and lists — the
+        engine's 'not in a SUSPECT state' probe (DIC:1697-1705)."""
+        from ..sources.catalog import _fs_and_path
+
+        try:
+            fs, hpath = _fs_and_path(self.spark, f"{self.base_dir}/{dbname}")
+            return bool(fs.exists(hpath)) and bool(fs.getFileStatus(hpath).isDirectory())
+        except Exception:
+            return False
+
+    def _record_suspect(
+        self, dbname: str, report: RunReport, execute: bool
+    ) -> None:
+        """DIC:1699-1705 — the database is unreadable at visit time:
+        one distinct hard-error row (error 926, the SUSPECT-state
+        analogue), issued BEFORE any kernel, no per-kernel noise."""
+        spec = CheckSpec(CHECKDB, dbname)
+        msg = (
+            f"The database [{dbname}] is in a suspect state: the namespace "
+            f"{self.base_dir}/{dbname} is unreadable. The integrity check "
+            "could not be performed."
+        )
+        logger.error(msg)
+        now = _utcnow()
+        log_id = None
+        if self.params.log_to_table == "Y":
+            import json as _json
+
+            log_id = self.log.append(
+                {
+                    "database_name": dbname,
+                    "extended_info": _json.dumps({"suspect": True}),
+                    "command": spec.command_text(),
+                    "command_type": spec.command_type,
+                    "start_time": now,
+                    "end_time": now,
+                    "error_number": self.SUSPECT_ERROR if execute else None,
+                    "error_message": msg,
+                }
+            )
+        report.outcomes.append(
+            CommandOutcome(
+                spec, None, now, now, self.SUSPECT_ERROR, msg, execute, log_id
+            )
+        )
 
     def _alloc_catalog_visit(
         self,
@@ -417,6 +487,7 @@ class IntegrityChecker:
                     kernel=lambda objs=objs: self._alloc_all(dbname, objs, physical_only),
                     execute=execute,
                     log=self.log if p.log_to_table == "Y" else None,
+                    lock_message_severity=p.lock_message_severity,
                 )
             )
         if CHECKCATALOG in families:
@@ -487,6 +558,7 @@ class IntegrityChecker:
                         ),
                         execute=execute,
                         log=self.log if p.log_to_table == "Y" else None,
+                        lock_message_severity=p.lock_message_severity,
                     )
                 )
 

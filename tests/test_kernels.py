@@ -73,6 +73,38 @@ def test_checktable_detects_injected_violations(spark, tables):
     assert res.metrics["viol_l_tax_finite"] == n3
 
 
+def test_checktable_detects_ctrl_chars_and_int32_overflow(spark, tables):
+    """DATA_PURITY §2.9 #51 extensions: control characters in text
+    columns and BIGINT values that overflow INT32 are each counted
+    exactly once (and tab/LF/CR are NOT violations)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        tables["documents"]
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("\x07")))
+            .when(F.col("doc_id") == 1, F.concat(F.col("text"), F.lit("ok\tfine\nstill\r")))
+            .otherwise(F.col("text")),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == 2, F.lit(5_000_000_000)).otherwise(
+                F.col("n_chars")
+            ),
+        )
+    )
+    res = run_checktable(spark, docs, "db", "documents")
+    assert not res.passed
+    assert res.metrics["viol_text_no_ctrl_chars"] == 1  # doc 0 only
+    assert res.metrics["viol_n_chars_int32_roundtrip"] == 1  # doc 2
+    assert res.metrics["viol_lang_no_ctrl_chars"] == 0
+    # clean corpus passes all new tiers
+    clean = run_checktable(spark, tables["documents"], "db", "documents")
+    assert clean.metrics["viol_text_no_ctrl_chars"] == 0
+    assert clean.metrics["viol_n_chars_int32_roundtrip"] == 0
+
+
 def test_checktable_violations_listing(spark, tables):
     from pyspark.sql import functions as F
 

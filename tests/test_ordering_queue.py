@@ -152,6 +152,71 @@ def test_queue_identity_by_parameters():
         assert a.dir != b.dir
 
 
+def test_queue_round_restart_sequential_runs():
+    """DIC:1127-1152 — a second run with the same @Parameters after the
+    first completed starts a NEW round and re-checks every database
+    (day-2 cron), instead of finding every done.json and idling."""
+    with tempfile.TemporaryDirectory() as d:
+        dbs = ["db1", "db2"]
+        run1 = WorkQueue(d, "P", dbs, session_id="day1")
+        seen1 = []
+        while (db := run1.claim_next()) is not None:
+            seen1.append(db)
+            run1.complete(db)
+        assert sorted(seen1) == dbs and run1.all_done()
+
+        run2 = WorkQueue(d, "P", dbs, session_id="day2")
+        assert run2.round == run1.round + 1
+        seen2 = []
+        while (db := run2.claim_next()) is not None:
+            seen2.append(db)
+            run2.complete(db)
+        assert sorted(seen2) == dbs  # full fleet re-checked
+        assert run2.all_done()
+
+
+def test_queue_round_restart_concurrent_workers_share_round():
+    """Two workers starting together after a completed round open ONE
+    new round and split it — the mkdir CAS arbitrates."""
+    with tempfile.TemporaryDirectory() as d:
+        dbs = [f"db{i}" for i in range(10)]
+        prev = WorkQueue(d, "P", dbs, session_id="day1")
+        while (db := prev.claim_next()) is not None:
+            prev.complete(db)
+        assert prev.all_done()
+
+        w1 = WorkQueue(d, "P", dbs, session_id="w1")
+        w2 = WorkQueue(d, "P", dbs, session_id="w2")
+        assert w1.round == w2.round == prev.round + 1
+        claimed: dict[str, list[str]] = {"w1": [], "w2": []}
+
+        def work(q, name):
+            while (db := q.claim_next()) is not None:
+                claimed[name].append(db)
+                q.complete(db)
+
+        t1 = threading.Thread(target=work, args=(w1, "w1"))
+        t2 = threading.Thread(target=work, args=(w2, "w2"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        both = claimed["w1"] + claimed["w2"]
+        assert sorted(both) == sorted(dbs)  # one round, split once
+        assert len(set(both)) == len(dbs)
+
+
+def test_queue_midround_joiner_does_not_restart():
+    """A worker arriving while a round is in flight joins it — no new
+    round, no double-checking of already-completed members."""
+    with tempfile.TemporaryDirectory() as d:
+        w1 = WorkQueue(d, "P", ["db1", "db2"], session_id="w1")
+        assert w1.claim_next() == "db1"
+        w1.complete("db1")
+        w2 = WorkQueue(d, "P", ["db1", "db2"], session_id="w2")
+        assert w2.round == w1.round
+        assert w2.claim_next() == "db2"  # db1 NOT re-queued
+        w2.complete("db2")
+        assert w2.claim_next() is None
+
+
 # ---------------------------------------------------------------------------
 # CHECKFILEGROUP
 # ---------------------------------------------------------------------------

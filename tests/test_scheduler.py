@@ -184,10 +184,12 @@ def test_databases_in_parallel_requires_queue_root(spark, tmp_path):
         make(spark, tmp_path, databases_in_parallel="Y").run()
 
 
-def test_databases_in_parallel_two_workers_split(spark, tmp_path):
-    """Two sequential workers with the same parameters share one queue
-    round: the second worker finds every database already completed
-    (DIC:1196-1228 claim protocol)."""
+def test_databases_in_parallel_sequential_runs_restart_round(spark, tmp_path):
+    """DIC:1127-1152 — a SECOND run with the same @Parameters after the
+    first one completed the round starts a NEW queue round and checks
+    the fleet again (day-2 cron).  Mid-round joiners still split one
+    round (claim protocol, DIC:1196-1228) — pinned at the WorkQueue
+    level by test_queue_round_restart_concurrent_workers_share_round."""
     qroot = str(tmp_path / "queue")
     mk = lambda sub: IntegrityChecker(
         spark,
@@ -205,7 +207,7 @@ def test_databases_in_parallel_two_workers_split(spark, tmp_path):
     t1 = [o for o in r1.outcomes if o.spec.kind == "CHECKTABLE"]
     t2 = [o for o in r2.outcomes if o.spec.kind == "CHECKTABLE"]
     assert len(t1) == N_TABLES  # worker 1 claimed and processed the DB
-    assert len(t2) == 0  # worker 2 found the round drained
+    assert len(t2) == N_TABLES  # new round: the fleet is re-checked
 
 
 def test_check_commands_families(spark, tmp_path):
@@ -298,6 +300,92 @@ def test_lock_timeout_cancels_slow_check(spark, tmp_path):
     assert "Lock request time out" in outcome.error_message
     assert elapsed < 40, f"cancellation took {elapsed:.0f}s"
     assert spec.command_text().startswith("SET LOCK_TIMEOUT 2000; ")
+
+
+def test_lock_message_severity_10_downgrades_to_warning(spark, tmp_path):
+    """@LockMessageSeverity = 10 (CE:213-220): the 1222 is RECORDED
+    (error_number in the outcome/log) but the outcome is not an error
+    and the run continues."""
+    from integritychecksforvldbs_spark.plans.runner import (
+        LOCK_TIMEOUT_ERROR,
+        run_command,
+    )
+    from integritychecksforvldbs_spark.plans.specs import CHECKTABLE, CheckSpec
+
+    def slow_kernel():
+        import time as _t
+
+        spark.sparkContext.parallelize(range(8), 8).map(
+            lambda x: _t.sleep(60)
+        ).count()
+        raise AssertionError("should have been cancelled")
+
+    spec = CheckSpec(CHECKTABLE, "db", schema="main", object="t", lock_timeout=2)
+    outcome = run_command(
+        spark, spec, kernel=slow_kernel, lock_message_severity=10
+    )
+    assert outcome.error_number == LOCK_TIMEOUT_ERROR  # still recorded
+    assert outcome.severity == 10
+    assert not outcome.is_error  # ...but not a failure
+
+    # severity 16 (default) keeps it an error
+    outcome16 = run_command(spark, spec, kernel=slow_kernel)
+    assert outcome16.error_number == LOCK_TIMEOUT_ERROR
+    assert outcome16.is_error
+
+
+def test_lock_message_severity_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="@LockMessageSeverity"):
+        make(spark, tmp_path, lock_message_severity=11).run()
+
+
+def test_suspect_state_vanished_database(spark, tmp_path):
+    """DIC:1699-1705 analogue — a DB whose namespace vanishes after
+    inventory gets ONE distinct hard-error row (926), no per-kernel
+    noise, and the run continues."""
+    import shutil
+
+    base = tmp_path / "base"
+    for db in ("db1", "db2"):
+        (base / db).mkdir(parents=True)
+        for t in ("region", "nation"):
+            shutil.copy(f"{BASE}/sf0.001/{t}.parquet", base / db / f"{t}.parquet")
+
+    params = CheckParams(databases="ALL_DATABASES", snapshot_path=None)
+    checker = IntegrityChecker(
+        spark, str(base), str(tmp_path / "s.parquet"), str(tmp_path / "l.parquet"),
+        params,
+    )
+    # vanish db1 between inventory and the check loops
+    orig_merge = checker.state.merge_inventory
+
+    def sabotage(rows):
+        out = orig_merge(rows)
+        shutil.rmtree(base / "db1")
+        return out
+
+    checker.state.merge_inventory = sabotage
+    report = checker.run()
+
+    suspect = [o for o in report.outcomes if o.error_number == 926]
+    assert len(suspect) == 1
+    assert suspect[0].spec.database == "db1"
+    assert suspect[0].is_error
+    assert "suspect state" in suspect[0].error_message
+    # db1 produced NO kernel rows; db2 ran normally (2 + 2 tables)
+    db1_kernels = [
+        o for o in report.outcomes
+        if o.spec.database == "db1" and o.error_number != 926
+    ]
+    assert db1_kernels == []
+    db2 = [o for o in report.outcomes if o.spec.database == "db2"]
+    assert [o.spec.kind for o in db2] == [
+        "CHECKALLOC", "CHECKCATALOG", "CHECKTABLE", "CHECKTABLE"
+    ]
+    # the log carries the distinct row
+    log = checker.log.df().filter("error_number = 926").collect()
+    assert len(log) == 1 and log[0]["database_name"] == "db1"
+    assert log[0]["command_type"] == "DBCC_CHECKDB"
 
 
 def test_commands_run_golden(spark, tmp_path):
