@@ -195,6 +195,74 @@ def select_databases(dsl: str, candidates: list[DatabaseCandidate]) -> list[Data
     return out
 
 
+def select_availability_groups(dsl: str, group_names: list[str]) -> dict[str, int]:
+    """@AvailabilityGroups DSL over AG names (DIC:480-535).
+
+    Same include/exclude LIKE algebra as the other scopes:
+    ``ALL_AVAILABILITY_GROUPS`` → ``%`` (DIC:514), ``-`` prefix
+    excludes (DIC:507-509), ``[bracketed]`` names unquote (DIC:521),
+    literal underscores escaped before matching (DIC:534
+    ``REPLACE(...,'_','[_]')``).  Returns {group_name: start_position}
+    with StartPosition = MIN over matching include items (DIC:545-556).
+    """
+    items: list[SelectionItem] = []
+    for pos, raw in enumerate(tokenize(dsl), start=1):
+        selected = not raw.startswith("-")
+        body = raw[1:] if not selected else raw
+        if body == "":
+            raise ValueError(
+                "The value for the parameter @AvailabilityGroups is not supported."
+            )
+        pattern = "%" if body.upper() == "ALL_AVAILABILITY_GROUPS" else _unbracket(body)
+        items.append(
+            SelectionItem(
+                raw=raw, selected=selected, start_position=pos,
+                database_pattern=pattern,
+            )
+        )
+    if not items:  # DIC:570-575 — empty selection is an error
+        raise ValueError(
+            "The value for the parameter @AvailabilityGroups is not supported."
+        )
+    includes = [i for i in items if i.selected]
+    excludes = [i for i in items if not i.selected]
+    out: dict[str, int] = {}
+    for name in group_names:
+        matched = [
+            i for i in includes
+            if tsql_like_match(name, i.database_pattern, escape_underscore=True)
+        ]
+        if not matched:
+            continue
+        if any(
+            tsql_like_match(name, i.database_pattern, escape_underscore=True)
+            for i in excludes
+        ):
+            continue
+        out[name] = min(i.start_position for i in matched)
+    return out
+
+
+def select_databases_by_availability_groups(
+    dsl: str, candidates: list[DatabaseCandidate]
+) -> list[DatabaseCandidate]:
+    """Member databases of the selected AGs (DIC:558-567): every
+    candidate whose ``availability_group`` tag is in the selected set,
+    carrying the AG's StartPosition, ordered like
+    :func:`select_databases`."""
+    groups = sorted({c.availability_group for c in candidates if c.availability_group})
+    sel = select_availability_groups(dsl, groups)
+    out: list[DatabaseCandidate] = []
+    for cand in candidates:
+        if cand.availability_group in sel:
+            cand.start_position = sel[cand.availability_group]
+            out.append(cand)
+    out.sort(key=lambda c: (c.start_position, c.name))
+    for n, cand in enumerate(out, start=1):
+        cand.order = n
+    return out
+
+
 def match_filegroups(
     dsl_items: list[SelectionItem],
     pairs: list[tuple[str, str]],

@@ -59,6 +59,10 @@ class CheckParams:
     strings accepted where the reference takes them."""
 
     databases: str | None = None  # NULL → ALL_DATABASES (IC:34-35)
+    # DIC @AvailabilityGroups (DIC:480-587): AG-scope selection DSL,
+    # mutually exclusive with @Databases; members come from the
+    # candidates' availability_group tags (SURVEY tag-column model)
+    availability_groups: str | None = None
     physical_only: str = "N"
     max_dop: int | None = None
     time_limit: int | None = None  # seconds
@@ -130,6 +134,11 @@ class CheckParams:
             errors.append(
                 "The value for the parameter @LockMessageSeverity is not supported."
             )
+        if self.databases is not None and self.availability_groups is not None:
+            errors.append(  # DIC:584-587
+                "You can only specify one of the parameters @Databases and"
+                " @AvailabilityGroups."
+            )
         if errors:
             raise ValueError(" ".join(errors))
 
@@ -160,12 +169,16 @@ class IntegrityChecker:
         state_path: str | None = None,
         log_path: str | None = None,
         params: CheckParams | None = None,
+        ag_tags: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.base_dir = base_dir
         self.params = params or CheckParams()
         self.state = StateStore(spark, state_path)
         self.log = CommandLog(spark, log_path)
+        # deployment-supplied {database: availability_group} tags — the
+        # engine's sys.availability_databases_cluster (SURVEY §2.1 #5)
+        self.ag_tags = ag_tags or {}
 
     # -- helpers --------------------------------------------------------
     def _deadline_ok(self, job_end: datetime | None) -> bool:
@@ -184,9 +197,18 @@ class IntegrityChecker:
         report = RunReport(job_start, job_end)
 
         # STAGE B — selection DSL over the database catalog (IC:213-349)
-        dsl = p.databases if p.databases is not None else "ALL_DATABASES"
         candidates = list_databases(self.spark, self.base_dir)
-        selected = select_databases(dsl, candidates)
+        for c in candidates:
+            c.availability_group = self.ag_tags.get(c.name)
+        if p.availability_groups is not None:  # AG scope (DIC:480-587)
+            from ..operators.selector import select_databases_by_availability_groups
+
+            selected = select_databases_by_availability_groups(
+                p.availability_groups, candidates
+            )
+        else:
+            dsl = p.databases if p.databases is not None else "ALL_DATABASES"
+            selected = select_databases(dsl, candidates)
         report.selected_databases = [c.name for c in selected]
         logger.info("Selected databases: %s", report.selected_databases)
 
@@ -570,6 +592,7 @@ class IntegrityChecker:
         p = self.params
         return (
             f"@Databases = {p.databases or 'ALL_DATABASES'}, "
+            f"@AvailabilityGroups = {p.availability_groups or 'NULL'}, "
             f"@PhysicalOnly = '{p.physical_only}', "
             f"@ExtendedLogicalChecks = '{p.extended_logical_checks}', "
             f"@DatabaseOrder = {p.database_order or 'NULL'}, "

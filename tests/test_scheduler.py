@@ -388,6 +388,26 @@ def test_suspect_state_vanished_database(spark, tmp_path):
     assert log[0]["command_type"] == "DBCC_CHECKDB"
 
 
+def test_availability_groups_scope(spark, tmp_path):
+    """@AvailabilityGroups selects member DBs via the tag-column model
+    (DIC:480-587): only tagged members of selected AGs are visited."""
+    import shutil
+
+    base = tmp_path / "base"
+    for db in ("ag_db1", "ag_db2", "plain_db"):
+        (base / db).mkdir(parents=True)
+        shutil.copy(f"{BASE}/sf0.001/region.parquet", base / db / "region.parquet")
+
+    params = CheckParams(availability_groups="AG1", snapshot_path=None)
+    checker = IntegrityChecker(
+        spark, str(base), str(tmp_path / "s.parquet"), str(tmp_path / "l.parquet"),
+        params, ag_tags={"ag_db1": "AG1", "ag_db2": "AG2"},
+    )
+    report = checker.run()
+    assert report.selected_databases == ["ag_db1"]
+    assert {o.spec.database for o in report.outcomes} == {"ag_db1"}
+
+
 def test_commands_run_golden(spark, tmp_path):
     """The reference's own oracle (CommandsRun, IC:486-494): a dry run
     over sf0.001 with snapshots disabled produces this exact ordered

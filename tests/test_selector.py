@@ -121,3 +121,75 @@ def test_filegroup_scope():
     assert items[0].schema_pattern == "PRIMARY"
     with pytest.raises(ValueError):
         parse_dsl("justonepart", scope="filegroup")
+
+
+# ---------------------------------------------------------------------------
+# @AvailabilityGroups scope (DIC:480-587)
+# ---------------------------------------------------------------------------
+
+from integritychecksforvldbs_spark.operators.selector import (  # noqa: E402
+    select_availability_groups,
+    select_databases_by_availability_groups,
+)
+
+
+def ag_fleet():
+    return [
+        DatabaseCandidate("Db1", "U", availability_group="AG1"),
+        DatabaseCandidate("Db2", "U", availability_group="AG1"),
+        DatabaseCandidate("Db3", "U", availability_group="AG2"),
+        DatabaseCandidate("Db4", "U", availability_group="AG_X"),
+        DatabaseCandidate("Solo", "U"),  # not in any AG
+    ]
+
+
+def ag_names(dsl):
+    return [c.name for c in select_databases_by_availability_groups(dsl, ag_fleet())]
+
+
+def test_ag_all_keyword():
+    # ALL_AVAILABILITY_GROUPS → '%' (DIC:514); non-AG DBs never selected
+    assert ag_names("ALL_AVAILABILITY_GROUPS") == ["Db1", "Db2", "Db3", "Db4"]
+
+
+def test_ag_named_group():
+    assert ag_names("AG1") == ["Db1", "Db2"]
+
+
+def test_ag_exclusion_overrides():
+    # '-' prefix excludes (DIC:507-509); exclusions win
+    assert ag_names("ALL_AVAILABILITY_GROUPS, -AG1") == ["Db3", "Db4"]
+
+
+def test_ag_wildcard_and_underscore_escape():
+    # literal underscore is escaped before LIKE (DIC:534): AG_X matches
+    # the literal 'AG_X' item, and 'AG%' matches all three
+    assert ag_names("AG_X") == ["Db4"]
+    assert ag_names("AG%") == ["Db1", "Db2", "Db3", "Db4"]
+
+
+def test_ag_bracket_unquoting():
+    assert ag_names("[AG1]") == ["Db1", "Db2"]
+
+
+def test_ag_start_position_ordering():
+    # StartPosition = MIN matching include position (DIC:545-556):
+    # AG2 listed first → its members order before AG1's
+    out = select_databases_by_availability_groups("AG2, AG1", ag_fleet())
+    assert [c.name for c in out] == ["Db3", "Db1", "Db2"]
+    assert [c.start_position for c in out] == [1, 2, 2]
+    assert [c.order for c in out] == [1, 2, 3]
+
+
+def test_ag_empty_item_unsupported():
+    with pytest.raises(ValueError, match="@AvailabilityGroups"):
+        select_availability_groups("", ["AG1"])
+    with pytest.raises(ValueError, match="@AvailabilityGroups"):
+        select_availability_groups("AG1, -", ["AG1"])
+
+
+def test_ag_mutual_exclusion_with_databases():
+    from integritychecksforvldbs_spark.plans.scheduler import CheckParams
+
+    with pytest.raises(ValueError, match="only specify one"):
+        CheckParams(databases="Db1", availability_groups="AG1").validate()
