@@ -52,6 +52,39 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     return plan.replace("BroadcastExchange", "").count("Exchange") > 0
 
 
+def plan_data_shuffles(df: DataFrame) -> int:
+    """Number of DATA-sized shuffles: hash/range repartition exchanges.
+
+    ``Exchange SinglePartition`` gathers of pre-aggregated partials
+    (one row per task) are metadata-sized and unavoidable for a global
+    aggregate — what bucketing eliminates is the repartition of the
+    fact table itself, which is what this counts."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def bucketed_mirror(
+    spark: SparkSession,
+    src: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write ``src`` as a bucketed mirror table and read it back
+    bucket-aware — the frame every hot kernel should be fed when the
+    deployment maintains bucketed copies of its fact tables.  The
+    write shuffles ONCE; every CHECKTABLE dup-key probe, FK-orphan
+    anti-join against a co-bucketed parent, and keyed aggregation on
+    the bucket columns then plans zero data shuffles
+    (:func:`plan_data_shuffles` == 0, pinned by tests)."""
+    write_bucketed(src, table, bucket_cols, n_buckets, sort_cols, path)
+    return spark.table(table)
+
+
 def cobucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str]
 ) -> DataFrame:

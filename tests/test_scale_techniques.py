@@ -69,6 +69,80 @@ def test_unbucketed_join_does_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_checktable_dup_key_probe_bucketed_no_data_shuffle(spark, tmp_path_factory):
+    """CHECKTABLE's COUNT DISTINCT pk probe over a lineitem mirror
+    bucketed by the PK plans ZERO data shuffles — the distinct's hash
+    repartition is satisfied by the bucket layout; only the one-row-
+    per-task gather remains.  The same kernel on plain parquet
+    repartitions the fact table (the control)."""
+    from integritychecksforvldbs_spark.expectations import expectations_for
+    from integritychecksforvldbs_spark.operators.kernels import checktable_df
+    from integritychecksforvldbs_spark.sources.bucketing import (
+        bucketed_mirror,
+        plan_data_shuffles,
+    )
+
+    wh = tmp_path_factory.mktemp("wh_ct")
+    li = load_table(spark, f"{SF_DIR}/lineitem.parquet")
+    exp = expectations_for("lineitem")
+    bucketed = bucketed_mirror(
+        spark, li, "lineitem_pk_b", ["l_orderkey", "l_linenumber"], 8,
+        path=str(wh / "lineitem_pk_b"),
+    )
+    try:
+        assert plan_data_shuffles(checktable_df(bucketed, exp)) == 0
+        assert plan_data_shuffles(checktable_df(li, exp)) > 0  # control
+        # identical counters either way
+        assert (
+            checktable_df(bucketed, exp).collect()
+            == checktable_df(li, exp).collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lineitem_pk_b")
+
+
+def test_fk_orphan_probe_cobucketed_no_data_shuffle(spark, tmp_path_factory):
+    """The FK-orphan anti-join between lineitem and orders co-bucketed
+    on the key plans ZERO data shuffles (merge join straight off the
+    buckets) and returns the same counts as the plain-parquet path."""
+    from integritychecksforvldbs_spark.expectations import (
+        ForeignKey,
+        TableExpectations,
+    )
+    from integritychecksforvldbs_spark.operators.kernels import fk_orphan_counts_df
+    from integritychecksforvldbs_spark.sources.bucketing import (
+        bucketed_mirror,
+        plan_data_shuffles,
+    )
+
+    wh = tmp_path_factory.mktemp("wh_fk")
+    li = load_table(spark, f"{SF_DIR}/lineitem.parquet")
+    orders = load_table(spark, f"{SF_DIR}/orders.parquet")
+    li_b = bucketed_mirror(
+        spark, li, "lineitem_fk_b", ["l_orderkey"], 8,
+        path=str(wh / "lineitem_fk_b"), sort_cols=["l_orderkey"],
+    )
+    o_b = bucketed_mirror(
+        spark, orders, "orders_fk_b", ["o_orderkey"], 8,
+        path=str(wh / "orders_fk_b"), sort_cols=["o_orderkey"],
+    )
+    exp = TableExpectations(
+        table="lineitem",
+        foreign_keys=[ForeignKey(["l_orderkey"], "orders", ["o_orderkey"])],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = fk_orphan_counts_df({"lineitem": li_b, "orders": o_b}, exp)
+        assert plan_data_shuffles(probe) == 0
+        plain = fk_orphan_counts_df({"lineitem": li, "orders": orders}, exp)
+        assert plan_data_shuffles(plain) > 0  # control
+        assert probe.collect() == plain.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS lineitem_fk_b")
+        spark.sql("DROP TABLE IF EXISTS orders_fk_b")
+
+
 def test_salted_agg_equals_plain(spark):
     ev = load_table(spark, f"{SF_DIR}/events.parquet")
     got = {
