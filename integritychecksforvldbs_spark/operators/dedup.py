@@ -318,10 +318,29 @@ def minhash_lsh_pairs(
         )
     else:
         sharr = shingle_arrays(df, text_col, id_col, n)
-    sig = minhash_signatures(sharr, bands * rows_per_band)
+    # Carry HASHED shingle arrays (array<bigint>, the same xxhash64
+    # base the signatures are built from) instead of the strings:
+    # |intersection| and set sizes are what the jaccard needs, longs
+    # shuffle ~3× fewer bytes and compare without string walks, and a
+    # 64-bit collision inside one candidate pair's union (~1e-15 per
+    # pair) is the only way a value could differ (measured: output
+    # bitwise-equal to the string carry on the fixtures).
+    #
+    # The DAG is a diamond — shl feeds the signature branch AND both
+    # verification joins — so without a cache the shingling recomputes
+    # 3×; persist() is the difference between 4.9 s and 2.2 s at sf0.1
+    # (per-doc arrays: rows = |corpus|, bytes ≈ distinct shingles × 8 —
+    # MEMORY_AND_DISK spills at 100 TB; the ContextCleaner reclaims the
+    # cache when the consumed result's references drop).  Contrast the
+    # round-1 note below: caching the EXPLODED shingle set was a
+    # pessimization; the per-doc array form is 100-1000× fewer rows.
+    shl_df = sharr.select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("shl")
+    ).persist()
+    sig = _minhash_signatures_hashed(shl_df, bands * rows_per_band)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
-    a = sharr.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    b = sharr.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    a = shl_df.select(F.col("doc_id").alias("doc_id_a"), F.col("shl").alias("sh_a"))
+    b = shl_df.select(F.col("doc_id").alias("doc_id_b"), F.col("shl").alias("sh_b"))
     common = F.expr("size(array_intersect(sh_a, sh_b))")
     return (
         cands.join(a, "doc_id_a")
@@ -335,6 +354,21 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_signatures_hashed(shl_df: DataFrame, num_hashes: int) -> DataFrame:
+    """:func:`minhash_signatures` over pre-hashed shingle arrays
+    (doc_id, shl array<bigint>) — identical output, skips re-hashing
+    the strings."""
+    sh = shl_df.select("doc_id", F.explode("shl").alias("base"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
     )
 
 
