@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
 from integritychecksforvldbs_spark.operators import dedup, multimodal, similarity, text
-from integritychecksforvldbs_spark.streaming import freshness
+from integritychecksforvldbs_spark.streaming import freshness, sessions
 
 # fixed reference instant for the deterministic freshness oracle
 # (events fixture spans 2024-01-01 .. 2024-01-30)
@@ -325,6 +325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
         _load(spark, sf, "embeddings"), threshold=0.45
     )
+    # keeper selection over the LSH pair graph (connected components)
+    out["dedup_cluster_keepers"] = lambda spark, sf: dedup.duplicate_cluster_keepers(
+        dedup.minhash_lsh_pairs(_load(spark, sf, "documents"))
+    )
 
     # -- similarity search (north star) --
     def _ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
@@ -382,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_late_counts"] = lambda spark, sf: freshness.late_event_counts(
         _load(spark, sf, "events")
     )
+    out["events_sessions"] = lambda spark, sf: sessions.session_counts(
+        _load(spark, sf, "events")
+    )
     return out
 
 
@@ -429,6 +436,9 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = dedup.simhash_oracle()
     out["dedup_simhash_weighted"] = dedup.simhash_oracle(weighted=True)
     out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
+    # pairs equal the tier-2 oracle at shipped band settings, so the
+    # recursive-CTE clustering over them is the exact oracle
+    out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     # the prefiltered variant is provably identical to brute force
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
@@ -443,4 +453,5 @@ def oracle_sql() -> dict[str, str]:
     out["events_hourly_counts"] = freshness.hourly_counts_oracle()
     out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
     out["events_late_counts"] = freshness.late_event_counts_oracle()
+    out["events_sessions"] = sessions.session_counts_oracle()
     return out

@@ -594,3 +594,94 @@ pairs AS (
 SELECT vec_id_a, vec_id_b, round(cos_raw, 6) AS cosine
 FROM pairs WHERE cos_raw >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# 6. duplicate clusters → keeper selection
+# ---------------------------------------------------------------------------
+
+
+def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    keeper), keeper = MIN doc_id of the component — the "which copy
+    survives" step every dedup pipeline runs after pair generation.
+
+    Hash-to-min label propagation: labels start as each node's own id;
+    each round every node takes the min of its label and its
+    neighbors' labels; converged when nothing changes.  Rounds needed
+    = O(log diameter) for min propagation along paths — near-dup
+    components are overwhelmingly tiny (pairs/triples), so 2-3 rounds
+    dominate in practice and ``max_iter`` is a pathology bound.
+
+    Scale shape: each round is one join (labels ⋈ edges on node) + one
+    min-groupBy — both hash-shuffles on doc_id, AQE-sized; the driver
+    sees only a per-round changed-row COUNT (one long), never data.
+    Labels persist per round (frame is |V| rows of two longs) and the
+    previous round unpersists eagerly.
+    """
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # round 0 folded into the init: label = min(self, neighbors) —
+    # saves a full propagation round (for the dominant pair/triple
+    # components this IS convergence)
+    labels = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("lbl"))
+        .persist()
+    )
+    try:
+        # labels are per-node non-increasing, so the label SUM strictly
+        # decreases until the fixpoint: an unchanged sum IS convergence
+        # (one scalar agg per round instead of an old-vs-new join);
+        # decimal sum so 8-byte ids can't wrap the accumulator
+        prev_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).first()[0]
+        for _ in range(max_iter):
+            prop = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .select(F.col("src").alias("node"), "lbl")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            cur_sum = new_labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)"))
+            ).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels.selectExpr("node AS doc_id", "lbl AS keeper")
+    finally:
+        edges.unpersist()
+
+
+def cluster_keepers_oracle(
+    table: str = "documents", n: int = 3, threshold: float = 0.5
+) -> str:
+    """The identical clustering in DuckDB: near-dup pairs (tier-2
+    oracle, which equals the LSH output at the shipped band settings)
+    fed into a recursive reachability CTE; keeper = MIN reachable id."""
+    pairs_sql = ngram_jaccard_oracle(table, n, threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS keeper FROM reach GROUP BY node
+"""

@@ -151,3 +151,45 @@ def test_weighted_simhash_identical_docs_still_match(corpus):
         for r in dedup.simhash_df(corpus, weighted=True).collect()
     }
     assert sig[1] == sig[2]  # exact dups share the signature
+
+
+# ---------------------------------------------------------------------------
+# duplicate cluster keepers (connected components)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_keepers_components(spark):
+    """Chains, disjoint clusters, and a path long enough to require
+    multiple propagation rounds all resolve to the component MIN."""
+    pairs = spark.createDataFrame(
+        [
+            (2, 7), (7, 9),              # chain -> keeper 2
+            (20, 21),                    # pair -> keeper 20
+            (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),  # 6-path
+        ],
+        "doc_id_a bigint, doc_id_b bigint",
+    )
+    got = {
+        r["doc_id"]: r["keeper"]
+        for r in dedup.duplicate_cluster_keepers(pairs).collect()
+    }
+    assert got == {
+        2: 2, 7: 2, 9: 2,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30, 35: 30,
+    }
+
+
+def test_cluster_keepers_on_corpus_pairs(corpus):
+    """Keepers over the real LSH pairs: every keeper is in its own
+    cluster, is the min member, and members map to exactly one."""
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.3)
+    labels = dedup.duplicate_cluster_keepers(pairs).collect()
+    lab = {r["doc_id"]: r["keeper"] for r in labels}
+    edges = [(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()]
+    assert len(edges) > 0
+    for a, b in edges:  # connected nodes share a keeper
+        assert lab[a] == lab[b]
+    for node, keeper in lab.items():
+        assert keeper <= node
+        assert lab[keeper] == keeper  # keeper is its own keeper

@@ -153,3 +153,61 @@ def test_late_event_counts_vs_manual(batch_events):
     }
     assert got == manual
     assert sum(got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# sessionization (streaming/sessions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_session_counts_toy_semantics(spark):
+    """Gap boundary semantics pinned: an event exactly `gap` after its
+    predecessor MERGES (Spark extends sessions inclusively at the
+    expiry instant); only diff > gap splits.  session_end = last
+    event + gap."""
+    from datetime import datetime
+
+    from integritychecksforvldbs_spark.streaming import sessions
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0)), (1, ts(10)),
+            (1, ts(40)),              # exactly 30m after 00:10 -> merges
+            (1, ts(11)), (2, ts(5)),  # out-of-order event; lone user
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    rows = sorted(
+        (r["user_id"], r["session_start"].minute, r["session_end"].minute
+         + 60 * r["session_end"].hour, r["n_events"])
+        for r in sessions.session_counts(ev).collect()
+    )
+    assert rows == [
+        (1, 0, 70, 4),  # one session [00:00, 01:10): 00:40 merged
+        (2, 5, 35, 1),
+    ]
+    # and a diff just past the gap splits
+    ev2 = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(31))], "user_id bigint, ts timestamp"
+    )
+    assert sessions.session_counts(ev2).count() == 2
+
+
+def test_streaming_sessions_match_batch(spark, stream_dir, batch_events):
+    from integritychecksforvldbs_spark.streaming import freshness, sessions
+
+    stream = freshness.events_stream(spark, stream_dir)
+    result = _run_stream(
+        spark, sessions.session_counts(stream), "sessions_t"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in result.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sessions.session_counts(batch_events).collect()
+    }
+    assert got == want
+    assert len(want) > 100
