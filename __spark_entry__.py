@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
-from integritychecksforvldbs_spark.operators import dedup, multimodal, similarity, text
+from integritychecksforvldbs_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from integritychecksforvldbs_spark.streaming import freshness, sessions
 
 # fixed reference instant for the deterministic freshness oracle
@@ -362,6 +368,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_winnow"] = lambda spark, sf: text.winnow_fingerprints(
         _load(spark, sf, "documents")
     )
+    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
+        _load(spark, sf, "documents"), k=500
+    )
+
+    # -- deterministic sampling (training-data curation) --
+    out["sample_deterministic"] = lambda spark, sf: sampling.deterministic_sample(
+        _load(spark, sf, "documents").select("doc_id", "lang"), keep_one_in=16
+    )
+    out["sample_stratified"] = lambda spark, sf: sampling.stratified_sample(
+        _load(spark, sf, "documents").select("doc_id", "lang"),
+        "lang",
+        {"en": 500, "de": 250, "fr": 100},
+    )
 
     # -- multimodal plumbing (north star; decode stubbed, plumbing real) --
     out["multimodal_binary_stats"] = lambda spark, sf: multimodal.binary_stats(
@@ -447,6 +466,19 @@ def oracle_sql() -> dict[str, str]:
     out["text_langid"] = text.lang_id_oracle()
     out["text_fingerprint"] = text.fingerprint_oracle()
     out["text_winnow"] = text.winnow_oracle()
+    out["text_vocabulary"] = text.vocabulary_oracle(k=500)
+    out["sample_deterministic"] = (
+        "SELECT doc_id, lang FROM ("
+        + sampling.deterministic_sample_oracle("documents", keep_one_in=16)
+        + ") t"
+    )
+    out["sample_stratified"] = (
+        "SELECT doc_id, lang FROM ("
+        + sampling.stratified_sample_oracle(
+            "documents", "lang", {"en": 500, "de": 250, "fr": 100}
+        )
+        + ") t"
+    )
     out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
     out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
     out["multimodal_features"] = multimodal.features_oracle()

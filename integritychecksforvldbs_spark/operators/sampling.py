@@ -1,0 +1,114 @@
+"""Deterministic sampling kernels for training-data curation.
+
+A training-data pipeline samples constantly — smoke-test subsets,
+ablation mixes, per-source balancing — and at 100 TB the sample must
+be (a) computable in one shuffle-free pass over the scan and (b)
+REPRODUCIBLE: the same row set on every run, resumable mid-job, and
+stable when the corpus is re-partitioned or appended to.  Spark's
+``df.sample`` is none of those (seeded per-partition → repartitioning
+changes the sample), so these kernels key the decision on a
+content-independent per-row hash of the id:
+
+    bucket(doc) = md5-derived 60-bit integer of the id, mod N
+
+md5 is the portable hash (identical hex in Spark and DuckDB; xxhash64
+is Spark-only), so the DuckDB oracle selects the exact same rows.
+
+- **deterministic_sample** — keep one row in ``keep_one_in`` (bucket
+  == salt); different salts give disjoint samples for train/val/test
+  splits from one pass.
+- **stratified_sample** — per-stratum keep rates in per-mille
+  (bucket-of-1000 < rate), the per-source/per-language balancing op;
+  unlisted strata get ``default_per_mille``.
+
+Both are pure filters on a projection: predicate pushdown puts the
+hash-filter right above the parquet reader, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_expr_spark(id_col: str, buckets: int) -> str:
+    """60-bit md5-derived bucket of the id — Spark SQL dialect."""
+    return (
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {buckets}"
+    )
+
+
+def _bucket_expr_duckdb(id_col: str, buckets: int) -> str:
+    """The identical bucket in DuckDB (same md5 hex, same 60-bit int)."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {buckets}"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    keep_one_in: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep rows whose id-bucket (mod ``keep_one_in``) equals ``salt``
+    — a reproducible ~1/keep_one_in sample, independent of
+    partitioning, ordering, or appends to OTHER rows.  Salts
+    0..keep_one_in-1 partition the corpus into disjoint samples."""
+    if not 0 <= salt < keep_one_in:
+        raise ValueError(f"salt must be in [0, {keep_one_in}), got {salt}")
+    return df.filter(
+        F.expr(_bucket_expr_spark(id_col, keep_one_in)) == F.lit(salt)
+    )
+
+
+def deterministic_sample_oracle(
+    table: str = "documents",
+    keep_one_in: int = 16,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> str:
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {_bucket_expr_duckdb(id_col, keep_one_in)} = {salt}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    per_mille: dict[str, int],
+    id_col: str = "doc_id",
+    default_per_mille: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic rates: a row survives when its
+    bucket-of-1000 is below its stratum's per-mille rate.  The
+    per-source / per-language mix-balancing op; rates are exact in
+    expectation and reproducible row-for-row."""
+    for k, v in per_mille.items():
+        if not 0 <= v <= 1000:
+            raise ValueError(f"per-mille rate out of range for {k!r}: {v}")
+    rate = F.lit(default_per_mille)
+    for k, v in sorted(per_mille.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    bucket = F.expr(_bucket_expr_spark(id_col, 1000))
+    return df.filter(bucket < rate)
+
+
+def stratified_sample_oracle(
+    table: str,
+    strata_col: str,
+    per_mille: dict[str, int],
+    id_col: str = "doc_id",
+    default_per_mille: int = 0,
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {v}" for k, v in sorted(per_mille.items())
+    )
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {_bucket_expr_duckdb(id_col, 1000)} < "
+        f"(CASE {cases} ELSE {default_per_mille} END)"
+    )

@@ -282,3 +282,57 @@ SELECT DISTINCT doc_id,
                     ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint
 FROM grams
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building (top-k tokens)
+# ---------------------------------------------------------------------------
+
+def vocabulary(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-``k`` lowercased regex tokens by total
+    count with their document frequency — the tokenizer-training /
+    corpus-inspection primitive.
+
+    One explode → one groupBy(token) with map-side partial counts
+    (`count` and `count distinct doc` both partial-aggregate) → the
+    global top-k plans as TakeOrderedAndProject (per-partition partial
+    top-k, no full sort).  Ties broken by token so the cut is
+    deterministic and oracle-stable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_spark_re(TOKEN_REGEX)}', 0)"
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def vocabulary_oracle(table: str = "documents", k: int = 1000) -> str:
+    return f"""
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+  FROM {table}
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {k}
+"""

@@ -1,0 +1,72 @@
+"""Deterministic sampling kernels: reproducibility and rate shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from integritychecksforvldbs_spark.operators import sampling, text
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_deterministic_sample_stable_under_repartition(docs):
+    """The same rows come back regardless of physical layout — the
+    property df.sample() lacks."""
+    a = {r["doc_id"] for r in sampling.deterministic_sample(docs, 8).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs.repartition(13), 8).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_deterministic_sample_salts_partition_corpus(docs):
+    """Salts 0..k-1 give disjoint samples that cover the corpus."""
+    n = docs.count()
+    seen: set[int] = set()
+    for salt in range(4):
+        s = {
+            r["doc_id"]
+            for r in sampling.deterministic_sample(docs, 4, salt=salt).collect()
+        }
+        assert not (seen & s)
+        seen |= s
+    assert len(seen) == n
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, 4, salt=4)
+
+
+def test_stratified_sample_rates(docs):
+    """Observed per-stratum rates are near the requested per-mille
+    (hash uniformity), zero for unlisted strata, and rows reproduce."""
+    rates = {"en": 1000, "de": 500, "fr": 0}
+    out = sampling.stratified_sample(docs, "lang", rates)
+    by_lang = {r["lang"]: r["cnt"] for r in out.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    totals = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    assert by_lang.get("en", 0) == totals["en"]  # rate 1000 = keep all
+    assert "fr" not in by_lang  # rate 0 = drop all
+    if "de" in totals and totals["de"] >= 20:
+        frac = by_lang.get("de", 0) / totals["de"]
+        assert 0.25 < frac < 0.75  # 500/1000 within loose hash bounds
+    # strata not in the dict default to 0
+    assert set(by_lang) <= set(rates)
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(docs, "lang", {"en": 1001})
+
+
+def test_vocabulary_topk_shape(docs):
+    vocab = text.vocabulary(docs, k=50).collect()
+    # the sf0.001 synthetic vocabulary is small; k caps, never pads
+    assert 0 < len(vocab) <= 50
+    assert len(vocab) == text.vocabulary(docs, k=1000).count() or len(vocab) == 50
+    counts = [r["n_occurrences"] for r in vocab]
+    assert counts == sorted(counts, reverse=True)
+    for r in vocab:
+        assert r["n_docs"] <= r["n_occurrences"]
+        assert r["token"] == r["token"].lower()
