@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
         _load(spark, sf, "documents"), k=500
     )
+    out["text_rarity"] = lambda spark, sf: text.rarity_score(
+        _load(spark, sf, "documents")
+    )
 
     # -- deterministic sampling (training-data curation) --
     out["sample_deterministic"] = lambda spark, sf: sampling.deterministic_sample(
@@ -467,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_fingerprint"] = text.fingerprint_oracle()
     out["text_winnow"] = text.winnow_oracle()
     out["text_vocabulary"] = text.vocabulary_oracle(k=500)
+    out["text_rarity"] = text.rarity_score_oracle()
     out["sample_deterministic"] = (
         "SELECT doc_id, lang FROM ("
         + sampling.deterministic_sample_oracle("documents", keep_one_in=16)

@@ -336,3 +336,81 @@ GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# rarity scoring (TF-IDF family)
+# ---------------------------------------------------------------------------
+
+RARITY_SCALE = 1_000_000
+
+
+def rarity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-rarity score — the TF-IDF plan shape:
+    explode tokens → document-frequency aggregation → join the df
+    table back onto the token stream → per-doc aggregate.  Flags
+    boilerplate (all-common-token docs score low) and gibberish
+    (unique-token docs score high) for corpus curation.
+
+    The idf surrogate is integer-scaled ``SCALE div (df+1)`` rather
+    than ``ln(N/df)``: every aggregate is then an exact integer SUM
+    (order-independent across partitions) and the only floating-point
+    op is one final division — bitwise-identical in Spark and DuckDB,
+    where an ``ln``-based score could differ in the last ulp between
+    libm implementations.
+
+    Scale: groupBy(token) and the join shuffle on token (map-side
+    partials; AQE sizes the join — the df table is |vocabulary| rows,
+    broadcastable for natural-language corpora), then one groupBy on
+    doc_id.
+    """
+    t, i = text_col, id_col
+    toks = df.select(
+        F.col(i).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)")
+        ).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df_count")
+    )
+    return (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(f"{RARITY_SCALE} div (df_count + 1)"))
+            .cast("long")
+            .alias("rarity_sum"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "rarity_sum",
+            "n_tokens",
+            (F.col("rarity_sum") / F.col("n_tokens")).alias("rarity"),
+        )
+    )
+
+
+def rarity_score_oracle(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+  FROM {table}
+),
+dfreq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_count
+  FROM toks GROUP BY token
+)
+SELECT doc_id,
+       CAST(SUM({RARITY_SCALE} // (df_count + 1)) AS BIGINT) AS rarity_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM({RARITY_SCALE} // (df_count + 1)) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS rarity
+FROM toks JOIN dfreq USING (token)
+GROUP BY doc_id
+"""
