@@ -52,6 +52,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--objects", default=None, help="Db.Schema.Object selection DSL")
     ap.add_argument("--filegroups", default=None, help="Db.Filegroup selection DSL")
+    ap.add_argument(
+        "--availability-groups", default=None,
+        help="AG selection DSL (mutually exclusive with --databases); "
+        "members resolve via --ag-tags",
+    )
+    ap.add_argument(
+        "--ag-tags", default=None,
+        help='JSON {"database": "ag_name", ...} or @file.json with the same',
+    )
+    ap.add_argument(
+        "--lock-message-severity", type=int, choices=[10, 16], default=16,
+        help="16: lock timeouts fail the run; 10: logged as warnings",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -75,10 +88,22 @@ def main(argv: list[str] | None = None) -> int:
         check_commands=args.check_commands,
         objects=args.objects,
         filegroups=args.filegroups,
+        availability_groups=args.availability_groups,
+        lock_message_severity=args.lock_message_severity,
     )
-    checker = IntegrityChecker(spark, args.base_dir, args.state, args.log, params)
+    ag_tags = None
+    if args.ag_tags:
+        raw = args.ag_tags
+        if raw.startswith("@"):
+            with open(raw[1:]) as f:
+                raw = f.read()
+        ag_tags = json.loads(raw)
+    checker = IntegrityChecker(
+        spark, args.base_dir, args.state, args.log, params, ag_tags=ag_tags
+    )
     report = checker.run()
-    failed = [o for o in report.outcomes if o.error_number != 0]
+    # severity-10 lock timeouts are recorded but do not fail the job
+    failed = [o for o in report.outcomes if o.is_error]
     print(
         json.dumps(
             {
