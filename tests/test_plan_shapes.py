@@ -1,0 +1,74 @@
+"""Plan-shape probes for the pipeline operators: the number of DATA
+shuffles each plan is allowed is pinned, so a refactor that silently
+adds a repartition of the corpus fails here long before it shows up as
+a 100 TB incident."""
+
+from __future__ import annotations
+
+import pytest
+
+from integritychecksforvldbs_spark.operators import sampling, text
+from integritychecksforvldbs_spark.sources.bucketing import plan_data_shuffles
+from integritychecksforvldbs_spark.sources.loader import load_table
+from integritychecksforvldbs_spark.streaming import sessions
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, f"{SF_DIR}/events.parquet")
+
+
+def test_sampling_is_shuffle_free(docs):
+    """Deterministic sampling is a pure filter — zero shuffles, so it
+    composes under any downstream op without a repartition tax."""
+    assert plan_data_shuffles(sampling.deterministic_sample(docs, 16)) == 0
+    assert (
+        plan_data_shuffles(
+            sampling.stratified_sample(docs, "lang", {"en": 500})
+        )
+        == 0
+    )
+
+
+def test_text_projections_are_shuffle_free(docs):
+    """The per-document text kernels are projections over one scan."""
+    assert plan_data_shuffles(text.token_stats(docs)) == 0
+    assert plan_data_shuffles(text.quality_score(docs)) == 0
+    assert plan_data_shuffles(text.lang_id(docs)) == 0
+    assert plan_data_shuffles(text.fingerprint(docs)) == 0
+    assert plan_data_shuffles(text.winnow_fingerprints(docs)) == 0
+
+
+def test_sessionization_shuffles_once(events):
+    """Session windows need exactly ONE hash shuffle (on the session
+    key); a second would mean the window merge isn't running inside
+    the aggregation."""
+    assert plan_data_shuffles(sessions.session_counts(events)) == 1
+
+
+def test_vocabulary_shuffle_budget(docs):
+    """Vocabulary = exactly the 2 shuffles exact COUNT DISTINCT per
+    group costs — dedupe on (token, doc_id), regroup on token — each
+    preceded by a map-side partial aggregate, and the global top-k
+    must ride TakeOrderedAndProject (distributed partial top-k), not
+    a global sort exchange."""
+    df = text.vocabulary(docs, k=50)
+    assert plan_data_shuffles(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before exchange
+
+
+def test_rarity_score_shuffle_budget(docs):
+    """TF-IDF shape: token df agg + join-back + per-doc agg. Three
+    key-shuffles is the declarative budget (df table, token join,
+    doc regroup) — AQE may broadcast the df table at runtime, but the
+    static plan must not exceed the budget."""
+    assert plan_data_shuffles(text.rarity_score(docs)) <= 3
