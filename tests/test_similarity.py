@@ -172,3 +172,49 @@ def test_ivf_deterministic(spark, emb):
     a = similarity.kmeans_centroids(emb, k=8, seed=7)
     b = similarity.kmeans_centroids(emb, k=8, seed=7)
     assert a == b
+
+
+def test_ivf_partition_pruned_matches_inmemory(spark, emb, tmp_path):
+    """The cell-partitioned layout returns exactly the in-memory IVF
+    result at equal centroids/nprobe, and the probe REACHES THE SCAN:
+    the parquet read carries a partition filter on cell, so only
+    nprobe-worth of partitions are listed."""
+    path = str(tmp_path / "emb_ivf")
+    similarity.ivf_write_partitioned(emb, path, n_cells=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pruned = similarity.ivf_topk_partition_pruned(
+        spark, path, queries, k=5, nprobe=3
+    )
+    in_mem = similarity.ivf_ann_topk(
+        emb, queries, k=5, n_cells=8, nprobe=3, seed=42
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in pruned.collect()
+    ) == sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in in_mem.collect()
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:1500]
+
+
+def test_ivf_partitioned_layout_on_disk(spark, emb, tmp_path):
+    """partitionBy(cell) produces one directory per cell and the
+    centroid sidecar is ignored by table discovery."""
+    import os
+
+    path = str(tmp_path / "emb_ivf2")
+    similarity.ivf_write_partitioned(emb, path, n_cells=4, seed=1)
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    assert len(cells) >= 2  # k-means found multiple populated cells
+    assert os.path.isdir(f"{path}/_centroids")
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    assert "cell" in back.columns
