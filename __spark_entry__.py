@@ -305,6 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"checktable_{t}"] = _checktable_query(t)
     out["checkalloc_rowcounts"] = _q_checkalloc_rowcounts
     out["fk_orphans"] = _q_fk_orphans
+
+    # replica-comparison checksum (order-independent content hash)
+    from integritychecksforvldbs_spark.operators.kernels import table_checksum_df
+
+    _CHECKSUM_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+    out["checksum_documents"] = lambda spark, sf: table_checksum_df(
+        _load(spark, sf, "documents"), _CHECKSUM_COLS
+    )
     out["agg_pricing_summary"] = _q_agg_pricing
     out["min_groupby_priority"] = _q_min_groupby
     out["row_number_ordering"] = _q_row_number
@@ -420,6 +428,11 @@ def oracle_sql() -> dict[str, str]:
         out[f"checktable_{t}"] = checktable_oracle_sql(t)
     out["checkalloc_rowcounts"] = _checkalloc_oracle()
     out["fk_orphans"] = _fk_oracle()
+    from integritychecksforvldbs_spark.operators.kernels import table_checksum_oracle
+
+    out["checksum_documents"] = table_checksum_oracle(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
     out["agg_pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
         "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "

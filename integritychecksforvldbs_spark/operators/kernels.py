@@ -492,3 +492,63 @@ def run_checkdb(
                     )
                 )
     return results
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (replica comparison primitive)
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_MOD = 4611686018427387904  # 2^62 — keeps the folded sum in BIGINT
+
+
+def _checksum_exprs(cols: list[str], dialect: str) -> tuple[str, str]:
+    """(n_rows, checksum) SQL aggregate expressions.
+
+    Row hash = 60-bit md5 of the column representations, where each
+    column contributes a NULL flag or 'V' + md5(value-as-string) —
+    unambiguous (no separator-collision vector) and portable: md5 hex
+    and integer/string casts are identical in Spark and DuckDB for the
+    string/integer columns this supports.  The checksum is the SUM of
+    row hashes mod 2^62 — commutative, so partition order, file order,
+    and shuffle nondeterminism cannot change it: two replicas of one
+    logical table agree iff (n_rows, checksum) agree (mod collisions).
+    """
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    reprs = ", ".join(
+        f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || md5(CAST({c} AS {cast})) END"
+        for c in cols
+    )
+    if dialect == "spark":
+        row_hash = (
+            f"CAST(conv(substring(md5(concat_ws('', {reprs})), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+    else:
+        row_hash = (
+            f"CAST('0x' || substr(md5(concat({reprs})), 1, 15) AS BIGINT)"
+        )
+    n_rows = "CAST(COUNT(*) AS BIGINT)"
+    checksum = (
+        f"CAST(SUM(CAST({row_hash} AS DECIMAL(38,0))) % {_CHECKSUM_MOD} AS BIGINT)"
+    )
+    return n_rows, checksum
+
+
+def table_checksum_df(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-row (n_rows, checksum) content fingerprint of the named
+    columns — the replica-divergence probe for AG-style deployments:
+    cheap to compute on each copy (one scan, map-side partial sums),
+    safe to compare across clusters.  Restrict ``cols`` to
+    string/integer columns (float/timestamp string forms are not
+    cross-engine canonical)."""
+    n_rows, checksum = _checksum_exprs(cols, "spark")
+    return df.agg(
+        F.expr(n_rows).alias("n_rows"), F.expr(checksum).alias("checksum")
+    )
+
+
+def table_checksum_oracle(table: str, cols: list[str]) -> str:
+    n_rows, checksum = _checksum_exprs(cols, "duckdb")
+    return (
+        f"SELECT {n_rows} AS n_rows, {checksum} AS checksum FROM {table}"
+    )

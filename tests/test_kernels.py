@@ -304,3 +304,39 @@ def test_checkcatalog_clean_and_drift(spark, tmp_path):
     mixed = list_objects(spark, "tmp", str(tmp_path))
     res = run_checkcatalog(spark, mixed)
     assert not res.passed and "disagree on schema" in res.errors[0]
+
+
+def test_table_checksum_order_independent_and_sensitive(spark, tables):
+    """The checksum is invariant to physical order/partitioning but
+    flips on any single-value change, NULL-vs-value, and row
+    add/remove — the replica-divergence probe."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.operators.kernels import table_checksum_df
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = tables["documents"]
+    base = table_checksum_df(docs, cols).collect()[0]
+    shuffled = table_checksum_df(
+        docs.repartition(17).sortWithinPartitions("text"), cols
+    ).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == (
+        shuffled["n_rows"], shuffled["checksum"]
+    )
+    # one changed value
+    mutated = docs.withColumn(
+        "lang", F.when(F.col("doc_id") == 3, F.lit("zz")).otherwise(F.col("lang"))
+    )
+    assert table_checksum_df(mutated, cols).collect()[0]["checksum"] != base["checksum"]
+    # NULL is distinct from any value
+    nulled = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == 3, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    assert table_checksum_df(nulled, cols).collect()[0]["checksum"] != base["checksum"]
+    # a dropped row changes both counters
+    dropped = table_checksum_df(docs.filter("doc_id <> 0"), cols).collect()[0]
+    assert dropped["n_rows"] == base["n_rows"] - 1
+    assert dropped["checksum"] != base["checksum"]
