@@ -21,6 +21,9 @@ Kernels:
 - **running_max_state** — ``applyInPandasWithState`` per-key running
   maximum event time: the custom-stateful-operator template
   (GroupState timeout/eviction wired, deterministic output).
+- **dedup_stream** — exactly-once event dedup across micro-batches
+  (watermarked ``dropDuplicates`` state), the at-least-once-source
+  re-delivery suppressor.
 
 Scale: windowed aggs shuffle on (window, event_type) — low
 cardinality; the watermark bounds state size; file-source streaming
@@ -198,3 +201,24 @@ def running_max_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup: the first arrival of each id passes,
+    re-deliveries (at-least-once sources replaying files/offsets) are
+    dropped — including across micro-batches, because the id set is
+    streaming state.  The watermark bounds that state: an id's entry
+    is evicted once event time passes ``its ts + watermark``, so state
+    is O(ids per watermark window), not O(all ids ever).
+
+    Batch frames get plain ``dropDuplicates`` — the batch-equivalent
+    the tests compare against.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return events.dropDuplicates([id_col])

@@ -211,3 +211,30 @@ def test_streaming_sessions_match_batch(spark, stream_dir, batch_events):
     }
     assert got == want
     assert len(want) > 100
+
+
+def test_streaming_dedup_drops_redelivery(spark, batch_events, tmp_path):
+    """A re-delivered file (at-least-once source) contributes zero new
+    rows: the id set is streaming state across micro-batches."""
+    import shutil
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-001.parquet")  # replay
+
+    stream = freshness.events_stream(spark, str(d))
+    deduped = freshness.dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_t").count()
+    want = batch_events.select("event_id").distinct().count()
+    assert got == want
+    # and the batch-equivalent is plain dropDuplicates
+    assert freshness.dedup_stream(batch_events).count() == want
