@@ -343,6 +343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_cluster_keepers"] = lambda spark, sf: dedup.duplicate_cluster_keepers(
         dedup.minhash_lsh_pairs(_load(spark, sf, "documents"))
     )
+    # end-to-end composition: pairs -> keepers -> filtered corpus
+    out["dedup_survivor_stats"] = lambda spark, sf: (
+        dedup.dedup_survivors(_load(spark, sf, "documents"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
 
     # -- similarity search (north star) --
     def _ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
@@ -474,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
     # pairs equal the tier-2 oracle at shipped band settings, so the
     # recursive-CTE clustering over them is the exact oracle
     out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()
+    out["dedup_survivor_stats"] = dedup.survivor_stats_oracle()
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     # the prefiltered variant is provably identical to brute force
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)

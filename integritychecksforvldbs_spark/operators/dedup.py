@@ -685,3 +685,48 @@ reach(node, lbl) AS (
 )
 SELECT node AS doc_id, MIN(lbl) AS keeper FROM reach GROUP BY node
 """
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus after near-dup removal — the end-to-end composition
+    a pipeline actually runs: LSH pairs → cluster keepers → drop every
+    doc whose keeper is another doc (left-anti join, so unpaired docs
+    pass through untouched).  One row survives per duplicate cluster,
+    deterministically (the min id)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col=id_col)
+    drops = (
+        duplicate_cluster_keepers(pairs)
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
+def survivor_stats_oracle(table: str = "documents", n: int = 3, threshold: float = 0.5) -> str:
+    """Survivor counts per lang in DuckDB: the clustering CTE, a drop
+    list (nodes that are not their component min), NOT EXISTS."""
+    pairs_sql = ngram_jaccard_oracle(table, n, threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+drops AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> MIN(lbl)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM {table} d
+WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.node = d.doc_id)
+GROUP BY lang
+"""

@@ -193,3 +193,17 @@ def test_cluster_keepers_on_corpus_pairs(corpus):
     for node, keeper in lab.items():
         assert keeper <= node
         assert lab[keeper] == keeper  # keeper is its own keeper
+
+
+def test_dedup_survivors_composition(corpus):
+    """Survivors = corpus minus non-keepers: exactly one doc per
+    duplicate cluster remains (the min id), unpaired docs untouched."""
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.3)
+    survivors = {r["doc_id"] for r in dedup.dedup_survivors(
+        corpus, pairs=pairs).select("doc_id").collect()}
+    labels = dedup.duplicate_cluster_keepers(pairs).collect()
+    keepers = {r["keeper"] for r in labels}
+    members = {r["doc_id"] for r in labels}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert survivors == (all_ids - members) | keepers
+    assert keepers <= survivors  # every cluster kept exactly its min
