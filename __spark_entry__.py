@@ -24,6 +24,7 @@ from integritychecksforvldbs_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    temporal,
     text,
 )
 from integritychecksforvldbs_spark.streaming import freshness, sessions
@@ -425,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_sessions"] = lambda spark, sf: sessions.session_counts(
         _load(spark, sf, "events")
     )
+    out["events_asof_purchase"] = lambda spark, sf: temporal.asof_enrich_purchases(
+        _load(spark, sf, "events")
+    )
     return out
 
 
@@ -510,4 +514,5 @@ def oracle_sql() -> dict[str, str]:
     out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
     out["events_late_counts"] = freshness.late_event_counts_oracle()
     out["events_sessions"] = sessions.session_counts_oracle()
+    out["events_asof_purchase"] = temporal.asof_enrich_oracle()
     return out
