@@ -22,6 +22,7 @@ from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_fo
 from integritychecksforvldbs_spark.operators import (
     dedup,
     multimodal,
+    profile,
     sampling,
     similarity,
     temporal,
@@ -306,6 +307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"checktable_{t}"] = _checktable_query(t)
     out["checkalloc_rowcounts"] = _q_checkalloc_rowcounts
     out["fk_orphans"] = _q_fk_orphans
+    out["profile_documents"] = lambda spark, sf: profile.profile_df(
+        _load(spark, sf, "documents")
+    )
 
     # replica-comparison checksum (order-independent content hash)
     from integritychecksforvldbs_spark.operators.kernels import table_checksum_df
@@ -438,6 +442,9 @@ def oracle_sql() -> dict[str, str]:
         out[f"checktable_{t}"] = checktable_oracle_sql(t)
     out["checkalloc_rowcounts"] = _checkalloc_oracle()
     out["fk_orphans"] = _fk_oracle()
+    out["profile_documents"] = profile.profile_oracle(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
     from integritychecksforvldbs_spark.operators.kernels import table_checksum_oracle
 
     out["checksum_documents"] = table_checksum_oracle(
