@@ -264,6 +264,146 @@ def _like_selection_oracle() -> str:
     )
 
 
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (§2.5/#40 generalized): rank inside each group
+    partition — the standard distributed plan (one shuffle on the
+    group key, per-partition sort), deterministic tie-break."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned values (no extra distinct-discovery pass —
+    passing the value list keeps the plan a single groupBy)."""
+    piv = (
+        _load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+def _event_pivot_oracle() -> str:
+    conds = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"SELECT CAST(ts AS DATE) AS day, {conds} FROM events GROUP BY 1"
+
+
+def _q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (§2.4 family): subtotal + grand-total rows
+    in one pass — Spark plans one Expand + hash aggregate, so the
+    hierarchy costs one shuffle, not one scan per level.  l_quantity
+    is integer-valued, so the unrounded SUM is FP-exact."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cumulative window aggregate.  The amount is converted to
+    exact integer cents BEFORE summing: engines disagree on the
+    association order of windowed FP sums (linear vs segment-tree), so
+    a portable running total must be integer arithmetic."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(cents).over(w).alias("running_value_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_events"),
+    )
+
+
+def _running_total_oracle() -> str:
+    return """
+SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS running_value_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS running_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (discrete, ceil positioning) of doc
+    length per language.  Positions are computed with INTEGER
+    arithmetic — ``ceil(q*n)`` in FP differs from the ideal rank when
+    q*n is inexact — so both engines pick identical elements by
+    construction.  Scale: one shuffle on lang; at extreme group sizes
+    swap the window rank for approx_percentile at the call site."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = _load(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pos = {
+        "p50_chars": F.expr("CAST((n + 1) DIV 2 AS BIGINT)"),
+        "p90_chars": F.expr("CAST((9 * n + 9) DIV 10 AS BIGINT)"),
+        "p99_chars": F.expr("CAST((99 * n + 99) DIV 100 AS BIGINT)"),
+    }
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        *[
+            F.max(F.when(F.col("rn") == p, F.col("n_chars"))).alias(name)
+            for name, p in pos.items()
+        ],
+    )
+
+
+def _length_quantiles_oracle() -> str:
+    return """
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99_chars
+FROM r GROUP BY lang
+"""
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
@@ -325,6 +465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["topk_largest_orders"] = _q_topk
     out["dup_detection_having"] = _q_dup_detection
     out["like_selection"] = _q_like_selection
+    out["topk_per_group"] = _q_topk_per_group
+    out["events_type_pivot"] = _q_event_pivot
+    out["agg_pricing_rollup"] = _q_pricing_rollup
+    out["events_running_total"] = _q_running_total
+    out["length_quantiles"] = _q_length_quantiles
     # -- dedup kernels (north star; SURVEY §7.2 step 9) --
     out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
         _load(spark, sf, "documents")
@@ -480,6 +625,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY user_id HAVING COUNT(*) > 1"
     )
     out["like_selection"] = _like_selection_oracle()
+    out["topk_per_group"] = (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM ("
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn <= 3"
+    )
+    out["events_type_pivot"] = _event_pivot_oracle()
+    out["agg_pricing_rollup"] = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+    out["events_running_total"] = _running_total_oracle()
+    out["length_quantiles"] = _length_quantiles_oracle()
     out["dedup_exact"] = dedup.exact_dup_groups_oracle()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(table=_AUG_DOCS_SQL)
     # LSH is exact-verified; at the shipped band settings its output
