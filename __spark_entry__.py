@@ -435,6 +435,43 @@ _AUG_DOCS_SQL = (
 )
 
 
+# The fixture embeddings have no true near-dups (max pairwise cosine
+# ~0.51), so the LSH tier's gate unions scaled twins of three vectors
+# on BOTH sides: scaling by 1.01 leaves every SRP sign bit unchanged
+# (sign(<cv, p>) == sign(<v, p>) for c > 0), so the twins are caught
+# in every hash table — recall 1 by construction, not by tuning — and
+# their cosine rounds to exactly 1.0 in both engines.
+_TWIN_SCALE = "1.01"
+_N_TWINS = 3
+_TWIN_ID_OFFSET = 100000
+
+_AUG_EMB_SQL = (
+    "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+    "FROM embeddings"
+    f" UNION ALL SELECT vec_id + {_TWIN_ID_OFFSET}, "
+    f"list_transform(embedding, x -> CAST(x AS DOUBLE) * {_TWIN_SCALE}) "
+    f"FROM embeddings WHERE vec_id < {_N_TWINS}) aug_embeddings"
+)
+
+
+def _emb_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    twins = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_TWINS)
+        .select(
+            (F.col("vec_id") + _TWIN_ID_OFFSET).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, x -> CAST(x AS DOUBLE) * {_TWIN_SCALE}D)"
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(twins)
+
+
 def _docs_with_short_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     extra = spark.createDataFrame(_SHORT_DOCS, "doc_id bigint, text string")
@@ -488,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
         _load(spark, sf, "embeddings"), threshold=0.45
+    )
+    out["dedup_embedding_lsh"] = lambda spark, sf: dedup.cosine_dup_pairs_lsh(
+        _emb_with_twins(spark, sf), threshold=0.9
     )
     # keeper selection over the LSH pair graph (connected components)
     out["dedup_cluster_keepers"] = lambda spark, sf: dedup.duplicate_cluster_keepers(
@@ -648,6 +688,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = dedup.simhash_oracle()
     out["dedup_simhash_weighted"] = dedup.simhash_oracle(weighted=True)
     out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
+    # precision is exact and the injected twins' recall is structural,
+    # so the quadratic SQL over the augmented table IS the oracle
+    out["dedup_embedding_lsh"] = dedup.cosine_dup_oracle(
+        table=_AUG_EMB_SQL, threshold=0.9
+    )
     # pairs equal the tier-2 oracle at shipped band settings, so the
     # recursive-CTE clustering over them is the exact oracle
     out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()

@@ -730,3 +730,97 @@ FROM {table} d
 WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.node = d.doc_id)
 GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# 7. embedding near-dup — SRP-LSH scale path
+# ---------------------------------------------------------------------------
+
+
+def _lsh_candidate_pairs(
+    nd: DataFrame,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs that share an SRP bucket
+    in ANY of the ``n_tables`` hash tables.  One scan computes every
+    table's bucket as an array element, an explode fans each vector
+    out to ``n_tables`` rows, and the self-join is equi on
+    (table, bucket) — only same-bucket rows ever meet, so the shuffle
+    carries (id, table, bucket) triples, never vectors."""
+    from integritychecksforvldbs_spark.operators.similarity import (
+        _bucket_expr,
+        srp_planes,
+    )
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_expr("v", srp_planes(dim, n_bits, seed=seed + t)).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    keyed = nd.select("id", F.explode(buckets).alias("tb")).select(
+        "id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+    a = keyed.select(F.col("id").alias("vec_id_a"), "t", "b")
+    b = keyed.select(F.col("id").alias("vec_id_b"), "t", "b")
+    return (
+        a.join(b, ["t", "b"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+
+
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ τ via sign-random-projection LSH —
+    the linear-scale path for the O(n²) :func:`cosine_dup_pairs`
+    oracle.  Same output schema and the same exact verification
+    arithmetic, so every emitted pair is a true pair (precision 1 by
+    construction); recall is the standard SRP bound
+    ``1 - (1 - (1 - θ/π)^n_bits)^n_tables`` per pair, ~1 for genuine
+    near-dups (θ small) and vanishing for unrelated vectors.
+
+    Scale shape: candidate generation shuffles only (id, table,
+    bucket) triples — vectors join back in ONLY for the |candidates|
+    verification, so total work is one corpus scan + a shuffle linear
+    in n·n_tables + exact scoring of the collided pairs.  SRP is the
+    right tool at near-dup thresholds (τ ≥ ~0.8); below that the angle
+    is too wide for sign bits to prune and the exact quadratic tier is
+    the honest choice.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    nd = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm"
+    )
+    cand = _lsh_candidate_pairs(nd, dim, n_bits, n_tables, seed)
+    a = nd.select(
+        F.col("id").alias("vec_id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = nd.select(
+        F.col("id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
