@@ -578,6 +578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_rarity"] = lambda spark, sf: text.rarity_score(
         _load(spark, sf, "documents")
     )
+    # repetition rules run on the short-doc-augmented corpus so the
+    # guarded n-gram builders face the <n-token edge every round
+    out["text_repetition"] = lambda spark, sf: text.repetition_stats(
+        _docs_with_short_edge(spark, sf)
+    )
 
     # -- deterministic sampling (training-data curation) --
     out["sample_deterministic"] = lambda spark, sf: sampling.deterministic_sample(
@@ -707,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_winnow"] = text.winnow_oracle()
     out["text_vocabulary"] = text.vocabulary_oracle(k=500)
     out["text_rarity"] = text.rarity_score_oracle()
+    out["text_repetition"] = text.repetition_stats_oracle(table=_AUG_DOCS_SQL)
     out["sample_deterministic"] = (
         "SELECT doc_id, lang FROM ("
         + sampling.deterministic_sample_oracle("documents", keep_one_in=16)

@@ -414,3 +414,96 @@ SELECT doc_id,
 FROM toks JOIN dfreq USING (token)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition quality rules (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    duplicate word 2-grams / 3-grams, and the share of tokens taken by
+    the single most frequent token.  Highly repetitive machine-generated
+    or boilerplate text scores near 1; natural prose near 0.
+
+    Row-local projection over one scan (shuffle-free, codegen JVM).
+    The n-gram builders guard ``sequence`` with an explicit CASE so the
+    expression is total under Catalyst constraint folding — on a
+    <n-token doc ``sequence(1, size-n+1)`` would count DOWN and slice
+    would throw (the round-2 shingle crash; dedup.py shingle_arrays).
+    Fractions are int/int IEEE divisions, bitwise-equal cross-engine.
+    """
+    t = text_col
+    toks = f"filter(split({t}, ' '), x -> x <> '')"
+    g2 = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    g3 = (
+        f"CASE WHEN size({toks}) >= 3 THEN "
+        f"transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
+        f"' ', element_at({toks}, i + 2))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    top = (
+        f"array_max(transform(array_distinct({toks}), "
+        f"g -> size(filter({toks}, x -> x = g))))"
+    )
+    expr = f"""
+    named_struct(
+      'n_tokens', size({toks}),
+      'n_g2', size({g2}),
+      'd_g2', size(array_distinct({g2})),
+      'n_g3', size({g3}),
+      'd_g3', size(array_distinct({g3})),
+      'top', CASE WHEN size({toks}) = 0 THEN 0 ELSE {top} END
+    )
+    """
+    s = df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("m"))
+    frac = lambda n, d: F.when(  # noqa: E731
+        F.col(f"m.{n}") == 0, F.lit(0.0)
+    ).otherwise((F.col(f"m.{n}") - F.col(f"m.{d}")) / F.col(f"m.{n}"))
+    return s.select(
+        "doc_id",
+        F.col("m.n_tokens").cast("long").alias("n_tokens"),
+        frac("n_g2", "d_g2").alias("dup_2gram_frac"),
+        frac("n_g3", "d_g3").alias("dup_3gram_frac"),
+        F.when(F.col("m.n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("m.top") / F.col("m.n_tokens"))
+        .alias("top_token_frac"),
+    )
+
+
+def repetition_stats_oracle(table: str = "documents") -> str:
+    """Identical repetition signals in DuckDB — same tokenization, same
+    n-gram construction (1-based list indexing, end-exclusive range),
+    same division operands."""
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    list_transform(range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i+1]) AS g2,
+    list_transform(range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+    CASE WHEN len(toks) = 0 THEN 0 ELSE
+      list_max(list_transform(list_distinct(toks),
+                              g -> len(list_filter(toks, x -> x = g))))
+    END AS top
+  FROM (SELECT doc_id, {toks} AS toks FROM {table})
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN len(g2) = 0 THEN 0.0
+       ELSE (len(g2) - len(list_distinct(g2))) / len(g2) END AS dup_2gram_frac,
+  CASE WHEN len(g3) = 0 THEN 0.0
+       ELSE (len(g3) - len(list_distinct(g3))) / len(g3) END AS dup_3gram_frac,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE top / n_tokens END AS top_token_frac
+FROM m
+"""

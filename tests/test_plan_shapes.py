@@ -44,6 +44,7 @@ def test_text_projections_are_shuffle_free(docs):
     assert plan_data_shuffles(text.lang_id(docs)) == 0
     assert plan_data_shuffles(text.fingerprint(docs)) == 0
     assert plan_data_shuffles(text.winnow_fingerprints(docs)) == 0
+    assert plan_data_shuffles(text.repetition_stats(docs)) == 0
 
 
 def test_sessionization_shuffles_once(events):

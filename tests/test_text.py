@@ -101,3 +101,26 @@ def test_winnow_identical_docs_same_fingerprints(spark):
     f1 = {r["fingerprint"] for r in out.filter("doc_id = 1").collect()}
     f2 = {r["fingerprint"] for r in out.filter("doc_id = 2").collect()}
     assert f1 == f2 and f1
+
+
+def test_repetition_pinned_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, "x"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    r1 = out[1]  # 2-grams: "a a","a a","a b" -> 1 dup of 3; top token 3/4
+    assert r1["n_tokens"] == 4
+    assert abs(r1["dup_2gram_frac"] - 1 / 3) < 1e-12
+    assert r1["dup_3gram_frac"] == 0.0
+    assert r1["top_token_frac"] == 0.75
+    # short/empty docs exercise the guarded sequence (round-2 crash class)
+    assert (out[2]["n_tokens"], out[2]["dup_2gram_frac"], out[2]["top_token_frac"]) == (0, 0.0, 0.0)
+    assert (out[3]["n_tokens"], out[3]["dup_2gram_frac"]) == (1, 0.0)
+    assert (out[4]["n_tokens"], out[4]["dup_2gram_frac"], out[4]["dup_3gram_frac"]) == (2, 0.0, 0.0)
+
+
+def test_repetition_matches_duckdb(tables, duck):
+    spark_rows = sorted(tuple(r) for r in T.repetition_stats(tables["documents"]).collect())
+    oracle_rows = sorted(duck.execute(T.repetition_stats_oracle()).fetchall())
+    assert spark_rows == oracle_rows
