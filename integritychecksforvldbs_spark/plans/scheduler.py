@@ -176,9 +176,13 @@ class IntegrityChecker:
         self.params = params or CheckParams()
         self.state = StateStore(spark, state_path)
         self.log = CommandLog(spark, log_path)
-        # deployment-supplied {database: availability_group} tags — the
-        # engine's sys.availability_databases_cluster (SURVEY §2.1 #5)
-        self.ag_tags = ag_tags or {}
+        # {database: availability_group} tags — the engine's
+        # sys.availability_databases_cluster (SURVEY §2.1 #5).
+        # Discovered from the catalog-root convention file, with
+        # caller-supplied tags overriding per database.
+        from ..sources.catalog import discover_ag_tags
+
+        self.ag_tags = {**discover_ag_tags(spark, base_dir), **(ag_tags or {})}
 
     # -- helpers --------------------------------------------------------
     def _deadline_ok(self, job_end: datetime | None) -> bool:

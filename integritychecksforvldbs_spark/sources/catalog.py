@@ -103,6 +103,40 @@ def list_parquet_files(spark: SparkSession, path: str) -> list[FileMeta]:
     return out
 
 
+AG_TAGS_FILENAME = "_availability_groups.json"
+
+
+def discover_ag_tags(spark: SparkSession, base_dir: str) -> dict[str, str]:
+    """Deployment AG membership from the conventional
+    ``_availability_groups.json`` at the catalog root — the engine's
+    ``sys.availability_databases_cluster`` (DIC:405-418).  Shape:
+    ``{"database_name": "ag_name", ...}``.  Absent file → no tags.
+
+    The underscore prefix makes Hadoop's hidden-file filter skip the
+    marker in every directory scan (like ``_SUCCESS``), so it can never
+    be mistaken for data — which also means it must be read through the
+    filesystem API directly, not a DataFrame reader.  Any
+    Hadoop-visible filesystem works.
+    """
+    import json
+
+    path = f"{base_dir.rstrip('/')}/{AG_TAGS_FILENAME}"
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return {}
+    stream = fs.open(hpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    tags = json.loads(raw)
+    if not isinstance(tags, dict) or not all(
+        isinstance(k, str) and isinstance(v, str) for k, v in tags.items()
+    ):
+        raise ValueError(f"{path} must be a JSON object of database -> AG name")
+    return tags
+
+
 def list_databases(spark: SparkSession, base_dir: str) -> list[DatabaseCandidate]:
     """Each subdirectory of ``base_dir`` is a database (SURVEY §1.1)."""
     fs, hpath = _fs_and_path(spark, base_dir)

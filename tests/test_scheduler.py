@@ -432,3 +432,38 @@ def test_commands_run_golden(spark, tmp_path):
         for t in tables
     ]
     assert report.commands_run == expected
+
+
+def test_ag_tags_discovered_from_catalog_file(spark, tmp_path):
+    """AG membership auto-discovers from _availability_groups.json at
+    the catalog root (the sys.availability_databases_cluster analogue);
+    explicit ag_tags override discovered entries per database."""
+    import json
+    import shutil
+
+    base = tmp_path / "base"
+    for db in ("ag_db1", "ag_db2", "plain_db"):
+        (base / db).mkdir(parents=True)
+        shutil.copy(f"{BASE}/sf0.001/region.parquet", base / db / "region.parquet")
+    (base / "_availability_groups.json").write_text(
+        json.dumps({"ag_db1": "AG1", "ag_db2": "AG2"})
+    )
+
+    params = CheckParams(availability_groups="AG1", snapshot_path=None)
+    checker = IntegrityChecker(
+        spark, str(base), str(tmp_path / "s.parquet"), str(tmp_path / "l.parquet"), params
+    )
+    assert checker.ag_tags == {"ag_db1": "AG1", "ag_db2": "AG2"}
+    report = checker.run()
+    assert report.selected_databases == ["ag_db1"]
+    # the marker file is not a database
+    assert "_availability_groups.json" not in report.selected_databases
+
+    # explicit tags win over the discovered file
+    checker2 = IntegrityChecker(
+        spark, str(base), str(tmp_path / "s2.parquet"), str(tmp_path / "l2.parquet"),
+        CheckParams(availability_groups="AG1", snapshot_path=None),
+        ag_tags={"ag_db1": "AG9"},
+    )
+    assert checker2.ag_tags["ag_db1"] == "AG9"
+    assert checker2.run().selected_databases == []
