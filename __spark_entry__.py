@@ -478,6 +478,38 @@ def _docs_with_short_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(extra)
 
 
+# Deterministically-damaged replica of documents for the row-diff gate:
+# ~1% of keys dropped, ~1% of langs mutated, ~1% re-keyed as extras —
+# built by the same arithmetic on both engine sides.
+def _mutated_documents(docs: DataFrame) -> DataFrame:
+    kept = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 101 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    added = docs.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return kept.unionByName(added)
+
+
+_MUTATED_DOCS_SQL = (
+    "(SELECT doc_id, text, "
+    "CASE WHEN doc_id % 101 = 0 THEN 'xx' ELSE lang END AS lang, "
+    "source, n_chars FROM documents WHERE doc_id % 97 <> 0 "
+    "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 89 = 0)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in TABLES:
@@ -489,11 +521,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # replica-comparison checksum (order-independent content hash)
-    from integritychecksforvldbs_spark.operators.kernels import table_checksum_df
+    from integritychecksforvldbs_spark.operators.kernels import (
+        table_checksum_by_bucket,
+        table_checksum_df,
+        table_diff,
+    )
 
     _CHECKSUM_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
     out["checksum_documents"] = lambda spark, sf: table_checksum_df(
         _load(spark, sf, "documents"), _CHECKSUM_COLS
+    )
+    # divergence localizer: per-bucket checksums over the same columns
+    out["checksum_documents_buckets"] = lambda spark, sf: table_checksum_by_bucket(
+        _load(spark, sf, "documents"), _CHECKSUM_COLS, "doc_id", n_buckets=16
+    )
+    # row-level replica diff against a deterministically-damaged copy
+    # (drops, mutations, extras built by identical SQL on both sides)
+    out["table_diff_documents"] = lambda spark, sf: table_diff(
+        _load(spark, sf, "documents"),
+        _mutated_documents(_load(spark, sf, "documents")),
+        ["doc_id"],
     )
     out["agg_pricing_summary"] = _q_agg_pricing
     out["min_groupby_priority"] = _q_min_groupby
@@ -639,6 +686,23 @@ def oracle_sql() -> dict[str, str]:
 
     out["checksum_documents"] = table_checksum_oracle(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    from integritychecksforvldbs_spark.operators.kernels import (
+        table_checksum_by_bucket_oracle,
+        table_diff_oracle,
+    )
+
+    out["checksum_documents_buckets"] = table_checksum_by_bucket_oracle(
+        "documents",
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        "doc_id",
+        n_buckets=16,
+    )
+    out["table_diff_documents"] = table_diff_oracle(
+        "documents",
+        _MUTATED_DOCS_SQL,
+        ["doc_id"],
+        ["text", "lang", "source", "n_chars"],
     )
     out["agg_pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "

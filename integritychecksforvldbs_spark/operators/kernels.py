@@ -552,3 +552,139 @@ def table_checksum_oracle(table: str, cols: list[str]) -> str:
     return (
         f"SELECT {n_rows} AS n_rows, {checksum} AS checksum FROM {table}"
     )
+
+
+def _key_bucket_expr(key_col: str, n_buckets: int, dialect: str) -> str:
+    """Deterministic bucket of a key value, identical in both engines:
+    60-bit md5 of the key's string form mod ``n_buckets``.  Depends
+    only on the KEY, so two replicas place each logical row in the
+    same bucket no matter how their copies diverge."""
+    if dialect == "spark":
+        h = (
+            f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+    else:
+        h = f"CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"{h} % {n_buckets}"
+
+
+def table_checksum_by_bucket(
+    df: DataFrame, cols: list[str], key_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Per-bucket (bucket, n_rows, checksum) — the divergence LOCALIZER
+    that follows :func:`table_checksum_df`'s yes/no answer: replicas
+    compare bucket vectors and re-probe only the buckets that differ,
+    so finding the divergent rows of a 100 TB table costs one scan per
+    side plus work proportional to the damage, not the table.
+
+    Same scan/shuffle shape as any hash aggregate: map-side partials
+    per bucket, ``n_buckets`` output rows.  The bucket SUMs mod 2^62
+    add up to the whole-table checksum, so the two tiers cross-check.
+    """
+    n_rows, checksum = _checksum_exprs(cols, "spark")
+    bucket = _key_bucket_expr(key_col, n_buckets, "spark")
+    return (
+        df.groupBy(F.expr(bucket).cast("long").alias("bucket"))
+        .agg(F.expr(n_rows).alias("n_rows"), F.expr(checksum).alias("checksum"))
+    )
+
+
+def table_checksum_by_bucket_oracle(
+    table: str, cols: list[str], key_col: str, n_buckets: int = 64
+) -> str:
+    n_rows, checksum = _checksum_exprs(cols, "duckdb")
+    bucket = _key_bucket_expr(key_col, n_buckets, "duckdb")
+    return (
+        f"SELECT CAST({bucket} AS BIGINT) AS bucket, {n_rows} AS n_rows, "
+        f"{checksum} AS checksum FROM {table} GROUP BY 1"
+    )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level replica diff: which keys exist only in ``a``
+    (``only_a``), only in ``b`` (``only_b``), or exist in both with
+    different content (``differs``, with the differing column names
+    comma-joined in ``compare_cols`` order).  Identical rows are NOT
+    emitted — on healthy replicas the result is empty, and the output
+    is proportional to the damage.
+
+    One full-outer hash join on the keys (AQE-sized, skew-split); all
+    comparisons are null-safe (``<=>``), so NULL vs NULL is equal and
+    NULL vs value differs.  Keys must be non-NULL — that is what makes
+    them keys.  For very wide tables, pass the checksum tiers first
+    and diff only suspect buckets.
+    """
+    compare_cols = list(
+        compare_cols if compare_cols is not None else
+        [c for c in a.columns if c not in keys]
+    )
+    aj = a.withColumn("_pa", F.lit(1)).alias("a")
+    bj = b.withColumn("_pb", F.lit(1)).alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+    j = aj.join(bj, cond, "full_outer")
+    differing = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(c)
+            )
+            for c in compare_cols
+        ],
+    )
+    kind = (
+        F.when(F.col("b._pb").isNull(), F.lit("only_a"))
+        .when(F.col("a._pa").isNull(), F.lit("only_b"))
+        .when(differing != "", F.lit("differs"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(
+            *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
+            kind.alias("diff_kind"),
+            F.when(kind == "differs", differing).otherwise(F.lit("")).alias(
+                "differing_cols"
+            ),
+        )
+        .filter(F.col("diff_kind") != "same")
+    )
+
+
+def table_diff_oracle(
+    a_sql: str,
+    b_sql: str,
+    keys: list[str],
+    compare_cols: list[str],
+) -> str:
+    """Same diff in DuckDB: FULL JOIN on IS NOT DISTINCT FROM keys,
+    presence markers, concat_ws over per-column IS DISTINCT FROM flags
+    (both engines' concat_ws skip NULL arguments)."""
+    on = " AND ".join(f"a.{k} IS NOT DISTINCT FROM b.{k}" for k in keys)
+    flags = ", ".join(
+        f"CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN '{c}' END"
+        for c in compare_cols
+    )
+    key_sel = ", ".join(f"COALESCE(a.{k}, b.{k}) AS {k}" for k in keys)
+    return f"""
+WITH a AS (SELECT *, 1 AS _pa FROM {a_sql} t),
+     b AS (SELECT *, 1 AS _pb FROM {b_sql} t),
+     j AS (
+       SELECT {key_sel},
+              CASE WHEN b._pb IS NULL THEN 'only_a'
+                   WHEN a._pa IS NULL THEN 'only_b'
+                   WHEN concat_ws(',', {flags}) <> '' THEN 'differs'
+                   ELSE 'same' END AS diff_kind,
+              concat_ws(',', {flags}) AS flags
+       FROM a FULL JOIN b ON {on}
+     )
+SELECT {", ".join(keys)}, diff_kind,
+       CASE WHEN diff_kind = 'differs' THEN flags ELSE '' END AS differing_cols
+FROM j WHERE diff_kind <> 'same'
+"""
