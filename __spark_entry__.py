@@ -404,6 +404,61 @@ FROM r GROUP BY lang
 """
 
 
+_Q3_CUTOFF = "1998-06-01"
+
+
+def _q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k: broadcast the filtered
+    dim (customer), shuffle-join fact to fact on the order key, compute
+    revenue in exact integer e-4 currency units (price cents ×
+    (100 − discount pct)) so the SUM is order-independent, then take
+    the top 10 via TakeOrderedAndProject (distributed partial top-k)."""
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < _Q3_CUTOFF)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > _Q3_CUTOFF)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _join_revenue_oracle() -> str:
+    return f"""
+SELECT o_orderkey, date_trunc('microseconds', o_orderdate) AS o_orderdate,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_e4
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY 1, 2
+ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
+"""
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
@@ -554,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_pricing_rollup"] = _q_pricing_rollup
     out["events_running_total"] = _q_running_total
     out["length_quantiles"] = _q_length_quantiles
+    out["join_revenue_top10"] = _q_join_revenue
     # -- dedup kernels (north star; SURVEY §7.2 step 9) --
     out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
         _load(spark, sf, "documents")
@@ -670,6 +726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_asof_purchase"] = lambda spark, sf: temporal.asof_enrich_purchases(
         _load(spark, sf, "events")
     )
+    out["events_sliding_counts"] = lambda spark, sf: sessions.sliding_counts(
+        _load(spark, sf, "events")
+    )
     return out
 
 
@@ -749,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["events_running_total"] = _running_total_oracle()
     out["length_quantiles"] = _length_quantiles_oracle()
+    out["join_revenue_top10"] = _join_revenue_oracle()
     out["dedup_exact"] = dedup.exact_dup_groups_oracle()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(table=_AUG_DOCS_SQL)
     # LSH is exact-verified; at the shipped band settings its output
@@ -797,4 +857,5 @@ def oracle_sql() -> dict[str, str]:
     out["events_late_counts"] = freshness.late_event_counts_oracle()
     out["events_sessions"] = sessions.session_counts_oracle()
     out["events_asof_purchase"] = temporal.asof_enrich_oracle()
+    out["events_sliding_counts"] = sessions.sliding_counts_oracle()
     return out

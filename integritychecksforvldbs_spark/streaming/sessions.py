@@ -88,3 +88,55 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, sid
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) windows
+# ---------------------------------------------------------------------------
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping-window event counts: every event contributes to
+    ``window/slide`` overlapping windows (4 at the defaults) — the
+    smoothing rollup dashboards read.  Spark's ``window(ts, w, s)``
+    expands each row to its windows BEFORE the aggregation, so the
+    map-side partial combine absorbs the 4× fan-out exactly like the
+    profiling kernel's Expand; the shuffle carries only per-window
+    partial counts.  Batch frames give the exact oracle-checked
+    result; streams get a watermark to bound state."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def sliding_counts_oracle(
+    table: str = "events",
+    window_s: int = 3600,
+    slide_s: int = 900,
+) -> str:
+    """Identical hopping windows in DuckDB via epoch arithmetic: floor
+    the event time to the slide grid (Spark windows are epoch-aligned),
+    then each k in [0, window/slide) shifts one slide back — integer
+    microsecond math, no FP."""
+    n = window_s // slide_s
+    slide_us = slide_s * 1_000_000
+    return f"""
+SELECT make_timestamp((epoch_us(ts) // {slide_us} - k) * {slide_us}) AS window_start,
+       make_timestamp((epoch_us(ts) // {slide_us} - k) * {slide_us}) + INTERVAL {window_s} SECOND AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM {table} CROSS JOIN (SELECT unnest(range(0, {n})) AS k)
+GROUP BY 1, 2
+"""

@@ -238,3 +238,23 @@ def test_streaming_dedup_drops_redelivery(spark, batch_events, tmp_path):
     assert got == want
     # and the batch-equivalent is plain dropDuplicates
     assert freshness.dedup_stream(batch_events).count() == want
+
+
+def test_streaming_sliding_counts_match_batch(spark, stream_dir, batch_events):
+    """Hopping windows on a stream (availableNow) equal the batch
+    frame exactly — every event fans out to window/slide windows in
+    both modes."""
+    from integritychecksforvldbs_spark.streaming import sessions as S
+
+    stream = freshness.events_stream(spark, stream_dir)
+    result = _run_stream(spark, S.sliding_counts(stream), "sliding_counts_t")
+    got = {
+        (r["window_start"], r["window_end"]): r["n_events"] for r in result.collect()
+    }
+    want = {
+        (r["window_start"], r["window_end"]): r["n_events"]
+        for r in S.sliding_counts(batch_events).collect()
+    }
+    assert got == want
+    # 1h/15min hop: total window-rows = 4x events
+    assert sum(want.values()) == batch_events.count() * 4
