@@ -565,6 +565,38 @@ _MUTATED_DOCS_SQL = (
 )
 
 
+# Deterministically-CORRUPTED documents copy for the violation-row
+# gate: NULL texts, 3-char langs, off-by-one n_chars, duplicated keys
+# — each tripping a different CHECKTABLE rule, built by identical SQL
+# on both engine sides.
+def _corrupted_documents(docs: DataFrame) -> DataFrame:
+    broken = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit("zzz")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % 101 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    dups = docs.filter(F.col("doc_id") % 83 == 0).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return broken.unionByName(dups)
+
+
+_CORRUPTED_DOCS_SQL = (
+    "(SELECT doc_id, "
+    "CASE WHEN doc_id % 97 = 0 THEN NULL ELSE text END AS text, "
+    "CASE WHEN doc_id % 89 = 0 THEN 'zzz' ELSE lang END AS lang, "
+    "source, "
+    "CASE WHEN doc_id % 101 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 83 = 0)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in TABLES:
@@ -596,6 +628,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(spark, sf, "documents"),
         _mutated_documents(_load(spark, sf, "documents")),
         ["doc_id"],
+    )
+    # the repair path: extract the rows behind the violation counters
+    from integritychecksforvldbs_spark.operators.kernels import (
+        checktable_violations_df,
+    )
+
+    out["checktable_violations"] = lambda spark, sf: checktable_violations_df(
+        _corrupted_documents(_load(spark, sf, "documents")),
+        expectations_for("documents"),
     )
     out["agg_pricing_summary"] = _q_agg_pricing
     out["min_groupby_priority"] = _q_min_groupby
@@ -762,6 +803,13 @@ def oracle_sql() -> dict[str, str]:
         _MUTATED_DOCS_SQL,
         ["doc_id"],
         ["text", "lang", "source", "n_chars"],
+    )
+    from integritychecksforvldbs_spark.operators.kernels import (
+        checktable_violations_oracle,
+    )
+
+    out["checktable_violations"] = checktable_violations_oracle(
+        _CORRUPTED_DOCS_SQL, expectations_for("documents")
     )
     out["agg_pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "

@@ -688,3 +688,79 @@ SELECT {", ".join(keys)}, diff_kind,
        CASE WHEN diff_kind = 'differs' THEN flags ELSE '' END AS differing_cols
 FROM j WHERE diff_kind <> 'same'
 """
+
+
+# ---------------------------------------------------------------------------
+# CHECKTABLE violation-row extraction (the repair path)
+# ---------------------------------------------------------------------------
+
+def _row_rule_predicates(exp: TableExpectations) -> list[tuple[str, str]]:
+    """(rule_name, violated-SQL) per row-local rule, named to line up
+    with :func:`checktable_agg_exprs`'s counter columns so the two
+    tiers cross-check: ``SUM(violated)`` per rule == the counter."""
+    out: list[tuple[str, str]] = []
+    for c in exp.not_null:
+        out.append((f"null_{c}", f"{c} IS NULL"))
+    for rule in exp.domain_rules:
+        out.append((f"viol_{rule.name}", f"NOT {rule.predicate}"))
+    return out
+
+
+def checktable_violations_df(df: DataFrame, exp: TableExpectations) -> DataFrame:
+    """The rows behind the counters: (key columns…, rule) for every
+    rule a row violates — what a repair job consumes after
+    :func:`checktable_df` says *how many* are broken.
+
+    Row-local rules flag in the same single scan (an array of
+    (rule, violated) structs, exploded and filtered, so output is
+    proportional to the damage); PK rules need key context — NULL-key
+    rows flag locally, duplicate keys via one count-over-key window
+    (the same shuffle class as the counter's COUNT DISTINCT).  Healthy
+    tables produce an empty result from one scan + one hash shuffle.
+    """
+    keys = exp.primary_key
+    if not keys:
+        raise ValueError(f"violations extraction needs a primary key: {exp.table}")
+    preds = _row_rule_predicates(exp)
+    nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+    preds.append(("pk_null_rows", f"NOT ({nn})"))
+    flags = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), F.expr(sql).alias("bad"))
+            for name, sql in preds
+        ]
+    )
+    local = (
+        df.select(*keys, F.explode(flags).alias("f"))
+        .filter(F.col("f.bad"))
+        .select(*keys, F.col("f.rule").alias("rule"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    dups = (
+        df.filter(F.expr(nn))
+        .select(*keys, F.count(F.lit(1)).over(w).alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .select(*keys, F.lit("pk_dup_rows").alias("rule"))
+    )
+    return local.unionByName(dups)
+
+
+def checktable_violations_oracle(table: str, exp: TableExpectations) -> str:
+    """Identical extraction in DuckDB: one UNION ALL branch per rule
+    plus the count-over-key window for duplicates."""
+    keys = ", ".join(exp.primary_key)
+    nn = " AND ".join(f"{k} IS NOT NULL" for k in exp.primary_key)
+    preds = _row_rule_predicates(exp)
+    parts = [
+        f"SELECT {keys}, '{name}' AS rule FROM {table} t WHERE {sql}"
+        for name, sql in preds
+    ]
+    parts.append(f"SELECT {keys}, 'pk_null_rows' AS rule FROM {table} t WHERE NOT ({nn})")
+    parts.append(
+        f"SELECT {keys}, 'pk_dup_rows' AS rule FROM ("
+        f"SELECT {keys}, COUNT(*) OVER (PARTITION BY {keys}) AS _cnt "
+        f"FROM {table} t WHERE {nn}) d WHERE _cnt > 1"
+    )
+    return "\nUNION ALL\n".join(parts)

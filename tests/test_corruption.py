@@ -147,3 +147,48 @@ def test_checkcatalog_detects_declared_mismatch(spark):
     )
     assert not res.passed
     assert any("declared schema" in e for e in res.errors)
+
+
+def test_violations_rows_match_counters(spark, tables):
+    """The violation-row extraction and the one-pass counters are two
+    views of one rule list: per-rule row counts must equal the
+    checktable_df counters, and a healthy table yields no rows."""
+    from integritychecksforvldbs_spark.expectations import expectations_for
+    from integritychecksforvldbs_spark.operators.kernels import (
+        checktable_df,
+        checktable_violations_df,
+    )
+
+    docs = tables["documents"]
+    exp = expectations_for("documents")
+    assert checktable_violations_df(docs, exp).count() == 0  # fixtures clean
+
+    from pyspark.sql import functions as F
+
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") == 11, F.lit("xyz")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(F.col("doc_id") == 13, F.col("n_chars") + 5)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    ).unionByName(docs.filter(F.col("doc_id") == 17))
+
+    counters = checktable_df(corrupted, exp).first().asDict()
+    viol = {
+        r["rule"]: r["n"]
+        for r in checktable_violations_df(corrupted, exp)
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert viol["null_text"] == counters["null_text"] == 1
+    assert viol["viol_lang_is_iso2"] == counters["viol_lang_is_iso2"] == 1
+    assert viol["viol_n_chars_matches_text"] == counters["viol_n_chars_matches_text"] == 1
+    # duplicate key 17: the counter counts EXTRA copies (1), the
+    # extraction emits every row of the duplicated key (2)
+    assert counters["pk_dup_rows"] == 1 and viol["pk_dup_rows"] == 2
+    # no other rule fired
+    fired = {k for k, v in viol.items() if v}
+    assert fired == {"null_text", "viol_lang_is_iso2", "viol_n_chars_matches_text", "pk_dup_rows"}
