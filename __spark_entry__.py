@@ -459,6 +459,65 @@ ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10
 """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel per user: first signup, first
+    purchase at-or-after it, and the exact conversion lag in integer
+    microseconds (no FP interval math).  Two keyed aggregations — the
+    signup step is a conditional MIN in the first pass, the conversion
+    step re-probes purchases against it — both shuffles on user_id, so
+    AQE coalesces them and the plan scales with the user count."""
+    events = _load(spark, sf_dir, "events")
+    s = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts")
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            (
+                F.col("signup_ts").isNotNull()
+                & F.col("first_purchase_ts").isNotNull()
+            ).alias("converted"),
+            (
+                F.unix_micros(F.col("first_purchase_ts"))
+                - F.unix_micros(F.col("signup_ts"))
+            ).alias("convert_us"),
+        )
+    )
+
+
+def _funnel_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+),
+s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+  FROM e GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+       (s.signup_ts IS NOT NULL AND p.first_purchase_ts IS NOT NULL) AS converted,
+       epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) AS convert_us
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
@@ -651,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_running_total"] = _q_running_total
     out["length_quantiles"] = _q_length_quantiles
     out["join_revenue_top10"] = _q_join_revenue
+    out["events_funnel"] = _q_funnel
     # -- dedup kernels (north star; SURVEY §7.2 step 9) --
     out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
         _load(spark, sf, "documents")
@@ -857,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_running_total"] = _running_total_oracle()
     out["length_quantiles"] = _length_quantiles_oracle()
     out["join_revenue_top10"] = _join_revenue_oracle()
+    out["events_funnel"] = _funnel_oracle()
     out["dedup_exact"] = dedup.exact_dup_groups_oracle()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(table=_AUG_DOCS_SQL)
     # LSH is exact-verified; at the shipped band settings its output
