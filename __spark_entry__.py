@@ -665,6 +665,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["profile_documents"] = lambda spark, sf: profile.profile_df(
         _load(spark, sf, "documents")
     )
+    out["skew_profile_lineitem"] = lambda spark, sf: profile.key_skew_profile(
+        _load(spark, sf, "lineitem"), ["l_orderkey"]
+    )
+    out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
+        _load(spark, sf, "orders"), ["o_custkey"], k=20
+    )
+    out["histogram_doc_length"] = lambda spark, sf: profile.histogram_fixed(
+        _load(spark, sf, "documents"), "n_chars", width=100
+    )
 
     # replica-comparison checksum (order-independent content hash)
     from integritychecksforvldbs_spark.operators.kernels import (
@@ -841,6 +850,13 @@ def oracle_sql() -> dict[str, str]:
     out["fk_orphans"] = _fk_oracle()
     out["profile_documents"] = profile.profile_oracle(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out["skew_profile_lineitem"] = profile.key_skew_oracle("lineitem", ["l_orderkey"])
+    out["heavy_hitters_orders"] = profile.heavy_hitters_oracle(
+        "orders", ["o_custkey"], k=20
+    )
+    out["histogram_doc_length"] = profile.histogram_oracle(
+        "documents", "n_chars", width=100
     )
     from integritychecksforvldbs_spark.operators.kernels import table_checksum_oracle
 

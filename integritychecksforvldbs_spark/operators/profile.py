@@ -88,3 +88,87 @@ def profile_oracle(table: str, columns: Sequence[str]) -> str:
         for c in columns
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics & histograms
+# ---------------------------------------------------------------------------
+
+def key_skew_profile(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """One-row skew summary of a prospective join/partition key:
+    (n_keys, n_rows, max_key_rows, skew_factor) where skew_factor =
+    max/avg rows per key — the number that predicts whether this key
+    needs salting before a shuffle (healthy ≈ 1, hot-key ≫ 1).
+
+    Two-level aggregation: per-key counts (map-side combined), then a
+    global roll-up of the per-key frame — no single point ever sees
+    raw rows.  skew_factor is computed as a double ratio, not
+    max*n_keys (which overflows bigint at petabyte scale).
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.max("_n").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("_n") / (F.sum("_n") / F.count(F.lit(1))), 6
+        ).alias("skew_factor"),
+    )
+
+
+def key_skew_oracle(table: str, key_cols: Sequence[str]) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+WITH per_key AS (
+  SELECT {keys}, COUNT(*) AS _n FROM {table} GROUP BY {keys}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(_n) AS BIGINT) AS n_rows,
+       CAST(MAX(_n) AS BIGINT) AS max_key_rows,
+       ROUND(MAX(_n) / (SUM(_n) / COUNT(*)), 6) AS skew_factor
+FROM per_key
+"""
+
+
+def heavy_hitters(df: DataFrame, key_cols: Sequence[str], k: int = 20) -> DataFrame:
+    """The k hottest keys with their row counts, deterministically
+    tie-broken (count desc, then key asc).  Partial-aggregates map
+    side, then rides TakeOrderedAndProject — no global sort, no
+    single-partition window."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    order = [F.col("n_rows").desc()] + [F.col(c) for c in key_cols]
+    return per_key.orderBy(*order).limit(k)
+
+
+def heavy_hitters_oracle(table: str, key_cols: Sequence[str], k: int = 20) -> str:
+    keys = ", ".join(key_cols)
+    return (
+        f"SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {table} "
+        f"GROUP BY {keys} ORDER BY n_rows DESC, {keys} LIMIT {k}"
+    )
+
+
+def histogram_fixed(df: DataFrame, col: str, width: int) -> DataFrame:
+    """Equi-width histogram with integer bucket boundaries computed by
+    integer division — single pass, one hash aggregate, no prior
+    min/max scan (fixed width beats two-pass equi-depth when the scale
+    of the column is known, as it is for metadata like lengths)."""
+    bucket = F.expr(f"CAST({col} DIV {width} AS BIGINT)")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(col).cast("long").alias("min_value"),
+            F.max(col).cast("long").alias("max_value"),
+        )
+    )
+
+
+def histogram_oracle(table: str, col: str, width: int) -> str:
+    return f"""
+SELECT CAST({col} // {width} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({col}) AS BIGINT) AS min_value,
+       CAST(MAX({col}) AS BIGINT) AS max_value
+FROM {table} GROUP BY 1
+"""

@@ -50,3 +50,31 @@ def test_profile_is_one_scan(tables):
     assert plan_data_shuffles(df) <= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_skew_profile_pinned(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k int"
+    )
+    r = profile.key_skew_profile(df, ["k"]).first()
+    assert (r["n_keys"], r["n_rows"], r["max_key_rows"]) == (3, 5, 3)
+    assert r["skew_factor"] == 1.8  # 3 / (5/3)
+
+
+def test_heavy_hitters_rides_take_ordered(tables):
+    df = profile.heavy_hitters(tables["orders"], ["o_custkey"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    rows = df.collect()
+    assert len(rows) == 5
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_histogram_buckets_partition_the_table(tables):
+    docs = tables["documents"]
+    hist = profile.histogram_fixed(docs, "n_chars", 100)
+    rows = hist.collect()
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["bucket"] * 100 <= r["min_value"] <= r["max_value"] < (r["bucket"] + 1) * 100
