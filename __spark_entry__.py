@@ -839,6 +839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_sliding_counts"] = lambda spark, sf: sessions.sliding_counts(
         _load(spark, sf, "events")
     )
+
+    def _q_incident_counts(spark: SparkSession, sf: str) -> DataFrame:
+        ev = _load(spark, sf, "events")
+        return temporal.banded_range_join_counts(
+            ev, temporal.error_incident_windows(ev)
+        )
+
+    out["events_incident_counts"] = _q_incident_counts
     return out
 
 
@@ -983,4 +991,5 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessions"] = sessions.session_counts_oracle()
     out["events_asof_purchase"] = temporal.asof_enrich_oracle()
     out["events_sliding_counts"] = sessions.sliding_counts_oracle()
+    out["events_incident_counts"] = temporal.incident_event_counts_oracle()
     return out

@@ -141,3 +141,88 @@ SELECT e.event_id, e.user_id, e.ts, e.event_type,
        cp.purchase_value AS last_purchase_value
 FROM e ASOF LEFT JOIN cp ON e.user_id = cp.user_id AND e.ts >= cp.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# banded range join
+# ---------------------------------------------------------------------------
+
+def banded_range_join_counts(
+    events: DataFrame,
+    intervals: DataFrame,
+    band_seconds: int = 3600,
+    ts_col: str = "ts",
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+) -> DataFrame:
+    """Count events inside arbitrary [start, end) intervals — a pure
+    range join, which Spark would otherwise plan as a broadcast
+    nested-loop (O(|events|·|intervals|) comparisons).
+
+    The banding trick turns it into an equi-join: every event carries
+    its ``band_seconds`` time bucket; every interval explodes into the
+    buckets it overlaps (len/band + 1 rows, constant for bounded
+    intervals); the join is equi on the bucket with the residual
+    range predicate applied after.  An event has exactly ONE bucket,
+    so it matches each interval at most once — no dedup pass.  Work is
+    |events| + Σ interval-bands, hash-shuffled on the bucket: linear,
+    skew-bounded by events-per-band.
+    """
+    us = band_seconds * 1_000_000
+    # integer DIV, not FP division + cast: band ids must be exact
+    ev = events.select(
+        F.col(ts_col).alias("_ts"),
+        F.expr(f"unix_micros({ts_col}) div {us}").alias("_band"),
+    )
+    iv = intervals.select(
+        F.col(start_col).alias("_start"),
+        F.col(end_col).alias("_end"),
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) div {us}"),
+                F.expr(f"(unix_micros({end_col}) - 1) div {us}"),
+            )
+        ).alias("_band"),
+    )
+    return (
+        ev.join(iv, "_band")
+        .filter((F.col("_ts") >= F.col("_start")) & (F.col("_ts") < F.col("_end")))
+        .groupBy(F.col("_start").alias(start_col), F.col("_end").alias(end_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def error_incident_windows(events: DataFrame, threshold: int = 6) -> DataFrame:
+    """Deterministic interval source for the gate: hours whose error
+    count reaches ``threshold`` become incident windows [hour − 30 min,
+    hour + 90 min) — deliberately misaligned with the hour band so the
+    banding logic is actually exercised."""
+    return (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("window_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("window_end"),
+        )
+    )
+
+
+def incident_event_counts_oracle(table: str = "events", threshold: int = 6) -> str:
+    """The same computation as a plain inequality join in DuckDB (its
+    optimizer handles the range join natively — IEJoin)."""
+    return f"""
+WITH e AS (
+  SELECT date_trunc('microseconds', ts) AS ts, event_type FROM {table}
+),
+iv AS (
+  SELECT date_trunc('hour', ts) - INTERVAL 30 MINUTE AS window_start,
+         date_trunc('hour', ts) + INTERVAL 90 MINUTE AS window_end
+  FROM e WHERE event_type = 'error'
+  GROUP BY date_trunc('hour', ts) HAVING COUNT(*) >= {threshold}
+)
+SELECT iv.window_start, iv.window_end, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM iv JOIN e ON e.ts >= iv.window_start AND e.ts < iv.window_end
+GROUP BY iv.window_start, iv.window_end
+"""

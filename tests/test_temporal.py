@@ -83,3 +83,42 @@ def test_asof_shuffle_budget(tables):
     for the checkpoint aggregation; anything more means the union is
     being re-partitioned."""
     assert plan_data_shuffles(temporal.asof_enrich_purchases(tables["events"])) <= 2
+
+
+def test_banded_range_join_matches_inequality_join(tables, duck, spark):
+    """The banded equi-join plan computes exactly what DuckDB's native
+    inequality (IE) join computes — threshold 2 so sf0.001 yields a
+    real interval set."""
+    from integritychecksforvldbs_spark.operators.temporal import (
+        banded_range_join_counts,
+        error_incident_windows,
+        incident_event_counts_oracle,
+    )
+
+    ev = tables["events"]
+    got = sorted(
+        (r["window_start"], r["window_end"], r["n_events"])
+        for r in banded_range_join_counts(
+            ev, error_incident_windows(ev, threshold=2)
+        ).collect()
+    )
+    want = sorted(duck.execute(incident_event_counts_oracle(threshold=2)).fetchall())
+    assert got and got == want
+
+
+def test_banded_range_join_no_nested_loop(tables):
+    """The whole point: the plan must be a hash/broadcast EQUI join on
+    the band, never BroadcastNestedLoopJoin over the raw range
+    predicate."""
+    from integritychecksforvldbs_spark.operators.temporal import (
+        banded_range_join_counts,
+        error_incident_windows,
+    )
+
+    ev = tables["events"]
+    plan = (
+        banded_range_join_counts(ev, error_incident_windows(ev, threshold=2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
