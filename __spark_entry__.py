@@ -806,6 +806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang",
         {"en": 500, "de": 250, "fr": 100},
     )
+    out["sample_split_assign"] = lambda spark, sf: sampling.split_assign(
+        _load(spark, sf, "documents").select("doc_id", "lang"),
+        val_per_mille=100,
+        test_per_mille=100,
+    )
 
     # -- multimodal plumbing (north star; decode stubbed, plumbing real) --
     out["multimodal_binary_stats"] = lambda spark, sf: multimodal.binary_stats(
@@ -979,6 +984,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang FROM ("
         + sampling.stratified_sample_oracle(
             "documents", "lang", {"en": 500, "de": 250, "fr": 100}
+        )
+        + ") t"
+    )
+    out["sample_split_assign"] = (
+        "SELECT doc_id, lang, split FROM ("
+        + sampling.split_assign_oracle(
+            "(SELECT doc_id, lang FROM documents) d",
+            val_per_mille=100,
+            test_per_mille=100,
         )
         + ") t"
     )

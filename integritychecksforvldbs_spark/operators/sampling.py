@@ -112,3 +112,41 @@ def stratified_sample_oracle(
         f"WHERE {_bucket_expr_duckdb(id_col, 1000)} < "
         f"(CASE {cases} ELSE {default_per_mille} END)"
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_per_mille: int = 10,
+    test_per_mille: int = 10,
+) -> DataFrame:
+    """Materialized train/val/test assignment: every row gets a
+    ``split`` label from its id-bucket-of-1000 — val takes the first
+    ``val_per_mille`` buckets, test the next ``test_per_mille``, train
+    the rest.  The label is a pure projection (shuffle-free, no state),
+    so it is identical on every run, after any repartition, and for a
+    row regardless of what else is appended — the property that keeps
+    eval contamination out when the corpus grows."""
+    if val_per_mille + test_per_mille >= 1000:
+        raise ValueError("val + test rates must leave room for train")
+    b = F.expr(_bucket_expr_spark(id_col, 1000))
+    return df.withColumn(
+        "split",
+        F.when(b < val_per_mille, F.lit("val"))
+        .when(b < val_per_mille + test_per_mille, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def split_assign_oracle(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    val_per_mille: int = 10,
+    test_per_mille: int = 10,
+) -> str:
+    b = _bucket_expr_duckdb(id_col, 1000)
+    return (
+        f"SELECT *, CASE WHEN {b} < {val_per_mille} THEN 'val' "
+        f"WHEN {b} < {val_per_mille + test_per_mille} THEN 'test' "
+        f"ELSE 'train' END AS split FROM {table}"
+    )

@@ -70,3 +70,40 @@ def test_vocabulary_topk_shape(docs):
     for r in vocab:
         assert r["n_docs"] <= r["n_occurrences"]
         assert r["token"] == r["token"].lower()
+
+
+def test_split_assign_partitions_and_is_stable(tables, duck):
+    from integritychecksforvldbs_spark.operators import sampling as S
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].select("doc_id", "lang")
+    out = S.split_assign(docs, val_per_mille=100, test_per_mille=100)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == docs.count()  # every row labeled, none dropped
+    assert set(rows.values()) == {"train", "val", "test"}
+    # repartitioning cannot move a row between splits
+    again = {
+        r["doc_id"]: r["split"]
+        for r in S.split_assign(
+            docs.repartition(7), val_per_mille=100, test_per_mille=100
+        ).collect()
+    }
+    assert again == rows
+    # the splits agree with deterministic_sample's bucket space:
+    # disjoint by construction with the DuckDB oracle
+    want = {
+        d: s
+        for d, _l, s in duck.execute(
+            S.split_assign_oracle(
+                "(SELECT doc_id, lang FROM documents) d",
+                val_per_mille=100,
+                test_per_mille=100,
+            )
+        ).fetchall()
+    }
+    assert want == rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="room for train"):
+        S.split_assign(docs, val_per_mille=600, test_per_mille=500)
