@@ -170,18 +170,6 @@ def run_checktable(
     return KernelResult("CHECKTABLE", database, table, not errors, row, errors)
 
 
-def checktable_violations_df(df: DataFrame, exp: TableExpectations) -> DataFrame:
-    """Row-level violation listing (second probe, only on failure):
-    each offending row with the rule names it breaks."""
-    rules = [(r.name, r.predicate) for r in exp.domain_rules]
-    for c in exp.not_null:
-        rules.append((f"null_{c}", f"{c} IS NOT NULL"))
-    arr = F.array_compact(
-        F.array(*[F.when(~F.expr(pred), F.lit(name)) for name, pred in rules])
-    )
-    return df.withColumn("violated_rules", arr).filter(F.size("violated_rules") > 0)
-
-
 # ---------------------------------------------------------------------------
 # CHECKALLOC / CHECKCATALOG / EXTENDED / CHECKDB
 # ---------------------------------------------------------------------------

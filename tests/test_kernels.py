@@ -112,7 +112,8 @@ def test_checktable_violations_listing(spark, tables):
         "n_chars", F.when(F.col("doc_id") == 0, F.lit(-1)).otherwise(F.col("n_chars"))
     )
     v = checktable_violations_df(docs, expectations_for("documents")).collect()
-    assert len(v) == 1 and v[0]["violated_rules"] == ["n_chars_matches_text"]
+    assert len(v) == 1
+    assert v[0]["doc_id"] == 0 and v[0]["rule"] == "viol_n_chars_matches_text"
 
 
 def test_checktable_null_pk_detection(spark, tables):
