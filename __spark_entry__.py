@@ -518,6 +518,151 @@ FROM s LEFT JOIN p ON s.user_id = p.user_id
 """
 
 
+def _q_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS shape (TPC-H Q4): orders with at least one
+    lineitem shipped > 90 days after the order date, counted per
+    priority.  Spark plans the EXISTS as a left-semi hash join on
+    ``o_orderkey`` with the date predicate evaluated join-side — the
+    decorrelation Catalyst applies to subqueries, expressed directly."""
+    orders = _load(spark, sf_dir, "orders")
+    late = _load(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY")
+        if False
+        else F.lit(True)
+    )
+    joined = orders.join(
+        _load(spark, sf_dir, "lineitem"),
+        on=F.expr(
+            "o_orderkey = l_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY"
+        ),
+        how="left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+def _q_antijoin_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (TPC-H Q22): customers with no orders, counted
+    per market segment with their exact account-balance total in
+    integer cents (FP sum order differs between engines; cents don't).
+    Spark plans a broadcast/shuffled left-anti hash join — the NOT
+    EXISTS decorrelation, expressed directly."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+    )
+
+
+def _antijoin_segments_oracle() -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-over-event-time gap analysis (§2.5 family): per user, the
+    count of events, the largest inter-event gap, and how many gaps
+    exceed one hour.  One shuffle on ``user_id``; the window and the
+    aggregate share it (same partitioning), so Spark plans a single
+    Exchange.  Gaps are exact integer microseconds."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        _load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") > 3_600_000_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_gaps_over_1h"),
+        )
+    )
+
+
+def _user_gaps_oracle() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(date_trunc('microseconds', ts))
+           - LAG(epoch_us(date_trunc('microseconds', ts)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps_over_1h
+FROM g GROUP BY user_id
+"""
+
+
+def _q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four aggregation levels in one Expand +
+    hash aggregate (one shuffle), complementing the ROLLUP query."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column support: extract a typed field from the
+    JSON ``props`` string with the JVM JSON path evaluator (no Python),
+    then aggregate it per event type.  At scale the extraction
+    pipelines behind the scan (projection), and the aggregate is
+    map-side combined."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        _load(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def _props_parse_oracle() -> str:
+    return """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
