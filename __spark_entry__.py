@@ -44,6 +44,7 @@ from integritychecksforvldbs_spark.sources.catalog import (
     footer_stats_df,
     list_objects,
 )
+from integritychecksforvldbs_spark.functions.timeutil import us_epoch
 from integritychecksforvldbs_spark.sources.loader import load_table
 
 TABLES = (
@@ -350,7 +351,7 @@ def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _running_total_oracle() -> str:
     return """
 SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS running_value_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_value_cents,
        CAST(COUNT(*) OVER w AS BIGINT) AS running_events
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
@@ -446,8 +447,8 @@ def _q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _join_revenue_oracle() -> str:
     return f"""
 SELECT o_orderkey, date_trunc('microseconds', o_orderdate) AS o_orderdate,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_e4
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -488,8 +489,7 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("first_purchase_ts").isNotNull()
             ).alias("converted"),
             (
-                F.unix_micros(F.col("first_purchase_ts"))
-                - F.unix_micros(F.col("signup_ts"))
+                us_epoch("first_purchase_ts") - us_epoch("signup_ts")
             ).alias("convert_us"),
         )
     )
@@ -584,7 +584,7 @@ def _q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = us_epoch("ts") - us_epoch(F.lag("ts").over(w))
     return (
         _load(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id")

@@ -168,19 +168,21 @@ def banded_range_join_counts(
     |events| + Σ interval-bands, hash-shuffled on the bucket: linear,
     skew-bounded by events-per-band.
     """
+    from integritychecksforvldbs_spark.functions.timeutil import us_epoch_sql
+
     us = band_seconds * 1_000_000
     # integer DIV, not FP division + cast: band ids must be exact
     ev = events.select(
         F.col(ts_col).alias("_ts"),
-        F.expr(f"unix_micros({ts_col}) div {us}").alias("_band"),
+        F.expr(f"{us_epoch_sql(ts_col)} div {us}").alias("_band"),
     )
     iv = intervals.select(
         F.col(start_col).alias("_start"),
         F.col(end_col).alias("_end"),
         F.explode(
             F.sequence(
-                F.expr(f"unix_micros({start_col}) div {us}"),
-                F.expr(f"(unix_micros({end_col}) - 1) div {us}"),
+                F.expr(f"{us_epoch_sql(start_col)} div {us}"),
+                F.expr(f"({us_epoch_sql(end_col)} - 1) div {us}"),
             )
         ).alias("_band"),
     )

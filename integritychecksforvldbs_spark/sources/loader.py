@@ -1,19 +1,31 @@
-"""Table loader that tolerates TIMESTAMP(NANOS) parquet columns.
+"""Table loader that normalizes awkward parquet timestamp physical types.
 
-Spark's vectorized parquet reader rejects INT64 TIMESTAMP(NANOS)
-columns (``PARQUET_TYPE_ILLEGAL``) that other engines (DuckDB, Arrow)
-read fine — the ``events`` fixture has one.  The fix: read nanos as
-raw longs (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild the
-timestamp with microsecond truncation (``ts div 1000`` —  integer
-division; a ``/`` would route through double and lose precision above
-2^53 ns).  Truncation matches DuckDB's ns→µs behavior, so oracle
-comparisons agree.
+Two fixture-relevant hazards, both handled here so every downstream
+operator sees ONE timestamp type (``TIMESTAMP``) regardless of how the
+file was written:
+
+1. **TIMESTAMP(NANOS)**: Spark's vectorized reader rejects INT64
+   TIMESTAMP(NANOS) (``PARQUET_TYPE_ILLEGAL``) that other engines
+   (DuckDB, Arrow) read fine.  Fix: read nanos as raw longs
+   (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild the
+   timestamp with microsecond truncation (``ts div 1000`` — integer
+   division; ``/`` would route through double and lose precision above
+   2^53 ns).  Truncation matches DuckDB's ns→µs behavior.
+
+2. **TIMESTAMP(MICROS, isAdjustedToUTC=false)**: Spark ≥3.4 reads
+   these as ``TIMESTAMP_NTZ``, which ``unix_micros`` / interval
+   arithmetic reject (the round-3 ``events_funnel`` failure class).
+   Fix: cast NTZ → TIMESTAMP after the read.  The cast interprets the
+   naive wall-clock in the session time zone and ``toPandas``/display
+   converts back with the same zone, so values round-trip identically
+   in ANY session tz (the engine pins UTC; see session.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _nanos_columns(path: str) -> list[str]:
@@ -24,14 +36,23 @@ def _nanos_columns(path: str) -> list[str]:
     return [f.name for f in sch if str(f.type) == "timestamp[ns]"]
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (lossless under a
+    pinned session tz; wall-clock-preserving under any)."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, *paths: str) -> DataFrame:
-    """``spark.read.parquet`` with transparent ns-timestamp handling."""
+    """``spark.read.parquet`` with transparent ns/NTZ timestamp handling."""
     try:
         ns_cols = _nanos_columns(paths[0])
     except Exception:
         ns_cols = []
     if not ns_cols:
-        return spark.read.parquet(*paths)
+        return normalize_ntz(spark.read.parquet(*paths))
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -39,6 +60,6 @@ def load_table(spark: SparkSession, *paths: str) -> DataFrame:
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         # preserve original column order
-        return df
+        return normalize_ntz(df)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)

@@ -36,10 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from integritychecksforvldbs_spark.functions.timeutil import us_epoch_sql
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong read)
+        # fixture physical type: timestamp[us] without UTC adjustment
+        # (TIMESTAMP_NTZ to Spark ≥3.4); cast to TIMESTAMP post-read
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -49,15 +53,13 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files.
-
-    The fixture stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    reader only accepts as raw longs — rebuilt here to a microsecond
-    timestamp exactly like sources.loader.load_table does for batch.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over a directory of events parquet files,
+    normalized to one TIMESTAMP type exactly like the batch loader
+    (sources/loader.py): the fixture's naive-µs ``ts`` reads as
+    TIMESTAMP_NTZ and is cast to TIMESTAMP under the pinned-UTC
+    session."""
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(
@@ -116,10 +118,10 @@ def freshness_summary(events: DataFrame, as_of: str) -> DataFrame:
             # explicit epoch-µs arithmetic: timestampdiff/date_diff
             # disagree across engines on sub-second boundaries
             F.expr(
-                f"(unix_micros(TIMESTAMP '{as_of}') - unix_micros(latest_ts)) div 1000000"
+                f"(unix_micros(TIMESTAMP '{as_of}') - {us_epoch_sql('latest_ts')}) div 1000000"
             ).alias("lag_seconds"),
             F.expr(
-                f"(unix_micros(TIMESTAMP '{as_of}') - unix_micros(latest_ts)) div 1000000 > 3600"
+                f"(unix_micros(TIMESTAMP '{as_of}') - {us_epoch_sql('latest_ts')}) div 1000000 > 3600"
             ).alias("stale"),
         )
     )

@@ -69,9 +69,10 @@ def test_streaming_incremental_second_batch(spark, stream_dir, batch_events):
     d = tempfile.mkdtemp(prefix="events_incr_")
     chk = tempfile.mkdtemp(prefix="chk_")
     try:
-        # mirror the fixture's physical format: ts as raw nanosecond longs
+        # mirror the fixture's physical format: naive-µs timestamps
+        # (written as timestamp[us] without UTC adjustment → NTZ read)
         def as_fixture(df):
-            return df.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
         half = batch_events.filter("event_id % 2 = 0")
         rest = batch_events.filter("event_id % 2 = 1")
