@@ -61,6 +61,8 @@ class DatabaseCandidate:
     database_type: str = "U"  # 'S' | 'U' per IC:290 name-based rule
     is_snapshot: bool = False
     availability_group: str | None = None
+    # sys.databases.is_read_only analogue (DIC:1300, gate DIC:1341-1346)
+    read_only: bool = False
     order: int | None = None  # assigned by evaluation
     start_position: int | None = None
 

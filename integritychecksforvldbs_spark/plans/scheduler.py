@@ -71,6 +71,9 @@ class CheckParams:
     execute: str = "Y"
     extended_logical_checks: str = "N"  # DIC:27 extension
     lock_timeout: int | None = None  # DIC @LockTimeout seconds (DIC:1355 analogue)
+    # DIC @Updateability (DIC:23, gate DIC:1341-1346): restrict checks
+    # to READ_ONLY or READ_WRITE databases; ALL disables the gate
+    updateability: str = "ALL"
     # CE @LockMessageSeverity (CE:213-220): 16 = lock timeouts are
     # errors; 10 = logged as informational, run not failed
     lock_message_severity: int = 16
@@ -130,6 +133,11 @@ class CheckParams:
             errors.append(
                 "The value for the parameter @ExtendedLogicalChecks is not supported."
             )
+        if self.updateability not in ("READ_ONLY", "READ_WRITE", "ALL"):
+            # DIC:792-794
+            errors.append(
+                "The value for the parameter @Updateability is not supported."
+            )
         if self.lock_message_severity not in (10, 16):  # CE:118-121
             errors.append(
                 "The value for the parameter @LockMessageSeverity is not supported."
@@ -170,6 +178,7 @@ class IntegrityChecker:
         log_path: str | None = None,
         params: CheckParams | None = None,
         ag_tags: dict[str, str] | None = None,
+        read_only_tags: set[str] | None = None,
     ):
         self.spark = spark
         self.base_dir = base_dir
@@ -180,9 +189,14 @@ class IntegrityChecker:
         # sys.availability_databases_cluster (SURVEY §2.1 #5).
         # Discovered from the catalog-root convention file, with
         # caller-supplied tags overriding per database.
-        from ..sources.catalog import discover_ag_tags
+        from ..sources.catalog import discover_ag_tags, discover_read_only
 
         self.ag_tags = {**discover_ag_tags(spark, base_dir), **(ag_tags or {})}
+        # read-only database names — sys.databases.is_read_only
+        # (DIC:1300); convention file plus caller additions
+        self.read_only_tags = discover_read_only(spark, base_dir) | (
+            read_only_tags or set()
+        )
 
     # -- helpers --------------------------------------------------------
     def _deadline_ok(self, job_end: datetime | None) -> bool:
@@ -204,6 +218,7 @@ class IntegrityChecker:
         candidates = list_databases(self.spark, self.base_dir)
         for c in candidates:
             c.availability_group = self.ag_tags.get(c.name)
+            c.read_only = c.name in self.read_only_tags
         if p.availability_groups is not None:  # AG scope (DIC:480-587)
             from ..operators.selector import select_databases_by_availability_groups
 
@@ -215,6 +230,22 @@ class IntegrityChecker:
             selected = select_databases(dsl, candidates)
         report.selected_databases = [c.name for c in selected]
         logger.info("Selected databases: %s", report.selected_databases)
+
+        # @Updateability eligibility gate (DIC:1341-1346): selection is
+        # unchanged (the reference still lists the DB) but a database
+        # whose read-only state conflicts gets no inventory and no
+        # checks this run
+        if p.updateability != "ALL":
+            want_ro = p.updateability == "READ_ONLY"
+            gated = [c for c in selected if c.read_only == want_ro]
+            for c in selected:
+                if c.read_only != want_ro:
+                    report.skipped.append(
+                        f"{c.name}: Updateability "
+                        f"{'READ_ONLY' if c.read_only else 'READ_WRITE'}"
+                        f" excluded by @Updateability = '{p.updateability}'"
+                    )
+            selected = gated
 
         # STAGE D — inventory via per-DB catalog scan (IC:418-447)
         inventories: dict[str, list[ObjectMeta]] = {}
@@ -598,6 +629,7 @@ class IntegrityChecker:
             f"@Databases = {p.databases or 'ALL_DATABASES'}, "
             f"@AvailabilityGroups = {p.availability_groups or 'NULL'}, "
             f"@PhysicalOnly = '{p.physical_only}', "
+            f"@Updateability = '{p.updateability}', "
             f"@ExtendedLogicalChecks = '{p.extended_logical_checks}', "
             f"@DatabaseOrder = {p.database_order or 'NULL'}, "
             f"@BaseDir = {self.base_dir}"

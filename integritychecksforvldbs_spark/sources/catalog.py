@@ -137,6 +137,32 @@ def discover_ag_tags(spark: SparkSession, base_dir: str) -> dict[str, str]:
     return tags
 
 
+READ_ONLY_FILENAME = "_read_only.json"
+
+
+def discover_read_only(spark: SparkSession, base_dir: str) -> set[str]:
+    """Deployment read-only markers from the conventional
+    ``_read_only.json`` at the catalog root — the engine's
+    ``sys.databases.is_read_only`` (DIC:1300).  Shape: a JSON array of
+    database names.  Absent file → nothing read-only.  Underscore
+    prefix keeps it out of every data scan (see AG_TAGS_FILENAME)."""
+    import json
+
+    path = f"{base_dir.rstrip('/')}/{READ_ONLY_FILENAME}"
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return set()
+    stream = fs.open(hpath)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    names = json.loads(raw)
+    if not isinstance(names, list) or not all(isinstance(n, str) for n in names):
+        raise ValueError(f"{path} must be a JSON array of database names")
+    return set(names)
+
+
 def list_databases(spark: SparkSession, base_dir: str) -> list[DatabaseCandidate]:
     """Each subdirectory of ``base_dir`` is a database (SURVEY §1.1)."""
     fs, hpath = _fs_and_path(spark, base_dir)

@@ -467,3 +467,64 @@ def test_ag_tags_discovered_from_catalog_file(spark, tmp_path):
     )
     assert checker2.ag_tags["ag_db1"] == "AG9"
     assert checker2.run().selected_databases == []
+
+
+def test_updateability_gate(spark, tmp_path):
+    """@Updateability (DIC:23, gate DIC:1341-1346): READ_WRITE skips
+    read-only databases, READ_ONLY checks only them; selection itself
+    is unchanged (the reference lists the DB, then skips its checks)."""
+    import shutil
+
+    base = tmp_path / "base"
+    for db in ("ro_db", "rw_db"):
+        (base / db).mkdir(parents=True)
+        shutil.copy(f"{BASE}/sf0.001/region.parquet", base / db / "region.parquet")
+
+    def run(updateability):
+        params = CheckParams(updateability=updateability, snapshot_path=None)
+        checker = IntegrityChecker(
+            spark, str(base),
+            str(tmp_path / f"s_{updateability}.parquet"),
+            str(tmp_path / f"l_{updateability}.parquet"),
+            params, read_only_tags={"ro_db"},
+        )
+        return checker.run()
+
+    rw = run("READ_WRITE")
+    assert rw.selected_databases == ["ro_db", "rw_db"]
+    assert {o.spec.database for o in rw.outcomes} == {"rw_db"}
+    assert any("ro_db" in s and "@Updateability" in s for s in rw.skipped)
+
+    ro = run("READ_ONLY")
+    assert {o.spec.database for o in ro.outcomes} == {"ro_db"}
+
+    both = run("ALL")
+    assert {o.spec.database for o in both.outcomes} == {"ro_db", "rw_db"}
+
+
+def test_updateability_validation_and_discovery(spark, tmp_path):
+    """Bad @Updateability values fail with the reference's message
+    (DIC:792-794); read-only markers auto-discover from
+    _read_only.json at the catalog root."""
+    import json
+    import shutil
+
+    with pytest.raises(ValueError, match="@Updateability is not supported"):
+        CheckParams(databases="sf0.001", updateability="SOMETIMES").validate()
+
+    base = tmp_path / "base"
+    for db in ("ro_db", "rw_db"):
+        (base / db).mkdir(parents=True)
+        shutil.copy(f"{BASE}/sf0.001/region.parquet", base / db / "region.parquet")
+    (base / "_read_only.json").write_text(json.dumps(["ro_db"]))
+
+    params = CheckParams(updateability="READ_ONLY", snapshot_path=None)
+    checker = IntegrityChecker(
+        spark, str(base), str(tmp_path / "s.parquet"), str(tmp_path / "l.parquet"),
+        params,
+    )
+    assert checker.read_only_tags == {"ro_db"}
+    report = checker.run()
+    assert {o.spec.database for o in report.outcomes} == {"ro_db"}
+    # parameter identity carries the gate (DIC:226)
+    assert "@Updateability = 'READ_ONLY'" in checker._parameters_string()
