@@ -62,7 +62,15 @@ TABLES = (
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, f"{sf_dir}/{name}.parquet")
+    """Resolve a table by name under ``sf_dir`` — single-file
+    ``name.parquet`` (the harness layout) or a ``name/`` directory of
+    part files (the cluster layout) — and load through the normalizing
+    loader, so the path-layout decision lives in exactly one place."""
+    import os
+
+    single = f"{sf_dir}/{name}.parquet"
+    path = single if os.path.exists(single) else f"{sf_dir}/{name}"
+    return load_table(spark, path)
 
 
 # ---------------------------------------------------------------------------
