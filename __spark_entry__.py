@@ -846,6 +846,7 @@ def _q_text_doc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(text.quality_score(docs), "doc_id")
         .join(text.lang_id(docs), "doc_id")
         .join(text.fingerprint(docs), "doc_id")
+        .join(text.gopher_filter(docs).drop("n_words"), "doc_id")
     )
 
 
@@ -853,11 +854,13 @@ def _text_doc_suite_oracle() -> str:
     return f"""
 SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_regex, a.n_chars,
        b.punct_ratio, b.digit_ratio, b.stopword_ratio, b.mean_word_len,
-       b.quality_score, c.lang_pred, d.fingerprint
+       b.quality_score, c.lang_pred, d.fingerprint,
+       g.mean_word_len_e2, g.n_stopword_hits, g.n_alpha_words, g.keep
 FROM ({text.token_stats_oracle()}) a
 JOIN ({text.quality_score_oracle()}) b ON a.doc_id = b.doc_id
 JOIN ({text.lang_id_oracle()}) c ON a.doc_id = c.doc_id
 JOIN ({text.fingerprint_oracle()}) d ON a.doc_id = d.doc_id
+JOIN ({text.gopher_filter_oracle()}) g ON a.doc_id = g.doc_id
 """
 
 
@@ -959,6 +962,69 @@ _AUG_EMB_SQL = (
 )
 
 
+def _q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal tiers in one long-format gate: blob
+    integrity stats, Arrow-batched mapInPandas feature extraction
+    (fake decode — the stub boundary), and metadata-only frame
+    sampling, discriminated by ``tier`` with aligned columns."""
+    media = multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+    stats = multimodal.binary_stats(media).select(
+        F.lit("stats").alias("tier"), "media_id", "modality", "n_bytes",
+        F.col("payload_md5").alias("sval"), F.lit(None).cast("long").alias("nval"),
+    )
+    feats = multimodal.features_gate(media).select(
+        F.lit("features").alias("tier"), "media_id", "modality", "n_bytes",
+        F.col("feature_bytes").alias("sval"), F.lit(None).cast("long").alias("nval"),
+    )
+    frames = multimodal.sample_frames(media).select(
+        F.lit("frames").alias("tier"), "media_id",
+        F.lit(None).cast("string").alias("modality"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("sval"),
+        F.col("frame_idx").alias("nval"),
+    )
+    return stats.unionByName(feats).unionByName(frames)
+
+
+def _multimodal_suite_oracle() -> str:
+    return f"""
+SELECT 'stats' AS tier, media_id, modality, n_bytes, payload_md5 AS sval,
+       CAST(NULL AS BIGINT) AS nval
+FROM ({multimodal.binary_stats_oracle()}) t
+UNION ALL
+SELECT 'features', media_id, modality, n_bytes, feature_bytes,
+       CAST(NULL AS BIGINT)
+FROM ({multimodal.features_oracle()}) t
+UNION ALL
+SELECT 'frames', media_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), frame_idx
+FROM ({multimodal.sample_frames_oracle()}) t
+"""
+
+
+def _q_dedup_embedding_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both embedding near-dup tiers in one gate: the exact quadratic
+    oracle tier over the raw vectors and the SRP-LSH scale tier over
+    the twin-augmented corpus, discriminated by ``tier``."""
+    brute = dedup.cosine_dup_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=0.45
+    ).select(F.lit("brute").alias("tier"), "vec_id_a", "vec_id_b", "cosine")
+    lsh = dedup.cosine_dup_pairs_lsh(_emb_with_twins(spark, sf_dir), threshold=0.9).select(
+        F.lit("lsh").alias("tier"), "vec_id_a", "vec_id_b", "cosine"
+    )
+    return brute.unionByName(lsh)
+
+
+def _dedup_embedding_both_oracle() -> str:
+    return f"""
+SELECT 'brute' AS tier, vec_id_a, vec_id_b, cosine
+FROM ({dedup.cosine_dup_oracle(threshold=0.45)}) t
+UNION ALL
+SELECT 'lsh', vec_id_a, vec_id_b, cosine
+FROM ({dedup.cosine_dup_oracle(table=_AUG_EMB_SQL, threshold=0.9)}) t
+"""
+
+
 def _emb_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -981,6 +1047,104 @@ def _docs_with_short_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     extra = spark.createDataFrame(_SHORT_DOCS, "doc_id bigint, text string")
     return docs.unionByName(extra)
+
+
+# PII-enriched documents: the fixture corpus carries no emails / phone
+# numbers / IPs, so deterministic spans are appended on disjoint mod
+# classes (some docs get several kinds) by identical arithmetic on both
+# engine sides.  The scrub kernel then has real work on every gate run.
+def _pii_documents(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309 today"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" origin 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit(" logged"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PII_DOCS_SQL = (
+    "(SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.com now' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today' ELSE '' END "
+    "|| CASE WHEN doc_id % 13 = 0 THEN ' origin 10.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged' ELSE '' END "
+    "AS text FROM documents) pii_documents"
+)
+
+
+# Twin-injected corpus for the chunk-dedup gate: every 50th document
+# gains an identical re-keyed copy, so duplicate chunks exist and the
+# first-occurrence rule has observable effect (the raw fixture corpus
+# has no exact duplicate chunks at the gate's chunk size).
+def _docs_with_chunk_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(twins)
+
+
+_CHUNK_TWIN_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+    "WHERE doc_id % 50 = 0) chunk_twin_docs"
+)
+
+
+# Increment-vs-base split for the incremental-dedup gate: base is 90%
+# of the corpus, the increment is the other 10% plus re-keyed copies of
+# some base docs (→ 'dup_of_base') and a double copy class (→ both a
+# 'new' first member and 'dup_in_increment' later members).
+_INC_BASE_SQL = "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)"
+_INC_NEW_SQL = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 "
+    "UNION ALL SELECT doc_id + 3000000, text FROM documents "
+    "WHERE doc_id % 10 <> 0 AND doc_id % 37 = 1 "
+    "UNION ALL SELECT doc_id + 4000000, text FROM documents "
+    "WHERE doc_id % 10 = 0 AND doc_id % 30 = 0)"
+)
+
+
+def _q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 37 == 1)
+            ).select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 30 == 0)
+            ).select((F.col("doc_id") + 4_000_000).alias("doc_id"), "text")
+        )
+    )
+    from integritychecksforvldbs_spark.operators import curation
+
+    return curation.dedup_increment(base, inc)
 
 
 # Deterministically-damaged replica of documents for the row-diff gate:
@@ -1113,12 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["dedup_pairs"] = _q_dedup_pairs
     out["dedup_simhash_both"] = _q_simhash_both
-    out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
-        _load(spark, sf, "embeddings"), threshold=0.45
-    )
-    out["dedup_embedding_lsh"] = lambda spark, sf: dedup.cosine_dup_pairs_lsh(
-        _emb_with_twins(spark, sf), threshold=0.9
-    )
+    out["dedup_embedding_both"] = _q_dedup_embedding_both
     # end-to-end composition: pairs -> cluster keepers -> filtered corpus
     out["dedup_survivor_stats"] = lambda spark, sf: (
         dedup.dedup_survivors(_load(spark, sf, "documents"))
@@ -1134,24 +1293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_winnow"] = lambda spark, sf: text.winnow_fingerprints(
         _load(spark, sf, "documents")
     )
-    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
-        _load(spark, sf, "documents"), k=500
-    )
     out["text_rarity_repetition"] = _q_text_rarity_repetition
 
-    # ---- deterministic sampling ---------------------------------- 36
+    # ---- deterministic sampling ----------------------------------
     out["sample_suite"] = _q_sample_suite
 
-    # ---- multimodal plumbing (decode stubbed, plumbing real) ----- 37-39
-    out["multimodal_binary_stats"] = lambda spark, sf: multimodal.binary_stats(
-        multimodal.media_from_documents(_load(spark, sf, "documents"))
-    )
-    out["multimodal_frame_sample"] = lambda spark, sf: multimodal.sample_frames(
-        multimodal.media_from_documents(_load(spark, sf, "documents"))
-    )
-    out["multimodal_features"] = lambda spark, sf: multimodal.features_gate(
-        multimodal.media_from_documents(_load(spark, sf, "documents"))
-    )
+    # ---- multimodal plumbing (decode stubbed, plumbing real) -----
+    out["multimodal_suite"] = _q_multimodal_suite
 
     # ---- streaming kernels, batch-equivalent form (§2.10 ext.) --- 40-46
     out["events_hourly_counts"] = lambda spark, sf: freshness.hourly_counts(
@@ -1193,6 +1341,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["curation_token_chunks"] = lambda spark, sf: curation.token_chunks(
         _load(spark, sf, "documents"), chunk_size=64
+    )
+    out["curation_pii_scrub"] = lambda spark, sf: curation.pii_scrub(
+        _pii_documents(_load(spark, sf, "documents"))
+    )
+    out["curation_chunk_dedup"] = lambda spark, sf: curation.chunk_dedup(
+        _docs_with_chunk_twins(spark, sf), chunk_size=16
+    )
+    out["curation_increment"] = _q_dedup_increment
+    out["curation_pack"] = lambda spark, sf: curation.pack_sequences(
+        _load(spark, sf, "documents"), seq_len=256
     )
 
     # ================= past the 50-row driver cap =================
@@ -1242,6 +1400,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_topk_bruteforce"] = _ann_bruteforce
     out["ann_topk_prefiltered"] = _ann_prefiltered
+    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
+        _load(spark, sf, "documents"), k=500
+    )
+    out["text_gopher"] = lambda spark, sf: text.gopher_filter(
+        _load(spark, sf, "documents")
+    )
+    out["multimodal_binary_stats"] = lambda spark, sf: multimodal.binary_stats(
+        multimodal.media_from_documents(_load(spark, sf, "documents"))
+    )
+    out["multimodal_frame_sample"] = lambda spark, sf: multimodal.sample_frames(
+        multimodal.media_from_documents(_load(spark, sf, "documents"))
+    )
+    out["multimodal_features"] = lambda spark, sf: multimodal.features_gate(
+        multimodal.media_from_documents(_load(spark, sf, "documents"))
+    )
+    out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
+        _load(spark, sf, "embeddings"), threshold=0.45
+    )
+    out["dedup_embedding_lsh"] = lambda spark, sf: dedup.cosine_dup_pairs_lsh(
+        _emb_with_twins(spark, sf), threshold=0.9
+    )
     out["text_token_stats"] = lambda spark, sf: text.token_stats(
         _load(spark, sf, "documents")
     )
@@ -1352,26 +1531,21 @@ def oracle_sql() -> dict[str, str]:
     # equals the brute-force n-gram pairs, so both tiers share it
     out["dedup_pairs"] = _dedup_pairs_oracle()
     out["dedup_simhash_both"] = _simhash_both_oracle()
-    out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
-    # precision is exact and the injected twins' recall is structural,
-    # so the quadratic SQL over the augmented table IS the oracle
-    out["dedup_embedding_lsh"] = dedup.cosine_dup_oracle(
-        table=_AUG_EMB_SQL, threshold=0.9
-    )
+    # precision of the LSH tier is exact and the injected twins' recall
+    # is structural, so the quadratic SQL over the augmented table IS
+    # that tier's oracle
+    out["dedup_embedding_both"] = _dedup_embedding_both_oracle()
     out["dedup_survivor_stats"] = dedup.survivor_stats_oracle()
 
     # ---- similarity / text / sampling ----
     out["ann_topk"] = _ann_topk_oracle()
     out["text_doc_suite"] = _text_doc_suite_oracle()
     out["text_winnow"] = text.winnow_oracle()
-    out["text_vocabulary"] = text.vocabulary_oracle(k=500)
     out["text_rarity_repetition"] = _text_rarity_repetition_oracle()
     out["sample_suite"] = _sample_suite_oracle()
 
     # ---- multimodal ----
-    out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
-    out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
-    out["multimodal_features"] = multimodal.features_oracle()
+    out["multimodal_suite"] = _multimodal_suite_oracle()
 
     # ---- streaming batch-equivalents ----
     out["events_hourly_counts"] = freshness.hourly_counts_oracle()
@@ -1387,6 +1561,14 @@ def oracle_sql() -> dict[str, str]:
     out["curation_cap_per_source"] = curation.cap_per_source_oracle(k=100)
     out["curation_mixture"] = curation.mixture_allocation_oracle()
     out["curation_token_chunks"] = curation.token_chunks_oracle(chunk_size=64)
+    out["curation_pii_scrub"] = curation.pii_scrub_oracle(table=_PII_DOCS_SQL)
+    out["curation_chunk_dedup"] = curation.chunk_dedup_oracle(
+        table=_CHUNK_TWIN_DOCS_SQL, chunk_size=16
+    )
+    out["curation_increment"] = curation.dedup_increment_oracle(
+        _INC_BASE_SQL, _INC_NEW_SQL
+    )
+    out["curation_pack"] = curation.pack_sequences_oracle(seq_len=256)
 
     # ---- past-cap individual variants ----
     for t in TABLES:
@@ -1416,6 +1598,15 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
+    out["text_vocabulary"] = text.vocabulary_oracle(k=500)
+    out["text_gopher"] = text.gopher_filter_oracle()
+    out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
+    out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
+    out["multimodal_features"] = multimodal.features_oracle()
+    out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
+    out["dedup_embedding_lsh"] = dedup.cosine_dup_oracle(
+        table=_AUG_EMB_SQL, threshold=0.9
+    )
     out["text_token_stats"] = text.token_stats_oracle()
     out["text_quality"] = text.quality_score_oracle()
     out["text_langid"] = text.lang_id_oracle()

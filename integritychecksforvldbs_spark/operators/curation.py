@@ -21,6 +21,24 @@ ops with a DuckDB oracle computing the identical value:
   chunks (the pre-tokenization packing step).  Entirely row-local:
   chunk boundaries derive from the token array inside the row, so
   the operator is a projection — no shuffle at any corpus size.
+- **pii_scrub** — regex PII detection + redaction (emails, NANP
+  phone shapes, IPv4) with per-doc counts and a redacted-text
+  digest.  Patterns avoid backslash classes so Java regex (Spark)
+  and RE2 (DuckDB) agree literally; pure projection, no shuffle.
+- **chunk_dedup** — corpus-level duplicate-chunk removal (the C4
+  "repeated span" step at chunk granularity): the first occurrence
+  of each chunk text keeps, every later copy drops.  First-owner is a
+  map-side-combinable MIN per chunk (NOT a row_number window — a
+  boilerplate chunk with 10^9 copies would serialize one reducer).
+- **dedup_increment** — dedup a new batch against an existing
+  corpus WITHOUT shuffling the corpus: the increment's hash set
+  broadcasts to a semi-join scan of the base (100 TB side moves
+  zero bytes), matched hashes come back driver-scale, and only the
+  increment is ever shuffled.
+- **pack_sequences** — GPT-style sequence packing: concatenate a
+  source's documents in a deterministic order and split every
+  ``seq_len`` tokens; emit per-bin document/token occupancy.  One
+  window sort per source; all boundary arithmetic is exact integer.
 
 All ratios are integer/integer divisions (bitwise-equal doubles
 across engines); all counts are BIGINT.
@@ -271,6 +289,306 @@ def token_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# Backslash-free patterns: identical source text works as a Java regex
+# (Spark) and an RE2 regex (DuckDB) with no escaping translation, and
+# for these expressions greedy leftmost matching agrees across engines.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect and redact PII spans: (doc_id, n_emails, n_phones,
+    n_ips, redacted_md5).
+
+    Counts come from the raw text; redaction applies email → phone →
+    IPv4 in that order (the classes cannot overlap: emails contain no
+    dash-digit groups, phone matches contain no dots).  The compared
+    output carries ``md5`` of the redacted text rather than the text
+    itself so the gate hash stays small while still pinning every
+    replaced byte.
+
+    Scale shape: pure projection over one scan — regex evaluation is
+    whole-stage-codegen JVM; nothing shuffles at any corpus size.
+    """
+    t = text_col
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace({t}, "
+        f"'{EMAIL_RE}', '<EMAIL>'), "
+        f"'{PHONE_RE}', '<PHONE>'), "
+        f"'{IPV4_RE}', '<IP>')"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"CAST(size(regexp_extract_all({t}, '{EMAIL_RE}', 0)) AS BIGINT)").alias(
+            "n_emails"
+        ),
+        F.expr(f"CAST(size(regexp_extract_all({t}, '{PHONE_RE}', 0)) AS BIGINT)").alias(
+            "n_phones"
+        ),
+        F.expr(f"CAST(size(regexp_extract_all({t}, '{IPV4_RE}', 0)) AS BIGINT)").alias(
+            "n_ips"
+        ),
+        F.expr(f"md5({redacted})").alias("redacted_md5"),
+    )
+
+
+def pii_scrub_oracle(table: str = "documents") -> str:
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  md5({redacted}) AS redacted_md5
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-level chunk dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+_CHUNK_KEY_BASE = 1_000_000  # doc_id * base + chunk_idx total order
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicate-chunk removal summary: (doc_id,
+    n_chunks, n_kept, kept_tokens).
+
+    Every fixed-size token chunk keeps its FIRST occurrence in the
+    corpus (first = smallest ``doc_id * 1e6 + chunk_idx``, a total
+    order) and drops the rest — chunk-granular C4 span dedup.
+
+    Scale shape: first-owner per chunk is ``MIN(key) GROUP BY
+    chunk``, which map-side combines — a chunk duplicated 10^9 times
+    costs one long per map partition, where a row_number window would
+    sort the entire group on one reducer.  The join back is
+    chunk-hash → first-key (two shuffles of the chunk relation
+    total); AQE's skew split covers pathological chunk frequencies.
+    Assumes < 1e6 chunks per document (64 M tokens at the default
+    chunk size) so the encoded key stays collision-free.
+    """
+    ch = token_chunks(df, chunk_size, text_col, id_col).select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("ch"),
+        (F.col("doc_id") * _CHUNK_KEY_BASE + F.col("chunk_idx")).alias("key"),
+    )
+    first = ch.groupBy("ch").agg(F.min("key").alias("first_key"))
+    kept = F.col("key") == F.col("first_key")
+    return (
+        ch.join(first, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chunk_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+def chunk_dedup_oracle(table: str = "documents", chunk_size: int = 16) -> str:
+    base = _CHUNK_KEY_BASE
+    return f"""
+WITH ch AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens, md5(chunk_text) AS ch,
+         doc_id * {base} + chunk_idx AS key
+  FROM ({token_chunks_oracle(table, chunk_size)}) c),
+f AS (SELECT ch, MIN(key) AS first_key FROM ch GROUP BY ch)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN c.key = f.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.key = f.first_key THEN c.n_chunk_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM ch c JOIN f ON c.ch = f.ch
+GROUP BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def dedup_increment(
+    base: DataFrame,
+    inc: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Classify each increment document against an existing corpus:
+    (doc_id, status) with status ∈ {'dup_of_base',
+    'dup_in_increment', 'new'}.
+
+    The daily-crawl shape: ``base`` is the already-ingested corpus
+    (TBs), ``inc`` is the new batch (GBs).  The base side is NEVER
+    shuffled — the increment's distinct hash set broadcasts into a
+    semi-join against the base scan, and only the matched hashes
+    (≤ |increment|) come back.  Set ``broadcast_increment=False``
+    when the increment exceeds broadcast size; the same plan runs as
+    a shuffled semi-join and everything downstream is unchanged.
+
+    Within the increment, the first copy (smallest id) of a
+    hash-group that is NOT in the base stays 'new' and later copies
+    are 'dup_in_increment' — so appending ``status='new'`` rows to
+    the base keeps the corpus exactly-once.
+    """
+    inc_h = inc.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h")
+    )
+    probe = inc_h.select("h").distinct()
+    if broadcast_increment:
+        probe = F.broadcast(probe)
+    matched = (
+        base.select(F.md5(text_col).alias("h"))
+        .join(probe, "h", "left_semi")
+        .distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    first_inc = inc_h.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    out = (
+        inc_h.join(F.broadcast(matched), "h", "left")
+        .join(first_inc, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("in_base") == 1, F.lit("dup_of_base"))
+            .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_in_increment"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+    return out
+
+
+def dedup_increment_oracle(base_sql: str, inc_sql: str) -> str:
+    return f"""
+WITH b AS (SELECT DISTINCT md5(text) AS h FROM {base_sql}),
+i AS (SELECT doc_id, md5(text) AS h FROM {inc_sql}),
+f AS (SELECT h, MIN(doc_id) AS first_id FROM i GROUP BY h)
+SELECT i.doc_id,
+       CASE WHEN b.h IS NOT NULL THEN 'dup_of_base'
+            WHEN i.doc_id > f.first_id THEN 'dup_in_increment'
+            ELSE 'new' END AS status
+FROM i LEFT JOIN b ON i.h = b.h JOIN f ON i.h = f.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 256,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style packing occupancy: concatenate each source's
+    documents in a deterministic order (md5 priority, id tie-break),
+    split the token stream every ``seq_len`` tokens, and report per
+    bin: (source, bin_idx, n_docs, n_tokens).
+
+    A document whose token run crosses a bin boundary contributes to
+    every bin it overlaps (``n_docs`` counts contributors, so bins
+    spanned by one long document still show 1).  The last bin of a
+    source is partial; all earlier bins have exactly ``seq_len``
+    tokens — an invariant the tests pin.
+
+    Scale shape: one hash shuffle on source + one window sort per
+    source for the running token total; the span explode is
+    row-local and the final per-bin aggregation map-side combines.
+    A single source serializes its window — at web-corpus source
+    cardinality that bounds partitions, not the cluster.
+    """
+    L = seq_len
+    n = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            n.alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    spans = t.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cum - n) DIV {L}"), F.expr(f"(cum - 1) DIV {L}")
+            )
+        ).alias("bin_idx"),
+        F.col("cum"),
+        F.col("n"),
+    )
+    in_bin = F.least(F.col("cum"), (F.col("bin_idx") + 1) * L) - F.greatest(
+        F.col("cum") - F.col("n"), F.col("bin_idx") * L
+    )
+    return (
+        spans.select("source", "bin_idx", in_bin.alias("tok"))
+        .groupBy("source", "bin_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences_oracle(table: str = "documents", seq_len: int = 256) -> str:
+    L = seq_len
+    return f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+  FROM {table}),
+c AS (
+  SELECT source, doc_id, n,
+         CAST(SUM(n) OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t WHERE n > 0),
+s AS (
+  SELECT source, cum, n,
+         unnest(range((cum - n) // {L}, (cum - 1) // {L} + 1)) AS bin_idx
+  FROM c)
+SELECT source, bin_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(cum, (bin_idx + 1) * {L}) - GREATEST(cum - n, bin_idx * {L})) AS BIGINT)
+         AS n_tokens
+FROM s GROUP BY source, bin_idx
+"""
 
 
 def token_chunks_oracle(table: str = "documents", chunk_size: int = 64) -> str:

@@ -479,6 +479,82 @@ def repetition_stats(
     )
 
 
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule composite keep/drop decision per document (Rae et
+    al. 2021 §A1.1 heuristics, integer-exact form): (doc_id, n_words,
+    mean_word_len_e2, n_stopword_hits, n_alpha_words, keep).
+
+    Rules (all must hold for ``keep=1``):
+      - 10 ≤ word count ≤ 50,000
+      - mean word length in [1.5, 10] chars (scaled ×100 to an exact
+        integer: ``sum(len) * 100 DIV n`` — no FP boundary flake)
+      - ≥ 2 hits from the English stopword list
+      - ≥ 80% of words contain an alphabetic character
+        (``n_alpha * 10 >= n_words * 8`` — integer cross-multiply)
+
+    Row-local projection over one scan; composes with
+    ``repetition_stats`` (the repetition rules live there) for the
+    full Gopher gate.
+    """
+    t = text_col
+    en = _sql_list(STOPWORDS["en"])
+    toks = f"filter(split({t}, ' '), x -> x <> '')"
+    expr = f"""
+    named_struct(
+      'n_words', CAST(size({toks}) AS BIGINT),
+      'sum_len', CAST(aggregate({toks}, 0, (acc, x) -> acc + length(x)) AS BIGINT),
+      'n_stop', CAST(size(filter(split(lower({t}), ' '), x -> x IN ({en}))) AS BIGINT),
+      'n_alpha', CAST(size(filter({toks}, x -> x rlike '[A-Za-z]')) AS BIGINT)
+    )
+    """
+    s = df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("m"))
+    mwl = F.when(
+        F.col("m.n_words") > 0, F.expr("m.sum_len * 100 DIV m.n_words")
+    ).otherwise(F.lit(0)).cast("long")
+    keep = (
+        F.col("m.n_words").between(10, 50000)
+        & mwl.between(150, 1000)
+        & (F.col("m.n_stop") >= 2)
+        & (F.col("m.n_alpha") * 10 >= F.col("m.n_words") * 8)
+    )
+    return s.select(
+        "doc_id",
+        F.col("m.n_words").alias("n_words"),
+        mwl.alias("mean_word_len_e2"),
+        F.col("m.n_stop").alias("n_stopword_hits"),
+        F.col("m.n_alpha").alias("n_alpha_words"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def gopher_filter_oracle(table: str = "documents") -> str:
+    en = _sql_list(STOPWORDS["en"])
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+    CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({en}))) AS BIGINT) AS n_stop,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+  FROM (SELECT doc_id, text, {toks} AS toks FROM {table})
+)
+SELECT doc_id, n_words,
+  CAST(CASE WHEN n_words > 0 THEN sum_len * 100 // n_words ELSE 0 END AS BIGINT)
+    AS mean_word_len_e2,
+  n_stop AS n_stopword_hits,
+  n_alpha AS n_alpha_words,
+  CAST(CASE WHEN n_words BETWEEN 10 AND 50000
+        AND (CASE WHEN n_words > 0 THEN sum_len * 100 // n_words ELSE 0 END) BETWEEN 150 AND 1000
+        AND n_stop >= 2
+        AND n_alpha * 10 >= n_words * 8
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+"""
+
+
 def repetition_stats_oracle(table: str = "documents") -> str:
     """Identical repetition signals in DuckDB — same tokenization, same
     n-gram construction (1-based list indexing, end-exclusive range),
