@@ -73,6 +73,28 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, path)
 
 
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Re-slice a scan whose planned partition count is below the
+    session's core count.
+
+    The fixture tables are single-row-group parquet files, so every
+    scan-rooted stage runs as ONE task — for a compute-dominated
+    row-local kernel (winnowing does an md5 per character position)
+    that leaves 31 of 32 cores idle.  A bounded repartition trades one
+    tiny shuffle of the pruned columns for full-width compute.  On a
+    real cluster the input has orders of magnitude more splits than
+    cores and this is a no-op — measured: only compute-dominated
+    projections win; aggregation-rooted plans are faster WITHOUT it
+    (their single-core fused agg beats the extra exchange), so only
+    those kernels opt in.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1291,7 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis (north star) ------------------------------ 32-36
     out["text_doc_suite"] = _q_text_doc_suite
     out["text_winnow"] = lambda spark, sf: text.winnow_fingerprints(
-        _load(spark, sf, "documents")
+        _fan_out_small_scan(_load(spark, sf, "documents").select("doc_id", "text"))
     )
     out["text_rarity_repetition"] = _q_text_rarity_repetition
 
@@ -1372,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_short_edge(spark, sf)
     )
     out["dedup_minhash_lsh"] = lambda spark, sf: dedup.minhash_lsh_pairs(
-        _docs_with_short_edge(spark, sf)
+        _fan_out_small_scan(_docs_with_short_edge(spark, sf))
     )
     out["dedup_simhash"] = lambda spark, sf: dedup.simhash_dup_pairs(
         _load(spark, sf, "documents")
