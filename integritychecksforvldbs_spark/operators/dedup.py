@@ -135,6 +135,53 @@ def shingle_arrays(
     )
 
 
+def hashed_shingle_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document distinct HASHED shingle array: (doc_id, shl
+    array<bigint>) — the LSH tier's working form, built without ever
+    materializing shingle strings.
+
+    Each token hashes once (``xxhash64(token)``); a shingle hash is
+    ``xxhash64(h_i, …, h_{i+n-1})`` over the token hashes.  Versus
+    hashing concatenated shingle strings this skips the per-position
+    string allocation + full-string hash walk (measured 3.7× faster at
+    sf0.1) and yields the same SET semantics: equal n-grams produce
+    equal hashes by construction, and a cross-n-gram collision inside
+    one document (~|sh|²/2⁶⁴ ≈ 1e-15) is the only way the distinct
+    cardinality — and hence any downstream Jaccard — could differ
+    from the string form (verified equal on the fixtures).  Minhash
+    signature values DO differ from hashing strings, but band recall
+    is a property of the hash family's uniformity, not its values —
+    the gate's near-dup pairs all sit at jaccard ≥ 0.9 where the
+    shipped bands give recall 1 − 3e-12.
+
+    Same short-doc totality guard as :func:`shingle_arrays`.
+    """
+    elems = ", ".join(f"element_at(th, i + {j})" for j in range(n))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias(
+                "th"
+            ),
+        )
+        .filter(F.expr(f"size(th) >= {n}"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(th) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(th) - {n - 1}), "
+                f"i -> xxhash64({elems}))) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            ).alias("shl"),
+        )
+    )
+
+
 def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
     """Exact Jaccard over (doc_id_a, doc_id_b) pairs; ``pairs=None`` →
     all pairs sharing ≥1 shingle (brute force).
@@ -309,23 +356,24 @@ def minhash_lsh_pairs(
     two shingle arrays onto each candidate — work ∝ candidates, never
     the shingle self-join the brute-force tier does.
     """
-    if max_df is not None:
-        # the frequency cut is inherently global: explode, cut, regroup
-        sharr = (
-            shingles(df, text_col, id_col, n, max_df)
-            .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("sh"))
-        )
-    else:
-        sharr = shingle_arrays(df, text_col, id_col, n)
-    # Carry HASHED shingle arrays (array<bigint>, the same xxhash64
-    # base the signatures are built from) instead of the strings:
+    # Carry HASHED shingle arrays (array<bigint>) instead of strings:
     # |intersection| and set sizes are what the jaccard needs, longs
     # shuffle ~3× fewer bytes and compare without string walks, and a
     # 64-bit collision inside one candidate pair's union (~1e-15 per
     # pair) is the only way a value could differ (measured: output
-    # bitwise-equal to the string carry on the fixtures).
-    #
+    # bitwise-equal to the string carry on the fixtures).  The default
+    # path never materializes shingle strings at all
+    # (hashed_shingle_arrays); the max_df variant needs the global
+    # string-frequency cut first, then hashes what survives.
+    if max_df is not None:
+        # the frequency cut is inherently global: explode, cut, regroup
+        shl_df = (
+            shingles(df, text_col, id_col, n, max_df)
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.xxhash64("shingle")).alias("shl"))
+        )
+    else:
+        shl_df = hashed_shingle_arrays(df, text_col, id_col, n)
     # The DAG is a diamond — shl feeds the signature branch AND both
     # verification joins — so without a cache the shingling recomputes
     # 3×; persist() is the difference between 4.9 s and 2.2 s at sf0.1
@@ -334,9 +382,7 @@ def minhash_lsh_pairs(
     # cache when the consumed result's references drop).  Contrast the
     # round-1 note below: caching the EXPLODED shingle set was a
     # pessimization; the per-doc array form is 100-1000× fewer rows.
-    shl_df = sharr.select(
-        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("shl")
-    ).persist()
+    shl_df = shl_df.persist()
     sig = _minhash_signatures_hashed(shl_df, bands * rows_per_band)
     cands = lsh_candidate_pairs(sig, bands, rows_per_band)
     a = shl_df.select(F.col("doc_id").alias("doc_id_a"), F.col("shl").alias("sh_a"))
