@@ -1351,12 +1351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["events_incident_counts"] = _q_incident_counts
 
-    # ---- corpus curation (north star) ---------------------------- 47-50
-    out["curation_decontaminate"] = lambda spark, sf: curation.decontaminate(
-        _load(spark, sf, "documents")
+    # ---- corpus curation (north star) ----------------------------
+    # end-to-end funnel: quality -> LSH dedup survivors -> benchmark
+    # decontamination -> per-source cap, one row per stage; subsumes
+    # the individual decontaminate/cap gates (now past-cap variants)
+    out["curation_funnel"] = lambda spark, sf: curation.curate_funnel(
+        _load(spark, sf, "documents"), n=5, cap_k=20
     )
-    out["curation_cap_per_source"] = lambda spark, sf: curation.cap_per_source(
-        _load(spark, sf, "documents"), k=100
+    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
+        _load(spark, sf, "documents"), k=500
     )
     out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
         _load(spark, sf, "documents")
@@ -1422,8 +1425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_topk_bruteforce"] = _ann_bruteforce
     out["ann_topk_prefiltered"] = _ann_prefiltered
-    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
-        _load(spark, sf, "documents"), k=500
+    out["curation_decontaminate"] = lambda spark, sf: curation.decontaminate(
+        _load(spark, sf, "documents")
+    )
+    out["curation_cap_per_source"] = lambda spark, sf: curation.cap_per_source(
+        _load(spark, sf, "documents"), k=100
     )
     out["text_gopher"] = lambda spark, sf: text.gopher_filter(
         _load(spark, sf, "documents")
@@ -1579,8 +1585,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_incident_counts"] = temporal.incident_event_counts_oracle()
 
     # ---- curation ----
-    out["curation_decontaminate"] = curation.decontaminate_oracle()
-    out["curation_cap_per_source"] = curation.cap_per_source_oracle(k=100)
+    out["curation_funnel"] = curation.curate_funnel_oracle(n=5, cap_k=20)
+    out["text_vocabulary"] = text.vocabulary_oracle(k=500)
     out["curation_mixture"] = curation.mixture_allocation_oracle()
     out["curation_token_chunks"] = curation.token_chunks_oracle(chunk_size=64)
     out["curation_pii_scrub"] = curation.pii_scrub_oracle(table=_PII_DOCS_SQL)
@@ -1620,7 +1626,8 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
-    out["text_vocabulary"] = text.vocabulary_oracle(k=500)
+    out["curation_decontaminate"] = curation.decontaminate_oracle()
+    out["curation_cap_per_source"] = curation.cap_per_source_oracle(k=100)
     out["text_gopher"] = text.gopher_filter_oracle()
     out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
     out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from integritychecksforvldbs_spark.operators import dedup
 from integritychecksforvldbs_spark.operators.dedup import shingles
 
 # ---------------------------------------------------------------------------
@@ -63,6 +64,7 @@ def decontaminate(
     benchmark_mod: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    benchmark_df: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-overlap decontamination: (doc_id, n_grams,
     n_contaminated, contamination, contaminated).
@@ -70,8 +72,13 @@ def decontaminate(
     Documents whose ``doc_id % benchmark_mod == 0`` form the held-out
     benchmark; every *other* document is scored by how many of its
     distinct word n-grams appear anywhere in the benchmark.  Real
-    pipelines pass an explicit benchmark table — the mod split keeps
-    the oracle self-contained on one fixture table.
+    pipelines pass an explicit benchmark table — ``benchmark_df``
+    does exactly that (every row of ``df`` is then scored and the mod
+    split is ignored); the default mod split keeps the oracle
+    self-contained on one fixture table.  The benchmark set should be
+    the IMMUTABLE eval suite, never a derived subset: a pipeline that
+    decontaminates against a pool its own dedup already shrank can
+    silently lose the benchmark doc and stop flagging its twins.
 
     Scale shape: the benchmark gram set is tiny relative to the
     corpus (eval sets are MBs, corpora are TBs), so it is broadcast
@@ -80,13 +87,17 @@ def decontaminate(
     (< n tokens) have no n-grams and are excluded, mirroring the
     shingle kernel's domain.
     """
-    is_bench = F.col(id_col) % benchmark_mod == 0
+    if benchmark_df is None:
+        is_bench = F.col(id_col) % benchmark_mod == 0
+        bench_src = df.filter(is_bench)
+        train_src = df.filter(~is_bench)
+    else:
+        bench_src = benchmark_df
+        train_src = df
     bench_grams = (
-        shingles(df.filter(is_bench), text_col, id_col, n)
-        .select("shingle")
-        .distinct()
+        shingles(bench_src, text_col, id_col, n).select("shingle").distinct()
     )
-    train = shingles(df.filter(~is_bench), text_col, id_col, n)
+    train = shingles(train_src, text_col, id_col, n)
     card = train.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
     hits = (
         train.join(F.broadcast(bench_grams), "shingle")
@@ -289,6 +300,157 @@ def token_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+
+def curate_funnel(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    benchmark_mod: int = 20,
+    cap_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The whole curation pipeline as one funnel, reported as
+    (stage, n_docs, n_tokens) — the shape every corpus-construction
+    writeup publishes:
+
+      raw → quality (Gopher composite keep) → dedup (near-dup cluster
+      survivors, minhash-LSH pairs) → decontaminated (benchmark docs
+      and benchmark-overlapping docs removed) → capped (per-source K)
+
+    Each stage feeds the next, so counts are monotone non-increasing;
+    the per-stage token totals use the whitespace tokenization every
+    other kernel uses.  Composition correctness rides on the
+    individually-oracle-verified component kernels; the funnel's own
+    oracle recomputes the entire chain in SQL (quadratic-pair dedup
+    tier + recursive-CTE clustering) and must agree on every stage
+    row.
+
+    Scale: the stages run the component plans unchanged (LSH dedup,
+    broadcast decontamination, one window per source for the cap);
+    the funnel adds only 5 metadata-sized aggregation rows.
+    """
+    from integritychecksforvldbs_spark.operators import text as text_ops
+
+    ntok = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+    )
+
+    def stage(name: str, d: DataFrame) -> DataFrame:
+        return d.select(ntok.alias("_n")).agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    keep_ids = (
+        text_ops.gopher_filter(df, text_col, id_col)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    quality = df.join(keep_ids, id_col)
+    survivors = dedup.dedup_survivors(
+        quality,
+        pairs=dedup.minhash_lsh_pairs(
+            quality, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+        ),
+        id_col=id_col,
+    )
+    # The benchmark set is the IMMUTABLE raw-corpus split — quality
+    # filtering or dedup dropping a benchmark doc must not stop its
+    # grams from flagging training twins.
+    bench = df.filter(F.col(id_col) % benchmark_mod == 0)
+    pool = survivors.filter(F.col(id_col) % benchmark_mod != 0)
+    clean_ids = (
+        decontaminate(pool, n, benchmark_mod, text_col, id_col, benchmark_df=bench)
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    clean = survivors.join(clean_ids, id_col)
+    capped_ids = cap_per_source(clean, cap_k, source_col, id_col).select("doc_id")
+    capped = clean.join(capped_ids, id_col)
+    return (
+        stage("1_raw", df)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_dedup", survivors))
+        .unionByName(stage("4_decontaminated", clean))
+        .unionByName(stage("5_capped", capped))
+    )
+
+
+def curate_funnel_oracle(
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.5,
+    benchmark_mod: int = 20,
+    cap_k: int = 100,
+) -> str:
+    from integritychecksforvldbs_spark.operators.dedup import (
+        ngram_jaccard_oracle,
+    )
+    from integritychecksforvldbs_spark.operators.text import gopher_filter_oracle
+
+    ntok = "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)"
+    pairs_sql = ngram_jaccard_oracle("quality", n, threshold).strip()
+    return f"""
+WITH RECURSIVE
+g AS ({gopher_filter_oracle(table)}),
+quality AS (
+  SELECT d.* FROM {table} d JOIN g ON d.doc_id = g.doc_id AND g.keep = 1),
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+drops AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(lbl)),
+survivors AS (
+  SELECT q.* FROM quality q
+  WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.node = q.doc_id)),
+bsh AS (
+  SELECT DISTINCT g AS shingle FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))) AS g
+    FROM {table}
+    WHERE doc_id % {benchmark_mod} = 0
+      AND len(string_split(text, ' ')) >= {n})),
+tsh AS (
+  SELECT DISTINCT doc_id, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))) AS g
+    FROM survivors
+    WHERE doc_id % {benchmark_mod} <> 0
+      AND len(string_split(text, ' ')) >= {n})),
+scored AS (SELECT DISTINCT doc_id FROM tsh),
+hit AS (
+  SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.shingle = b.shingle),
+clean AS (
+  SELECT s.* FROM survivors s
+  JOIN scored sc ON s.doc_id = sc.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = s.doc_id)),
+cap AS ({cap_per_source_oracle("clean", cap_k)}),
+capped AS (SELECT c.* FROM clean c JOIN cap ON c.doc_id = cap.doc_id)
+SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM({ntok}), 0) AS BIGINT) AS n_tokens FROM {table}
+UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({ntok}), 0) AS BIGINT) FROM quality
+UNION ALL SELECT '3_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({ntok}), 0) AS BIGINT) FROM survivors
+UNION ALL SELECT '4_decontaminated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({ntok}), 0) AS BIGINT) FROM clean
+UNION ALL SELECT '5_capped', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({ntok}), 0) AS BIGINT) FROM capped
+"""
 
 
 # ---------------------------------------------------------------------------

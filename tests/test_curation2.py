@@ -211,6 +211,80 @@ def test_pack_sequences_single_long_doc_spans_bins(spark):
 
 
 # ---------------------------------------------------------------------------
+# curate_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_curate_funnel_monotone_and_consistent(docs):
+    """Stage counts are monotone non-increasing, stage 1 equals the
+    raw corpus, and the quality stage equals applying gopher_filter
+    by hand."""
+    rows = {
+        r["stage"]: r for r in curation.curate_funnel(docs, n=5, cap_k=20).collect()
+    }
+    order = ["1_raw", "2_quality", "3_dedup", "4_decontaminated", "5_capped"]
+    assert list(rows) and set(order) == set(rows)
+    counts = [rows[s]["n_docs"] for s in order]
+    tokens = [rows[s]["n_tokens"] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert tokens == sorted(tokens, reverse=True)
+    assert rows["1_raw"]["n_docs"] == docs.count()
+    n_quality = docs.join(
+        text.gopher_filter(docs).filter("keep = 1").select("doc_id"), "doc_id"
+    ).count()
+    assert rows["2_quality"]["n_docs"] == n_quality
+
+
+def test_curate_funnel_benchmark_docs_dropped(spark):
+    """Benchmark documents (doc_id % benchmark_mod == 0) never reach
+    the decontaminated stage; a doc sharing an n-gram with one is
+    dropped too — even though neither pair is a near-dup (the shared
+    trigram keeps jaccard ≈ 0.39 < 0.5, so dedup keeps all three)."""
+    stop = "the a and of to in is it that for"
+    df = spark.createDataFrame(
+        [
+            (20, stop + " secret benchmark passage qq rr ss"),
+            (1, stop + " mundane filler secret benchmark passage uu vv ww xx yy"),
+            (2, "a the of and in to is that it for unrelated content entirely disjoint tokens"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("source", F.lit("s"))
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in curation.curate_funnel(df, n=3, benchmark_mod=20).collect()
+    }
+    assert rows["1_raw"] == 3 and rows["2_quality"] == 3 and rows["3_dedup"] == 3
+    # doc 20 is benchmark, doc 1 overlaps it -> only doc 2 survives
+    assert rows["4_decontaminated"] == 1 and rows["5_capped"] == 1
+
+
+def test_curate_funnel_bench_grams_survive_dedup_of_bench_doc(spark):
+    """A benchmark doc removed by DEDUP (its identical twin has the
+    smaller id) must still flag overlapping training docs: the
+    benchmark split is computed from the RAW corpus, not the
+    survivor pool."""
+    stop = "the a and of to in is it that for"
+    bench_text = stop + " secret benchmark passage qq rr ss"
+    df = spark.createDataFrame(
+        [
+            (20, bench_text),
+            (3, bench_text),  # identical twin, smaller id -> dedup keeper
+            (1, stop + " mundane filler secret benchmark passage uu vv ww xx yy"),
+            (2, "a the of and in to is that it for unrelated content entirely disjoint tokens"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("source", F.lit("s"))
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in curation.curate_funnel(df, n=3, benchmark_mod=20).collect()
+    }
+    # dedup removes doc 20 (keeper = 3), yet its grams still kill docs
+    # 3 and 1 at decontamination; only doc 2 survives
+    assert rows["3_dedup"] == 3
+    assert rows["4_decontaminated"] == 1 and rows["5_capped"] == 1
+
+
+# ---------------------------------------------------------------------------
 # gopher_filter
 # ---------------------------------------------------------------------------
 
