@@ -51,7 +51,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from integritychecksforvldbs_spark.operators import dedup
-from integritychecksforvldbs_spark.operators.dedup import shingles
 
 # ---------------------------------------------------------------------------
 # decontamination
@@ -94,10 +93,18 @@ def decontaminate(
     else:
         bench_src = benchmark_df
         train_src = df
-    bench_grams = (
-        shingles(bench_src, text_col, id_col, n).select("shingle").distinct()
-    )
-    train = shingles(train_src, text_col, id_col, n)
+
+    # Work on HASHED grams (dedup.hashed_shingle_arrays): the broadcast
+    # bench set carries 8-byte longs instead of n-token strings and the
+    # probe compares longs — same counts as string matching (equal
+    # n-grams hash equal; a cross-gram collision is ~1e-15/doc).
+    def _grams(src: DataFrame) -> DataFrame:
+        return dedup.hashed_shingle_arrays(src, text_col, id_col, n).select(
+            "doc_id", F.explode("shl").alias("shingle")
+        )
+
+    bench_grams = _grams(bench_src).select("shingle").distinct()
+    train = _grams(train_src)
     card = train.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
     hits = (
         train.join(F.broadcast(bench_grams), "shingle")
@@ -355,14 +362,19 @@ def curate_funnel(
         .filter(F.col("keep") == 1)
         .select("doc_id")
     )
-    quality = df.join(keep_ids, id_col)
+    # Five stage aggregations branch off this lineage; without the
+    # persists each branch re-runs the quality join and the whole LSH
+    # dedup (measured 3-4x recompute).  Both frames are corpus-sized
+    # (MEMORY_AND_DISK spills at scale); the ContextCleaner reclaims
+    # them once the funnel rows are consumed.
+    quality = df.join(keep_ids, id_col).persist()
     survivors = dedup.dedup_survivors(
         quality,
         pairs=dedup.minhash_lsh_pairs(
             quality, n=n, threshold=threshold, text_col=text_col, id_col=id_col
         ),
         id_col=id_col,
-    )
+    ).persist()
     # The benchmark set is the IMMUTABLE raw-corpus split — quality
     # filtering or dedup dropping a benchmark doc must not stop its
     # grams from flagging training twins.
@@ -373,7 +385,7 @@ def curate_funnel(
         .filter(F.col("contaminated") == 0)
         .select("doc_id")
     )
-    clean = survivors.join(clean_ids, id_col)
+    clean = survivors.join(clean_ids, id_col).persist()
     capped_ids = cap_per_source(clean, cap_k, source_col, id_col).select("doc_id")
     capped = clean.join(capped_ids, id_col)
     return (
