@@ -1465,6 +1465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_repetition"] = lambda spark, sf: text.repetition_stats(
         _docs_with_short_edge(spark, sf)
     )
+    # sketch tier — engine-specific values, recorded rows-only (the
+    # error bound vs the exact tier is pinned by tests/test_profile.py)
+    out["profile_documents_approx"] = lambda spark, sf: profile.profile_approx_df(
+        _load(spark, sf, "documents")
+    )
+    out["quantiles_value_approx"] = lambda spark, sf: profile.approx_quantiles_df(
+        _load(spark, sf, "events"), "value"
+    )
     out["sample_deterministic"] = lambda spark, sf: sampling.deterministic_sample(
         _load(spark, sf, "documents").select("doc_id", "lang"), keep_one_in=16
     )

@@ -20,9 +20,10 @@ table therefore costs one scan + an Expand factor K absorbed by the
 map-side hash aggregate — not K scans.
 
 NDV is exact (COUNT DISTINCT, NULLs excluded — both engines agree);
-for monitoring at extreme cardinalities, swap ``F.count_distinct`` for
-``F.approx_count_distinct`` at the call site — the plan shape is
-identical minus the Expand.
+for monitoring at extreme cardinalities :func:`profile_approx_df`
+swaps in HyperLogLog++ sketches (and :func:`approx_quantiles_df` the
+Greenwald-Khanna quantile summary) — same output schema, no Expand,
+state bounded regardless of cardinality.
 
 min/max are computed natively (numeric/string ordering, not string
 ordering of casts) and cast to string afterwards for the uniform
@@ -88,6 +89,86 @@ def profile_oracle(table: str, columns: Sequence[str]) -> str:
         for c in columns
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def profile_approx_df(
+    df: DataFrame, columns: Sequence[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-tier profile: same schema as :func:`profile_df` with
+    ``n_distinct`` computed by HyperLogLog++ (``approx_count_distinct``,
+    relative standard deviation ``rsd``).
+
+    This is the shape to run at extreme cardinalities: exact NDV plans
+    an Expand (row fan-out per distinct-aggregated column) whose
+    partial-aggregate hash tables hold every distinct value; the HLL
+    sketch is a few KB per column regardless of cardinality, merges
+    associatively map-side, and drops the Expand from the plan
+    entirely.  Values are engine-specific (sketches don't
+    cross-reproduce), so the harness records this query rows-only —
+    the error bound vs the exact tier is pinned by tests instead.
+    """
+    cols = list(columns if columns is not None else df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"_nulls_{c}"),
+            F.approx_count_distinct(F.col(c), rsd).cast("long").alias(f"_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+
+    stack_args: list[F.Column] = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_nulls_{c}"),
+            F.col(f"_ndv_{c}"),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+        ]
+    return wide.select(
+        F.col("_n_rows").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column_name", "n_nulls", "n_distinct", "min_value", "max_value"),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def approx_quantiles_df(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Approximate quantiles via Greenwald-Khanna
+    (``percentile_approx``): (quantile, value) — the scale path beside
+    the exact discrete-quantile kernel (``length_quantiles``), whose
+    full-sort-per-group shape is the bottleneck at 100 TB.  The GK
+    summary is bounded by 1/relative_error regardless of row count and
+    merges map-side.  Engine-specific values → rows-only gate; the
+    rank-error contract (within ``relative_error`` of the exact rank)
+    is pinned by tests.
+    """
+    q = F.percentile_approx(
+        F.col(col), list(probs), F.lit(int(1.0 / relative_error))
+    ).alias("qs")
+    wide = df.agg(q)
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in probs]).alias("quantile"),
+        F.col("qs").alias("value"),
+    )
+    return (
+        wide.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.quantile").alias("quantile"),
+            F.col("p.value").cast("double").alias("value"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,58 @@ def test_histogram_buckets_partition_the_table(tables):
     assert sum(r["n_rows"] for r in rows) == docs.count()
     for r in rows:
         assert r["bucket"] * 100 <= r["min_value"] <= r["max_value"] < (r["bucket"] + 1) * 100
+
+
+def test_profile_approx_ndv_within_bound(tables):
+    """HLL++ NDV lands within 5 relative standard deviations of exact
+    for every documents column (rsd=0.05 -> ±25% worst case; actual
+    HLL error at these cardinalities is far tighter)."""
+    exact = {
+        r["column_name"]: r
+        for r in profile.profile_df(tables["documents"], DOC_COLS).collect()
+    }
+    approx = {
+        r["column_name"]: r
+        for r in profile.profile_approx_df(tables["documents"], DOC_COLS).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in DOC_COLS:
+        e, a = exact[c], approx[c]
+        # everything except the sketch must be identical
+        assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) == (
+            e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"],
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            1, int(0.25 * e["n_distinct"])
+        )
+
+
+def test_profile_approx_drops_expand(tables):
+    """The sketch tier's reason to exist: the exact plan fans rows out
+    through Expand for the multi-distinct; the HLL plan must not."""
+    exact_plan = (
+        profile.profile_df(tables["documents"], DOC_COLS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile.profile_approx_df(tables["documents"], DOC_COLS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    assert approx_plan.count("Scan parquet") == 1
+
+
+def test_approx_quantiles_rank_error(tables):
+    """Every returned value's exact rank is within the GK
+    relative_error of the requested quantile."""
+    ev = tables["events"]
+    n = ev.count()
+    eps = 0.01
+    rows = profile.approx_quantiles_df(ev, "value", relative_error=eps).collect()
+    assert len(rows) == 5
+    for r in rows:
+        v, p = r["value"], r["quantile"]
+        le = ev.filter(f"value <= {v}").count() / n
+        lt = ev.filter(f"value < {v}").count() / n
+        assert lt - eps <= p <= le + eps, (p, v, lt, le)
