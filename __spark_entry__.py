@@ -1148,7 +1148,7 @@ _INC_NEW_SQL = (
 )
 
 
-def _q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _inc_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     inc = (
@@ -1164,9 +1164,31 @@ def _q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select((F.col("doc_id") + 4_000_000).alias("doc_id"), "text")
         )
     )
+    return base, inc
+
+
+def _q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both incremental-dedup tiers in one long-format gate: the exact
+    content-hash classifier and the cross-corpus LSH near-dup probe
+    (base never pairs with itself), discriminated by ``tier``."""
     from integritychecksforvldbs_spark.operators import curation
 
-    return curation.dedup_increment(base, inc)
+    base, inc = _inc_split(spark, sf_dir)
+    exact = curation.dedup_increment(base, inc).select(
+        F.lit("exact").alias("tier"),
+        "doc_id",
+        F.lit(None).cast("long").alias("ref_id"),
+        "status",
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    near = dedup.minhash_lsh_increment_pairs(base, inc).select(
+        F.lit("near").alias("tier"),
+        F.col("inc_id").alias("doc_id"),
+        F.col("base_id").alias("ref_id"),
+        F.lit(None).cast("string").alias("status"),
+        "jaccard",
+    )
+    return exact.unionByName(near)
 
 
 # Deterministically-damaged replica of documents for the row-diff gate:
@@ -1601,9 +1623,14 @@ def oracle_sql() -> dict[str, str]:
     out["curation_chunk_dedup"] = curation.chunk_dedup_oracle(
         table=_CHUNK_TWIN_DOCS_SQL, chunk_size=16
     )
-    out["curation_increment"] = curation.dedup_increment_oracle(
-        _INC_BASE_SQL, _INC_NEW_SQL
-    )
+    out["curation_increment"] = f"""
+SELECT 'exact' AS tier, doc_id, CAST(NULL AS BIGINT) AS ref_id, status,
+       CAST(NULL AS DOUBLE) AS jaccard
+FROM ({curation.dedup_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
+UNION ALL
+SELECT 'near', inc_id, base_id, CAST(NULL AS VARCHAR), jaccard
+FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
+"""
     out["curation_pack"] = curation.pack_sequences_oracle(seq_len=256)
 
     # ---- past-cap individual variants ----

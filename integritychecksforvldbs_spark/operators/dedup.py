@@ -418,6 +418,106 @@ def _minhash_signatures_hashed(shl_df: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def minhash_lsh_increment_pairs(
+    base: DataFrame,
+    inc: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and an existing corpus:
+    (inc_id, base_id, jaccard) — the LSH analogue of
+    :func:`curation.dedup_increment`'s exact tier.
+
+    The incremental-crawl question is "which new docs are near-copies
+    of something already ingested", NOT "re-cluster the whole corpus":
+    banding both sides and joining inc-buckets × base-buckets yields
+    exactly the cross pairs — the base is scanned once (signatures are
+    row-local) and never pairs with itself, so the work is linear in
+    |base| + candidates, per batch.  Exact-jaccard verification joins
+    each side's own hashed shingle array onto the candidates, same as
+    the full-corpus tier.
+    """
+    shl_b = hashed_shingle_arrays(base, text_col, id_col, n).persist()
+    shl_i = hashed_shingle_arrays(inc, text_col, id_col, n).persist()
+    num_hashes = bands * rows_per_band
+    sig_b = _minhash_signatures_hashed(shl_b, num_hashes)
+    sig_i = _minhash_signatures_hashed(shl_i, num_hashes)
+
+    def buckets(sig: DataFrame, out_id: str) -> DataFrame:
+        band_hashes = F.array(
+            *[
+                F.expr(
+                    f"xxhash64({b}, "
+                    + ", ".join(
+                        f"mh[{b * rows_per_band + j}]" for j in range(rows_per_band)
+                    )
+                    + ")"
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col("doc_id").alias(out_id),
+            F.posexplode(band_hashes).alias("band", "bucket"),
+        )
+
+    cands = (
+        buckets(sig_i, "inc_id")
+        .join(buckets(sig_b, "base_id"), ["band", "bucket"])
+        .select("inc_id", "base_id")
+        .distinct()
+    )
+    a = shl_i.select(F.col("doc_id").alias("inc_id"), F.col("shl").alias("sh_a"))
+    b = shl_b.select(F.col("doc_id").alias("base_id"), F.col("shl").alias("sh_b"))
+    common = F.expr("size(array_intersect(sh_a, sh_b))")
+    return (
+        cands.join(a, "inc_id")
+        .join(b, "base_id")
+        .select(
+            "inc_id",
+            "base_id",
+            (
+                common / (F.expr("size(sh_a)") + F.expr("size(sh_b)") - common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_increment_oracle(
+    base_sql: str, inc_sql: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Quadratic cross-corpus oracle for the incremental LSH tier:
+    every (inc, base) pair with word-n-gram jaccard ≥ τ."""
+    def grams(src: str, idc: str) -> str:
+        return f"""
+  SELECT DISTINCT doc_id AS {idc}, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))) AS g
+    FROM {src}
+    WHERE len(string_split(text, ' ')) >= {n})"""
+
+    return f"""
+WITH bs AS ({grams(base_sql, "base_id")}),
+ins AS ({grams(inc_sql, "inc_id")}),
+bc AS (SELECT base_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bs GROUP BY 1),
+ic AS (SELECT inc_id, CAST(COUNT(*) AS BIGINT) AS ni FROM ins GROUP BY 1),
+inter AS (
+  SELECT i.inc_id, b.base_id, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM ins i JOIN bs b ON i.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT x.inc_id, x.base_id,
+       x.nc / (ic.ni + bc.nb - x.nc) AS jaccard
+FROM inter x JOIN ic ON x.inc_id = ic.inc_id JOIN bc ON x.base_id = bc.base_id
+WHERE x.nc / (ic.ni + bc.nb - x.nc) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------

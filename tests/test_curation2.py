@@ -317,3 +317,65 @@ def test_gopher_filter_empty_doc_total(spark):
     rows = {r["doc_id"]: r for r in text.gopher_filter(df).collect()}
     for r in rows.values():
         assert r["keep"] == 0 and r["n_words"] == 0 and r["mean_word_len_e2"] == 0
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_increment_pairs (cross-corpus near-dup tier)
+# ---------------------------------------------------------------------------
+
+
+def test_increment_near_pairs_cross_only(spark):
+    """Only (inc, base) pairs appear — identical base-base twins and
+    inc-inc twins must NOT pair; an exact inc copy of a base doc pairs
+    at jaccard 1.0."""
+    from integritychecksforvldbs_spark.operators import dedup
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    base = spark.createDataFrame(
+        [(1, t), (2, t), (3, "totally different words entirely here now")],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [(10, t), (11, t), (12, "fresh unrelated increment content words")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.minhash_lsh_increment_pairs(base, inc).collect()
+    got = {(r["inc_id"], r["base_id"]): r["jaccard"] for r in rows}
+    # both identical inc docs pair with both identical base docs
+    assert set(got) == {(10, 1), (10, 2), (11, 1), (11, 2)}
+    assert all(j == 1.0 for j in got.values())
+
+
+def test_increment_near_pairs_match_bruteforce(spark):
+    """On a small corpus the LSH tier must find exactly the pairs the
+    quadratic cross jaccard finds (gate-corpus pairs sit at j >= 0.9
+    where band recall is ~1)."""
+    from integritychecksforvldbs_spark.operators import dedup
+
+    words = ["w%d" % i for i in range(12)]
+    base_docs = [(i, " ".join(words[i % 3 :] + words[: i % 3])) for i in range(1, 4)]
+    # inc doc 10 = rotation of base doc 1's text with one word changed
+    t = base_docs[0][1].split()
+    t[0] = "zz"
+    inc_docs = [(10, " ".join(t)), (11, "aa bb cc dd ee ff gg hh")]
+    base = spark.createDataFrame(base_docs, "doc_id bigint, text string")
+    inc = spark.createDataFrame(inc_docs, "doc_id bigint, text string")
+
+    def grams(s, n=3):
+        toks = s.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = set()
+    for bi, bt in base_docs:
+        for ii, it in inc_docs:
+            a, b = grams(it), grams(bt)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                want.add((ii, bi))
+    got = {
+        (r["inc_id"], r["base_id"])
+        for r in dedup.minhash_lsh_increment_pairs(base, inc).collect()
+    }
+    assert got == want and want  # non-degenerate: at least one pair
