@@ -73,3 +73,57 @@ def test_rarity_score_shuffle_budget(docs):
     doc regroup) — AQE may broadcast the df table at runtime, but the
     static plan must not exceed the budget."""
     assert plan_data_shuffles(text.rarity_score(docs)) <= 3
+
+
+def test_pii_scrub_is_shuffle_free(docs):
+    """Regex detection + redaction is a pure projection."""
+    from integritychecksforvldbs_spark.operators import curation
+
+    assert plan_data_shuffles(curation.pii_scrub(docs)) == 0
+
+
+def test_pack_sequences_single_shuffle(docs):
+    """Packing = ONE hash shuffle (the per-source window); the span
+    explode is row-local and the per-bin aggregation reuses the
+    window's partitioning (hash(source) satisfies the (source, bin)
+    clustering requirement), so a second exchange of the corpus is a
+    regression."""
+    from integritychecksforvldbs_spark.operators import curation
+
+    assert plan_data_shuffles(curation.pack_sequences(docs)) == 1
+
+
+def test_chunk_dedup_shuffle_budget(docs):
+    """Chunk dedup = the chunk-hash MIN (1), the first-owner join
+    back (≤2 sides), and the per-doc summary (1) — anything more
+    means the corpus is being repartitioned redundantly."""
+    from integritychecksforvldbs_spark.operators import curation
+
+    assert plan_data_shuffles(curation.chunk_dedup(docs)) <= 4
+
+
+def test_dedup_increment_never_shuffles_base(docs):
+    """The base corpus feeds a broadcast LeftSemi probe directly above
+    its scan: no Exchange may sit between the base FileScan and the
+    semi-join.  (At 100 TB the base side IS the job — shuffling it
+    once costs more than the whole increment.)"""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.operators import curation
+
+    base = docs.filter("doc_id % 10 <> 0").select("doc_id", "text")
+    inc = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    plan = (
+        curation.dedup_increment(base, inc)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # walk the plan: the LeftSemi join's streamed (base) side must be
+    # exchange-free down to the scan
+    semi_at = plan.index("LeftSemi")
+    streamed = plan[semi_at : plan.index("BroadcastExchange", semi_at)]
+    assert "Exchange hashpartitioning" not in streamed
+
+
+def test_gopher_filter_is_shuffle_free(docs):
+    assert plan_data_shuffles(text.gopher_filter(docs)) == 0
