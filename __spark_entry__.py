@@ -28,7 +28,7 @@ from integritychecksforvldbs_spark.operators import (
     temporal,
     text,
 )
-from integritychecksforvldbs_spark.streaming import freshness, sessions
+from integritychecksforvldbs_spark.streaming import freshness, joins, sessions
 
 # fixed reference instant for the deterministic freshness oracle
 # (events fixture spans 2024-01-01 .. 2024-01-30)
@@ -1349,10 +1349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_hourly_counts"] = lambda spark, sf: freshness.hourly_counts(
         _load(spark, sf, "events")
     )
-    out["events_freshness"] = lambda spark, sf: freshness.freshness_summary(
-        _load(spark, sf, "events"), as_of=FRESHNESS_AS_OF
-    )
-    out["events_late_counts"] = lambda spark, sf: freshness.late_event_counts(
+    # freshness summary + late-data volume share the per-event_type
+    # grain → one joined gate (variants stay registered past the cap)
+    def _q_freshness_suite(spark: SparkSession, sf: str) -> DataFrame:
+        ev = _load(spark, sf, "events")
+        return freshness.freshness_summary(ev, as_of=FRESHNESS_AS_OF).join(
+            freshness.late_event_counts(ev), "event_type"
+        )
+
+    out["events_freshness_suite"] = _q_freshness_suite
+    out["events_attribution"] = lambda spark, sf: joins.purchase_attribution(
         _load(spark, sf, "events")
     )
     out["events_sessions"] = lambda spark, sf: sessions.session_counts(
@@ -1447,6 +1453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_topk_bruteforce"] = _ann_bruteforce
     out["ann_topk_prefiltered"] = _ann_prefiltered
+    out["events_freshness"] = lambda spark, sf: freshness.freshness_summary(
+        _load(spark, sf, "events"), as_of=FRESHNESS_AS_OF
+    )
+    out["events_late_counts"] = lambda spark, sf: freshness.late_event_counts(
+        _load(spark, sf, "events")
+    )
     out["curation_decontaminate"] = lambda spark, sf: curation.decontaminate(
         _load(spark, sf, "documents")
     )
@@ -1607,8 +1619,12 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- streaming batch-equivalents ----
     out["events_hourly_counts"] = freshness.hourly_counts_oracle()
-    out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
-    out["events_late_counts"] = freshness.late_event_counts_oracle()
+    out["events_freshness_suite"] = f"""
+SELECT f.event_type, f.latest_ts, f.lag_seconds, f.stale, l.n_late
+FROM ({freshness.freshness_summary_oracle(FRESHNESS_AS_OF)}) f
+JOIN ({freshness.late_event_counts_oracle()}) l ON f.event_type = l.event_type
+"""
+    out["events_attribution"] = joins.purchase_attribution_oracle()
     out["events_sessions"] = sessions.session_counts_oracle()
     out["events_asof_purchase"] = temporal.asof_enrich_oracle()
     out["events_sliding_counts"] = sessions.sliding_counts_oracle()
@@ -1661,6 +1677,8 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
+    out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
+    out["events_late_counts"] = freshness.late_event_counts_oracle()
     out["curation_decontaminate"] = curation.decontaminate_oracle()
     out["curation_cap_per_source"] = curation.cap_per_source_oracle(k=100)
     out["text_gopher"] = text.gopher_filter_oracle()

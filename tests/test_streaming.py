@@ -259,3 +259,34 @@ def test_streaming_sliding_counts_match_batch(spark, stream_dir, batch_events):
     assert got == want
     # 1h/15min hop: total window-rows = 4x events
     assert sum(want.values()) == batch_events.count() * 4
+
+
+def test_streaming_purchase_attribution_matches_batch(spark, stream_dir, batch_events):
+    """Stream-stream interval join (both sides unbounded, watermarked)
+    produces exactly the batch interval join's pairs.  Append mode is
+    the only legal output for stream-stream joins; availableNow drains
+    the file source, and rows within watermark+window of the end of
+    input are still emitted because the final micro-batch advances the
+    watermark past them."""
+    from integritychecksforvldbs_spark.streaming import joins
+
+    stream = freshness.events_stream(spark, stream_dir)
+    out = joins.purchase_attribution(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attribution_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("attribution_t").collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in joins.purchase_attribution(batch_events).collect()
+    }
+    assert got == want and want
