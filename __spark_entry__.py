@@ -1453,6 +1453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_topk_bruteforce"] = _ann_bruteforce
     out["ann_topk_prefiltered"] = _ann_prefiltered
+    out["events_attribution_outer"] = lambda spark, sf: joins.purchase_attribution(
+        _load(spark, sf, "events"), how="left_outer"
+    )
     out["events_freshness"] = lambda spark, sf: freshness.freshness_summary(
         _load(spark, sf, "events"), as_of=FRESHNESS_AS_OF
     )
@@ -1677,6 +1680,9 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["dedup_cluster_keepers"] = dedup.cluster_keepers_oracle()
     out["ann_topk_bruteforce"] = similarity.topk_oracle(n_queries=8, k=5)
     out["ann_topk_prefiltered"] = similarity.topk_oracle(n_queries=8, k=5)
+    out["events_attribution_outer"] = joins.purchase_attribution_oracle(
+        how="left_outer"
+    )
     out["events_freshness"] = freshness.freshness_summary_oracle(FRESHNESS_AS_OF)
     out["events_late_counts"] = freshness.late_event_counts_oracle()
     out["curation_decontaminate"] = curation.decontaminate_oracle()

@@ -63,3 +63,62 @@ def load_table(spark: SparkSession, *paths: str) -> DataFrame:
         return normalize_ntz(df)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+# ---------------------------------------------------------------------------
+# multi-format ingestion
+# ---------------------------------------------------------------------------
+
+_FORMAT_BY_EXT = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".orc": "orc",
+    ".txt": "text",
+}
+
+
+def load_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-dispatching ingest: parquet / CSV / JSON-lines / ORC /
+    raw text, all normalized through the same timestamp handling as
+    :func:`load_table`.
+
+    ``fmt`` overrides the extension sniff (needed for extensionless
+    directories of part files).  CSV defaults to header + schema
+    inference unless an explicit ``schema`` is given — at 100 TB pass
+    the schema: inference costs one extra full scan of the input and
+    pins the job until it finishes.  TSV gets ``sep='\\t'``.  JSON is
+    JSON-lines (one doc per line, the only JSON layout that splits
+    across workers; multiline JSON cannot be parallelized).  Text
+    yields (value) rows — one per line — for raw-corpus ingest.
+    """
+    if fmt is None:
+        import os
+
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _FORMAT_BY_EXT.get(ext)
+        if fmt is None:
+            raise ValueError(
+                f"cannot infer format from {path!r}; pass fmt= explicitly"
+            )
+        if ext == ".tsv":
+            options.setdefault("sep", "\t")
+    if fmt == "parquet":
+        return load_table(spark, path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return normalize_ntz(reader.options(**options).format(fmt).load(path))

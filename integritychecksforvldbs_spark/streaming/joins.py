@@ -27,11 +27,17 @@ def purchase_attribution(
     events: DataFrame,
     window: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Each purchase joined to the same user's click events in the
     preceding ``window``: (purchase_id, user_id, purchase_ts,
     click_id, click_ts, lag_seconds) — last-touch attribution's input
     relation.
+
+    ``how='left_outer'`` keeps purchases with NO qualifying click
+    (NULL click columns) — on a stream the null row is emitted once
+    the watermark proves no matching click can still arrive, which is
+    exactly the state-cleanup bound the range condition establishes.
 
     Streaming input → a watermarked stream-stream inner join (state
     bounded: a click can be dropped once the purchase-side watermark
@@ -63,7 +69,7 @@ def purchase_attribution(
         & (c["click_ts"] <= p["purchase_ts"])
         & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {window}"))
     )
-    return p.join(c, cond).select(
+    return p.join(c, cond, how).select(
         "purchase_id",
         "user_id",
         "purchase_ts",
@@ -84,16 +90,16 @@ def purchase_attribution(
 
 
 def purchase_attribution_oracle(
-    table: str = "events", window_sql: str = "30 MINUTE"
+    table: str = "events", window_sql: str = "30 MINUTE", how: str = "inner"
 ) -> str:
+    join_kw = "LEFT JOIN" if how == "left_outer" else "JOIN"
     return f"""
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts,
        CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_seconds
-FROM {table} p
-JOIN {table} c
+FROM (SELECT * FROM {table} WHERE event_type = 'purchase') p
+{join_kw} (SELECT * FROM {table} WHERE event_type = 'click') c
   ON p.user_id = c.user_id
  AND c.ts <= p.ts
  AND c.ts >= p.ts - INTERVAL {window_sql}
-WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """

@@ -290,3 +290,24 @@ def test_streaming_purchase_attribution_matches_batch(spark, stream_dir, batch_e
         for r in joins.purchase_attribution(batch_events).collect()
     }
     assert got == want and want
+
+
+def test_attribution_left_outer_keeps_unmatched_purchases(spark, batch_events):
+    """Outer attribution = inner pairs + one NULL-click row per
+    purchase with no qualifying click; purchase coverage is total."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.streaming import joins
+
+    inner = joins.purchase_attribution(batch_events).cache()
+    outer = joins.purchase_attribution(batch_events, how="left_outer").cache()
+    n_purchases = batch_events.filter("event_type = 'purchase'").count()
+    assert outer.select("purchase_id").distinct().count() == n_purchases
+    matched = outer.filter(F.col("click_id").isNotNull())
+    assert sorted(map(tuple, matched.collect())) == sorted(
+        map(tuple, inner.collect())
+    )
+    unmatched = outer.filter(F.col("click_id").isNull())
+    assert unmatched.filter(
+        F.col("click_ts").isNotNull() | F.col("lag_seconds").isNotNull()
+    ).count() == 0
