@@ -1,0 +1,102 @@
+"""Table maintenance: small-file compaction.
+
+The operational hazard every parquet lake hits at scale: streaming
+ingests and incremental appends leave thousands of KB-sized part
+files, and scan parallelism + footer-read overhead degrade long before
+data volume does (a 100k-file table costs 100k GETs per scan before a
+single row is read).  The reference's maintenance analogue is index
+rebuild scheduling; here the rebuild is a rewrite into
+target-size-bounded files.
+
+Compaction is a REWRITE-then-swap, never in-place: the destination is
+written complete, the swap is the caller's atomic rename/pointer flip
+(same single-writer contract as the state store).  ``sort_by`` writes
+each output file range-partitioned and sorted, so min/max footer
+stats become selective and range predicates skip whole files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+DEFAULT_TARGET_BYTES = 256 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class FileStats:
+    n_files: int
+    total_bytes: int
+
+    @property
+    def avg_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def table_file_stats(path: str) -> FileStats:
+    """Part-file census for a table path (single file or directory)."""
+    if os.path.isfile(path):
+        return FileStats(1, os.path.getsize(path))
+    n = 0
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return FileStats(n, total)
+
+
+def compaction_plan(
+    stats: FileStats, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> int:
+    """Number of output files a compaction should produce: total bytes
+    over the target, minimum one.  Deciding from the file census (not
+    a data scan) keeps planning metadata-sized."""
+    return max(1, math.ceil(stats.total_bytes / target_bytes))
+
+
+def needs_compaction(
+    stats: FileStats,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    small_file_ratio: float = 0.5,
+) -> bool:
+    """True when at least half the planned output size is fragmented:
+    the table has > plan×(1/small_file_ratio) files — i.e. average
+    file size is below ``small_file_ratio × target``."""
+    if stats.n_files <= 1:
+        return False
+    return stats.avg_bytes < small_file_ratio * target_bytes
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_by: list[str] | None = None,
+) -> tuple[FileStats, FileStats]:
+    """Rewrite ``src_path`` into ``dest_path`` as ~target-sized files;
+    returns (before, after) stats.
+
+    One job: scan → exchange into the planned file count → write.
+    ``sort_by`` uses a range exchange + within-partition sort, so each
+    output file covers a disjoint key range and its parquet footer
+    min/max prune range scans.  The source is left untouched — the
+    atomic swap is the caller's (rename on POSIX, pointer flip on an
+    ACID table format).
+    """
+    before = table_file_stats(src_path)
+    n_out = compaction_plan(before, target_bytes)
+    df: DataFrame = load_table(spark, src_path)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dest_path)
+    return before, table_file_stats(dest_path)
