@@ -19,7 +19,12 @@ from conftest import SF_DIR
 def docs(spark):
     from integritychecksforvldbs_spark.sources.loader import load_table
 
-    return load_table(spark, f"{SF_DIR}/documents.parquet").cache()
+    df = load_table(spark, f"{SF_DIR}/documents.parquet").cache()
+    yield df
+    # The SparkSession is session-scoped: a cache left behind here is
+    # silently substituted into later modules' plans (InMemoryTableScan
+    # prints its cached tree, inflating the plan-shape probes).
+    df.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -103,15 +108,18 @@ def test_chunk_dedup_fixture_conservation(docs):
     """Per-doc kept ≤ total, and global kept chunks = distinct chunk
     texts (each distinct chunk keeps exactly one copy)."""
     out = curation.chunk_dedup(docs, chunk_size=16).cache()
-    assert out.filter("n_kept > n_chunks OR kept_tokens < 0").count() == 0
-    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
-    n_distinct = (
-        curation.token_chunks(docs, chunk_size=16)
-        .select("chunk_text")
-        .distinct()
-        .count()
-    )
-    assert total_kept == n_distinct
+    try:
+        assert out.filter("n_kept > n_chunks OR kept_tokens < 0").count() == 0
+        total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+        n_distinct = (
+            curation.token_chunks(docs, chunk_size=16)
+            .select("chunk_text")
+            .distinct()
+            .count()
+        )
+        assert total_kept == n_distinct
+    finally:
+        out.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -182,15 +190,23 @@ def test_pack_sequences_full_bins_invariant(docs):
     tokens; token totals are conserved; every bin has ≥1 doc."""
     L = 256
     out = curation.pack_sequences(docs, seq_len=L).cache()
-    last = out.groupBy("source").agg(F.max("bin_idx").alias("last_bin"))
-    not_last = out.join(last, "source").filter(F.col("bin_idx") < F.col("last_bin"))
-    assert not_last.filter(F.col("n_tokens") != L).count() == 0
-    assert out.filter("n_docs < 1 OR n_tokens < 1 OR n_tokens > %d" % L).count() == 0
-    total_packed = out.agg(F.sum("n_tokens")).collect()[0][0]
-    total_tokens = docs.select(
-        F.expr("size(filter(split(text, ' '), x -> x <> ''))").alias("n")
-    ).agg(F.sum("n")).collect()[0][0]
-    assert total_packed == total_tokens
+    try:
+        last = out.groupBy("source").agg(F.max("bin_idx").alias("last_bin"))
+        not_last = out.join(last, "source").filter(
+            F.col("bin_idx") < F.col("last_bin")
+        )
+        assert not_last.filter(F.col("n_tokens") != L).count() == 0
+        assert (
+            out.filter("n_docs < 1 OR n_tokens < 1 OR n_tokens > %d" % L).count()
+            == 0
+        )
+        total_packed = out.agg(F.sum("n_tokens")).collect()[0][0]
+        total_tokens = docs.select(
+            F.expr("size(filter(split(text, ' '), x -> x <> ''))").alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        assert total_packed == total_tokens
+    finally:
+        out.unpersist()
 
 
 def test_pack_sequences_single_long_doc_spans_bins(spark):

@@ -17,11 +17,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
+    # Plan probes must measure the declarative plan: a cache leaked by
+    # an earlier module would substitute InMemoryTableScan fragments
+    # (whose printed tree carries the cached plan's exchanges) into
+    # these plans and skew the shuffle counts.
+    spark.catalog.clearCache()
     return load_table(spark, f"{SF_DIR}/documents.parquet")
 
 
 @pytest.fixture(scope="module")
 def events(spark):
+    spark.catalog.clearCache()
     return load_table(spark, f"{SF_DIR}/events.parquet")
 
 
