@@ -887,22 +887,30 @@ JOIN ({text.gopher_filter_oracle()}) g ON a.doc_id = g.doc_id
 
 
 def _q_text_rarity_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rarity + repetition statistics per document over the short-doc-
-    augmented corpus (both kernels face the <n-token edge every round);
-    repetition's n_tokens duplicates rarity's and is dropped."""
+    """Rarity + repetition + bigram-LM surprise per document over the
+    short-doc-augmented corpus (all three kernels face the <n-token
+    edge every round); repetition's n_tokens duplicates rarity's and
+    is dropped.  Docs below 1 token are absent from rarity (no token
+    to explode), so the inner join keeps the 1-token edge rows with
+    n_bigrams = 0 / NULL mean_surprise from the LM side."""
     docs = _docs_with_short_edge(spark, sf_dir)
-    return text.rarity_score(docs).join(
-        text.repetition_stats(docs).drop("n_tokens"), "doc_id"
+    return (
+        text.rarity_score(docs)
+        .join(text.repetition_stats(docs).drop("n_tokens"), "doc_id")
+        .join(text.lm_transition_surprise(docs), "doc_id")
     )
 
 
 def _text_rarity_repetition_oracle() -> str:
     return f"""
 SELECT r.doc_id, r.rarity_sum, r.n_tokens, r.rarity,
-       p.dup_2gram_frac, p.dup_3gram_frac, p.top_token_frac
+       p.dup_2gram_frac, p.dup_3gram_frac, p.top_token_frac,
+       s.n_bigrams, s.n_oov, s.surprise_sum, s.mean_surprise
 FROM ({text.rarity_score_oracle(table=_AUG_DOCS_SQL)}) r
 JOIN ({text.repetition_stats_oracle(table=_AUG_DOCS_SQL)}) p
   ON r.doc_id = p.doc_id
+JOIN ({text.lm_transition_surprise_oracle(table=_AUG_DOCS_SQL)}) s
+  ON r.doc_id = s.doc_id
 """
 
 
@@ -1502,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_repetition"] = lambda spark, sf: text.repetition_stats(
         _docs_with_short_edge(spark, sf)
     )
+    out["text_lm_surprise"] = lambda spark, sf: text.lm_transition_surprise(
+        _load(spark, sf, "documents")
+    )
     # sketch tier — engine-specific values, recorded rows-only (the
     # error bound vs the exact tier is pinned by tests/test_profile.py)
     out["profile_documents_approx"] = lambda spark, sf: profile.profile_approx_df(
@@ -1701,6 +1712,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["text_fingerprint"] = text.fingerprint_oracle()
     out["text_rarity"] = text.rarity_score_oracle()
     out["text_repetition"] = text.repetition_stats_oracle(table=_AUG_DOCS_SQL)
+    out["text_lm_surprise"] = text.lm_transition_surprise_oracle()
     out["sample_deterministic"] = (
         "SELECT doc_id, lang FROM ("
         + sampling.deterministic_sample_oracle("documents", keep_one_in=16)

@@ -583,3 +583,177 @@ SELECT doc_id,
   CASE WHEN n_tokens = 0 THEN 0.0 ELSE top / n_tokens END AS top_token_frac
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM fluency scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000
+LM_MODEL_SIZE = 50_000
+
+
+def lm_bigram_model(
+    df: DataFrame,
+    k: int = LM_MODEL_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-bigram counts, vocabulary-truncated to the top ``k`` by
+    count (ties broken by gram so the cut is deterministic): the
+    "language model" a CCNet-style quality filter scores against.
+    In production the model is trained once on a trusted reference
+    corpus (e.g. Wikipedia) and reused; ``lm_transition_surprise``
+    accepts any frame with this (gram, gram_count) schema.
+
+    One explode → one groupBy(gram) with map-side partials; the top-k
+    cut plans as TakeOrderedAndProject (per-partition partial top-k),
+    never a global sort exchange.  The result is ≤ k rows — broadcast
+    material regardless of corpus size.
+    """
+    t, i = text_col, id_col
+    toks = f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)"
+    grams = df.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= 2 THEN "
+                f"transform(sequence(1, size({toks}) - 1), "
+                f"j -> concat(element_at({toks}, j), ' ', element_at({toks}, j + 1))) "
+                f"ELSE cast(array() AS array<string>) END"
+            )
+        ).alias("gram"),
+        F.col(i).alias("doc_id"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("gram_count"))
+        .orderBy(F.col("gram_count").desc(), "gram")
+        .limit(k)
+    )
+
+
+def lm_transition_surprise(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    k: int = LM_MODEL_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram-LM surprise — the fluency signal CCNet-style
+    pipelines use to separate natural prose (common token transitions)
+    from gibberish and boilerplate (rare or never-seen transitions).
+    With ``model=None`` the model is self-trained on ``df``
+    (self-perplexity); pass a model trained on a reference corpus for
+    the production shape.
+
+    Per doc: ``n_bigrams``, ``n_oov`` (transitions outside the model
+    vocabulary), ``surprise_sum`` = Σ over transitions of
+    ``LM_SCALE div count`` (OOV pays the maximum ``LM_SCALE``), and
+    ``mean_surprise`` = surprise_sum / n_bigrams (NULL for docs with
+    < 2 tokens).  The surprise surrogate is ``SCALE div count`` rather
+    than ``-ln(count/total)`` for the same reason as
+    :func:`rarity_score`: every aggregate stays an exact integer SUM,
+    order-independent across partitions and bitwise-identical in the
+    DuckDB oracle, where libm ``ln`` could differ in the last ulp.
+    Monotonicity — rarer transition ⇒ larger surprise — is all the
+    downstream keep/drop threshold consumes.
+
+    Scale shape: the model is ≤ k rows and broadcast into the probe
+    join (no shuffle of the gram stream); the per-doc aggregation's
+    map-side combine reduces the exchange to one row per (doc,
+    partition) — bigrams of a doc are row-local, so that is one row
+    per doc.  Docs with < 2 tokens bypass the gram path entirely via
+    a shuffle-free union branch.  Two data shuffles total (model
+    groupBy + doc regroup), pinned by the plan-shape tests.
+    """
+    t, i = text_col, id_col
+    if model is None:
+        model = lm_bigram_model(df, k=k, text_col=t, id_col=i)
+    toks = f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)"
+    base = df.select(
+        F.col(i).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(1, size({toks}) - 1), "
+            f"j -> concat(element_at({toks}, j), ' ', element_at({toks}, j + 1))) "
+            f"ELSE cast(array() AS array<string>) END"
+        ).alias("grams"),
+    )
+    scored = (
+        base.filter(F.size("grams") > 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(model), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("gram_count").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(
+                F.coalesce(
+                    F.expr(f"{LM_SCALE} div gram_count"), F.lit(LM_SCALE)
+                )
+            )
+            .cast("long")
+            .alias("surprise_sum"),
+        )
+    )
+    empty = base.filter(F.size("grams") == 0).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("n_oov"),
+        F.lit(0).cast("long").alias("surprise_sum"),
+    )
+    return scored.unionByName(empty).select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "surprise_sum",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("surprise_sum") / F.col("n_bigrams"),
+        ).alias("mean_surprise"),
+    )
+
+
+def lm_transition_surprise_oracle(
+    table: str = "documents", k: int = LM_MODEL_SIZE
+) -> str:
+    """Identical self-trained bigram surprise in DuckDB: same
+    tokenization, same 1-based end-exclusive bigram build as
+    :func:`repetition_stats_oracle`, same deterministic model cut,
+    same integer division operands."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS t
+  FROM {table}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+),
+model AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_count
+  FROM grams GROUP BY gram
+  ORDER BY gram_count DESC, gram LIMIT {k}
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN m.gram_count IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(SUM(COALESCE({LM_SCALE} // m.gram_count, {LM_SCALE})) AS BIGINT)
+           AS surprise_sum
+  FROM grams g LEFT JOIN model m USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams, n_oov, surprise_sum,
+       CAST(surprise_sum AS DOUBLE) / n_bigrams AS mean_surprise
+FROM scored
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM toks WHERE len(t) < 2
+"""

@@ -133,3 +133,10 @@ def test_dedup_increment_never_shuffles_base(docs):
 
 def test_gopher_filter_is_shuffle_free(docs):
     assert plan_data_shuffles(text.gopher_filter(docs)) == 0
+
+
+def test_lm_surprise_shuffle_budget(docs):
+    """Bigram-LM scoring = model groupBy(gram) + per-doc regroup; the
+    model probe is a broadcast join (never a shuffle of the gram
+    stream) and the <2-token branch unions in shuffle-free."""
+    assert plan_data_shuffles(text.lm_transition_surprise(docs)) == 2

@@ -124,3 +124,78 @@ def test_repetition_matches_duckdb(tables, duck):
     spark_rows = sorted(tuple(r) for r in T.repetition_stats(tables["documents"]).collect())
     oracle_rows = sorted(duck.execute(T.repetition_stats_oracle()).fetchall())
     assert spark_rows == oracle_rows
+
+
+# ---------------------------------------------------------------------------
+# lm_transition_surprise
+# ---------------------------------------------------------------------------
+
+
+def test_lm_surprise_pinned_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, "x"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.lm_transition_surprise(df).collect()}
+    # doc1 bigrams: "the cat"(count 2), "cat sat"(2), "sat on"(1),
+    # "on the"(1), "the mat"(1) -> 5e5+5e5+1e6+1e6+1e6
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["surprise_sum"] == 4_000_000
+    assert out[1]["mean_surprise"] == 800_000.0
+    assert out[2]["surprise_sum"] == 1_000_000  # both bigrams count 2
+    # <2-token docs ride the shuffle-free union branch with NULL mean
+    for d in (3, 4):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["surprise_sum"] == 0
+        assert out[d]["mean_surprise"] is None
+
+
+def test_lm_surprise_oov_under_model_cut(spark):
+    """k smaller than the distinct-gram count: everything outside the
+    deterministic top-k cut pays the full OOV penalty."""
+    df = spark.createDataFrame(
+        [(1, "a b a b c d")],  # grams: "a b"x2? -> a b, b a, a b, b c, c d
+        "doc_id long, text string",
+    )
+    out = T.lm_transition_surprise(df, k=1).collect()[0]
+    # model = top-1 gram = "a b" (count 2); the other 3 grams are OOV
+    assert out["n_bigrams"] == 5
+    assert out["n_oov"] == 3
+    assert out["surprise_sum"] == 2 * 500_000 + 3 * 1_000_000
+
+
+def test_lm_surprise_external_model(spark):
+    """Production shape: score against a model trained on a separate
+    reference corpus."""
+    ref = spark.createDataFrame(
+        [(10, "good prose flows well"), (11, "good prose flows")],
+        "doc_id long, text string",
+    )
+    model = T.lm_bigram_model(ref)
+    df = spark.createDataFrame(
+        [(1, "good prose flows"), (2, "zz qq ww")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.lm_transition_surprise(df, model=model).collect()
+    }
+    # "good prose"(2), "prose flows"(2) -> all in-vocab
+    assert out[1]["n_oov"] == 0
+    assert out[1]["surprise_sum"] == 2 * 500_000
+    # nothing from doc2 appears in the reference model
+    assert out[2]["n_oov"] == 2
+    assert out[2]["surprise_sum"] == 2 * 1_000_000
+
+
+def test_lm_surprise_matches_duckdb(tables, duck):
+    a = sorted(
+        tuple(r) for r in T.lm_transition_surprise(tables["documents"]).collect()
+    )
+    b = sorted(duck.execute(T.lm_transition_surprise_oracle()).fetchall())
+    assert a == b
