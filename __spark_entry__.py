@@ -1461,6 +1461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_topk_bruteforce"] = _ann_bruteforce
     out["ann_topk_prefiltered"] = _ann_prefiltered
+
+    def _ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+        # rows-only: int8-reconstructed candidate ranking is engine-
+        # specific; recall vs the exact tier is pinned in tests.
+        emb = _load(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.sq_ann_topk(emb, qs, k=5)
+
+    out["ann_topk_quantized"] = _ann_quantized
     out["events_attribution_outer"] = lambda spark, sf: joins.purchase_attribution(
         _load(spark, sf, "events"), how="left_outer"
     )

@@ -218,3 +218,64 @@ def test_ivf_partitioned_layout_on_disk(spark, emb, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == emb.count()
     assert "cell" in back.columns
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization tier
+# ---------------------------------------------------------------------------
+
+
+def test_sq_roundtrip_error_bound(spark):
+    """Reconstruction error per dimension is at most half a
+    quantization step, (hi-lo)/510."""
+    rows = [(i, [float(i) / 7.0, -3.0 + 0.37 * i, 5.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    los, his = similarity.sq_params(df)
+    assert los[2] == his[2] == 5.0  # constant dimension
+    out = (
+        similarity.sq_quantize(df, los, his)
+        .select(
+            "vec_id",
+            "embedding",
+            similarity.sq_dequantize_expr(los, his).alias("recon"),
+        )
+        .collect()
+    )
+    for r in out:
+        for d, (x, xh) in enumerate(zip(r["embedding"], r["recon"])):
+            step = (his[d] - los[d]) / similarity.SQ_LEVELS if his[d] > los[d] else 0.0
+            assert abs(x - xh) <= step / 2 + 1e-9, (r["vec_id"], d)
+
+
+def test_sq_codes_in_range(emb):
+    los, his = similarity.sq_params(emb)
+    q = similarity.sq_quantize(emb, los, his)
+    bad = q.filter(
+        F.exists("codes", lambda c: (c < 0) | (c > similarity.SQ_LEVELS))
+    ).count()
+    assert bad == 0
+
+
+def test_sq_ann_recall_vs_exact(emb, queries):
+    """8-bit reconstruction with 4x oversampling recovers the exact
+    top-k on the fixture corpus."""
+    k = 5
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=k).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.sq_ann_topk(emb, queries, k=k, oversample=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_sq_ann_schema_and_ranks(emb, queries):
+    out = similarity.sq_ann_topk(emb, queries, k=3).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3], (q, ranks)
