@@ -1472,6 +1472,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.sq_ann_topk(emb, qs, k=5)
 
     out["ann_topk_quantized"] = _ann_quantized
+
+    def _ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+        # rows-only: PQ-ADC candidate ranking is engine-specific;
+        # recall vs the exact tier is pinned in tests.
+        emb = _load(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.pq_ann_topk(emb, qs, k=5)
+
+    out["ann_topk_pq"] = _ann_pq
     out["events_attribution_outer"] = lambda spark, sf: joins.purchase_attribution(
         _load(spark, sf, "events"), how="left_outer"
     )

@@ -613,3 +613,176 @@ def sq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# tier 5: product quantization (PQ-ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """PQ codebooks: split the (L2-normalized) vector into ``m``
+    subspaces and run Euclidean Lloyd's k-means per subspace on a
+    bounded driver-side sample — the same train-on-sample practice as
+    IVF (:func:`kmeans_centroids`); codebook quality saturates at
+    thousands of points regardless of corpus size.  Returns m × k
+    centroids of dim/m.  Deterministic (fixed seed, first-N sample).
+    """
+    rows = corpus.orderBy("vec_id").limit(sample).select(vec_col).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d : (j + 1) * d]
+        C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c_i in range(len(C)):
+                members = S[assign == c_i]
+                if len(members):
+                    C[c_i] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _pq_code_expr(norm_vec_col: str, books: list[list[list[float]]]) -> Column:
+    """codes = array of per-subspace argmin-L2 centroid ids (0-based)
+    over an ALREADY-normalized vector column — pure JVM folds, no UDF.
+    Normalization must be materialized once upstream: inlining the
+    norm fold here would replicate it into every one of the m·k
+    distance expressions and blow up the codegen tree."""
+    d = len(books[0][0])
+    parts = []
+    for j, book in enumerate(books):
+        sub = f"slice({norm_vec_col}, {j * d + 1}, {d})"
+        dists = ", ".join(
+            f"aggregate(zip_with({sub}, {_array_sql(c)}, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+            for c in book
+        )
+        parts.append(
+            f"CAST(array_position(array({dists}), array_min(array({dists}))) AS INT) - 1"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach the PQ code array (m small ints — dim/m·32× smaller than
+    float32; 64-dim → 8 bytes/vector at m=8, k=16).  This is the
+    persisted artifact: at 100 TB the float column stays cold and only
+    candidate rows are ever fetched for re-rank."""
+    norm = (
+        f"sqrt(aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"CAST({vec_col} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
+        f"(acc, x) -> acc + x))"
+    )
+    return (
+        corpus.withColumn(
+            "__nv",
+            F.expr(
+                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+                f"x -> x / greatest({norm}, 1e-12d))"
+            ),
+        )
+        .withColumn(code_col, _pq_code_expr("__nv", books))
+        .drop("__nv")
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    oversample: int = 4,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN: asymmetric distance computation — each query
+    precomputes (driver-side, |Q|·m·k doubles) a lookup table of
+    dot(query-subvector, centroid); the approximate score of a corpus
+    vector is then m table lookups over its code array, evaluated as
+    a JVM fold (no decode, no float vector read).  Top ``k·oversample``
+    candidates per query re-rank exactly on the float column.
+
+    The scan cost at scale is m lookups over an 8-byte code column —
+    the FAISS IVF-ADC architecture re-expressed declaratively; combine
+    with :func:`ivf_write_partitioned` partition pruning for the full
+    IVF-PQ layout.  Recall vs the exact tier is pinned in tests on
+    clustered data.
+    """
+    if books is None:
+        books = pq_train(corpus, m=m, k=n_codes)
+    m = len(books)
+    coded = pq_encode(corpus, books).select("vec_id", "pq_codes")
+
+    q_rows = with_norm(queries).collect()
+    spark = corpus.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qn = qv / max(float(r["norm"]), 1e-12)
+        d = len(qn) // m
+        lut = [
+            [float(np.dot(qn[j * d : (j + 1) * d], np.array(c))) for c in book]
+            for j, book in enumerate(books)
+        ]
+        lut_rows.append((r["query_id"], lut))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>"
+    )
+
+    adc = (
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc + "
+        f"element_at(element_at(lut, j), element_at(pq_codes, j) + 1))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_raw").desc(), F.col("vec_id")
+    )
+    cands = (
+        coded.join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(adc).alias("approx_raw"))
+        .withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= k * oversample)
+        .select("query_id", "vec_id")
+    )
+    c = with_norm(corpus).select(
+        "vec_id", F.col("embedding").alias("cv"), F.col("norm").alias("cn")
+    )
+    q = with_norm(queries).select(
+        "query_id", F.col("embedding").alias("qv"), F.col("norm").alias("qn")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        cands.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

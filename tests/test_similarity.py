@@ -279,3 +279,62 @@ def test_sq_ann_schema_and_ranks(emb, queries):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3], (q, ranks)
+
+
+# ---------------------------------------------------------------------------
+# product quantization tier
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_range(emb):
+    books = similarity.pq_train(emb, m=8, k=16, sample=256)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    rows = similarity.pq_encode(emb, books).select("pq_codes").collect()
+    for r in rows:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_codes"])
+
+
+def test_pq_encode_deterministic(emb):
+    books = similarity.pq_train(emb, m=4, k=8, sample=256)
+    a = similarity.pq_encode(emb, books).orderBy("vec_id").collect()
+    b = similarity.pq_encode(emb, books).orderBy("vec_id").collect()
+    assert [r["pq_codes"] for r in a] == [r["pq_codes"] for r in b]
+
+
+def test_pq_ann_recall_on_clustered_data(spark):
+    """Same planted-cluster corpus as the SRP/IVF recall tests: PQ-ADC
+    with exact re-rank recovers nearly all true neighbors."""
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per_cluster = 32, 20, 25
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.06 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id").isin([0, 25, 50, 75])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    approx = similarity.pq_ann_topk(
+        corpus, queries, k=5, m=8, n_codes=16, oversample=6
+    ).collect()
+    true_sets: dict[int, set[int]] = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets: dict[int, set[int]] = {}
+    for r in approx:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_pq_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, m=7)
