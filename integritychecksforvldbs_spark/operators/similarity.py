@@ -786,3 +786,149 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# tier 6: IVF-PQ (partition-pruned cells × PQ-ADC scoring)
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+def ivf_pq_write(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The full FAISS-style IVF-PQ layout, declaratively: the corpus
+    is written PARTITIONED BY IVF cell with a PQ code column beside
+    the float embedding, centroids and codebooks stored alongside as
+    underscore-prefixed sidecars.  One shuffle (the partitioned
+    write).  Queries then (1) prune to nprobe cells at the parquet
+    scan, (2) rank candidates reading ONLY the 8-byte code column —
+    column pruning keeps the float column unread, pinned by a
+    ReadSchema plan probe — and (3) fetch floats for just the
+    candidate rows."""
+    centroids = kmeans_centroids(corpus, k=n_cells, seed=seed)
+    books = pq_train(corpus, m=m, k=n_codes, seed=seed)
+    spark = corpus.sparkSession
+    (
+        pq_encode(corpus, books)
+        .withColumn("cell", _cell_expr("embedding", centroids))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    (
+        spark.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/_centroids")
+    )
+    (
+        spark.createDataFrame(
+            [(j, _json.dumps(b)) for j, b in enumerate(books)],
+            "subspace int, book string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/_pq_books")
+    )
+    return centroids, books
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    oversample: int = 4,
+) -> DataFrame:
+    """ANN over an :func:`ivf_pq_write` layout: driver-side cell
+    probe (|Q| × n_cells doubles), partition-pruned scan of the code
+    column, ADC fold against broadcast per-query lookup tables,
+    top ``k·oversample`` candidates, exact re-rank on the float
+    column of the SAME pruned partitions.  At 100 TB the candidate
+    scan reads nprobe/n_cells of the files and 1/32nd of the bytes
+    within them — the scan-bound architecture for trillion-row
+    vector search."""
+    crows = spark.read.json(f"{path}/_centroids").collect()
+    centroids = {int(r["cell"]): list(r["centroid"]) for r in crows}
+    C = np.array([centroids[i] for i in sorted(centroids)])
+    brows = spark.read.json(f"{path}/_pq_books").collect()
+    books = [
+        _json.loads(r["book"])
+        for r in sorted(brows, key=lambda r: int(r["subspace"]))
+    ]
+    m = len(books)
+
+    q_rows = with_norm(queries).collect()
+    probe_rows, lut_rows = [], []
+    probed_cells: set[int] = set()
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qn = qv / max(float(r["norm"]), 1e-12)
+        sims = C @ qn
+        for cell in (np.argsort(-sims)[:nprobe] + 1).tolist():
+            probe_rows.append((r["query_id"], int(cell)))
+            probed_cells.add(int(cell))
+        d = len(qn) // m
+        lut = [
+            [float(np.dot(qn[j * d : (j + 1) * d], np.array(c))) for c in book]
+            for j, book in enumerate(books)
+        ]
+        lut_rows.append((r["query_id"], lut))
+
+    pruned = spark.read.parquet(path).filter(
+        F.col("cell").isin(sorted(probed_cells))
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>"
+    )
+    adc = (
+        f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc + "
+        f"element_at(element_at(lut, j), element_at(pq_codes, j) + 1))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_raw").desc(), F.col("vec_id")
+    )
+    cands = (
+        pruned.select("vec_id", "pq_codes", "cell")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(adc).alias("approx_raw"))
+        .withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= k * oversample)
+        .select("query_id", "vec_id")
+    )
+    c = with_norm(pruned.select("vec_id", "embedding")).select(
+        "vec_id", F.col("embedding").alias("cv"), F.col("norm").alias("cn")
+    )
+    qdf = spark.createDataFrame(
+        [(r["query_id"], r["embedding"], r["norm"]) for r in q_rows],
+        "query_id long, qv array<float>, qn double",
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        cands.join(c, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -338,3 +338,83 @@ def test_pq_ann_recall_on_clustered_data(spark):
 def test_pq_rejects_indivisible_dim(emb):
     with pytest.raises(ValueError):
         similarity.pq_train(emb, m=7)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ layout
+# ---------------------------------------------------------------------------
+
+
+def _clustered_corpus(spark, seed=13):
+    rng = np.random.default_rng(seed)
+    dim, n_clusters, per_cluster = 32, 16, 30
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.06 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_pq_recall_on_clustered_data(spark, tmp_path):
+    corpus = _clustered_corpus(spark)
+    path = str(tmp_path / "ivfpq")
+    similarity.ivf_pq_write(corpus, path, n_cells=16, m=8, n_codes=16)
+    queries = corpus.filter(F.col("vec_id").isin([0, 30, 60, 90])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(corpus, queries, k=5).collect()
+    approx = similarity.ivf_pq_topk(
+        spark, path, queries, k=5, nprobe=4, oversample=6
+    ).collect()
+    true_sets: dict[int, set[int]] = {}
+    for r in exact:
+        true_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets: dict[int, set[int]] = {}
+    for r in approx:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivf_pq_candidate_scan_prunes_partitions_and_columns(spark, tmp_path):
+    """The two 100 TB properties of the layout, pinned in the plan:
+    the candidate scan carries a partition filter (only nprobe cells'
+    files open) and reads ONLY the code column (the float embedding
+    never leaves disk until re-rank)."""
+    corpus = _clustered_corpus(spark)
+    path = str(tmp_path / "ivfpq2")
+    similarity.ivf_pq_write(corpus, path, n_cells=16, m=8, n_codes=16)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = similarity.ivf_pq_topk(spark, path, queries, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    cand = [
+        ln
+        for ln in scans
+        if "pq_codes" in ln.split("ReadSchema")[-1]
+        and "embedding" not in ln.split("ReadSchema")[-1]
+    ]
+    assert cand, scans
+    assert any("PartitionFilters: [cell" in ln or "cell#" in ln.split("PartitionFilters")[-1].split("]")[0] for ln in cand), cand
+
+
+def test_ivf_pq_sidecars_roundtrip(spark, tmp_path):
+    corpus = _clustered_corpus(spark)
+    path = str(tmp_path / "ivfpq3")
+    centroids, books = similarity.ivf_pq_write(
+        corpus, path, n_cells=8, m=4, n_codes=8
+    )
+    crows = spark.read.json(f"{path}/_centroids").collect()
+    assert len(crows) == len(centroids)
+    brows = spark.read.json(f"{path}/_pq_books").collect()
+    assert len(brows) == 4
