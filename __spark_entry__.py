@@ -1123,6 +1123,43 @@ _PII_DOCS_SQL = (
 )
 
 
+# Markup-enriched documents: the fixture corpus carries no HTML, so a
+# deterministic subset gets wrapped in tags / entity-encoded spans by
+# identical arithmetic on both engine sides.
+def _markup_documents(docs: DataFrame) -> DataFrame:
+    wrapped = F.concat(
+        F.lit('<div class="p"><a href="http://ex.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">ref</a> '),
+        F.col("text"),
+        F.lit(" &amp; more</div>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, wrapped)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" <br/> <B>bold</B>")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_MARKUP_DOCS_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN t2 || ' <br/> <B>bold</B>' "
+    "ELSE t2 END AS text FROM ("
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+    "'<div class=\"p\"><a href=\"http://ex.com/' || CAST(doc_id AS VARCHAR) "
+    "|| '\">ref</a> ' || text || ' &amp; more</div>' ELSE text END AS t2 "
+    "FROM documents)) markup_documents"
+)
+
+
 # Twin-injected corpus for the chunk-dedup gate: every 50th document
 # gains an identical re-keyed copy, so duplicate chunks exist and the
 # first-occurrence rule has observable effect (the raw fixture corpus
@@ -1535,6 +1572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_lm_surprise"] = lambda spark, sf: text.lm_transition_surprise(
         _load(spark, sf, "documents")
     )
+    out["text_markup"] = lambda spark, sf: text.strip_markup(
+        _markup_documents(_load(spark, sf, "documents"))
+    )
     # sketch tier — engine-specific values, recorded rows-only (the
     # error bound vs the exact tier is pinned by tests/test_profile.py)
     out["profile_documents_approx"] = lambda spark, sf: profile.profile_approx_df(
@@ -1735,6 +1775,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["text_rarity"] = text.rarity_score_oracle()
     out["text_repetition"] = text.repetition_stats_oracle(table=_AUG_DOCS_SQL)
     out["text_lm_surprise"] = text.lm_transition_surprise_oracle()
+    out["text_markup"] = text.strip_markup_oracle(table=_MARKUP_DOCS_SQL)
     out["sample_deterministic"] = (
         "SELECT doc_id, lang FROM ("
         + sampling.deterministic_sample_oracle("documents", keep_one_in=16)

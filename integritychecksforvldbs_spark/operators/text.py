@@ -757,3 +757,90 @@ SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(NULL AS DOUBLE)
 FROM toks WHERE len(t) < 2
 """
+
+
+# ---------------------------------------------------------------------------
+# markup stripping / boilerplate signals
+# ---------------------------------------------------------------------------
+
+TAG_REGEX = "<[^>]*>"
+LINK_REGEX = "(?i)<a[^>]*>"
+WS_REGEX = "\\s+"
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML/markup stripping with boilerplate signals — the first
+    stage every web-scrape corpus passes through: tags removed,
+    entities decoded, whitespace collapsed, plus ``n_tags`` /
+    ``n_links`` counts and ``markup_frac`` (fraction of raw characters
+    that were markup — the link/markup-density boilerplate heuristic).
+
+    Pure projection (zero shuffles): regex counts via
+    ``regexp_extract_all`` size, replacement chains with patterns
+    that parse identically as Java regex and RE2 so the DuckDB oracle
+    computes the same bytes.  ``markup_frac`` is an int/int division —
+    bitwise-equal doubles cross-engine.
+    """
+    t, i = text_col, id_col
+    clean = f"regexp_replace({t}, '{TAG_REGEX}', ' ')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "\\'")
+        clean = f"replace({clean}, '{ent}', '{rep_sql}')"
+    clean = f"trim(regexp_replace({clean}, '{_spark_re(WS_REGEX)}', ' '))"
+    return df.select(
+        F.col(i).alias("doc_id"),
+        F.expr(clean).alias("clean_text"),
+        F.expr(f"CAST(size(regexp_extract_all({t}, '{TAG_REGEX}', 0)) AS BIGINT)").alias(
+            "n_tags"
+        ),
+        F.expr(
+            f"CAST(size(regexp_extract_all({t}, '{LINK_REGEX}', 0)) AS BIGINT)"
+        ).alias("n_links"),
+        F.expr(f"CAST(length({t}) AS BIGINT)").alias("n_chars_raw"),
+    ).select(
+        "doc_id",
+        "clean_text",
+        "n_tags",
+        "n_links",
+        "n_chars_raw",
+        F.expr("CAST(length(clean_text) AS BIGINT)").alias("n_chars_clean"),
+        F.expr(
+            "CASE WHEN length(clean_text) = 0 AND n_chars_raw = 0 THEN 0.0 "
+            "WHEN n_chars_raw = 0 THEN 0.0 "
+            "ELSE (n_chars_raw - CAST(length(clean_text) AS BIGINT)) / n_chars_raw END"
+        ).alias("markup_frac"),
+    )
+
+
+def strip_markup_oracle(table: str = "documents") -> str:
+    clean = "regexp_replace(text, '<[^>]*>', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{rep_sql}')"
+    clean = f"trim(regexp_replace({clean}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {clean} AS clean_text,
+         CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+         CAST(len(regexp_extract_all(text, '(?i)<a[^>]*>')) AS BIGINT) AS n_links,
+         CAST(length(text) AS BIGINT) AS n_chars_raw
+  FROM {table}
+)
+SELECT doc_id, clean_text, n_tags, n_links, n_chars_raw,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       CASE WHEN n_chars_raw = 0 THEN 0.0
+            ELSE (n_chars_raw - CAST(length(clean_text) AS BIGINT)) / n_chars_raw
+       END AS markup_frac
+FROM m
+"""

@@ -199,3 +199,37 @@ def test_lm_surprise_matches_duckdb(tables, duck):
     )
     b = sorted(duck.execute(T.lm_transition_surprise_oracle()).fetchall())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# strip_markup
+# ---------------------------------------------------------------------------
+
+
+def test_strip_markup_pinned(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<div class="x"><a href="http://e.x">link</a> hi &amp; bye</div>'),
+            (2, "plain"),
+            (3, ""),
+            (4, '<A HREF="y">UP</A> &lt;kept&gt;'),
+            (5, "&amp;lt; double-encoded stays"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.strip_markup(df).collect()}
+    assert out[1]["clean_text"] == "link hi & bye"
+    assert out[1]["n_tags"] == 4 and out[1]["n_links"] == 1
+    assert out[2]["clean_text"] == "plain" and out[2]["markup_frac"] == 0.0
+    assert out[3]["n_chars_raw"] == 0 and out[3]["markup_frac"] == 0.0
+    # case-insensitive link detection; entities decode AFTER tag strip
+    assert out[4]["n_links"] == 1
+    assert out[4]["clean_text"] == "UP <kept>"
+    # &amp;lt; decodes to &lt; (amp last), never to a live '<'
+    assert out[5]["clean_text"] == "&lt; double-encoded stays"
+
+
+def test_strip_markup_matches_duckdb(tables, duck):
+    a = sorted(tuple(r) for r in T.strip_markup(tables["documents"]).collect())
+    b = sorted(duck.execute(T.strip_markup_oracle()).fetchall())
+    assert a == b
