@@ -78,6 +78,7 @@ _FORMAT_BY_EXT = {
     ".ndjson": "json",
     ".orc": "orc",
     ".txt": "text",
+    ".xml": "xml",
 }
 
 
@@ -100,6 +101,9 @@ def load_any(
     JSON-lines (one doc per line, the only JSON layout that splits
     across workers; multiline JSON cannot be parallelized).  Text
     yields (value) rows — one per line — for raw-corpus ingest.
+    XML (Spark 4 built-in source) defaults to ``rowTag=row``; XML
+    record boundaries, like multiline JSON, limit split parallelism —
+    convert to parquet on ingest rather than re-scanning.
     """
     if fmt is None:
         import os
@@ -121,4 +125,6 @@ def load_any(
         options.setdefault("header", "true")
         if schema is None:
             options.setdefault("inferSchema", "true")
+    if fmt == "xml":
+        options.setdefault("rowTag", "row")
     return normalize_ntz(reader.options(**options).format(fmt).load(path))

@@ -89,3 +89,24 @@ def test_timestamps_normalized_from_json(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert got.select(F.unix_micros("ts")).first()[0] == 1704067207179575
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML source: write rowTag rows, sniff by
+    extension, values and schema survive."""
+    src = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta <&> escaped")], "doc_id bigint, text string"
+    )
+    d = str(tmp_path / "docs.xml")
+    (
+        src.write.format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .mode("overwrite")
+        .save(d)
+    )
+    got = load_any(spark, d)
+    assert sorted((r["doc_id"], r["text"]) for r in got.collect()) == [
+        (1, "alpha"),
+        (2, "beta <&> escaped"),
+    ]
