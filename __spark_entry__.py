@@ -1150,6 +1150,32 @@ def _markup_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# Title projection with injected typo twins for the fuzzy-join gate:
+# first-24-char titles, and every 25th doc gains a twin whose title
+# carries one substitution at position 11 — identical arithmetic on
+# both engine sides, so the exact pair set matches.
+def _title_documents(docs: DataFrame) -> DataFrame:
+    titles = docs.select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("title")
+    )
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, 10), 'X', substring(text, 12, 13))"
+        ).alias("title"),
+    )
+    return titles.unionByName(twins)
+
+
+_TITLE_DOCS_SQL = (
+    "(SELECT doc_id, substr(text, 1, 24) AS title FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 3000000 AS doc_id, "
+    "substr(text, 1, 10) || 'X' || substr(text, 12, 13) AS title "
+    "FROM documents WHERE doc_id % 25 = 0) title_documents"
+)
+
+
 _MARKUP_DOCS_SQL = (
     "(SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN t2 || ' <br/> <B>bold</B>' "
     "ELSE t2 END AS text FROM ("
@@ -1547,6 +1573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = lambda spark, sf: multimodal.features_gate(
         multimodal.media_from_documents(_load(spark, sf, "documents"))
     )
+    out["dedup_fuzzy_titles"] = lambda spark, sf: dedup.fuzzy_dup_pairs(
+        _title_documents(_load(spark, sf, "documents")), max_dist=1
+    )
     out["dedup_embedding_cosine"] = lambda spark, sf: dedup.cosine_dup_pairs(
         _load(spark, sf, "embeddings"), threshold=0.45
     )
@@ -1764,6 +1793,9 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["multimodal_binary_stats"] = multimodal.binary_stats_oracle()
     out["multimodal_frame_sample"] = multimodal.sample_frames_oracle()
     out["multimodal_features"] = multimodal.features_oracle()
+    out["dedup_fuzzy_titles"] = dedup.fuzzy_dup_oracle(
+        _TITLE_DOCS_SQL, max_dist=1
+    )
     out["dedup_embedding_cosine"] = dedup.cosine_dup_oracle(threshold=0.45)
     out["dedup_embedding_lsh"] = dedup.cosine_dup_oracle(
         table=_AUG_EMB_SQL, threshold=0.9

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # 1. exact dedup
@@ -970,3 +971,178 @@ def cosine_dup_pairs_lsh(
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. fuzzy (edit-distance) duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    string_col: str = "title",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """Pairs of short strings (titles, names, product labels) within
+    Levenshtein distance ``max_dist`` — the record-linkage primitive,
+    EXACT (no false negatives) via q-gram count filtering [Gravano et
+    al., VLDB'01]: if ed(a,b) ≤ d then the positional-multiset q-gram
+    overlap is ≥ max(|a|,|b|) − q + 1 − q·d, so candidate pairs come
+    from an equi-join on (gram, occurrence#) with a HAVING count
+    bound, never a cross join; each candidate is then verified with
+    the built-in ``levenshtein`` (identical semantics in Spark and
+    DuckDB, so the oracle reproduces the exact pair set).
+
+    Strings too short to be covered by the bound (overlap threshold
+    ≤ 0, i.e. length ≤ q·(d+1) − 1 on the longer side) fall into a
+    short band enumerated via a length-banded self-join — bounded in
+    practice (titles under ~8 chars at the defaults) and exact.
+
+    Scale shape: one shuffle building the gram stream, the (gram,
+    occ#) equi-join (fan-out bounded by gram frequency — apply a
+    stop-gram frequency cut upstream for adversarial corpora, as in
+    :func:`shingles` ``max_df``), a pair-count aggregation, and a
+    levenshtein projection on candidates only.  Long free text does
+    not belong here: its levenshtein is O(len²) per pair — use the
+    MinHash/SimHash tiers; this tier is for the short-string columns
+    those tiers can't discriminate.
+    """
+    d = max_dist
+    s_norm = F.lower(F.trim(F.col(string_col)))
+    base = df.select(
+        F.col(id_col).alias("id"), s_norm.alias("s"), F.length(s_norm).alias("l")
+    )
+    short_cut = q * (d + 1) - 1  # longer side ≤ this → bound is vacuous
+
+    # -- q-gram candidate path (both sides long enough for the bound)
+    longs = base.filter(F.col("l") > short_cut)
+    grams = longs.select(
+        "id",
+        "l",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(l - {q} + 1, 0)), "
+                f"i -> substring(s, i, {q}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    # occurrence rank makes the join count a positional-multiset
+    # intersection (gram repeated c times matches min(c_a, c_b) times)
+    occ = grams.withColumn(
+        "occ",
+        F.row_number().over(Window.partitionBy("id", "gram").orderBy("pos")),
+    ).select("id", "l", "gram", "occ")
+    a = occ.select(
+        F.col("id").alias("id_a"), F.col("l").alias("l_a"), "gram", "occ"
+    )
+    b = occ.select(
+        F.col("id").alias("id_b"), F.col("l").alias("l_b"), "gram", "occ"
+    )
+    cand = (
+        a.join(b, ["gram", "occ"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("l_a") - F.col("l_b")) <= d)
+        )
+        .groupBy("id_a", "id_b", "l_a", "l_b")
+        .agg(F.count("*").alias("common"))
+        .filter(
+            F.col("common")
+            >= F.greatest("l_a", "l_b") - F.lit(q - 1) - F.lit(q * d)
+        )
+        .select("id_a", "id_b")
+    )
+
+    # -- short band: enumerate within the length window (exact, small)
+    sa = base.filter(F.col("l") <= short_cut).select(
+        F.col("id").alias("id_a"), F.col("l").alias("l_a")
+    )
+    sb = base.filter(F.col("l") <= short_cut + d).select(
+        F.col("id").alias("id_b"), F.col("l").alias("l_b")
+    )
+    short_pairs = (
+        sa.join(
+            sb,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("l_a") - F.col("l_b")) <= d),
+        ).select("id_a", "id_b")
+    )
+    # pairs where the SHORTER side is in the short band but the longer
+    # is not are impossible: |l_a - l_b| ≤ d forces both within d of
+    # the cut, which sb's widened filter covers.
+
+    sv = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    tv = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.unionByName(short_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+        .join(sv, "id_a")
+        .join(tv, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("levenshtein(s_a, s_b)").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+    )
+
+
+def fuzzy_dup_oracle(
+    table_sql: str,
+    string_col: str = "title",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+    q: int = 3,
+) -> str:
+    """Identical q-gram-filtered fuzzy join in DuckDB: same grams,
+    same occurrence ranks, same count bound, same levenshtein."""
+    d = max_dist
+    short_cut = q * (d + 1) - 1
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, lower(trim({string_col})) AS s,
+         length(lower(trim({string_col}))) AS l
+  FROM {table_sql}
+),
+grams AS (
+  SELECT id, l, u.gram, u.pos
+  FROM (
+    SELECT id, l,
+           unnest(list_transform(range(1, greatest(l - {q} + 1, 0) + 1),
+                                 i -> struct_pack(gram := substr(s, i, {q}),
+                                                  pos := i))) AS u
+    FROM base WHERE l > {short_cut}
+  )
+),
+occ AS (
+  SELECT id, l, gram,
+         ROW_NUMBER() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
+  FROM grams
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM occ a JOIN occ b ON a.gram = b.gram AND a.occ = b.occ
+  WHERE a.id < b.id AND abs(a.l - b.l) <= {d}
+  GROUP BY a.id, b.id, a.l, b.l
+  HAVING COUNT(*) >= greatest(a.l, b.l) - {q - 1} - {q * d}
+),
+shorts AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM (SELECT id, l FROM base WHERE l <= {short_cut}) a
+  JOIN (SELECT id, l FROM base WHERE l <= {short_cut + d}) b
+    ON a.id < b.id AND abs(a.l - b.l) <= {d}
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT * FROM cand UNION ALL SELECT * FROM shorts
+  )
+)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(sa.s, sb.s) AS INT) AS dist
+FROM pairs p
+JOIN base sa ON sa.id = p.id_a
+JOIN base sb ON sb.id = p.id_b
+WHERE levenshtein(sa.s, sb.s) <= {d}
+"""
