@@ -782,3 +782,19 @@ SELECT doc_id,
          AS chunk_text
 FROM e
 """
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Write-side counterpart of :func:`pii_scrub`: the same email →
+    phone → IPv4 replacement chain applied IN PLACE on ``text_col``,
+    all other columns untouched — the projection a pipeline
+    materializes (pii_scrub reports; pii_redact rewrites).  Pure
+    shuffle-free projection."""
+    t = text_col
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace({t}, "
+        f"'{EMAIL_RE}', '<EMAIL>'), "
+        f"'{PHONE_RE}', '<PHONE>'), "
+        f"'{IPV4_RE}', '<IP>')"
+    )
+    return df.withColumn(text_col, F.expr(redacted))

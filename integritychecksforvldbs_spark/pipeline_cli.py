@@ -1,0 +1,162 @@
+"""Corpus-curation pipeline CLI — the runnable counterpart of the
+``curate_funnel`` report: reads a documents table, applies the chosen
+stages IN ORDER, writes the curated corpus as parquet plus a
+per-stage JSON report.
+
+    python -m integritychecksforvldbs_spark.pipeline_cli \
+        --input /data/documents.parquet --output /data/curated \
+        --stages markup,quality,dedup,decontaminate,pii,cap \
+        --cap-k 1000 [--benchmark /data/eval_suite.parquet]
+
+Stages (any subset, any order):
+
+- ``markup``       strip tags/entities, text := clean_text
+- ``quality``      keep docs passing the Gopher composite filter
+- ``dedup``        near-dup removal (MinHash-LSH cluster survivors)
+- ``decontaminate``  drop docs overlapping the benchmark n-grams
+  (explicit ``--benchmark`` table, else the self-contained mod split
+  — which also drops the benchmark docs themselves, mirroring
+  ``curate_funnel``)
+- ``pii``          redact emails/phones/IPv4 in place
+- ``cap``          keep at most ``--cap-k`` docs per source
+
+Every stage is one of the oracle-verified kernels; this module only
+composes them (id semi/anti joins + in-place projections) and
+records (stage, n_docs, n_tokens) — the monotone funnel every corpus
+writeup publishes.  Filters compose as semi-joins on ``doc_id`` so a
+stage never re-derives another stage's columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import curation, dedup, text
+from integritychecksforvldbs_spark.sources.loader import load_any
+
+DEFAULT_STAGES = "markup,quality,dedup,decontaminate,pii,cap"
+
+_NTOK = "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)"
+
+
+def _counts(df: DataFrame) -> tuple[int, int]:
+    row = df.select(F.expr(_NTOK).alias("_n")).agg(
+        F.count("*").alias("d"), F.coalesce(F.sum("_n"), F.lit(0)).alias("t")
+    ).first()
+    return int(row["d"]), int(row["t"])
+
+
+def _keep_ids(df: DataFrame, ids: DataFrame) -> DataFrame:
+    return df.join(ids.select("doc_id"), "doc_id", "left_semi")
+
+
+def _drop_ids(df: DataFrame, ids: DataFrame) -> DataFrame:
+    return df.join(ids.select("doc_id"), "doc_id", "left_anti")
+
+
+def apply_stage(
+    df: DataFrame,
+    stage: str,
+    cap_k: int,
+    benchmark_df: DataFrame | None,
+) -> DataFrame:
+    if stage == "markup":
+        cleaned = text.strip_markup(df).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        return df.drop("text").join(cleaned, "doc_id")
+    if stage == "quality":
+        keep = text.gopher_filter(df).filter(F.col("keep") == 1)
+        return _keep_ids(df, keep)
+    if stage == "dedup":
+        return dedup.dedup_survivors(df)
+    if stage == "decontaminate":
+        dec = curation.decontaminate(df, benchmark_df=benchmark_df)
+        out = _drop_ids(df, dec.filter(F.col("contaminated") == 1))
+        if benchmark_df is None:
+            # self-contained mod split: the benchmark rows themselves
+            # leave the training corpus, as in curate_funnel
+            out = out.filter(F.col("doc_id") % 20 != 0)
+        return out
+    if stage == "pii":
+        return curation.pii_redact(df)
+    if stage == "cap":
+        return _keep_ids(df, curation.cap_per_source(df, k=cap_k))
+    raise ValueError(f"unknown stage {stage!r}")
+
+
+def curate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    stages: list[str],
+    cap_k: int = 1000,
+    benchmark_path: str | None = None,
+    input_fmt: str | None = None,
+) -> list[dict]:
+    def _load(path: str, fmt: str | None) -> DataFrame:
+        # extensionless paths are the lake default: parquet directories
+        try:
+            return load_any(spark, path, fmt=fmt)
+        except ValueError:
+            return load_any(spark, path, fmt="parquet")
+
+    df = _load(input_path, input_fmt)
+    benchmark_df = _load(benchmark_path, None) if benchmark_path else None
+    report = []
+    d, t = _counts(df)
+    report.append({"stage": "raw", "n_docs": d, "n_tokens": t})
+    for stage in stages:
+        df = apply_stage(df, stage, cap_k, benchmark_df)
+        d, t = _counts(df)
+        report.append({"stage": stage, "n_docs": d, "n_tokens": t})
+    df.write.mode("overwrite").parquet(output_path)
+    with open(f"{output_path}/_curation_report.json", "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="pipeline_cli", description=__doc__.splitlines()[0]
+    )
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--stages", default=DEFAULT_STAGES)
+    ap.add_argument("--cap-k", type=int, default=1000)
+    ap.add_argument("--benchmark", default=None, help="eval-suite table")
+    ap.add_argument("--input-format", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from integritychecksforvldbs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="curation-pipeline",
+        **(
+            {"shuffle_partitions": args.shuffle_partitions}
+            if args.shuffle_partitions
+            else {}
+        ),
+    )
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    report = curate(
+        spark,
+        args.input,
+        args.output,
+        stages,
+        cap_k=args.cap_k,
+        benchmark_path=args.benchmark,
+        input_fmt=args.input_format,
+    )
+    for row in report:
+        print(f"{row['stage']:>14}: {row['n_docs']:>9} docs  {row['n_tokens']:>12} tokens")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

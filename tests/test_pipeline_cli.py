@@ -1,0 +1,83 @@
+"""End-to-end curation pipeline CLI: stages compose, counts are
+monotone, the written corpus reflects every stage's contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark import pipeline_cli
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stages = ["quality", "dedup", "decontaminate", "pii", "cap"]
+    report = pipeline_cli.curate(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        stages,
+        cap_k=30,
+    )
+    assert [r["stage"] for r in report] == ["raw"] + stages
+    # monotone through the filter stages; pii rewrites, never drops
+    for prev, cur in zip(report, report[1:]):
+        assert cur["n_docs"] <= prev["n_docs"]
+    i_pii = stages.index("pii") + 1
+    assert report[i_pii]["n_docs"] == report[i_pii - 1]["n_docs"]
+
+    curated = load_table(spark, out)
+    assert curated.count() == report[-1]["n_docs"]
+    # cap respected
+    mx = curated.groupBy("source").count().agg(F.max("count")).first()[0]
+    assert mx <= 30
+    # benchmark rows (mod-20 split) are gone
+    assert curated.filter("doc_id % 20 = 0").count() == 0
+    # report sidecar written
+    rep = json.load(open(f"{out}/_curation_report.json"))
+    assert rep == report
+
+
+def test_curate_markup_stage_rewrites_text(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "<b>bold</b> text here", "s1"), (2, "plain", "s1")],
+        "doc_id bigint, text string, source string",
+    )
+    p = str(tmp_path / "in")
+    src.write.mode("overwrite").parquet(p)
+    out = str(tmp_path / "out")
+    pipeline_cli.curate(spark, p, out, ["markup"])
+    got = {r["doc_id"]: r["text"] for r in load_table(spark, out).collect()}
+    assert got[1] == "bold text here"
+    assert got[2] == "plain"
+
+
+def test_curate_explicit_benchmark(spark, tmp_path):
+    docs = load_table(spark, f"{SF_DIR}/documents.parquet")
+    bpath = str(tmp_path / "bench")
+    docs.filter("doc_id % 10 = 0").write.mode("overwrite").parquet(bpath)
+    out = str(tmp_path / "curated_b")
+    pipeline_cli.curate(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        ["decontaminate"],
+        benchmark_path=bpath,
+    )
+    curated = load_table(spark, out)
+    # with an explicit benchmark the mod-20 rule must NOT apply;
+    # benchmark twins (the docs themselves) are dropped as contaminated
+    assert curated.filter("doc_id % 10 = 0").count() == 0
+    assert curated.filter("doc_id % 20 = 0").count() == 0  # subset of above
+    assert curated.count() > 0
+
+
+def test_unknown_stage_raises(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="unknown stage"):
+        pipeline_cli.apply_stage(df, "nope", 10, None)
