@@ -1387,8 +1387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["props_parse"] = _q_props_parse
 
     # ---- dedup kernels (north star) ------------------------------ 25-30
+    # twin-injected corpus so the gate verifies real duplicate groups
+    # (the raw fixture has none - a 0-row match proves little)
     out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
-        _load(spark, sf, "documents")
+        _docs_with_chunk_twins(spark, sf)
     )
     out["dedup_pairs"] = _q_dedup_pairs
     out["dedup_simhash_both"] = _q_simhash_both
@@ -1701,7 +1703,9 @@ def oracle_sql() -> dict[str, str]:
     out["props_parse"] = _props_parse_oracle()
 
     # ---- dedup ----
-    out["dedup_exact"] = dedup.exact_dup_groups_oracle()
+    out["dedup_exact"] = dedup.exact_dup_groups_oracle(
+        table=_CHUNK_TWIN_DOCS_SQL
+    )
     # LSH is exact-verified; at the shipped band settings its output
     # equals the brute-force n-gram pairs, so both tiers share it
     out["dedup_pairs"] = _dedup_pairs_oracle()
