@@ -12,12 +12,15 @@ Spark-side mechanics are real and tested: Arrow-batched
 touch payload bytes), metadata-only operators as pure JVM expressions
 (frame sampling, byte stats), and stable output schemas.
 
-**Decoding is stubbed**: this container has no image/audio libraries,
-so ``decode=\"fake\"`` (the default) derives deterministic pseudo-
-features from payload bytes, and ``decode=\"real\"`` raises
-``NotImplementedError`` unless PIL is importable.  Swapping in a real
-decoder changes ONE function (``_decode_payload``) — partitioning,
-batch shapes, schemas, and the UDF signature are production-shaped.
+**Decoding**: P6/PPM images decode for REAL (pure numpy — header
+parse, pixel array, channel/luminance statistics; corruption raises).
+Other formats need media libraries this container doesn't have, so
+``decode=\"fake\"`` (the default) derives deterministic pseudo-
+features from payload bytes and ``decode=\"real\"`` raises
+``NotImplementedError`` for them unless PIL is importable.  Swapping
+in a fuller decoder changes ONE function (``_decode_payload``) —
+partitioning, batch shapes, schemas, and the UDF signature are
+production-shaped.
 """
 
 from __future__ import annotations
@@ -115,19 +118,95 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def encode_ppm(pixels) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a binary PPM (P6) payload
+    — the self-contained image format the real decode path handles
+    without any media library.  Test/fixture utility."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Pure-numpy P6/PPM decoder: returns (width, height, pixels) with
+    pixels an (h, w, 3) uint8 array.  Handles comment lines and any
+    header whitespace per the netpbm spec; raises ValueError on
+    malformed or truncated payloads (the corruption the blob-integrity
+    kernel wants surfaced, not masked)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm payload")
+    # header tokens: magic, width, height, maxval; '#' starts a comment
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated ppm header")
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    i += 1  # the single whitespace after maxval
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError(
+            f"truncated ppm body: {len(raw)} bytes for {w}x{h}x3"
+        )
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _ppm_features(payload: bytes, feature_dim: int):
+    """Real image features from a decoded P6 payload: normalized
+    dimensions, per-channel means, luminance std, and a 10-bin
+    luminance histogram — 16 floats, deterministic."""
+    import numpy as np
+
+    w, h, px = decode_ppm(payload)
+    f = px.astype(np.float64)
+    lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    hist, _ = np.histogram(lum, bins=10, range=(0.0, 255.0001))
+    feats = [
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        float(f[:, :, 0].mean()) / 255.0,
+        float(f[:, :, 1].mean()) / 255.0,
+        float(f[:, :, 2].mean()) / 255.0,
+        float(lum.std()) / 255.0,
+    ] + (hist / lum.size).tolist()
+    return feats[:feature_dim] + [0.0] * max(0, feature_dim - len(feats))
+
+
 def _decode_payload(payload: bytes, modality: str, decode: str):
-    """STUB boundary.  ``decode='real'`` needs an actual media library
-    (PIL/torchaudio/pyav — not in this container); ``decode='fake'``
-    produces a deterministic pseudo-decode from the bytes so the whole
-    pipeline is exercisable end-to-end."""
+    """Decode boundary.  ``decode='real'`` decodes P6/PPM images with
+    the pure-numpy decoder above (no media library needed); other
+    formats still need PIL/torchaudio/pyav — not in this container —
+    and raise ``NotImplementedError``.  ``decode='fake'`` produces a
+    deterministic pseudo-decode from the bytes so the full pipeline
+    is exercisable on arbitrary payloads."""
     if decode == "real":
+        if payload.startswith(b"P6"):
+            return ("ppm", payload)
         try:
             from PIL import Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "real media decoding requires PIL/torchaudio/pyav, "
-                "which are not installed in this environment; "
-                "use decode='fake' or install a decoder"
+                "real decoding beyond P6/PPM requires PIL/torchaudio/"
+                "pyav, which are not installed in this environment; "
+                "use decode='fake', P6 payloads, or install a decoder"
             ) from exc
         raise NotImplementedError("real decode path not implemented yet")
     # deterministic fake: 16 bytes of md5 as the "decoded signal"
@@ -155,8 +234,13 @@ def extract_features(
                 sig = _decode_payload(
                     bytes(payload) if payload is not None else b"", modality, decode
                 )
-                raw = (sig * ((feature_dim // len(sig)) + 1))[:feature_dim]
-                feats.append([float(b) / 255.0 for b in raw])
+                if isinstance(sig, tuple) and sig[0] == "ppm":
+                    feats.append(
+                        [float(x) for x in _ppm_features(sig[1], feature_dim)]
+                    )
+                else:
+                    raw = (sig * ((feature_dim // len(sig)) + 1))[:feature_dim]
+                    feats.append([float(b) / 255.0 for b in raw])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -101,3 +101,75 @@ def test_binary_stats_md5(media, spark):
     txt = docs.filter("doc_id = 1").collect()[0]["text"]
     assert got["payload_md5"] == hashlib.md5(txt.encode()).hexdigest()
     assert got["n_bytes"] == len(txt.encode())
+
+
+# ---------------------------------------------------------------------------
+# real P6/PPM decode path (pure numpy, no media library)
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_roundtrip_and_header_variants():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = MM.encode_ppm(px)
+    w, h, back = MM.decode_ppm(payload)
+    assert (w, h) == (3, 2)
+    assert (back == px).all()
+    # comments and arbitrary whitespace in the header are legal netpbm
+    commented = b"P6\n# a comment\n 3\t2 # trailing\n255\n" + px.tobytes()
+    w2, h2, back2 = MM.decode_ppm(commented)
+    assert (w2, h2) == (3, 2) and (back2 == px).all()
+
+
+def test_ppm_corruption_raises():
+    import numpy as np
+
+    import pytest as _pytest
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = MM.encode_ppm(px)
+    with _pytest.raises(ValueError, match="truncated ppm body"):
+        MM.decode_ppm(payload[:-5])
+    with _pytest.raises(ValueError, match="not a P6"):
+        MM.decode_ppm(b"JFIF....")
+    with _pytest.raises(ValueError, match="unsupported maxval"):
+        MM.decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)
+
+
+def test_real_decode_features_on_ppm(spark):
+    """decode='real' extracts true image statistics from P6 payloads
+    distributed through the Arrow mapInPandas path."""
+    import numpy as np
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    grey = np.full((4, 16, 3), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(MM.encode_ppm(red)), (8, 8, None, None, "ppm")),
+            (2, "image", bytearray(MM.encode_ppm(grey)), (16, 4, None, None, "ppm")),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in MM.extract_features(media, decode="real").collect()}
+    f1 = out[1]["feature"]
+    # red image: mean_r=1.0, mean_g=mean_b=0
+    assert abs(f1[2] - 1.0) < 1e-6 and f1[3] == 0.0 and f1[4] == 0.0
+    f2 = out[2]["feature"]
+    # uniform grey: all channel means 128/255, zero luminance std
+    assert abs(f2[2] - 128 / 255) < 1e-6
+    assert f2[5] == 0.0
+    # dims normalized
+    assert abs(f1[0] - 8 / 4096) < 1e-9 and abs(f2[0] - 16 / 4096) < 1e-9
+
+
+def test_real_decode_non_ppm_still_stubbed(spark):
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"RIFF...."), (None, None, 44100, None, "wav"))],
+        MM.MEDIA_SCHEMA,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # NotImplementedError inside the UDF
+        MM.extract_features(media, decode="real").collect()
