@@ -1611,6 +1611,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["profile_documents_approx"] = lambda spark, sf: profile.profile_approx_df(
         _load(spark, sf, "documents")
     )
+
+    def _q_ndv_sketches(spark: SparkSession, sf: str) -> DataFrame:
+        # rows-only: HLL estimates are engine-specific; the error
+        # envelope vs exact NDV is pinned by tests/test_profile.py
+        docs = _load(spark, sf, "documents")
+        return profile.ndv_estimate(
+            profile.ndv_sketch_by(docs, "lang", ["doc_id", "source"]),
+            ["doc_id", "source"],
+        )
+
+    out["profile_ndv_sketches"] = _q_ndv_sketches
     out["quantiles_value_approx"] = lambda spark, sf: profile.approx_quantiles_df(
         _load(spark, sf, "events"), "value"
     )

@@ -253,3 +253,53 @@ SELECT CAST({col} // {width} AS BIGINT) AS bucket,
        CAST(MAX({col}) AS BIGINT) AS max_value
 FROM {table} GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental NDV via mergeable HLL sketches
+# ---------------------------------------------------------------------------
+
+
+def ndv_sketch_by(
+    df: DataFrame, key_col: str, columns: Sequence[str]
+) -> DataFrame:
+    """Per-``key_col`` mergeable HLL sketches (DataSketches
+    ``hll_sketch_agg``, lgK 12) for each column — the PERSISTABLE
+    profiling artifact: compute once per ingest partition (day,
+    source, batch), store the few-KB binary rows, and answer NDV
+    questions over ANY key subset later by merging sketches instead
+    of rescanning data.  At 100 TB this turns "distinct users last
+    quarter" from a full-corpus shuffle into an O(partitions)
+    metadata aggregation.
+
+    One hash shuffle on ``key_col`` with map-side partial sketches.
+    """
+    return df.groupBy(F.col(key_col).alias("sketch_key")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[F.hll_sketch_agg(c).alias(f"sketch_{c}") for c in columns],
+    )
+
+
+def ndv_estimate(
+    sketches: DataFrame, columns: Sequence[str], keys: list | None = None
+) -> DataFrame:
+    """NDV estimates from a (filtered) sketch table: one output row
+    with ``n_rows`` (exact) and ``ndv_<col>`` per column, computed by
+    HLL union.  The union stays inside the standard HLL error
+    envelope (~1.6% at lgK 12) but is NOT bit-identical to a
+    single-pass sketch at small cardinalities — a lone sketch below
+    the sparse threshold counts exactly, while unioning promotes to
+    dense registers (tests pin the envelope, deterministic repeats,
+    and key-subset behavior).  Metadata-sized: |keys| rows in,
+    1 row out."""
+    if keys is not None:
+        sketches = sketches.filter(F.col("sketch_key").isin(keys))
+    return sketches.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        *[
+            F.hll_sketch_estimate(F.hll_union_agg(f"sketch_{c}"))
+            .cast("long")
+            .alias(f"ndv_{c}")
+            for c in columns
+        ],
+    )

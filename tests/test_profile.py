@@ -133,3 +133,58 @@ def test_approx_quantiles_rank_error(tables):
         le = ev.filter(f"value <= {v}").count() / n
         lt = ev.filter(f"value < {v}").count() / n
         assert lt - eps <= p <= le + eps, (p, v, lt, le)
+
+
+# ---------------------------------------------------------------------------
+# incremental NDV sketches
+# ---------------------------------------------------------------------------
+
+
+def test_ndv_sketch_accuracy(tables):
+    from integritychecksforvldbs_spark.operators import profile as P
+
+    docs = tables["documents"]
+    sk = P.ndv_sketch_by(docs, "lang", ["doc_id", "source"])
+    est = P.ndv_estimate(sk, ["doc_id", "source"]).first()
+    exact_docs = docs.select("doc_id").distinct().count()
+    exact_src = docs.select("source").distinct().count()
+    assert est["n_rows"] == docs.count()
+    assert abs(est["ndv_doc_id"] - exact_docs) <= max(2, exact_docs * 0.05)
+    assert abs(est["ndv_source"] - exact_src) <= max(2, exact_src * 0.05)
+
+
+def test_ndv_merge_stays_in_error_envelope_and_is_deterministic(spark, tables):
+    """Union of per-key sketches is NOT bit-identical to a single
+    sparse-mode sketch (dense promotion), but stays inside the HLL
+    error envelope and is deterministic run-to-run — the properties
+    that make STORED sketches trustworthy."""
+    from integritychecksforvldbs_spark.operators import profile as P
+
+    docs = tables["documents"]
+    exact = docs.select("doc_id").distinct().count()
+    a = P.ndv_estimate(
+        P.ndv_sketch_by(docs, "lang", ["doc_id"]), ["doc_id"]
+    ).first()["ndv_doc_id"]
+    b = P.ndv_estimate(
+        P.ndv_sketch_by(docs, "lang", ["doc_id"]), ["doc_id"]
+    ).first()["ndv_doc_id"]
+    assert a == b  # deterministic
+    assert abs(a - exact) <= max(2, exact * 0.05)
+    # a different bucketing merges to an estimate in the same envelope
+    c = P.ndv_estimate(
+        P.ndv_sketch_by(docs, "source", ["doc_id"]), ["doc_id"]
+    ).first()["ndv_doc_id"]
+    assert abs(c - exact) <= max(2, exact * 0.05)
+
+
+def test_ndv_estimate_key_subset(tables):
+    from integritychecksforvldbs_spark.operators import profile as P
+
+    docs = tables["documents"]
+    sk = P.ndv_sketch_by(docs, "lang", ["doc_id"])
+    some = [r["lang"] for r in docs.select("lang").distinct().collect()][:2]
+    est = P.ndv_estimate(sk, ["doc_id"], keys=some).first()
+    sub = docs.filter(docs["lang"].isin(some))
+    exact = sub.select("doc_id").distinct().count()
+    assert est["n_rows"] == sub.count()
+    assert abs(est["ndv_doc_id"] - exact) <= max(2, exact * 0.05)
