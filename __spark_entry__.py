@@ -1622,6 +1622,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["profile_ndv_sketches"] = _q_ndv_sketches
+
+    def _q_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
+        # rows-only: Theta set-algebra estimates (audience overlap of
+        # the two lexically-first event types) — envelope pinned in tests
+        ev = _load(spark, sf, "events")
+        types = sorted(
+            r["event_type"]
+            for r in ev.select("event_type").distinct().collect()
+        )
+        sk = profile.theta_sketch_by(ev, "event_type", "user_id")
+        return profile.theta_overlap_estimate(sk, types[0], types[1])
+
+    out["profile_theta_overlap"] = _q_theta_overlap
     out["quantiles_value_approx"] = lambda spark, sf: profile.approx_quantiles_df(
         _load(spark, sf, "events"), "value"
     )

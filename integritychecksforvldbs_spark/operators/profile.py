@@ -303,3 +303,88 @@ def ndv_estimate(
             for c in columns
         ],
     )
+
+
+def theta_sketch_by(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Theta sketches over ``value_col`` — unlike HLL, Theta
+    sketches support INTERSECTION and DIFFERENCE, so stored per-
+    partition sketches answer audience-overlap questions ("users who
+    did A and B", "docs in source X but not Y") without joining the
+    raw data.  One hash shuffle, few-KB rows."""
+    return df.groupBy(F.col(key_col).alias("sketch_key")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.theta_sketch_agg(value_col).alias("sketch"),
+    )
+
+
+def theta_overlap_estimate(
+    sketches: DataFrame, key_a, key_b
+) -> DataFrame:
+    """Distinct-count estimates for two stored sketches and their set
+    algebra: (ndv_a, ndv_b, ndv_union, ndv_intersection, ndv_only_a).
+    Metadata-sized — two rows in, one row out."""
+    a = sketches.filter(F.col("sketch_key") == key_a).select(
+        F.col("sketch").alias("sa")
+    )
+    b = sketches.filter(F.col("sketch_key") == key_b).select(
+        F.col("sketch").alias("sb")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            F.theta_sketch_estimate("sa").cast("long").alias("ndv_a"),
+            F.theta_sketch_estimate("sb").cast("long").alias("ndv_b"),
+            F.theta_sketch_estimate(F.theta_union("sa", "sb"))
+            .cast("long")
+            .alias("ndv_union"),
+            F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+            .cast("long")
+            .alias("ndv_intersection"),
+            F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+            .cast("long")
+            .alias("ndv_only_a"),
+        )
+    )
+
+
+def kll_sketch_by(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key KLL quantile sketches (double) — the mergeable
+    counterpart of ``percentile_approx``: per-partition sketches
+    persist, and any key subset's quantiles come from a merge instead
+    of a rescan."""
+    return df.groupBy(F.col(key_col).alias("sketch_key")).agg(
+        F.kll_sketch_agg_double(value_col).alias("sketch"),
+    )
+
+
+def kll_quantiles(
+    sketches: DataFrame,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    keys: list | None = None,
+) -> DataFrame:
+    """Merged quantile estimates over a (filtered) KLL sketch table:
+    one row, ``q_<pct>`` per requested probability.  KLL guarantees
+    rank error (~1.7% at the default k), not value error."""
+    if keys is not None:
+        sketches = sketches.filter(F.col("sketch_key").isin(keys))
+    # kll_sketch_merge_double is a binary scalar (no aggregate form in
+    # Spark 4.1): fold the collected sketch list — the list is
+    # |keys|-sized metadata, so driver-side size is not a concern
+    merged = sketches.agg(F.collect_list("sketch").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)), sks[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("m")
+    )
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("m", F.lit(float(p))).alias(
+                f"q_{int(p * 100)}"
+            )
+            for p in probs
+        ]
+    )

@@ -188,3 +188,59 @@ def test_ndv_estimate_key_subset(tables):
     exact = sub.select("doc_id").distinct().count()
     assert est["n_rows"] == sub.count()
     assert abs(est["ndv_doc_id"] - exact) <= max(2, exact * 0.05)
+
+
+def test_theta_overlap_estimates(spark, tables):
+    """Theta set algebra on stored per-key sketches vs exact counts on
+    the raw data (events users per event_type)."""
+    from integritychecksforvldbs_spark.operators import profile as P
+
+    ev = tables["events"]
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    ka, kb = sorted(types)[:2]
+    sk = P.theta_sketch_by(ev, "event_type", "user_id")
+    est = P.theta_overlap_estimate(sk, ka, kb).first()
+
+    ua = {r["user_id"] for r in ev.filter(ev["event_type"] == ka).select("user_id").distinct().collect()}
+    ub = {r["user_id"] for r in ev.filter(ev["event_type"] == kb).select("user_id").distinct().collect()}
+    tol = lambda x: max(3, x * 0.06)  # noqa: E731
+    assert abs(est["ndv_a"] - len(ua)) <= tol(len(ua))
+    assert abs(est["ndv_b"] - len(ub)) <= tol(len(ub))
+    assert abs(est["ndv_union"] - len(ua | ub)) <= tol(len(ua | ub))
+    assert abs(est["ndv_intersection"] - len(ua & ub)) <= tol(len(ua & ub))
+    assert abs(est["ndv_only_a"] - len(ua - ub)) <= tol(len(ua - ub))
+
+
+def test_kll_merged_quantiles_rank_error(spark, tables):
+    """Merged per-key KLL sketches give quantiles within rank error of
+    the exact distribution."""
+    from integritychecksforvldbs_spark.operators import profile as P
+
+    ev = tables["events"]
+    sk = P.kll_sketch_by(ev, "event_type", "value")
+    got = P.kll_quantiles(sk, probs=(0.5,)).first()["q_50"]
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    # rank of the returned value must be within 3% of the true median rank
+    import bisect
+
+    rank = bisect.bisect_left(vals, got) / len(vals)
+    assert abs(rank - 0.5) <= 0.03, rank
+
+
+def test_kll_key_subset(spark, tables):
+    from integritychecksforvldbs_spark.operators import profile as P
+
+    ev = tables["events"]
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    sk = P.kll_sketch_by(ev, "event_type", "value")
+    got = P.kll_quantiles(sk, probs=(0.5,), keys=[types[0]]).first()["q_50"]
+    sub = sorted(
+        r["value"]
+        for r in ev.filter(ev["event_type"] == types[0]).select("value").collect()
+    )
+    import bisect
+
+    rank = bisect.bisect_left(sub, got) / len(sub)
+    assert abs(rank - 0.5) <= 0.03, rank
