@@ -140,3 +140,16 @@ def test_lm_surprise_shuffle_budget(docs):
     model probe is a broadcast join (never a shuffle of the gram
     stream) and the <2-token branch unions in shuffle-free."""
     assert plan_data_shuffles(text.lm_transition_surprise(docs)) == 2
+
+
+def test_fuzzy_dup_pairs_shuffle_budget(docs):
+    """Fuzzy join budget: occurrence-rank window (1), the (gram, occ)
+    equi-join (2 sides), the pair-count aggregation (1), and the two
+    string joins back for the levenshtein verify (bounded by candidate
+    count; ≤2 more key exchanges + the short-band join).  Anything
+    beyond 8 keyed exchanges means the gram stream is being
+    repartitioned redundantly."""
+    from integritychecksforvldbs_spark.operators import dedup
+
+    titled = docs.selectExpr("doc_id", "substring(text, 1, 24) AS title")
+    assert plan_data_shuffles(dedup.fuzzy_dup_pairs(titled)) <= 8
