@@ -63,6 +63,8 @@ def apply_stage(
     stage: str,
     cap_k: int,
     benchmark_df: DataFrame | None,
+    decontaminate_n: int = 8,
+    contamination_threshold: float = 0.0,
 ) -> DataFrame:
     if stage == "markup":
         cleaned = text.strip_markup(df).select(
@@ -75,8 +77,16 @@ def apply_stage(
     if stage == "dedup":
         return dedup.dedup_survivors(df)
     if stage == "decontaminate":
-        dec = curation.decontaminate(df, benchmark_df=benchmark_df)
-        out = _drop_ids(df, dec.filter(F.col("contaminated") == 1))
+        # longer grams than the gate default (n=8 vs 3): a corpus-wide
+        # shared trigram is noise, a shared 8-gram is leakage; the
+        # threshold drops docs whose contaminated-gram fraction
+        # exceeds it (0.0 = any 8-gram overlap drops the doc)
+        dec = curation.decontaminate(
+            df, n=decontaminate_n, benchmark_df=benchmark_df
+        )
+        out = _drop_ids(
+            df, dec.filter(F.col("contamination") > contamination_threshold)
+        )
         if benchmark_df is None:
             # self-contained mod split: the benchmark rows themselves
             # leave the training corpus, as in curate_funnel
@@ -97,6 +107,8 @@ def curate(
     cap_k: int = 1000,
     benchmark_path: str | None = None,
     input_fmt: str | None = None,
+    decontaminate_n: int = 8,
+    contamination_threshold: float = 0.0,
 ) -> list[dict]:
     def _load(path: str, fmt: str | None) -> DataFrame:
         # extensionless paths are the lake default: parquet directories
@@ -110,11 +122,24 @@ def curate(
     report = []
     d, t = _counts(df)
     report.append({"stage": "raw", "n_docs": d, "n_tokens": t})
+    prev = None
     for stage in stages:
-        df = apply_stage(df, stage, cap_k, benchmark_df)
-        d, t = _counts(df)
+        df = apply_stage(
+            df,
+            stage,
+            cap_k,
+            benchmark_df,
+            decontaminate_n=decontaminate_n,
+            contamination_threshold=contamination_threshold,
+        ).persist()
+        d, t = _counts(df)  # materializes the persist
+        if prev is not None:
+            prev.unpersist()
+        prev = df
         report.append({"stage": stage, "n_docs": d, "n_tokens": t})
     df.write.mode("overwrite").parquet(output_path)
+    if prev is not None:
+        prev.unpersist()
     with open(f"{output_path}/_curation_report.json", "w") as f:
         json.dump(report, f, indent=1)
     return report
@@ -129,6 +154,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stages", default=DEFAULT_STAGES)
     ap.add_argument("--cap-k", type=int, default=1000)
     ap.add_argument("--benchmark", default=None, help="eval-suite table")
+    ap.add_argument("--decontaminate-n", type=int, default=8)
+    ap.add_argument(
+        "--contamination-threshold",
+        type=float,
+        default=0.0,
+        help="drop docs with contaminated-gram fraction above this",
+    )
     ap.add_argument("--input-format", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
@@ -152,6 +184,8 @@ def main(argv: list[str] | None = None) -> int:
         cap_k=args.cap_k,
         benchmark_path=args.benchmark,
         input_fmt=args.input_format,
+        decontaminate_n=args.decontaminate_n,
+        contamination_threshold=args.contamination_threshold,
     )
     for row in report:
         print(f"{row['stage']:>14}: {row['n_docs']:>9} docs  {row['n_tokens']:>12} tokens")
