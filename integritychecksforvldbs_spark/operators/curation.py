@@ -251,8 +251,8 @@ WITH per AS (
            AS src_tokens
   FROM {table} GROUP BY source)
 SELECT source, src_tokens,
-       CAST({target_tokens} AS BIGINT) * src_tokens // SUM(src_tokens) OVER ()
-         AS alloc_tokens
+       CAST(CAST({target_tokens} AS BIGINT) * src_tokens
+            // SUM(src_tokens) OVER () AS BIGINT) AS alloc_tokens
 FROM per
 """
 

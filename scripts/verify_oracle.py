@@ -69,6 +69,22 @@ def main() -> int:
                 )
             except AssertionError as exc:
                 status = f"VALUE MISMATCH: {str(exc)[:400]}"
+            else:
+                # The driver's comparison hashes rendered values, so an
+                # integer column that DuckDB returns as HUGEINT (pandas
+                # float64: 655.0 vs 655) fails its gate even when every
+                # value is numerically equal (round-3 regression). Flag
+                # numeric-kind drift between the two frames.
+                drift = [
+                    c
+                    for c in a.columns
+                    if a[c].dtype.kind != b[c].dtype.kind
+                    and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+                ]
+                if drift:
+                    status = "DTYPE DRIFT " + ", ".join(
+                        f"{c}: spark={a[c].dtype} duck={b[c].dtype}" for c in drift
+                    )
         print(f"  {name}: {status} ({len(a)} rows) [{time.time()-t0:.1f}s]")
         if status != "OK":
             failed.append(name)
