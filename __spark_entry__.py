@@ -724,6 +724,228 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage beyond the reference's ROW_NUMBER-only
+    surface (SURVEY §2.5 notes the reference has no lead/lag and no
+    frame specs): one row per order carrying LEAD (next-order gap), a
+    RANGE-frame moving sum (30-day window keyed on an integer day
+    column — peers included, so tie order cannot change the result),
+    NTILE / PERCENT_RANK / CUME_DIST ranking within the order
+    priority, and FIRST_VALUE over the customer partition.
+
+    Exactness: amounts are integer cents, dates are integer days since
+    1995-01-01; PERCENT_RANK and CUME_DIST are single IEEE divisions
+    of identical integers in both engines, hence bitwise equal.  All
+    four windows over ``o_custkey`` share one Exchange; the priority
+    ranking adds a second — two shuffles total at any scale."""
+    from pyspark.sql.window import Window
+
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        day.alias("day"),
+        cents.alias("cents"),
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    wp = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        "cents",
+        (F.lead("day").over(wc) - F.col("day")).cast("long").alias("next_gap_days"),
+        F.sum("cents").over(wr).cast("long").alias("moving_cents_30d"),
+        F.ntile(4).over(wp).cast("long").alias("price_quartile"),
+        F.percent_rank().over(wp).alias("price_pctrank"),
+        F.cume_dist().over(wp).alias("price_cumedist"),
+        F.first("day").over(wc).cast("long").alias("first_day"),
+    )
+
+
+def _window_suite_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey, o_custkey, day, cents,
+       CAST(LEAD(day) OVER wc - day AS BIGINT) AS next_gap_days,
+       CAST(SUM(cents) OVER wr AS BIGINT) AS moving_cents_30d,
+       CAST(NTILE(4) OVER wp AS BIGINT) AS price_quartile,
+       PERCENT_RANK() OVER wp AS price_pctrank,
+       CUME_DIST() OVER wp AS price_cumedist,
+       CAST(FIRST_VALUE(day) OVER wc AS BIGINT) AS first_day
+FROM base
+WINDOW wc AS (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+       wr AS (PARTITION BY o_custkey ORDER BY day
+              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+"""
+
+
+def _q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / INTERSECT ALL / EXCEPT ALL in one
+    long-format gate (the reference's only set op is UNION ALL, SURVEY
+    §2.7 — this is the extension's completeness proof).  Operands are
+    the multiset of customer keys ordering in 1995 vs 1996; the ALL
+    variants report surviving multiplicities, the distinct variants
+    report n=1 rows.
+
+    Spark's operator form (``intersect``/``exceptAll``/…) plans one
+    aggregate-join per op — 8 scans and 4 shuffles for this suite — so
+    the gate runs the FUSED form instead: ONE scan aggregates per-key
+    (count@1995, count@1996), and all four set-op answers are derived
+    row-locally from the two counts (bag algebra: intersect-all =
+    min(na,nb), except-all = na−nb, …) and exploded into long format.
+    One scan, one shuffle, any number of set ops.  The operator form
+    is pinned equal in tests/test_relational_suites.py."""
+    y = F.year("o_orderdate")
+    counts = (
+        _load(spark, sf_dir, "orders")
+        # equivalent literal range so the predicate reaches the parquet
+        # row-group stats (year() is not pushable)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(y == 1995, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(y == 1996, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ops = F.array(
+        F.struct(
+            F.lit("intersect").alias("op"),
+            F.when((na > 0) & (nb > 0), F.lit(1)).cast("long").alias("n"),
+        ),
+        F.struct(
+            F.lit("except").alias("op"),
+            F.when((na > 0) & (nb == 0), F.lit(1)).cast("long").alias("n"),
+        ),
+        F.struct(
+            F.lit("intersect_all").alias("op"),
+            F.when((na > 0) & (nb > 0), F.least(na, nb)).cast("long").alias("n"),
+        ),
+        F.struct(
+            F.lit("except_all").alias("op"),
+            F.when(na > nb, na - nb).cast("long").alias("n"),
+        ),
+    )
+    return (
+        counts.select("o_custkey", F.explode(ops).alias("x"))
+        .select("x.op", "o_custkey", "x.n")
+        .filter(F.col("n").isNotNull())
+    )
+
+
+def _set_ops_suite_oracle() -> str:
+    return """
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'intersect' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY o_custkey
+UNION ALL
+SELECT 'except', o_custkey, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b) GROUP BY o_custkey
+UNION ALL
+SELECT 'intersect_all', o_custkey, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY o_custkey
+UNION ALL
+SELECT 'except_all', o_custkey, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY o_custkey
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the CUBE/ROLLUP gates): three
+    chosen levels in ONE Expand + hash aggregate — a single shuffle
+    regardless of how many sets are requested — with ``grouping_id``
+    disambiguating the all-NULL rollup rows from genuine NULL keys."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def _grouping_sets_oracle() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-scalar-subquery family: revenue
+    from lineitems whose quantity is below 20% of the per-part average.
+    The correlated ``(SELECT AVG(..) WHERE same part)`` is re-expressed
+    as a window over ``l_partkey``: ONE scan and ONE shuffle instead of
+    the naive self-join's two scans.  The 0.2·avg comparison is cleared
+    of division: qty < sum/cnt/5  ⇔  5·qty·cnt < sum, in exact BIGINT
+    arithmetic, so both engines select identical rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.select(
+            "cents",
+            (
+                F.col("qty") * 5 * F.count(F.lit(1)).over(w)
+                < F.sum("qty").over(w)
+            ).alias("small"),
+        )
+        .filter("small")
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _small_qty_revenue_oracle() -> str:
+    return """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+              OVER (PARTITION BY l_partkey) AS BIGINT) AS sq,
+         CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS cnt
+  FROM lineitem)
+SELECT CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM li WHERE qty * 5 * cnt < sq
+"""
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
@@ -1385,6 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["antijoin_segments"] = _q_antijoin_segments
     out["user_gaps"] = _q_user_gaps
     out["props_parse"] = _q_props_parse
+    out["window_suite"] = _q_window_suite
+    out["set_ops_suite"] = _q_set_ops_suite
+    out["grouping_sets_pricing"] = _q_grouping_sets
 
     # ---- dedup kernels (north star) ------------------------------ 25-30
     # twin-injected corpus so the gate verifies real duplicate groups
@@ -1395,12 +1620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_pairs"] = _q_dedup_pairs
     out["dedup_simhash_both"] = _q_simhash_both
     out["dedup_embedding_both"] = _q_dedup_embedding_both
-    # end-to-end composition: pairs -> cluster keepers -> filtered corpus
-    out["dedup_survivor_stats"] = lambda spark, sf: (
-        dedup.dedup_survivors(_load(spark, sf, "documents"))
-        .groupBy("lang")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-    )
 
     # ---- similarity search (north star) -------------------------- 31
     out["ann_topk"] = _q_ann_topk
@@ -1440,9 +1659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_asof_purchase"] = lambda spark, sf: temporal.asof_enrich_purchases(
         _load(spark, sf, "events")
     )
-    out["events_sliding_counts"] = lambda spark, sf: sessions.sliding_counts(
-        _load(spark, sf, "events")
-    )
 
     def _q_incident_counts(spark: SparkSession, sf: str) -> DataFrame:
         ev = _load(spark, sf, "events")
@@ -1458,9 +1674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the individual decontaminate/cap gates (now past-cap variants)
     out["curation_funnel"] = lambda spark, sf: curation.curate_funnel(
         _load(spark, sf, "documents"), n=5, cap_k=20
-    )
-    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
-        _load(spark, sf, "documents"), k=500
     )
     out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
         _load(spark, sf, "documents")
@@ -1494,6 +1707,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_type_pivot"] = _q_event_pivot
     out["agg_pricing_rollup"] = _q_pricing_rollup
     out["length_quantiles"] = _q_length_quantiles
+    out["small_qty_revenue"] = _q_small_qty_revenue
+    out["events_sliding_counts"] = lambda spark, sf: sessions.sliding_counts(
+        _load(spark, sf, "events")
+    )
+    out["text_vocabulary"] = lambda spark, sf: text.vocabulary(
+        _load(spark, sf, "documents"), k=500
+    )
+    # end-to-end composition: pairs -> cluster keepers -> filtered corpus
+    out["dedup_survivor_stats"] = lambda spark, sf: (
+        dedup.dedup_survivors(_load(spark, sf, "documents"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
     out["dedup_ngram_jaccard"] = lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs_with_short_edge(spark, sf)
     )
@@ -1725,6 +1951,10 @@ def oracle_sql() -> dict[str, str]:
     out["antijoin_segments"] = _antijoin_segments_oracle()
     out["user_gaps"] = _user_gaps_oracle()
     out["props_parse"] = _props_parse_oracle()
+    out["window_suite"] = _window_suite_oracle()
+    out["set_ops_suite"] = _set_ops_suite_oracle()
+    out["grouping_sets_pricing"] = _grouping_sets_oracle()
+    out["small_qty_revenue"] = _small_qty_revenue_oracle()
 
     # ---- dedup ----
     out["dedup_exact"] = dedup.exact_dup_groups_oracle(
