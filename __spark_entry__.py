@@ -946,6 +946,52 @@ FROM li WHERE qty * 5 * cnt < sq
 """
 
 
+def _q_curation_split_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpus-materialization kernels in one long-format gate:
+
+    - ``leakage_split`` — train/val/test assignment keyed on the
+      near-dup CLUSTER representative (curation.leakage_safe_split),
+      so twins can never straddle splits; keyval = representative id.
+    - ``budget_fill`` — deterministic per-source document selection
+      until the mixture token budget fills (curation.budget_fill);
+      keyval = running token total, label = kept/dropped.
+    """
+    from integritychecksforvldbs_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    leak = curation.leakage_safe_split(docs).select(
+        F.lit("leakage_split").alias("method"),
+        "doc_id",
+        F.col("rep").cast("long").alias("keyval"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.col("split").alias("label"),
+    )
+    bud = curation.budget_fill(docs).select(
+        F.lit("budget_fill").alias("method"),
+        "doc_id",
+        F.col("cum_tokens").alias("keyval"),
+        "n_tokens",
+        F.when(F.col("kept"), F.lit("kept")).otherwise(F.lit("dropped")).alias("label"),
+    )
+    return leak.unionByName(bud)
+
+
+def _curation_split_budget_oracle() -> str:
+    from integritychecksforvldbs_spark.operators import curation
+
+    leak = curation.leakage_safe_split_oracle(cols="doc_id").strip()
+    bud = curation.budget_fill_oracle().strip()
+    return f"""
+SELECT 'leakage_split' AS method, doc_id, CAST(rep AS BIGINT) AS keyval,
+       CAST(NULL AS BIGINT) AS n_tokens, split AS label
+FROM ({leak}) t
+UNION ALL
+SELECT 'budget_fill', doc_id, cum_tokens, n_tokens,
+       CASE WHEN kept THEN 'kept' ELSE 'dropped' END
+FROM ({bud}) t
+"""
+
+
 def _q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING COUNT(*) > 1 duplicate probe (§2.4 #38 shape)."""
     return (
@@ -1678,9 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
         _load(spark, sf, "documents")
     )
-    out["curation_token_chunks"] = lambda spark, sf: curation.token_chunks(
-        _load(spark, sf, "documents"), chunk_size=64
-    )
+    out["curation_split_budget"] = _q_curation_split_budget
     out["curation_pii_scrub"] = lambda spark, sf: curation.pii_scrub(
         _pii_documents(_load(spark, sf, "documents"))
     )
@@ -1708,6 +1752,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_pricing_rollup"] = _q_pricing_rollup
     out["length_quantiles"] = _q_length_quantiles
     out["small_qty_revenue"] = _q_small_qty_revenue
+    out["curation_token_chunks"] = lambda spark, sf: curation.token_chunks(
+        _load(spark, sf, "documents"), chunk_size=64
+    )
+    out["curation_leakage_split"] = lambda spark, sf: curation.leakage_safe_split(
+        _load(spark, sf, "documents")
+    ).select("doc_id", "lang", "source", "rep", "split")
+    out["curation_budget_fill"] = lambda spark, sf: curation.budget_fill(
+        _load(spark, sf, "documents")
+    )
     out["events_sliding_counts"] = lambda spark, sf: sessions.sliding_counts(
         _load(spark, sf, "events")
     )
@@ -1997,7 +2050,10 @@ JOIN ({freshness.late_event_counts_oracle()}) l ON f.event_type = l.event_type
     out["curation_funnel"] = curation.curate_funnel_oracle(n=5, cap_k=20)
     out["text_vocabulary"] = text.vocabulary_oracle(k=500)
     out["curation_mixture"] = curation.mixture_allocation_oracle()
+    out["curation_split_budget"] = _curation_split_budget_oracle()
     out["curation_token_chunks"] = curation.token_chunks_oracle(chunk_size=64)
+    out["curation_leakage_split"] = curation.leakage_safe_split_oracle()
+    out["curation_budget_fill"] = curation.budget_fill_oracle()
     out["curation_pii_scrub"] = curation.pii_scrub_oracle(table=_PII_DOCS_SQL)
     out["curation_chunk_dedup"] = curation.chunk_dedup_oracle(
         table=_CHUNK_TWIN_DOCS_SQL, chunk_size=16

@@ -798,3 +798,172 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"'{IPV4_RE}', '<IP>')"
     )
     return df.withColumn(text_col, F.expr(redacted))
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    val_per_mille: int = 100,
+    test_per_mille: int = 100,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split bucket is keyed on the document's
+    duplicate-CLUSTER representative (min id of its connected
+    component), not on the document itself, so twins land in the same
+    split by construction.  Documents with no near-dup partner fall
+    back to their own id — identical to :func:`sampling.split_assign`
+    for the non-duplicated bulk of the corpus.
+
+    Scale shape: pair generation is the LSH tier (linear + candidate
+    verify); clustering is min-label propagation (O(log diameter)
+    rounds of hash joins); the final assignment is one left join of
+    the corpus against the |duplicated-docs|-sized label frame (tiny →
+    broadcast) plus a pure projection.  The 100 TB corpus itself is
+    never shuffled.
+    """
+    from integritychecksforvldbs_spark.operators.sampling import _bucket_expr_spark
+
+    if pairs is None:
+        pairs = dedup.minhash_lsh_pairs(df, id_col=id_col)
+    labels = dedup.duplicate_cluster_keepers(pairs)
+    joined = (
+        df.join(F.broadcast(labels), id_col, "left")
+        .withColumn("rep", F.coalesce(F.col("keeper"), F.col(id_col)))
+        .drop("keeper")
+    )
+    b = F.expr(_bucket_expr_spark("rep", 1000))
+    return joined.withColumn(
+        "split",
+        F.when(b < val_per_mille, F.lit("val"))
+        .when(b < val_per_mille + test_per_mille, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def leakage_safe_split_oracle(
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.5,
+    val_per_mille: int = 100,
+    test_per_mille: int = 100,
+    cols: str = "doc_id, lang, source",
+) -> str:
+    """The identical assignment in DuckDB: tier-2 n-gram-Jaccard pairs
+    (== the LSH output at the shipped band settings) → recursive
+    reachability CTE → min-label representative → md5 bucket of the
+    representative."""
+    from integritychecksforvldbs_spark.operators.dedup import ngram_jaccard_oracle
+    from integritychecksforvldbs_spark.operators.sampling import _bucket_expr_duckdb
+
+    pairs_sql = ngram_jaccard_oracle(table, n, threshold).strip()
+    b = _bucket_expr_duckdb("rep", 1000)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+labels AS (SELECT node, MIN(lbl) AS keeper FROM reach GROUP BY node),
+rep AS (
+  SELECT {cols}, COALESCE(l.keeper, d.doc_id) AS rep
+  FROM {table} d LEFT JOIN labels l ON d.doc_id = l.node)
+SELECT {cols}, rep,
+       CASE WHEN {b} < {val_per_mille} THEN 'val'
+            WHEN {b} < {val_per_mille + test_per_mille} THEN 'test'
+            ELSE 'train' END AS split
+FROM rep
+"""
+
+
+# ---------------------------------------------------------------------------
+# budget-filling mixture sampler
+# ---------------------------------------------------------------------------
+
+
+def budget_fill(
+    df: DataFrame,
+    target_tokens: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a mixture: deterministically select documents per
+    source until each source's :func:`mixture_allocation` token budget
+    is met.  Documents are consumed in md5-of-id order (a reproducible
+    shuffle — stable under repartitioning and appends, like every
+    sampler here); a document is kept when it STARTS within budget
+    (``cum - n < alloc``), so each source overshoots by at most one
+    document and selection never depends on row order in storage.
+
+    Output: (doc_id, source, n_tokens, cum_tokens, kept).
+
+    Scale shape: one window shuffle on ``source`` for the running
+    total; the |sources|-row allocation table broadcasts.  With very
+    few giant sources the window serializes per source — at that shape
+    switch the caller to per-source sub-bucketing (append bucket id to
+    the partition key, budgets divided per bucket).
+    """
+    n_tokens = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+    )
+    alloc = mixture_allocation(df, target_tokens, source_col, text_col).select(
+        "source", "alloc_tokens"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .join(F.broadcast(alloc), "source")
+        .select(
+            id_col,
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") - F.col("n_tokens") < F.col("alloc_tokens")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+def budget_fill_oracle(
+    table: str = "documents", target_tokens: int = 1_000_000
+) -> str:
+    alloc = mixture_allocation_oracle(table, target_tokens).strip()
+    return f"""
+WITH alloc AS ({alloc}),
+base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM {table}),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM base)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+       (c.cum_tokens - c.n_tokens < a.alloc_tokens) AS kept
+FROM cum c JOIN alloc a USING (source)
+"""
