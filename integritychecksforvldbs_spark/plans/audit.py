@@ -32,6 +32,7 @@ class PlanAudit:
     codegen_spans: int          # WholeStageCodegen regions (JVM compiled pipelines)
     python_eval_nodes: int      # Arrow/Pandas eval operators (the sanctioned slow path)
     sorts: int
+    bloom_filters: int          # runtime BloomFilter row filters injected on join probe sides
 
 
 _PATTERNS = {
@@ -43,6 +44,7 @@ _PATTERNS = {
     "codegen_spans": r"\*\(\d+\)",
     "python_eval_nodes": r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow",
     "sorts": r"\bSort \[",
+    "bloom_filters": r"bloom_filter_agg|BloomFilterMightContain|might_contain",
 }
 
 
@@ -81,6 +83,7 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         codegen_spans=counts["codegen_spans"],
         python_eval_nodes=counts["python_eval_nodes"],
         sorts=counts["sorts"],
+        bloom_filters=counts["bloom_filters"],
     )
 
 
@@ -106,6 +109,6 @@ def audit_frame(
         "single_partition_gathers int, "
         "broadcasts int, scans int, scans_with_partition_filters int, "
         "scans_with_pushed_filters int, codegen_spans int, "
-        "python_eval_nodes int, sorts int"
+        "python_eval_nodes int, sorts int, bloom_filters int"
     )
     return spark.createDataFrame(rows, schema)

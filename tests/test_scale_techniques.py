@@ -175,3 +175,51 @@ def test_salted_agg_rejects_nonalgebraic(spark):
     ev = load_table(spark, f"{SF_DIR}/events.parquet")
     with pytest.raises(ValueError, match="does not decompose"):
         salted_agg(ev, ["event_type"], {"d": ("countDistinct", "user_id")})
+
+
+# ---------------------------------------------------------------------------
+# runtime bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """At cluster scale Spark injects a runtime bloom filter on the
+    probe side of a selective shuffle join (fact rows that cannot match
+    the filtered dim are dropped BEFORE the shuffle).  The default
+    thresholds (10 GB probe scan) suppress it at fixture scale, so pin
+    the capability by lowering them on a cloned session and assert (a)
+    the filter is injected for this engine's fact⋈filtered-dim shape
+    and (b) results are bit-identical with and without it.
+    """
+    from integritychecksforvldbs_spark.plans.audit import plan_audit
+
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def q(sess):
+        o = load_table(sess, f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = load_table(sess, f"{SF_DIR}/lineitem.parquet")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    with_bloom = q(s2)
+    assert plan_audit(with_bloom).bloom_filters > 0
+
+    s3 = spark.newSession()
+    s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    without = q(s3)
+    assert plan_audit(without).bloom_filters == 0
+
+    assert sorted(map(tuple, with_bloom.collect())) == sorted(
+        map(tuple, without.collect())
+    )
