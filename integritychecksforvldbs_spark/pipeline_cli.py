@@ -19,6 +19,12 @@ Stages (any subset, any order):
   ``curate_funnel``)
 - ``pii``          redact emails/phones/IPv4 in place
 - ``cap``          keep at most ``--cap-k`` docs per source
+- ``budget``       keep docs until each source's ``--target-tokens``
+  mixture allocation fills (deterministic md5-order prefix)
+- ``split``        append a leakage-safe train/val/test ``split``
+  column (near-dup clusters never straddle splits) — run it LAST:
+  later filter stages would re-derive nothing from it, and the
+  assignment should reflect the corpus actually shipped
 
 Every stage is one of the oracle-verified kernels; this module only
 composes them (id semi/anti joins + in-place projections) and
@@ -65,6 +71,9 @@ def apply_stage(
     benchmark_df: DataFrame | None,
     decontaminate_n: int = 8,
     contamination_threshold: float = 0.0,
+    target_tokens: int = 1_000_000,
+    val_per_mille: int = 10,
+    test_per_mille: int = 10,
 ) -> DataFrame:
     if stage == "markup":
         cleaned = text.strip_markup(df).select(
@@ -96,6 +105,13 @@ def apply_stage(
         return curation.pii_redact(df)
     if stage == "cap":
         return _keep_ids(df, curation.cap_per_source(df, k=cap_k))
+    if stage == "budget":
+        kept = curation.budget_fill(df, target_tokens=target_tokens).filter("kept")
+        return _keep_ids(df, kept)
+    if stage == "split":
+        return curation.leakage_safe_split(
+            df, val_per_mille=val_per_mille, test_per_mille=test_per_mille
+        ).drop("rep")
     raise ValueError(f"unknown stage {stage!r}")
 
 
@@ -109,6 +125,9 @@ def curate(
     input_fmt: str | None = None,
     decontaminate_n: int = 8,
     contamination_threshold: float = 0.0,
+    target_tokens: int = 1_000_000,
+    val_per_mille: int = 10,
+    test_per_mille: int = 10,
 ) -> list[dict]:
     def _load(path: str, fmt: str | None) -> DataFrame:
         # extensionless paths are the lake default: parquet directories
@@ -131,6 +150,9 @@ def curate(
             benchmark_df,
             decontaminate_n=decontaminate_n,
             contamination_threshold=contamination_threshold,
+            target_tokens=target_tokens,
+            val_per_mille=val_per_mille,
+            test_per_mille=test_per_mille,
         ).persist()
         d, t = _counts(df)  # materializes the persist
         if prev is not None:
@@ -163,6 +185,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--input-format", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--target-tokens",
+        type=int,
+        default=1_000_000,
+        help="mixture token budget for the budget stage",
+    )
+    ap.add_argument("--val-per-mille", type=int, default=10)
+    ap.add_argument("--test-per-mille", type=int, default=10)
     args = ap.parse_args(argv)
 
     from integritychecksforvldbs_spark.session import get_spark
@@ -186,6 +216,9 @@ def main(argv: list[str] | None = None) -> int:
         input_fmt=args.input_format,
         decontaminate_n=args.decontaminate_n,
         contamination_threshold=args.contamination_threshold,
+        target_tokens=args.target_tokens,
+        val_per_mille=args.val_per_mille,
+        test_per_mille=args.test_per_mille,
     )
     for row in report:
         print(f"{row['stage']:>14}: {row['n_docs']:>9} docs  {row['n_tokens']:>12} tokens")

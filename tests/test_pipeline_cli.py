@@ -81,3 +81,27 @@ def test_unknown_stage_raises(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="unknown stage"):
         pipeline_cli.apply_stage(df, "nope", 10, None)
+
+
+def test_curate_budget_and_split_stages(spark, tmp_path):
+    out = str(tmp_path / "curated_bs")
+    report = pipeline_cli.curate(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        ["quality", "budget", "split"],
+        target_tokens=5_000,
+        val_per_mille=100,
+        test_per_mille=100,
+    )
+    # budget is a filter; split only appends a column
+    assert report[2]["n_docs"] <= report[1]["n_docs"]
+    assert report[3]["n_docs"] == report[2]["n_docs"]
+    # the budget stage genuinely bounded the corpus: kept tokens land
+    # near the target (each source overshoots by at most one doc)
+    assert report[2]["n_tokens"] < report[1]["n_tokens"]
+
+    curated = load_table(spark, out)
+    assert "split" in curated.columns and "rep" not in curated.columns
+    splits = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
