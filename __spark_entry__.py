@@ -1911,7 +1911,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for r in ev.select("event_type").distinct().collect()
         )
         sk = profile.theta_sketch_by(ev, "event_type", "user_id")
-        return profile.theta_overlap_estimate(sk, types[0], types[1])
+        # placeholder keys when the corpus has <2 event types (empty
+        # table): the filters then match nothing and the cross join
+        # yields a 0-row frame with the stable estimate schema
+        ka = types[0] if types else "__none_a"
+        kb = types[1] if len(types) > 1 else "__none_b"
+        return profile.theta_overlap_estimate(sk, ka, kb)
 
     out["profile_theta_overlap"] = _q_theta_overlap
     out["quantiles_value_approx"] = lambda spark, sf: profile.approx_quantiles_df(

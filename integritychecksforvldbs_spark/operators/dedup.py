@@ -949,7 +949,14 @@ def cosine_dup_pairs_lsh(
     is too wide for sign bits to prune and the exact quadratic tier is
     the honest choice.
     """
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.select(vec_col).first()
+    if probe is None:  # empty corpus → typed empty pair frame
+        return df.select(
+            F.col(id_col).alias("vec_id_a"),
+            F.col(id_col).alias("vec_id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    dim = len(probe[0])
     nd = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm"
     )

@@ -34,6 +34,24 @@ from pyspark.sql.window import Window
 from .dedup import _dot, with_norm
 
 
+def _empty_topk(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Zero-row (query_id, vec_id, rank, cosine) frame with the id
+    types of the inputs — the degenerate answer when a driver-side
+    parameter probe (dim / quantization range / codebook sample) has
+    no row to read."""
+    return (
+        queries.select("query_id")
+        .limit(0)
+        .crossJoin(corpus.select("vec_id").limit(0))
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("rank"),
+            F.lit(0.0).alias("cosine"),
+        )
+    )
+
+
 def _score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     """Broadcast-join queries × corpus with exact cosine per pair.
 
@@ -314,7 +332,10 @@ def srp_ann_topk(
     ids (one pass, codegen), the probe join is a broadcast hash join
     on (table, bucket), and only candidates are scored.
     """
-    dim = len(queries.select("embedding").first()[0])
+    probe = queries.select("embedding").first()
+    if probe is None:  # no queries → no rows, but keep the schema
+        return _empty_topk(corpus, queries)
+    dim = len(probe[0])
     spark = corpus.sparkSession
 
     c = with_norm(corpus)
@@ -554,6 +575,8 @@ def sq_ann_topk(
     oversampling recovers the true top-k).
     """
     if los is None or his is None:
+        if corpus.select("vec_id").first() is None:
+            return _empty_topk(corpus, queries)
         los, his = sq_params(corpus)
     qcodes = sq_quantize(corpus, los, his).select("vec_id", "codes")
     recon = sq_dequantize_expr(los, his)
@@ -731,6 +754,8 @@ def pq_ann_topk(
     clustered data.
     """
     if books is None:
+        if corpus.select("vec_id").first() is None:
+            return _empty_topk(corpus, queries)
         books = pq_train(corpus, m=m, k=n_codes)
     m = len(books)
     coded = pq_encode(corpus, books).select("vec_id", "pq_codes")
