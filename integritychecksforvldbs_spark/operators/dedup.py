@@ -949,8 +949,8 @@ def cosine_dup_pairs_lsh(
     is too wide for sign bits to prune and the exact quadratic tier is
     the honest choice.
     """
-    probe = df.select(vec_col).first()
-    if probe is None:  # empty corpus → typed empty pair frame
+    probe = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if probe is None:  # no (non-NULL) vectors → typed empty pair frame
         return df.select(
             F.col(id_col).alias("vec_id_a"),
             F.col(id_col).alias("vec_id_b"),

@@ -273,7 +273,9 @@ def ivf_ann_topk(
         F.col("norm").alias("cn"),
         _cell_expr("embedding", centroids).alias("cell"),
     )
-    q_rows = with_norm(queries).collect()
+    q_rows = (
+        with_norm(queries).filter(F.col("embedding").isNotNull()).collect()
+    )  # NULL-embedding queries can match nothing; skip the driver-side prep
     spark = corpus.sparkSession
     probe_rows = []
     for r in q_rows:
@@ -332,8 +334,10 @@ def srp_ann_topk(
     ids (one pass, codegen), the probe join is a broadcast hash join
     on (table, bucket), and only candidates are scored.
     """
-    probe = queries.select("embedding").first()
-    if probe is None:  # no queries → no rows, but keep the schema
+    probe = (
+        queries.filter(F.col("embedding").isNotNull()).select("embedding").first()
+    )
+    if probe is None:  # no (non-NULL) queries → no rows, but keep the schema
         return _empty_topk(corpus, queries)
     dim = len(probe[0])
     spark = corpus.sparkSession
@@ -449,7 +453,9 @@ def ivf_topk_partition_pruned(
     crows = spark.read.json(f"{path}/_centroids").collect()
     centroids = {int(r["cell"]): list(r["centroid"]) for r in crows}
     C = np.array([centroids[i] for i in sorted(centroids)])
-    q_rows = with_norm(queries).collect()
+    q_rows = (
+        with_norm(queries).filter(F.col("embedding").isNotNull()).collect()
+    )  # NULL-embedding queries can match nothing; skip the driver-side prep
     probe_rows = []
     probed_cells: set[int] = set()
     for r in q_rows:
@@ -501,7 +507,10 @@ def sq_params(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
     ``first()`` probe.  For dims beyond a few thousand the posexplode
     + groupBy(dim) form would replace the wide agg; embedding tables
     in practice sit at 128-4096 dims, well inside this shape."""
-    dim = len(df.select(vec_col).first()[0])
+    probe = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if probe is None:
+        raise ValueError("sq_params: no non-NULL vectors to quantize")
+    dim = len(probe[0])
     aggs = []
     for i in range(dim):
         e = F.element_at(F.col(vec_col), i + 1).cast("double")
@@ -575,7 +584,7 @@ def sq_ann_topk(
     oversampling recovers the true top-k).
     """
     if los is None or his is None:
-        if corpus.select("vec_id").first() is None:
+        if corpus.filter(F.col("embedding").isNotNull()).select("vec_id").first() is None:
             return _empty_topk(corpus, queries)
         los, his = sq_params(corpus)
     qcodes = sq_quantize(corpus, los, his).select("vec_id", "codes")
@@ -659,7 +668,13 @@ def pq_train(
     thousands of points regardless of corpus size.  Returns m × k
     centroids of dim/m.  Deterministic (fixed seed, first-N sample).
     """
-    rows = corpus.orderBy("vec_id").limit(sample).select(vec_col).collect()
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .orderBy("vec_id")
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
@@ -754,13 +769,15 @@ def pq_ann_topk(
     clustered data.
     """
     if books is None:
-        if corpus.select("vec_id").first() is None:
+        if corpus.filter(F.col("embedding").isNotNull()).select("vec_id").first() is None:
             return _empty_topk(corpus, queries)
         books = pq_train(corpus, m=m, k=n_codes)
     m = len(books)
     coded = pq_encode(corpus, books).select("vec_id", "pq_codes")
 
-    q_rows = with_norm(queries).collect()
+    q_rows = (
+        with_norm(queries).filter(F.col("embedding").isNotNull()).collect()
+    )  # NULL-embedding queries can match nothing; skip the driver-side prep
     spark = corpus.sparkSession
     lut_rows = []
     for r in q_rows:
@@ -894,7 +911,9 @@ def ivf_pq_topk(
     ]
     m = len(books)
 
-    q_rows = with_norm(queries).collect()
+    q_rows = (
+        with_norm(queries).filter(F.col("embedding").isNotNull()).collect()
+    )  # NULL-embedding queries can match nothing; skip the driver-side prep
     probe_rows, lut_rows = [], []
     probed_cells: set[int] = set()
     for r in q_rows:

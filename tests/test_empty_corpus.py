@@ -48,3 +48,46 @@ def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
     df = entry.queries()[name](spark, empty_sf_dir)
     assert len(df.columns) > 0  # schema still resolves
     df.count()  # and the plan executes
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory):
+    """Fixture tables with every third text / embedding NULLed — the
+    dirty-data shape a 100 TB ingest actually delivers."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        df = load_table(spark, f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 3 == 0, F.lit(None)).otherwise(
+                    F.col("embedding")
+                ),
+            )
+        df.write.mode("overwrite").parquet(f"{root}/{t}.parquet")
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_embedding_both",
+        "dedup_embedding_lsh",
+        "ann_topk",
+        "ann_topk_quantized",
+        "ann_topk_pq",
+        "text_doc_suite",
+        "curation_split_budget",
+    ],
+)
+def test_query_survives_null_contamination(spark, null_sf_dir, name):
+    entry.queries()[name](spark, null_sf_dir).count()
