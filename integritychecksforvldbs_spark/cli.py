@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         "--lock-message-severity", type=int, choices=[10, 16], default=16,
         help="16: lock timeouts fail the run; 10: logged as warnings",
     )
+    ap.add_argument(
+        "--incremental-state-dir", default=None,
+        help="persist per-file CHECKTABLE partials here and scan only "
+        "files new since the last visit (append-mostly cost model)",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -90,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         filegroups=args.filegroups,
         availability_groups=args.availability_groups,
         lock_message_severity=args.lock_message_severity,
+        incremental_state_dir=args.incremental_state_dir,
     )
     ag_tags = None
     if args.ag_tags:

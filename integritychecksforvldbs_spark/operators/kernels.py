@@ -752,3 +752,141 @@ def checktable_violations_oracle(table: str, exp: TableExpectations) -> str:
         f"FROM {table} t WHERE {nn}) d WHERE _cnt > 1"
     )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Incremental CHECKTABLE (per-file mergeable partials)
+# ---------------------------------------------------------------------------
+
+
+def _canon_file_path(path: str) -> str:
+    """One canonical spelling for a data-file path: the Hadoop listing
+    says ``file:/x``, ``input_file_name()`` says ``file:///x`` — strip
+    the scheme and slash-run so state joins on a stable key."""
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    while path.startswith("//"):
+        path = path[1:]
+    return path
+
+
+def checktable_file_partials(
+    spark: SparkSession, paths: list[str], exp: TableExpectations
+) -> DataFrame:
+    """Per-FILE partial CHECKTABLE aggregates: one row per data file
+    with every mergeable counter (n_rows, null_*, pk_null_rows,
+    viol_*) — everything in :func:`checktable_agg_exprs` except
+    ``pk_dup_rows``, whose COUNT DISTINCT does not decompose per file.
+
+    Parquet files are immutable in this engine's model (the pinned
+    snapshot), so a file's partial row never goes stale: persist the
+    output and a daily CHECKTABLE over a 100 TB table re-scans only
+    the files added since the last run.
+    """
+    exprs = [
+        (alias, sql)
+        for alias, sql in checktable_agg_exprs(exp, dialect="spark")
+        if alias != "pk_dup_rows"
+    ]
+    return (
+        spark.read.parquet(*paths)
+        .groupBy(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                "file_path"
+            )
+        )
+        .agg(*[F.expr(sql).alias(alias) for alias, sql in exprs])
+    )
+
+
+def checktable_merge_partials(partials: DataFrame) -> DataFrame:
+    """Fold per-file partials into the table-level kernel row (SUM of
+    every counter — exact, because each counter is a SUM/COUNT over
+    disjoint row sets)."""
+    aggs = [
+        F.sum(c).cast("long").alias(c)
+        for c in partials.columns
+        if c != "file_path"
+    ]
+    return partials.agg(*aggs)
+
+
+def run_checktable_incremental(
+    spark: SparkSession,
+    obj: ObjectMeta,
+    state_dir: str,
+    exp: TableExpectations | None = None,
+) -> KernelResult:
+    """CHECKTABLE that scans only files NEW since the previous run.
+
+    State: a parquet table of per-file partial rows at
+    ``{state_dir}/checktable_partials/{object}``.  Each visit:
+
+    1. pin the file listing (path + size, the snapshot contract);
+    2. keep prior partials whose (path, size) still exist — a changed
+       size means a rewrite, so the file re-scans; vanished files drop;
+    3. compute partials for new files only (the incremental scan);
+    4. SUM-merge into the table row; the ``pk_dup_rows`` probe —
+       inherently global — re-runs as a NARROW scan of the key columns
+       (column pruning reads only the PK bytes of the full table, a
+       small fraction of the wide per-column pass the partials avoid);
+    5. persist the updated partials for the next visit.
+
+    Scale: a daily run on a 100 TB append-mostly table pays (wide scan
+    of the day's new files) + (narrow PK scan), instead of a wide scan
+    of everything — the same contract as the reference's time-budgeted
+    re-check loop, made cheap enough to run every day.
+    """
+    exp = exp or expectations_for(obj.object_name)
+    state_path = f"{state_dir}/checktable_partials/{obj.object_name}"
+    live = {_canon_file_path(f.path): f.size for f in obj.files}
+
+    try:
+        prior = spark.read.parquet(state_path)
+        sizes = spark.createDataFrame(
+            [(p, s) for p, s in live.items()], "file_path string, size long"
+        )
+        kept = prior.join(sizes, "file_path", "left_semi")
+        known = {r["file_path"] for r in kept.select("file_path").collect()}
+    except Exception:  # first run: no state yet
+        kept, known = None, set()
+
+    new_paths = [p for p in live if p not in known]
+    parts = []
+    if kept is not None and known:
+        parts.append(kept)
+    if new_paths:
+        parts.append(checktable_file_partials(spark, new_paths, exp))
+    if not parts:
+        return KernelResult(
+            "CHECKTABLE", obj.database_name, obj.object_name, False, {}, ["no data files"]
+        )
+    partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    partials = partials.persist()
+    try:
+        row = checktable_merge_partials(partials).collect()[0].asDict()
+        if exp.primary_key:
+            # global dup probe on the pruned key columns only
+            keys = list(exp.primary_key)
+            pk = spark.read.parquet(*list(live)).select(*keys).dropna(subset=keys)
+            n_nonnull = row["n_rows"] - row["pk_null_rows"]
+            row["pk_dup_rows"] = int(
+                n_nonnull - pk.distinct().count()
+            )
+        # refresh the state for the next visit (write AFTER the merge
+        # so a failed run never persists partial state)
+        partials.write.mode("overwrite").parquet(state_path)
+    finally:
+        partials.unpersist()
+
+    errors = [
+        f"{k} = {v}"
+        for k, v in row.items()
+        if k not in _NON_VIOLATION_METRICS and v not in (0, None)
+    ]
+    res = KernelResult(
+        "CHECKTABLE", obj.database_name, obj.object_name, not errors, row, errors
+    )
+    res.metrics["files_scanned"] = len(new_paths)
+    res.metrics["files_reused"] = len(live) - len(new_paths)
+    return res

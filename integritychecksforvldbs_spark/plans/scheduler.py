@@ -84,6 +84,11 @@ class CheckParams:
     check_commands: str = "CHECKDB"
     objects: str | None = None  # DIC @Objects 3-part DSL (DIC:645-692)
     filegroups: str | None = None  # DIC @FileGroups 2-part DSL (DIC:593-639)
+    # extension: directory for per-file CHECKTABLE partials; when set,
+    # CHECKTABLE scans only files new since the last visit and merges
+    # persisted partials (run_checktable_incremental) — the daily-run
+    # cost model for append-mostly VLDBs
+    incremental_state_dir: str | None = None
 
     def families(self) -> list[str]:
         """Expand @CheckCommands: CHECKDB → ALLOC+CATALOG+TABLE
@@ -689,9 +694,20 @@ class IntegrityChecker:
             )
         df = tables_cache[obj.object_name]
         exp = expectations_for(obj.object_name)
-        result = run_checktable(
-            self.spark, df, dbname, obj.object_name, exp, physical_only
-        )
+        if self.params.incremental_state_dir and not physical_only:
+            from ..operators.kernels import run_checktable_incremental
+
+            result = run_checktable_incremental(
+                self.spark,
+                obj,
+                f"{self.params.incremental_state_dir}/{dbname}",
+                exp,
+            )
+            result.database = dbname
+        else:
+            result = run_checktable(
+                self.spark, df, dbname, obj.object_name, exp, physical_only
+            )
         if extended and exp.foreign_keys and not physical_only:
             for fk in exp.foreign_keys:
                 if fk.parent_table not in tables_cache and fk.parent_table in by_name:

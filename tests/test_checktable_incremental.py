@@ -1,0 +1,138 @@
+"""Incremental CHECKTABLE: per-file mergeable partials + narrow global
+PK probe must equal the full one-pass kernel, scanning only new files
+on each visit."""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from integritychecksforvldbs_spark.expectations import expectations_for  # noqa: E402
+from integritychecksforvldbs_spark.operators import kernels  # noqa: E402
+from integritychecksforvldbs_spark.sources.catalog import (  # noqa: E402
+    ObjectMeta,
+    list_parquet_files,
+)
+from integritychecksforvldbs_spark.sources.loader import load_table  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _obj(spark, path, name="documents"):
+    return ObjectMeta(
+        database_name="testdb",
+        schema_name="main",
+        object_name=name,
+        object_type="U",
+        path=path,
+        files=list_parquet_files(spark, path),
+    )
+
+
+@pytest.fixture()
+def doc_dir(spark, tmp_path):
+    """documents split across 4 files."""
+    p = str(tmp_path / "documents")
+    load_table(spark, f"{SF_DIR}/documents.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return p
+
+
+def _full_row(spark, path):
+    exp = expectations_for("documents")
+    return (
+        kernels.checktable_df(load_table(spark, path), exp).collect()[0].asDict()
+    )
+
+
+def test_incremental_equals_full(spark, doc_dir, tmp_path):
+    state = str(tmp_path / "state")
+    res = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    full = _full_row(spark, doc_dir)
+    for k, v in full.items():
+        assert res.metrics[k] == v, k
+    assert res.metrics["files_scanned"] == 4  # first visit scans all
+
+
+def test_second_visit_scans_nothing_new(spark, doc_dir, tmp_path):
+    state = str(tmp_path / "state")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    res2 = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert res2.metrics["files_scanned"] == 0
+    assert res2.metrics["files_reused"] == 4
+    full = _full_row(spark, doc_dir)
+    for k, v in full.items():
+        assert res2.metrics[k] == v, k
+
+
+def test_appended_file_scans_only_itself_and_detects_violations(
+    spark, doc_dir, tmp_path
+):
+    state = str(tmp_path / "state")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+
+    # append one file carrying a NULL-text violation and a duplicate id
+    bad = spark.createDataFrame(
+        [
+            (10_000_001, None, "xx", "web", 0),
+            (0, "dup of doc zero", "en", "web", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bad.coalesce(1).write.mode("append").parquet(doc_dir)
+
+    res = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert res.metrics["files_scanned"] == 1  # only the appended file
+    assert res.metrics["files_reused"] == 4
+    full = _full_row(spark, doc_dir)
+    for k, v in full.items():
+        assert res.metrics[k] == v, k
+    assert res.metrics["null_text"] >= 1
+    assert res.metrics["pk_dup_rows"] >= 1  # cross-file dup caught globally
+    assert not res.passed
+
+
+def test_vanished_file_drops_from_state(spark, doc_dir, tmp_path):
+    import glob
+    import os
+
+    state = str(tmp_path / "state")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    victim = sorted(glob.glob(f"{doc_dir}/part-*.parquet"))[0]
+    os.remove(victim)
+
+    res = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert res.metrics["files_scanned"] == 0
+    assert res.metrics["files_reused"] == 3
+    full = _full_row(spark, doc_dir)
+    assert res.metrics["n_rows"] == full["n_rows"]
+
+
+def test_scheduler_uses_incremental_path(spark, tmp_path):
+    """@incremental_state_dir routes CHECKTABLE through the partials
+    kernel: run 1 scans every file, run 2 (next day) reuses them all."""
+    from tests.test_scheduler import make
+
+    state_dir = str(tmp_path / "inc_state")
+    checker = make(spark, tmp_path, incremental_state_dir=state_dir)
+    report = checker.run()
+    cts = [o for o in report.outcomes if o.spec.kind == "CHECKTABLE"]
+    assert cts and all(
+        o.result is not None and o.result.metrics.get("files_reused") == 0
+        for o in cts
+    )
+
+    # same-day idempotency skips re-checks; force a fresh visit by
+    # clearing the state store (new tmp ledger), keeping the partials
+    second = tmp_path / "second"
+    second.mkdir()
+    checker2 = make(spark, second, incremental_state_dir=state_dir)
+    report2 = checker2.run()
+    cts2 = [o for o in report2.outcomes if o.spec.kind == "CHECKTABLE"]
+    assert cts2 and all(
+        o.result.metrics.get("files_scanned") == 0
+        and o.result.metrics.get("files_reused", 0) >= 1
+        for o in cts2
+    )
