@@ -1909,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         types = sorted(
             r["event_type"]
             for r in ev.select("event_type").distinct().collect()
+            if r["event_type"] is not None  # NULL is unorderable vs str
         )
         sk = profile.theta_sketch_by(ev, "event_type", "user_id")
         # placeholder keys when the corpus has <2 event types (empty

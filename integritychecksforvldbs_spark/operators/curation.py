@@ -829,6 +829,8 @@ def leakage_safe_split(
     """
     from integritychecksforvldbs_spark.operators.sampling import _bucket_expr_spark
 
+    if val_per_mille + test_per_mille >= 1000:
+        raise ValueError("val + test rates must leave room for train")
     if pairs is None:
         pairs = dedup.minhash_lsh_pairs(df, id_col=id_col)
     labels = dedup.duplicate_cluster_keepers(pairs)
@@ -913,9 +915,17 @@ def budget_fill(
     few giant sources the window serializes per source — at that shape
     switch the caller to per-source sub-bucketing (append bucket id to
     the partition key, budgets divided per bucket).
+
+    Dirty data: a NULL ``text`` counts as 0 tokens — the doc is kept
+    for free rather than silently dropped (ANSI NULL comparisons would
+    otherwise eliminate it from a ``filter(kept)``).  A NULL ``source``
+    has no allocation to fill and IS excluded (the inner join on the
+    mixture table, identically in both engines) — unattributable docs
+    need an explicit bucket upstream if they should participate.
     """
     n_tokens = F.expr(
-        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+        f"CAST(COALESCE(size(filter(split({text_col}, ' '), x -> x <> '')), 0)"
+        f" AS BIGINT)"
     )
     alloc = mixture_allocation(df, target_tokens, source_col, text_col).select(
         "source", "alloc_tokens"
@@ -954,8 +964,8 @@ def budget_fill_oracle(
 WITH alloc AS ({alloc}),
 base AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
-           AS n_tokens,
+         CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)
+              AS BIGINT) AS n_tokens,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM {table}),
 cum AS (

@@ -760,9 +760,11 @@ def checktable_violations_oracle(table: str, exp: TableExpectations) -> str:
 
 
 def _canon_file_path(path: str) -> str:
-    """One canonical spelling for a data-file path: the Hadoop listing
-    says ``file:/x``, ``input_file_name()`` says ``file:///x`` — strip
-    the scheme and slash-run so state joins on a stable key."""
+    """One canonical spelling for a data-file path — the join key of
+    the partials state.  The Hadoop listing says ``file:/x`` with raw
+    characters; ``input_file_name()`` says ``file:///x`` with
+    percent-encoding.  This (Python, listing side) and
+    ``_canon_file_path_expr`` (SQL, scan side) MUST stay in sync."""
     if path.startswith("file:"):
         path = path[len("file:"):]
     while path.startswith("//"):
@@ -770,44 +772,71 @@ def _canon_file_path(path: str) -> str:
     return path
 
 
-def checktable_file_partials(
-    spark: SparkSession, paths: list[str], exp: TableExpectations
-) -> DataFrame:
-    """Per-FILE partial CHECKTABLE aggregates: one row per data file
-    with every mergeable counter (n_rows, null_*, pk_null_rows,
-    viol_*) — everything in :func:`checktable_agg_exprs` except
-    ``pk_dup_rows``, whose COUNT DISTINCT does not decompose per file.
+def _canon_file_path_expr() -> F.Column:
+    """SQL twin of :func:`_canon_file_path` over ``input_file_name()``:
+    percent-decode ('+' pre-escaped — URLDecoder would turn a literal
+    plus into a space), then strip the scheme and slash-run."""
+    return F.regexp_replace(
+        F.expr("url_decode(replace(input_file_name(), '+', '%2B'))"),
+        "^file:/+",
+        "/",
+    )
 
-    Parquet files are immutable in this engine's model (the pinned
-    snapshot), so a file's partial row never goes stale: persist the
-    output and a daily CHECKTABLE over a 100 TB table re-scans only
-    the files added since the last run.
-    """
+
+def _partial_agg_exprs(
+    exp: TableExpectations, has_embedding: bool
+) -> list[tuple[str, str]]:
+    """Per-file aggregate list: every mergeable counter of
+    :func:`checktable_agg_exprs` (all but ``pk_dup_rows``, whose COUNT
+    DISTINCT does not decompose per file) plus the vector-length
+    envelope when the table carries an embedding column (MIN/MAX are
+    mergeable too, so the table-level invariant survives the split)."""
     exprs = [
         (alias, sql)
         for alias, sql in checktable_agg_exprs(exp, dialect="spark")
         if alias != "pk_dup_rows"
     ]
-    return (
-        spark.read.parquet(*paths)
-        .groupBy(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
-                "file_path"
-            )
-        )
-        .agg(*[F.expr(sql).alias(alias) for alias, sql in exprs])
+    if has_embedding:
+        exprs.append(("vector_len_min", "MIN(size(embedding))"))
+        exprs.append(("vector_len_max", "MAX(size(embedding))"))
+    return exprs
+
+
+def checktable_file_partials(
+    spark: SparkSession, paths: list[str], exp: TableExpectations
+) -> DataFrame:
+    """Per-FILE partial CHECKTABLE aggregates: one row per data file.
+
+    Parquet files are immutable in this engine's model (the pinned
+    snapshot), so a file's partial row never goes stale: persist the
+    output and a daily CHECKTABLE over a 100 TB table re-scans only
+    the files added since the last run.  Reads go through
+    ``load_table`` so NANOS/NTZ timestamp normalization matches the
+    full-kernel path.
+    """
+    from ..sources.loader import load_table as _load_table
+
+    df = _load_table(spark, *paths)
+    exprs = _partial_agg_exprs(exp, "embedding" in df.columns)
+    return df.groupBy(_canon_file_path_expr().alias("file_path")).agg(
+        *[F.expr(sql).alias(alias) for alias, sql in exprs]
     )
 
 
 def checktable_merge_partials(partials: DataFrame) -> DataFrame:
-    """Fold per-file partials into the table-level kernel row (SUM of
-    every counter — exact, because each counter is a SUM/COUNT over
-    disjoint row sets)."""
-    aggs = [
-        F.sum(c).cast("long").alias(c)
-        for c in partials.columns
-        if c != "file_path"
-    ]
+    """Fold per-file partials into the table-level kernel row: SUM for
+    counters (exact — disjoint row sets), MIN/MAX for the
+    ``vector_len_*`` envelope columns."""
+    aggs = []
+    for c in partials.columns:
+        if c in ("file_path", "size"):
+            continue
+        if c.endswith("_min"):
+            aggs.append(F.min(c).cast("long").alias(c))
+        elif c.endswith("_max"):
+            aggs.append(F.max(c).cast("long").alias(c))
+        else:
+            aggs.append(F.sum(c).cast("long").alias(c))
     return partials.agg(*aggs)
 
 
@@ -819,63 +848,94 @@ def run_checktable_incremental(
 ) -> KernelResult:
     """CHECKTABLE that scans only files NEW since the previous run.
 
-    State: a parquet table of per-file partial rows at
+    State: a parquet table of per-file partial rows (plus the file
+    size they were computed at) at
     ``{state_dir}/checktable_partials/{object}``.  Each visit:
 
     1. pin the file listing (path + size, the snapshot contract);
-    2. keep prior partials whose (path, size) still exist — a changed
-       size means a rewrite, so the file re-scans; vanished files drop;
-    3. compute partials for new files only (the incremental scan);
-    4. SUM-merge into the table row; the ``pk_dup_rows`` probe —
-       inherently global — re-runs as a NARROW scan of the key columns
-       (column pruning reads only the PK bytes of the full table, a
-       small fraction of the wide per-column pass the partials avoid);
-    5. persist the updated partials for the next visit.
+    2. keep prior partials whose (path, size) BOTH still match — a
+       changed size means an in-place rewrite, so the file re-scans;
+       vanished files drop;
+    3. discard the whole state when its column set no longer matches
+       the current expectations (a rule was added/removed → the stored
+       partials are incomplete → full rescan rebuilds them);
+    4. compute partials for new files only (the incremental scan);
+    5. merge into the table row (SUM counters, MIN/MAX vector-length
+       envelope); the ``pk_dup_rows`` probe — inherently global —
+       re-runs as a NARROW scan of the key columns (column pruning
+       reads only the PK bytes of the full table);
+    6. persist the updated partials for the next visit via
+       write-to-temp + swap, so the old state is never deleted before
+       its replacement exists (the prior partials frame is lazily
+       derived FROM the old state files).
 
     Scale: a daily run on a 100 TB append-mostly table pays (wide scan
     of the day's new files) + (narrow PK scan), instead of a wide scan
     of everything — the same contract as the reference's time-budgeted
     re-check loop, made cheap enough to run every day.
     """
+    from ..sources.loader import load_table as _load_table
+
     exp = exp or expectations_for(obj.object_name)
     state_path = f"{state_dir}/checktable_partials/{obj.object_name}"
+    orig = {_canon_file_path(f.path): f.path for f in obj.files}
     live = {_canon_file_path(f.path): f.size for f in obj.files}
+    if not live:
+        return KernelResult(
+            "CHECKTABLE", obj.database_name, obj.object_name, False, {}, ["no data files"]
+        )
+    probe_df = _load_table(spark, *orig.values())
+    expected_cols = ["file_path", "size"] + [
+        a for a, _ in _partial_agg_exprs(exp, "embedding" in probe_df.columns)
+    ]
 
+    kept, known = None, set()
     try:
         prior = spark.read.parquet(state_path)
-        sizes = spark.createDataFrame(
-            [(p, s) for p, s in live.items()], "file_path string, size long"
-        )
-        kept = prior.join(sizes, "file_path", "left_semi")
-        known = {r["file_path"] for r in kept.select("file_path").collect()}
+        if sorted(prior.columns) == sorted(expected_cols):
+            sizes = spark.createDataFrame(
+                [(p, s) for p, s in live.items()], "file_path string, size long"
+            )
+            kept = prior.join(sizes, ["file_path", "size"], "left_semi")
+            known = {r["file_path"] for r in kept.select("file_path").collect()}
+        # else: expectations changed since the state was written —
+        # fall through with empty `known` (full rescan rebuilds it)
     except Exception:  # first run: no state yet
-        kept, known = None, set()
+        pass
 
-    new_paths = [p for p in live if p not in known]
+    new_paths = [orig[p] for p in live if p not in known]
     parts = []
     if kept is not None and known:
         parts.append(kept)
     if new_paths:
-        parts.append(checktable_file_partials(spark, new_paths, exp))
-    if not parts:
-        return KernelResult(
-            "CHECKTABLE", obj.database_name, obj.object_name, False, {}, ["no data files"]
+        fresh = checktable_file_partials(spark, new_paths, exp)
+        sizes = spark.createDataFrame(
+            [(p, s) for p, s in live.items()], "file_path string, size long"
         )
+        parts.append(fresh.join(F.broadcast(sizes), "file_path"))
     partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    partials = partials.persist()
+    partials = partials.select(*expected_cols).persist()
     try:
+        partials.count()  # materialize BEFORE any state swap
         row = checktable_merge_partials(partials).collect()[0].asDict()
         if exp.primary_key:
             # global dup probe on the pruned key columns only
             keys = list(exp.primary_key)
-            pk = spark.read.parquet(*list(live)).select(*keys).dropna(subset=keys)
+            pk = _load_table(spark, *orig.values()).select(*keys).dropna(subset=keys)
             n_nonnull = row["n_rows"] - row["pk_null_rows"]
-            row["pk_dup_rows"] = int(
-                n_nonnull - pk.distinct().count()
-            )
-        # refresh the state for the next visit (write AFTER the merge
-        # so a failed run never persists partial state)
-        partials.write.mode("overwrite").parquet(state_path)
+            row["pk_dup_rows"] = int(n_nonnull - pk.distinct().count())
+        # write-to-temp + swap: the old state files back the (cached,
+        # but only best-effort) `kept` frame — never delete them before
+        # the replacement is fully written
+        tmp_path = state_path + ".tmp"
+        partials.write.mode("overwrite").parquet(tmp_path)
+        from ..sources.catalog import _fs_and_path
+
+        fs, h_state = _fs_and_path(spark, state_path)
+        _, h_tmp = _fs_and_path(spark, tmp_path)
+        if fs.exists(h_state):
+            fs.delete(h_state, True)
+        fs.rename(h_tmp, h_state)
     finally:
         partials.unpersist()
 
@@ -884,6 +944,16 @@ def run_checktable_incremental(
         for k, v in row.items()
         if k not in _NON_VIOLATION_METRICS and v not in (0, None)
     ]
+    if (
+        "vector_len_min" in row
+        and (
+            row["vector_len_min"] != row["vector_len_max"]
+            or (row["vector_len_min"] is not None and row["vector_len_min"] <= 0)
+        )
+    ):
+        errors.append(
+            f"inconsistent vector length [{row['vector_len_min']}, {row['vector_len_max']}]"
+        )
     res = KernelResult(
         "CHECKTABLE", obj.database_name, obj.object_name, not errors, row, errors
     )

@@ -583,6 +583,7 @@ def sq_ann_topk(
     tests (8-bit reconstruction ranks so close to exact that modest
     oversampling recovers the true top-k).
     """
+    queries = queries.filter(F.col("embedding").isNotNull())
     if los is None or his is None:
         if corpus.filter(F.col("embedding").isNotNull()).select("vec_id").first() is None:
             return _empty_topk(corpus, queries)

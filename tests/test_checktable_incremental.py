@@ -136,3 +136,82 @@ def test_scheduler_uses_incremental_path(spark, tmp_path):
         and o.result.metrics.get("files_reused", 0) >= 1
         for o in cts2
     )
+
+
+def test_rewritten_file_rescans(spark, doc_dir, tmp_path):
+    """In-place rewrite (same path, different size/content) must
+    invalidate that file's partial — the (path, size) contract."""
+    import glob
+
+    state = str(tmp_path / "state")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+
+    victim = sorted(glob.glob(f"{doc_dir}/part-*.parquet"))[0]
+    keep = load_table(spark, victim).limit(10).collect()
+    schema = load_table(spark, victim).schema
+    spark.createDataFrame(keep, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "rewrite"))
+    import shutil
+    import glob as g
+
+    new_file = g.glob(str(tmp_path / "rewrite" / "part-*.parquet"))[0]
+    shutil.copyfile(new_file, victim)
+    # Hadoop LocalFS keeps a .crc sidecar per file; the in-place
+    # rewrite invalidates it (ChecksumException on read otherwise)
+    import os
+
+    crc = f"{os.path.dirname(victim)}/.{os.path.basename(victim)}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    res = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert res.metrics["files_scanned"] == 1  # the rewritten file only
+    full = _full_row(spark, doc_dir)
+    assert res.metrics["n_rows"] == full["n_rows"]
+
+
+def test_embedding_invariant_survives_incremental(spark, tmp_path):
+    """The ragged-vector-length check must hold on the partials path."""
+    p = str(tmp_path / "embeddings")
+    load_table(spark, f"{SF_DIR}/embeddings.parquet").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(p)
+    state = str(tmp_path / "state")
+    obj = _obj(spark, p, name="embeddings")
+    res = kernels.run_checktable_incremental(spark, obj, state)
+    assert res.passed
+    assert res.metrics["vector_len_min"] == res.metrics["vector_len_max"]
+
+    # append a ragged vector
+    bad = spark.createDataFrame(
+        [(9_000_001, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    )
+    bad.coalesce(1).write.mode("append").parquet(p)
+    res2 = kernels.run_checktable_incremental(spark, _obj(spark, p, "embeddings"), state)
+    assert res2.metrics["files_scanned"] == 1
+    assert not res2.passed
+    assert any("inconsistent vector length" in e for e in res2.errors)
+
+
+def test_expectation_change_triggers_full_rescan(spark, doc_dir, tmp_path):
+    """Stored partials whose column set no longer matches the current
+    expectations are discarded (full rescan), never unioned."""
+    from integritychecksforvldbs_spark.expectations import TableExpectations
+
+    state = str(tmp_path / "state")
+    exp = expectations_for("documents")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state, exp)
+
+    wider = TableExpectations(
+        table=exp.table,
+        primary_key=exp.primary_key,
+        not_null=list(exp.not_null) + ["lang"],
+        domain_rules=exp.domain_rules,
+        foreign_keys=exp.foreign_keys,
+    )
+    res = kernels.run_checktable_incremental(
+        spark, _obj(spark, doc_dir), state, wider
+    )
+    assert res.metrics["files_scanned"] == 4  # state discarded, rebuilt
+    assert "null_lang" in res.metrics
