@@ -215,3 +215,38 @@ def test_expectation_change_triggers_full_rescan(spark, doc_dir, tmp_path):
     )
     assert res.metrics["files_scanned"] == 4  # state discarded, rebuilt
     assert "null_lang" in res.metrics
+
+
+def test_incremental_checksum_equals_full_and_detects_append(
+    spark, doc_dir, tmp_path
+):
+    """Modular row-hash sums merge exactly across per-file partials."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    state = str(tmp_path / "state")
+
+    r1 = kernels.table_checksum_incremental(
+        spark, _obj(spark, doc_dir), cols, state
+    )
+    full = kernels.table_checksum_df(load_table(spark, doc_dir), cols).collect()[0]
+    assert r1["n_rows"] == full["n_rows"]
+    assert r1["checksum"] == full["checksum"]
+    assert r1["files_scanned"] == 4
+
+    # idempotent second visit
+    r2 = kernels.table_checksum_incremental(
+        spark, _obj(spark, doc_dir), cols, state
+    )
+    assert r2 == {**r1, "files_scanned": 0, "files_reused": 4}
+
+    # append one row -> checksum moves, only the new file scans
+    spark.createDataFrame(
+        [(10_000_002, "a new doc", "en", "web", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(doc_dir)
+    r3 = kernels.table_checksum_incremental(
+        spark, _obj(spark, doc_dir), cols, state
+    )
+    assert r3["files_scanned"] == 1 and r3["files_reused"] == 4
+    full3 = kernels.table_checksum_df(load_table(spark, doc_dir), cols).collect()[0]
+    assert r3["n_rows"] == full3["n_rows"] == r1["n_rows"] + 1
+    assert r3["checksum"] == full3["checksum"] != r1["checksum"]
