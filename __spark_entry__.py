@@ -946,6 +946,183 @@ FROM li WHERE qty * 5 * cnt < sq
 """
 
 
+# discounted revenue in exact integer e-4 dollars: cents × (100 −
+# discount-hundredths).  l_discount is hundredths by construction, so
+# both factors are exact integers and the SUM is engine-portable.
+_REV_E4_SPARK = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+_REV_E4_DUCK = _REV_E4_SPARK  # identical syntax in DuckDB
+
+
+def _q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the
+    customer and the supplier are in the SAME nation, one region, one
+    ship year.  The classic 6-table snowflake join — region/nation/
+    supplier/customer are all dimension-sized and broadcast (AQE picks
+    this up from sizes); only lineitem⋈orders shuffles.  Revenue is
+    exact integer e-4 dollars."""
+    n = _load(spark, sf_dir, "nation").join(
+        _load(spark, sf_dir, "region").where("r_name = 'ASIA'"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    c = _load(spark, sf_dir, "customer").join(
+        n.select("n_nationkey", "n_name"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    s = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey", "n_nationkey", "n_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(_REV_E4_SPARK)).cast("long").alias("revenue_e4"))
+    )
+
+
+def _local_supplier_revenue_oracle() -> str:
+    return f"""
+SELECT n_name, CAST(SUM({_REV_E4_DUCK}) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue that came
+    from PROMO parts — a conditional-aggregate ratio over a broadcast
+    part join.  Both operands are exact e-4 integers; the final share
+    is ONE IEEE division of identical integers in both engines."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.expr(_REV_E4_SPARK)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("long")
+            .alias("promo_e4"),
+            F.sum(rev).cast("long").alias("total_e4"),
+        )
+        .select(
+            "promo_e4",
+            "total_e4",
+            (F.col("promo_e4") / F.col("total_e4")).alias("promo_share"),
+        )
+    )
+
+
+def _promo_revenue_share_oracle() -> str:
+    return f"""
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_DUCK} ELSE 0 END) AS BIGINT)
+      AS promo_e4,
+    CAST(SUM({_REV_E4_DUCK}) AS BIGINT) AS total_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT promo_e4, total_e4, promo_e4 / total_e4 AS promo_share FROM a
+"""
+
+
+def _q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under OR-ed compound brand/size/
+    quantity predicate groups — the disjunctive-predicate stress case
+    (each disjunct pairs part attributes with a lineitem quantity
+    band, so the filter can only run AFTER the join).  Part side
+    broadcasts; one aggregate row out."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.expr(_REV_E4_SPARK).alias("rev"),
+    )
+    p = _load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("qty").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#7") & (F.col("p_size").between(1, 25))
+           & (F.col("qty").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 40))
+           & (F.col("qty").between(20, 30)))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum("rev").cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _brand_quantity_revenue_oracle() -> str:
+    return f"""
+SELECT CAST(SUM({_REV_E4_DUCK}) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 40
+       AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+def _q_returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to this corpus's columns): per return
+    flag, how many lines belong to URGENT/HIGH-priority orders vs the
+    rest, within one ship year — the conditional-count join pattern.
+    Orders projects two columns and joins on the shuffle key both
+    sides already aggregate on."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def _returnflag_priority_counts_oracle() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def _q_curation_split_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two corpus-materialization kernels in one long-format gate:
 
@@ -1752,6 +1929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["agg_pricing_rollup"] = _q_pricing_rollup
     out["length_quantiles"] = _q_length_quantiles
     out["small_qty_revenue"] = _q_small_qty_revenue
+    out["local_supplier_revenue"] = _q_local_supplier_revenue
+    out["promo_revenue_share"] = _q_promo_revenue_share
+    out["brand_quantity_revenue"] = _q_brand_quantity_revenue
+    out["returnflag_priority_counts"] = _q_returnflag_priority_counts
     out["curation_token_chunks"] = lambda spark, sf: curation.token_chunks(
         _load(spark, sf, "documents"), chunk_size=64
     )
@@ -2014,6 +2195,10 @@ def oracle_sql() -> dict[str, str]:
     out["set_ops_suite"] = _set_ops_suite_oracle()
     out["grouping_sets_pricing"] = _grouping_sets_oracle()
     out["small_qty_revenue"] = _small_qty_revenue_oracle()
+    out["local_supplier_revenue"] = _local_supplier_revenue_oracle()
+    out["promo_revenue_share"] = _promo_revenue_share_oracle()
+    out["brand_quantity_revenue"] = _brand_quantity_revenue_oracle()
+    out["returnflag_priority_counts"] = _returnflag_priority_counts_oracle()
 
     # ---- dedup ----
     out["dedup_exact"] = dedup.exact_dup_groups_oracle(

@@ -41,7 +41,16 @@ def _cross_check(spark, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["window_suite", "set_ops_suite", "grouping_sets_pricing", "small_qty_revenue"],
+    [
+        "window_suite",
+        "set_ops_suite",
+        "grouping_sets_pricing",
+        "small_qty_revenue",
+        "local_supplier_revenue",
+        "promo_revenue_share",
+        "brand_quantity_revenue",
+        "returnflag_priority_counts",
+    ],
 )
 def test_suite_matches_oracle_sf0001(spark, duck, name):
     _cross_check(spark, duck, name)
