@@ -840,6 +840,83 @@ def checktable_merge_partials(partials: DataFrame) -> DataFrame:
     return partials.agg(*aggs)
 
 
+def _incremental_file_partials(
+    spark: SparkSession,
+    state_path: str,
+    orig: dict[str, str],
+    live: dict[str, int],
+    expected_cols: list[str],
+    compute_fresh,
+):
+    """Shared state machinery for per-file partial kernels: read prior
+    state (schema-gated — a column-set change discards it), reconcile
+    on (path, size), compute partials for new files via
+    ``compute_fresh(new_orig_paths)``, synthesize all-zero counter rows
+    for files the scan produced no group for (0-row parquet files —
+    otherwise they re-list as "new" forever), and persist the merged
+    frame.  State is refreshed via write-to-temp + swap ONLY when the
+    visit changed anything (new files scanned or prior rows dropped);
+    an idempotent visit is read-only.
+
+    Returns ``(partials, files_scanned)``; the PERSISTED ``partials``
+    frame is the caller's to unpersist.
+    """
+    from ..sources.catalog import _fs_and_path
+
+    kept, known, prior_rows = None, set(), 0
+    try:
+        prior = spark.read.parquet(state_path)
+        if sorted(prior.columns) == sorted(expected_cols):
+            prior_rows = prior.count()
+            sizes = spark.createDataFrame(
+                [(p, sz) for p, sz in live.items()], "file_path string, size long"
+            )
+            kept = prior.join(sizes, ["file_path", "size"], "left_semi")
+            known = {r["file_path"] for r in kept.select("file_path").collect()}
+        # else: the partial column set changed since the state was
+        # written — fall through with empty `known` (full rescan)
+    except Exception:  # first run: no state yet
+        pass
+
+    new_paths = [orig[p] for p in live if p not in known]
+    parts = []
+    if kept is not None and known:
+        parts.append(kept)
+    if new_paths:
+        fresh = compute_fresh(new_paths)
+        new_canon = {p for p in live if p not in known}
+        sizes_new = spark.createDataFrame(
+            [(p, live[p]) for p in new_canon], "file_path string, size long"
+        )
+        # left join so a data file that produced NO group (0 rows)
+        # still gets a state row; counters fill 0, min/max stay NULL
+        joined = sizes_new.join(F.broadcast(fresh), "file_path", "left")
+        fill = {
+            c: 0
+            for c in expected_cols
+            if c not in ("file_path", "size")
+            and not (c.endswith("_min") or c.endswith("_max"))
+        }
+        parts.append(joined.fillna(fill))
+    partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    partials = partials.select(*expected_cols).persist()
+    partials.count()  # materialize BEFORE any state swap
+
+    state_dirty = bool(new_paths) or prior_rows != len(known)
+    if state_dirty:
+        # write-to-temp + swap: the old state files back the (cached,
+        # but only best-effort) `kept` frame — never delete them
+        # before the replacement is fully written
+        tmp_path = state_path + ".tmp"
+        partials.write.mode("overwrite").parquet(tmp_path)
+        fs, h_state = _fs_and_path(spark, state_path)
+        _, h_tmp = _fs_and_path(spark, tmp_path)
+        if fs.exists(h_state):
+            fs.delete(h_state, True)
+        fs.rename(h_tmp, h_state)
+    return partials, len(new_paths)
+
+
 def run_checktable_incremental(
     spark: SparkSession,
     obj: ObjectMeta,
@@ -889,34 +966,15 @@ def run_checktable_incremental(
         a for a, _ in _partial_agg_exprs(exp, "embedding" in probe_df.columns)
     ]
 
-    kept, known = None, set()
+    partials, n_scanned = _incremental_file_partials(
+        spark,
+        state_path,
+        orig,
+        live,
+        expected_cols,
+        lambda paths: checktable_file_partials(spark, paths, exp),
+    )
     try:
-        prior = spark.read.parquet(state_path)
-        if sorted(prior.columns) == sorted(expected_cols):
-            sizes = spark.createDataFrame(
-                [(p, s) for p, s in live.items()], "file_path string, size long"
-            )
-            kept = prior.join(sizes, ["file_path", "size"], "left_semi")
-            known = {r["file_path"] for r in kept.select("file_path").collect()}
-        # else: expectations changed since the state was written —
-        # fall through with empty `known` (full rescan rebuilds it)
-    except Exception:  # first run: no state yet
-        pass
-
-    new_paths = [orig[p] for p in live if p not in known]
-    parts = []
-    if kept is not None and known:
-        parts.append(kept)
-    if new_paths:
-        fresh = checktable_file_partials(spark, new_paths, exp)
-        sizes = spark.createDataFrame(
-            [(p, s) for p, s in live.items()], "file_path string, size long"
-        )
-        parts.append(fresh.join(F.broadcast(sizes), "file_path"))
-    partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    partials = partials.select(*expected_cols).persist()
-    try:
-        partials.count()  # materialize BEFORE any state swap
         row = checktable_merge_partials(partials).collect()[0].asDict()
         if exp.primary_key:
             # global dup probe on the pruned key columns only
@@ -924,18 +982,6 @@ def run_checktable_incremental(
             pk = _load_table(spark, *orig.values()).select(*keys).dropna(subset=keys)
             n_nonnull = row["n_rows"] - row["pk_null_rows"]
             row["pk_dup_rows"] = int(n_nonnull - pk.distinct().count())
-        # write-to-temp + swap: the old state files back the (cached,
-        # but only best-effort) `kept` frame — never delete them before
-        # the replacement is fully written
-        tmp_path = state_path + ".tmp"
-        partials.write.mode("overwrite").parquet(tmp_path)
-        from ..sources.catalog import _fs_and_path
-
-        fs, h_state = _fs_and_path(spark, state_path)
-        _, h_tmp = _fs_and_path(spark, tmp_path)
-        if fs.exists(h_state):
-            fs.delete(h_state, True)
-        fs.rename(h_tmp, h_state)
     finally:
         partials.unpersist()
 
@@ -957,8 +1003,8 @@ def run_checktable_incremental(
     res = KernelResult(
         "CHECKTABLE", obj.database_name, obj.object_name, not errors, row, errors
     )
-    res.metrics["files_scanned"] = len(new_paths)
-    res.metrics["files_reused"] = len(live) - len(new_paths)
+    res.metrics["files_scanned"] = n_scanned
+    res.metrics["files_reused"] = len(live) - n_scanned
     return res
 
 
@@ -978,76 +1024,57 @@ def table_checksum_incremental(
     The content checksum is a SUM of row hashes mod 2^62 — modular
     addition is associative, so per-file (n_rows, checksum) partials
     merge exactly: ``SUM(partial) % M`` equals the full-scan value.
-    Same state contract as :func:`run_checktable_incremental`:
-    (path, size) reconciliation, loader-normalized reads, temp-swap
-    state writes.  A daily replica-divergence probe on an
-    append-mostly 100 TB table costs one scan of the day's files.
+    Shares :func:`_incremental_file_partials`'s state contract with
+    the incremental CHECKTABLE: (path, size) reconciliation,
+    loader-normalized reads, zero-row-file synthesis, read-only
+    idempotent visits, temp-swap state writes.  The state path embeds
+    a fingerprint of ``cols`` — partials hashed over a different
+    column list are a different state, never silently reused.  A
+    daily replica-divergence probe on an append-mostly 100 TB table
+    costs one scan of the day's files.
 
     Returns ``{"n_rows", "checksum", "files_scanned", "files_reused"}``.
     """
-    from ..sources.catalog import _fs_and_path
+    import hashlib
+
     from ..sources.loader import load_table as _load_table
 
-    state_path = f"{state_dir}/checksum_partials/{obj.object_name}"
+    cols_sig = hashlib.md5(",".join(cols).encode()).hexdigest()[:12]
+    state_path = (
+        f"{state_dir}/checksum_partials/{obj.object_name}/{cols_sig}"
+    )
     orig = {_canon_file_path(f.path): f.path for f in obj.files}
     live = {_canon_file_path(f.path): f.size for f in obj.files}
+    if not live:
+        return {"n_rows": 0, "checksum": 0, "files_scanned": 0, "files_reused": 0}
     expected_cols = ["file_path", "size", "n_rows", "checksum"]
-
-    kept, known = None, set()
-    try:
-        prior = spark.read.parquet(state_path)
-        if sorted(prior.columns) == sorted(expected_cols):
-            sizes = spark.createDataFrame(
-                [(p, s) for p, s in live.items()], "file_path string, size long"
-            )
-            kept = prior.join(sizes, ["file_path", "size"], "left_semi")
-            known = {r["file_path"] for r in kept.select("file_path").collect()}
-    except Exception:
-        pass
-
-    new_paths = [orig[p] for p in live if p not in known]
     n_rows_sql, checksum_sql = _checksum_exprs(cols, "spark")
-    parts = []
-    if kept is not None and known:
-        parts.append(kept)
-    if new_paths:
-        sizes = spark.createDataFrame(
-            [(p, s) for p, s in live.items()], "file_path string, size long"
-        )
-        fresh = (
-            _load_table(spark, *new_paths)
+
+    def compute_fresh(paths):
+        return (
+            _load_table(spark, *paths)
             .groupBy(_canon_file_path_expr().alias("file_path"))
             .agg(
                 F.expr(n_rows_sql).alias("n_rows"),
                 F.expr(checksum_sql).alias("checksum"),
             )
-            .join(F.broadcast(sizes), "file_path")
         )
-        parts.append(fresh)
-    if not parts:
-        return {"n_rows": 0, "checksum": 0, "files_scanned": 0, "files_reused": 0}
-    partials = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    partials = partials.select(*expected_cols).persist()
+
+    partials, n_scanned = _incremental_file_partials(
+        spark, state_path, orig, live, expected_cols, compute_fresh
+    )
     try:
-        partials.count()
         row = partials.agg(
             F.sum("n_rows").cast("long").alias("n_rows"),
             F.expr(
                 f"CAST(SUM(CAST(checksum AS DECIMAL(38,0))) % {_CHECKSUM_MOD} AS BIGINT)"
             ).alias("checksum"),
         ).collect()[0]
-        tmp_path = state_path + ".tmp"
-        partials.write.mode("overwrite").parquet(tmp_path)
-        fs, h_state = _fs_and_path(spark, state_path)
-        _, h_tmp = _fs_and_path(spark, tmp_path)
-        if fs.exists(h_state):
-            fs.delete(h_state, True)
-        fs.rename(h_tmp, h_state)
     finally:
         partials.unpersist()
     return {
         "n_rows": int(row["n_rows"]),
         "checksum": int(row["checksum"]),
-        "files_scanned": len(new_paths),
-        "files_reused": len(live) - len(new_paths),
+        "files_scanned": n_scanned,
+        "files_reused": len(live) - n_scanned,
     }

@@ -250,3 +250,55 @@ def test_incremental_checksum_equals_full_and_detects_append(
     full3 = kernels.table_checksum_df(load_table(spark, doc_dir), cols).collect()[0]
     assert r3["n_rows"] == full3["n_rows"] == r1["n_rows"] + 1
     assert r3["checksum"] == full3["checksum"] != r1["checksum"]
+
+
+def test_zero_row_file_settles_into_state(spark, doc_dir, tmp_path):
+    """A 0-row parquet file yields no scan group; it must still get a
+    state row (all-zero counters) so it never re-lists as 'new'."""
+    empty = load_table(spark, doc_dir).limit(0)
+    empty.coalesce(1).write.mode("append").parquet(doc_dir)
+
+    state = str(tmp_path / "state")
+    r1 = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert r1.metrics["files_scanned"] == 5
+    r2 = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert r2.metrics["files_scanned"] == 0  # the 0-row file settled
+    assert r2.metrics["files_reused"] == 5
+    full = _full_row(spark, doc_dir)
+    assert r2.metrics["n_rows"] == full["n_rows"]
+
+
+def test_idempotent_visit_is_read_only(spark, doc_dir, tmp_path):
+    """A visit that scans nothing and drops nothing must not rewrite
+    the state parquet (no delete/rename window on no-op days)."""
+    import glob
+
+    state = str(tmp_path / "state")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    state_files = sorted(
+        glob.glob(f"{state}/checktable_partials/documents/part-*.parquet")
+    )
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert (
+        sorted(glob.glob(f"{state}/checktable_partials/documents/part-*.parquet"))
+        == state_files
+    )
+
+
+def test_checksum_state_is_per_column_list(spark, doc_dir, tmp_path):
+    """Partials hashed over different column lists are different
+    states — never silently reused."""
+    state = str(tmp_path / "state")
+    a = kernels.table_checksum_incremental(
+        spark, _obj(spark, doc_dir), ["doc_id"], state
+    )
+    b = kernels.table_checksum_incremental(
+        spark, _obj(spark, doc_dir), ["doc_id", "text"], state
+    )
+    # second call with different cols re-scanned (fresh state), and
+    # each matches its own full-scan value
+    assert b["files_scanned"] == 4
+    for cols, got in ((["doc_id"], a), (["doc_id", "text"], b)):
+        full = kernels.table_checksum_df(load_table(spark, doc_dir), cols).collect()[0]
+        assert got["checksum"] == full["checksum"], cols
+    assert a["checksum"] != b["checksum"]
