@@ -44,7 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         "--databases-in-parallel", choices=["Y", "N"], default="N",
         help="claim databases from a shared work queue (multi-worker runs)",
     )
-    ap.add_argument("--queue-root", default=None, help="shared queue directory")
+    ap.add_argument(
+        "--queue-root", default=None,
+        help="shared queue directory; claims use mkdir-as-CAS, so this "
+        "must be a POSIX-atomic-mkdir filesystem (local disk, NFS) — "
+        "NOT an object store; see plans/queue.py for the ACID backend "
+        "swap on multi-node clusters",
+    )
     ap.add_argument(
         "--check-commands", default="CHECKDB",
         help="comma list of CHECKDB|CHECKALLOC|CHECKCATALOG|CHECKTABLE|"

@@ -764,7 +764,9 @@ def _canon_file_path(path: str) -> str:
     the partials state.  The Hadoop listing says ``file:/x`` with raw
     characters; ``input_file_name()`` says ``file:///x`` with
     percent-encoding.  This (Python, listing side) and
-    ``_canon_file_path_expr`` (SQL, scan side) MUST stay in sync."""
+    ``_canon_file_path_expr`` (SQL, scan side) MUST stay in sync.
+    Non-``file:`` schemes pass through untouched (see the expr's
+    docstring for why decoding is file:-only)."""
     if path.startswith("file:"):
         path = path[len("file:"):]
     while path.startswith("//"):
@@ -774,12 +776,18 @@ def _canon_file_path(path: str) -> str:
 
 def _canon_file_path_expr() -> F.Column:
     """SQL twin of :func:`_canon_file_path` over ``input_file_name()``:
-    percent-decode ('+' pre-escaped — URLDecoder would turn a literal
-    plus into a space), then strip the scheme and slash-run."""
-    return F.regexp_replace(
-        F.expr("url_decode(replace(input_file_name(), '+', '%2B'))"),
-        "^file:/+",
-        "/",
+    for ``file:`` URIs, percent-decode ('+' pre-escaped — URLDecoder
+    would turn a literal plus into a space) then strip the scheme and
+    slash-run.  Non-``file:`` schemes (hdfs:, s3a:, …) pass through
+    UNTOUCHED on both sides — the Hadoop listing and
+    ``input_file_name()`` spell remote URIs the same way, and decoding
+    only one side would make the spellings never reconcile (every file
+    re-scans forever)."""
+    return F.expr(
+        "CASE WHEN input_file_name() LIKE 'file:%' THEN "
+        "regexp_replace("
+        "url_decode(replace(input_file_name(), '+', '%2B')), '^file:/+', '/')"
+        " ELSE input_file_name() END"
     )
 
 
@@ -854,15 +862,27 @@ def _incremental_file_partials(
     ``compute_fresh(new_orig_paths)``, synthesize all-zero counter rows
     for files the scan produced no group for (0-row parquet files —
     otherwise they re-list as "new" forever), and persist the merged
-    frame.  State is refreshed via write-to-temp + swap ONLY when the
-    visit changed anything (new files scanned or prior rows dropped);
-    an idempotent visit is read-only.
+    frame.  State is refreshed ONLY when the visit changed anything
+    (new files scanned or prior rows dropped); an idempotent visit is
+    read-only.
 
-    Returns ``(partials, files_scanned)``; the PERSISTED ``partials``
-    frame is the caller's to unpersist.
+    Returns ``(partials, files_scanned, commit)``.  The PERSISTED
+    ``partials`` frame is the caller's to unpersist; ``commit()``
+    performs the state swap (write-to-temp, rename the old state
+    ASIDE to ``.bak``, rename tmp in, drop ``.bak``) and must be
+    called only AFTER the caller has consumed ``partials`` — the
+    persist is best-effort, so until then the frame's lineage may
+    still read the old state files.  A crash inside the swap leaves
+    either the old state or a ``.bak``; the next visit restores the
+    ``.bak`` before reading, so "incremental" never silently degrades
+    to a full rescan.
     """
     from ..sources.catalog import _fs_and_path
 
+    fs, h_state = _fs_and_path(spark, state_path)
+    _, h_bak = _fs_and_path(spark, state_path + ".bak")
+    if not fs.exists(h_state) and fs.exists(h_bak):
+        fs.rename(h_bak, h_state)  # recover a crashed swap
     kept, known, prior_rows = None, set(), 0
     try:
         prior = spark.read.parquet(state_path)
@@ -903,18 +923,22 @@ def _incremental_file_partials(
     partials.count()  # materialize BEFORE any state swap
 
     state_dirty = bool(new_paths) or prior_rows != len(known)
-    if state_dirty:
-        # write-to-temp + swap: the old state files back the (cached,
-        # but only best-effort) `kept` frame — never delete them
-        # before the replacement is fully written
+
+    def commit() -> None:
+        if not state_dirty:
+            return  # idempotent visit: read-only, nothing to swap
         tmp_path = state_path + ".tmp"
         partials.write.mode("overwrite").parquet(tmp_path)
-        fs, h_state = _fs_and_path(spark, state_path)
         _, h_tmp = _fs_and_path(spark, tmp_path)
+        if fs.exists(h_bak):
+            fs.delete(h_bak, True)
         if fs.exists(h_state):
-            fs.delete(h_state, True)
+            fs.rename(h_state, h_bak)
         fs.rename(h_tmp, h_state)
-    return partials, len(new_paths)
+        if fs.exists(h_bak):
+            fs.delete(h_bak, True)
+
+    return partials, len(new_paths), commit
 
 
 def run_checktable_incremental(
@@ -966,7 +990,7 @@ def run_checktable_incremental(
         a for a, _ in _partial_agg_exprs(exp, "embedding" in probe_df.columns)
     ]
 
-    partials, n_scanned = _incremental_file_partials(
+    partials, n_scanned, commit = _incremental_file_partials(
         spark,
         state_path,
         orig,
@@ -982,6 +1006,7 @@ def run_checktable_incremental(
             pk = _load_table(spark, *orig.values()).select(*keys).dropna(subset=keys)
             n_nonnull = row["n_rows"] - row["pk_null_rows"]
             row["pk_dup_rows"] = int(n_nonnull - pk.distinct().count())
+        commit()  # swap state only after partials is fully consumed
     finally:
         partials.unpersist()
 
@@ -1060,7 +1085,7 @@ def table_checksum_incremental(
             )
         )
 
-    partials, n_scanned = _incremental_file_partials(
+    partials, n_scanned, commit = _incremental_file_partials(
         spark, state_path, orig, live, expected_cols, compute_fresh
     )
     try:
@@ -1070,6 +1095,7 @@ def table_checksum_incremental(
                 f"CAST(SUM(CAST(checksum AS DECIMAL(38,0))) % {_CHECKSUM_MOD} AS BIGINT)"
             ).alias("checksum"),
         ).collect()[0]
+        commit()  # swap state only after partials is fully consumed
     finally:
         partials.unpersist()
     return {

@@ -80,6 +80,34 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def read_text_file(spark: SparkSession, path: str) -> str | None:
+    """Read a small UTF-8 text file through the Hadoop ``FileSystem``
+    of ``path``'s scheme (works on ``file:``, ``hdfs:``, ``s3a:``…);
+    ``None`` when the file does not exist.  The driver-side sidecar
+    reader — ledgers, tag files, markers — so sidecars live on the
+    SAME storage as the tables they describe."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text_file(spark: SparkSession, path: str, text: str) -> None:
+    """Overwrite a small UTF-8 text file through the Hadoop
+    ``FileSystem`` of ``path``'s scheme — the write twin of
+    :func:`read_text_file`."""
+    fs, hpath = _fs_and_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def list_parquet_files(spark: SparkSession, path: str) -> list[FileMeta]:
     """All parquet data files under ``path`` (file or directory)."""
     fs, hpath = _fs_and_path(spark, path)

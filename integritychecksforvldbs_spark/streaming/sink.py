@@ -19,8 +19,8 @@ state contract (see README "State & log storage contract"):
 
 from __future__ import annotations
 
+import functools
 import json
-import os
 
 from pyspark.sql import DataFrame
 
@@ -41,49 +41,70 @@ def upsert_counts_sink(state_path: str, key_cols: list[str]):
 
     Per batch: already-applied batch ids are skipped (the ledger is
     consulted FIRST); otherwise current state rows whose key matches a
-    batch row are replaced (anti-join + union), the new state is
-    written to a temp dir and swapped, and the batch id is appended to
-    the ledger.  A crash between swap and ledger append replays the
-    batch — harmless, because replace-by-key with identical rows is
-    idempotent.  State size is |distinct keys|; the swap is
-    metadata-sized relative to the stream.
+    batch row are replaced (null-SAFE anti-join + union — a NULL key,
+    e.g. the NULL-event-type contamination rows this repo treats as
+    expected, replaces like any other key), the new state is written
+    to a temp dir and swapped rename-ASIDE-then-delete (old state →
+    ``.bak`` → tmp in → drop ``.bak``), and the batch id is appended
+    to the ledger.  Every crash window is covered: a crash mid-swap
+    leaves either the old state or a ``.bak`` the next read restores;
+    a crash between swap and ledger append replays the batch —
+    harmless, because replace-by-key with identical rows is
+    idempotent.  All sidecar IO (ledger included) goes through the
+    Hadoop ``FileSystem`` of ``state_path``'s scheme, so the sink
+    works wherever the state parquet does (``file:``, ``hdfs:``,
+    ``s3a:``), not just on driver-local disk.  State size is
+    |distinct keys|; the swap is metadata-sized relative to the
+    stream.
     """
     ledger_path = state_path + "._batches.json"
-
-    def _applied() -> set[int]:
-        try:
-            with open(ledger_path) as f:
-                return set(json.load(f))
-        except Exception:
-            return set()
+    bak_path = state_path + ".bak"
+    tmp_path = state_path + ".tmp"
 
     def write(df: DataFrame, batch_id: int) -> None:
-        applied = _applied()
+        from ..sources.catalog import (
+            _fs_and_path,
+            read_text_file,
+            write_text_file,
+        )
+
+        spark = df.sparkSession
+        raw = read_text_file(spark, ledger_path)
+        applied: set[int] = set(json.loads(raw)) if raw else set()
         if batch_id in applied:
             return  # replayed batch: already fully applied
-        spark = df.sparkSession
+        fs, h_state = _fs_and_path(spark, state_path)
+        _, h_tmp = _fs_and_path(spark, tmp_path)
+        _, h_bak = _fs_and_path(spark, bak_path)
+        # crash recovery: a failure between rename-aside and rename-in
+        # leaves the state missing and its .bak present — restore it
+        if not fs.exists(h_state) and fs.exists(h_bak):
+            fs.rename(h_bak, h_state)
         batch = df.cache()
         try:
             if batch.isEmpty():
                 return
-            try:
-                state = spark.read.parquet(state_path)
-                merged = state.join(
-                    batch.select(*key_cols), key_cols, "left_anti"
-                ).unionByName(batch)
-            except Exception:  # first batch: no state yet
-                merged = batch
-            tmp = state_path + ".tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            from ..sources.catalog import _fs_and_path
-
-            fs, h_state = _fs_and_path(spark, state_path)
-            _, h_tmp = _fs_and_path(spark, tmp)
             if fs.exists(h_state):
-                fs.delete(h_state, True)
+                state = spark.read.parquet(state_path)
+                keys = batch.select(*key_cols)
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [state[k].eqNullSafe(keys[k]) for k in key_cols],
+                )
+                merged = state.join(keys, cond, "left_anti").unionByName(batch)
+            else:  # first batch: no state yet
+                merged = batch
+            merged.write.mode("overwrite").parquet(tmp_path)
+            if fs.exists(h_bak):
+                fs.delete(h_bak, True)
+            if fs.exists(h_state):
+                fs.rename(h_state, h_bak)
             fs.rename(h_tmp, h_state)
-            with open(ledger_path, "w") as f:
-                json.dump(sorted(applied | {batch_id}), f)
+            if fs.exists(h_bak):
+                fs.delete(h_bak, True)
+            write_text_file(
+                spark, ledger_path, json.dumps(sorted(applied | {batch_id}))
+            )
         finally:
             batch.unpersist()
 

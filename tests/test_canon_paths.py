@@ -27,3 +27,16 @@ def test_canonicalizers_agree_on_space_and_percent_paths(spark, tmp_path):
     )
     canon_scan = {r["file_path"] for r in pdf.select("file_path").collect()}
     assert canon_listing == canon_scan
+
+
+def test_non_local_schemes_pass_through_untouched():
+    """hdfs:/s3a: URIs are NOT percent-decoded or scheme-stripped on
+    the listing side; the SQL side's decode is gated on 'file:%' so
+    both sides spell remote paths identically (a one-sided decode
+    would make them never reconcile — every file re-scans forever)."""
+    for p in (
+        "hdfs://nn:8020/warehouse/a b/part-0.parquet",
+        "hdfs://nn:8020/warehouse/enc%20oded/part-0.parquet",
+        "s3a://bucket/prefix/100%25 full/part-0.parquet",
+    ):
+        assert kernels._canon_file_path(p) == p

@@ -302,3 +302,21 @@ def test_checksum_state_is_per_column_list(spark, doc_dir, tmp_path):
         full = kernels.table_checksum_df(load_table(spark, doc_dir), cols).collect()[0]
         assert got["checksum"] == full["checksum"], cols
     assert a["checksum"] != b["checksum"]
+
+
+def test_crashed_swap_recovers_from_bak(spark, doc_dir, tmp_path):
+    """A crash between rename-aside and rename-in leaves the state
+    missing and a .bak behind; the next visit must restore the .bak
+    and stay incremental (0 files re-scanned), not full-rescan."""
+    import os
+
+    state = str(tmp_path / "state")
+    kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    sp = f"{state}/checktable_partials/documents"
+    os.rename(sp, sp + ".bak")  # the mid-swap crash window
+    res = kernels.run_checktable_incremental(spark, _obj(spark, doc_dir), state)
+    assert res.metrics["files_scanned"] == 0
+    assert res.metrics["files_reused"] == 4
+    full = _full_row(spark, doc_dir)
+    for k, v in full.items():
+        assert res.metrics[k] == v, k

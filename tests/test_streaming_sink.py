@@ -97,3 +97,40 @@ def test_partitioned_batch_sink_overwrites_on_replay(spark, tmp_path):
     writer(spark.createDataFrame([(2,), (3,)], "v long"), 7)  # replay
     got = sorted(r["v"] for r in spark.read.parquet(f"{out}/batch_id=7").collect())
     assert got == [2, 3]  # second write replaced, not appended
+
+def test_upsert_sink_null_key_replaced_not_duplicated(spark, tmp_path):
+    # NULL keys (expected contamination, e.g. NULL event_type) must
+    # upsert like any other key — the anti-join is null-SAFE
+    state = str(tmp_path / "state_nullk")
+    writer = sink.upsert_counts_sink(state, ["k"])
+    writer(spark.createDataFrame([(None, 3), ("a", 1)], "k string, n_events long"), 0)
+    writer(spark.createDataFrame([(None, 7)], "k string, n_events long"), 1)
+    got = sorted(
+        ((r["k"], r["n_events"]) for r in spark.read.parquet(state).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [("a", 1), (None, 7)]  # one NULL row, replaced
+
+
+def test_upsert_sink_file_scheme_path(spark, tmp_path):
+    # the ledger goes through the Hadoop FS of the state path's scheme,
+    # so an explicit file:-scheme URI must work end to end
+    state = "file://" + str(tmp_path / "state_uri")
+    writer = sink.upsert_counts_sink(state, ["k"])
+    writer(spark.createDataFrame([("a", 2)], "k string, n_events long"), 0)
+    writer(spark.createDataFrame([("a", 2)], "k string, n_events long"), 0)  # replay
+    writer(spark.createDataFrame([("b", 4)], "k string, n_events long"), 1)
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert got == [("a", 2), ("b", 4)]
+
+
+def test_upsert_sink_recovers_from_crashed_swap(spark, tmp_path):
+    # simulate a crash between rename-aside and rename-in: state dir
+    # missing, .bak holds the last good state — next batch restores it
+    state = str(tmp_path / "state_crash")
+    writer = sink.upsert_counts_sink(state, ["k"])
+    writer(spark.createDataFrame([("a", 3), ("b", 5)], "k string, n_events long"), 0)
+    os.rename(state, state + ".bak")  # the mid-swap crash window
+    writer(spark.createDataFrame([("b", 9)], "k string, n_events long"), 1)
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert got == [("a", 3), ("b", 9)]  # prior state survived the crash
