@@ -357,24 +357,31 @@ def curate_funnel(
             F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_tokens"),
         )
 
+    from integritychecksforvldbs_spark.functions.planutil import truncate_lineage
+
     keep_ids = (
         text_ops.gopher_filter(df, text_col, id_col)
         .filter(F.col("keep") == 1)
         .select("doc_id")
     )
-    # Five stage aggregations branch off this lineage; without the
-    # persists each branch re-runs the quality join and the whole LSH
-    # dedup (measured 3-4x recompute).  Both frames are corpus-sized
-    # (MEMORY_AND_DISK spills at scale); the ContextCleaner reclaims
-    # them once the funnel rows are consumed.
-    quality = df.join(keep_ids, id_col).persist()
-    survivors = dedup.dedup_survivors(
-        quality,
-        pairs=dedup.minhash_lsh_pairs(
-            quality, n=n, threshold=threshold, text_col=text_col, id_col=id_col
-        ),
-        id_col=id_col,
-    ).persist()
+    # Five stage aggregations branch off this lineage; each stage is
+    # lineage-TRUNCATED (localCheckpoint), not just persisted: persist
+    # alone bounded execution but let the logical plan compound —
+    # round-4 audit showed the funnel's returned frame compiling to a
+    # 12,848-scan plan, with Catalyst paying seconds per action.  The
+    # frames are corpus-sized (MEMORY_AND_DISK blocks, spill at
+    # scale); the ContextCleaner reclaims them once the funnel rows
+    # are consumed.
+    quality = truncate_lineage(df.join(keep_ids, id_col))
+    survivors = truncate_lineage(
+        dedup.dedup_survivors(
+            quality,
+            pairs=dedup.minhash_lsh_pairs(
+                quality, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+            ),
+            id_col=id_col,
+        )
+    )
     # The benchmark set is the IMMUTABLE raw-corpus split — quality
     # filtering or dedup dropping a benchmark doc must not stop its
     # grams from flagging training twins.
@@ -385,7 +392,7 @@ def curate_funnel(
         .filter(F.col("contaminated") == 0)
         .select("doc_id")
     )
-    clean = survivors.join(clean_ids, id_col).persist()
+    clean = truncate_lineage(survivors.join(clean_ids, id_col))
     capped_ids = cap_per_source(clean, cap_k, source_col, id_col).select("doc_id")
     capped = clean.join(capped_ids, id_col)
     return (

@@ -763,9 +763,14 @@ def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     Scale shape: each round is one join (labels ⋈ edges on node) + one
     min-groupBy — both hash-shuffles on doc_id, AQE-sized; the driver
     sees only a per-round changed-row COUNT (one long), never data.
-    Labels persist per round (frame is |V| rows of two longs) and the
-    previous round unpersists eagerly.
+    Each round's labels are lineage-truncated (localCheckpoint), so
+    the plan Catalyst optimizes is one round deep regardless of round
+    count and the RETURNED frame is a flat scan — without this, the
+    result plan re-derived the whole pair-generation chain (round-4
+    audit: 160 scans) on every re-execution.
     """
+    from integritychecksforvldbs_spark.functions.planutil import truncate_lineage
+
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
@@ -775,10 +780,9 @@ def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     # round 0 folded into the init: label = min(self, neighbors) —
     # saves a full propagation round (for the dominant pair/triple
     # components this IS convergence)
-    labels = (
+    labels = truncate_lineage(
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("lbl"))
-        .persist()
     )
     try:
         # labels are per-node non-increasing, so the label SUM strictly
@@ -793,16 +797,17 @@ def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame
                 edges.join(labels, edges["dst"] == labels["node"])
                 .select(F.col("src").alias("node"), "lbl")
             )
-            new_labels = (
+            # localCheckpoint, not persist: label frames are |V| rows
+            # of two longs; superseded rounds are reclaimed by the
+            # ContextCleaner (never unpersist a checkpointed frame)
+            new_labels = truncate_lineage(
                 labels.unionByName(prop)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .persist()
             )
             cur_sum = new_labels.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)"))
             ).first()[0]
-            labels.unpersist()
             labels = new_labels
             if cur_sum == prev_sum:
                 break
