@@ -178,6 +178,51 @@ def _catalog_sizes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     return _CATALOG_SIZES[sf_dir]
 
 
+# ---------------------------------------------------------------------------
+# Partition pruning — filegroup scoping on the layout Catalyst prunes
+# ---------------------------------------------------------------------------
+
+# hive-partitioned mirror of events (event_date=YYYY-MM-DD dirs),
+# built once per (process, sf_dir) under the system temp dir and
+# reused via its _SUCCESS marker — each partition directory is a
+# filegroup (catalog.list_filegroups), and date filters over the
+# mirror plan as PartitionFilters: the CHECKFILEGROUP story
+# (DIC:1374-1377) on the layout the planner actually prunes.
+def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from integritychecksforvldbs_spark.sources.bucketing import partitioned_mirror
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "icv_mirrors",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "events_by_date",
+    )
+    ev = load_table(spark, f"{sf_dir}/events.parquet").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    return partitioned_mirror(spark, ev, path, ["event_date"])
+
+
+def _q_events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _events_partitioned(spark, sf_dir)
+    return (
+        m.filter(
+            F.col("event_date").between(
+                F.lit("2024-01-05").cast("date"), F.lit("2024-01-11").cast("date")
+            )
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.operators.kernels import (
         BROADCAST_THRESHOLD_BYTES,
@@ -1796,11 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _corrupted_documents(_load(spark, sf, "documents")),
         expectations_for("documents"),
     )
-    out["table_diff_documents"] = lambda spark, sf: table_diff(
-        _load(spark, sf, "documents"),
-        _mutated_documents(_load(spark, sf, "documents")),
-        ["doc_id"],
-    )
+    out["events_partition_pruned"] = _q_events_partition_pruned
     out["checksum_documents_buckets"] = lambda spark, sf: table_checksum_by_bucket(
         _load(spark, sf, "documents"), _CHECKSUM_COLS, "doc_id", n_buckets=16
     )
@@ -1918,6 +1959,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
         out[f"checktable_{t}"] = _checktable_query(t)
+    # table_diff is past the gate's 50-entry head: the divergence
+    # family's gate row is checksum_documents_buckets (same oracle
+    # machinery); the freed head slot gates partition pruning instead
+    out["table_diff_documents"] = lambda spark, sf: table_diff(
+        _load(spark, sf, "documents"),
+        _mutated_documents(_load(spark, sf, "documents")),
+        ["doc_id"],
+    )
     out["checksum_documents"] = lambda spark, sf: table_checksum_df(
         _load(spark, sf, "documents"), _CHECKSUM_COLS
     )
@@ -2143,6 +2192,14 @@ def oracle_sql() -> dict[str, str]:
         ["doc_id"],
         ["text", "lang", "source", "n_chars"],
     )
+    out["events_partition_pruned"] = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+GROUP BY 1, 2
+"""
     out["checksum_documents_buckets"] = table_checksum_by_bucket_oracle(
         "documents", _CHECKSUM_COLS, "doc_id", n_buckets=16
     )

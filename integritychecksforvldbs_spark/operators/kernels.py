@@ -440,6 +440,44 @@ def run_checkfilegroup(
     )
 
 
+def run_checkfilegroup_partitioned(
+    spark: SparkSession,
+    table_root: str,
+    partition_col: str,
+    value,
+    database: str,
+    object_name: str,
+    exp: TableExpectations | None = None,
+) -> KernelResult:
+    """CHECKFILEGROUP on a hive-partitioned table, scoped by CATALYST
+    partition pruning instead of an explicit file list.
+
+    :func:`run_checkfilegroup` pins the filegroup's files by path —
+    exact, but the planner sees an opaque file list.  When the table
+    is laid out ``partition_col=value`` (``bucketing.partitioned_mirror``),
+    the same scope is expressed declaratively as a FILTER on the
+    partition column: the scan plans with ``PartitionFilters`` and
+    never opens the other directories, so a one-partition check on a
+    100 TB table reads one partition's bytes.  Cross-partition
+    properties (global PK uniqueness) are out of scope exactly as
+    cross-filegroup index checks are for DBCC CHECKFILEGROUP
+    (DIC:1476-1487).
+    """
+    exp = exp or expectations_for(object_name)
+    df = spark.read.parquet(table_root).filter(F.col(partition_col) == value)
+    res = run_checktable(
+        spark, df.drop(partition_col), database, object_name, exp
+    )
+    return KernelResult(
+        "CHECKFILEGROUP",
+        database,
+        f"{object_name}:{partition_col}={value}",
+        res.passed,
+        res.metrics,
+        res.errors,
+    )
+
+
 def run_checkdb(
     spark: SparkSession,
     objs: list[ObjectMeta],

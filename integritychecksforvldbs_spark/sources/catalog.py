@@ -249,10 +249,21 @@ def list_filegroups(
     PRIMARY-first then by name, mirroring the reference's
     ``CASE WHEN name = 'PRIMARY' THEN 1 ELSE 0 END DESC, name``.
     """
+    def _norm(p: str) -> str:
+        # the Hadoop listing says file:/x while callers often hold the
+        # plain /x spelling — compare scheme-insensitively for local
+        # paths (non-local schemes pass through untouched)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        return p
+
     groups: dict[str, list[FileMeta]] = {}
-    prefix = obj.path.rstrip("/") + "/"
+    prefix = _norm(obj.path).rstrip("/") + "/"
     for f in obj.files:
-        rest = f.path[len(prefix):] if f.path.startswith(prefix) else ""
+        fp = _norm(f.path)
+        rest = fp[len(prefix):] if fp.startswith(prefix) else ""
         if "/" in rest:
             groups.setdefault(rest.split("/", 1)[0], []).append(f)
         else:
