@@ -213,6 +213,7 @@ def mixture_allocation(
     target_tokens: int = 1_000_000,
     source_col: str = "source",
     text_col: str = "text",
+    tokens_expr: str | None = None,
 ) -> DataFrame:
     """Per-source token budgets for a target mixture size: (source,
     src_tokens, alloc_tokens) where ``alloc_tokens = target *
@@ -223,9 +224,16 @@ def mixture_allocation(
     Scale shape: the token count is a map-side-combined SUM per
     source; the "grand total" window runs on the aggregated relation
     (|sources| rows), so collapsing it to one partition is free.
+
+    ``tokens_expr`` swaps the tokenization: any SQL expression
+    yielding a per-row BIGINT token count (e.g. a BPE-proxy
+    ``CAST(ceil(length(text) / 4.0) AS BIGINT)``, or a precomputed
+    ``n_bpe_tokens`` column).  Default is the whitespace count every
+    oracle-matched kernel uses.
     """
     n_tokens = F.expr(
-        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+        tokens_expr
+        or f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
     )
     per = (
         df.select(F.col(source_col).alias("source"), n_tokens.alias("n"))
@@ -688,6 +696,7 @@ def pack_sequences(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_expr: str | None = None,
 ) -> DataFrame:
     """GPT-style packing occupancy: concatenate each source's
     documents in a deterministic order (md5 priority, id tie-break),
@@ -705,10 +714,15 @@ def pack_sequences(
     row-local and the final per-bin aggregation map-side combines.
     A single source serializes its window — at web-corpus source
     cardinality that bounds partitions, not the cluster.
+
+    ``tokens_expr``: optional SQL expression for the per-document
+    BIGINT token count (BPE-style counts, precomputed columns);
+    default is the whitespace count the DuckDB oracle recomputes.
     """
     L = seq_len
     n = F.expr(
-        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+        tokens_expr
+        or f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
     )
     w = (
         Window.partitionBy(source_col)
@@ -906,6 +920,7 @@ def budget_fill(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_expr: str | None = None,
 ) -> DataFrame:
     """Materialize a mixture: deterministically select documents per
     source until each source's :func:`mixture_allocation` token budget
@@ -929,14 +944,19 @@ def budget_fill(
     has no allocation to fill and IS excluded (the inner join on the
     mixture table, identically in both engines) — unattributable docs
     need an explicit bucket upstream if they should participate.
+
+    ``tokens_expr``: optional SQL expression for the per-document
+    BIGINT token count, applied to BOTH the allocation and the
+    running fill so budgets and consumption use the same units; it
+    is wrapped NULL-total (COALESCE to 0) like the default.
     """
+    ws = f"size(filter(split({text_col}, ' '), x -> x <> ''))"
     n_tokens = F.expr(
-        f"CAST(COALESCE(size(filter(split({text_col}, ' '), x -> x <> '')), 0)"
-        f" AS BIGINT)"
+        f"CAST(COALESCE({tokens_expr or ws}, 0) AS BIGINT)"
     )
-    alloc = mixture_allocation(df, target_tokens, source_col, text_col).select(
-        "source", "alloc_tokens"
-    )
+    alloc = mixture_allocation(
+        df, target_tokens, source_col, text_col, tokens_expr=tokens_expr
+    ).select("source", "alloc_tokens")
     w = (
         Window.partitionBy("source")
         .orderBy("h", id_col)

@@ -395,3 +395,54 @@ def test_increment_near_pairs_match_bruteforce(spark):
         for r in dedup.minhash_lsh_increment_pairs(base, inc).collect()
     }
     assert got == want and want  # non-degenerate: at least one pair
+
+
+def test_tokens_expr_swaps_tokenization(docs):
+    """The pluggable token count: a BPE-proxy (ceil(chars/4)) must flow
+    through pack_sequences, mixture_allocation, and budget_fill in the
+    same units, preserving each operator's invariants."""
+    bpe = "CAST(ceil(length(text) / 4.0) AS BIGINT)"
+    L = 256
+
+    packed = curation.pack_sequences(docs, seq_len=L, tokens_expr=bpe).cache()
+    # every non-final bin holds exactly seq_len tokens
+    last = packed.groupBy("source").agg(F.max("bin_idx").alias("last_bin"))
+    full = packed.join(
+        last,
+        (packed["source"] == last["source"])
+        & (packed["bin_idx"] < last["last_bin"]),
+    )
+    assert full.filter(F.col("n_tokens") != L).count() == 0
+    # totals equal the custom expression's corpus sum per source
+    want = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.expr(bpe) > 0)
+        .groupBy("source")
+        .agg(F.sum(F.expr(bpe)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["source"]: r["n"]
+        for r in packed.groupBy("source").agg(F.sum("n_tokens").alias("n")).collect()
+    }
+    assert got == want
+    packed.unpersist()
+
+    # budget_fill: allocation and fill share the custom units, so each
+    # source's kept set starts within its alloc_tokens budget
+    alloc = {
+        r["source"]: r["alloc_tokens"]
+        for r in curation.mixture_allocation(
+            docs, 10_000, tokens_expr=bpe
+        ).collect()
+    }
+    fill = curation.budget_fill(docs, 10_000, tokens_expr=bpe)
+    kept = fill.filter("kept").groupBy("source").agg(
+        F.max(F.col("cum_tokens") - F.col("n_tokens")).alias("max_start")
+    )
+    for r in kept.collect():
+        assert r["max_start"] < alloc[r["source"]]
+    # and the default (whitespace) selection genuinely differs
+    default_kept = curation.budget_fill(docs, 10_000).filter("kept").count()
+    custom_kept = fill.filter("kept").count()
+    assert default_kept != custom_kept
