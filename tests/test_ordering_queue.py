@@ -217,6 +217,85 @@ def test_queue_midround_joiner_does_not_restart():
         assert w2.claim_next() is None
 
 
+class _SlowRoundQueue(WorkQueue):
+    """WorkQueue with randomized latency injected between the
+    ``_latest_round`` read and whatever acts on it (the ``os.mkdir``
+    round adoption at queue.py:79 and the post-adoption re-read) — the
+    slow-shared-FS race window documented at queue.py:79-81."""
+
+    def __init__(self, *args, max_delay_s: float = 0.0, seed: int = 0, **kw):
+        import random
+
+        self._max_delay_s = max_delay_s
+        self._rng = random.Random(seed)
+        super().__init__(*args, **kw)
+
+    def _latest_round(self) -> int:
+        r = super()._latest_round()
+        if self._max_delay_s:
+            time.sleep(self._rng.uniform(0.0, self._max_delay_s))
+        return r
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_queue_round_adoption_race_with_injected_latency(seed):
+    """Slow-shared-FS property (queue.py:79-81): N workers starting
+    after a completed round, each pausing a random interval between
+    reading the latest round and acting on it, must never double-claim
+    a (round, database) pair and must leave every round they touched
+    fully completed.  A worker whose stale read makes it adopt an
+    already-finished round idles — allowed — but it must never reopen
+    or corrupt it."""
+    with tempfile.TemporaryDirectory() as d:
+        dbs = [f"db{i}" for i in range(8)]
+        day1 = WorkQueue(d, "P", dbs, session_id="day1")
+        while (db := day1.claim_next()) is not None:
+            day1.complete(db)
+        assert day1.all_done()
+
+        claims: list[tuple[int, str]] = []
+        lock = threading.Lock()
+
+        def work(wid: int):
+            q = _SlowRoundQueue(
+                d, "P", dbs, session_id=f"w{wid}",
+                max_delay_s=0.03, seed=seed * 100 + wid,
+            )
+            while (db := q.claim_next()) is not None:
+                with lock:
+                    claims.append((q.round, db))
+                time.sleep(q._rng.uniform(0.0, 0.002))
+                q.complete(db)
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        # no (round, db) ever claimed twice
+        assert len(claims) == len(set(claims))
+        # at least the restarted round ran the full fleet
+        rounds = sorted({r for r, _ in claims})
+        assert rounds and rounds[0] == day1.round + 1
+        for r in rounds:
+            assert sorted(db for rr, db in claims if rr == r) == sorted(dbs)
+        # on disk: every round directory is internally consistent —
+        # every member of a claimed round carries exactly one claim
+        # and a completion stamp
+        base = day1.base
+        for rname in sorted(os.listdir(base)):
+            rdir = os.path.join(base, rname)
+            members = [n for n in os.listdir(rdir) if n.startswith("db_")]
+            if not members:
+                continue  # adopted-but-idle round opened by a stale read
+            assert sorted(members) == sorted(f"db_{db}" for db in dbs)
+            rnum = int(rname[1:])
+            if rnum in rounds or rnum == day1.round:
+                for m in members:
+                    assert os.path.exists(os.path.join(rdir, m, "done.json"))
+
+
 # ---------------------------------------------------------------------------
 # CHECKFILEGROUP
 # ---------------------------------------------------------------------------
