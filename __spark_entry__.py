@@ -223,6 +223,165 @@ def _q_events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Zone-map data skipping — footer min/max file pruning on a sorted layout
+# ---------------------------------------------------------------------------
+
+# o_orderdate-sorted mirror of orders (sorted compaction → ~8 files
+# with disjoint date ranges), built once per (process, sf_dir) and
+# reused via _SUCCESS; the 1996 filter then provably skips files
+# (pinned in tests/test_zonemap.py) while the result stays exact.
+def _orders_sorted_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        compact_table,
+        table_file_stats,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "icv_mirrors",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "orders_by_orderdate",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = f"{sf_dir}/orders.parquet"
+        compact_table(
+            spark,
+            src,
+            path,
+            target_bytes=max(1, table_file_stats(src).total_bytes // 8),
+            sort_by=["o_orderdate"],
+        )
+    return path
+
+
+ZM_LO, ZM_HI = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+
+
+def _q_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from integritychecksforvldbs_spark.sources import zonemap
+
+    lo = datetime.strptime(ZM_LO, "%Y-%m-%d %H:%M:%S")
+    hi = datetime.strptime(ZM_HI, "%Y-%m-%d %H:%M:%S")
+    pruned = zonemap.zonemap_read(
+        spark, _orders_sorted_path(spark, sf_dir), "o_orderdate", lo, hi
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+_ZONEMAP_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '{ZM_LO}' AND TIMESTAMP '{ZM_HI}'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot apply — type-2 dimension maintenance over customer
+# ---------------------------------------------------------------------------
+
+# deterministic day-2 snapshot of the customer dimension: key%10==3
+# rebalanced (+100), key%10==7 churned away, key%10==0 re-registered
+# under a new key — plus a pre-existing closed version for key%10==1
+# proving history pass-through.
+_SCD2_TRACKED = ["c_nationkey", "c_acctbal", "c_mktsegment"]
+_SCD2_DIM_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+       DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, c_nationkey, c_acctbal - 50, c_mktsegment,
+       DATE '2023-01-01' AS valid_from, DATE '2024-01-01' AS valid_to
+FROM customer WHERE c_custkey % 10 = 1
+"""
+_SCD2_SNAP_SQL = """
+SELECT c_custkey, c_nationkey,
+       CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM customer WHERE c_custkey % 10 <> 7
+UNION ALL
+SELECT c_custkey + 1000000, c_nationkey, c_acctbal, 'NEWSEG' AS c_mktsegment
+FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+def _q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    from integritychecksforvldbs_spark.operators import scd
+
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", *_SCD2_TRACKED
+    )
+    dim = cust.select(
+        "*",
+        F.lit(date(2024, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    ).unionByName(
+        cust.filter("c_custkey % 10 = 1").select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("c_acctbal") - 50).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(date(2023, 1, 1)).alias("valid_from"),
+            F.lit(date(2024, 1, 1)).alias("valid_to"),
+        )
+    )
+    snap = cust.filter("c_custkey % 10 <> 7").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(
+            F.expr("c_custkey % 10 = 3"), F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter("c_custkey % 10 = 0").select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_nationkey",
+            "c_acctbal",
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        )
+    )
+    out = scd.scd2_apply(
+        dim, snap, ["c_custkey"], _SCD2_TRACKED, date(2024, 6, 1)
+    )
+    # gate rendering: DATE → TIMESTAMP on BOTH sides so NULL valid_to
+    # renders identically (NaT) in the driver's value-hash compare
+    return out.withColumn(
+        "valid_from", F.col("valid_from").cast("timestamp")
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval over documents
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = "spark window merge vector"
+BM25_K = 15
+
+
+def _q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from integritychecksforvldbs_spark.operators import search
+
+    return search.bm25_topk(
+        _load(spark, sf_dir, "documents"), BM25_QUERY, k=BM25_K
+    )
+
+
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.operators.kernels import (
         BROADCAST_THRESHOLD_BYTES,
@@ -1864,7 +2023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dup_detection_having"] = _q_dup_detection
     out["like_selection"] = _q_like_selection
     out["pricing_cube"] = _q_pricing_cube
-    out["events_running_total"] = _q_running_total
+    # r5 rotation: events_running_total (windows also gated by
+    # window_suite) moved past the cap for the SCD2 family gate
+    out["scd2_customer_merge"] = _q_scd2_customer
     out["join_revenue_top10"] = _q_join_revenue
     out["events_funnel"] = _q_funnel
     out["exists_late_orders"] = _q_exists_late_orders
@@ -1881,7 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(
         _docs_with_chunk_twins(spark, sf)
     )
-    out["dedup_pairs"] = _q_dedup_pairs
+    # r5 rotation: dedup_pairs (MinHash LSH also gated by
+    # curation_increment) moved past the cap for the zone-map gate
+    out["zonemap_pruned_scan"] = _q_zonemap_pruned
     out["dedup_simhash_both"] = _q_simhash_both
     out["dedup_embedding_both"] = _q_dedup_embedding_both
 
@@ -1939,9 +2102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_funnel"] = lambda spark, sf: curation.curate_funnel(
         _load(spark, sf, "documents"), n=5, cap_k=20
     )
-    out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
-        _load(spark, sf, "documents")
-    )
+    # r5 rotation: curation_mixture (allocation also exercised inside
+    # curation_split_budget's budget_fill) moved past the cap for the
+    # BM25 retrieval gate
+    out["search_bm25"] = _q_search_bm25
     out["curation_split_budget"] = _q_curation_split_budget
     out["curation_pii_scrub"] = lambda spark, sf: curation.pii_scrub(
         _pii_documents(_load(spark, sf, "documents"))
@@ -1959,6 +2123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
         out[f"checktable_{t}"] = _checktable_query(t)
+    # r5 head rotations — still oracle-verified locally, just past the cap
+    out["events_running_total"] = _q_running_total
+    out["dedup_pairs"] = _q_dedup_pairs
+    out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
+        _load(spark, sf, "documents")
+    )
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2242,6 +2412,23 @@ GROUP BY 1, 2
     out["like_selection"] = _like_selection_oracle()
     out["pricing_cube"] = _pricing_cube_oracle()
     out["events_running_total"] = _running_total_oracle()
+    # r5 families: zone-map pruned scan, SCD2 apply, BM25 retrieval
+    out["zonemap_pruned_scan"] = _ZONEMAP_ORACLE
+    from integritychecksforvldbs_spark.operators import scd as _scd
+    from integritychecksforvldbs_spark.operators import search as _search
+
+    _scd2_inner = _scd.scd2_apply_oracle(
+        _SCD2_DIM_SQL, _SCD2_SNAP_SQL, ["c_custkey"], _SCD2_TRACKED,
+        "DATE '2024-06-01'",
+    )
+    out["scd2_customer_merge"] = f"""
+SELECT c_custkey, {", ".join(_SCD2_TRACKED)},
+       CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to,
+       version_action
+FROM ({_scd2_inner})
+"""
+    out["search_bm25"] = _search.bm25_oracle(BM25_QUERY, k=BM25_K)
     out["join_revenue_top10"] = _join_revenue_oracle()
     out["events_funnel"] = _funnel_oracle()
     out["exists_late_orders"] = _exists_late_orders_oracle()

@@ -1,0 +1,164 @@
+"""Slowly-changing-dimension maintenance (warehouse extension).
+
+The reference's state table is effectively a type-1 dimension kept
+current by MERGE (CommandExecute.sql's insert/update/deactivate flow,
+re-expressed in plans/state.py).  This module adds the **type-2**
+counterpart a warehouse needs around such state: apply a full
+snapshot of an entity table to a versioned dimension, closing changed
+or vanished versions and opening new ones, with full history
+preserved — the standard SCD2 contract (Kimball).
+
+Dimension schema contract: ``key_cols + tracked_cols + valid_from +
+valid_to`` where ``valid_to IS NULL`` marks the current version; a
+``version_action`` column in the output records what this application
+did to each row (``kept/closed/opened``, history rows ``history``) so
+the apply is auditable — and the whole result remains one
+deterministic SQL-expressible relation (DuckDB oracle in the gate).
+
+Scale shape: ONE full-outer shuffle join of the current slice against
+the snapshot on the key columns (AQE broadcasts a small snapshot);
+history rows pass through as a filter with no shuffle; outputs are
+unions of projections of those two relations.  No window, no
+iteration.  Tracked-column comparison is null-safe (``<=>``) so NULL
+attribute values neither churn versions every run nor match a real
+change.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _null_safe_eq(left: str, right: str, cols: list[str]) -> Column:
+    return functools.reduce(
+        operator.and_,
+        [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    as_of,
+) -> DataFrame:
+    """Apply a full ``snapshot`` (one row per key, attributes as of
+    ``as_of``) to an SCD2 ``dim``; returns the new dimension:
+
+    - history rows (``valid_to`` not null): unchanged, ``history``;
+    - current row, key in snapshot, tracked values null-safe equal:
+      unchanged, ``kept``;
+    - current row, key in snapshot, values differ: ``closed`` with
+      ``valid_to = as_of`` PLUS an ``opened`` row carrying the
+      snapshot values with ``valid_from = as_of``;
+    - current row, key absent from snapshot (entity deleted):
+      ``closed``;
+    - snapshot key with no current row (new or re-born entity):
+      ``opened``.
+
+    ``as_of`` is a date/timestamp literal value; re-applying the same
+    snapshot at the same ``as_of`` is idempotent (every row classifies
+    ``kept``/``history``) — tested.
+    """
+    as_of_lit = F.lit(as_of)
+    out_cols = key_cols + tracked_cols + ["valid_from", "valid_to"]
+
+    history = dim.filter(F.col("valid_to").isNotNull()).select(
+        *out_cols, F.lit("history").alias("version_action")
+    )
+    current = dim.filter(F.col("valid_to").isNull()).alias("d")
+    snap = snapshot.alias("s")
+
+    on = functools.reduce(
+        operator.and_,
+        [F.col(f"d.{c}") == F.col(f"s.{c}") for c in key_cols],
+    )
+    j = current.join(snap, on, "full_outer")
+    in_dim = F.col(f"d.{key_cols[0]}").isNotNull()
+    in_snap = F.col(f"s.{key_cols[0]}").isNotNull()
+    same = _null_safe_eq("d", "s", tracked_cols)
+
+    # one row-local classification per joined row, exploded into the
+    # 1-2 output versions it produces.  Three filtered branches over
+    # `j` would re-derive the JOIN per branch (3x the shuffles — the
+    # executed plan showed 6 exchanges); the explode keeps it at one.
+    vf_t = dim.schema["valid_from"].dataType
+    vt_t = dim.schema["valid_to"].dataType
+
+    def _ver(side: str, valid_from: Column, valid_to: Column, action: str) -> Column:
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in key_cols + tracked_cols],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.lit(action).alias("version_action"),
+        )
+
+    kept_v = _ver("d", F.col("d.valid_from"), F.col("d.valid_to"), "kept")
+    closed_v = _ver(
+        "d", F.col("d.valid_from"), as_of_lit.cast(vt_t), "closed"
+    )
+    opened_v = _ver(
+        "s", as_of_lit.cast(vf_t), F.lit(None).cast(vt_t), "opened"
+    )
+    versions = (
+        F.when(in_dim & in_snap & same, F.array(kept_v))
+        .when(in_dim & in_snap & ~same, F.array(closed_v, opened_v))
+        .when(in_dim & ~in_snap, F.array(closed_v))
+        .otherwise(F.array(opened_v))
+    )
+    applied = j.select(F.explode(versions).alias("v")).select("v.*")
+    return history.unionByName(applied)
+
+
+def scd2_apply_oracle(
+    dim_sql: str,
+    snapshot_sql: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    as_of_sql: str,
+) -> str:
+    """DuckDB SQL computing the identical new dimension from a
+    dimension relation (``dim_sql``) and snapshot relation
+    (``snapshot_sql``), both usable as CTE bodies; ``as_of_sql`` is a
+    SQL literal (e.g. ``DATE '2024-06-01'``)."""
+    keys = ", ".join(key_cols)
+    d_cols = ", ".join(f"d.{c}" for c in key_cols + tracked_cols)
+    s_cols = ", ".join(f"s.{c}" for c in key_cols + tracked_cols)
+    on = " AND ".join(f"d.{c} = s.{c}" for c in key_cols)
+    same = " AND ".join(
+        f"(d.{c} IS NOT DISTINCT FROM s.{c})" for c in tracked_cols
+    )
+    in_dim = f"d.{key_cols[0]} IS NOT NULL"
+    in_snap = f"s.{key_cols[0]} IS NOT NULL"
+    return f"""
+WITH dim AS ({dim_sql}),
+snap AS ({snapshot_sql}),
+cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+j AS (
+  SELECT {d_cols}, d.valid_from, d.valid_to,
+         {", ".join(f"s.{c} AS s_{c}" for c in key_cols + tracked_cols)},
+         ({in_dim}) AS in_dim, ({in_snap}) AS in_snap, ({same}) AS same
+  FROM cur d FULL OUTER JOIN snap s ON {on}
+)
+SELECT {keys}, {", ".join(tracked_cols)}, valid_from, valid_to,
+       'history' AS version_action
+FROM dim WHERE valid_to IS NOT NULL
+UNION ALL
+SELECT {keys}, {", ".join(tracked_cols)}, valid_from, valid_to,
+       'kept' AS version_action
+FROM j WHERE in_dim AND in_snap AND same
+UNION ALL
+SELECT {keys}, {", ".join(tracked_cols)}, valid_from, {as_of_sql} AS valid_to,
+       'closed' AS version_action
+FROM j WHERE in_dim AND (NOT in_snap OR NOT same)
+UNION ALL
+SELECT {", ".join(f"s_{c} AS {c}" for c in key_cols + tracked_cols)},
+       {as_of_sql} AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       'opened' AS version_action
+FROM j WHERE in_snap AND (NOT in_dim OR NOT same)
+"""

@@ -98,8 +98,26 @@ def compact_table(
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n_out)
-    df.write.mode("overwrite").parquet(dest_path)
+    _write_stats_friendly(spark, df, dest_path)
     return before, table_file_stats(dest_path)
+
+
+def _write_stats_friendly(spark: SparkSession, df: DataFrame, dest: str) -> None:
+    """Parquet write with footer min/max intact for EVERY column.
+
+    Spark's default timestamp encoding is legacy INT96, which parquet
+    defines NO statistics for — a timestamp-sorted compaction would
+    silently produce files that zone maps and row-group pushdown
+    cannot prune (the entire point of sorting).  TIMESTAMP_MICROS is
+    the standards-track encoding with full stats; scoped to this
+    write, restored after."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(dest)
+    finally:
+        spark.conf.set(key, prev)
 
 
 # ---------------------------------------------------------------------------
@@ -187,5 +205,5 @@ def zorder_compact(
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
     )
-    out.write.mode("overwrite").parquet(dest_path)
+    _write_stats_friendly(spark, out, dest_path)
     return before, table_file_stats(dest_path)

@@ -1,0 +1,161 @@
+"""File-level zone maps (min/max data skipping) over plain parquet.
+
+What Delta/Iceberg keep in their manifest column stats, a plain-parquet
+deployment already has in every footer: per-row-group min/max.  This
+module lifts those into a per-file zone map and uses it to *skip
+files* before Spark ever plans the scan — the CHECKFILEGROUP idea
+(reference DatabaseIntegrityCheck.sql:1374-1377: scope a check to a
+physical subset) applied to value ranges instead of filegroup names,
+and the natural companion to :mod:`..sources.maintenance`'s sorted /
+z-order compaction, which is what makes file ranges disjoint enough to
+prune.
+
+Scale shape: the zone map is **metadata-sized** (one entry per file)
+— built from footer reads only (no data pages), driver-side for small
+listings and fanned out over executors for large ones (same policy as
+``catalog.footer_stats_df``); pruning is a driver-side filter of the
+file list, exactly like Catalyst's PartitionFilters but driven by
+footer stats.  The pruned read then scans ONLY surviving files and
+re-applies the predicate as a residual filter, so correctness never
+depends on stats (files with missing/unreadable stats are always
+kept).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources.catalog import (
+    DRIVER_SIDE_FOOTER_LIMIT,
+    list_parquet_files,
+)
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+
+@dataclass(frozen=True)
+class ZoneEntry:
+    """Per-file stats for one column.  ``has_stats=False`` (missing
+    footer statistics, unreadable file) means the file can never be
+    skipped."""
+
+    path: str
+    n_rows: int
+    vmin: Any
+    vmax: Any
+    n_nulls: int
+    has_stats: bool
+
+
+def _naive_utc(v: Any) -> Any:
+    """Timestamp stats come back tz-aware (TIMESTAMP_MICROS is
+    adjusted-to-UTC); normalize to naive UTC so callers compare with
+    plain ``datetime`` bounds (the engine pins the session tz to
+    UTC)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _read_zone(path: str, column: str) -> ZoneEntry:
+    """Executor/driver footer probe: aggregate row-group min/max for
+    ``column``.  Metadata IO only."""
+    local = path[len("file:"):] if path.startswith("file:") else path
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local).metadata
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        if column not in idx:
+            return ZoneEntry(path, int(md.num_rows), None, None, 0, False)
+        ci = idx[column]
+        vmin = vmax = None
+        n_nulls = 0
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                continue
+            vmin = st.min if vmin is None else min(vmin, st.min)
+            vmax = st.max if vmax is None else max(vmax, st.max)
+            n_nulls += int(st.null_count or 0)
+        if vmin is None:
+            ok = False
+        return ZoneEntry(
+            path, int(md.num_rows), _naive_utc(vmin), _naive_utc(vmax),
+            n_nulls, ok,
+        )
+    except Exception:
+        return ZoneEntry(path, 0, None, None, 0, False)
+
+
+def build_zone_map(
+    spark: SparkSession, path: str, column: str
+) -> list[ZoneEntry]:
+    """Zone map for every part-file of ``path`` on ``column``.  One
+    footer read per file; executor-distributed past the same listing
+    size where ``footer_stats_df`` fans out."""
+    files = [f.path for f in list_parquet_files(spark, path)]
+    if len(files) <= DRIVER_SIDE_FOOTER_LIMIT:
+        return [_read_zone(p, column) for p in files]
+    slices = min(len(files), spark.sparkContext.defaultParallelism * 2)
+    return (
+        spark.sparkContext.parallelize(files, slices)
+        .map(lambda p: _read_zone(p, column))
+        .collect()
+    )
+
+
+def zone_map_df(spark: SparkSession, path: str, column: str) -> DataFrame:
+    """The zone map as a DataFrame (min/max rendered as strings) for
+    auditing/reporting."""
+    rows = [
+        (e.path, e.n_rows, str(e.vmin), str(e.vmax), e.n_nulls, e.has_stats)
+        for e in build_zone_map(spark, path, column)
+    ]
+    return spark.createDataFrame(
+        rows, "path string, n_rows long, vmin string, vmax string, "
+        "n_nulls long, has_stats boolean"
+    )
+
+
+def prune_files(
+    zmap: list[ZoneEntry], lo: Any, hi: Any
+) -> tuple[list[str], list[str]]:
+    """Split the file list by ``column BETWEEN lo AND hi``: (kept,
+    skipped).  A file is skipped only when its stats PROVE no row can
+    match (``vmax < lo`` or ``vmin > hi``); stats-less files are
+    kept."""
+    kept, skipped = [], []
+    for e in zmap:
+        if e.has_stats and (e.vmax < lo or e.vmin > hi):
+            skipped.append(e.path)
+        else:
+            kept.append(e.path)
+    return kept, skipped
+
+
+def zonemap_read(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo: Any,
+    hi: Any,
+    zmap: list[ZoneEntry] | None = None,
+) -> DataFrame:
+    """Read ``path`` restricted to ``column BETWEEN lo AND hi``,
+    scanning only files the zone map cannot rule out; the predicate is
+    re-applied as a residual filter (row-group pushdown inside kept
+    files plus correctness independent of stats)."""
+    zmap = zmap if zmap is not None else build_zone_map(spark, path, column)
+    kept, _skipped = prune_files(zmap, lo, hi)
+    pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    if not kept:
+        return load_table(spark, path).filter(F.lit(False))
+    return load_table(spark, *kept).filter(pred)

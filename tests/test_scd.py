@@ -1,0 +1,113 @@
+"""SCD2 snapshot apply (operators/scd.py): classification of every
+case, idempotency, null-safety, history preservation, plan shape."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import scd
+from integritychecksforvldbs_spark.sources.bucketing import plan_data_shuffles
+
+D0 = date(2024, 1, 1)
+D1 = date(2024, 6, 1)
+DIM_SCHEMA = "k long, attr string, num long, valid_from date, valid_to date"
+SNAP_SCHEMA = "k long, attr string, num long"
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            # history row for k=1 (must pass through untouched)
+            (1, "old", 5, date(2023, 1, 1), D0),
+            # current rows
+            (1, "a", 10, D0, None),   # unchanged in snapshot
+            (2, "b", 20, D0, None),   # attr changes
+            (3, "c", 30, D0, None),   # deleted from snapshot
+            (4, None, 40, D0, None),  # NULL attr, unchanged (null-safe)
+            (5, None, 50, D0, None),  # NULL attr -> real value
+        ],
+        DIM_SCHEMA,
+    )
+
+
+def _snap(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b2", 20),
+            (4, None, 40),
+            (5, "now", 50),
+            (6, "new", 60),  # brand-new key
+        ],
+        SNAP_SCHEMA,
+    )
+
+
+def _apply(spark, dim=None, snap=None, as_of=D1):
+    return scd.scd2_apply(
+        dim if dim is not None else _dim(spark),
+        snap if snap is not None else _snap(spark),
+        ["k"],
+        ["attr", "num"],
+        as_of,
+    )
+
+
+def test_scd2_classification(spark):
+    rows = {
+        (r["k"], r["version_action"], r["valid_from"], r["valid_to"]): (
+            r["attr"],
+            r["num"],
+        )
+        for r in _apply(spark).collect()
+    }
+    assert rows == {
+        (1, "history", date(2023, 1, 1), D0): ("old", 5),
+        (1, "kept", D0, None): ("a", 10),
+        (2, "closed", D0, D1): ("b", 20),
+        (2, "opened", D1, None): ("b2", 20),
+        (3, "closed", D0, D1): ("c", 30),
+        (4, "kept", D0, None): (None, 40),   # null-safe: no churn
+        (5, "closed", D0, D1): (None, 50),
+        (5, "opened", D1, None): ("now", 50),
+        (6, "opened", D1, None): ("new", 60),
+    }
+
+
+def test_scd2_idempotent_reapply(spark):
+    """Applying the same snapshot to the result again — at the same or
+    a later as_of — only keeps: no version churn."""
+    first = _apply(spark).drop("version_action")
+    for as_of in (D1, date(2024, 12, 1)):
+        again = scd.scd2_apply(first, _snap(spark), ["k"], ["attr", "num"], as_of)
+        acts = {r["version_action"] for r in again.collect()}
+        assert acts <= {"history", "kept"}
+        assert sorted(map(repr, again.drop("version_action").collect())) == sorted(
+            map(repr, first.collect())
+        )
+
+
+def test_scd2_current_slice_is_snapshot(spark):
+    """After apply, the current slice equals the snapshot exactly."""
+    cur = (
+        _apply(spark)
+        .filter(F.col("valid_to").isNull())
+        .select("k", "attr", "num")
+    )
+    assert sorted(map(repr, cur.collect())) == sorted(
+        map(repr, _snap(spark).collect())
+    )
+
+
+def test_scd2_empty_snapshot_closes_everything(spark):
+    out = _apply(spark, snap=_snap(spark).limit(0))
+    acts = [r["version_action"] for r in out.collect()]
+    assert acts.count("closed") == 5 and acts.count("opened") == 0
+
+
+def test_scd2_plan_single_join(spark):
+    """One full-outer shuffle join: exactly two hash exchanges (one
+    per side), history as a shuffle-free filtered branch."""
+    assert plan_data_shuffles(_apply(spark)) == 2
