@@ -382,6 +382,29 @@ def _q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as search_bm25, answered from the materialized
+    token-sorted inverted index (built once per process/sf, reused via
+    the stats table's _SUCCESS)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from integritychecksforvldbs_spark.operators import search
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "icv_mirrors",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "bm25_index",
+    )
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        search.build_bm25_index(
+            spark, _load(spark, sf_dir, "documents"), path
+        )
+    return search.bm25_topk_indexed(spark, path, BM25_QUERY, k=BM25_K)
+
+
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.operators.kernels import (
         BROADCAST_THRESHOLD_BYTES,
@@ -2129,6 +2152,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
         _load(spark, sf, "documents")
     )
+    # indexed BM25: identical contract to search_bm25 (same oracle),
+    # answered from the materialized inverted index — corpus never read
+    out["search_bm25_indexed"] = _q_search_bm25_indexed
+    # profile-family r5 variants: exact equi-depth histogram (NTILE
+    # oracle tier; sketch quantiles are the scale path) and the
+    # day-over-day drift monitor on the mutated-documents fixture
+    out["histogram_equidepth_doclen"] = lambda spark, sf: (
+        profile.histogram_equidepth(
+            _load(spark, sf, "documents"), "n_chars", 10, ["doc_id"]
+        )
+    )
+
+    def _q_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _load(spark, sf, "documents")
+        cols = ["doc_id", "lang", "source", "n_chars"]
+        return profile.profile_drift(
+            profile.profile_df(docs, cols),
+            profile.profile_df(_mutated_documents(docs), cols),
+        )
+
+    out["profile_drift_documents"] = _q_profile_drift
+
+    # anti-entropy: the repair plan that makes the mutated replica
+    # match the authoritative documents table (table_diff's successor)
+    def _q_repair_plan(spark: SparkSession, sf: str) -> DataFrame:
+        from integritychecksforvldbs_spark.operators.kernels import repair_plan
+
+        docs = _load(spark, sf, "documents")
+        return repair_plan(
+            docs, _mutated_documents(docs), ["doc_id"],
+            ["text", "lang", "source", "n_chars"],
+        )
+
+    out["repair_plan_documents"] = _q_repair_plan
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2429,6 +2486,23 @@ SELECT c_custkey, {", ".join(_SCD2_TRACKED)},
 FROM ({_scd2_inner})
 """
     out["search_bm25"] = _search.bm25_oracle(BM25_QUERY, k=BM25_K)
+    out["search_bm25_indexed"] = _search.bm25_oracle(BM25_QUERY, k=BM25_K)
+    out["histogram_equidepth_doclen"] = profile.histogram_equidepth_oracle(
+        "documents", "n_chars", 10, ["doc_id"]
+    )
+    _drift_cols = ["doc_id", "lang", "source", "n_chars"]
+    out["profile_drift_documents"] = profile.profile_drift_oracle(
+        profile.profile_oracle("documents", _drift_cols),
+        profile.profile_oracle(_MUTATED_DOCS_SQL, _drift_cols),
+    )
+    from integritychecksforvldbs_spark.operators.kernels import (
+        repair_plan_oracle,
+    )
+
+    out["repair_plan_documents"] = repair_plan_oracle(
+        "documents", _MUTATED_DOCS_SQL, ["doc_id"],
+        ["text", "lang", "source", "n_chars"],
+    )
     out["join_revenue_top10"] = _join_revenue_oracle()
     out["events_funnel"] = _funnel_oracle()
     out["exists_late_orders"] = _exists_late_orders_oracle()

@@ -29,6 +29,7 @@ pushdown/column pruning reach the parquet reader.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -714,6 +715,99 @@ SELECT {", ".join(keys)}, diff_kind,
        CASE WHEN diff_kind = 'differs' THEN flags ELSE '' END AS differing_cols
 FROM j WHERE diff_kind <> 'same'
 """
+
+
+def repair_plan(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The anti-entropy step after :func:`table_diff`: the operations
+    that make replica ``b`` identical to authoritative ``a`` —
+    ``(op, keys…, payload columns from a)`` with ``op`` ∈ ``insert``
+    (key only in a), ``delete`` (key only in b; payload NULL), and
+    ``update`` (content differs; payload = a's row).  Healthy replicas
+    produce an empty plan; plan size is proportional to the damage,
+    which is what makes repair cheap relative to a full re-copy.
+
+    Same single full-outer join shape as :func:`table_diff` (one
+    shuffle, null-safe compares); :func:`apply_repair` executes the
+    plan and the round-trip equality is property-tested.
+    """
+    compare_cols = list(
+        compare_cols if compare_cols is not None else
+        [c for c in a.columns if c not in keys]
+    )
+    aj = a.withColumn("_pa", F.lit(1)).alias("a")
+    bj = b.withColumn("_pb", F.lit(1)).alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+    j = aj.join(bj, cond, "full_outer")
+    differs = functools.reduce(
+        lambda x, y: x | y,
+        [~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in compare_cols],
+    )
+    op = (
+        F.when(F.col("b._pb").isNull(), F.lit("insert"))
+        .when(F.col("a._pa").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(
+            op.alias("op"),
+            *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
+            *[F.col(f"a.{c}").alias(c) for c in compare_cols],
+        )
+        .filter(F.col("op") != "same")
+    )
+
+
+def repair_plan_oracle(
+    a_sql: str,
+    b_sql: str,
+    keys: list[str],
+    compare_cols: list[str],
+) -> str:
+    """DuckDB SQL producing the identical repair plan."""
+    on = " AND ".join(f"a.{k} IS NOT DISTINCT FROM b.{k}" for k in keys)
+    differs = " OR ".join(
+        f"(a.{c} IS DISTINCT FROM b.{c})" for c in compare_cols
+    )
+    key_sel = ", ".join(f"COALESCE(a.{k}, b.{k}) AS {k}" for k in keys)
+    pay_sel = ", ".join(f"a.{c} AS {c}" for c in compare_cols)
+    return f"""
+WITH a AS (SELECT *, 1 AS _pa FROM {a_sql} t),
+     b AS (SELECT *, 1 AS _pb FROM {b_sql} t)
+SELECT * FROM (
+  SELECT CASE WHEN b._pb IS NULL THEN 'insert'
+              WHEN a._pa IS NULL THEN 'delete'
+              WHEN {differs} THEN 'update'
+              ELSE 'same' END AS op,
+         {key_sel}, {pay_sel}
+  FROM a FULL JOIN b ON {on}
+) WHERE op <> 'same'
+"""
+
+
+def apply_repair(
+    b: DataFrame, plan: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Execute a :func:`repair_plan` against replica ``b``: every
+    planned key's current row is dropped (null-safe anti-join), then
+    insert/update payload rows are appended.  ``apply_repair(b,
+    repair_plan(a, b), keys)`` equals ``a`` on the compared columns —
+    the property the tests pin.  On an ACID table format the same plan
+    maps 1:1 onto ``MERGE WHEN [NOT] MATCHED``."""
+    pk = plan.select(*keys)
+    cond = functools.reduce(
+        lambda x, y: x & y, [b[k].eqNullSafe(pk[k]) for k in keys]
+    )
+    kept = b.join(pk, cond, "left_anti")
+    additions = plan.filter(F.col("op") != "delete").drop("op")
+    return kept.unionByName(additions.select(*b.columns))
 
 
 # ---------------------------------------------------------------------------

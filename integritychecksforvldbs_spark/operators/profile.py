@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -252,6 +252,184 @@ SELECT CAST({col} // {width} AS BIGINT) AS bucket,
        CAST(MIN({col}) AS BIGINT) AS min_value,
        CAST(MAX({col}) AS BIGINT) AS max_value
 FROM {table} GROUP BY 1
+"""
+
+
+def histogram_equidepth(
+    df: DataFrame, col: str, n_buckets: int, tiebreak: Sequence[str]
+) -> DataFrame:
+    """Exact equi-depth histogram: NTILE over a TOTAL order (``col``
+    then ``tiebreak`` — the total order is what makes tied values land
+    in the same bucket in every engine), then one aggregate per
+    bucket: (bucket, n_rows, min_value, max_value).
+
+    Scale note: EXACT equi-depth is inherently a global sort (one
+    range exchange); it is the oracle tier.  The linear-scan path at
+    100 TB is the sketch quantiles (:func:`approx_quantiles_df` /
+    :func:`kll_quantiles`) feeding :func:`histogram_fixed`-style
+    bucketing."""
+    w = Window.orderBy(*([col] + list(tiebreak)))
+    return (
+        df.select(F.col(col), F.ntile(n_buckets).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(col).cast("long").alias("min_value"),
+            F.max(col).cast("long").alias("max_value"),
+        )
+        .select(F.col("bucket").cast("long"), "n_rows", "min_value", "max_value")
+    )
+
+
+def histogram_equidepth_oracle(
+    table: str, col: str, n_buckets: int, tiebreak: Sequence[str]
+) -> str:
+    order = ", ".join([col] + list(tiebreak))
+    return f"""
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({col}) AS BIGINT) AS min_value,
+       CAST(MAX({col}) AS BIGINT) AS max_value
+FROM (
+  SELECT {col}, NTILE({n_buckets}) OVER (ORDER BY {order}) AS bucket
+  FROM {table}
+) GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# profile drift monitoring (corpus/table health over time)
+# ---------------------------------------------------------------------------
+
+def profile_drift(
+    prof_a: DataFrame,
+    prof_b: DataFrame,
+    max_row_ratio: float = 2.0,
+    max_null_frac_delta: float = 0.01,
+    max_ndv_ratio: float = 2.0,
+) -> DataFrame:
+    """Compare two :func:`profile_df` outputs (baseline ``a`` vs
+    candidate ``b``): one row per column with the baseline/candidate
+    stats side by side and boolean drift verdicts — the
+    ingest-gate/day-over-day monitor of a training-data pipeline.
+
+    Verdicts (all NULL-total-safe, ratios of exact integers so both
+    engines compute bit-identical doubles):
+
+    - ``rows_drift``: total row count changed by more than
+      ``max_row_ratio``× either way;
+    - ``nulls_drift``: a column's null fraction moved more than
+      ``max_null_frac_delta`` absolute;
+    - ``ndv_drift``: distinct count changed more than
+      ``max_ndv_ratio``× either way (0 → >0 counts as drift);
+    - ``range_drift``: min or max changed at all;
+    - ``any_drift``: OR of the above.
+
+    Metadata-sized join (|columns| rows) — broadcast both sides.
+    """
+    a = prof_a.select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_value").alias("min_a"),
+        F.col("max_value").alias("max_a"),
+    )
+    b = prof_b.select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_value").alias("min_b"),
+        F.col("max_value").alias("max_b"),
+    )
+    j = a.join(b, "column_name", "full_outer")
+    nf_a = F.col("n_nulls_a") / F.col("n_rows_a")
+    nf_b = F.col("n_nulls_b") / F.col("n_rows_b")
+    rows_drift = (
+        (F.col("n_rows_b") > F.col("n_rows_a") * F.lit(max_row_ratio))
+        | (F.col("n_rows_a") > F.col("n_rows_b") * F.lit(max_row_ratio))
+    )
+    nulls_drift = (
+        F.abs(nf_b - nf_a) > F.lit(max_null_frac_delta)
+    )
+    ndv_drift = (
+        (F.col("n_distinct_b") > F.col("n_distinct_a") * F.lit(max_ndv_ratio))
+        | (F.col("n_distinct_a") > F.col("n_distinct_b") * F.lit(max_ndv_ratio))
+    )
+    range_drift = ~(
+        F.col("min_a").eqNullSafe(F.col("min_b"))
+        & F.col("max_a").eqNullSafe(F.col("max_b"))
+    )
+    missing = F.col("n_rows_a").isNull() | F.col("n_rows_b").isNull()
+    flags = {
+        "rows_drift": rows_drift,
+        "nulls_drift": nulls_drift,
+        "ndv_drift": ndv_drift,
+        "range_drift": range_drift,
+    }
+    out = j
+    for name, expr in flags.items():
+        out = out.withColumn(
+            name, F.when(missing, F.lit(True)).otherwise(
+                F.coalesce(expr, F.lit(False))
+            )
+        )
+    return out.withColumn(
+        "any_drift",
+        F.col("rows_drift")
+        | F.col("nulls_drift")
+        | F.col("ndv_drift")
+        | F.col("range_drift"),
+    )
+
+
+def profile_drift_oracle(
+    profile_a_sql: str,
+    profile_b_sql: str,
+    max_row_ratio: float = 2.0,
+    max_null_frac_delta: float = 0.01,
+    max_ndv_ratio: float = 2.0,
+) -> str:
+    """DuckDB SQL over two :func:`profile_oracle` relations computing
+    the identical drift report."""
+    return f"""
+WITH a AS (
+  SELECT column_name, n_rows AS n_rows_a, n_nulls AS n_nulls_a,
+         n_distinct AS n_distinct_a, min_value AS min_a, max_value AS max_a
+  FROM ({profile_a_sql})
+),
+b AS (
+  SELECT column_name, n_rows AS n_rows_b, n_nulls AS n_nulls_b,
+         n_distinct AS n_distinct_b, min_value AS min_b, max_value AS max_b
+  FROM ({profile_b_sql})
+),
+j AS (SELECT * FROM a FULL OUTER JOIN b USING (column_name))
+SELECT column_name, n_rows_a, n_nulls_a, n_distinct_a, min_a, max_a,
+       n_rows_b, n_nulls_b, n_distinct_b, min_b, max_b,
+       rows_drift, nulls_drift, ndv_drift, range_drift,
+       (rows_drift OR nulls_drift OR ndv_drift OR range_drift) AS any_drift
+FROM (
+  SELECT *,
+    CASE WHEN n_rows_a IS NULL OR n_rows_b IS NULL THEN TRUE
+         ELSE COALESCE(n_rows_b > n_rows_a * {max_row_ratio}
+                       OR n_rows_a > n_rows_b * {max_row_ratio}, FALSE)
+    END AS rows_drift,
+    CASE WHEN n_rows_a IS NULL OR n_rows_b IS NULL THEN TRUE
+         ELSE COALESCE(abs(CAST(n_nulls_b AS DOUBLE) / n_rows_b
+                           - CAST(n_nulls_a AS DOUBLE) / n_rows_a)
+                       > {max_null_frac_delta}, FALSE)
+    END AS nulls_drift,
+    CASE WHEN n_rows_a IS NULL OR n_rows_b IS NULL THEN TRUE
+         ELSE COALESCE(n_distinct_b > n_distinct_a * {max_ndv_ratio}
+                       OR n_distinct_a > n_distinct_b * {max_ndv_ratio}, FALSE)
+    END AS ndv_drift,
+    CASE WHEN n_rows_a IS NULL OR n_rows_b IS NULL THEN TRUE
+         ELSE NOT ((min_a IS NOT DISTINCT FROM min_b)
+                   AND (max_a IS NOT DISTINCT FROM max_b))
+    END AS range_drift
+  FROM j
+)
 """
 
 

@@ -205,3 +205,131 @@ SELECT * FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# materialized inverted index — query without touching the corpus
+# ---------------------------------------------------------------------------
+
+def build_bm25_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index under ``path``: ``postings/``
+    ``(token, doc_id, tf, dl)`` written **token-sorted** (range
+    exchange + within-file sort, so every file covers a disjoint token
+    range and a query's ``token IN (...)`` predicate skips whole files
+    via footer min/max + row-group pushdown), ``dfreq/`` ``(token,
+    df_t)`` (vocabulary-sized), and ``stats/`` (one row: ``n_docs``,
+    ``avgdl``).
+
+    Build cost: one corpus scan, one explode, one (doc,token) groupBy,
+    one vocabulary groupBy — then every query runs WITHOUT the corpus:
+    its cost is the pruned postings read, which for natural-language
+    vocabularies is a vanishing slice of the index.
+    """
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        _write_stats_friendly,
+    )
+
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{_spark_re(TOKEN_REGEX)}', 0)"
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("dl"),
+        F.explode("toks").alias("token"),
+    )
+    postings = (
+        base.groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
+    )
+    n_out = max(1, spark.sparkContext.defaultParallelism // 2)
+    _write_stats_friendly(
+        spark,
+        postings.repartitionByRange(n_out, "token").sortWithinPartitions(
+            "token", "doc_id"
+        ),
+        f"{path}/postings",
+    )
+    postings_r = spark.read.parquet(f"{path}/postings")
+    _write_stats_friendly(
+        spark,
+        postings_r.groupBy("token")
+        .agg(F.count("*").cast("long").alias("df_t"))
+        .coalesce(1),
+        f"{path}/dfreq",
+    )
+    dl_per_doc = postings_r.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    _write_stats_friendly(
+        spark,
+        dl_per_doc.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ),
+        f"{path}/stats",
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k BM25 from a :func:`build_bm25_index` layout — identical
+    output contract to :func:`bm25_topk` (equality is pinned by
+    tests), but the corpus is never read: the query plans a pruned
+    scan of ``postings/`` (``token IN`` reaches the parquet reader as
+    a pushed filter over token-sorted files) joined broadcast with the
+    matching ``dfreq/`` rows.
+
+    Caveat (documented contract): like every index, results reflect
+    the corpus AS OF the build.
+    """
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    row = spark.read.parquet(f"{index_path}/stats").collect()[0]
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+    postings = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("token").isin(terms)
+    )
+    dfreq = spark.read.parquet(f"{index_path}/dfreq").filter(
+        F.col("token").isin(terms)
+    )
+    w = (
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.round(F.sum(w), round_to).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    rank_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+        "doc_id",
+        "n_terms_hit",
+        "score",
+    )

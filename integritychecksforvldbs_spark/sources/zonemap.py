@@ -62,54 +62,74 @@ def _naive_utc(v: Any) -> Any:
     return v
 
 
-def _read_zone(path: str, column: str) -> ZoneEntry:
+def _read_zones(path: str, columns: list[str]) -> dict[str, ZoneEntry]:
     """Executor/driver footer probe: aggregate row-group min/max for
-    ``column``.  Metadata IO only."""
+    every column in ``columns`` from ONE footer read.  Metadata IO
+    only."""
     local = path[len("file:"):] if path.startswith("file:") else path
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(local).metadata
         idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
-        if column not in idx:
-            return ZoneEntry(path, int(md.num_rows), None, None, 0, False)
-        ci = idx[column]
-        vmin = vmax = None
-        n_nulls = 0
-        ok = True
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
+        out: dict[str, ZoneEntry] = {}
+        for column in columns:
+            if column not in idx:
+                out[column] = ZoneEntry(
+                    path, int(md.num_rows), None, None, 0, False
+                )
                 continue
-            vmin = st.min if vmin is None else min(vmin, st.min)
-            vmax = st.max if vmax is None else max(vmax, st.max)
-            n_nulls += int(st.null_count or 0)
-        if vmin is None:
-            ok = False
-        return ZoneEntry(
-            path, int(md.num_rows), _naive_utc(vmin), _naive_utc(vmax),
-            n_nulls, ok,
-        )
+            ci = idx[column]
+            vmin = vmax = None
+            n_nulls = 0
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    continue
+                vmin = st.min if vmin is None else min(vmin, st.min)
+                vmax = st.max if vmax is None else max(vmax, st.max)
+                n_nulls += int(st.null_count or 0)
+            if vmin is None:
+                ok = False
+            out[column] = ZoneEntry(
+                path, int(md.num_rows), _naive_utc(vmin), _naive_utc(vmax),
+                n_nulls, ok,
+            )
+        return out
     except Exception:
-        return ZoneEntry(path, 0, None, None, 0, False)
+        return {c: ZoneEntry(path, 0, None, None, 0, False) for c in columns}
+
+
+def _read_zone(path: str, column: str) -> ZoneEntry:
+    return _read_zones(path, [column])[column]
+
+
+def build_zone_maps(
+    spark: SparkSession, path: str, columns: list[str]
+) -> dict[str, list[ZoneEntry]]:
+    """Zone maps for every part-file of ``path``, one per requested
+    column, from a single footer read per file; executor-distributed
+    past the same listing size where ``footer_stats_df`` fans out."""
+    files = [f.path for f in list_parquet_files(spark, path)]
+    if len(files) <= DRIVER_SIDE_FOOTER_LIMIT:
+        per_file = [_read_zones(p, columns) for p in files]
+    else:
+        slices = min(len(files), spark.sparkContext.defaultParallelism * 2)
+        per_file = (
+            spark.sparkContext.parallelize(files, slices)
+            .map(lambda p: _read_zones(p, columns))
+            .collect()
+        )
+    return {c: [d[c] for d in per_file] for c in columns}
 
 
 def build_zone_map(
     spark: SparkSession, path: str, column: str
 ) -> list[ZoneEntry]:
-    """Zone map for every part-file of ``path`` on ``column``.  One
-    footer read per file; executor-distributed past the same listing
-    size where ``footer_stats_df`` fans out."""
-    files = [f.path for f in list_parquet_files(spark, path)]
-    if len(files) <= DRIVER_SIDE_FOOTER_LIMIT:
-        return [_read_zone(p, column) for p in files]
-    slices = min(len(files), spark.sparkContext.defaultParallelism * 2)
-    return (
-        spark.sparkContext.parallelize(files, slices)
-        .map(lambda p: _read_zone(p, column))
-        .collect()
-    )
+    """Single-column :func:`build_zone_maps`."""
+    return build_zone_maps(spark, path, [column])[column]
 
 
 def zone_map_df(spark: SparkSession, path: str, column: str) -> DataFrame:
@@ -156,6 +176,57 @@ def zonemap_read(
     zmap = zmap if zmap is not None else build_zone_map(spark, path, column)
     kept, _skipped = prune_files(zmap, lo, hi)
     pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    if not kept:
+        return load_table(spark, path).filter(F.lit(False))
+    return load_table(spark, *kept).filter(pred)
+
+
+def prune_files_multi(
+    zmaps: dict[str, list[ZoneEntry]],
+    bounds: dict[str, tuple[Any, Any]],
+) -> tuple[list[str], list[str]]:
+    """Prune for a conjunction of range predicates (``AND`` of ``col
+    BETWEEN lo AND hi``): a file is skipped when ANY predicate's stats
+    prove exclusion — the z-order-layout companion, where several
+    clustered columns each carry tight per-file ranges."""
+    by_path: dict[str, dict[str, ZoneEntry]] = {}
+    order: list[str] = []
+    for col, entries in zmaps.items():
+        for e in entries:
+            if e.path not in by_path:
+                by_path[e.path] = {}
+                order.append(e.path)
+            by_path[e.path][col] = e
+    kept, skipped = [], []
+    for path in order:
+        cols = by_path[path]
+        skip = any(
+            col in cols
+            and cols[col].has_stats
+            and (cols[col].vmax < lo or cols[col].vmin > hi)
+            for col, (lo, hi) in bounds.items()
+        )
+        (skipped if skip else kept).append(path)
+    return kept, skipped
+
+
+def zonemap_read_multi(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple[Any, Any]],
+    zmaps: dict[str, list[ZoneEntry]] | None = None,
+) -> DataFrame:
+    """Read ``path`` under a conjunction of range predicates, scanning
+    only files no predicate can rule out; the full conjunction is
+    re-applied as the residual filter."""
+    cols = sorted(bounds)
+    zmaps = zmaps if zmaps is not None else build_zone_maps(spark, path, cols)
+    kept, _skipped = prune_files_multi(zmaps, bounds)
+    pred = None
+    for c in cols:
+        lo, hi = bounds[c]
+        p = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else pred & p
     if not kept:
         return load_table(spark, path).filter(F.lit(False))
     return load_table(spark, *kept).filter(pred)

@@ -114,3 +114,29 @@ def test_bm25_stats_reuse_matches_inline(docs):
         )
     )
     assert a == b
+
+
+def test_indexed_bm25_equals_direct(spark, tmp_path):
+    """The materialized index answers identically to the direct scan."""
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = str(tmp_path / "bm25_idx")
+    search.build_bm25_index(spark, docs, idx)
+    for q in ("spark window", "merge", "window tiny doc"):
+        direct = [tuple(r) for r in search.bm25_topk(docs, q, k=4).collect()]
+        indexed = [
+            tuple(r)
+            for r in search.bm25_topk_indexed(spark, idx, q, k=4).collect()
+        ]
+        assert direct == indexed
+
+
+def test_indexed_bm25_pushes_token_filter(spark, tmp_path):
+    """The query must never read the corpus: the plan scans postings
+    with the token IN predicate pushed to the parquet reader."""
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = str(tmp_path / "bm25_idx2")
+    search.build_bm25_index(spark, docs, idx)
+    top = search.bm25_topk_indexed(spark, idx, "spark window", k=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(token" in plan
+    assert "text" not in top.columns

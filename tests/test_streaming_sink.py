@@ -134,3 +134,53 @@ def test_upsert_sink_recovers_from_crashed_swap(spark, tmp_path):
     writer(spark.createDataFrame([("b", 9)], "k string, n_events long"), 1)
     got = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert got == [("a", 3), ("b", 9)]  # prior state survived the crash
+
+
+def test_scd2_snapshot_sink_versions_and_replay(spark, tmp_path):
+    from datetime import date
+
+    dim = str(tmp_path / "dim_state")
+    writer = sink.scd2_snapshot_sink(
+        dim, ["k"], ["attr"], lambda bid: date(2024, 1, 1 + bid)
+    )
+    snap = "k long, attr string"
+    # batch 0 bootstraps: every entity opens at 2024-01-01
+    writer(spark.createDataFrame([(1, "a"), (2, "b")], snap), 0)
+    got0 = {(r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(dim).collect()}
+    assert got0 == {
+        (1, "a", date(2024, 1, 1), None),
+        (2, "b", date(2024, 1, 1), None),
+    }
+    # batch 1: k=1 changes, k=2 vanishes, k=3 appears
+    writer(spark.createDataFrame([(1, "a2"), (3, "c")], snap), 1)
+    got1 = {(r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(dim).collect()}
+    assert got1 == {
+        (1, "a", date(2024, 1, 1), date(2024, 1, 2)),
+        (1, "a2", date(2024, 1, 2), None),
+        (2, "b", date(2024, 1, 1), date(2024, 1, 2)),
+        (3, "c", date(2024, 1, 2), None),
+    }
+    # replay of batch 1 (ledger) and a re-delivery under a NEW batch id
+    # with identical data (SCD2 idempotency at the batch-2 as_of after
+    # a crash-between-swap-and-ledger) both change nothing
+    writer(spark.createDataFrame([(99, "x")], snap), 1)
+    writer(spark.createDataFrame([(1, "a2"), (3, "c")], snap), 2)
+    got2 = {(r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(dim).collect()}
+    assert got2 == got1
+
+
+def test_scd2_snapshot_sink_empty_batch_is_noop(spark, tmp_path):
+    from datetime import date
+
+    dim = str(tmp_path / "dim_state2")
+    writer = sink.scd2_snapshot_sink(
+        dim, ["k"], ["attr"], lambda bid: date(2024, 1, 1 + bid)
+    )
+    snap = "k long, attr string"
+    writer(spark.createDataFrame([(1, "a")], snap), 0)
+    writer(spark.createDataFrame([], snap), 1)  # trigger without data
+    got = {(r["k"], r["valid_to"]) for r in spark.read.parquet(dim).collect()}
+    assert got == {(1, None)}  # nothing was closed

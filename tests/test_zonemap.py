@@ -119,3 +119,61 @@ def test_missing_column_never_skips(spark, sorted_orders):
     assert all(not e.has_stats for e in zm)
     kept, skipped = zonemap.prune_files(zm, 0, 1)
     assert not skipped
+
+
+def _two_col_layout(tmp_path):
+    """Three files, each a disjoint (a, b) rectangle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = tmp_path / "rects"
+    dest.mkdir()
+    rects = [
+        (range(0, 10), range(0, 10)),
+        (range(10, 20), range(0, 10)),
+        (range(0, 10), range(10, 20)),
+    ]
+    for i, (ar, br) in enumerate(rects):
+        pq.write_table(
+            pa.table({"a": list(ar), "b": list(br)}),
+            str(dest / f"part-{i}.parquet"),
+        )
+    return str(dest)
+
+
+def test_multi_column_pruning_intersects(spark, tmp_path):
+    """A conjunction skips a file when ANY column's range excludes it:
+    (a<=5) keeps files 1,3; (b<=5) keeps 1,2; together only file 1."""
+    path = _two_col_layout(tmp_path)
+    zmaps = zonemap.build_zone_maps(spark, path, ["a", "b"])
+    kept_a, _ = zonemap.prune_files_multi(zmaps, {"a": (0, 5)})
+    kept_ab, skipped_ab = zonemap.prune_files_multi(
+        zmaps, {"a": (0, 5), "b": (0, 5)}
+    )
+    assert len(kept_a) == 2 and len(kept_ab) == 1 and len(skipped_ab) == 2
+
+    got = zonemap.zonemap_read_multi(spark, path, {"a": (0, 5), "b": (0, 5)})
+    want = (
+        load_table(spark, path)
+        .filter((F.col("a").between(0, 5)) & (F.col("b").between(0, 5)))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_multi_column_single_footer_read_matches_single(spark, sorted_orders):
+    """build_zone_maps (one footer probe for all columns) agrees with
+    the single-column API."""
+    multi = zonemap.build_zone_maps(
+        spark, sorted_orders, ["o_orderdate", "o_totalprice"]
+    )
+    single = zonemap.build_zone_map(spark, sorted_orders, "o_orderdate")
+    assert multi["o_orderdate"] == single
+    assert all(e.has_stats for e in multi["o_totalprice"])
+
+
+def test_multi_column_empty_conjunction_returns_empty(spark, tmp_path):
+    path = _two_col_layout(tmp_path)
+    out = zonemap.zonemap_read_multi(spark, path, {"a": (50, 60), "b": (0, 5)})
+    assert out.count() == 0
