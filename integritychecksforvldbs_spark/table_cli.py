@@ -1,0 +1,271 @@
+"""Table-operations CLI — the maintenance/divergence/warehouse surface.
+
+The integrity scheduler (``cli.py``) and the curation composer
+(``pipeline_cli.py``) cover the reference's job harness and the
+LLM-corpus funnel; this third surface exposes the table-level
+operators a warehouse operator runs ad hoc or from cron::
+
+    python -m integritychecksforvldbs_spark.table_cli compact \
+        --src /data/orders --dest /data/orders_c --sort-by o_orderdate
+    python -m integritychecksforvldbs_spark.table_cli zonemap \
+        --path /data/orders_c --column o_orderdate \
+        --lo 1996-01-01 --hi 1996-12-31
+    python -m integritychecksforvldbs_spark.table_cli repair-plan \
+        --authoritative /a/orders --replica /b/orders \
+        --keys o_orderkey --out /tmp/plan
+    python -m integritychecksforvldbs_spark.table_cli scd2-apply \
+        --dim /dw/dim_customer --snapshot /stage/customer \
+        --keys c_custkey --tracked c_acctbal,c_mktsegment \
+        --as-of 2024-06-01 --out /dw/dim_customer_v2
+    python -m integritychecksforvldbs_spark.table_cli bm25-index \
+        --corpus /data/documents --out /idx/docs
+    python -m integritychecksforvldbs_spark.table_cli bm25-search \
+        --index /idx/docs --query "spark window merge" --k 10
+
+Every subcommand prints ONE JSON summary line to stdout (parseable by
+the calling scheduler) and writes any bulk output as parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import date, datetime
+
+
+def _parse_bound(s: str):
+    """CLI bound → typed value: int, float, date, timestamp, else str."""
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    for fmt, conv in (
+        ("%Y-%m-%d %H:%M:%S", lambda d: d),
+        ("%Y-%m-%d", lambda d: d),
+    ):
+        try:
+            d = datetime.strptime(s, fmt)
+            return conv(d)
+        except ValueError:
+            pass
+    return s
+
+
+def _csv(s: str) -> list[str]:
+    return [c.strip() for c in s.split(",") if c.strip()]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="table operations")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compact", help="rewrite into target-sized files")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--sort-by", default=None, help="comma cols for range sort")
+    p.add_argument("--target-bytes", type=int, default=None)
+
+    p = sub.add_parser("zorder", help="z-order clustering rewrite")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--by", required=True, help="comma cols to cluster")
+    p.add_argument("--target-bytes", type=int, default=None)
+
+    p = sub.add_parser("zonemap", help="footer zone map / pruning report")
+    p.add_argument("--path", required=True)
+    p.add_argument("--column", required=True)
+    p.add_argument("--lo", default=None)
+    p.add_argument("--hi", default=None)
+
+    p = sub.add_parser("profile-drift", help="baseline-vs-candidate drift report")
+    p.add_argument("--baseline", required=True)
+    p.add_argument("--candidate", required=True)
+    p.add_argument("--columns", default=None, help="comma cols (default: common)")
+    p.add_argument("--out", default=None, help="write full report parquet here")
+
+    p = sub.add_parser("repair-plan", help="ops making replica match authoritative")
+    p.add_argument("--authoritative", required=True)
+    p.add_argument("--replica", required=True)
+    p.add_argument("--keys", required=True)
+    p.add_argument("--out", required=True, help="plan parquet")
+
+    p = sub.add_parser("repair-apply", help="execute a repair plan")
+    p.add_argument("--replica", required=True)
+    p.add_argument("--plan", required=True)
+    p.add_argument("--keys", required=True)
+    p.add_argument("--out", required=True, help="repaired table parquet")
+
+    p = sub.add_parser("scd2-apply", help="type-2 dimension snapshot apply")
+    p.add_argument("--dim", required=True)
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--keys", required=True)
+    p.add_argument("--tracked", required=True)
+    p.add_argument("--as-of", required=True, help="YYYY-MM-DD")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("bm25-index", help="materialize the inverted index")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
+    p = sub.add_parser("bm25-search", help="top-k BM25 query")
+    p.add_argument("--corpus", default=None, help="direct scan of a corpus")
+    p.add_argument("--index", default=None, help="bm25-index layout")
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    from .sources.loader import load_table
+
+    spark = get_spark(app_name=f"table-{args.cmd}")
+    summary: dict
+
+    if args.cmd == "compact":
+        from .sources.maintenance import DEFAULT_TARGET_BYTES, compact_table
+
+        before, after = compact_table(
+            spark, args.src, args.dest,
+            target_bytes=args.target_bytes or DEFAULT_TARGET_BYTES,
+            sort_by=_csv(args.sort_by) if args.sort_by else None,
+        )
+        summary = {
+            "cmd": "compact",
+            "files_before": before.n_files, "files_after": after.n_files,
+            "bytes_before": before.total_bytes, "bytes_after": after.total_bytes,
+        }
+    elif args.cmd == "zorder":
+        from .sources.maintenance import DEFAULT_TARGET_BYTES, zorder_compact
+
+        before, after = zorder_compact(
+            spark, args.src, args.dest, _csv(args.by),
+            target_bytes=args.target_bytes or DEFAULT_TARGET_BYTES,
+        )
+        summary = {
+            "cmd": "zorder",
+            "files_before": before.n_files, "files_after": after.n_files,
+        }
+    elif args.cmd == "zonemap":
+        from .sources import zonemap
+
+        zm = zonemap.build_zone_map(spark, args.path, args.column)
+        summary = {
+            "cmd": "zonemap", "n_files": len(zm),
+            "files_with_stats": sum(1 for e in zm if e.has_stats),
+            "rows": sum(e.n_rows for e in zm),
+        }
+        if args.lo is not None and args.hi is not None:
+            kept, skipped = zonemap.prune_files(
+                zm, _parse_bound(args.lo), _parse_bound(args.hi)
+            )
+            summary.update(files_kept=len(kept), files_skipped=len(skipped))
+    elif args.cmd == "profile-drift":
+        from .operators.profile import profile_df, profile_drift
+
+        a = load_table(spark, args.baseline)
+        b = load_table(spark, args.candidate)
+        cols = _csv(args.columns) if args.columns else sorted(
+            set(a.columns) & set(b.columns)
+        )
+        rep = profile_drift(profile_df(a, cols), profile_df(b, cols))
+        rows = rep.collect()
+        if args.out:
+            rep.write.mode("overwrite").parquet(args.out)
+        summary = {
+            "cmd": "profile-drift",
+            "columns": len(rows),
+            "drifted": sorted(
+                r["column_name"] for r in rows if r["any_drift"]
+            ),
+        }
+    elif args.cmd == "repair-plan":
+        from .operators.kernels import repair_plan
+
+        plan = repair_plan(
+            load_table(spark, args.authoritative),
+            load_table(spark, args.replica),
+            _csv(args.keys),
+        )
+        plan.write.mode("overwrite").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["op"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        summary = {"cmd": "repair-plan", "out": args.out, "ops": counts}
+    elif args.cmd == "repair-apply":
+        from .operators.kernels import apply_repair
+
+        out = apply_repair(
+            load_table(spark, args.replica),
+            spark.read.parquet(args.plan),
+            _csv(args.keys),
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        summary = {
+            "cmd": "repair-apply", "out": args.out,
+            "rows": spark.read.parquet(args.out).count(),
+        }
+    elif args.cmd == "scd2-apply":
+        from .operators.scd import scd2_apply
+
+        as_of = date.fromisoformat(args.as_of)
+        new_dim = scd2_apply(
+            load_table(spark, args.dim),
+            load_table(spark, args.snapshot),
+            _csv(args.keys), _csv(args.tracked), as_of,
+        )
+        new_dim.write.mode("overwrite").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["version_action"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("version_action").agg(F.count("*").alias("n")).collect()
+        }
+        summary = {"cmd": "scd2-apply", "out": args.out, "actions": counts}
+    elif args.cmd == "bm25-index":
+        from .operators.search import build_bm25_index
+
+        build_bm25_index(
+            spark, load_table(spark, args.corpus), args.out,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        stats = spark.read.parquet(f"{args.out}/stats").collect()[0]
+        summary = {
+            "cmd": "bm25-index", "out": args.out,
+            "n_docs": stats["n_docs"], "avgdl": stats["avgdl"],
+        }
+    elif args.cmd == "bm25-search":
+        from .operators.search import bm25_topk, bm25_topk_indexed
+
+        if bool(args.corpus) == bool(args.index):
+            ap.error("bm25-search needs exactly one of --corpus / --index")
+        if args.index:
+            top = bm25_topk_indexed(spark, args.index, args.query, k=args.k)
+        else:
+            top = bm25_topk(
+                load_table(spark, args.corpus), args.query, k=args.k,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+        summary = {
+            "cmd": "bm25-search",
+            "results": [r.asDict() for r in top.collect()],
+        }
+    else:  # pragma: no cover — argparse enforces choices
+        raise SystemExit(2)
+
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

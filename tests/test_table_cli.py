@@ -1,0 +1,102 @@
+"""End-to-end table_cli subcommands (JSON summary contract)."""
+
+from __future__ import annotations
+
+import json
+
+from integritychecksforvldbs_spark import table_cli
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(capsys, *argv) -> dict:
+    assert table_cli.main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_compact_zonemap_roundtrip(spark, tmp_path, capsys):
+    dest = str(tmp_path / "orders_c")
+    s = _run(
+        capsys, "compact", "--src", f"{SF_DIR}/orders.parquet",
+        "--dest", dest, "--sort-by", "o_orderdate",
+        "--target-bytes", "20000",
+    )
+    assert s["files_after"] >= 2
+    s = _run(
+        capsys, "zonemap", "--path", dest, "--column", "o_orderdate",
+        "--lo", "1996-01-01", "--hi", "1996-12-31",
+    )
+    assert s["files_skipped"] >= 1
+    assert s["files_kept"] + s["files_skipped"] == s["n_files"]
+
+
+def test_repair_plan_apply_roundtrip(spark, tmp_path, capsys):
+    auth = str(tmp_path / "auth")
+    rep = str(tmp_path / "rep")
+    a = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    b = spark.createDataFrame([(1, "a"), (2, "X"), (4, "d")], "k long, v string")
+    a.write.parquet(auth)
+    b.write.parquet(rep)
+    plan = str(tmp_path / "plan")
+    s = _run(
+        capsys, "repair-plan", "--authoritative", auth, "--replica", rep,
+        "--keys", "k", "--out", plan,
+    )
+    assert s["ops"] == {"insert": 1, "update": 1, "delete": 1}
+    fixed = str(tmp_path / "fixed")
+    s = _run(
+        capsys, "repair-apply", "--replica", rep, "--plan", plan,
+        "--keys", "k", "--out", fixed,
+    )
+    assert s["rows"] == 3
+    got = sorted(map(tuple, spark.read.parquet(fixed).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_scd2_apply_cli(spark, tmp_path, capsys):
+    from datetime import date
+
+    dim = str(tmp_path / "dim")
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a", date(2024, 1, 1), None)],
+        "k long, v string, valid_from date, valid_to date",
+    ).write.parquet(dim)
+    spark.createDataFrame([(1, "a2"), (2, "b")], "k long, v string").write.parquet(snap)
+    out = str(tmp_path / "dim2")
+    s = _run(
+        capsys, "scd2-apply", "--dim", dim, "--snapshot", snap,
+        "--keys", "k", "--tracked", "v", "--as-of", "2024-06-01",
+        "--out", out,
+    )
+    assert s["actions"] == {"closed": 1, "opened": 2}
+
+
+def test_bm25_index_and_search_cli(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "spark window window"), (2, "merge sort"), (3, "spark")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    idx = str(tmp_path / "idx")
+    s = _run(capsys, "bm25-index", "--corpus", corpus, "--out", idx)
+    assert s["n_docs"] == 3
+    s_direct = _run(
+        capsys, "bm25-search", "--corpus", corpus, "--query", "spark window",
+        "--k", "2",
+    )
+    s_indexed = _run(
+        capsys, "bm25-search", "--index", idx, "--query", "spark window",
+        "--k", "2",
+    )
+    assert s_direct["results"] == s_indexed["results"]
+    assert s_direct["results"][0]["doc_id"] == 1
+
+
+def test_profile_drift_cli(spark, tmp_path, capsys):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame([(i, i % 3) for i in range(30)], "k long, v long").write.parquet(a)
+    spark.createDataFrame([(i, 99) for i in range(300)], "k long, v long").write.parquet(b)
+    s = _run(capsys, "profile-drift", "--baseline", a, "--candidate", b)
+    assert set(s["drifted"]) == {"k", "v"}
