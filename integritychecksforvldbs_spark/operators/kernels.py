@@ -466,9 +466,22 @@ def run_checkfilegroup_partitioned(
     """
     exp = exp or expectations_for(object_name)
     df = spark.read.parquet(table_root).filter(F.col(partition_col) == value)
-    res = run_checktable(
-        spark, df.drop(partition_col), database, object_name, exp
-    )
+    # A DERIVED partition column (event_date from ts) is not part of
+    # the expected schema and is dropped; but when the table is
+    # partitioned on a REAL schema column that expectations reference,
+    # dropping it would break (or silently skip) that column's checks.
+    referenced = set(exp.primary_key) | set(exp.not_null) | set(
+        exp.double_columns
+    ) | set(exp.timestamp_columns) | set(exp.clean_text_columns) | set(
+        exp.int32_columns
+    ) | {c for fk in exp.foreign_keys for c in fk.columns}
+    referenced |= {
+        c for rule in exp.domain_rules for c in df.columns
+        if c in rule.predicate
+    }
+    if partition_col not in referenced:
+        df = df.drop(partition_col)
+    res = run_checktable(spark, df, database, object_name, exp)
     return KernelResult(
         "CHECKFILEGROUP",
         database,
@@ -748,6 +761,7 @@ def repair_plan(
     differs = functools.reduce(
         lambda x, y: x | y,
         [~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in compare_cols],
+        F.lit(False),  # keys-only table: insert/delete plan only
     )
     op = (
         F.when(F.col("b._pb").isNull(), F.lit("insert"))

@@ -37,6 +37,7 @@ def _null_safe_eq(left: str, right: str, cols: list[str]) -> Column:
     return functools.reduce(
         operator.and_,
         [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+        F.lit(True),  # no tracked cols: presence alone decides
     )
 
 
@@ -71,16 +72,25 @@ def scd2_apply(
     history = dim.filter(F.col("valid_to").isNotNull()).select(
         *out_cols, F.lit("history").alias("version_action")
     )
-    current = dim.filter(F.col("valid_to").isNull()).alias("d")
-    snap = snapshot.alias("s")
+    # presence markers + null-safe key join (the repair_plan pattern):
+    # testing `key IS NOT NULL` would misclassify NULL-keyed rows —
+    # a NULL-keyed current row would match nothing, read as absent
+    # from BOTH sides, and emit a garbage all-NULL "opened" version on
+    # every apply, breaking idempotency.
+    current = (
+        dim.filter(F.col("valid_to").isNull())
+        .withColumn("_pd", F.lit(1))
+        .alias("d")
+    )
+    snap = snapshot.withColumn("_ps", F.lit(1)).alias("s")
 
     on = functools.reduce(
         operator.and_,
-        [F.col(f"d.{c}") == F.col(f"s.{c}") for c in key_cols],
+        [F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}")) for c in key_cols],
     )
     j = current.join(snap, on, "full_outer")
-    in_dim = F.col(f"d.{key_cols[0]}").isNotNull()
-    in_snap = F.col(f"s.{key_cols[0]}").isNotNull()
+    in_dim = F.col("d._pd").isNotNull()
+    in_snap = F.col("s._ps").isNotNull()
     same = _null_safe_eq("d", "s", tracked_cols)
 
     # one row-local classification per joined row, exploded into the
@@ -128,21 +138,24 @@ def scd2_apply_oracle(
     SQL literal (e.g. ``DATE '2024-06-01'``)."""
     keys = ", ".join(key_cols)
     d_cols = ", ".join(f"d.{c}" for c in key_cols + tracked_cols)
-    s_cols = ", ".join(f"s.{c}" for c in key_cols + tracked_cols)
-    on = " AND ".join(f"d.{c} = s.{c}" for c in key_cols)
-    same = " AND ".join(
-        f"(d.{c} IS NOT DISTINCT FROM s.{c})" for c in tracked_cols
+    # presence markers + IS NOT DISTINCT FROM keys, mirroring the
+    # Spark side (NULL-keyed rows classify by presence, not key tests)
+    on = " AND ".join(
+        f"d.{c} IS NOT DISTINCT FROM s.{c}" for c in key_cols
     )
-    in_dim = f"d.{key_cols[0]} IS NOT NULL"
-    in_snap = f"s.{key_cols[0]} IS NOT NULL"
+    same = " AND ".join(
+        [f"(d.{c} IS NOT DISTINCT FROM s.{c})" for c in tracked_cols]
+        or ["TRUE"]
+    )
     return f"""
 WITH dim AS ({dim_sql}),
-snap AS ({snapshot_sql}),
-cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+snap AS (SELECT *, 1 AS _ps FROM ({snapshot_sql}) t),
+cur AS (SELECT *, 1 AS _pd FROM dim WHERE valid_to IS NULL),
 j AS (
   SELECT {d_cols}, d.valid_from, d.valid_to,
          {", ".join(f"s.{c} AS s_{c}" for c in key_cols + tracked_cols)},
-         ({in_dim}) AS in_dim, ({in_snap}) AS in_snap, ({same}) AS same
+         (d._pd IS NOT NULL) AS in_dim, (s._ps IS NOT NULL) AS in_snap,
+         ({same}) AS same
   FROM cur d FULL OUTER JOIN snap s ON {on}
 )
 SELECT {keys}, {", ".join(tracked_cols)}, valid_from, valid_to,

@@ -94,14 +94,15 @@ def bm25_scores(
     if not terms:
         raise ValueError("query has no tokens")
     n_docs, avgdl = stats if stats is not None else corpus_stats(df, text_col)
-    tlist = ", ".join(f"'{t}'" for t in terms)
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '{_spark_re(TOKEN_REGEX)}', 0)"
     )
+    # Column-API filter, not SQL interpolation: punctuation tokens
+    # ("don't" tokenizes to a bare quote) must not break the plan
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
         "doc_id",
         F.expr("CAST(size(toks) AS BIGINT)").alias("dl"),
-        F.expr(f"filter(toks, x -> x IN ({tlist}))").alias("qtoks"),
+        F.filter("toks", lambda x: x.isin(terms)).alias("qtoks"),
     )
     tf = (
         base.select("doc_id", "dl", F.explode("qtoks").alias("token"))
@@ -169,7 +170,8 @@ def bm25_oracle(
     """DuckDB SQL computing the identical top-k (rounded scores, same
     tie-break)."""
     terms = query_terms(query)
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    # SQL-standard quote doubling: punctuation terms include '
+    tlist = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -263,12 +265,15 @@ def build_bm25_index(
         .coalesce(1),
         f"{path}/dfreq",
     )
-    dl_per_doc = postings_r.groupBy("doc_id").agg(F.min("dl").alias("dl"))
+    # stats MUST come from the corpus, not the postings: zero-token
+    # documents produce no postings but still count toward N and avgdl
+    # — deriving from postings would silently diverge indexed scores
+    # from bm25_topk on corpora containing empty documents.
+    n_docs, avgdl = corpus_stats(df, text_col)
     _write_stats_friendly(
         spark,
-        dl_per_doc.agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
         ),
         f"{path}/stats",
     )

@@ -14,6 +14,8 @@ Bucketing requires a saveAsTable (metastore) target — plain
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -98,20 +100,31 @@ def partitioned_mirror(
     (DIC:1374-1377; SURVEY §2.1 #3): each first-level partition
     directory IS a filegroup per ``catalog.list_filegroups``.
 
-    Idempotent per path: an existing mirror with a ``_SUCCESS`` marker
-    is reused (parquet inputs are immutable in this engine's snapshot
-    contract), so repeated query builds pay the partitioned write
-    once.  Filters on ``partition_cols`` over the returned frame plan
-    as ``PartitionFilters`` — the scan never opens the other
+    Idempotent per (path, layout): an existing mirror with a
+    ``_SUCCESS`` marker AND a matching layout sidecar is reused
+    (parquet inputs are immutable in this engine's snapshot contract),
+    so repeated query builds pay the partitioned write once — but a
+    mirror built with DIFFERENT partition columns is rebuilt, never
+    silently reused with the wrong layout.  Filters on
+    ``partition_cols`` over the returned frame plan as
+    ``PartitionFilters`` — the scan never opens the other
     directories, which at 100 TB with daily partitions is the
     difference between reading one day and reading three years.
     """
-    from .catalog import _fs_and_path
+    from .catalog import _fs_and_path, read_text_file, write_text_file
 
+    layout_path = path.rstrip("/") + "/_mirror_layout.json"
+    want_layout = json.dumps({"partition_cols": partition_cols})
     fs, hpath = _fs_and_path(spark, path)
     _, hmark = _fs_and_path(spark, path.rstrip("/") + "/_SUCCESS")
-    if not (fs.exists(hpath) and fs.exists(hmark)):
+    reusable = (
+        fs.exists(hpath)
+        and fs.exists(hmark)
+        and read_text_file(spark, layout_path) == want_layout
+    )
+    if not reusable:
         src.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        write_text_file(spark, layout_path, want_layout)
     return spark.read.parquet(path)
 
 

@@ -145,6 +145,20 @@ def zone_map_df(spark: SparkSession, path: str, column: str) -> DataFrame:
     )
 
 
+def _lt(a: Any, b: Any) -> bool:
+    """``a < b`` with date/datetime alignment: a plain date promotes
+    to midnight — exactly how Spark and DuckDB cast a DATE literal
+    compared against a TIMESTAMP column, so pruning agrees with the
+    residual filter."""
+    import datetime as _dt
+
+    if isinstance(a, _dt.datetime) and type(b) is _dt.date:
+        b = _dt.datetime.combine(b, _dt.time())
+    elif type(a) is _dt.date and isinstance(b, _dt.datetime):
+        a = _dt.datetime.combine(a, _dt.time())
+    return a < b
+
+
 def prune_files(
     zmap: list[ZoneEntry], lo: Any, hi: Any
 ) -> tuple[list[str], list[str]]:
@@ -154,7 +168,7 @@ def prune_files(
     kept."""
     kept, skipped = [], []
     for e in zmap:
-        if e.has_stats and (e.vmax < lo or e.vmin > hi):
+        if e.has_stats and (_lt(e.vmax, lo) or _lt(hi, e.vmin)):
             skipped.append(e.path)
         else:
             kept.append(e.path)
@@ -203,7 +217,7 @@ def prune_files_multi(
         skip = any(
             col in cols
             and cols[col].has_stats
-            and (cols[col].vmax < lo or cols[col].vmin > hi)
+            and (_lt(cols[col].vmax, lo) or _lt(hi, cols[col].vmin))
             for col, (lo, hi) in bounds.items()
         )
         (skipped if skip else kept).append(path)

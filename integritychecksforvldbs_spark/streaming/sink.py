@@ -70,8 +70,17 @@ def _ledgered_state_sink(
         )
 
         spark = df.sparkSession
-        raw = read_text_file(spark, ledger_path)
-        applied: set[int] = set(json.loads(raw)) if raw else set()
+        try:
+            raw = read_text_file(spark, ledger_path)
+            applied: set[int] = set(json.loads(raw)) if raw else set()
+        except Exception:
+            # a crash mid-ledger-write leaves partial JSON or a torn
+            # file whose checksum no longer verifies (Hadoop LocalFS
+            # ChecksumException); treating either as an empty ledger
+            # only re-applies batches, which every merge here is
+            # idempotent under — failing instead would wedge the
+            # stream permanently on the same batch
+            applied = set()
         if batch_id in applied:
             return  # replayed batch: already fully applied
         fs, h_state = _fs_and_path(spark, state_path)

@@ -41,9 +41,11 @@ def _parse_bound(s: str):
             return cast(s)
         except ValueError:
             pass
+    # date-only input → datetime.date (pyarrow DATE stats are
+    # datetime.date; a datetime here would fail the < comparison)
     for fmt, conv in (
         ("%Y-%m-%d %H:%M:%S", lambda d: d),
-        ("%Y-%m-%d", lambda d: d),
+        ("%Y-%m-%d", lambda d: d.date()),
     ):
         try:
             d = datetime.strptime(s, fmt)

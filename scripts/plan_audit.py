@@ -1,5 +1,10 @@
 """Regenerate PLAN_AUDIT.json: one plans/audit.py row per contract
-query, driver-side plan construction only (nothing executes).
+query.  Plan construction is driver-side; note that ITERATIVE
+pipelines (curation_funnel, cluster keepers, leakage split) and the
+mirror/index-building gates materialize their stage boundaries during
+frame construction by design (localCheckpoint lineage truncation /
+layout reuse), so those queries DO execute work here — the audited
+plan is the stage-local plan a consumer actually holds.
 
 Usage: python scripts/plan_audit.py [sf_dir] [out_path]
 """
