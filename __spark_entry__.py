@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from integritychecksforvldbs_spark.expectations import REGISTRY, expectations_for
 from integritychecksforvldbs_spark.operators import (
+    analytics,
     dedup,
     multimodal,
     profile,
@@ -2088,7 +2089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_suite"] = _q_multimodal_suite
 
     # ---- streaming kernels, batch-equivalent form (§2.10 ext.) --- 40-46
-    out["events_hourly_counts"] = lambda spark, sf: freshness.hourly_counts(
+    # r5 rotation: events_hourly_counts (its aggregation grain is
+    # recomputed inside events_volume_anomalies) moved past the cap
+    # for the analytics-family gate
+    out["events_volume_anomalies"] = lambda spark, sf: analytics.volume_anomalies(
         _load(spark, sf, "events")
     )
     # freshness summary + late-data volume share the per-event_type
@@ -2186,6 +2190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["repair_plan_documents"] = _q_repair_plan
+    # event analytics past-cap variants + the rotated hourly gate
+    out["events_hourly_counts"] = lambda spark, sf: freshness.hourly_counts(
+        _load(spark, sf, "events")
+    )
+    out["events_retention_cohorts"] = lambda spark, sf: analytics.retention_cohorts(
+        _load(spark, sf, "events")
+    )
+    out["events_rolling_active"] = lambda spark, sf: analytics.rolling_active_users(
+        _load(spark, sf, "events")
+    )
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2503,6 +2517,9 @@ FROM ({_scd2_inner})
         "documents", _MUTATED_DOCS_SQL, ["doc_id"],
         ["text", "lang", "source", "n_chars"],
     )
+    out["events_volume_anomalies"] = analytics.volume_anomalies_oracle()
+    out["events_retention_cohorts"] = analytics.retention_cohorts_oracle()
+    out["events_rolling_active"] = analytics.rolling_active_users_oracle()
     out["join_revenue_top10"] = _join_revenue_oracle()
     out["events_funnel"] = _funnel_oracle()
     out["exists_late_orders"] = _exists_late_orders_oracle()

@@ -1,0 +1,193 @@
+"""Event-analytics kernels over the activity stream (north star
+extension): the aggregate health/engagement views an operations team
+derives from the same events table the freshness and session kernels
+consume.
+
+All exact, all DuckDB-oracle-matched:
+
+- **retention_cohorts** — per event_type, users cohorted by their
+  first active week; distinct-user counts per (cohort_week,
+  week_offset).  The classic triangle retention matrix.
+- **rolling_active_users** — trailing-N-day distinct users per day
+  (DAU/WAU family).  Exact rolling COUNT DISTINCT has no windowed
+  form in either engine; the scalable shape is dedup to (user, day)
+  → banded join against the (calendar-bounded, broadcastable) day
+  list → one count-distinct aggregation.  Expansion is |user-days| ×
+  window, not events × window.
+- **volume_anomalies** — per-hour event counts z-scored against that
+  event_type's own mean/stddev; |z| > threshold flags volume spikes
+  and droughts.  z is ROUNDed so the two engines' stddev
+  accumulation order cannot flip the value hash.
+
+NULL user_id / event_type rows (expected contamination in this
+fixture) are excluded explicitly and identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, cohort_week, week_offset, n_users) — distinct
+    users from each first-week cohort active again ``week_offset``
+    weeks later.
+
+    Plan: dedup to (type, user, week) with one map-side-combined
+    aggregate, derive each user's cohort week (second aggregate),
+    join back (AQE broadcasts the cohort side when small), count.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = (
+        events.filter(F.col(user_col).isNotNull() & F.col(type_col).isNotNull())
+        .select(F.col(type_col).alias("event_type"),
+                F.col(user_col).alias("user_id"), wk.alias("week"))
+        .distinct()
+    )
+    cohort = uw.groupBy("event_type", "user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        uw.join(cohort, ["event_type", "user_id"])
+        .groupBy(
+            "event_type",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def retention_cohorts_oracle(table: str = "events") -> str:
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM {table}
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+cohort AS (
+  SELECT event_type, user_id, MIN(week) AS cohort_week
+  FROM uw GROUP BY event_type, user_id
+)
+SELECT uw.event_type, cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN cohort USING (event_type, user_id)
+GROUP BY 1, 2, 3
+"""
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(day, active_users): distinct users active in the trailing
+    ``window_days`` ending at each observed day."""
+    ud = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.to_date(ts_col).alias("day"),
+                F.col(user_col).alias("user_id"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    j = F.broadcast(days.withColumnRenamed("day", "as_of")).join(
+        ud,
+        (F.col("day") <= F.col("as_of"))
+        & (F.col("day") > F.date_sub(F.col("as_of"), window_days)),
+    )
+    return (
+        j.groupBy(F.col("as_of").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+def rolling_active_users_oracle(
+    table: str = "events", window_days: int = 7
+) -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM {table} WHERE user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day AS as_of FROM ud)
+SELECT as_of AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM days JOIN ud
+  ON ud.day <= days.as_of AND ud.day > days.as_of - INTERVAL {window_days} DAY
+GROUP BY 1
+"""
+
+
+def volume_anomalies(
+    events: DataFrame,
+    threshold: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """(event_type, hour, n_events, z, is_anomaly): each hour's count
+    z-scored against its event_type's mean/stddev over all observed
+    hours.  One narrow aggregate per grain; the per-type stats are a
+    |types|-row window (no second scan)."""
+    from pyspark.sql import Window
+
+    hourly = (
+        events.filter(F.col(type_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    sd = F.stddev_samp("n_events").over(w)
+    # zero/undefined variance (uniform or single-hour types) → z NULL,
+    # not anomalous; an unguarded division is an ANSI-mode
+    # DIVIDE_BY_ZERO error
+    z = F.when(
+        sd > 0, (F.col("n_events") - F.avg("n_events").over(w)) / sd
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(z, round_to).alias("z"),
+        F.coalesce(
+            F.abs(F.round(z, round_to)) > F.lit(threshold), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+def volume_anomalies_oracle(
+    table: str = "events", threshold: float = 3.0, round_to: int = 4
+) -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM {table} WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events, z,
+       COALESCE(abs(z) > {threshold}, FALSE) AS is_anomaly
+FROM (
+  SELECT event_type, hour, n_events,
+         CASE WHEN STDDEV_SAMP(n_events) OVER (PARTITION BY event_type) > 0
+              THEN ROUND(
+                (n_events - AVG(n_events) OVER (PARTITION BY event_type))
+                / STDDEV_SAMP(n_events) OVER (PARTITION BY event_type),
+                {round_to})
+         END AS z
+  FROM hourly
+)
+"""

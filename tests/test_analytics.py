@@ -1,0 +1,86 @@
+"""Event analytics kernels (operators/analytics.py): brute-force
+parity on a hand-built stream, NULL handling, plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.operators import analytics
+
+ROWS = [
+    # week 1 (2024-01-01 Mon): users 1,2 view; user 1 buys
+    (datetime(2024, 1, 1, 10), 1, "view"),
+    (datetime(2024, 1, 2, 10), 2, "view"),
+    (datetime(2024, 1, 3, 10), 1, "buy"),
+    # week 2: user 1 returns for view; user 3 starts
+    (datetime(2024, 1, 8, 10), 1, "view"),
+    (datetime(2024, 1, 9, 10), 3, "view"),
+    # week 4: user 2 returns
+    (datetime(2024, 1, 22, 10), 2, "view"),
+    # contamination
+    (datetime(2024, 1, 2, 11), None, "view"),
+    (datetime(2024, 1, 2, 12), 9, None),
+]
+SCHEMA = "ts timestamp, user_id long, event_type string"
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_retention_cohorts_matrix(ev):
+    got = {
+        (r["event_type"], str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in analytics.retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("view", "2024-01-01", 0): 2,   # users 1,2 week 1
+        ("view", "2024-01-01", 1): 1,   # user 1 returns
+        ("view", "2024-01-01", 3): 1,   # user 2 returns week 4
+        ("view", "2024-01-08", 0): 1,   # user 3 cohort
+        ("buy", "2024-01-01", 0): 1,
+    }
+
+
+def test_rolling_active_users_exact(ev):
+    got = {
+        str(r["day"]): r["active_users"]
+        for r in analytics.rolling_active_users(ev, window_days=7).collect()
+    }
+    # brute-force reference
+    days_users = {}
+    for ts, u, _t in ROWS:
+        if u is None:
+            continue
+        days_users.setdefault(ts.date(), set()).add(u)
+    want = {}
+    for d in days_users:
+        active = set()
+        for d2, us in days_users.items():
+            if 0 <= (d - d2).days < 7:
+                active |= us
+        want[str(d)] = len(active)
+    assert got == want
+
+
+def test_volume_anomalies_flags_spike(spark):
+    rows = [(datetime(2024, 1, 1, h), 1, "view") for h in range(20)]
+    rows += [(datetime(2024, 1, 1, 21, m), 1, "view") for m in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = analytics.volume_anomalies(df, threshold=3.0).collect()
+    flagged = [str(r["hour"]) for r in out if r["is_anomaly"]]
+    assert flagged == ["2024-01-01 21:00:00"]
+    # z column rounded, stable
+    z_by_hour = {str(r["hour"]): r["z"] for r in out}
+    assert z_by_hour["2024-01-01 21:00:00"] > 3
+
+
+def test_null_types_excluded_everywhere(ev):
+    ret = analytics.retention_cohorts(ev).collect()
+    assert all(r["event_type"] is not None for r in ret)
+    anom = analytics.volume_anomalies(ev).collect()
+    assert all(r["event_type"] is not None for r in anom)
