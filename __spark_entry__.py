@@ -2200,6 +2200,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_rolling_active"] = lambda spark, sf: analytics.rolling_active_users(
         _load(spark, sf, "events")
     )
+
+    # CDC compaction: deterministic two-wave change stream over orders
+    # (wave 2 rebalances key%10==3, deletes key%10==7) → latest snapshot
+    def _q_cdc_latest(spark: SparkSession, sf: str) -> DataFrame:
+        from integritychecksforvldbs_spark.operators.scd import (
+            cdc_latest_snapshot,
+        )
+
+        o = _load(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "total_cents"
+            ),
+            "o_orderpriority",
+        )
+        changes = (
+            o.select("*", F.lit(1).alias("seq"), F.lit("u").alias("op"))
+            .unionByName(
+                o.filter("o_orderkey % 10 = 3").select(
+                    "o_orderkey",
+                    "o_custkey",
+                    (F.col("total_cents") + 100).alias("total_cents"),
+                    "o_orderpriority",
+                    F.lit(2).alias("seq"),
+                    F.lit("u").alias("op"),
+                )
+            )
+            .unionByName(
+                o.filter("o_orderkey % 10 = 7").select(
+                    "o_orderkey",
+                    F.lit(None).cast("long").alias("o_custkey"),
+                    F.lit(None).cast("long").alias("total_cents"),
+                    F.lit(None).cast("string").alias("o_orderpriority"),
+                    F.lit(2).alias("seq"),
+                    F.lit("d").alias("op"),
+                )
+            )
+        )
+        return cdc_latest_snapshot(changes, ["o_orderkey"], "seq", "op")
+
+    out["cdc_latest_orders"] = _q_cdc_latest
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2520,6 +2562,26 @@ FROM ({_scd2_inner})
     out["events_volume_anomalies"] = analytics.volume_anomalies_oracle()
     out["events_retention_cohorts"] = analytics.retention_cohorts_oracle()
     out["events_rolling_active"] = analytics.rolling_active_users_oracle()
+    _cdc_changes_sql = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       o_orderpriority, 1 AS seq, 'u' AS op
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) + 100,
+       o_orderpriority, 2, 'u'
+FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), 2, 'd'
+FROM orders WHERE o_orderkey % 10 = 7
+"""
+    out["cdc_latest_orders"] = _scd.cdc_latest_snapshot_oracle(
+        _cdc_changes_sql, ["o_orderkey"], "seq",
+        ["o_orderkey", "o_custkey", "total_cents", "o_orderpriority"],
+        op_col="op",
+    )
     out["join_revenue_top10"] = _join_revenue_oracle()
     out["events_funnel"] = _funnel_oracle()
     out["exists_late_orders"] = _exists_late_orders_oracle()

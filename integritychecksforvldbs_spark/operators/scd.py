@@ -29,7 +29,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -174,4 +174,64 @@ SELECT {", ".join(f"s_{c} AS {c}" for c in key_cols + tracked_cols)},
        {as_of_sql} AS valid_from, CAST(NULL AS DATE) AS valid_to,
        'opened' AS version_action
 FROM j WHERE in_snap AND (NOT in_dim OR NOT same)
+"""
+
+
+def cdc_latest_snapshot(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_value: str = "d",
+) -> DataFrame:
+    """Compact a CDC change stream to the latest snapshot: one row per
+    key (highest ``seq_col``), with keys whose newest change is a
+    delete dropped entirely.  The upstream step that produces the full
+    snapshots :func:`scd2_apply` / ``scd2_snapshot_sink`` consume —
+    change stream → ``cdc_latest_snapshot`` → ``scd2_apply`` is the
+    standard warehouse CDC pipeline.
+
+    ``seq_col`` must totally order each key's changes (log sequence
+    number, commit timestamp + change id); ties would make "latest"
+    ambiguous, so the window orders by ``seq_col`` alone and the
+    caller guarantees per-key uniqueness — the reference's command log
+    makes the same assumption of its log ids.
+
+    One window over one shuffle on the keys; no join.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if op_col is not None:
+        latest = latest.filter(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_value))
+        ).drop(op_col)
+    return latest.drop(seq_col)
+
+
+def cdc_latest_snapshot_oracle(
+    changes_sql: str,
+    key_cols: list[str],
+    seq_col: str,
+    out_cols: list[str],
+    op_col: str | None = None,
+    delete_value: str = "d",
+) -> str:
+    """DuckDB SQL computing the identical compaction; ``out_cols`` is
+    the output column list (keys + payload, minus seq/op)."""
+    keys = ", ".join(key_cols)
+    sel = ", ".join(out_cols)
+    drop_deleted = (
+        f"AND ({op_col} IS DISTINCT FROM '{delete_value}')" if op_col else ""
+    )
+    return f"""
+SELECT {sel} FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {keys} ORDER BY {seq_col} DESC
+  ) AS _rn
+  FROM ({changes_sql}) t
+) WHERE _rn = 1 {drop_deleted}
 """

@@ -111,3 +111,55 @@ def test_scd2_plan_single_join(spark):
     """One full-outer shuffle join: exactly two hash exchanges (one
     per side), history as a shuffle-free filtered branch."""
     assert plan_data_shuffles(_apply(spark)) == 2
+
+
+def test_cdc_latest_snapshot_compaction(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 1, "u"),
+            (1, "a2", 3, "u"),   # latest for k=1
+            (1, "aX", 2, "u"),   # superseded
+            (2, "b", 1, "u"),
+            (2, None, 2, "d"),   # deleted
+            (3, "c", 5, "u"),
+            (None, "n", 1, "u"), # NULL key keeps its own row
+        ],
+        "k long, v string, seq long, op string",
+    )
+    got = sorted(
+        map(repr, scd.cdc_latest_snapshot(changes, ["k"], "seq", "op").collect())
+    )
+    want = sorted(
+        map(
+            repr,
+            spark.createDataFrame(
+                [(1, "a2"), (3, "c"), (None, "n")], "k long, v string"
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_cdc_compaction_feeds_scd2(spark):
+    """The composed pipeline: change stream -> latest snapshot ->
+    SCD2 apply; a delete in the stream closes the dimension row."""
+    dim = _dim(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 1, "u"),    # unchanged vs dim
+            (2, "b9", 1, "u"),   # update
+            (3, None, 1, "d"),   # delete
+            (4, None, 1, "u"),   # unchanged (NULL attr)
+            (5, "now", 1, "u"),
+            (6, "new", 1, "u"),
+        ],
+        "k long, attr string, seq long, op string",
+    )
+    snap = scd.cdc_latest_snapshot(changes, ["k"], "seq", "op").withColumn(
+        "num", F.lit(None).cast("long")
+    )
+    # align schema with _snap: (k, attr, num) with num untracked here
+    out = scd.scd2_apply(dim, snap.select("k", "attr"), ["k"], ["attr"], D1)
+    acts = {(r["k"], r["version_action"]) for r in out.collect()}
+    assert (3, "closed") in acts and (2, "opened") in acts
+    assert (6, "opened") in acts and (1, "kept") in acts
