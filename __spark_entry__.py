@@ -2242,6 +2242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_latest_snapshot(changes, ["o_orderkey"], "seq", "op")
 
     out["cdc_latest_orders"] = _q_cdc_latest
+    # insertion-robust content-defined chunking over documents
+    out["curation_cdc_chunks"] = lambda spark, sf: (
+        curation.content_defined_chunks(_load(spark, sf, "documents"))
+    )
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2577,6 +2581,7 @@ SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS VARCHAR), 2, 'd'
 FROM orders WHERE o_orderkey % 10 = 7
 """
+    out["curation_cdc_chunks"] = curation.content_defined_chunks_oracle()
     out["cdc_latest_orders"] = _scd.cdc_latest_snapshot_oracle(
         _cdc_changes_sql, ["o_orderkey"], "seq",
         ["o_orderkey", "o_custkey", "total_cents", "o_orderpriority"],

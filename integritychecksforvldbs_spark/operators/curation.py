@@ -1004,3 +1004,143 @@ SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
        (c.cum_tokens - c.n_tokens < a.alloc_tokens) AS kept
 FROM cum c JOIN alloc a USING (source)
 """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (insertion-robust dedup boundaries)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_BASE = 31
+CDC_MOD = 1_000_000_007
+CDC_DIVISOR = 64
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls after position
+    ``i`` whenever the rolling hash of the trailing ``window`` chars is
+    ``0 (mod divisor)`` — so boundaries are set by CONTENT, not offsets,
+    and an insertion near the head re-synchronizes within ~window
+    chars instead of shifting every downstream chunk (the weakness of
+    fixed-size chunking that :func:`chunk_dedup` inherits; the
+    rsync/LBFS idea).  Average chunk length ≈ ``divisor`` chars.
+
+    Output: (doc_id, chunk_idx, chunk_len, chunk_hash) — one exploded
+    row per chunk; dedup is a hash groupBy downstream
+    (:func:`content_chunk_dedup`).
+
+    Engine notes: the hash is exact integer math (``(acc·31 + code)
+    mod 1e9+7`` over code points), bit-identical in DuckDB; the
+    ``n >= window`` guard matters because Spark's ``sequence(a, b)``
+    DESCENDS when ``a > b`` (a short doc would otherwise produce a
+    reversed position list); all row-local, whole-stage codegen, cost
+    O(n·window) per doc.
+    """
+    w, b_, m, d = window, CDC_BASE, CDC_MOD, divisor
+    t, i_ = text_col, id_col
+    base = df.filter(
+        F.col(t).isNotNull() & (F.length(t) > 0)
+    ).select(
+        F.col(i_).alias("doc_id"),
+        F.col(t).alias("_text"),
+        F.length(t).cast("int").alias("n"),
+        F.expr(
+            f"transform(sequence(1, length({t})), i ->"
+            f" CAST(ascii(substring({t}, i, 1)) AS BIGINT))"
+        ).alias("codes"),
+    )
+    bounds = (
+        "concat(array(CAST(0 AS BIGINT)), "
+        f"IF(n >= {w}, "
+        f"  filter(transform(sequence({w}, n), i -> "
+        f"    CASE WHEN aggregate(slice(codes, i-{w}+1, {w}), CAST(0 AS BIGINT),"
+        f"         (acc, x) -> (acc*{b_} + x) % {m}) % {d} = 0"
+        f"         AND i < n THEN CAST(i AS BIGINT) END),"
+        f"    x -> x IS NOT NULL), "
+        "  array()), "
+        "array(CAST(n AS BIGINT)))"
+    )
+    with_bounds = base.select("doc_id", "_text", F.expr(bounds).alias("bounds"))
+    return with_bounds.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(0, size(bounds) - 2)")
+        ).alias("chunk_idx"),
+        "_text",
+        "bounds",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr("bounds[chunk_idx + 1] - bounds[chunk_idx]").alias("chunk_len"),
+        F.expr(
+            "md5(substring(_text, CAST(bounds[chunk_idx] + 1 AS INT),"
+            " CAST(bounds[chunk_idx + 1] - bounds[chunk_idx] AS INT)))"
+        ).alias("chunk_hash"),
+    )
+
+
+def content_defined_chunks_oracle(
+    table: str = "documents",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> str:
+    w, b_, m, d = window, CDC_BASE, CDC_MOD, divisor
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS INT) AS n,
+         list_transform(range(1, length(text)+1),
+                        i -> CAST(ascii(text[i:i]) AS BIGINT)) AS codes
+  FROM {table} WHERE text IS NOT NULL AND length(text) > 0
+),
+b AS (
+  SELECT doc_id, text, n,
+         list_concat(list_concat([CAST(0 AS BIGINT)],
+           list_filter(list_transform(range({w}, n+1), i ->
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       codes[i-{w}+1:i]),
+                       (acc, x) -> (acc*{b_} + x) % {m}) % {d} = 0
+                  AND i < n THEN CAST(i AS BIGINT) END),
+             x -> x IS NOT NULL)),
+           [CAST(n AS BIGINT)]) AS bounds
+  FROM base
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       bounds[CAST(i+2 AS INT)] - bounds[CAST(i+1 AS INT)] AS chunk_len,
+       md5(substring(text, CAST(bounds[CAST(i+1 AS INT)]+1 AS INT),
+                     CAST(bounds[CAST(i+2 AS INT)]-bounds[CAST(i+1 AS INT)] AS INT)))
+         AS chunk_hash
+FROM b, unnest(range(0, len(bounds)-1)) AS t(i)
+"""
+
+
+def content_chunk_dedup(
+    df: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct content-defined chunks with occurrence counts and the
+    deterministic first owner (MIN doc, then MIN idx within it) — the
+    insertion-robust counterpart of :func:`chunk_dedup`: one hash
+    groupBy on the exploded chunk stream."""
+    chunks = content_defined_chunks(df, window, divisor, text_col, id_col)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_first"),
+        )
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            F.col("_first.doc_id").alias("first_doc_id"),
+            F.col("_first.chunk_idx").alias("first_chunk_idx"),
+        )
+    )
