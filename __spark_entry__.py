@@ -2246,6 +2246,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_cdc_chunks"] = lambda spark, sf: (
         curation.content_defined_chunks(_load(spark, sf, "documents"))
     )
+
+    # Bloom-skipped point lookups over a key-sorted orders mirror;
+    # union of 4 probes, equality proven against a plain WHERE IN
+    def _q_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
+        import hashlib
+        import os
+        import tempfile
+
+        from integritychecksforvldbs_spark.sources import bloomskip
+        from integritychecksforvldbs_spark.sources.maintenance import (
+            compact_table,
+            table_file_stats,
+        )
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "icv_mirrors",
+            hashlib.md5(sf.encode()).hexdigest()[:12],
+            "orders_by_orderkey",
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            src = f"{sf}/orders.parquet"
+            compact_table(
+                spark, src, path,
+                target_bytes=max(1, table_file_stats(src).total_bytes // 8),
+                sort_by=["o_orderkey"],
+            )
+            bloomskip.build_bloom_index(spark, path, "o_orderkey")
+        out_df: DataFrame | None = None
+        for key in (2, 7, 33, 1000):
+            part = bloomskip.bloom_read(spark, path, "o_orderkey", key).select(
+                "o_orderkey",
+                "o_custkey",
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                    "total_cents"
+                ),
+                "o_orderpriority",
+            )
+            out_df = part if out_df is None else out_df.unionByName(part)
+        assert out_df is not None
+        return out_df
+
+    out["bloom_pruned_scan"] = _q_bloom_pruned
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2582,6 +2625,12 @@ SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
 FROM orders WHERE o_orderkey % 10 = 7
 """
     out["curation_cdc_chunks"] = curation.content_defined_chunks_oracle()
+    out["bloom_pruned_scan"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       o_orderpriority
+FROM orders WHERE o_orderkey IN (2, 7, 33, 1000)
+"""
     out["cdc_latest_orders"] = _scd.cdc_latest_snapshot_oracle(
         _cdc_changes_sql, ["o_orderkey"], "seq",
         ["o_orderkey", "o_custkey", "total_cents", "o_orderpriority"],

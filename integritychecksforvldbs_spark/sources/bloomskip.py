@@ -1,0 +1,149 @@
+"""Per-file Bloom-filter skipping for equality predicates.
+
+Zone maps (:mod:`.zonemap`) prune RANGE predicates from footer
+min/max, which needs value-clustered layouts and says nothing useful
+for point lookups on high-cardinality columns.  This module adds the
+standard companion (Delta's bloom indexes, ORC bloom streams): one
+Bloom bitset per part-file over a column's distinct values; a
+``col = v`` probe then skips every file whose bitset provably lacks
+``v`` — no false negatives by construction, false positives only cost
+an extra file scan.
+
+Shapes, built for 100 TB:
+
+- **build** is one distributed pass: dedup to (file, value), expand
+  each value to its ``k`` bit positions row-locally
+  (``xxhash64(value, seed) mod n_bits``), aggregate ``collect_set``
+  per file — the index is ``n_files × ≤n_bits`` positions, written as
+  a parquet sidecar next to the table;
+- **probe** hashes the literal through the SAME JVM xxhash64 (a
+  one-row job — the driver must not re-implement the hash and risk
+  divergence) and prunes the file list driver-side, exactly like the
+  zone map's metadata-sized pruning;
+- **read** scans only surviving files and re-applies the predicate,
+  so correctness never depends on the index (a file missing from the
+  index — appended after the build — is always kept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources.catalog import list_parquet_files
+from integritychecksforvldbs_spark.sources.loader import load_table
+
+N_BITS_DEFAULT = 8192
+K_DEFAULT = 5
+
+
+def _positions_expr(col: str, n_bits: int, k: int):
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(n_bits)).cast(
+                "int"
+            )
+            for seed in range(k)
+        ]
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    n_bits: int = N_BITS_DEFAULT,
+    k: int = K_DEFAULT,
+    index_path: str | None = None,
+) -> DataFrame:
+    """One pass over ``path``: (file, set-bit positions) per part-file
+    for ``column``.  Persisted to ``index_path`` (default
+    ``{path}_bloom_{column}``) and returned as a DataFrame.  NULLs set
+    no bits (``col = v`` never matches NULL in SQL)."""
+    index_path = index_path or f"{path.rstrip('/')}_bloom_{column}"
+    src = load_table(spark, path)
+    pos = (
+        src.select(
+            F.input_file_name().alias("file"), F.col(column).alias("v")
+        )
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .select("file", F.explode(_positions_expr("v", n_bits, k)).alias("bit"))
+        .distinct()
+        .groupBy("file")
+        .agg(F.collect_set("bit").alias("bits"))
+        .withColumn("n_bits", F.lit(n_bits))
+        .withColumn("k", F.lit(k))
+    )
+    pos.write.mode("overwrite").parquet(index_path)
+    return spark.read.parquet(index_path)
+
+
+def _probe_positions(
+    spark: SparkSession, value, dtype, n_bits: int, k: int
+) -> list[int]:
+    """The literal's bit positions via the SAME JVM hash as the build
+    (one-row job; a driver-side reimplementation could silently
+    diverge and cause false negatives).  ``dtype`` is the COLUMN's
+    Spark type: xxhash64 is type-sensitive (an INT literal probing a
+    LONG column hashes differently → false negatives), so the literal
+    must be cast before hashing."""
+    row = (
+        spark.range(1)
+        .select(F.lit(value).cast(dtype).alias("v"))
+        .select(_positions_expr("v", n_bits, k).alias("p"))
+        .collect()[0]
+    )
+    return list(row["p"])
+
+
+def bloom_prune(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    index_path: str | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) part-files for ``column = value``.  Files
+    absent from the index (appended since the build) are kept."""
+    index_path = index_path or f"{path.rstrip('/')}_bloom_{column}"
+    idx = spark.read.parquet(index_path).collect()
+    if not idx:
+        files = [f.path for f in list_parquet_files(spark, path)]
+        return files, []
+    n_bits, k = int(idx[0]["n_bits"]), int(idx[0]["k"])
+    dtype = load_table(spark, path).schema[column].dataType
+    probe = set(_probe_positions(spark, value, dtype, n_bits, k))
+    bits_by_file = {r["file"]: set(r["bits"]) for r in idx}
+
+    # input_file_name says file:///x, the listing says file:/x — join
+    # on the state machinery's canonical spelling
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path as _norm,
+    )
+
+    indexed = {_norm(f): b for f, b in bits_by_file.items()}
+    kept, skipped = [], []
+    for f in list_parquet_files(spark, path):
+        bits = indexed.get(_norm(f.path))
+        if bits is not None and not probe <= bits:
+            skipped.append(f.path)
+        else:
+            kept.append(f.path)
+    return kept, skipped
+
+
+def bloom_read(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    index_path: str | None = None,
+) -> DataFrame:
+    """Read ``path`` restricted to ``column = value``, scanning only
+    files the Bloom index cannot rule out; the equality is re-applied
+    as the residual filter."""
+    kept, _skipped = bloom_prune(spark, path, column, value, index_path)
+    if not kept:
+        return load_table(spark, path).filter(F.lit(False))
+    return load_table(spark, *kept).filter(F.col(column) == F.lit(value))
