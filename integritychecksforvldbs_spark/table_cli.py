@@ -81,6 +81,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lo", default=None)
     p.add_argument("--hi", default=None)
 
+    p = sub.add_parser("bloom-build", help="per-file Bloom index for a column")
+    p.add_argument("--path", required=True)
+    p.add_argument("--column", required=True)
+
+    p = sub.add_parser("bloom-lookup", help="Bloom-pruned point lookup")
+    p.add_argument("--path", required=True)
+    p.add_argument("--column", required=True)
+    p.add_argument("--value", required=True)
+
     p = sub.add_parser("profile-drift", help="baseline-vs-candidate drift report")
     p.add_argument("--baseline", required=True)
     p.add_argument("--candidate", required=True)
@@ -167,6 +176,24 @@ def main(argv: list[str] | None = None) -> int:
                 zm, _parse_bound(args.lo), _parse_bound(args.hi)
             )
             summary.update(files_kept=len(kept), files_skipped=len(skipped))
+    elif args.cmd == "bloom-build":
+        from .sources.bloomskip import build_bloom_index
+
+        idx = build_bloom_index(spark, args.path, args.column)
+        summary = {
+            "cmd": "bloom-build", "column": args.column,
+            "files_indexed": idx.count(),
+        }
+    elif args.cmd == "bloom-lookup":
+        from .sources.bloomskip import bloom_prune, bloom_read
+
+        v = _parse_bound(args.value)
+        kept, skipped = bloom_prune(spark, args.path, args.column, v)
+        n = bloom_read(spark, args.path, args.column, v).count()
+        summary = {
+            "cmd": "bloom-lookup", "value": args.value, "rows": n,
+            "files_kept": len(kept), "files_skipped": len(skipped),
+        }
     elif args.cmd == "profile-drift":
         from .operators.profile import profile_df, profile_drift
 

@@ -100,3 +100,17 @@ def test_profile_drift_cli(spark, tmp_path, capsys):
     spark.createDataFrame([(i, 99) for i in range(300)], "k long, v long").write.parquet(b)
     s = _run(capsys, "profile-drift", "--baseline", a, "--candidate", b)
     assert set(s["drifted"]) == {"k", "v"}
+
+
+def test_bloom_build_and_lookup_cli(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F2
+
+    tbl = str(tmp_path / "keys")
+    spark.range(0, 2000).select(F2.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(tbl)
+    s = _run(capsys, "bloom-build", "--path", tbl, "--column", "k")
+    assert s["files_indexed"] == 4
+    s = _run(capsys, "bloom-lookup", "--path", tbl, "--column", "k",
+             "--value", "1500")
+    assert s["rows"] == 1 and s["files_skipped"] >= 2
