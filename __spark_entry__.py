@@ -2289,6 +2289,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df
 
     out["bloom_pruned_scan"] = _q_bloom_pruned
+
+    # containment fixture: half-prefix copies of every 50th doc — the
+    # quote/partial-copy shape Jaccard's union denominator dilutes
+    def _docs_with_half_copies(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        halves = docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, CAST(length(text) DIV 2 AS INT))"
+            ).alias("text"),
+        )
+        return docs.unionByName(halves)
+
+    out["dedup_containment"] = lambda spark, sf: dedup.ngram_containment_pairs(
+        _docs_with_half_copies(spark, sf), threshold=0.8
+    )
+
+    def _q_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs_with_half_copies(spark, sf)
+        pred = dedup.ngram_containment_pairs(docs, threshold=0.8).select(
+            F.col("src_doc_id").alias("doc_id_a"),
+            F.col("dst_doc_id").alias("doc_id_b"),
+        )
+        truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        return dedup.pair_set_metrics(pred, truth)
+
+    out["dedup_pair_metrics"] = _q_pair_metrics
     # table_diff is past the gate's 50-entry head: the divergence
     # family's gate row is checksum_documents_buckets (same oracle
     # machinery); the freed head slot gates partition pruning instead
@@ -2625,6 +2652,21 @@ SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
 FROM orders WHERE o_orderkey % 10 = 7
 """
     out["curation_cdc_chunks"] = curation.content_defined_chunks_oracle()
+    _HALF_COPY_DOCS_SQL = (
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 3000000, "
+        "substring(text, 1, CAST(length(text) // 2 AS INT)) "
+        "FROM documents WHERE doc_id % 50 = 0) half_copy_docs"
+    )
+    out["dedup_containment"] = dedup.ngram_containment_oracle(
+        _HALF_COPY_DOCS_SQL, threshold=0.8
+    )
+    out["dedup_pair_metrics"] = dedup.pair_set_metrics_oracle(
+        "SELECT src_doc_id AS doc_id_a, dst_doc_id AS doc_id_b FROM ("
+        + dedup.ngram_containment_oracle(_HALF_COPY_DOCS_SQL, threshold=0.8)
+        + ") cont",
+        dedup.ngram_jaccard_oracle(_HALF_COPY_DOCS_SQL, threshold=0.5),
+    )
     out["bloom_pruned_scan"] = """
 SELECT o_orderkey, o_custkey,
        CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,

@@ -1158,3 +1158,176 @@ JOIN base sa ON sa.id = p.id_a
 JOIN base sb ON sb.id = p.id_b
 WHERE levenshtein(sa.s, sb.s) <= {d}
 """
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (quote / partial-copy detection)
+# ---------------------------------------------------------------------------
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed near-dup pairs by CONTAINMENT ``|A∩B| / |A|``:
+    (src_doc_id, dst_doc_id, containment) where the source's shingles
+    are ≥``threshold`` contained in the destination — what Jaccard
+    misses when a short document is wholly quoted inside a long one
+    (the union denominator dilutes the score).  Broder's containment
+    measure; the quote/partial-copy detector of a curation stack.
+
+    One shingle self-join computes each undirected pair's intersection
+    ONCE; both directions then emit row-locally (explode of the two
+    (src, dst, |src|) orientations) — no second join.  Same
+    ``max_df`` frequency cut as the Jaccard tier bounds fan-out.
+    """
+    sh = shingles(df, text_col, id_col, n, max_df)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    card = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("card"))
+    ca = card.select(F.col("doc_id").alias("doc_id_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_id_b"), F.col("card").alias("card_b"))
+    both = (
+        common.join(ca, "doc_id_a")
+        .join(cb, "doc_id_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_a").alias("src_doc_id"),
+                        F.col("doc_id_b").alias("dst_doc_id"),
+                        (F.col("common") / F.col("card_a")).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("doc_id_b").alias("src_doc_id"),
+                        F.col("doc_id_a").alias("dst_doc_id"),
+                        (F.col("common") / F.col("card_b")).alias("containment"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    return both.filter(F.col("containment") >= threshold)
+
+
+def ngram_containment_oracle(
+    table: str = "documents", n: int = 3, threshold: float = 0.8
+) -> str:
+    """Identical containment pairs in DuckDB (integer/integer division
+    → bitwise-equal doubles)."""
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))) AS g
+    FROM {table}
+    WHERE len(string_split(text, ' ')) >= {n})
+),
+card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS card FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+directed AS (
+  SELECT doc_id_a AS src_doc_id, doc_id_b AS dst_doc_id,
+         common / ca.card AS containment
+  FROM common JOIN card ca ON ca.doc_id = doc_id_a
+  UNION ALL
+  SELECT doc_id_b, doc_id_a, common / cb.card
+  FROM common JOIN card cb ON cb.doc_id = doc_id_b
+)
+SELECT * FROM directed WHERE containment >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# pair-set evaluation (comparing dedup tiers)
+# ---------------------------------------------------------------------------
+
+def pair_set_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """One row: (n_predicted, n_truth, tp, fp, fn, precision, recall,
+    f1) comparing two UNDIRECTED pair sets — how a candidate dedup
+    tier is scored against an exact tier.  Pairs are canonicalized
+    (least, greatest) and deduplicated, so directed or unordered
+    inputs compare correctly; ratios divide exact integers and are
+    ROUNDed (0-denominator → NULL, e.g. empty truth)."""
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        ).distinct()
+
+    p, t = canon(predicted), canon(truth)
+    tp = p.join(t, ["a", "b"]).count()
+    n_p, n_t = p.count(), t.count()
+    fp, fn = n_p - tp, n_t - tp
+    spark = predicted.sparkSession
+    prec = tp / n_p if n_p else None
+    rec = tp / n_t if n_t else None
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and (prec + rec) > 0
+        else None
+    )
+    r = round_to
+    return spark.createDataFrame(
+        [(
+            n_p, n_t, tp, fp, fn,
+            round(prec, r) if prec is not None else None,
+            round(rec, r) if rec is not None else None,
+            round(f1, r) if f1 is not None else None,
+        )],
+        "n_predicted long, n_truth long, tp long, fp long, fn long, "
+        "precision double, recall double, f1 double",
+    )
+
+
+def pair_set_metrics_oracle(
+    predicted_sql: str, truth_sql: str, round_to: int = 6
+) -> str:
+    """DuckDB SQL over two pair relations (columns doc_id_a,
+    doc_id_b — any orientation) computing the identical one-row
+    metrics."""
+    return f"""
+WITH p AS (
+  SELECT DISTINCT least(doc_id_a, doc_id_b) AS a,
+                  greatest(doc_id_a, doc_id_b) AS b
+  FROM ({predicted_sql}) t
+),
+t AS (
+  SELECT DISTINCT least(doc_id_a, doc_id_b) AS a,
+                  greatest(doc_id_a, doc_id_b) AS b
+  FROM ({truth_sql}) t
+),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_predicted,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM p JOIN t USING (a, b)) AS tp
+)
+SELECT n_predicted, n_truth, tp,
+       n_predicted - tp AS fp, n_truth - tp AS fn,
+       CASE WHEN n_predicted > 0 THEN ROUND(CAST(tp AS DOUBLE) / n_predicted, {round_to}) END AS precision,
+       CASE WHEN n_truth > 0 THEN ROUND(CAST(tp AS DOUBLE) / n_truth, {round_to}) END AS recall,
+       CASE WHEN n_predicted > 0 AND n_truth > 0 AND tp > 0
+            THEN ROUND(2.0 * (CAST(tp AS DOUBLE) / n_predicted) * (CAST(tp AS DOUBLE) / n_truth)
+                 / ((CAST(tp AS DOUBLE) / n_predicted) + (CAST(tp AS DOUBLE) / n_truth)), {round_to}) END AS f1
+FROM c
+"""
