@@ -189,23 +189,54 @@ def _catalog_sizes(spark: SparkSession, sf_dir: str) -> dict[str, int]:
 # filegroup (catalog.list_filegroups), and date filters over the
 # mirror plan as PartitionFilters: the CHECKFILEGROUP story
 # (DIC:1374-1377) on the layout the planner actually prunes.
-def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mirror_path(sf_dir: str, name: str) -> str:
+    """Per-(process, sf_dir) location for a derived layout (partitioned
+    mirror, sorted mirror, index) under the system temp dir — every
+    derived-layout gate shares this keying so rebuilds are paid once."""
     import hashlib
     import os
     import tempfile
 
-    from integritychecksforvldbs_spark.sources.bucketing import partitioned_mirror
-
-    path = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
         "icv_mirrors",
         hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-        "events_by_date",
+        name,
     )
+
+
+def _sorted_orders_mirror(
+    spark: SparkSession, sf_dir: str, sort_col: str, name: str
+) -> str:
+    """orders rewritten ``sort_col``-sorted into ~8 range-disjoint
+    files via sorted compaction, built once per (process, sf_dir)."""
+    import os
+
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        compact_table,
+        table_file_stats,
+    )
+
+    path = _mirror_path(sf_dir, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = f"{sf_dir}/orders.parquet"
+        compact_table(
+            spark, src, path,
+            target_bytes=max(1, table_file_stats(src).total_bytes // 8),
+            sort_by=[sort_col],
+        )
+    return path
+
+
+def _events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from integritychecksforvldbs_spark.sources.bucketing import partitioned_mirror
+
     ev = load_table(spark, f"{sf_dir}/events.parquet").withColumn(
         "event_date", F.to_date("ts")
     )
-    return partitioned_mirror(spark, ev, path, ["event_date"])
+    return partitioned_mirror(
+        spark, ev, _mirror_path(sf_dir, "events_by_date"), ["event_date"]
+    )
 
 
 def _q_events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,31 +264,9 @@ def _q_events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reused via _SUCCESS; the 1996 filter then provably skips files
 # (pinned in tests/test_zonemap.py) while the result stays exact.
 def _orders_sorted_path(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
-
-    from integritychecksforvldbs_spark.sources.maintenance import (
-        compact_table,
-        table_file_stats,
+    return _sorted_orders_mirror(
+        spark, sf_dir, "o_orderdate", "orders_by_orderdate"
     )
-
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "icv_mirrors",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-        "orders_by_orderdate",
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        src = f"{sf_dir}/orders.parquet"
-        compact_table(
-            spark,
-            src,
-            path,
-            target_bytes=max(1, table_file_stats(src).total_bytes // 8),
-            sort_by=["o_orderdate"],
-        )
-    return path
 
 
 ZM_LO, ZM_HI = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
@@ -387,18 +396,11 @@ def _q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as search_bm25, answered from the materialized
     token-sorted inverted index (built once per process/sf, reused via
     the stats table's _SUCCESS)."""
-    import hashlib
     import os
-    import tempfile
 
     from integritychecksforvldbs_spark.operators import search
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "icv_mirrors",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-        "bm25_index",
-    )
+    path = _mirror_path(sf_dir, "bm25_index")
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         search.build_bm25_index(
             spark, _load(spark, sf_dir, "documents"), path
@@ -2250,29 +2252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Bloom-skipped point lookups over a key-sorted orders mirror;
     # union of 4 probes, equality proven against a plain WHERE IN
     def _q_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
-        import hashlib
         import os
-        import tempfile
 
         from integritychecksforvldbs_spark.sources import bloomskip
-        from integritychecksforvldbs_spark.sources.maintenance import (
-            compact_table,
-            table_file_stats,
-        )
 
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "icv_mirrors",
-            hashlib.md5(sf.encode()).hexdigest()[:12],
-            "orders_by_orderkey",
+        path = _sorted_orders_mirror(
+            spark, sf, "o_orderkey", "orders_by_orderkey"
         )
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            src = f"{sf}/orders.parquet"
-            compact_table(
-                spark, src, path,
-                target_bytes=max(1, table_file_stats(src).total_bytes // 8),
-                sort_by=["o_orderkey"],
-            )
+        if not os.path.exists(
+            os.path.join(f"{path}_bloom_o_orderkey", "_SUCCESS")
+        ):
             bloomskip.build_bloom_index(spark, path, "o_orderkey")
         out_df: DataFrame | None = None
         for key in (2, 7, 33, 1000):

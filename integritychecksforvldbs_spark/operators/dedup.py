@@ -1275,9 +1275,15 @@ def pair_set_metrics(
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         ).distinct()
 
-    p, t = canon(predicted), canon(truth)
-    tp = p.join(t, ["a", "b"]).count()
-    n_p, n_t = p.count(), t.count()
+    # three actions consume each canonical set — persist so the
+    # upstream pair computation runs once, not three times
+    p, t = canon(predicted).persist(), canon(truth).persist()
+    try:
+        tp = p.join(t, ["a", "b"]).count()
+        n_p, n_t = p.count(), t.count()
+    finally:
+        p.unpersist()
+        t.unpersist()
     fp, fn = n_p - tp, n_t - tp
     spark = predicted.sparkSession
     prec = tp / n_p if n_p else None

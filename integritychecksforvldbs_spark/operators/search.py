@@ -54,6 +54,39 @@ def query_terms(query: str) -> list[str]:
     return sorted(set(_PY_TOKEN_RE.findall(query.lower())))
 
 
+def _bm25_weight(n_docs: int, avgdl: float, k1: float, b: float):
+    """Per-(doc, term) BM25 contribution over columns ``tf``, ``dl``,
+    ``df_t`` — shared by the direct-scan and indexed paths so the two
+    can never drift."""
+    return (
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k of a (doc_id, n_terms_hit, score) frame with a rank
+    column: orderBy+limit plans TakeOrderedAndProject; the rank window
+    runs over the k surviving rows only."""
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    rank_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+        "doc_id",
+        "n_terms_hit",
+        "score",
+    )
+
+
 def corpus_stats(
     df: DataFrame, text_col: str = "text"
 ) -> tuple[int, float]:
@@ -112,22 +145,11 @@ def bm25_scores(
     tfd = tf.withColumn(
         "df_t", F.count("*").over(Window.partitionBy("token")).cast("long")
     )
-    w = (
-        F.log(
-            F.lit(1.0)
-            + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
-            / (F.col("df_t") + F.lit(0.5))
-        )
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-        )
-    )
     return tfd.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_terms_hit"),
-        F.round(F.sum(w), round_to).alias("score"),
+        F.round(F.sum(_bm25_weight(n_docs, avgdl, k1, b)), round_to).alias(
+            "score"
+        ),
     )
 
 
@@ -148,14 +170,8 @@ def bm25_topk(
     orderBy+limit plans TakeOrderedAndProject; the rank window runs
     over k rows only.
     """
-    scored = bm25_scores(df, query, k1, b, text_col, id_col, round_to, stats)
-    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
-    rank_w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return top.select(
-        F.row_number().over(rank_w).cast("long").alias("rank"),
-        "doc_id",
-        "n_terms_hit",
-        "score",
+    return _rank_topk(
+        bm25_scores(df, query, k1, b, text_col, id_col, round_to, stats), k
     )
 
 
@@ -234,7 +250,7 @@ def build_bm25_index(
     vocabularies is a vanishing slice of the index.
     """
     from integritychecksforvldbs_spark.sources.maintenance import (
-        _write_stats_friendly,
+        write_stats_friendly,
     )
 
     toks = F.expr(
@@ -250,7 +266,7 @@ def build_bm25_index(
         .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
     )
     n_out = max(1, spark.sparkContext.defaultParallelism // 2)
-    _write_stats_friendly(
+    write_stats_friendly(
         spark,
         postings.repartitionByRange(n_out, "token").sortWithinPartitions(
             "token", "doc_id"
@@ -258,7 +274,7 @@ def build_bm25_index(
         f"{path}/postings",
     )
     postings_r = spark.read.parquet(f"{path}/postings")
-    _write_stats_friendly(
+    write_stats_friendly(
         spark,
         postings_r.groupBy("token")
         .agg(F.count("*").cast("long").alias("df_t"))
@@ -270,7 +286,7 @@ def build_bm25_index(
     # — deriving from postings would silently diverge indexed scores
     # from bm25_topk on corpora containing empty documents.
     n_docs, avgdl = corpus_stats(df, text_col)
-    _write_stats_friendly(
+    write_stats_friendly(
         spark,
         spark.createDataFrame(
             [(n_docs, avgdl)], "n_docs long, avgdl double"
@@ -309,32 +325,14 @@ def bm25_topk_indexed(
     dfreq = spark.read.parquet(f"{index_path}/dfreq").filter(
         F.col("token").isin(terms)
     )
-    w = (
-        F.log(
-            F.lit(1.0)
-            + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
-            / (F.col("df_t") + F.lit(0.5))
-        )
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-        )
-    )
     scored = (
         postings.join(F.broadcast(dfreq), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_terms_hit"),
-            F.round(F.sum(w), round_to).alias("score"),
+            F.round(
+                F.sum(_bm25_weight(n_docs, avgdl, k1, b)), round_to
+            ).alias("score"),
         )
     )
-    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
-    rank_w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return top.select(
-        F.row_number().over(rank_w).cast("long").alias("rank"),
-        "doc_id",
-        "n_terms_hit",
-        "score",
-    )
+    return _rank_topk(scored, k)

@@ -98,11 +98,11 @@ def compact_table(
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n_out)
-    _write_stats_friendly(spark, df, dest_path)
+    write_stats_friendly(spark, df, dest_path)
     return before, table_file_stats(dest_path)
 
 
-def _write_stats_friendly(spark: SparkSession, df: DataFrame, dest: str) -> None:
+def write_stats_friendly(spark: SparkSession, df: DataFrame, dest: str) -> None:
     """Parquet write with footer min/max intact for EVERY column.
 
     Spark's default timestamp encoding is legacy INT96, which parquet
@@ -205,5 +205,5 @@ def zorder_compact(
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
     )
-    _write_stats_friendly(spark, out, dest_path)
+    write_stats_friendly(spark, out, dest_path)
     return before, table_file_stats(dest_path)
