@@ -2259,9 +2259,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = _sorted_orders_mirror(
             spark, sf, "o_orderkey", "orders_by_orderkey"
         )
-        if not os.path.exists(
-            os.path.join(f"{path}_bloom_o_orderkey", "_SUCCESS")
-        ):
+        # rebuild the index if missing OR older than the mirror — a
+        # mirror rebuilt after tmp cleanup gets new part-file names,
+        # and a stale index keyed to the old names would silently stop
+        # pruning (every probe keeps every file)
+        mirror_mark = os.path.join(path, "_SUCCESS")
+        index_mark = os.path.join(f"{path}_bloom_o_orderkey", "_SUCCESS")
+        if not os.path.exists(index_mark) or os.path.getmtime(
+            index_mark
+        ) < os.path.getmtime(mirror_mark):
             bloomskip.build_bloom_index(spark, path, "o_orderkey")
         out_df: DataFrame | None = None
         for key in (2, 7, 33, 1000):

@@ -1293,16 +1293,18 @@ def pair_set_metrics(
         if prec is not None and rec is not None and (prec + rec) > 0
         else None
     )
-    r = round_to
+    # round via Spark F.round (HALF_UP, matching DuckDB ROUND) — a
+    # Python round() here is banker's rounding and diverges from the
+    # oracle on exactly-representable ties (round(1/128, 6))
     return spark.createDataFrame(
-        [(
-            n_p, n_t, tp, fp, fn,
-            round(prec, r) if prec is not None else None,
-            round(rec, r) if rec is not None else None,
-            round(f1, r) if f1 is not None else None,
-        )],
+        [(n_p, n_t, tp, fp, fn, prec, rec, f1)],
         "n_predicted long, n_truth long, tp long, fp long, fn long, "
         "precision double, recall double, f1 double",
+    ).select(
+        "n_predicted", "n_truth", "tp", "fp", "fn",
+        F.round("precision", round_to).alias("precision"),
+        F.round("recall", round_to).alias("recall"),
+        F.round("f1", round_to).alias("f1"),
     )
 
 

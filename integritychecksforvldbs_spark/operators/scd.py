@@ -199,11 +199,14 @@ def cdc_latest_snapshot(
 
     One window over one shuffle on the keys; no join.
     """
+    rn = "__cdc_latest_rn"
+    if rn in changes.columns:  # collision-safe, never clobber payload
+        raise ValueError(f"changes must not carry a column named {rn!r}")
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        changes.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
     if op_col is not None:
         latest = latest.filter(

@@ -60,16 +60,25 @@ def build_bloom_index(
     for ``column``.  Persisted to ``index_path`` (default
     ``{path}_bloom_{column}``) and returned as a DataFrame.  NULLs set
     no bits (``col = v`` never matches NULL in SQL)."""
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path_expr,
+    )
+
     index_path = index_path or f"{path.rstrip('/')}_bloom_{column}"
     src = load_table(spark, path)
+    # build-side file key via the SQL canonicalizer (percent-decoded
+    # for file: URIs) so probe-time listing paths (_canon_file_path)
+    # match on paths with encodable characters — the same pairing the
+    # incremental-state machinery uses.  collect_set dedups bits, so
+    # no second distinct; the (file, value) distinct stays to bound
+    # the k-fold explode.
     pos = (
         src.select(
-            F.input_file_name().alias("file"), F.col(column).alias("v")
+            _canon_file_path_expr().alias("file"), F.col(column).alias("v")
         )
         .filter(F.col("v").isNotNull())
         .distinct()
         .select("file", F.explode(_positions_expr("v", n_bits, k)).alias("bit"))
-        .distinct()
         .groupBy("file")
         .agg(F.collect_set("bit").alias("bits"))
         .withColumn("n_bits", F.lit(n_bits))

@@ -185,11 +185,17 @@ def main(argv: list[str] | None = None) -> int:
             "files_indexed": idx.count(),
         }
     elif args.cmd == "bloom-lookup":
-        from .sources.bloomskip import bloom_prune, bloom_read
+        from pyspark.sql import functions as F
+        from .sources.bloomskip import bloom_prune
 
         v = _parse_bound(args.value)
+        # prune ONCE and read the kept files directly (bloom_read
+        # would re-run the whole pruning pipeline)
         kept, skipped = bloom_prune(spark, args.path, args.column, v)
-        n = bloom_read(spark, args.path, args.column, v).count()
+        n = (
+            load_table(spark, *kept).filter(F.col(args.column) == F.lit(v)).count()
+            if kept else 0
+        )
         summary = {
             "cmd": "bloom-lookup", "value": args.value, "rows": n,
             "files_kept": len(kept), "files_skipped": len(skipped),

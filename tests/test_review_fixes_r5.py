@@ -160,3 +160,51 @@ def test_partitioned_mirror_rebuilds_on_layout_change(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(q" in plan
+
+
+def test_pair_metrics_round_half_up_matches_duckdb(spark):
+    """precision = 1/128 = 0.0078125 exactly: Python round() gives
+    0.007812 (banker's), DuckDB and Spark HALF_UP give 0.007813 — the
+    metrics must round engine-side."""
+    import duckdb
+
+    from integritychecksforvldbs_spark.operators import dedup
+
+    pred = spark.createDataFrame(
+        [(i, i + 1000) for i in range(128)], "doc_id_a long, doc_id_b long"
+    )
+    truth = spark.createDataFrame([(0, 1000)], "doc_id_a long, doc_id_b long")
+    row = dedup.pair_set_metrics(pred, truth).collect()[0]
+    assert row["precision"] == 0.007813
+    want = duckdb.connect().execute("SELECT ROUND(1.0/128, 6)").fetchone()[0]
+    assert row["precision"] == want
+
+
+def test_bloom_prunes_on_percent_encoded_paths(spark, tmp_path):
+    """A table under a path with a space: input_file_name percent-
+    encodes, the listing does not — the index must still match (the
+    canonical-path pairing), so pruning fires instead of silently
+    keeping everything."""
+    from pyspark.sql import functions as F2
+
+    from integritychecksforvldbs_spark.sources import bloomskip
+
+    dest = str(tmp_path / "my data" / "tbl")
+    spark.range(0, 2000).select(F2.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(dest)
+    bloomskip.build_bloom_index(spark, dest, "k")
+    kept, skipped = bloomskip.bloom_prune(spark, dest, "k", 1500)
+    assert skipped, "encoded-path index must still match the listing"
+    rows = bloomskip.bloom_read(spark, dest, "k", 1500).collect()
+    assert [r["k"] for r in rows] == [1500]
+
+
+def test_cdc_compaction_rejects_reserved_column(spark):
+    from integritychecksforvldbs_spark.operators import scd as _scd
+
+    df = spark.createDataFrame(
+        [(1, 1, "u", 9)], "k long, seq long, op string, __cdc_latest_rn long"
+    )
+    with pytest.raises(ValueError, match="__cdc_latest_rn"):
+        _scd.cdc_latest_snapshot(df, ["k"], "seq", "op")
