@@ -2244,6 +2244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_latest_snapshot(changes, ["o_orderkey"], "seq", "op")
 
     out["cdc_latest_orders"] = _q_cdc_latest
+    # surgical span decontamination (redact benchmark n-grams in place)
+    out["curation_span_decontaminate"] = lambda spark, sf: (
+        curation.decontaminate_spans(_load(spark, sf, "documents"), n=3)
+    )
     # insertion-robust content-defined chunking over documents
     out["curation_cdc_chunks"] = lambda spark, sf: (
         curation.content_defined_chunks(_load(spark, sf, "documents"))
@@ -2647,6 +2651,9 @@ SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
 FROM orders WHERE o_orderkey % 10 = 7
 """
     out["curation_cdc_chunks"] = curation.content_defined_chunks_oracle()
+    out["curation_span_decontaminate"] = curation.decontaminate_spans_oracle(
+        n=3
+    )
     _HALF_COPY_DOCS_SQL = (
         "(SELECT doc_id, text FROM documents "
         "UNION ALL SELECT doc_id + 3000000, "

@@ -1144,3 +1144,157 @@ def content_chunk_dedup(
             F.col("_first.chunk_idx").alias("first_chunk_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level decontamination (surgical redaction)
+# ---------------------------------------------------------------------------
+
+def decontaminate_spans(
+    df: DataFrame,
+    n: int = 8,
+    benchmark_mod: int = 20,
+    replacement: str = "[REDACTED]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_df: DataFrame | None = None,
+) -> DataFrame:
+    """Surgical decontamination: instead of DROPPING a document whose
+    n-grams overlap the benchmark (:func:`decontaminate`), REDACT the
+    matching spans — every token covered by a matched benchmark
+    ``n``-gram window is removed and each maximal contaminated run is
+    replaced by one ``replacement`` token, keeping the rest of the
+    document in the corpus.  Output: (doc_id, n_tokens, n_redacted,
+    n_spans, clean_text).
+
+    Same benchmark convention as :func:`decontaminate` (explicit
+    ``benchmark_df``, or the self-contained ``doc_id % benchmark_mod``
+    split).  NULL-text documents are excluded, like every n-gram
+    kernel.
+
+    Scale shape: bench grams broadcast; the train side explodes only
+    WINDOW STARTS that match (one broadcast semi-join), aggregates the
+    start list per doc (bounded by windows per doc), and every
+    flag/rebuild step is a row-local array expression — one data
+    shuffle total.  The flag/rebuild CASEs are 3-branch so the
+    ``j - 1`` index is never evaluated at ``j = 1`` (Spark's
+    ``element_at(_, 0)`` is an ANSI error), and every ``sequence`` is
+    guarded non-empty (Spark's ``sequence(1, 0)`` DESCENDS).
+    """
+    t, i_ = text_col, id_col
+    if benchmark_df is None:
+        is_bench = F.col(i_) % benchmark_mod == 0
+        bench_src = df.filter(is_bench)
+        train_src = df.filter(~is_bench)
+    else:
+        bench_src = benchmark_df
+        train_src = df
+
+    toks_expr = f"filter(split({t}, ' '), x -> x <> '')"
+
+    def _windows(src: DataFrame) -> DataFrame:
+        return (
+            src.filter(F.col(t).isNotNull())
+            .select(F.col(i_).alias("doc_id"), F.expr(toks_expr).alias("toks"))
+            .filter(F.expr(f"size(toks) >= {n}"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {n} + 1),"
+                        f" i -> struct(i AS i, array_join(slice(toks, i, {n}), ' ') AS gram))"
+                    )
+                ).alias("w"),
+            )
+            .select("doc_id", "w.i", "w.gram")
+        )
+
+    bench_grams = _windows(bench_src).select("gram").distinct()
+    starts = (
+        _windows(train_src)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    base = (
+        train_src.filter(F.col(t).isNotNull())
+        .select(F.col(i_).alias("doc_id"), F.expr(toks_expr).alias("toks"))
+        .join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.expr("array()")))
+    )
+    flags = (
+        f"transform(IF(size(toks) >= 1, sequence(1, size(toks)), array()),"
+        f" j -> exists(starts, s -> j >= s AND j <= s + {n} - 1))"
+    )
+    with_flags = base.withColumn("flags", F.expr(flags))
+    rebuilt = with_flags.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(filter(flags, x -> x)) AS BIGINT)").alias(
+            "n_redacted"
+        ),
+        F.expr(
+            "CAST(size(filter(IF(size(toks) >= 1, sequence(1, size(toks)), array()),"
+            " j -> element_at(flags, j) AND (CASE WHEN j = 1 THEN true"
+            " ELSE NOT element_at(flags, j - 1) END))) AS BIGINT)"
+        ).alias("n_spans"),
+        F.expr(
+            "array_join(filter(transform("
+            "IF(size(toks) >= 1, sequence(1, size(toks)), array()),"
+            " j -> CASE WHEN NOT element_at(flags, j) THEN element_at(toks, j)"
+            f" WHEN j = 1 THEN '{replacement}'"
+            f" WHEN NOT element_at(flags, j - 1) THEN '{replacement}'"
+            " END), x -> x IS NOT NULL), ' ')"
+        ).alias("clean_text"),
+    )
+    return rebuilt
+
+
+def decontaminate_spans_oracle(
+    table: str = "documents",
+    n: int = 8,
+    benchmark_mod: int = 20,
+    replacement: str = "[REDACTED]",
+) -> str:
+    """Identical redaction in DuckDB (1-based lists, lazy CASE)."""
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM {table} WHERE text IS NOT NULL
+),
+windows AS (
+  SELECT doc_id, i,
+         array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM toks_t, unnest(range(1, len(toks) - {n} + 2)) AS u(i)
+  WHERE len(toks) >= {n}
+),
+bench AS (
+  SELECT DISTINCT gram FROM windows WHERE doc_id % {benchmark_mod} = 0
+),
+starts AS (
+  SELECT doc_id, list(i) AS starts
+  FROM windows
+  WHERE doc_id % {benchmark_mod} <> 0 AND gram IN (SELECT gram FROM bench)
+  GROUP BY doc_id
+),
+flagged AS (
+  SELECT t.doc_id, toks,
+         list_transform(range(1, len(toks) + 1),
+           j -> len(list_filter(COALESCE(starts, []),
+                s -> j >= s AND j <= s + {n} - 1)) > 0) AS flags
+  FROM toks_t t LEFT JOIN starts USING (doc_id)
+  WHERE t.doc_id % {benchmark_mod} <> 0
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_redacted,
+       CAST(len(list_filter(range(1, len(toks) + 1),
+            j -> flags[j] AND (CASE WHEN j = 1 THEN true
+                 ELSE NOT flags[j - 1] END))) AS BIGINT) AS n_spans,
+       array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+         j -> CASE WHEN NOT flags[j] THEN toks[j]
+                   WHEN j = 1 THEN '{replacement}'
+                   WHEN NOT flags[j - 1] THEN '{replacement}'
+              END), x -> x IS NOT NULL), ' ') AS clean_text
+FROM flagged
+"""
