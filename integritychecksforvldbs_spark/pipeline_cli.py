@@ -101,6 +101,16 @@ def apply_stage(
             # leave the training corpus, as in curate_funnel
             out = out.filter(F.col("doc_id") % 20 != 0)
         return out
+    if stage == "redact":
+        # surgical alternative to `decontaminate`: keep the document,
+        # cut the benchmark-overlapping spans out of its text
+        clean = curation.decontaminate_spans(
+            df, n=decontaminate_n, benchmark_df=benchmark_df
+        ).select("doc_id", F.col("clean_text").alias("text"))
+        out = df.drop("text").join(clean, "doc_id")
+        if benchmark_df is None:
+            out = out.filter(F.col("doc_id") % 20 != 0)
+        return out
     if stage == "pii":
         return curation.pii_redact(df)
     if stage == "cap":

@@ -105,3 +105,24 @@ def test_curate_budget_and_split_stages(spark, tmp_path):
     assert "split" in curated.columns and "rep" not in curated.columns
     splits = {r["split"] for r in curated.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_redact_stage_keeps_docs_and_cuts_spans(spark):
+    from integritychecksforvldbs_spark.pipeline_cli import apply_stage
+
+    bench_text = "the secret benchmark answer is forty two exactly"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {bench_text} outro", "s0"),
+            (2, "a clean document with plenty of words here", "s0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(99, bench_text)], "doc_id long, text string"
+    )
+    out = apply_stage(df, "redact", cap_k=10, benchmark_df=bench)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "intro [REDACTED] outro"   # doc KEPT, span cut
+    assert got[2] == df.collect()[1]["text"]
+    assert set(out.columns) == {"doc_id", "text", "source"}
