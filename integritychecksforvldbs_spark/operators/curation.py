@@ -57,10 +57,13 @@ from integritychecksforvldbs_spark.operators import dedup
 # ---------------------------------------------------------------------------
 
 
+BENCHMARK_MOD_DEFAULT = 20  # the self-contained benchmark mod split
+
+
 def decontaminate(
     df: DataFrame,
     n: int = 3,
-    benchmark_mod: int = 20,
+    benchmark_mod: int = BENCHMARK_MOD_DEFAULT,
     text_col: str = "text",
     id_col: str = "doc_id",
     benchmark_df: DataFrame | None = None,
@@ -1153,7 +1156,7 @@ def content_chunk_dedup(
 def decontaminate_spans(
     df: DataFrame,
     n: int = 8,
-    benchmark_mod: int = 20,
+    benchmark_mod: int = BENCHMARK_MOD_DEFAULT,
     replacement: str = "[REDACTED]",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1172,16 +1175,24 @@ def decontaminate_spans(
     split).  NULL-text documents are excluded, like every n-gram
     kernel.
 
-    Scale shape: bench grams broadcast; the train side explodes only
-    WINDOW STARTS that match (one broadcast semi-join), aggregates the
-    start list per doc (bounded by windows per doc), and every
-    flag/rebuild step is a row-local array expression — one data
-    shuffle total.  The flag/rebuild CASEs are 3-branch so the
+    Scale shape: bench grams broadcast as 8-byte xxhash64 values (the
+    same hashed-gram trick :func:`decontaminate` documents — equal
+    grams hash equal; a cross-gram collision is ~1e-15/doc); the train
+    side explodes only window starts, aggregates the matched-start
+    list per doc (one groupBy shuffle), joins it back on doc_id (the
+    second and last data shuffle), and every flag/rebuild step is a
+    row-local array expression.  Tokenization note: spans match over
+    whitespace-FILTERED tokens (empty tokens dropped), while the
+    drop-grade kernel's shingles keep raw split positions — irregular
+    whitespace inside a quote can therefore flag in one grade and not
+    the other; the span grade's normalization is deliberate (the
+    rebuilt text must not carry empty tokens).  The flag/rebuild CASEs are 3-branch so the
     ``j - 1`` index is never evaluated at ``j = 1`` (Spark's
     ``element_at(_, 0)`` is an ANSI error), and every ``sequence`` is
     guarded non-empty (Spark's ``sequence(1, 0)`` DESCENDS).
     """
     t, i_ = text_col, id_col
+    repl = replacement.replace("\\", "\\\\").replace("'", "\\'")
     if benchmark_df is None:
         is_bench = F.col(i_) % benchmark_mod == 0
         bench_src = df.filter(is_bench)
@@ -1202,7 +1213,8 @@ def decontaminate_spans(
                 F.explode(
                     F.expr(
                         f"transform(sequence(1, size(toks) - {n} + 1),"
-                        f" i -> struct(i AS i, array_join(slice(toks, i, {n}), ' ') AS gram))"
+                        f" i -> struct(i AS i,"
+                        f" xxhash64(array_join(slice(toks, i, {n}), ' ')) AS gram))"
                     )
                 ).alias("w"),
             )
@@ -1242,8 +1254,8 @@ def decontaminate_spans(
             "array_join(filter(transform("
             "IF(size(toks) >= 1, sequence(1, size(toks)), array()),"
             " j -> CASE WHEN NOT element_at(flags, j) THEN element_at(toks, j)"
-            f" WHEN j = 1 THEN '{replacement}'"
-            f" WHEN NOT element_at(flags, j - 1) THEN '{replacement}'"
+            f" WHEN j = 1 THEN '{repl}'"
+            f" WHEN NOT element_at(flags, j - 1) THEN '{repl}'"
             " END), x -> x IS NOT NULL), ' ')"
         ).alias("clean_text"),
     )
@@ -1253,10 +1265,11 @@ def decontaminate_spans(
 def decontaminate_spans_oracle(
     table: str = "documents",
     n: int = 8,
-    benchmark_mod: int = 20,
+    benchmark_mod: int = BENCHMARK_MOD_DEFAULT,
     replacement: str = "[REDACTED]",
 ) -> str:
     """Identical redaction in DuckDB (1-based lists, lazy CASE)."""
+    replacement = replacement.replace("'", "''")
     return f"""
 WITH toks_t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -17,6 +17,9 @@ Stages (any subset, any order):
   (explicit ``--benchmark`` table, else the self-contained mod split
   — which also drops the benchmark docs themselves, mirroring
   ``curate_funnel``)
+- ``redact``       the surgical grade of ``decontaminate``: keep the
+  document, cut the benchmark-overlapping spans out of its text
+  (only actually-redacted docs get rewritten text)
 - ``pii``          redact emails/phones/IPv4 in place
 - ``cap``          keep at most ``--cap-k`` docs per source
 - ``budget``       keep docs until each source's ``--target-tokens``
@@ -99,17 +102,35 @@ def apply_stage(
         if benchmark_df is None:
             # self-contained mod split: the benchmark rows themselves
             # leave the training corpus, as in curate_funnel
-            out = out.filter(F.col("doc_id") % 20 != 0)
+            out = out.filter(
+                F.col("doc_id") % curation.BENCHMARK_MOD_DEFAULT != 0
+            )
         return out
     if stage == "redact":
         # surgical alternative to `decontaminate`: keep the document,
-        # cut the benchmark-overlapping spans out of its text
-        clean = curation.decontaminate_spans(
-            df, n=decontaminate_n, benchmark_df=benchmark_df
-        ).select("doc_id", F.col("clean_text").alias("text"))
-        out = df.drop("text").join(clean, "doc_id")
+        # cut the benchmark-overlapping spans out of its text.  Only
+        # ACTUALLY-REDACTED docs get their text swapped — clean docs
+        # keep their original bytes (the rebuild whitespace-normalizes,
+        # which would break exact-match dedup downstream), and
+        # NULL-text docs (absent from the spans output) pass through
+        # via the left join instead of being dropped.
+        clean = (
+            curation.decontaminate_spans(
+                df, n=decontaminate_n, benchmark_df=benchmark_df
+            )
+            .filter(F.col("n_redacted") > 0)
+            .select("doc_id", "clean_text")
+        )
+        out = df.join(clean, "doc_id", "left").withColumn(
+            "text", F.coalesce("clean_text", "text")
+        ).drop("clean_text")
         if benchmark_df is None:
-            out = out.filter(F.col("doc_id") % 20 != 0)
+            # mod-split benchmark rows survive the left join with
+            # their original text — exclude them from the corpus,
+            # as the decontaminate stage does
+            out = out.filter(
+                F.col("doc_id") % curation.BENCHMARK_MOD_DEFAULT != 0
+            )
         return out
     if stage == "pii":
         return curation.pii_redact(df)

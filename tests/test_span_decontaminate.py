@@ -68,3 +68,36 @@ def test_explicit_benchmark_df(spark):
     bench = spark.createDataFrame([(99, BENCH)], "doc_id long, text string")
     r = curation.decontaminate_spans(df, n=8, benchmark_df=bench).collect()[0]
     assert r["clean_text"] == "leading [REDACTED] trailing"
+
+
+def test_quote_bearing_replacement(spark):
+    df = spark.createDataFrame(
+        [(7, f"leading {BENCH} trailing")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, BENCH)], "doc_id long, text string")
+    r = curation.decontaminate_spans(
+        df, n=8, benchmark_df=bench, replacement="<it's-cut>"
+    ).collect()[0]
+    assert r["clean_text"] == "leading <it's-cut> trailing"
+
+
+def test_redact_stage_preserves_clean_and_null_text(spark):
+    """Pipeline redact stage: clean docs keep their original BYTES
+    (no whitespace renormalization) and NULL-text docs survive."""
+    from integritychecksforvldbs_spark.pipeline_cli import apply_stage
+
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {BENCH} outro", "s"),
+            (2, "odd  spacing   inside here kept byte identical", "s"),
+            (3, None, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(99, BENCH)], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in apply_stage(
+        df, "redact", cap_k=10, benchmark_df=bench
+    ).collect()}
+    assert out[1] == "intro [REDACTED] outro"
+    assert out[2] == "odd  spacing   inside here kept byte identical"
+    assert 3 in out and out[3] is None
