@@ -401,9 +401,10 @@ def _q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.operators import search
 
     path = _mirror_path(sf_dir, "bm25_index")
-    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+    if not os.path.exists(os.path.join(path, "manifest.json")):
         search.build_bm25_index(
-            spark, _load(spark, sf_dir, "documents"), path
+            spark, _load(spark, sf_dir, "documents"), path,
+            corpus_path=f"{sf_dir}/documents.parquet",
         )
     return search.bm25_topk_indexed(spark, path, BM25_QUERY, k=BM25_K)
 

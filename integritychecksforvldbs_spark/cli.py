@@ -46,10 +46,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--queue-root", default=None,
-        help="shared queue directory; claims use mkdir-as-CAS, so this "
-        "must be a POSIX-atomic-mkdir filesystem (local disk, NFS) — "
-        "NOT an object store; see plans/queue.py for the ACID backend "
-        "swap on multi-node clusters",
+        help="shared queue directory for the default dir-cas backend; "
+        "claims use mkdir-as-CAS, so this must be a POSIX-atomic-mkdir "
+        "filesystem (local disk, NFS) — NOT an object store",
+    )
+    ap.add_argument(
+        "--queue-backend", default="dir-cas",
+        help="claim-store backend: 'dir-cas' (default; POSIX/NFS "
+        "mkdir CAS rooted at --queue-root) or 'module:callable', a "
+        "factory invoked with the queue root that returns a "
+        "plans.queue.ClaimBackend — the seam for object stores / ACID "
+        "tables (bind S3 If-Match / GCS generation / Delta MERGE to "
+        "the five-method contract ConditionalStoreBackend "
+        "reference-implements)",
     )
     ap.add_argument(
         "--check-commands", default="CHECKDB",
@@ -96,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         database_order=args.database_order,
         databases_in_parallel=args.databases_in_parallel,
         queue_root=args.queue_root,
+        queue_backend=args.queue_backend,
         check_commands=args.check_commands,
         objects=args.objects,
         filegroups=args.filegroups,

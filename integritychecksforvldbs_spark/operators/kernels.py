@@ -1023,12 +1023,12 @@ def _incremental_file_partials(
     ``.bak`` before reading, so "incremental" never silently degrades
     to a full rescan.
     """
-    from ..sources.catalog import _fs_and_path
+    from ..sources.catalog import _fs_and_path, rename_or_raise
 
     fs, h_state = _fs_and_path(spark, state_path)
     _, h_bak = _fs_and_path(spark, state_path + ".bak")
     if not fs.exists(h_state) and fs.exists(h_bak):
-        fs.rename(h_bak, h_state)  # recover a crashed swap
+        rename_or_raise(fs, h_bak, h_state)  # recover a crashed swap
     kept, known, prior_rows = None, set(), 0
     try:
         prior = spark.read.parquet(state_path)
@@ -1079,8 +1079,11 @@ def _incremental_file_partials(
         if fs.exists(h_bak):
             fs.delete(h_bak, True)
         if fs.exists(h_state):
-            fs.rename(h_state, h_bak)
-        fs.rename(h_tmp, h_state)
+            rename_or_raise(fs, h_state, h_bak)
+        # aborting here (rename returned false) leaves the .bak as the
+        # restorable installed copy; next visit recovers it and at
+        # worst degrades to a full rescan — never loses the state
+        rename_or_raise(fs, h_tmp, h_state)
         if fs.exists(h_bak):
             fs.delete(h_bak, True)
 

@@ -45,7 +45,12 @@ from integritychecksforvldbs_spark.operators.text import TOKEN_REGEX, _spark_re
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
-_PY_TOKEN_RE = re.compile("[a-z]+|[0-9]|[^a-z0-9\\s]")
+# Mirror of TOKEN_REGEX with Java's DEFAULT \s semantics spelled out:
+# Python's \s is Unicode (swallows NBSP etc.) while Java/DuckDB \s is
+# ASCII-only [ \t\n\x0b\f\r] — the query tokenizer must agree with the
+# corpus tokenizer byte-for-byte or queries containing non-ASCII
+# whitespace miss terms the index contains.
+_PY_TOKEN_RE = re.compile("[a-z]+|[0-9]|[^a-z0-9 \t\n\x0b\f\r]")
 
 
 def query_terms(query: str) -> list[str]:
@@ -226,29 +231,39 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
-# materialized inverted index — query without touching the corpus
+# materialized inverted index — query without touching the corpus;
+# segmented (Lucene-style) so appends never rewrite existing postings
 # ---------------------------------------------------------------------------
 
-def build_bm25_index(
-    spark,
-    df: DataFrame,
-    path: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> None:
-    """Materialize the inverted index under ``path``: ``postings/``
-    ``(token, doc_id, tf, dl)`` written **token-sorted** (range
-    exchange + within-file sort, so every file covers a disjoint token
-    range and a query's ``token IN (...)`` predicate skips whole files
-    via footer min/max + row-group pushdown), ``dfreq/`` ``(token,
-    df_t)`` (vocabulary-sized), and ``stats/`` (one row: ``n_docs``,
-    ``avgdl``).
+def _index_manifest_path(index_path: str) -> str:
+    return f"{index_path}/manifest.json"
 
-    Build cost: one corpus scan, one explode, one (doc,token) groupBy,
-    one vocabulary groupBy — then every query runs WITHOUT the corpus:
-    its cost is the pruned postings read, which for natural-language
-    vocabularies is a vanishing slice of the index.
-    """
+
+def _read_manifest(spark, index_path: str) -> dict | None:
+    """The committed index state; ``None`` on absent or torn JSON
+    (torn = crash mid-commit → the caller treats the index as
+    unbuilt, which degrades to a rebuild, never to wrong results)."""
+    import json
+
+    from integritychecksforvldbs_spark.sources.catalog import read_text_file
+
+    raw = read_text_file(spark, _index_manifest_path(index_path))
+    if not raw:
+        return None
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return None
+
+
+def _write_segment(
+    spark, df: DataFrame, index_path: str, seg: str, text_col: str, id_col: str
+) -> tuple[int, int]:
+    """Materialize ONE index segment from ``df``: token-range-sorted
+    ``postings/{seg}`` plus its vocabulary-sized ``dfreq/{seg}``.
+    Returns the exact ``(n_docs, sum_dl)`` of the segment's documents
+    (from the corpus slice, NOT the postings — zero-token documents
+    produce no postings but still count toward N and avgdl)."""
     from integritychecksforvldbs_spark.sources.maintenance import (
         write_stats_friendly,
     )
@@ -271,28 +286,186 @@ def build_bm25_index(
         postings.repartitionByRange(n_out, "token").sortWithinPartitions(
             "token", "doc_id"
         ),
-        f"{path}/postings",
+        f"{index_path}/postings/{seg}",
     )
-    postings_r = spark.read.parquet(f"{path}/postings")
+    postings_r = spark.read.parquet(f"{index_path}/postings/{seg}")
     write_stats_friendly(
         spark,
         postings_r.groupBy("token")
         .agg(F.count("*").cast("long").alias("df_t"))
         .coalesce(1),
-        f"{path}/dfreq",
+        f"{index_path}/dfreq/{seg}",
     )
-    # stats MUST come from the corpus, not the postings: zero-token
-    # documents produce no postings but still count toward N and avgdl
-    # — deriving from postings would silently diverge indexed scores
-    # from bm25_topk on corpora containing empty documents.
-    n_docs, avgdl = corpus_stats(df, text_col)
+    row = df.select(
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower({text_col}),"
+            f" '{_spark_re(TOKEN_REGEX)}', 0)) AS BIGINT)"
+        ).alias("dl")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
+def _commit_manifest(spark, index_path: str, manifest: dict) -> None:
+    """The single-file-replace commit point: segments written but not
+    yet manifested are invisible to readers (a crash leaves orphan
+    segment dirs — disk waste, never wrong answers).  ``stats/`` is
+    refreshed AFTER the commit as a display-compat sidecar
+    (``table_cli bm25-index`` reads it); queries derive N/avgdl from
+    the manifest's exact integers."""
+    import json
+
+    from integritychecksforvldbs_spark.sources.catalog import write_text_file
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        write_stats_friendly,
+    )
+
+    write_text_file(spark, _index_manifest_path(index_path), json.dumps(manifest))
+    n, s = manifest["n_docs"], manifest["sum_dl"]
     write_stats_friendly(
         spark,
         spark.createDataFrame(
-            [(n_docs, avgdl)], "n_docs long, avgdl double"
+            [(n, (s / n) if n else 0.0)], "n_docs long, avgdl double"
         ),
-        f"{path}/stats",
+        f"{index_path}/stats",
     )
+
+
+def _next_segment_name(spark, index_path: str) -> str:
+    """Numbered past every segment DIRECTORY present (manifested or
+    orphaned-by-crash) so a retry never writes into a dirty dir."""
+    from integritychecksforvldbs_spark.sources.catalog import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, f"{index_path}/postings")
+    n = -1
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("seg_") and name[4:].isdigit():
+                n = max(n, int(name[4:]))
+    return f"seg_{n + 1:05d}"
+
+
+def build_bm25_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_path: str | None = None,
+) -> None:
+    """Materialize the inverted index under ``path``: one segment of
+    ``postings/`` ``(token, doc_id, tf, dl)`` written **token-sorted**
+    (range exchange + within-file sort, so every file covers a
+    disjoint token range and a query's ``token IN (...)`` predicate
+    skips whole files via footer min/max + row-group pushdown), its
+    ``dfreq/`` ``(token, df_t)`` (vocabulary-sized), ``stats/`` (one
+    display row), and ``manifest.json`` — the commit point listing
+    live segments and, when ``corpus_path`` is given, the (canonical
+    path, size) of every corpus file indexed, which is what
+    :func:`refresh_bm25_index` reconciles appends against.
+
+    Build cost: one corpus scan, one explode, one (doc,token) groupBy,
+    one vocabulary groupBy — then every query runs WITHOUT the corpus:
+    its cost is the pruned postings read, which for natural-language
+    vocabularies is a vanishing slice of the index.
+    """
+    files = None
+    if corpus_path is not None:
+        from integritychecksforvldbs_spark.operators.kernels import (
+            _canon_file_path,
+        )
+        from integritychecksforvldbs_spark.sources.catalog import (
+            list_parquet_files,
+        )
+
+        files = [
+            [_canon_file_path(f.path), f.size]
+            for f in list_parquet_files(spark, corpus_path)
+        ]
+    seg = _next_segment_name(spark, path)
+    n_docs, sum_dl = _write_segment(spark, df, path, seg, text_col, id_col)
+    _commit_manifest(
+        spark, path,
+        {"segments": [seg], "files": files, "n_docs": n_docs, "sum_dl": sum_dl,
+         "text_col": text_col, "id_col": id_col},
+    )
+
+
+def refresh_bm25_index(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Bring an index up to date with its corpus INCREMENTALLY: files
+    new since the last build/refresh become one NEW segment (postings
+    + dfreq written additively — existing segments are never read or
+    rewritten), exact corpus stats merge by integer addition, and the
+    manifest replace commits it all at once.  Returns ``"noop"``,
+    ``"appended"``, or ``"rebuilt"``.
+
+    Reconciliation mirrors the incremental-CHECKTABLE state contract
+    (``kernels._incremental_file_partials``): a corpus file is KNOWN
+    when both its canonical path and size match the manifest.  The
+    append-only contract: new files carry NEW doc_ids (the same
+    assumption segmented text indexes make); a vanished or
+    size-changed file means the corpus was rewritten in place, and
+    the refresh falls back to a full rebuild — correct for every
+    mutation, incremental for the append-mostly common case.
+    """
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+    )
+    from integritychecksforvldbs_spark.sources.catalog import (
+        list_parquet_files,
+    )
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    man = _read_manifest(spark, index_path)
+    live = {
+        _canon_file_path(f.path): (f.path, f.size)
+        for f in list_parquet_files(spark, corpus_path)
+    }
+    if man is None or man.get("files") is None:
+        build_bm25_index(
+            spark, load_table(spark, corpus_path), index_path,
+            text_col=text_col, id_col=id_col, corpus_path=corpus_path,
+        )
+        return "rebuilt"
+    known = {p: sz for p, sz in man["files"]}
+    mutated = any(
+        p not in live or live[p][1] != sz for p, sz in known.items()
+    )
+    if mutated:
+        build_bm25_index(
+            spark, load_table(spark, corpus_path), index_path,
+            text_col=text_col, id_col=id_col, corpus_path=corpus_path,
+        )
+        return "rebuilt"
+    new_orig = [orig for p, (orig, _sz) in live.items() if p not in known]
+    if not new_orig:
+        return "noop"
+    seg = _next_segment_name(spark, index_path)
+    n_new, dl_new = _write_segment(
+        spark, load_table(spark, *sorted(new_orig)), index_path, seg,
+        text_col, id_col,
+    )
+    _commit_manifest(
+        spark, index_path,
+        {
+            "segments": man["segments"] + [seg],
+            "files": [[p, sz] for p, (_o, sz) in sorted(live.items())],
+            "n_docs": man["n_docs"] + n_new,
+            "sum_dl": man["sum_dl"] + dl_new,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+    )
+    return "appended"
 
 
 def bm25_topk_indexed(
@@ -307,23 +480,36 @@ def bm25_topk_indexed(
     """Top-k BM25 from a :func:`build_bm25_index` layout — identical
     output contract to :func:`bm25_topk` (equality is pinned by
     tests), but the corpus is never read: the query plans a pruned
-    scan of ``postings/`` (``token IN`` reaches the parquet reader as
-    a pushed filter over token-sorted files) joined broadcast with the
-    matching ``dfreq/`` rows.
+    scan of the manifested postings segments (``token IN`` reaches the
+    parquet reader as a pushed filter over token-sorted files) joined
+    broadcast with the matching ``dfreq`` rows (summed across
+    segments — appended docs are new, so per-segment document
+    frequencies add exactly).
 
-    Caveat (documented contract): like every index, results reflect
-    the corpus AS OF the build.
+    Caveat (documented contract): results reflect the corpus AS OF
+    the last build/refresh.
     """
     terms = query_terms(query)
     if not terms:
         raise ValueError("query has no tokens")
-    row = spark.read.parquet(f"{index_path}/stats").collect()[0]
-    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
-    postings = spark.read.parquet(f"{index_path}/postings").filter(
-        F.col("token").isin(terms)
-    )
-    dfreq = spark.read.parquet(f"{index_path}/dfreq").filter(
-        F.col("token").isin(terms)
+    man = _read_manifest(spark, index_path)
+    if man is None:
+        raise FileNotFoundError(
+            f"no committed index manifest under {index_path!r} — "
+            "build_bm25_index first"
+        )
+    n_docs = int(man["n_docs"])
+    avgdl = (man["sum_dl"] / n_docs) if n_docs else 0.0
+    postings = spark.read.parquet(
+        *[f"{index_path}/postings/{s}" for s in man["segments"]]
+    ).filter(F.col("token").isin(terms))
+    dfreq = (
+        spark.read.parquet(
+            *[f"{index_path}/dfreq/{s}" for s in man["segments"]]
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.sum("df_t").cast("long").alias("df_t"))
     )
     scored = (
         postings.join(F.broadcast(dfreq), "token")

@@ -80,6 +80,13 @@ class CheckParams:
     database_order: str | None = None  # DIC @DatabaseOrder (DIC:992-1089)
     databases_in_parallel: str = "N"  # DIC @DatabasesInParallel (DIC:1095-1228)
     queue_root: str | None = None  # shared dir for the multi-worker queue
+    # claim-store backend for the queue: "dir-cas" (mkdir CAS — POSIX/
+    # NFS shared filesystems, the default) or "module:callable", a
+    # factory invoked with queue_root returning a plans.queue
+    # ClaimBackend (the object-store / ACID-table seam: bind your
+    # store's conditional-write API to the five-method contract that
+    # ConditionalStoreBackend reference-implements)
+    queue_backend: str = "dir-cas"
     # DIC @CheckCommands (DIC:698-724); CHECKDB = the composed default
     check_commands: str = "CHECKDB"
     objects: str | None = None  # DIC @Objects 3-part DSL (DIC:645-692)
@@ -119,10 +126,20 @@ class CheckParams:
             errors.append(
                 "The value for the parameter @DatabasesInParallel is not supported."
             )
-        if self.databases_in_parallel == "Y" and not self.queue_root:
+        if (
+            self.databases_in_parallel == "Y"
+            and self.queue_backend == "dir-cas"
+            and not self.queue_root
+        ):
+            # a custom ClaimBackend factory may not need a root at all
             errors.append(
                 "The value for the parameter @DatabasesInParallel is not supported."
                 " A queue_root directory is required."
+            )
+        if self.queue_backend != "dir-cas" and ":" not in self.queue_backend:
+            errors.append(
+                "The value for the parameter queue_backend is not supported."
+                " Use 'dir-cas' or a 'module:callable' ClaimBackend factory."
             )
         if self.physical_only not in ("Y", "N"):
             errors.append("The value for the parameter @PhysicalOnly is not supported.")
@@ -282,8 +299,17 @@ class IntegrityChecker:
         if p.databases_in_parallel == "Y":
             from .queue import WorkQueue
 
+            backend = None
+            if p.queue_backend != "dir-cas":
+                import importlib
+
+                mod, _, fn = p.queue_backend.partition(":")
+                backend = getattr(importlib.import_module(mod), fn)(
+                    p.queue_root
+                )
             queue = WorkQueue(
-                p.queue_root, self._parameters_string(), visit_order
+                p.queue_root, self._parameters_string(), visit_order,
+                backend=backend,
             )
 
         # STAGE F — CHECKALLOC + CHECKCATALOG (+ CHECKFILEGROUP) per DB

@@ -106,24 +106,41 @@ def _probe_positions(
     return list(row["p"])
 
 
+# Above this file count the per-file bitsets stop traveling to the
+# driver: the probe-vs-bitset test runs as a DataFrame join over the
+# index sidecar, and only surviving paths come back (the path strings
+# are already driver-side from the listing every scan needs anyway).
+DRIVER_PRUNE_LIMIT = 10_000
+
+
 def bloom_prune(
     spark: SparkSession,
     path: str,
     column: str,
     value,
     index_path: str | None = None,
+    driver_limit: int | None = None,
 ) -> tuple[list[str], list[str]]:
     """(kept, skipped) part-files for ``column = value``.  Files
-    absent from the index (appended since the build) are kept."""
+    absent from the index (appended since the build) are kept.
+
+    At or under ``driver_limit`` files the bitsets are compared in a
+    driver loop; above it the comparison is a left join of the listing
+    against the index sidecar with the subset test evaluated JVM-side
+    (``array_except(probe, bits)`` empty ⇒ every probe bit set ⇒ the
+    file may contain the value).  Identical kept-sets across both
+    paths are test-pinned."""
+    if driver_limit is None:  # resolved at call time (testable knob)
+        driver_limit = DRIVER_PRUNE_LIMIT
     index_path = index_path or f"{path.rstrip('/')}_bloom_{column}"
-    idx = spark.read.parquet(index_path).collect()
-    if not idx:
-        files = [f.path for f in list_parquet_files(spark, path)]
+    files = [f.path for f in list_parquet_files(spark, path)]
+    idx_df = spark.read.parquet(index_path)
+    head = idx_df.limit(1).collect()
+    if not head:
         return files, []
-    n_bits, k = int(idx[0]["n_bits"]), int(idx[0]["k"])
+    n_bits, k = int(head[0]["n_bits"]), int(head[0]["k"])
     dtype = load_table(spark, path).schema[column].dataType
-    probe = set(_probe_positions(spark, value, dtype, n_bits, k))
-    bits_by_file = {r["file"]: set(r["bits"]) for r in idx}
+    probe = _probe_positions(spark, value, dtype, n_bits, k)
 
     # input_file_name says file:///x, the listing says file:/x — join
     # on the state machinery's canonical spelling
@@ -131,14 +148,34 @@ def bloom_prune(
         _canon_file_path as _norm,
     )
 
-    indexed = {_norm(f): b for f, b in bits_by_file.items()}
-    kept, skipped = [], []
-    for f in list_parquet_files(spark, path):
-        bits = indexed.get(_norm(f.path))
-        if bits is not None and not probe <= bits:
-            skipped.append(f.path)
-        else:
-            kept.append(f.path)
+    if len(files) <= driver_limit:
+        indexed = {_norm(r["file"]): set(r["bits"]) for r in idx_df.collect()}
+        probe_set = set(probe)
+        kept, skipped = [], []
+        for f in files:
+            bits = indexed.get(_norm(f))
+            if bits is not None and not probe_set <= bits:
+                skipped.append(f)
+            else:
+                kept.append(f)
+        return kept, skipped
+
+    listing = spark.createDataFrame(
+        [(f, _norm(f)) for f in files], "path string, file string"
+    )
+    probe_arr = F.array(*[F.lit(int(p)) for p in probe])
+    survivors = (
+        listing.join(idx_df.select("file", "bits"), "file", "left")
+        .filter(
+            F.col("bits").isNull()
+            | (F.size(F.array_except(probe_arr, F.col("bits"))) == 0)
+        )
+        .select("path")
+        .collect()
+    )
+    kept_set = {r["path"] for r in survivors}
+    kept = [f for f in files if f in kept_set]
+    skipped = [f for f in files if f not in kept_set]
     return kept, skipped
 
 

@@ -80,6 +80,17 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` returns ``False`` on failure
+    instead of raising (dst exists, src vanished, cross-FS move…).
+    State-swap sequences must NOT proceed past a silently-failed
+    rename — continuing can delete the ``.bak`` that holds the only
+    installed copy of the state and mark the batch applied anyway.
+    This wrapper turns the boolean contract into an exception."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def read_text_file(spark: SparkSession, path: str) -> str | None:
     """Read a small UTF-8 text file through the Hadoop ``FileSystem``
     of ``path``'s scheme (works on ``file:``, ``hdfs:``, ``s3a:``…);

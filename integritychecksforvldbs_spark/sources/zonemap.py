@@ -175,6 +175,59 @@ def prune_files(
     return kept, skipped
 
 
+# Above this file count the driver no longer materializes per-file
+# stats: footer reads AND the skip decision run on executors, and only
+# the verdicts come back (see prune_files_scalable).  ~10^4 entries is
+# where a Python driver loop over stats objects starts to matter.
+DRIVER_PRUNE_LIMIT = 10_000
+
+
+def _file_survives(path: str, bounds: dict[str, tuple[Any, Any]]) -> bool:
+    """Executor-side prune verdict for one file: False only when some
+    predicate's footer stats PROVE exclusion.  Same decision rule as
+    :func:`prune_files_multi` (equality of the two paths is
+    test-pinned)."""
+    zones = _read_zones(path, sorted(bounds))
+    return not any(
+        zones[c].has_stats
+        and (_lt(zones[c].vmax, lo) or _lt(hi, zones[c].vmin))
+        for c, (lo, hi) in bounds.items()
+    )
+
+
+def prune_files_scalable(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple[Any, Any]],
+    driver_limit: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) for a conjunction of range predicates, scaling
+    past driver-loop file counts.
+
+    At or under ``driver_limit`` files this is the in-memory
+    build-then-prune path.  Above it, the per-file footer read and the
+    skip decision BOTH run on executors — the driver never holds a
+    stats entry, only the boolean verdict per path (the path strings
+    themselves are already driver-side from the listing, which every
+    Spark scan needs regardless).  Both paths implement the identical
+    decision rule; the boundary test pins identical kept-sets."""
+    if driver_limit is None:  # resolved at call time (testable knob)
+        driver_limit = DRIVER_PRUNE_LIMIT
+    files = [f.path for f in list_parquet_files(spark, path)]
+    cols = sorted(bounds)
+    if len(files) <= driver_limit:
+        return prune_files_multi(build_zone_maps(spark, path, cols), bounds)
+    slices = min(len(files), spark.sparkContext.defaultParallelism * 2)
+    verdicts = dict(
+        spark.sparkContext.parallelize(files, slices)
+        .map(lambda p: (p, _file_survives(p, bounds)))
+        .collect()
+    )
+    kept = [p for p in files if verdicts[p]]
+    skipped = [p for p in files if not verdicts[p]]
+    return kept, skipped
+
+
 def zonemap_read(
     spark: SparkSession,
     path: str,
@@ -186,9 +239,12 @@ def zonemap_read(
     """Read ``path`` restricted to ``column BETWEEN lo AND hi``,
     scanning only files the zone map cannot rule out; the predicate is
     re-applied as a residual filter (row-group pushdown inside kept
-    files plus correctness independent of stats)."""
-    zmap = zmap if zmap is not None else build_zone_map(spark, path, column)
-    kept, _skipped = prune_files(zmap, lo, hi)
+    files plus correctness independent of stats).  Without a prebuilt
+    ``zmap`` the prune auto-scales past driver-loop file counts."""
+    if zmap is not None:
+        kept, _skipped = prune_files(zmap, lo, hi)
+    else:
+        kept, _skipped = prune_files_scalable(spark, path, {column: (lo, hi)})
     pred = F.col(column).between(F.lit(lo), F.lit(hi))
     if not kept:
         return load_table(spark, path).filter(F.lit(False))
@@ -232,10 +288,13 @@ def zonemap_read_multi(
 ) -> DataFrame:
     """Read ``path`` under a conjunction of range predicates, scanning
     only files no predicate can rule out; the full conjunction is
-    re-applied as the residual filter."""
+    re-applied as the residual filter.  Without prebuilt ``zmaps`` the
+    prune auto-scales past driver-loop file counts."""
     cols = sorted(bounds)
-    zmaps = zmaps if zmaps is not None else build_zone_maps(spark, path, cols)
-    kept, _skipped = prune_files_multi(zmaps, bounds)
+    if zmaps is not None:
+        kept, _skipped = prune_files_multi(zmaps, bounds)
+    else:
+        kept, _skipped = prune_files_scalable(spark, path, bounds)
     pred = None
     for c in cols:
         lo, hi = bounds[c]

@@ -66,6 +66,7 @@ def _ledgered_state_sink(
         from ..sources.catalog import (
             _fs_and_path,
             read_text_file,
+            rename_or_raise,
             write_text_file,
         )
 
@@ -89,7 +90,7 @@ def _ledgered_state_sink(
         # crash recovery: a failure between rename-aside and rename-in
         # leaves the state missing and its .bak present — restore it
         if not fs.exists(h_state) and fs.exists(h_bak):
-            fs.rename(h_bak, h_state)
+            rename_or_raise(fs, h_bak, h_state)
         batch = df.cache()
         try:
             if batch.isEmpty():
@@ -102,8 +103,11 @@ def _ledgered_state_sink(
             if fs.exists(h_bak):
                 fs.delete(h_bak, True)
             if fs.exists(h_state):
-                fs.rename(h_state, h_bak)
-            fs.rename(h_tmp, h_state)
+                rename_or_raise(fs, h_state, h_bak)
+            # a failure HERE must abort before the .bak delete and the
+            # ledger append — the .bak is the only installed copy and
+            # the batch has not been applied
+            rename_or_raise(fs, h_tmp, h_state)
             if fs.exists(h_bak):
                 fs.delete(h_bak, True)
             write_text_file(

@@ -35,7 +35,12 @@ from datetime import date, datetime
 
 
 def _parse_bound(s: str):
-    """CLI bound → typed value: int, float, date, timestamp, else str."""
+    """CLI bound → typed value: int, float, date, timestamp, else str.
+
+    Shape-guessing fallback ONLY — prefer :func:`_parse_bound_for`,
+    which resolves the column's actual dtype first.  Guessing from the
+    literal is wrong for string columns: ``--value 0123`` would become
+    int 123 and hash differently from the stored ``'0123'``."""
     for cast in (int, float):
         try:
             return cast(s)
@@ -53,6 +58,49 @@ def _parse_bound(s: str):
         except ValueError:
             pass
     return s
+
+
+def _parse_bound_for(dtype, s: str):
+    """Parse a CLI bound according to the COLUMN's Spark dtype, so a
+    numeric-looking literal against a STRING column stays a string
+    (``'0123'`` ≠ 123 under xxhash64, and int-vs-string footer-stat
+    comparison raises TypeError)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(s)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return float(s)
+    if isinstance(dtype, T.DateType):
+        return date.fromisoformat(s)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.fromisoformat(s)
+    if isinstance(dtype, T.StringType):
+        return s
+    return _parse_bound(s)
+
+
+def _guard_out(ap: argparse.ArgumentParser, out: str, *inputs: str) -> None:
+    """Refuse ``--out`` equal to (or nested with) any input path.
+
+    ``mode('overwrite')`` truncates the destination while the
+    DataFrame's lineage still reads the inputs — an in-place update
+    would destroy the source mid-write.  In-place refresh belongs to
+    the rename-aside swap the streaming sink uses, not to this CLI."""
+    import os
+
+    def canon(p: str) -> str:
+        return os.path.abspath(p.removeprefix("file://").removeprefix("file:"))
+
+    o = canon(out)
+    for i in inputs:
+        p = canon(i)
+        if o == p or o.startswith(p + os.sep) or p.startswith(o + os.sep):
+            ap.error(
+                f"--out {out!r} overlaps input {i!r}: overwrite would "
+                "truncate a path the plan is still reading; write to a "
+                "separate directory and swap afterwards"
+            )
 
 
 def _csv(s: str) -> list[str]:
@@ -122,6 +170,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
 
+    p = sub.add_parser(
+        "bm25-refresh",
+        help="fold corpus appends into the index as a new segment "
+        "(full rebuild only when existing files changed)",
+    )
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+
     p = sub.add_parser("bm25-search", help="top-k BM25 query")
     p.add_argument("--corpus", default=None, help="direct scan of a corpus")
     p.add_argument("--index", default=None, help="bm25-index layout")
@@ -172,8 +230,9 @@ def main(argv: list[str] | None = None) -> int:
             "rows": sum(e.n_rows for e in zm),
         }
         if args.lo is not None and args.hi is not None:
+            dt = load_table(spark, args.path).schema[args.column].dataType
             kept, skipped = zonemap.prune_files(
-                zm, _parse_bound(args.lo), _parse_bound(args.hi)
+                zm, _parse_bound_for(dt, args.lo), _parse_bound_for(dt, args.hi)
             )
             summary.update(files_kept=len(kept), files_skipped=len(skipped))
     elif args.cmd == "bloom-build":
@@ -188,7 +247,10 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
         from .sources.bloomskip import bloom_prune
 
-        v = _parse_bound(args.value)
+        v = _parse_bound_for(
+            load_table(spark, args.path).schema[args.column].dataType,
+            args.value,
+        )
         # prune ONCE and read the kept files directly (bloom_read
         # would re-run the whole pruning pipeline)
         kept, skipped = bloom_prune(spark, args.path, args.column, v)
@@ -239,6 +301,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "repair-apply":
         from .operators.kernels import apply_repair
 
+        _guard_out(ap, args.out, args.replica, args.plan)
         out = apply_repair(
             load_table(spark, args.replica),
             spark.read.parquet(args.plan),
@@ -252,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "scd2-apply":
         from .operators.scd import scd2_apply
 
+        _guard_out(ap, args.out, args.dim, args.snapshot)
         as_of = date.fromisoformat(args.as_of)
         new_dim = scd2_apply(
             load_table(spark, args.dim),
@@ -273,11 +337,24 @@ def main(argv: list[str] | None = None) -> int:
         build_bm25_index(
             spark, load_table(spark, args.corpus), args.out,
             text_col=args.text_col, id_col=args.id_col,
+            corpus_path=args.corpus,
         )
         stats = spark.read.parquet(f"{args.out}/stats").collect()[0]
         summary = {
             "cmd": "bm25-index", "out": args.out,
             "n_docs": stats["n_docs"], "avgdl": stats["avgdl"],
+        }
+    elif args.cmd == "bm25-refresh":
+        from .operators.search import _read_manifest, refresh_bm25_index
+
+        action = refresh_bm25_index(
+            spark, args.corpus, args.index,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        man = _read_manifest(spark, args.index)
+        summary = {
+            "cmd": "bm25-refresh", "action": action,
+            "n_docs": man["n_docs"], "segments": len(man["segments"]),
         }
     elif args.cmd == "bm25-search":
         from .operators.search import bm25_topk, bm25_topk_indexed

@@ -65,3 +65,24 @@ def test_bloom_equality_matches_full_scan(spark, clustered):
     # false negatives possible), and the result is still exact
     kept, skipped = bloomskip.bloom_prune(spark, clustered, "v", 42)
     assert not skipped
+
+
+def test_bloom_prune_paths_agree(spark, clustered):
+    """Driver-loop and semi-join prune implement ONE decision rule:
+    identical (kept, skipped) on present, absent, and appended-file
+    probes."""
+    bloomskip.build_bloom_index(spark, clustered, "k")
+    for probe in (4242, 10**9):  # present value / absent value
+        via_driver = bloomskip.bloom_prune(
+            spark, clustered, "k", probe, driver_limit=10**9
+        )
+        via_join = bloomskip.bloom_prune(
+            spark, clustered, "k", probe, driver_limit=0
+        )
+        assert via_driver == via_join
+
+
+def test_bloom_read_semijoin_no_false_negatives(spark, clustered, monkeypatch):
+    monkeypatch.setattr(bloomskip, "DRIVER_PRUNE_LIMIT", 0)
+    got = bloomskip.bloom_read(spark, clustered, "k", 4242)
+    assert [tuple(r) for r in got.collect()] == [(4242, 4242 % 97)]

@@ -19,7 +19,10 @@ from integritychecksforvldbs_spark.plans.ordering import (
     order_databases_df,
     validate_database_order,
 )
-from integritychecksforvldbs_spark.plans.queue import WorkQueue
+from integritychecksforvldbs_spark.plans.queue import (
+    ConditionalStoreBackend,
+    WorkQueue,
+)
 from integritychecksforvldbs_spark.sources.catalog import list_filegroups, list_objects
 from integritychecksforvldbs_spark.sources.loader import load_table
 
@@ -77,151 +80,179 @@ def test_validate_database_order_rejects():
 
 
 # ---------------------------------------------------------------------------
-# WorkQueue
+# WorkQueue — every protocol test runs against BOTH ClaimBackend impls:
+# the mkdir-CAS POSIX backend (default) and the conditional-write
+# object-store reference backend.
 # ---------------------------------------------------------------------------
 
 
-def test_queue_claims_in_order_once():
+@pytest.fixture(params=["dir-cas", "conditional"])
+def make_queue(request):
+    """Factory producing WorkQueues over ONE shared claim store, so
+    multiple workers in a test coordinate the way real workers would."""
     with tempfile.TemporaryDirectory() as d:
-        q = WorkQueue(d, "params-A", ["db1", "db2", "db3"])
-        assert q.claim_next() == "db1"
-        assert q.claim_next() == "db2"  # db1 still claimed by us
-        q.complete("db1")
-        q.complete("db2")
-        assert q.claim_next() == "db3"
-        q.complete("db3")
-        assert q.claim_next() is None
-        assert q.all_done()
+        store = (
+            ConditionalStoreBackend() if request.param == "conditional" else None
+        )
+
+        def make(parameters, databases, cls=WorkQueue, **kw):
+            if store is not None:
+                kw["backend"] = store
+            return cls(d, parameters, databases, **kw)
+
+        make.kind = request.param
+        yield make
 
 
-def test_queue_two_workers_disjoint():
-    with tempfile.TemporaryDirectory() as d:
-        dbs = [f"db{i}" for i in range(20)]
-        w1 = WorkQueue(d, "P", dbs, session_id="w1")
-        w2 = WorkQueue(d, "P", dbs, session_id="w2")
-        claimed: dict[str, list[str]] = {"w1": [], "w2": []}
-
-        def work(q, name):
-            while True:
-                db = q.claim_next()
-                if db is None:
-                    break
-                claimed[name].append(db)
-                q.complete(db)
-
-        t1 = threading.Thread(target=work, args=(w1, "w1"))
-        t2 = threading.Thread(target=work, args=(w2, "w2"))
-        t1.start(); t2.start(); t1.join(); t2.join()
-        all_claimed = claimed["w1"] + claimed["w2"]
-        assert sorted(all_claimed) == sorted(dbs)  # every db exactly once
-        assert len(set(all_claimed)) == len(dbs)
-        assert w1.all_done()
+def test_queue_claims_in_order_once(make_queue):
+    q = make_queue("params-A", ["db1", "db2", "db3"])
+    assert q.claim_next() == "db1"
+    assert q.claim_next() == "db2"  # db1 still claimed by us
+    q.complete("db1")
+    q.complete("db2")
+    assert q.claim_next() == "db3"
+    q.complete("db3")
+    assert q.claim_next() is None
+    assert q.all_done()
 
 
-def test_queue_stale_claim_recovery():
-    with tempfile.TemporaryDirectory() as d:
-        w1 = WorkQueue(d, "P", ["db1"], session_id="w1", stale_after_s=0.2)
-        assert w1.claim_next() == "db1"
-        # w1 dies without completing; w2 must recover after staleness
-        w2 = WorkQueue(d, "P", ["db1"], session_id="w2", stale_after_s=0.2)
-        assert w2.claim_next() is None  # claim still fresh
-        time.sleep(0.3)
-        assert w2.claim_next() == "db1"  # stale claim released
-        w2.complete("db1")
-        assert w2.all_done()
+def test_queue_two_workers_disjoint(make_queue):
+    dbs = [f"db{i}" for i in range(20)]
+    w1 = make_queue("P", dbs, session_id="w1")
+    w2 = make_queue("P", dbs, session_id="w2")
+    claimed: dict[str, list[str]] = {"w1": [], "w2": []}
+
+    def work(q, name):
+        while True:
+            db = q.claim_next()
+            if db is None:
+                break
+            claimed[name].append(db)
+            q.complete(db)
+
+    t1 = threading.Thread(target=work, args=(w1, "w1"))
+    t2 = threading.Thread(target=work, args=(w2, "w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    all_claimed = claimed["w1"] + claimed["w2"]
+    assert sorted(all_claimed) == sorted(dbs)  # every db exactly once
+    assert len(set(all_claimed)) == len(dbs)
+    assert w1.all_done()
 
 
-def test_queue_heartbeat_keeps_claim():
-    with tempfile.TemporaryDirectory() as d:
-        w1 = WorkQueue(d, "P", ["db1"], session_id="w1", stale_after_s=0.3)
-        w2 = WorkQueue(d, "P", ["db1"], session_id="w2", stale_after_s=0.3)
-        assert w1.claim_next() == "db1"
-        for _ in range(3):
-            time.sleep(0.15)
-            w1.heartbeat("db1")
-            assert w2.claim_next() is None  # heartbeat keeps it fresh
-        w1.complete("db1")
+def test_queue_stale_claim_recovery(make_queue):
+    w1 = make_queue("P", ["db1"], session_id="w1", stale_after_s=0.2)
+    assert w1.claim_next() == "db1"
+    # w1 dies without completing; w2 must recover after staleness
+    w2 = make_queue("P", ["db1"], session_id="w2", stale_after_s=0.2)
+    assert w2.claim_next() is None  # claim still fresh
+    time.sleep(0.3)
+    assert w2.claim_next() == "db1"  # stale claim released
+    w2.complete("db1")
+    assert w2.all_done()
 
 
-def test_queue_identity_by_parameters():
-    with tempfile.TemporaryDirectory() as d:
-        a = WorkQueue(d, "params-A", ["db1"])
-        b = WorkQueue(d, "params-B", ["db1"])  # different run params
-        assert a.claim_next() == "db1"
-        assert b.claim_next() == "db1"  # independent queues
-        assert a.dir != b.dir
+def test_queue_heartbeat_keeps_claim(make_queue):
+    w1 = make_queue("P", ["db1"], session_id="w1", stale_after_s=0.3)
+    w2 = make_queue("P", ["db1"], session_id="w2", stale_after_s=0.3)
+    assert w1.claim_next() == "db1"
+    for _ in range(3):
+        time.sleep(0.15)
+        w1.heartbeat("db1")
+        assert w2.claim_next() is None  # heartbeat keeps it fresh
+    w1.complete("db1")
 
 
-def test_queue_round_restart_sequential_runs():
+def test_queue_heartbeat_mid_sweep_survives_release(make_queue):
+    """The stale release is CONDITIONAL on the claim's version token:
+    a holder that heartbeats between the sweep's read and its delete
+    keeps the claim (the delete_if contract, both backends)."""
+    w1 = make_queue("P", ["db1"], session_id="w1", stale_after_s=0.2)
+    assert w1.claim_next() == "db1"
+    time.sleep(0.3)  # the claim is now stale by heartbeat age
+    be = w1.backend
+    ckey = f"{w1.dir}/db_db1/claim"
+    stale_version = be.get(ckey).version
+    w1.heartbeat("db1")  # refresh lands BEFORE the sweeper's delete
+    assert be.delete_if(ckey, stale_version) is False  # sweep loses
+    assert be.get(ckey).payload["session_id"] == "w1"
+
+
+def test_queue_identity_by_parameters(make_queue):
+    a = make_queue("params-A", ["db1"])
+    b = make_queue("params-B", ["db1"])  # different run params
+    assert a.claim_next() == "db1"
+    assert b.claim_next() == "db1"  # independent queues
+    assert a.dir != b.dir
+
+
+def test_queue_round_restart_sequential_runs(make_queue):
     """DIC:1127-1152 — a second run with the same @Parameters after the
     first completed starts a NEW round and re-checks every database
-    (day-2 cron), instead of finding every done.json and idling."""
-    with tempfile.TemporaryDirectory() as d:
-        dbs = ["db1", "db2"]
-        run1 = WorkQueue(d, "P", dbs, session_id="day1")
-        seen1 = []
-        while (db := run1.claim_next()) is not None:
-            seen1.append(db)
-            run1.complete(db)
-        assert sorted(seen1) == dbs and run1.all_done()
+    (day-2 cron), instead of finding every completion stamp and idling."""
+    dbs = ["db1", "db2"]
+    run1 = make_queue("P", dbs, session_id="day1")
+    seen1 = []
+    while (db := run1.claim_next()) is not None:
+        seen1.append(db)
+        run1.complete(db)
+    assert sorted(seen1) == dbs and run1.all_done()
 
-        run2 = WorkQueue(d, "P", dbs, session_id="day2")
-        assert run2.round == run1.round + 1
-        seen2 = []
-        while (db := run2.claim_next()) is not None:
-            seen2.append(db)
-            run2.complete(db)
-        assert sorted(seen2) == dbs  # full fleet re-checked
-        assert run2.all_done()
+    run2 = make_queue("P", dbs, session_id="day2")
+    assert run2.round == run1.round + 1
+    seen2 = []
+    while (db := run2.claim_next()) is not None:
+        seen2.append(db)
+        run2.complete(db)
+    assert sorted(seen2) == dbs  # full fleet re-checked
+    assert run2.all_done()
 
 
-def test_queue_round_restart_concurrent_workers_share_round():
+def test_queue_round_restart_concurrent_workers_share_round(make_queue):
     """Two workers starting together after a completed round open ONE
-    new round and split it — the mkdir CAS arbitrates."""
-    with tempfile.TemporaryDirectory() as d:
-        dbs = [f"db{i}" for i in range(10)]
-        prev = WorkQueue(d, "P", dbs, session_id="day1")
-        while (db := prev.claim_next()) is not None:
-            prev.complete(db)
-        assert prev.all_done()
+    new round and split it — the put-if-absent CAS arbitrates."""
+    dbs = [f"db{i}" for i in range(10)]
+    prev = make_queue("P", dbs, session_id="day1")
+    while (db := prev.claim_next()) is not None:
+        prev.complete(db)
+    assert prev.all_done()
 
-        w1 = WorkQueue(d, "P", dbs, session_id="w1")
-        w2 = WorkQueue(d, "P", dbs, session_id="w2")
-        assert w1.round == w2.round == prev.round + 1
-        claimed: dict[str, list[str]] = {"w1": [], "w2": []}
+    w1 = make_queue("P", dbs, session_id="w1")
+    w2 = make_queue("P", dbs, session_id="w2")
+    assert w1.round == w2.round == prev.round + 1
+    claimed: dict[str, list[str]] = {"w1": [], "w2": []}
 
-        def work(q, name):
-            while (db := q.claim_next()) is not None:
-                claimed[name].append(db)
-                q.complete(db)
+    def work(q, name):
+        while (db := q.claim_next()) is not None:
+            claimed[name].append(db)
+            q.complete(db)
 
-        t1 = threading.Thread(target=work, args=(w1, "w1"))
-        t2 = threading.Thread(target=work, args=(w2, "w2"))
-        t1.start(); t2.start(); t1.join(); t2.join()
-        both = claimed["w1"] + claimed["w2"]
-        assert sorted(both) == sorted(dbs)  # one round, split once
-        assert len(set(both)) == len(dbs)
+    t1 = threading.Thread(target=work, args=(w1, "w1"))
+    t2 = threading.Thread(target=work, args=(w2, "w2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    both = claimed["w1"] + claimed["w2"]
+    assert sorted(both) == sorted(dbs)  # one round, split once
+    assert len(set(both)) == len(dbs)
 
 
-def test_queue_midround_joiner_does_not_restart():
+def test_queue_midround_joiner_does_not_restart(make_queue):
     """A worker arriving while a round is in flight joins it — no new
     round, no double-checking of already-completed members."""
-    with tempfile.TemporaryDirectory() as d:
-        w1 = WorkQueue(d, "P", ["db1", "db2"], session_id="w1")
-        assert w1.claim_next() == "db1"
-        w1.complete("db1")
-        w2 = WorkQueue(d, "P", ["db1", "db2"], session_id="w2")
-        assert w2.round == w1.round
-        assert w2.claim_next() == "db2"  # db1 NOT re-queued
-        w2.complete("db2")
-        assert w2.claim_next() is None
+    w1 = make_queue("P", ["db1", "db2"], session_id="w1")
+    assert w1.claim_next() == "db1"
+    w1.complete("db1")
+    w2 = make_queue("P", ["db1", "db2"], session_id="w2")
+    assert w2.round == w1.round
+    assert w2.claim_next() == "db2"  # db1 NOT re-queued
+    w2.complete("db2")
+    assert w2.claim_next() is None
 
 
 class _SlowRoundQueue(WorkQueue):
     """WorkQueue with randomized latency injected between the
-    ``_latest_round`` read and whatever acts on it (the ``os.mkdir``
-    round adoption at queue.py:79 and the post-adoption re-read) — the
-    slow-shared-FS race window documented at queue.py:79-81."""
+    ``_latest_round`` read and whatever acts on it (the round-open
+    put_if_absent CAS and the post-adoption re-read) — the
+    slow-shared-FS race window documented at the round-restart block
+    in queue.py."""
 
     def __init__(self, *args, max_delay_s: float = 0.0, seed: int = 0, **kw):
         import random
@@ -238,62 +269,63 @@ class _SlowRoundQueue(WorkQueue):
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 4])
-def test_queue_round_adoption_race_with_injected_latency(seed):
-    """Slow-shared-FS property (queue.py:79-81): N workers starting
-    after a completed round, each pausing a random interval between
-    reading the latest round and acting on it, must never double-claim
-    a (round, database) pair and must leave every round they touched
-    fully completed.  A worker whose stale read makes it adopt an
-    already-finished round idles — allowed — but it must never reopen
-    or corrupt it."""
-    with tempfile.TemporaryDirectory() as d:
-        dbs = [f"db{i}" for i in range(8)]
-        day1 = WorkQueue(d, "P", dbs, session_id="day1")
-        while (db := day1.claim_next()) is not None:
-            day1.complete(db)
-        assert day1.all_done()
+def test_queue_round_adoption_race_with_injected_latency(make_queue, seed):
+    """Slow-shared-FS property: N workers starting after a completed
+    round, each pausing a random interval between reading the latest
+    round and acting on it, must never double-claim a (round, database)
+    pair and must leave every round they touched fully completed.  A
+    worker whose stale read makes it adopt an already-finished round
+    idles — allowed — but it must never reopen or corrupt it."""
+    dbs = [f"db{i}" for i in range(8)]
+    day1 = make_queue("P", dbs, session_id="day1")
+    while (db := day1.claim_next()) is not None:
+        day1.complete(db)
+    assert day1.all_done()
 
-        claims: list[tuple[int, str]] = []
-        lock = threading.Lock()
+    claims: list[tuple[int, str]] = []
+    lock = threading.Lock()
 
-        def work(wid: int):
-            q = _SlowRoundQueue(
-                d, "P", dbs, session_id=f"w{wid}",
-                max_delay_s=0.03, seed=seed * 100 + wid,
-            )
-            while (db := q.claim_next()) is not None:
-                with lock:
-                    claims.append((q.round, db))
-                time.sleep(q._rng.uniform(0.0, 0.002))
-                q.complete(db)
+    def work(wid: int):
+        q = make_queue(
+            "P", dbs, cls=_SlowRoundQueue, session_id=f"w{wid}",
+            max_delay_s=0.03, seed=seed * 100 + wid,
+        )
+        while (db := q.claim_next()) is not None:
+            with lock:
+                claims.append((q.round, db))
+            time.sleep(q._rng.uniform(0.0, 0.002))
+            q.complete(db)
 
-        threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
-        # no (round, db) ever claimed twice
-        assert len(claims) == len(set(claims))
-        # at least the restarted round ran the full fleet
-        rounds = sorted({r for r, _ in claims})
-        assert rounds and rounds[0] == day1.round + 1
-        for r in rounds:
-            assert sorted(db for rr, db in claims if rr == r) == sorted(dbs)
-        # on disk: every round directory is internally consistent —
-        # every member of a claimed round carries exactly one claim
-        # and a completion stamp
-        base = day1.base
-        for rname in sorted(os.listdir(base)):
-            rdir = os.path.join(base, rname)
-            members = [n for n in os.listdir(rdir) if n.startswith("db_")]
-            if not members:
-                continue  # adopted-but-idle round opened by a stale read
-            assert sorted(members) == sorted(f"db_{db}" for db in dbs)
-            rnum = int(rname[1:])
-            if rnum in rounds or rnum == day1.round:
-                for m in members:
-                    assert os.path.exists(os.path.join(rdir, m, "done.json"))
+    # no (round, db) ever claimed twice
+    assert len(claims) == len(set(claims))
+    # at least the restarted round ran the full fleet
+    rounds = sorted({r for r, _ in claims})
+    assert rounds and rounds[0] == day1.round + 1
+    for r in rounds:
+        assert sorted(db for rr, db in claims if rr == r) == sorted(dbs)
+    # in the store (backend-agnostic walk): every round with
+    # materialized membership is internally consistent — the full
+    # fleet enrolled, and every member of a claimed round completed
+    be = day1.backend
+    round_keys = [k for k in be.list(day1.base + "/") if k.endswith("/round")]
+    for rkey in round_keys:
+        rdir = rkey[: -len("/round")]
+        rnum = int(rdir.rsplit("/r", 1)[1])
+        members = sorted(
+            {k[len(rdir) + 1:].split("/")[0] for k in be.list(rdir + "/db_")}
+        )
+        if not members:
+            continue  # adopted-but-idle round opened by a stale read
+        assert members == sorted(f"db_{db}" for db in dbs)
+        if rnum in rounds or rnum == day1.round:
+            for m in members:
+                assert be.get(f"{rdir}/{m}/done") is not None
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,57 @@ def test_databases_in_parallel_sequential_runs_restart_round(spark, tmp_path):
     assert len(t2) == N_TABLES  # new round: the fleet is re-checked
 
 
+_STORE = None  # shared claim store for the factory below
+
+
+def _conditional_store_factory(_root):
+    """ClaimBackend factory the scheduler resolves from its
+    ``queue_backend='module:callable'`` setting — returns ONE shared
+    store so sequential runs coordinate like real workers would
+    against a real object store."""
+    from integritychecksforvldbs_spark.plans.queue import (
+        ConditionalStoreBackend,
+    )
+
+    global _STORE
+    if _STORE is None:
+        _STORE = ConditionalStoreBackend()
+    return _STORE
+
+
+def test_databases_in_parallel_conditional_backend(spark, tmp_path):
+    """The ClaimBackend seam end-to-end: same two-run round-restart
+    scenario, claims coordinated through the conditional-write store
+    instead of mkdir-CAS (no --queue-root needed)."""
+    global _STORE
+    _STORE = None  # fresh store for this test
+    mk = lambda sub: IntegrityChecker(
+        spark,
+        BASE,
+        str(tmp_path / f"{sub}_state.parquet"),
+        str(tmp_path / f"{sub}_log.parquet"),
+        CheckParams(
+            databases="sf0.001",
+            databases_in_parallel="Y",
+            queue_backend="tests.test_scheduler:_conditional_store_factory",
+        ),
+    )
+    r1 = mk("w1").run()
+    r2 = mk("w2").run()
+    t1 = [o for o in r1.outcomes if o.spec.kind == "CHECKTABLE"]
+    t2 = [o for o in r2.outcomes if o.spec.kind == "CHECKTABLE"]
+    assert len(t1) == N_TABLES
+    assert len(t2) == N_TABLES  # round restarted through the store
+    assert _STORE is not None and _STORE.list("")  # claims went through it
+
+
+def test_queue_backend_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="queue_backend"):
+        make(
+            spark, tmp_path, databases_in_parallel="Y", queue_backend="bogus"
+        ).run()
+
+
 def test_check_commands_families(spark, tmp_path):
     """@CheckCommands gates command families (DIC:698-724)."""
     r = make(spark, tmp_path, check_commands="CHECKALLOC,CHECKCATALOG").run()

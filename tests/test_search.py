@@ -140,3 +140,113 @@ def test_indexed_bm25_pushes_token_filter(spark, tmp_path):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(token" in plan
     assert "text" not in top.columns
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance (round-6: append → new segment)
+# ---------------------------------------------------------------------------
+
+
+def _write_corpus(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_refresh_appends_segment_and_matches_rebuild(spark, tmp_path):
+    """After an append, the refreshed index answers EXACTLY like a
+    fresh rebuild and like the direct corpus scan — df_t, N, avgdl all
+    merged exactly."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(spark, corpus, [(1, "spark window merge"), (2, "spark sort")])
+    idx = str(tmp_path / "idx")
+    search.build_bm25_index(
+        spark, spark.read.parquet(corpus), idx, corpus_path=corpus
+    )
+    before = [
+        tuple(r)
+        for r in search.bm25_topk_indexed(spark, idx, "spark merge", k=10).collect()
+    ]
+
+    _write_corpus(spark, corpus, [(3, "merge merge window"), (4, "")])
+    assert search.refresh_bm25_index(spark, corpus, idx) == "appended"
+    man = search._read_manifest(spark, idx)
+    assert len(man["segments"]) == 2 and man["n_docs"] == 4
+
+    got = [
+        tuple(r)
+        for r in search.bm25_topk_indexed(spark, idx, "spark merge", k=10).collect()
+    ]
+    assert got != before  # the appended docs really participate
+    rebuilt = str(tmp_path / "idx_rebuilt")
+    search.build_bm25_index(
+        spark, spark.read.parquet(corpus), rebuilt, corpus_path=corpus
+    )
+    want_idx = [
+        tuple(r)
+        for r in search.bm25_topk_indexed(
+            spark, rebuilt, "spark merge", k=10
+        ).collect()
+    ]
+    want_direct = [
+        tuple(r)
+        for r in search.bm25_topk(
+            spark.read.parquet(corpus), "spark merge", k=10
+        ).collect()
+    ]
+    assert got == want_idx == want_direct
+
+
+def test_refresh_noop_when_unchanged(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(spark, corpus, [(1, "spark window")])
+    idx = str(tmp_path / "idx")
+    search.build_bm25_index(
+        spark, spark.read.parquet(corpus), idx, corpus_path=corpus
+    )
+    a = [tuple(r) for r in search.bm25_topk_indexed(spark, idx, "spark").collect()]
+    assert search.refresh_bm25_index(spark, corpus, idx) == "noop"
+    b = [tuple(r) for r in search.bm25_topk_indexed(spark, idx, "spark").collect()]
+    assert a == b
+
+
+def test_refresh_rebuilds_on_inplace_rewrite(spark, tmp_path):
+    """A size-changed existing file breaks the append contract — the
+    refresh must fall back to a full rebuild, never merge blindly."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(spark, corpus, [(1, "spark window"), (2, "merge sort")])
+    idx = str(tmp_path / "idx")
+    search.build_bm25_index(
+        spark, spark.read.parquet(corpus), idx, corpus_path=corpus
+    )
+    # in-place rewrite: different docs, different size
+    import shutil
+
+    shutil.rmtree(corpus)
+    _write_corpus(
+        spark, corpus,
+        [(10, "window window window spark"), (11, "sort"), (12, "spark")],
+    )
+    assert search.refresh_bm25_index(spark, corpus, idx) == "rebuilt"
+    got = [
+        tuple(r)
+        for r in search.bm25_topk_indexed(spark, idx, "spark window").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in search.bm25_topk(
+            spark.read.parquet(corpus), "spark window"
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_refresh_without_manifest_files_rebuilds(spark, tmp_path):
+    """An index built from a DataFrame (no corpus_path) has no file
+    manifest to reconcile — refresh degrades to a rebuild."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(spark, corpus, [(1, "spark")])
+    idx = str(tmp_path / "idx")
+    search.build_bm25_index(spark, spark.read.parquet(corpus), idx)
+    assert search.refresh_bm25_index(spark, corpus, idx) == "rebuilt"
+    assert search._read_manifest(spark, idx)["files"] is not None

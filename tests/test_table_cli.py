@@ -114,3 +114,23 @@ def test_bloom_build_and_lookup_cli(spark, tmp_path, capsys):
     s = _run(capsys, "bloom-lookup", "--path", tbl, "--column", "k",
              "--value", "1500")
     assert s["rows"] == 1 and s["files_skipped"] >= 2
+
+
+def test_bm25_refresh_cli(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "spark window"), (2, "merge sort")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    idx = str(tmp_path / "idx")
+    s = _run(capsys, "bm25-index", "--corpus", corpus, "--out", idx)
+    assert s["n_docs"] == 2
+    s = _run(capsys, "bm25-refresh", "--corpus", corpus, "--index", idx)
+    assert s["action"] == "noop" and s["segments"] == 1
+    spark.createDataFrame(
+        [(3, "window spark spark")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    s = _run(capsys, "bm25-refresh", "--corpus", corpus, "--index", idx)
+    assert s == {
+        "cmd": "bm25-refresh", "action": "appended",
+        "n_docs": 3, "segments": 2,
+    }

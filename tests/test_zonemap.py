@@ -177,3 +177,37 @@ def test_multi_column_empty_conjunction_returns_empty(spark, tmp_path):
     path = _two_col_layout(tmp_path)
     out = zonemap.zonemap_read_multi(spark, path, {"a": (50, 60), "b": (0, 5)})
     assert out.count() == 0
+
+
+def test_prune_scalable_paths_agree(spark, sorted_orders):
+    """The distributed prune (footer read + verdict on executors) and
+    the driver-loop prune implement ONE decision rule: identical
+    kept-sets and skip counts on a many-file synthetic, for single and
+    multi-column bounds."""
+    bounds = {"o_orderdate": (LO, HI)}
+    via_driver = zonemap.prune_files_scalable(
+        spark, sorted_orders, bounds, driver_limit=10**9
+    )
+    via_executors = zonemap.prune_files_scalable(
+        spark, sorted_orders, bounds, driver_limit=0
+    )
+    assert via_driver == via_executors
+    assert via_driver[1]  # the layout really skips something
+    multi = {
+        "o_orderdate": (LO, HI),
+        "o_totalprice": (0.0, 10**9),  # never excludes — pure conjunction
+    }
+    assert zonemap.prune_files_scalable(
+        spark, sorted_orders, multi, driver_limit=10**9
+    ) == zonemap.prune_files_scalable(spark, sorted_orders, multi, driver_limit=0)
+
+
+def test_zonemap_read_distributed_prune_loses_no_rows(spark, sorted_orders, monkeypatch):
+    """zonemap_read through the distributed prune path returns exactly
+    the full-scan answer."""
+    monkeypatch.setattr(zonemap, "DRIVER_PRUNE_LIMIT", 0)
+    got = zonemap.zonemap_read(spark, sorted_orders, "o_orderdate", LO, HI)
+    want = load_table(spark, sorted_orders).filter(
+        F.col("o_orderdate").between(F.lit(LO), F.lit(HI))
+    )
+    assert got.count() == want.count() != 0
