@@ -12,15 +12,18 @@ Spark-side mechanics are real and tested: Arrow-batched
 touch payload bytes), metadata-only operators as pure JVM expressions
 (frame sampling, byte stats), and stable output schemas.
 
-**Decoding**: P6/PPM images decode for REAL (pure numpy — header
-parse, pixel array, channel/luminance statistics; corruption raises).
-Other formats need media libraries this container doesn't have, so
+**Decoding**: P6/PPM and PNG images decode for REAL (pure
+numpy/stdlib-zlib — header parse, CRC verification, filter
+reconstruction, pixel array, channel/luminance statistics; corruption
+raises ValueError).  Other image formats decode through PIL when it
+is importable; without it — and for audio/video, which need
+torchaudio/pyav regardless — ``decode=\"real\"`` raises a documented
+``ValueError``, which IS the API contract for an unavailable decoder.
 ``decode=\"fake\"`` (the default) derives deterministic pseudo-
-features from payload bytes and ``decode=\"real\"`` raises
-``NotImplementedError`` for them unless PIL is importable.  Swapping
-in a fuller decoder changes ONE function (``_decode_payload``) —
-partitioning, batch shapes, schemas, and the UDF signature are
-production-shaped.
+features from payload bytes so the full pipeline is exercisable on
+arbitrary payloads.  Swapping in a fuller decoder changes ONE
+function (``_decode_payload``) — partitioning, batch shapes, schemas,
+and the UDF signature are production-shaped.
 """
 
 from __future__ import annotations
@@ -169,13 +172,167 @@ def decode_ppm(payload: bytes):
     return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
-def _ppm_features(payload: bytes, feature_dim: int):
-    """Real image features from a decoded P6 payload: normalized
-    dimensions, per-channel means, luminance std, and a 10-bin
-    luminance histogram — 16 floats, deterministic."""
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as an 8-bit RGB PNG
+    (filter 0 scanlines, zlib-compressed, CRC-stamped chunks) — pure
+    stdlib.  Test/fixture utility, the PNG twin of :func:`encode_ppm`."""
+    import struct
+    import zlib
+
     import numpy as np
 
-    w, h, px = decode_ppm(payload)
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder: returns (width, height, pixels) with
+    pixels an (h, w, 3) uint8 RGB array.
+
+    Supports the formats a training-data lake actually stores at rest:
+    8-bit gray / RGB / palette / gray+alpha / RGBA, non-interlaced
+    (alpha is dropped, gray and palette expand to RGB).  Every chunk
+    CRC is verified and structural damage raises ValueError — exactly
+    the corruption surface the blob-integrity kernels want raised, not
+    masked.  16-bit depth and Adam7 interlace raise ValueError with
+    the unsupported feature named."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a png payload")
+    pos, ihdr, idat, plte = len(PNG_SIG), None, [], None
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            raise ValueError("truncated png chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png chunk crc mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if not saw_iend:
+        # a clipped tail passes every per-chunk CRC — only the missing
+        # terminator betrays it (truncation is exactly what the blob-
+        # integrity kernels exist to catch)
+        raise ValueError("truncated png chunk stream: missing IEND")
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported png bit depth {depth}")
+    if interlace != 0:
+        raise ValueError("unsupported png interlacing (Adam7)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard png compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported png color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette png missing PLTE")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt png pixel stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"png pixel stream is {len(raw)} bytes, want {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown png filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if ctype == 2:
+        rgb = px
+    elif ctype == 6:
+        rgb = px[:, :, :3]
+    elif ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if int(px.max()) >= len(plte):
+            raise ValueError("png palette index out of range")
+        rgb = plte[px[:, :, 0]]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def _image_features(w: int, h: int, px, feature_dim: int):
+    """Image features from decoded RGB pixels: normalized dimensions,
+    per-channel means, luminance std, and a 10-bin luminance
+    histogram — 16 floats, deterministic, decoder-agnostic (the same
+    pixels give the same features whether they arrived as PPM or
+    PNG; test-pinned)."""
+    import numpy as np
+
     f = px.astype(np.float64)
     lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
     hist, _ = np.histogram(lum, bins=10, range=(0.0, 255.0001))
@@ -190,25 +347,45 @@ def _ppm_features(payload: bytes, feature_dim: int):
     return feats[:feature_dim] + [0.0] * max(0, feature_dim - len(feats))
 
 
+def _ppm_features(payload: bytes, feature_dim: int):
+    """Features from a P6 payload (kept as the named entry point the
+    round-4/5 tests pin)."""
+    return _image_features(*decode_ppm(payload), feature_dim)
+
+
 def _decode_payload(payload: bytes, modality: str, decode: str):
-    """Decode boundary.  ``decode='real'`` decodes P6/PPM images with
-    the pure-numpy decoder above (no media library needed); other
-    formats still need PIL/torchaudio/pyav — not in this container —
-    and raise ``NotImplementedError``.  ``decode='fake'`` produces a
-    deterministic pseudo-decode from the bytes so the full pipeline
-    is exercisable on arbitrary payloads."""
+    """Decode boundary — the ONE function a fuller decoder replaces.
+
+    ``decode='real'`` decodes P6/PPM and PNG images with the pure-
+    stdlib decoders above (no media library needed); any other format
+    decodes through PIL when it is importable, and otherwise raises
+    ``ValueError`` — that raise IS the documented contract of
+    ``decode='real'`` on a format without an available decoder (audio/
+    video need torchaudio/pyav regardless).  ``decode='fake'`` (the
+    default) produces a deterministic pseudo-decode from the bytes so
+    the full pipeline is exercisable on arbitrary payloads."""
     if decode == "real":
         if payload.startswith(b"P6"):
-            return ("ppm", payload)
+            return ("image", decode_ppm(payload))
+        if payload.startswith(PNG_SIG):
+            return ("image", decode_png(payload))
         try:
-            from PIL import Image  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "real decoding beyond P6/PPM requires PIL/torchaudio/"
-                "pyav, which are not installed in this environment; "
-                "use decode='fake', P6 payloads, or install a decoder"
+            from PIL import Image
+        except ImportError as exc:
+            raise ValueError(
+                "decode='real' has no decoder for this payload format: "
+                "P6/PPM and PNG decode natively; anything else needs "
+                "PIL (images) or torchaudio/pyav (audio/video), none "
+                "of which are installed — use decode='fake' or install "
+                "a decoder"
             ) from exc
-        raise NotImplementedError("real decode path not implemented yet")
+        import io
+
+        import numpy as np
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        px = np.asarray(img, dtype=np.uint8)
+        return ("image", (img.width, img.height, px))
     # deterministic fake: 16 bytes of md5 as the "decoded signal"
     return hashlib.md5(payload or b"").digest()
 
@@ -234,9 +411,10 @@ def extract_features(
                 sig = _decode_payload(
                     bytes(payload) if payload is not None else b"", modality, decode
                 )
-                if isinstance(sig, tuple) and sig[0] == "ppm":
+                if isinstance(sig, tuple) and sig[0] == "image":
+                    w, h, px = sig[1]
                     feats.append(
-                        [float(x) for x in _ppm_features(sig[1], feature_dim)]
+                        [float(x) for x in _image_features(w, h, px, feature_dim)]
                     )
                 else:
                     raw = (sig * ((feature_dim // len(sig)) + 1))[:feature_dim]

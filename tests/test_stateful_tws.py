@@ -47,6 +47,7 @@ def test_welford_combine_order_independent():
     assert abs(ab[2] - ba[2]) < 1e-9
 
 
+@pytest.mark.needs_protobuf
 @pytest.mark.skipif(
     not stateful.tws_available(),
     reason="transformWithState runner needs google.protobuf (not in this env)",
