@@ -300,6 +300,105 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_zonemap_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as zonemap_pruned_scan, but the prune decision
+    comes from the PERSISTED zone sidecar (built once per process/sf,
+    refreshed on revisit) — no query-time footer reads; the query
+    cost is one metadata-sized sidecar scan plus the pruned data
+    read."""
+    from datetime import datetime
+
+    from integritychecksforvldbs_spark.sources import zonemap
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    table = _orders_sorted_path(spark, sf_dir)
+    side = _mirror_path(sf_dir, "orders_zones_o_orderdate")
+    zonemap.refresh_zone_sidecar(spark, table, "o_orderdate", side)
+    lo = datetime.strptime(ZM_LO, "%Y-%m-%d %H:%M:%S")
+    hi = datetime.strptime(ZM_HI, "%Y-%m-%d %H:%M:%S")
+    kept, _skipped = zonemap.sidecar_prune(
+        spark, table, "o_orderdate", lo, hi, side
+    )
+    pruned = (
+        load_table(spark, *kept).filter(
+            F.col("o_orderdate").between(F.lit(lo), F.lit(hi))
+        )
+        if kept
+        else load_table(spark, table).filter(F.lit(False))
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+def _q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted lineitem⋈orders (the shuffle a hot order key would
+    serialize, spread 8 ways) aggregated to revenue per priority —
+    result contract: EXACTLY the plain join's answer (the oracle is
+    the unsalted SQL)."""
+    from integritychecksforvldbs_spark.operators import skewjoin
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = skewjoin.salted_join(li, orders, ["o_orderkey"], n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("rev_cents").cast("long").alias("rev_cents"),
+    )
+
+
+_SKEW_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def _q_skew_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold split join: orders⋈customer with the busiest customer
+    keys routed through the broadcast path, cold keys through the
+    ordinary shuffle — same answer as the plain join (the oracle)."""
+    from integritychecksforvldbs_spark.operators import skewjoin
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = skewjoin.split_skew_join(
+        orders, cust, ["o_custkey"], min_rows=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+_SKEW_SPLIT_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # SCD2 snapshot apply — type-2 dimension maintenance over customer
 # ---------------------------------------------------------------------------
@@ -407,6 +506,141 @@ def _q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus_path=f"{sf_dir}/documents.parquet",
         )
     return search.bm25_topk_indexed(spark, path, BM25_QUERY, k=BM25_K)
+
+
+BM25_REFRESH_QUERY = "batch stream hash"
+
+
+def _q_search_bm25_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance gate: the index is built from
+    only PART of the corpus (doc_id % 3 != 0 written as wave one),
+    then the remainder lands as an append and
+    ``refresh_bm25_index`` folds it in as a second segment — after
+    which the indexed answer must equal the full-corpus oracle
+    exactly (df_t summed across segments, N/avgdl merged by integer
+    addition).  Built once per (process, sf); the marker file keys the
+    reuse."""
+    import os
+
+    from integritychecksforvldbs_spark.operators import search
+
+    corpus = _mirror_path(sf_dir, "bm25_refresh_corpus")
+    path = _mirror_path(sf_dir, "bm25_refresh_index")
+    marker = os.path.join(path, "_refreshed.marker")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.filter("doc_id % 3 != 0").coalesce(1).write.mode(
+            "append"
+        ).parquet(corpus)
+        search.build_bm25_index(
+            spark, spark.read.parquet(corpus), path, corpus_path=corpus
+        )
+        docs.filter("doc_id % 3 = 0").coalesce(1).write.mode(
+            "append"
+        ).parquet(corpus)
+        action = search.refresh_bm25_index(spark, corpus, path)
+        assert action == "appended", action
+        with open(marker, "w") as f:
+            f.write(action)
+    return search.bm25_topk_indexed(spark, path, BM25_REFRESH_QUERY, k=BM25_K)
+
+
+def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG real-decode gate: every payload is a REAL PNG file
+    synthesized row-locally (md5(text) → 16 bytes → 4×4 grayscale
+    pixels → stdlib PNG encoder), decoded back by the pure-stdlib
+    CRC-verifying decoder inside the Arrow ``mapInPandas`` path
+    (``decode='real'``).  The compared values re-derive exact
+    integers from the float features — the pixel byte sum and the
+    width — which DuckDB recomputes directly from the md5 hex, so the
+    gate pins the full encode → decode → feature chain cross-engine."""
+    from integritychecksforvldbs_spark.operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = hashlib.md5(
+                    (t if isinstance(t, str) else "").encode()
+                ).digest()
+                px = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(4, 4, 1)
+                    .repeat(3, axis=2)
+                )
+                payloads.append(MM.encode_png(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        encode, schema="media_id long, payload binary"
+    ).select("media_id", F.lit("image").alias("modality"), "payload")
+    feats = MM.extract_features(media, decode="real")
+    # feature[3] is the red-channel mean over 16 equal-RGB pixels:
+    # mean/255 — scaling back by 255*16 recovers the INTEGER byte sum
+    # (float64 exact for sums < 2^53); feature[1] is width/4096
+    return feats.select(
+        "media_id",
+        F.expr(
+            "CAST(round(element_at(feature, 3) * 255 * 16) AS BIGINT)"
+        ).alias("px_byte_sum"),
+        F.expr(
+            "CAST(round(element_at(feature, 1) * 4096) AS BIGINT)"
+        ).alias("width_px"),
+    )
+
+
+def _multimodal_png_oracle(table: str = "documents") -> str:
+    """DuckDB recomputes the pixel byte sum straight from the md5 hex
+    (byte i = hex pair i) and the constant 4-px width."""
+    byte_terms = " + ".join(
+        f"CAST('0x' || substr(md5(COALESCE(text, '')), {2 * i + 1}, 2) AS BIGINT)"
+        for i in range(16)
+    )
+    return f"""
+SELECT doc_id AS media_id,
+       CAST({byte_terms} AS BIGINT) AS px_byte_sum,
+       CAST(4 AS BIGINT) AS width_px
+FROM {table}
+"""
+
+
+_SUBWORD_VOCAB_CACHE: dict = {}
+
+
+def _q_tokens_subword_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture allocation driven by REAL sub-word token counts through
+    the ``tokens_expr`` seam: a WordPiece vocabulary learned from the
+    corpus (two distributed aggregations, cached per sf) backs an
+    Arrow-batched counting UDF, and the per-source budgets balance in
+    those units.  Rows-only in the driver gate (DuckDB cannot run the
+    registered UDF); tests/test_subword.py pins Spark == pure Python ==
+    DuckDB-create_function equality on the same counting core."""
+    from integritychecksforvldbs_spark.functions import subword
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    vocab = _SUBWORD_VOCAB_CACHE.get(sf_dir)
+    if vocab is None:
+        vocab = subword.build_subword_vocab(docs, n_words=200, n_suffixes=800)
+        _SUBWORD_VOCAB_CACHE[sf_dir] = vocab
+    expr = subword.register_wordpiece_count(spark, vocab, name="wp_alloc")
+    from integritychecksforvldbs_spark.operators import curation
+
+    return curation.mixture_allocation(
+        docs, target_tokens=100_000, tokens_expr=expr
+    )
 
 
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2140,15 +2374,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["curation_pii_scrub"] = lambda spark, sf: curation.pii_scrub(
         _pii_documents(_load(spark, sf, "documents"))
     )
+    out["curation_increment"] = _q_dedup_increment
+    # r6 rotations: curation_chunk_dedup and curation_pack (family
+    # still gate-covered by funnel/split_budget/pii/increment) move
+    # past the cap for the round's two new oracle-backed gates —
+    # incremental BM25 index maintenance and the PNG real-decode chain
+    out["search_bm25_refreshed"] = _q_search_bm25_refreshed
+    out["multimodal_png_roundtrip"] = _q_multimodal_png
+
+    # ================= past the 50-row driver cap =================
     out["curation_chunk_dedup"] = lambda spark, sf: curation.chunk_dedup(
         _docs_with_chunk_twins(spark, sf), chunk_size=16
     )
-    out["curation_increment"] = _q_dedup_increment
     out["curation_pack"] = lambda spark, sf: curation.pack_sequences(
         _load(spark, sf, "documents"), seq_len=256
     )
-
-    # ================= past the 50-row driver cap =================
+    # sub-word token accounting (rows-only: the WordPiece counter is a
+    # registered pandas UDF, which the driver's DuckDB cannot run —
+    # cross-engine equality is pinned by tests/test_subword.py via
+    # duckdb.create_function on the SAME Python core)
+    out["tokens_subword_allocation"] = _q_tokens_subword_allocation
+    # r6: persisted-sidecar pruning (no query-time footer reads) and
+    # the two skew-mitigation join plans — each contracted to equal
+    # the plain-scan / plain-join oracle exactly
+    out["zonemap_sidecar_scan"] = _q_zonemap_sidecar
+    out["skew_salted_revenue"] = _q_skew_salted_revenue
+    out["skew_split_segments"] = _q_skew_split_segments
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -2601,6 +2852,9 @@ GROUP BY 1, 2
     out["events_running_total"] = _running_total_oracle()
     # r5 families: zone-map pruned scan, SCD2 apply, BM25 retrieval
     out["zonemap_pruned_scan"] = _ZONEMAP_ORACLE
+    out["zonemap_sidecar_scan"] = _ZONEMAP_ORACLE  # same contract, sidecar path
+    out["skew_salted_revenue"] = _SKEW_SALTED_ORACLE
+    out["skew_split_segments"] = _SKEW_SPLIT_ORACLE
     from integritychecksforvldbs_spark.operators import scd as _scd
     from integritychecksforvldbs_spark.operators import search as _search
 
@@ -2616,6 +2870,12 @@ SELECT c_custkey, {", ".join(_SCD2_TRACKED)},
 FROM ({_scd2_inner})
 """
     out["search_bm25"] = _search.bm25_oracle(BM25_QUERY, k=BM25_K)
+    # the refreshed index must answer like the FULL corpus (that is
+    # the whole point of the gate)
+    out["search_bm25_refreshed"] = _search.bm25_oracle(
+        BM25_REFRESH_QUERY, k=BM25_K
+    )
+    out["multimodal_png_roundtrip"] = _multimodal_png_oracle()
     out["search_bm25_indexed"] = _search.bm25_oracle(BM25_QUERY, k=BM25_K)
     out["histogram_equidepth_doclen"] = profile.histogram_equidepth_oracle(
         "documents", "n_chars", 10, ["doc_id"]

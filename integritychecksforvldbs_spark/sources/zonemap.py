@@ -228,6 +228,191 @@ def prune_files_scalable(
     return kept, skipped
 
 
+# ---------------------------------------------------------------------------
+# persisted sidecar — query-time pruning without footer reads
+# ---------------------------------------------------------------------------
+
+def _sidecar_path(table_path: str, column: str) -> str:
+    return f"{table_path.rstrip('/')}_zones_{column}"
+
+
+def build_zone_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    sidecar_path: str | None = None,
+) -> str:
+    """Persist the zone map as a parquet SIDECAR (what Iceberg/Delta
+    keep in manifests): one row per file — (file_path, size, n_rows,
+    vmin, vmax, n_nulls, has_stats) with min/max in the COLUMN's own
+    type, so pruning compares natively.
+
+    Query-time pruning then reads one metadata-sized parquet instead
+    of opening N footers — at 10^6 files the per-query footer pass is
+    the cost that matters, and the sidecar turns it into one tiny
+    scan.  ``refresh_zone_sidecar`` reconciles appends on (path, size)
+    exactly like the incremental-CHECKTABLE state, footer-reading only
+    NEW files.  Returns the sidecar path."""
+    sidecar_path = sidecar_path or _sidecar_path(table_path, column)
+    files = list_parquet_files(spark, table_path)
+    _write_sidecar(
+        spark, table_path, column, sidecar_path,
+        [(f.path, f.size) for f in files],
+        keep=None,
+    )
+    return sidecar_path
+
+
+def _entry_row(path: str, size: int, column: str) -> tuple:
+    e = _read_zones(path, [column])[column]
+    return (path, size, e.n_rows, e.vmin, e.vmax, e.n_nulls, e.has_stats)
+
+
+def _write_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    sidecar_path: str,
+    fresh_files: list[tuple[str, int]],
+    keep: DataFrame | None,
+) -> None:
+    """Footer-read ``fresh_files`` (executor-distributed past the
+    driver limit), union with the ``keep`` rows of a prior sidecar,
+    and install via the rename-aside swap (the kept rows' lineage
+    reads the OLD sidecar, so the write must not clobber it
+    mid-plan)."""
+    from pyspark.sql import types as T
+
+    from integritychecksforvldbs_spark.sources.catalog import (
+        _fs_and_path,
+        rename_or_raise,
+    )
+    from integritychecksforvldbs_spark.sources.loader import load_table
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        write_stats_friendly,
+    )
+
+    col_type = load_table(spark, table_path).schema[column].dataType
+    schema = T.StructType(
+        [
+            T.StructField("file_path", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("vmin", col_type),
+            T.StructField("vmax", col_type),
+            T.StructField("n_nulls", T.LongType()),
+            T.StructField("has_stats", T.BooleanType()),
+        ]
+    )
+    if len(fresh_files) <= DRIVER_SIDE_FOOTER_LIMIT:
+        rows = [_entry_row(p, sz, column) for p, sz in fresh_files]
+    else:
+        slices = min(
+            len(fresh_files), spark.sparkContext.defaultParallelism * 2
+        )
+        rows = (
+            spark.sparkContext.parallelize(fresh_files, slices)
+            .map(lambda fs: _entry_row(fs[0], fs[1], column))
+            .collect()
+        )
+    fresh = spark.createDataFrame(rows, schema)
+    merged = fresh if keep is None else keep.unionByName(fresh)
+    tmp = sidecar_path + ".tmp"
+    write_stats_friendly(spark, merged.coalesce(1), tmp)
+    fs, h_side = _fs_and_path(spark, sidecar_path)
+    _, h_tmp = _fs_and_path(spark, tmp)
+    _, h_bak = _fs_and_path(spark, sidecar_path + ".bak")
+    if fs.exists(h_bak):
+        fs.delete(h_bak, True)
+    if fs.exists(h_side):
+        rename_or_raise(fs, h_side, h_bak)
+    rename_or_raise(fs, h_tmp, h_side)
+    if fs.exists(h_bak):
+        fs.delete(h_bak, True)
+
+
+def refresh_zone_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    sidecar_path: str | None = None,
+) -> str:
+    """Reconcile the sidecar with the table: rows whose (path, size)
+    both still match are kept AS IS (no footer read); vanished or
+    size-changed files drop; new files footer-read and append.
+    Returns ``"noop"``, ``"refreshed"``, or ``"rebuilt"`` (no sidecar
+    yet)."""
+    from integritychecksforvldbs_spark.sources.catalog import _fs_and_path
+
+    sidecar_path = sidecar_path or _sidecar_path(table_path, column)
+    fs, h_side = _fs_and_path(spark, sidecar_path)
+    _, h_bak = _fs_and_path(spark, sidecar_path + ".bak")
+    if not fs.exists(h_side) and fs.exists(h_bak):
+        from integritychecksforvldbs_spark.sources.catalog import (
+            rename_or_raise,
+        )
+
+        rename_or_raise(fs, h_bak, h_side)  # recover a crashed swap
+    if not fs.exists(h_side):
+        build_zone_sidecar(spark, table_path, column, sidecar_path)
+        return "rebuilt"
+    live = {(f.path, f.size) for f in list_parquet_files(spark, table_path)}
+    prior = spark.read.parquet(sidecar_path)
+    known = {
+        (r["file_path"], r["size"])
+        for r in prior.select("file_path", "size").collect()
+    }
+    if known == live:
+        return "noop"
+    keep_keys = known & live
+    kept = (
+        prior.join(
+            spark.createDataFrame(
+                list(keep_keys) or [("", -1)], "file_path string, size long"
+            ),
+            ["file_path", "size"],
+            "left_semi",
+        )
+        # the swap will unlink the files this lineage reads — pin the
+        # rows first (metadata-sized)
+        .localCheckpoint(eager=True)
+    )
+    fresh = sorted(live - known)
+    _write_sidecar(
+        spark, table_path, column, sidecar_path, fresh, keep=kept
+    )
+    return "refreshed"
+
+
+def sidecar_prune(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    lo: Any,
+    hi: Any,
+    sidecar_path: str | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) for ``column BETWEEN lo AND hi`` decided from
+    the persisted sidecar — NO footer reads at query time.  The skip
+    test runs JVM-side on the metadata-sized sidecar scan; files the
+    listing has that the sidecar lacks (appended since the refresh)
+    are always kept.  Same decision rule as :func:`prune_files`
+    (equality test-pinned)."""
+    sidecar_path = sidecar_path or _sidecar_path(table_path, column)
+    side = spark.read.parquet(sidecar_path)
+    skip = F.col("has_stats") & (
+        (F.col("vmax") < F.lit(lo)) | (F.col("vmin") > F.lit(hi))
+    )
+    skipped_set = {
+        r["file_path"]
+        for r in side.filter(skip).select("file_path").collect()
+    }
+    files = [f.path for f in list_parquet_files(spark, table_path)]
+    kept = [p for p in files if p not in skipped_set]
+    skipped = [p for p in files if p in skipped_set]
+    return kept, skipped
+
+
 def zonemap_read(
     spark: SparkSession,
     path: str,

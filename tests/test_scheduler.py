@@ -212,6 +212,23 @@ def test_databases_in_parallel_sequential_runs_restart_round(spark, tmp_path):
 
 _STORE = None  # shared claim store for the factory below
 
+# the scheduler resolves the factory via importlib as
+# "tests.test_scheduler", which (pytest imports this file as a
+# top-level module) can be a SECOND module instance with its own
+# _STORE global — all reads/resets must consider both instances
+_MODULE_ALIASES = ("tests.test_scheduler", "test_scheduler", __name__)
+
+
+def _store_instances():
+    import sys
+
+    seen = []
+    for name in _MODULE_ALIASES:
+        m = sys.modules.get(name)
+        if m is not None and m not in seen:
+            seen.append(m)
+    return seen
+
 
 def _conditional_store_factory(_root):
     """ClaimBackend factory the scheduler resolves from its
@@ -232,8 +249,8 @@ def test_databases_in_parallel_conditional_backend(spark, tmp_path):
     """The ClaimBackend seam end-to-end: same two-run round-restart
     scenario, claims coordinated through the conditional-write store
     instead of mkdir-CAS (no --queue-root needed)."""
-    global _STORE
-    _STORE = None  # fresh store for this test
+    for m in _store_instances():
+        m._STORE = None  # fresh store for this test, every instance
     mk = lambda sub: IntegrityChecker(
         spark,
         BASE,
@@ -251,7 +268,10 @@ def test_databases_in_parallel_conditional_backend(spark, tmp_path):
     t2 = [o for o in r2.outcomes if o.spec.kind == "CHECKTABLE"]
     assert len(t1) == N_TABLES
     assert len(t2) == N_TABLES  # round restarted through the store
-    assert _STORE is not None and _STORE.list("")  # claims went through it
+    stores = [
+        m._STORE for m in _store_instances() if m._STORE is not None
+    ]
+    assert stores and stores[0].list("")  # claims went through the store
 
 
 def test_queue_backend_validation(spark, tmp_path):

@@ -211,3 +211,68 @@ def test_zonemap_read_distributed_prune_loses_no_rows(spark, sorted_orders, monk
         F.col("o_orderdate").between(F.lit(LO), F.lit(HI))
     )
     assert got.count() == want.count() != 0
+
+
+# ---------------------------------------------------------------------------
+# persisted sidecar (round-6): prune without query-time footer reads
+# ---------------------------------------------------------------------------
+
+
+def test_sidecar_prune_matches_footer_prune(spark, sorted_orders, tmp_path):
+    side = str(tmp_path / "zones")
+    zonemap.build_zone_sidecar(spark, sorted_orders, "o_orderdate", side)
+    kept_s, skipped_s = zonemap.sidecar_prune(
+        spark, sorted_orders, "o_orderdate", LO, HI, side
+    )
+    zm = zonemap.build_zone_map(spark, sorted_orders, "o_orderdate")
+    kept_f, skipped_f = zonemap.prune_files(zm, LO, HI)
+    assert (sorted(kept_s), sorted(skipped_s)) == (
+        sorted(kept_f), sorted(skipped_f),
+    )
+    assert skipped_s  # the layout really skips
+
+
+def test_sidecar_refresh_noop_and_append(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "tbl")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "append"
+    ).parquet(table)
+    side = str(tmp_path / "zones")
+    zonemap.build_zone_sidecar(spark, table, "k", side)
+    assert zonemap.refresh_zone_sidecar(spark, table, "k", side) == "noop"
+
+    # append a disjoint-range file; BEFORE refresh the sidecar lacks it
+    spark.range(1000, 1100).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.mode("append").parquet(table)
+    kept, skipped = zonemap.sidecar_prune(spark, table, "k", 1000, 1100, side)
+    assert len(kept) >= 1  # unindexed appended file always kept
+    assert zonemap.refresh_zone_sidecar(spark, table, "k", side) == "refreshed"
+    # after refresh: the old-range file is skippable, the new one kept
+    kept2, skipped2 = zonemap.sidecar_prune(spark, table, "k", 1000, 1100, side)
+    assert len(kept2) == 1 and len(skipped2) == 1
+    # prune never loses rows
+    rows = load_table(spark, *kept2).filter(
+        F.col("k").between(1000, 1100)
+    ).count()
+    assert rows == 100
+    # refresh footer-reads ONLY new files: the kept sidecar row for the
+    # first file is byte-identical to the original
+    first = {
+        (r["file_path"], r["size"], r["n_rows"], r["vmin"], r["vmax"])
+        for r in spark.read.parquet(side).collect()
+    }
+    assert len(first) == 2
+
+
+def test_sidecar_refresh_rebuilds_when_missing(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "tbl")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(table)
+    side = str(tmp_path / "zones")
+    assert zonemap.refresh_zone_sidecar(spark, table, "k", side) == "rebuilt"
+    kept, skipped = zonemap.sidecar_prune(spark, table, "k", 0, 9, side)
+    assert kept and not skipped
