@@ -468,6 +468,32 @@ def refresh_bm25_index(
     return "appended"
 
 
+def vacuum_bm25_index(spark, index_path: str) -> list[str]:
+    """Remove segment directories the manifest does not reference —
+    the orphans a crash between segment write and manifest commit
+    leaves behind (readers never see them; this reclaims the disk).
+    Returns the removed segment names.  Safe under the one-writer
+    contract: only the writer that owns refresh/build should vacuum,
+    and never concurrently with an in-flight refresh (whose new
+    segment is, by definition, not yet manifested)."""
+    from integritychecksforvldbs_spark.sources.catalog import _fs_and_path
+
+    man = _read_manifest(spark, index_path)
+    live = set(man["segments"]) if man else set()
+    removed: list[str] = []
+    for family in ("postings", "dfreq"):
+        fs, hpath = _fs_and_path(spark, f"{index_path}/{family}")
+        if not fs.exists(hpath):
+            continue
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("seg_") and name not in live:
+                fs.delete(st.getPath(), True)
+                if name not in removed:
+                    removed.append(name)
+    return sorted(removed)
+
+
 def bm25_topk_indexed(
     spark,
     index_path: str,

@@ -180,6 +180,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
 
+    p = sub.add_parser(
+        "bm25-vacuum",
+        help="remove crash-orphaned (unmanifested) index segments",
+    )
+    p.add_argument("--index", required=True)
+
     p = sub.add_parser("bm25-search", help="top-k BM25 query")
     p.add_argument("--corpus", default=None, help="direct scan of a corpus")
     p.add_argument("--index", default=None, help="bm25-index layout")
@@ -356,6 +362,11 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "bm25-refresh", "action": action,
             "n_docs": man["n_docs"], "segments": len(man["segments"]),
         }
+    elif args.cmd == "bm25-vacuum":
+        from .operators.search import vacuum_bm25_index
+
+        removed = vacuum_bm25_index(spark, args.index)
+        summary = {"cmd": "bm25-vacuum", "removed_segments": removed}
     elif args.cmd == "bm25-search":
         from .operators.search import bm25_topk, bm25_topk_indexed
 

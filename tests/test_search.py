@@ -250,3 +250,33 @@ def test_refresh_without_manifest_files_rebuilds(spark, tmp_path):
     search.build_bm25_index(spark, spark.read.parquet(corpus), idx)
     assert search.refresh_bm25_index(spark, corpus, idx) == "rebuilt"
     assert search._read_manifest(spark, idx)["files"] is not None
+
+
+def test_vacuum_removes_only_orphan_segments(spark, tmp_path):
+    """A crash between segment write and manifest commit leaves an
+    orphan; vacuum reclaims it and NEVER touches manifested segments
+    (results identical before/after)."""
+    corpus = str(tmp_path / "corpus")
+    _write_corpus(spark, corpus, [(1, "spark window"), (2, "merge spark")])
+    idx = str(tmp_path / "idx")
+    search.build_bm25_index(
+        spark, spark.read.parquet(corpus), idx, corpus_path=corpus
+    )
+    # simulate the crash: a segment written but never manifested
+    spark.createDataFrame(
+        [("ghost", 99, 1, 1)], "token string, doc_id long, tf long, dl long"
+    ).write.parquet(f"{idx}/postings/seg_99999")
+    before = [
+        tuple(r) for r in search.bm25_topk_indexed(spark, idx, "spark").collect()
+    ]
+    removed = search.vacuum_bm25_index(spark, idx)
+    assert removed == ["seg_99999"]
+    import os
+
+    assert not os.path.exists(f"{idx}/postings/seg_99999")
+    assert os.path.exists(f"{idx}/postings/seg_00000")
+    after = [
+        tuple(r) for r in search.bm25_topk_indexed(spark, idx, "spark").collect()
+    ]
+    assert before == after
+    assert search.vacuum_bm25_index(spark, idx) == []  # idempotent
