@@ -84,19 +84,24 @@ def build_subword_vocab(
     n_words: int = 2000,
     n_suffixes: int = 2000,
     max_suffix_len: int = 4,
+    max_piece_len: int = MAX_PIECE_LEN,
 ) -> list[str]:
     """Learn a deterministic WordPiece-style vocabulary from a corpus:
-    every single character seen word-initially (so no word is UNK for
-    want of a first piece unless its leading char is unseen), all
-    single-char continuations, the ``n_words`` most frequent whole
-    words, and the ``n_suffixes`` most frequent continuation pieces of
-    length 2..``max_suffix_len``.
+    every single character seen word-initially ANYWHERE in the corpus
+    (so no word is UNK for want of a first piece unless its leading
+    char is genuinely unseen), all single-char continuations, the
+    ``n_words`` most frequent whole words no longer than
+    ``max_piece_len`` (a longer word can never match as one piece —
+    the tokenizer's scan is bounded), and the ``n_suffixes`` most
+    frequent continuation pieces of length 2..``max_suffix_len``.
 
     This is the frequency-driven flavor of vocab construction (a
     full BPE merge loop is sequential by nature; frequency-ranked
-    pieces give the same budget-accounting behavior in two distributed
-    passes).  Ties rank lexicographically so the vocabulary is
-    reproducible across runs and engines.
+    pieces give the same budget-accounting behavior).  The corpus is
+    scanned ONCE: the word-count relation is persisted and every
+    further aggregate (top words, first chars, pieces) runs over that
+    vocabulary-sized frame.  Ties rank lexicographically so the
+    vocabulary is reproducible across runs and engines.
     """
     words = (
         df.select(
@@ -109,44 +114,64 @@ def build_subword_vocab(
         )
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
-    top_words = [
-        r["w"]
-        for r in words.orderBy(F.desc("c"), "w").limit(n_words).collect()
-    ]
-    # continuation pieces: every in-word substring starting past 0, of
-    # length 1..max_suffix_len, weighted by word frequency — one
-    # row-local explode over the vocabulary-sized word relation
-    pieces = (
-        words.select(
-            "c",
-            F.explode(
-                F.expr(
-                    f"""flatten(transform(sequence(2, greatest(length(w), 2)),
-                          s -> transform(
-                                 sequence(1, least({max_suffix_len},
-                                                   length(w) - s + 1)),
-                                 l -> substring(w, s, l))))"""
-                )
-            ).alias("p"),
+    try:
+        top_words = [
+            r["w"]
+            for r in words.filter(F.length("w") <= max_piece_len)
+            .orderBy(F.desc("c"), "w")
+            .limit(n_words)
+            .collect()
+        ]
+        # word-initial characters from the FULL word relation, not just
+        # the frequent words — a rare leading char would otherwise send
+        # every word bearing it to [UNK]
+        first_chars = [
+            r["ch"]
+            for r in words.select(F.substring("w", 1, 1).alias("ch"))
+            .distinct()
+            .collect()
+        ]
+        # continuation pieces: every in-word substring starting past 0,
+        # of length 1..max_suffix_len, weighted by word frequency — one
+        # row-local explode over the vocabulary-sized word relation
+        pieces = (
+            words.select(
+                "c",
+                F.explode(
+                    F.expr(
+                        f"""flatten(transform(sequence(2, greatest(length(w), 2)),
+                              s -> transform(
+                                     sequence(1, least({max_suffix_len},
+                                                       length(w) - s + 1)),
+                                     l -> substring(w, s, l))))"""
+                    )
+                ).alias("p"),
+            )
+            .filter(F.length("p") > 0)
+            .groupBy("p")
+            .agg(F.sum("c").alias("c"))
+            .persist()
         )
-        .filter(F.length("p") > 0)
-        .groupBy("p")
-        .agg(F.sum("c").alias("c"))
-    )
-    top_suffixes = [
-        "##" + r["p"]
-        for r in pieces.filter(F.length("p") >= 2)
-        .orderBy(F.desc("c"), "p")
-        .limit(n_suffixes)
-        .collect()
-    ]
-    first_chars = {w[0] for w in top_words if w}
-    char_rows = [
-        r["p"] for r in pieces.filter(F.length("p") == 1).select("p").collect()
-    ]
+        try:
+            top_suffixes = [
+                "##" + r["p"]
+                for r in pieces.filter(F.length("p") >= 2)
+                .orderBy(F.desc("c"), "p")
+                .limit(n_suffixes)
+                .collect()
+            ]
+            char_rows = [
+                r["p"]
+                for r in pieces.filter(F.length("p") == 1).select("p").collect()
+            ]
+        finally:
+            pieces.unpersist()
+    finally:
+        words.unpersist()
     vocab = (
-        sorted(first_chars)
+        sorted(set(first_chars))
         + ["##" + c for c in sorted(set(char_rows))]
         + top_words
         + top_suffixes

@@ -383,7 +383,16 @@ def _decode_payload(payload: bytes, modality: str, decode: str):
 
         import numpy as np
 
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+        except Exception as exc:
+            # PIL raises UnidentifiedImageError (an OSError) on
+            # non-image payloads; the decode='real' contract is ONE
+            # exception type for "no decoder for this format"
+            raise ValueError(
+                "decode='real' has no decoder for this payload format: "
+                f"PIL could not identify it ({exc})"
+            ) from exc
         px = np.asarray(img, dtype=np.uint8)
         return ("image", (img.width, img.height, px))
     # deterministic fake: 16 bytes of md5 as the "decoded signal"

@@ -45,11 +45,11 @@ from integritychecksforvldbs_spark.operators.text import TOKEN_REGEX, _spark_re
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
-# Mirror of TOKEN_REGEX with Java's DEFAULT \s semantics spelled out:
-# Python's \s is Unicode (swallows NBSP etc.) while Java/DuckDB \s is
-# ASCII-only [ \t\n\x0b\f\r] — the query tokenizer must agree with the
-# corpus tokenizer byte-for-byte or queries containing non-ASCII
-# whitespace miss terms the index contains.
+# Mirror of TOKEN_REGEX (operators/text.py), whose whitespace is the
+# explicit class [ \t\n\x0b\f\r]: Python's \s is Unicode (swallows
+# NBSP etc.), Java's \s adds \x0B, RE2's \s lacks it — only the
+# spelled-out class makes the query tokenizer, the Spark corpus
+# tokenizer, and the DuckDB oracle agree byte-for-byte.
 _PY_TOKEN_RE = re.compile("[a-z]+|[0-9]|[^a-z0-9 \t\n\x0b\f\r]")
 
 
@@ -240,14 +240,25 @@ def _index_manifest_path(index_path: str) -> str:
 
 
 def _read_manifest(spark, index_path: str) -> dict | None:
-    """The committed index state; ``None`` on absent or torn JSON
-    (torn = crash mid-commit → the caller treats the index as
-    unbuilt, which degrades to a rebuild, never to wrong results)."""
+    """The committed index state; ``None`` when no commit exists.
+    The commit itself is a rename-aside swap (see
+    :func:`_commit_manifest`), so a crash mid-commit leaves either
+    the old manifest or a restorable ``.bak`` — recovered here —
+    never a torn file standing in for the index state."""
     import json
 
-    from integritychecksforvldbs_spark.sources.catalog import read_text_file
+    from integritychecksforvldbs_spark.sources.catalog import (
+        _fs_and_path,
+        read_text_file,
+        rename_or_raise,
+    )
 
-    raw = read_text_file(spark, _index_manifest_path(index_path))
+    path = _index_manifest_path(index_path)
+    fs, h_man = _fs_and_path(spark, path)
+    _, h_bak = _fs_and_path(spark, path + ".bak")
+    if not fs.exists(h_man) and fs.exists(h_bak):
+        rename_or_raise(fs, h_bak, h_man)  # recover a crashed swap
+    raw = read_text_file(spark, path)
     if not raw:
         return None
     try:
@@ -309,20 +320,39 @@ def _write_segment(
 
 
 def _commit_manifest(spark, index_path: str, manifest: dict) -> None:
-    """The single-file-replace commit point: segments written but not
-    yet manifested are invisible to readers (a crash leaves orphan
-    segment dirs — disk waste, never wrong answers).  ``stats/`` is
+    """The commit point: segments written but not yet manifested are
+    invisible to readers (a crash leaves orphan segment dirs — disk
+    waste, never wrong answers).  The manifest itself installs via
+    the rename-aside swap (write ``.tmp``, old aside to ``.bak``,
+    rename in, drop ``.bak``) — an in-place truncating overwrite
+    would let a crash mid-commit destroy the PREVIOUS commit, turning
+    a recoverable index into a forced rebuild.  ``stats/`` is
     refreshed AFTER the commit as a display-compat sidecar
     (``table_cli bm25-index`` reads it); queries derive N/avgdl from
     the manifest's exact integers."""
     import json
 
-    from integritychecksforvldbs_spark.sources.catalog import write_text_file
+    from integritychecksforvldbs_spark.sources.catalog import (
+        _fs_and_path,
+        rename_or_raise,
+        write_text_file,
+    )
     from integritychecksforvldbs_spark.sources.maintenance import (
         write_stats_friendly,
     )
 
-    write_text_file(spark, _index_manifest_path(index_path), json.dumps(manifest))
+    path = _index_manifest_path(index_path)
+    write_text_file(spark, path + ".tmp", json.dumps(manifest))
+    fs, h_man = _fs_and_path(spark, path)
+    _, h_tmp = _fs_and_path(spark, path + ".tmp")
+    _, h_bak = _fs_and_path(spark, path + ".bak")
+    if fs.exists(h_bak):
+        fs.delete(h_bak, True)
+    if fs.exists(h_man):
+        rename_or_raise(fs, h_man, h_bak)
+    rename_or_raise(fs, h_tmp, h_man)
+    if fs.exists(h_bak):
+        fs.delete(h_bak, True)
     n, s = manifest["n_docs"], manifest["sum_dl"]
     write_stats_friendly(
         spark,
@@ -479,7 +509,13 @@ def vacuum_bm25_index(spark, index_path: str) -> list[str]:
     from integritychecksforvldbs_spark.sources.catalog import _fs_and_path
 
     man = _read_manifest(spark, index_path)
-    live = set(man["segments"]) if man else set()
+    if man is None:
+        # no committed manifest (never built, or mid-commit crash the
+        # .bak recovery couldn't resolve) — refusing is the only safe
+        # answer: "no manifest" must NOT read as "no live segments",
+        # or vacuum would delete a recoverable index wholesale
+        return []
+    live = set(man["segments"])
     removed: list[str] = []
     for family in ("postings", "dfreq"):
         fs, hpath = _fs_and_path(spark, f"{index_path}/{family}")

@@ -27,8 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
-PUNCT_REGEX = "[^A-Za-z0-9\\s]"
+# Whitespace is spelled as an EXPLICIT class, not \s: Java's default
+# \s is [ \t\n\x0B\f\r] but RE2's (DuckDB's) \s excludes \x0B — with
+# \s the two engines disagree on vertical-tab text (Spark treats VT
+# as whitespace, the oracle emits it as a token).  The explicit class
+# means Java, RE2, and the Python query-side mirror (search.py) all
+# tokenize byte-for-byte alike.
+ASCII_WS = " \\t\\n\\x0b\\f\\r"
+TOKEN_REGEX = f"[A-Za-z]+|[0-9]|[^A-Za-z0-9{ASCII_WS}]"
+PUNCT_REGEX = f"[^A-Za-z0-9{ASCII_WS}]"
 DIGIT_REGEX = "[0-9]"
 
 

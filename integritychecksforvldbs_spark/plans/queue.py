@@ -203,6 +203,18 @@ class DirCasBackend(ClaimBackend):
             os.remove(body)
         except FileNotFoundError:
             pass
+        # a writer that died between open(tmp) and os.replace leaves
+        # .body.*.tmp litter; without sweeping it the rmdir below
+        # fails forever and the record can never be released
+        try:
+            for name in os.listdir(d):
+                if name.startswith(".body.") and name.endswith(".tmp"):
+                    try:
+                        os.remove(os.path.join(d, name))
+                    except FileNotFoundError:
+                        pass
+        except FileNotFoundError:
+            return True  # a racing sweeper finished the delete
         try:
             os.rmdir(d)
             return True
@@ -210,9 +222,24 @@ class DirCasBackend(ClaimBackend):
             return False  # a racing writer re-populated the dir
 
     def list(self, prefix: str) -> list[str]:
+        # walk only the prefix's parent directory (the last prefix
+        # segment may be a partial name like "db_"), not the whole
+        # root — a daily round-restart cron accumulates rounds, and a
+        # root-wide walk makes every claim O(all rounds × members)
+        parts = [p for p in prefix.split("/") if p]
+        if prefix.endswith("/"):
+            start = os.path.join(self.root, *parts)
+        else:
+            start = os.path.join(self.root, *parts[:-1])
+        if not os.path.isdir(start):
+            return []
         out = []
-        for dirpath, _dirnames, filenames in os.walk(self.root):
-            if self.BODY in filenames or not os.listdir(dirpath):
+        for dirpath, _dirnames, filenames in os.walk(start, onerror=None):
+            try:
+                empty = self.BODY not in filenames and not os.listdir(dirpath)
+            except FileNotFoundError:
+                continue  # a concurrent stale-release removed the dir
+            if self.BODY in filenames or empty:
                 key = os.path.relpath(dirpath, self.root).replace(os.sep, "/")
                 if key != "." and key.startswith(prefix):
                     out.append(key)

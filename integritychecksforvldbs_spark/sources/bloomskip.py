@@ -135,12 +135,6 @@ def bloom_prune(
     index_path = index_path or f"{path.rstrip('/')}_bloom_{column}"
     files = [f.path for f in list_parquet_files(spark, path)]
     idx_df = spark.read.parquet(index_path)
-    head = idx_df.limit(1).collect()
-    if not head:
-        return files, []
-    n_bits, k = int(head[0]["n_bits"]), int(head[0]["k"])
-    dtype = load_table(spark, path).schema[column].dataType
-    probe = _probe_positions(spark, value, dtype, n_bits, k)
 
     # input_file_name says file:///x, the listing says file:/x — join
     # on the state machinery's canonical spelling
@@ -149,8 +143,16 @@ def bloom_prune(
     )
 
     if len(files) <= driver_limit:
-        indexed = {_norm(r["file"]): set(r["bits"]) for r in idx_df.collect()}
-        probe_set = set(probe)
+        # ONE collect serves the emptiness check, the (n_bits, k)
+        # scalars, and the bitsets — index-sized, the driver path's
+        # contract
+        rows = idx_df.collect()
+        if not rows:
+            return files, []
+        n_bits, k = int(rows[0]["n_bits"]), int(rows[0]["k"])
+        dtype = load_table(spark, path).schema[column].dataType
+        probe_set = set(_probe_positions(spark, value, dtype, n_bits, k))
+        indexed = {_norm(r["file"]): set(r["bits"]) for r in rows}
         kept, skipped = [], []
         for f in files:
             bits = indexed.get(_norm(f))
@@ -160,6 +162,12 @@ def bloom_prune(
                 kept.append(f)
         return kept, skipped
 
+    head = idx_df.limit(1).collect()
+    if not head:
+        return files, []
+    n_bits, k = int(head[0]["n_bits"]), int(head[0]["k"])
+    dtype = load_table(spark, path).schema[column].dataType
+    probe = _probe_positions(spark, value, dtype, n_bits, k)
     listing = spark.createDataFrame(
         [(f, _norm(f)) for f in files], "path string, file string"
     )
