@@ -334,6 +334,77 @@ def _q_zonemap_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Two-commit versioned orders table (once per process/sf): v1 =
+    keys ≡ 0 (mod 3), v2 appends the remainder — latest is the full
+    table, v1 is the time-travel target."""
+    import os
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_versioned")
+    if not os.path.exists(os.path.join(path, "_versions", "v0000000002")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        versioned.commit(spark, orders.filter("o_orderkey % 3 = 0"), path)
+        versioned.commit(spark, orders.filter("o_orderkey % 3 != 0"), path)
+    return path
+
+
+def _orders_priority_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+def _q_versioned_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated read of the versioned table's LATEST commit —
+    append v2 made the remainder visible, so the answer is the full
+    orders aggregate (the oracle)."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    return _orders_priority_agg(
+        versioned.read(spark, _versioned_orders_path(spark, sf_dir))
+    )
+
+
+def _q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the same table AS OF v1 — only keys ≡ 0 (mod 3)
+    exist there, no matter what later commits added."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    return _orders_priority_agg(
+        versioned.read(
+            spark, _versioned_orders_path(spark, sf_dir), version=1
+        )
+    )
+
+
+_VERSIONED_LATEST_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+_VERSIONED_TT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+"""
+
+
 def _q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted lineitem⋈orders (the shuffle a hot order key would
     serialize, spread 8 ways) aggregated to revenue per priority —
@@ -2400,6 +2471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["zonemap_sidecar_scan"] = _q_zonemap_sidecar
     out["skew_salted_revenue"] = _q_skew_salted_revenue
     out["skew_split_segments"] = _q_skew_split_segments
+    # versioned-table (mini lakehouse) reads: latest snapshot and
+    # time travel, each pinned to the plain-SQL oracle
+    out["versioned_latest_orders"] = _q_versioned_latest
+    out["versioned_time_travel"] = _q_versioned_time_travel
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -2855,6 +2930,8 @@ GROUP BY 1, 2
     out["zonemap_sidecar_scan"] = _ZONEMAP_ORACLE  # same contract, sidecar path
     out["skew_salted_revenue"] = _SKEW_SALTED_ORACLE
     out["skew_split_segments"] = _SKEW_SPLIT_ORACLE
+    out["versioned_latest_orders"] = _VERSIONED_LATEST_ORACLE
+    out["versioned_time_travel"] = _VERSIONED_TT_ORACLE
     from integritychecksforvldbs_spark.operators import scd as _scd
     from integritychecksforvldbs_spark.operators import search as _search
 

@@ -1,0 +1,281 @@
+"""Versioned parquet tables — snapshot isolation on a plain filesystem.
+
+The reference pins a consistent view by running checks against a
+database snapshot (DatabaseIntegrityCheck.sql @CreateSnapshot path);
+this module gives the engine's own tables the same property as a
+minimal log-structured table format (the Delta/Iceberg idea reduced
+to its core):
+
+- data files are IMMUTABLE once written, under ``{path}/data/``;
+- a table VERSION is a manifest (``{path}/_versions/vNNNNNNNNNN/``)
+  listing the exact data files visible at that version — readers
+  resolve a manifest, then read only its files, so a reader holds a
+  consistent snapshot no matter what commits land mid-query;
+- committing is an optimistic-concurrency CAS: write data files,
+  then try to create manifest ``v{N+1}`` atomically (the same
+  ``put_if_absent`` primitive the work queue's :class:`~..plans.queue.ClaimBackend`
+  defines — mkdir on POSIX, If-None-Match on an object store).  A
+  loser re-reads the log and retries with the next number, re-basing
+  append manifests on the winner's file list (appends commute);
+  overwrite losers fail with a conflict error (they raced a commit
+  they would silently erase);
+- a crash before the manifest CAS leaves orphan data files that NO
+  reader can see; :func:`vacuum` reclaims anything unreferenced by
+  the retained manifests.
+
+Operations: :func:`commit` (append/overwrite), :func:`read` (latest
+or ``version=``, i.e. time travel), :func:`history`,
+:func:`rollback` (a NEW commit restoring an old version's file list
+— history is never rewritten), :func:`vacuum`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VDIR = "_versions"
+_BODY = "manifest.json"
+_MAX_COMMIT_RETRIES = 20
+
+
+@dataclass(frozen=True)
+class VersionInfo:
+    version: int
+    mode: str
+    n_files: int
+    parent: int | None
+
+
+def _local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _vdir(path: str) -> str:
+    return os.path.join(_local(path), _VDIR)
+
+
+def _vname(v: int) -> str:
+    return f"v{v:010d}"
+
+
+def _read_manifest(path: str, v: int) -> dict | None:
+    try:
+        with open(os.path.join(_vdir(path), _vname(v), _BODY)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None  # absent, or a committer died between CAS and body
+
+
+def _versions(path: str) -> list[int]:
+    try:
+        names = os.listdir(_vdir(path))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
+    )
+
+
+def _latest_committed(path: str) -> tuple[int, dict] | None:
+    """Highest version whose manifest BODY exists.  A vN dir without a
+    body is a committer that died between the mkdir CAS and the body
+    write — it holds the number but commits nothing; later committers
+    skip past it, readers skip over it."""
+    for v in reversed(_versions(path)):
+        man = _read_manifest(path, v)
+        if man is not None:
+            return v, man
+    return None
+
+
+def commit(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Write ``df``'s rows as new immutable data files and commit them
+    as the table's next version.  Returns the committed version.
+
+    ``append`` makes the new files visible ALONGSIDE the current
+    version's; ``overwrite`` replaces the visible set.  Concurrency:
+    the version-directory mkdir is the CAS — append losers re-base on
+    the winner and retry (appends commute); overwrite losers raise
+    ``ConflictError`` once a racing commit lands after the base they
+    loaded (overwriting a state you never saw is a lost update, not a
+    merge)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    from integritychecksforvldbs_spark.sources.catalog import (
+        list_parquet_files,
+    )
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        write_stats_friendly,
+    )
+
+    data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
+    write_stats_friendly(spark, df, data_dir)
+    new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
+
+    base = _latest_committed(path)
+    base_v = base[0] if base else 0
+    os.makedirs(_vdir(path), exist_ok=True)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        cur_v = cur[0] if cur else 0
+        if mode == "overwrite" and cur_v != base_v:
+            raise ConflictError(
+                f"overwrite of {path!r} based on v{base_v} conflicts with "
+                f"committed v{cur_v}; reload and retry"
+            )
+        files = new_files if mode == "overwrite" else (
+            (cur[1]["files"] if cur else []) + new_files
+        )
+        # claim the next number past every DIRECTORY present — a
+        # bodyless dir (crashed committer) still holds its number
+        all_v = _versions(path)
+        nxt = max(cur_v, all_v[-1] if all_v else 0) + 1
+        target = os.path.join(_vdir(path), _vname(nxt))
+        try:
+            os.mkdir(target)  # the CAS: exactly one committer wins vN
+        except FileExistsError:
+            continue  # lost the race — re-base (append) or re-check
+        tmp = os.path.join(target, f".{_BODY}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": nxt,
+                    "mode": mode,
+                    "files": files,
+                    "parent": cur_v or None,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(target, _BODY))
+        return nxt
+    raise ConflictError(
+        f"commit to {path!r} lost {_MAX_COMMIT_RETRIES} CAS races; "
+        "contention this hot needs a coordinating service"
+    )
+
+
+class ConflictError(RuntimeError):
+    """An optimistic commit raced a conflicting committed version."""
+
+
+def read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF ``version`` (default: latest committed).  The
+    file list is resolved from the manifest BEFORE the scan plans, so
+    the returned frame is a consistent snapshot — commits landing
+    afterwards are invisible to it (and ``vacuum`` retains every
+    manifested file, so the snapshot stays readable)."""
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    if version is None:
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        man = cur[1]
+    else:
+        man = _read_manifest(path, version)
+        if man is None:
+            raise FileNotFoundError(f"version {version} of {path!r} not found")
+    if not man["files"]:
+        raise ValueError(f"version {man['version']} of {path!r} is empty")
+    return load_table(spark, *man["files"])
+
+
+def history(path: str) -> list[VersionInfo]:
+    """Committed versions, oldest first (bodyless crashed claims are
+    not part of history)."""
+    out = []
+    for v in _versions(path):
+        man = _read_manifest(path, v)
+        if man is not None:
+            out.append(
+                VersionInfo(v, man["mode"], len(man["files"]), man["parent"])
+            )
+    return out
+
+
+def rollback(spark: SparkSession, path: str, version: int) -> int:
+    """Commit a NEW version whose visible file set is ``version``'s —
+    time travel made durable without rewriting history (the bad
+    versions stay queryable for forensics)."""
+    man = _read_manifest(path, version)
+    if man is None:
+        raise FileNotFoundError(f"version {version} of {path!r} not found")
+    os.makedirs(_vdir(path), exist_ok=True)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        cur_v = cur[0] if cur else 0
+        all_v = _versions(path)
+        nxt = max(cur_v, all_v[-1] if all_v else 0) + 1
+        target = os.path.join(_vdir(path), _vname(nxt))
+        try:
+            os.mkdir(target)
+        except FileExistsError:
+            continue
+        tmp = os.path.join(target, f".{_BODY}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": nxt,
+                    "mode": f"rollback({version})",
+                    "files": man["files"],
+                    "parent": cur_v or None,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(target, _BODY))
+        return nxt
+    raise ConflictError(f"rollback of {path!r} lost every CAS race")
+
+
+def vacuum(path: str, keep_versions: int | None = None) -> list[str]:
+    """Reclaim data files no retained manifest references: crash
+    orphans (written but never committed) always; files visible only
+    in versions OLDER than the last ``keep_versions`` when given
+    (bounding time-travel depth — the expired manifests are removed
+    too, so no reader can resolve a version whose files are gone).
+    Returns the deleted data directories."""
+    hist = [vi.version for vi in history(path)]
+    retained = hist if keep_versions is None else hist[-keep_versions:]
+    if hist and not retained:
+        raise ValueError("keep_versions must retain at least one version")
+    referenced: set[str] = set()
+    for v in retained:
+        man = _read_manifest(path, v)
+        for fpath in man["files"]:
+            referenced.add(os.path.dirname(_local(fpath)))
+    removed = []
+    import shutil
+
+    data_root = os.path.join(_local(path), "data")
+    try:
+        dirs = sorted(os.listdir(data_root))
+    except FileNotFoundError:
+        dirs = []
+    for d in dirs:
+        full = os.path.join(data_root, d)
+        if full not in referenced:
+            shutil.rmtree(full)
+            removed.append(full)
+    for v in hist:
+        if v not in retained:
+            shutil.rmtree(os.path.join(_vdir(path), _vname(v)))
+    # bodyless claim dirs from crashed committers: reclaim the number
+    # slots below the latest committed version (a higher bodyless slot
+    # may belong to an IN-FLIGHT commit racing this vacuum)
+    top = retained[-1] if retained else 0
+    for v in _versions(path):
+        if v < top and _read_manifest(path, v) is None:
+            shutil.rmtree(os.path.join(_vdir(path), _vname(v)))
+    return removed

@@ -186,6 +186,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--index", required=True)
 
+    p = sub.add_parser(
+        "versioned-commit", help="commit a parquet dir into a versioned table"
+    )
+    p.add_argument("--src", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--mode", choices=["append", "overwrite"], default="append")
+
+    p = sub.add_parser("versioned-history", help="list committed versions")
+    p.add_argument("--table", required=True)
+
+    p = sub.add_parser(
+        "versioned-rollback", help="restore an old version as a NEW commit"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--version", type=int, required=True)
+
+    p = sub.add_parser(
+        "versioned-vacuum",
+        help="reclaim unreferenced data files (and optionally old versions)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-versions", type=int, default=None)
+
     p = sub.add_parser("bm25-search", help="top-k BM25 query")
     p.add_argument("--corpus", default=None, help="direct scan of a corpus")
     p.add_argument("--index", default=None, help="bm25-index layout")
@@ -367,6 +390,37 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = vacuum_bm25_index(spark, args.index)
         summary = {"cmd": "bm25-vacuum", "removed_segments": removed}
+    elif args.cmd == "versioned-commit":
+        from .sources import versioned
+
+        v = versioned.commit(
+            spark, load_table(spark, args.src), args.table, mode=args.mode
+        )
+        summary = {"cmd": "versioned-commit", "version": v, "mode": args.mode}
+    elif args.cmd == "versioned-history":
+        from .sources import versioned
+
+        summary = {
+            "cmd": "versioned-history",
+            "versions": [
+                {"version": h.version, "mode": h.mode,
+                 "n_files": h.n_files, "parent": h.parent}
+                for h in versioned.history(args.table)
+            ],
+        }
+    elif args.cmd == "versioned-rollback":
+        from .sources import versioned
+
+        v = versioned.rollback(spark, args.table, args.version)
+        summary = {
+            "cmd": "versioned-rollback", "restored": args.version,
+            "as_version": v,
+        }
+    elif args.cmd == "versioned-vacuum":
+        from .sources import versioned
+
+        removed = versioned.vacuum(args.table, args.keep_versions)
+        summary = {"cmd": "versioned-vacuum", "removed_data_dirs": removed}
     elif args.cmd == "bm25-search":
         from .operators.search import bm25_topk, bm25_topk_indexed
 

@@ -134,3 +134,26 @@ def test_bm25_refresh_cli(spark, tmp_path, capsys):
         "cmd": "bm25-refresh", "action": "appended",
         "n_docs": 3, "segments": 2,
     }
+
+
+def test_versioned_cli_roundtrip(spark, tmp_path, capsys):
+    src1 = str(tmp_path / "w1")
+    src2 = str(tmp_path / "w2")
+    spark.range(0, 5).write.parquet(src1)
+    spark.range(5, 8).write.parquet(src2)
+    tbl = str(tmp_path / "tbl")
+    s = _run(capsys, "versioned-commit", "--src", src1, "--table", tbl)
+    assert s == {"cmd": "versioned-commit", "version": 1, "mode": "append"}
+    s = _run(capsys, "versioned-commit", "--src", src2, "--table", tbl)
+    assert s["version"] == 2
+    s = _run(capsys, "versioned-history", "--table", tbl)
+    assert [v["version"] for v in s["versions"]] == [1, 2]
+    s = _run(capsys, "versioned-rollback", "--table", tbl, "--version", "1")
+    assert s == {"cmd": "versioned-rollback", "restored": 1, "as_version": 3}
+    from integritychecksforvldbs_spark.sources import versioned
+
+    assert versioned.read(spark, tbl).count() == 5
+    s = _run(
+        capsys, "versioned-vacuum", "--table", tbl, "--keep-versions", "2"
+    )
+    assert s["removed_data_dirs"] == []  # v2/v3 still reference everything

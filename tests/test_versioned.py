@@ -1,0 +1,162 @@
+"""Versioned parquet tables (sources/versioned.py): snapshot
+isolation, optimistic concurrency, time travel, rollback, vacuum."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_append_read_history_timetravel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = versioned.commit(spark, _mk(spark, 0, 10), path)
+    v2 = versioned.commit(spark, _mk(spark, 10, 20), path)
+    assert (v1, v2) == (1, 2)
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(20)]
+    assert _rows(versioned.read(spark, path, version=1)) == [
+        (i,) for i in range(10)
+    ]
+    hist = versioned.history(path)
+    assert [(h.version, h.mode, h.parent) for h in hist] == [
+        (1, "append", None), (2, "append", 1),
+    ]
+
+
+def test_overwrite_and_rollback(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    versioned.commit(spark, _mk(spark, 100, 103), path, mode="overwrite")
+    assert _rows(versioned.read(spark, path)) == [(100,), (101,), (102,)]
+    v3 = versioned.rollback(spark, path, 1)
+    assert v3 == 3
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(5)]
+    # history is never rewritten: the overwrite stays queryable
+    assert _rows(versioned.read(spark, path, version=2)) == [
+        (100,), (101,), (102,)
+    ]
+
+
+def test_snapshot_isolation_across_overwrite(spark, tmp_path):
+    """A frame resolved at v1 keeps answering v1 even after an
+    overwrite commits — the manifest pinned its files, and the files
+    are immutable."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 10), path)
+    snapshot = versioned.read(spark, path)
+    versioned.commit(spark, _mk(spark, 500, 502), path, mode="overwrite")
+    assert _rows(snapshot) == [(i,) for i in range(10)]  # unaffected
+    assert _rows(versioned.read(spark, path)) == [(500,), (501,)]
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """The CAS arbitration: racing appends must both land (appends
+    commute — losers re-base), and the final version sees both."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    errs = []
+
+    def worker(lo):
+        try:
+            versioned.commit(spark, _mk(spark, lo, lo + 5), path)
+        except Exception as exc:  # pragma: no cover - would fail the test
+            errs.append(exc)
+
+    ts = [threading.Thread(target=worker, args=(lo,)) for lo in (100, 200)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = _rows(versioned.read(spark, path))
+    want = sorted(
+        [(i,) for i in range(5)]
+        + [(i,) for i in range(100, 105)]
+        + [(i,) for i in range(200, 205)]
+    )
+    assert got == want
+    assert [h.version for h in versioned.history(path)] == [1, 2, 3]
+
+
+def test_overwrite_conflict_raises(spark, tmp_path, monkeypatch):
+    """An overwrite based on a state another commit has since replaced
+    must raise, not silently erase the racing commit."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+
+    real = versioned._latest_committed
+    lied = {"done": False}
+
+    def stale_once(p):
+        out = real(p)
+        if not lied["done"]:
+            lied["done"] = True
+            # a commit lands between the overwriter's base load and
+            # its CAS attempt
+            versioned.commit(spark, _mk(spark, 50, 52), path)
+        return out
+
+    monkeypatch.setattr(versioned, "_latest_committed", stale_once)
+    with pytest.raises(versioned.ConflictError, match="conflicts with"):
+        versioned.commit(spark, _mk(spark, 9, 10), path, mode="overwrite")
+    monkeypatch.undo()
+    # the racing append survived untouched
+    assert _rows(versioned.read(spark, path)) == [
+        (i,) for i in list(range(5)) + [50, 51]
+    ]
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
+    """Data files written but never manifested (a committer died
+    before its CAS) are invisible to readers and reclaimed by
+    vacuum; manifested files are untouched."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    # the crash: data lands, no manifest ever commits
+    orphan = f"{path}/data/deadbeefdead"
+    _mk(spark, 900, 905).write.parquet(orphan)
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(5)]
+    removed = versioned.vacuum(path)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(5)]
+
+
+def test_vacuum_keep_versions_bounds_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    versioned.commit(spark, _mk(spark, 10, 12), path, mode="overwrite")
+    versioned.commit(spark, _mk(spark, 20, 22), path)
+    removed = versioned.vacuum(path, keep_versions=2)
+    assert removed  # v1's files are referenced by NO retained version
+    assert [h.version for h in versioned.history(path)] == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        versioned.read(spark, path, version=1)
+    assert _rows(versioned.read(spark, path)) == [(10,), (11,), (20,), (21,)]
+
+
+def test_bodyless_claim_skipped_and_numbering_advances(spark, tmp_path):
+    """A version dir without a manifest body (committer died between
+    CAS and body write) commits nothing, is skipped by readers, and
+    its number is never reused."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 3), path)
+    os.mkdir(os.path.join(path, "_versions", "v0000000002"))  # the corpse
+    assert [h.version for h in versioned.history(path)] == [1]
+    v = versioned.commit(spark, _mk(spark, 3, 6), path)
+    assert v == 3  # skips past the dead claim
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(6)]
+    versioned.vacuum(path)
+    assert not os.path.exists(os.path.join(path, "_versions", "v0000000002"))
