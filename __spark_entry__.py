@@ -394,6 +394,68 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+def _q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE on the versioned table (SURVEY §7.4): upsert
+    a deterministic rebalance snapshot (keys ≡ 3 mod 10 gain 100, one
+    synthetic new key) into a customer table as ONE atomic version,
+    then aggregate — the oracle recomputes the replace-by-key result
+    in plain SQL."""
+    import os
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "customer_versioned_merge")
+    marker = os.path.join(path, "_versions", "v0000000002")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        cust = _load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        )
+        versioned.commit(spark, cust, path)
+        src = cust.filter("c_custkey % 10 = 3").withColumn(
+            "cents", F.col("cents") + 10_000
+        ).unionByName(
+            spark.createDataFrame(
+                [(10_000_000, "BUILDING", 123_456)],
+                "c_custkey long, c_mktsegment string, cents long",
+            )
+        )
+        versioned.merge_into(spark, path, src, ["c_custkey"])
+    return (
+        versioned.read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_MERGE_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+src AS (
+  SELECT c_custkey, c_mktsegment, cents + 10000 AS cents
+  FROM cust WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT CAST(10000000 AS BIGINT), 'BUILDING', CAST(123456 AS BIGINT)),
+merged AS (
+  SELECT * FROM cust
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+  UNION ALL SELECT * FROM src)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged
+GROUP BY c_mktsegment
+"""
+
+
 _VERSIONED_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2475,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time travel, each pinned to the plain-SQL oracle
     out["versioned_latest_orders"] = _q_versioned_latest
     out["versioned_time_travel"] = _q_versioned_time_travel
+    out["versioned_merge_customers"] = _q_versioned_merge
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -2932,6 +2995,7 @@ GROUP BY 1, 2
     out["skew_split_segments"] = _SKEW_SPLIT_ORACLE
     out["versioned_latest_orders"] = _VERSIONED_LATEST_ORACLE
     out["versioned_time_travel"] = _VERSIONED_TT_ORACLE
+    out["versioned_merge_customers"] = _VERSIONED_MERGE_ORACLE
     from integritychecksforvldbs_spark.operators import scd as _scd
     from integritychecksforvldbs_spark.operators import search as _search
 

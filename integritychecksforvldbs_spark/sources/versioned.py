@@ -98,6 +98,7 @@ def commit(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    extra: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     as the table's next version.  Returns the committed version.
@@ -149,6 +150,7 @@ def commit(
         with open(tmp, "w") as f:
             json.dump(
                 {
+                    **(extra or {}),
                     "version": nxt,
                     "mode": mode,
                     "files": files,
@@ -237,6 +239,91 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
         os.replace(tmp, os.path.join(target, _BODY))
         return nxt
     raise ConflictError(f"rollback of {path!r} lost every CAS race")
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    max_retries: int = 5,
+) -> int:
+    """Upsert ``source`` into the table by ``keys`` (matched rows
+    replaced, new rows inserted) as ONE atomic version — the
+    Delta-style ``MERGE`` (SURVEY §7.4) expressed on this format.
+
+    The merge plans against the latest snapshot and commits with
+    ``overwrite``; when a concurrent commit lands first, the
+    resulting :class:`ConflictError` re-bases the WHOLE merge on the
+    new state and retries — optimistic concurrency at merge
+    granularity, so racing merges serialize without locks.  NULL keys
+    upsert like any other key (null-safe equality)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        base = _latest_committed(path)
+        if base is None:
+            return commit(spark, source, path, mode="append")
+        cur = read(spark, path)
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [cur[k].eqNullSafe(source[k]) for k in keys],
+        )
+        merged = cur.join(
+            source.select(*keys), cond, "left_anti"
+        ).unionByName(source)
+        try:
+            return commit(spark, merged, path, mode="overwrite")
+        except ConflictError:
+            continue  # re-base on the racing commit and re-merge
+    raise ConflictError(
+        f"merge_into {path!r} lost {max_retries} overwrite races"
+    )
+
+
+def compact(
+    spark: SparkSession, path: str, n_files: int = 1
+) -> tuple[int, int, int]:
+    """Rewrite the latest snapshot into ``n_files`` files as a new
+    overwrite commit: (version, files_before, files_after).  Old
+    versions keep answering from the old files until ``vacuum``
+    expires them — compaction never breaks time travel."""
+    cur = _latest_committed(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    before = len(cur[1]["files"])
+    v = commit(
+        spark, read(spark, path).coalesce(n_files), path, mode="overwrite"
+    )
+    after = len(_read_manifest(path, v)["files"])
+    return v, before, after
+
+
+def versioned_batch_sink(table_path: str, mode: str = "append"):
+    """``foreachBatch`` writer committing each micro-batch into a
+    versioned table, exactly-once via the version log itself: the
+    ``batch_id`` rides INSIDE the manifest body that the commit CAS
+    installs, so "data visible" and "batch recorded" are one atomic
+    event — a replayed batch whose id already appears in history is a
+    no-op, and there is no separate ledger file whose update could
+    crash apart from the data swap (the window the plain-parquet
+    sinks need ``.bak`` dances for)."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        for v in _versions(table_path):
+            man = _read_manifest(table_path, v)
+            if man is not None and man.get("batch_id") == int(batch_id):
+                return  # replayed batch: already committed
+        if df.isEmpty():
+            return
+        commit(
+            df.sparkSession, df, table_path, mode=mode,
+            extra={"batch_id": int(batch_id)},
+        )
+
+    return write
 
 
 def vacuum(path: str, keep_versions: int | None = None) -> list[str]:

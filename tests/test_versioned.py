@@ -13,7 +13,10 @@ from integritychecksforvldbs_spark.sources import versioned
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
 
 
 def _mk(spark, lo, hi):
@@ -160,3 +163,100 @@ def test_bodyless_claim_skipped_and_numbering_advances(spark, tmp_path):
     assert _rows(versioned.read(spark, path)) == [(i,) for i in range(6)]
     versioned.vacuum(path)
     assert not os.path.exists(os.path.join(path, "_versions", "v0000000002"))
+
+
+def test_merge_into_upserts_atomically(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "n")], "k long, v string"
+    )
+    versioned.commit(spark, base, path)
+    src = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (None, "N")], "k long, v string"
+    )
+    v = versioned.merge_into(spark, path, src, ["k"])
+    assert v == 2
+    assert _rows(versioned.read(spark, path)) == [
+        (1, "a"), (2, "B"), (3, "c"), (None, "N"),
+    ]
+    # the pre-merge state stays time-travelable
+    assert _rows(versioned.read(spark, path, version=1)) == [
+        (1, "a"), (2, "b"), (None, "n"),
+    ]
+
+
+def test_merge_into_rebases_after_conflict(spark, tmp_path, monkeypatch):
+    """A commit racing the merge forces a ConflictError; the merge
+    must re-base on the NEW state and retry, losing neither side."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    real = versioned._latest_committed
+    raced = {"done": False}
+
+    def stale_once(p):
+        out = real(p)
+        if not raced["done"]:
+            raced["done"] = True
+            versioned.commit(
+                spark,
+                spark.createDataFrame([(9, "z")], "k long, v string"),
+                path,
+            )
+        return out
+
+    monkeypatch.setattr(versioned, "_latest_committed", stale_once)
+    versioned.merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(1, "A")], "k long, v string"),
+        ["k"],
+    )
+    monkeypatch.undo()
+    assert _rows(versioned.read(spark, path)) == [(1, "A"), (9, "z")]
+
+
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for lo in (0, 5, 10):
+        versioned.commit(
+            spark, _mk(spark, lo, lo + 5).repartition(3), path
+        )
+    v, before, after = versioned.compact(spark, path, n_files=1)
+    assert before > after == 1
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(15)]
+    # pre-compaction versions still answer
+    assert _rows(versioned.read(spark, path, version=1)) == [
+        (i,) for i in range(5)
+    ]
+
+
+def test_versioned_batch_sink_exactly_once(spark, tmp_path):
+    """Replays are no-ops because the batch id rides inside the
+    committed manifest — one atomic event for data + bookkeeping."""
+    path = str(tmp_path / "tbl")
+    w = versioned.versioned_batch_sink(path)
+    b0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "k long, v string")
+    w(b0, 0)
+    w(b1, 1)
+    w(b1, 1)  # replay after a post-commit crash
+    w(b0, 0)  # late replay of an older batch
+    assert _rows(versioned.read(spark, path)) == [(1, "a"), (2, "b")]
+    assert [h.version for h in versioned.history(path)] == [1, 2]
+
+
+def test_versioned_batch_sink_crash_before_body_retries_cleanly(
+    spark, tmp_path
+):
+    """A commit whose body write died (bodyless version dir) committed
+    NOTHING — the replay must land the batch, not skip it."""
+    path = str(tmp_path / "tbl")
+    w = versioned.versioned_batch_sink(path)
+    w(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+    # simulate the dead committer for batch 1: number claimed, no body
+    os.mkdir(os.path.join(path, "_versions", "v0000000002"))
+    b1 = spark.createDataFrame([(2, "b")], "k long, v string")
+    w(b1, 1)  # the "replay" after that crash
+    assert _rows(versioned.read(spark, path)) == [(1, "a"), (2, "b")]
