@@ -326,13 +326,27 @@ def versioned_batch_sink(table_path: str, mode: str = "append"):
     return write
 
 
-def vacuum(path: str, keep_versions: int | None = None) -> list[str]:
+DEFAULT_VACUUM_MIN_AGE_S = 3600.0
+
+
+def vacuum(
+    path: str,
+    keep_versions: int | None = None,
+    min_age_s: float = DEFAULT_VACUUM_MIN_AGE_S,
+) -> list[str]:
     """Reclaim data files no retained manifest references: crash
-    orphans (written but never committed) always; files visible only
-    in versions OLDER than the last ``keep_versions`` when given
+    orphans (written but never committed); files visible only in
+    versions OLDER than the last ``keep_versions`` when given
     (bounding time-travel depth — the expired manifests are removed
     too, so no reader can resolve a version whose files are gone).
-    Returns the deleted data directories."""
+    Returns the deleted data directories.
+
+    ``min_age_s`` protects IN-FLIGHT commits: a committer that has
+    written its data directory but not yet won the manifest CAS looks
+    exactly like a crash orphan, so unreferenced directories younger
+    than the threshold are left alone (the same retention reasoning
+    behind Delta's VACUUM default).  Lower it only when no commit can
+    be running."""
     hist = [vi.version for vi in history(path)]
     retained = hist if keep_versions is None else hist[-keep_versions:]
     if hist and not retained:
@@ -350,19 +364,37 @@ def vacuum(path: str, keep_versions: int | None = None) -> list[str]:
         dirs = sorted(os.listdir(data_root))
     except FileNotFoundError:
         dirs = []
+    import time
+
+    now = time.time()
     for d in dirs:
         full = os.path.join(data_root, d)
-        if full not in referenced:
-            shutil.rmtree(full)
-            removed.append(full)
+        if full in referenced:
+            continue
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue  # racing removal
+        if age < min_age_s:
+            continue  # possibly an in-flight commit's data — retain
+        shutil.rmtree(full)
+        removed.append(full)
     for v in hist:
         if v not in retained:
             shutil.rmtree(os.path.join(_vdir(path), _vname(v)))
     # bodyless claim dirs from crashed committers: reclaim the number
-    # slots below the latest committed version (a higher bodyless slot
-    # may belong to an IN-FLIGHT commit racing this vacuum)
+    # slots below the latest committed version — age-guarded too (a
+    # slow committer may still be writing its body), and a higher
+    # bodyless slot may belong to an in-flight commit regardless
     top = retained[-1] if retained else 0
     for v in _versions(path):
-        if v < top and _read_manifest(path, v) is None:
-            shutil.rmtree(os.path.join(_vdir(path), _vname(v)))
+        if v >= top or _read_manifest(path, v) is not None:
+            continue
+        vd = os.path.join(_vdir(path), _vname(v))
+        try:
+            if now - os.path.getmtime(vd) < min_age_s:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(vd)
     return removed

@@ -208,6 +208,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--table", required=True)
     p.add_argument("--keep-versions", type=int, default=None)
+    p.add_argument(
+        "--min-age-s", type=float, default=None,
+        help="retain unreferenced data dirs younger than this (an "
+        "in-flight commit's files look like orphans; default 3600)",
+    )
 
     p = sub.add_parser("bm25-search", help="top-k BM25 query")
     p.add_argument("--corpus", default=None, help="direct scan of a corpus")
@@ -419,7 +424,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "versioned-vacuum":
         from .sources import versioned
 
-        removed = versioned.vacuum(args.table, args.keep_versions)
+        kw = {}
+        if args.min_age_s is not None:
+            kw["min_age_s"] = args.min_age_s
+        removed = versioned.vacuum(args.table, args.keep_versions, **kw)
         summary = {"cmd": "versioned-vacuum", "removed_data_dirs": removed}
     elif args.cmd == "bm25-search":
         from .operators.search import bm25_topk, bm25_topk_indexed

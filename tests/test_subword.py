@@ -153,3 +153,31 @@ def test_pack_sequences_with_subword_counts_conserves_tokens(spark, tables):
     for r in bins:
         if r["bin_idx"] < last_bin[r["source"]]:
             assert r["n_tokens"] == L
+
+
+def test_wordpiece_reconstruction_property():
+    """Property: for any word over the vocab's alphabet, joining the
+    pieces (strip ##) reconstructs the word exactly — or the word is
+    [UNK]; and the piece count never exceeds the word length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = frozenset(
+        ["a", "b", "c", "ab", "abc", "##a", "##b", "##c", "##bc", "##ab"]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(word=st.text(alphabet="abcx", min_size=1, max_size=12))
+    def check(word):
+        pieces = subword.wordpiece_tokenize(word, vocab)
+        if pieces == ["[UNK]"]:
+            assert "x" in word  # only the out-of-alphabet char UNKs
+        else:
+            joined = pieces[0] + "".join(p[2:] for p in pieces[1:])
+            assert joined == word
+            assert 1 <= len(pieces) <= len(word)
+            assert all(p.startswith("##") for p in pieces[1:])
+            assert not pieces[0].startswith("##")
+        assert subword.wordpiece_count(word, vocab) == len(pieces)
+
+    check()

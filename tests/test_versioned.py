@@ -131,7 +131,8 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
     orphan = f"{path}/data/deadbeefdead"
     _mk(spark, 900, 905).write.parquet(orphan)
     assert _rows(versioned.read(spark, path)) == [(i,) for i in range(5)]
-    removed = versioned.vacuum(path)
+    assert versioned.vacuum(path) == []  # age guard: in-flight?
+    removed = versioned.vacuum(path, min_age_s=0)
     assert removed == [orphan]
     assert not os.path.exists(orphan)
     assert _rows(versioned.read(spark, path)) == [(i,) for i in range(5)]
@@ -142,7 +143,7 @@ def test_vacuum_keep_versions_bounds_time_travel(spark, tmp_path):
     versioned.commit(spark, _mk(spark, 0, 5), path)
     versioned.commit(spark, _mk(spark, 10, 12), path, mode="overwrite")
     versioned.commit(spark, _mk(spark, 20, 22), path)
-    removed = versioned.vacuum(path, keep_versions=2)
+    removed = versioned.vacuum(path, keep_versions=2, min_age_s=0)
     assert removed  # v1's files are referenced by NO retained version
     assert [h.version for h in versioned.history(path)] == [2, 3]
     with pytest.raises(FileNotFoundError):
@@ -161,7 +162,9 @@ def test_bodyless_claim_skipped_and_numbering_advances(spark, tmp_path):
     v = versioned.commit(spark, _mk(spark, 3, 6), path)
     assert v == 3  # skips past the dead claim
     assert _rows(versioned.read(spark, path)) == [(i,) for i in range(6)]
-    versioned.vacuum(path)
+    versioned.vacuum(path)  # age guard: the dead claim might be in flight
+    assert os.path.exists(os.path.join(path, "_versions", "v0000000002"))
+    versioned.vacuum(path, min_age_s=0)
     assert not os.path.exists(os.path.join(path, "_versions", "v0000000002"))
 
 
