@@ -394,12 +394,10 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
-def _q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-style MERGE on the versioned table (SURVEY §7.4): upsert
-    a deterministic rebalance snapshot (keys ≡ 3 mod 10 gain 100, one
-    synthetic new key) into a customer table as ONE atomic version,
-    then aggregate — the oracle recomputes the replace-by-key result
-    in plain SQL."""
+def _versioned_merge_path(spark: SparkSession, sf_dir: str) -> str:
+    """Two-version customer table (once per process/sf): v1 = the
+    cents-projected customer table, v2 = a deterministic MERGE (keys
+    ≡ 3 mod 10 gain 100 cents·100, one synthetic new key)."""
     import os
 
     from integritychecksforvldbs_spark.sources import versioned
@@ -424,6 +422,18 @@ def _q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         versioned.merge_into(spark, path, src, ["c_custkey"])
+    return path
+
+
+def _q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE on the versioned table (SURVEY §7.4): upsert
+    a deterministic rebalance snapshot (keys ≡ 3 mod 10 gain 100, one
+    synthetic new key) into a customer table as ONE atomic version,
+    then aggregate — the oracle recomputes the replace-by-key result
+    in plain SQL."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_merge_path(spark, sf_dir)
     return (
         versioned.read(spark, path)
         .groupBy("c_mktsegment")
@@ -464,6 +474,53 @@ SELECT o_orderpriority,
 FROM orders
 WHERE o_orderkey % 3 = 0
 GROUP BY o_orderpriority
+"""
+
+
+def _q_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed (Delta-CDF analogue) across the MERGE commit:
+    ``changes(v1→v2)`` surfaces each update as its delete+insert pair
+    and the new key as a lone insert, scanning only the files the
+    manifest diff says changed — the oracle recomputes the multiset
+    row diff with EXCEPT ALL."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_merge_path(spark, sf_dir)
+    return (
+        versioned.changes(spark, path, 1, 2)
+        .groupBy("_change_type", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_CHANGES_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+src AS (
+  SELECT c_custkey, c_mktsegment, cents + 10000 AS cents
+  FROM cust WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT CAST(10000000 AS BIGINT), 'BUILDING', CAST(123456 AS BIGINT)),
+merged AS (
+  SELECT * FROM cust
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+  UNION ALL SELECT * FROM src),
+feed AS (
+  SELECT 'insert' AS _change_type, *
+  FROM (SELECT * FROM merged EXCEPT ALL SELECT * FROM cust)
+  UNION ALL
+  SELECT 'delete' AS _change_type, *
+  FROM (SELECT * FROM cust EXCEPT ALL SELECT * FROM merged))
+SELECT _change_type, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM feed
+GROUP BY _change_type, c_mktsegment
 """
 
 
@@ -2538,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_latest_orders"] = _q_versioned_latest
     out["versioned_time_travel"] = _q_versioned_time_travel
     out["versioned_merge_customers"] = _q_versioned_merge
+    out["versioned_changes_feed"] = _q_versioned_changes
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -2996,6 +3054,7 @@ GROUP BY 1, 2
     out["versioned_latest_orders"] = _VERSIONED_LATEST_ORACLE
     out["versioned_time_travel"] = _VERSIONED_TT_ORACLE
     out["versioned_merge_customers"] = _VERSIONED_MERGE_ORACLE
+    out["versioned_changes_feed"] = _VERSIONED_CHANGES_ORACLE
     from integritychecksforvldbs_spark.operators import scd as _scd
     from integritychecksforvldbs_spark.operators import search as _search
 

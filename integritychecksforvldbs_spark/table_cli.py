@@ -203,6 +203,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, required=True)
 
     p = sub.add_parser(
+        "versioned-changes",
+        help="row-level change feed between two versions (CDF)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--from-version", type=int, required=True,
+        help="base snapshot (exclusive); 0 = from empty",
+    )
+    p.add_argument("--to-version", type=int, default=None)
+
+    p = sub.add_parser(
         "versioned-vacuum",
         help="reclaim unreferenced data files (and optionally old versions)",
     )
@@ -420,6 +431,24 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "cmd": "versioned-rollback", "restored": args.version,
             "as_version": v,
+        }
+    elif args.cmd == "versioned-changes":
+        from .sources import versioned
+
+        feed = versioned.changes(
+            spark, args.table, args.from_version, args.to_version
+        )
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        summary = {
+            "cmd": "versioned-changes",
+            "from_version": args.from_version,
+            "to_version": args.to_version,
+            "inserts": by_type.get("insert", 0),
+            "deletes": by_type.get("delete", 0),
         }
     elif args.cmd == "versioned-vacuum":
         from .sources import versioned

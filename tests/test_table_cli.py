@@ -148,8 +148,15 @@ def test_versioned_cli_roundtrip(spark, tmp_path, capsys):
     assert s["version"] == 2
     s = _run(capsys, "versioned-history", "--table", tbl)
     assert [v["version"] for v in s["versions"]] == [1, 2]
+    s = _run(
+        capsys, "versioned-changes", "--table", tbl, "--from-version", "1",
+        "--to-version", "2",
+    )
+    assert (s["inserts"], s["deletes"]) == (3, 0)
     s = _run(capsys, "versioned-rollback", "--table", tbl, "--version", "1")
     assert s == {"cmd": "versioned-rollback", "restored": 1, "as_version": 3}
+    s = _run(capsys, "versioned-changes", "--table", tbl, "--from-version", "2")
+    assert (s["inserts"], s["deletes"]) == (0, 3)  # rollback undid the append
     from integritychecksforvldbs_spark.sources import versioned
 
     assert versioned.read(spark, tbl).count() == 5

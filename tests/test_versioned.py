@@ -263,3 +263,75 @@ def test_versioned_batch_sink_crash_before_body_retries_cleanly(
     b1 = spark.createDataFrame([(2, "b")], "k long, v string")
     w(b1, 1)  # the "replay" after that crash
     assert _rows(versioned.read(spark, path)) == [(1, "a"), (2, "b")]
+
+
+def _feed(df):
+    return sorted(
+        (r["_change_type"], r["k"]) for r in df.collect()
+    )
+
+
+def test_changes_append_only(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 3), path)
+    versioned.commit(spark, _mk(spark, 10, 12), path)
+    # from empty = full initial load
+    assert _feed(versioned.changes(spark, path, 0, 1)) == [
+        ("insert", 0), ("insert", 1), ("insert", 2)
+    ]
+    # from v1 to latest = only the appended rows
+    assert _feed(versioned.changes(spark, path, 1)) == [
+        ("insert", 10), ("insert", 11)
+    ]
+    # no-op span
+    assert versioned.changes(spark, path, 2, 2).count() == 0
+
+
+def test_changes_merge_is_delete_insert_pairs(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    versioned.commit(spark, df, path)
+    src = spark.createDataFrame([(1, "B"), (9, "z")], "k long, v string")
+    versioned.merge_into(spark, path, src, ["k"])
+    feed = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in versioned.changes(spark, path, 1, 2).collect()
+    )
+    # update = delete old + insert new; untouched rows rewritten by the
+    # overwrite cancel in the multiset diff
+    assert feed == [
+        ("delete", 1, "b"), ("insert", 1, "B"), ("insert", 9, "z")
+    ]
+
+
+def test_changes_compaction_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 50).repartition(8), path)
+    v, before, after = versioned.compact(spark, path, n_files=1)
+    assert before > after
+    # identical rows, new files: the change feed is EMPTY
+    assert versioned.changes(spark, path, 1, v).count() == 0
+
+
+def test_changes_duplicate_rows_multiset(spark, tmp_path):
+    """exceptAll is multiset: going 2→1 copies of a duplicate row
+    surfaces exactly one delete."""
+    path = str(tmp_path / "tbl")
+    dup = spark.createDataFrame([(7,), (7,), (8,)], "k long")
+    versioned.commit(spark, dup, path)
+    versioned.commit(
+        spark, spark.createDataFrame([(7,), (8,)], "k long"), path,
+        mode="overwrite",
+    )
+    assert _feed(versioned.changes(spark, path, 1, 2)) == [("delete", 7)]
+
+
+def test_changes_errors(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 3), path)
+    with pytest.raises(FileNotFoundError):
+        versioned.changes(spark, path, 0, 99)
+    with pytest.raises(ValueError):
+        versioned.changes(spark, path, 1, 0)
