@@ -477,6 +477,20 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned format bound as a Spark Python Data Source
+    (sources/versioned_datasource.py): ``format("versioned")`` with a
+    time-travel option resolves the same manifest the native reader
+    does, so AS-OF v1 must equal the time-travel oracle exactly."""
+    from integritychecksforvldbs_spark.sources import versioned_datasource
+
+    versioned_datasource.register(spark)
+    path = _versioned_orders_path(spark, sf_dir)
+    return _orders_priority_agg(
+        spark.read.format("versioned").option("version", 1).load(path)
+    )
+
+
 def _q_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data feed (Delta-CDF analogue) across the MERGE commit:
     ``changes(v1→v2)`` surfaces each update as its delete+insert pair
@@ -2596,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_time_travel"] = _q_versioned_time_travel
     out["versioned_merge_customers"] = _q_versioned_merge
     out["versioned_changes_feed"] = _q_versioned_changes
+    out["versioned_pyds_time_travel"] = _q_versioned_pyds
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -3055,6 +3070,7 @@ GROUP BY 1, 2
     out["versioned_time_travel"] = _VERSIONED_TT_ORACLE
     out["versioned_merge_customers"] = _VERSIONED_MERGE_ORACLE
     out["versioned_changes_feed"] = _VERSIONED_CHANGES_ORACLE
+    out["versioned_pyds_time_travel"] = _VERSIONED_TT_ORACLE
     from integritychecksforvldbs_spark.operators import scd as _scd
     from integritychecksforvldbs_spark.operators import search as _search
 

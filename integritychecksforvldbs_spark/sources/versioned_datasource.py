@@ -1,0 +1,228 @@
+"""Spark Python Data Source binding for versioned tables — the
+format registered as ``spark.read.format("versioned")`` and, the part
+no batch API covers, ``spark.readStream.format("versioned")``: an
+incremental source whose STREAMING OFFSETS ARE TABLE VERSIONS.
+
+The reference consumes its own state tables by polling and diffing
+(DatabaseIntegrityCheck.sql re-reads dbo.CommandLog each round); a
+versioned table already carries the better primitive — an immutable,
+numbered manifest log — so a streaming reader needs no extra
+bookkeeping: offset ``{"version": N}`` means "everything up to
+manifest N has been emitted", a micro-batch (start, end] is exactly
+the data files that ENTERED the visible set across those manifests,
+and Spark's checkpoint makes redelivery impossible.  Paired with
+:func:`~.versioned.versioned_batch_sink` on the write side this gives
+exactly-once versioned→versioned pipelines end to end.
+
+Append-only contract: a streaming feed cannot express deletions, so
+``partitions()`` refuses a range containing overwrite/rollback
+commits (the same stance Delta's streaming source takes) — consumers
+of mutating tables use :func:`~.versioned.changes` in batch.
+
+Rows cross into Spark as Arrow RecordBatches read by pyarrow per
+data file (one :class:`InputPartition` per file, so a 1000-file
+backlog fans out across the cluster); the BATCH path of this format
+is also provided for API completeness, but ``versioned.read()``
+plans a native JVM parquet scan and is the right batch entry point —
+the docstring-level rule "UDF rows are the slow path" applies to
+Python data sources equally.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from integritychecksforvldbs_spark.sources.versioned import (
+    _latest_committed,
+    _read_manifest,
+)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+def _arrow_schema(files: list[str]):
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(files[0])
+
+
+def _spark_schema(files: list[str]) -> StructType:
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructField
+
+    inferred = from_arrow_schema(_arrow_schema(files))
+    # Spark's native parquet scan reports every column nullable
+    # regardless of footer required-ness; match it so format parity
+    # (and unions with native reads) hold
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in inferred.fields]
+    )
+
+
+def _local(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def _read_file_batches(path: str) -> Iterator:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(_local(path))
+    try:
+        yield from pf.iter_batches()
+    finally:
+        pf.close()
+
+
+class _VersionedBatchReader(DataSourceReader):
+    def __init__(self, path: str, version: int | None):
+        if version is None:
+            cur = _latest_committed(path)
+            if cur is None:
+                raise FileNotFoundError(
+                    f"no committed version under {path!r}"
+                )
+            self.files = cur[1]["files"]
+        else:
+            man = _read_manifest(path, version)
+            if man is None:
+                raise FileNotFoundError(
+                    f"version {version} of {path!r} not found"
+                )
+            self.files = man["files"]
+
+    def partitions(self):
+        return [_FilePartition(f) for f in self.files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_batches(partition.path)
+
+
+class _VersionedStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, starting_version: int):
+        self.path = path
+        self.starting_version = starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        cur = _latest_committed(self.path)
+        return {"version": cur[0] if cur else 0}
+
+    def _files_between(self, start_v: int, end_v: int) -> list[str]:
+        """Data files entering the visible set across (start_v,
+        end_v], refusing non-append commits.  Bodyless version slots
+        (crashed committers) hold a number but commit nothing and are
+        skipped, matching every other reader of the log."""
+        seen: set[str] = set()
+        if start_v > 0:
+            base = _read_manifest(self.path, start_v)
+            if base is None:
+                raise FileNotFoundError(
+                    f"offset version {start_v} of {self.path!r} vanished "
+                    "(vacuumed past the stream's checkpoint?)"
+                )
+            seen = set(base["files"])
+        out: list[str] = []
+        for v in range(start_v + 1, end_v + 1):
+            man = _read_manifest(self.path, v)
+            if man is None:
+                continue
+            mode = man.get("mode", "")
+            if mode != "append":
+                raise ValueError(
+                    f"streaming read of {self.path!r} hit a "
+                    f"non-append commit v{v} ({mode}); a stream cannot "
+                    "replay deletions — consume mutating tables with "
+                    "versioned.changes() in batch"
+                )
+            for f in man["files"]:
+                if f not in seen:
+                    seen.add(f)
+                    out.append(f)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files_between(
+            int(start["version"]), int(end["version"])
+        )
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file_batches(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint is the ledger; nothing to release
+
+
+class VersionedDataSource(DataSource):
+    """``format("versioned")`` — options:
+
+    - ``path`` (required): versioned-table root
+    - ``version`` (batch only): time-travel target
+    - ``startingVersion`` (stream only, default 0): base offset,
+      exclusive — 0 replays the table from its first commit
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("format('versioned') requires .load(path)")
+        return _local(p)
+
+    def schema(self) -> StructType:
+        path = self._path()
+        v = self.options.get("version")
+        if v is not None:
+            man = _read_manifest(path, int(v))
+            if man is None:
+                raise FileNotFoundError(
+                    f"version {v} of {path!r} not found"
+                )
+            files = man["files"]
+        else:
+            cur = _latest_committed(path)
+            if cur is None:
+                raise FileNotFoundError(
+                    f"no committed version under {path!r}"
+                )
+            files = cur[1]["files"]
+        if not files:
+            raise ValueError(f"cannot infer schema of empty {path!r}")
+        return _spark_schema(files)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        v = self.options.get("version")
+        return _VersionedBatchReader(
+            self._path(), int(v) if v is not None else None
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        start = int(self.options.get("startingVersion", 0))
+        return _VersionedStreamReader(self._path(), start)
+
+
+def register(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` of the format."""
+    spark.dataSource.register(VersionedDataSource)
+
+
+__all__ = ["VersionedDataSource", "register"]

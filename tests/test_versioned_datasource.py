@@ -1,0 +1,138 @@
+"""Python Data Source binding for versioned tables
+(sources/versioned_datasource.py): batch format parity with
+versioned.read, and the streaming reader whose offsets are table
+versions — incremental delivery, checkpoint restart, append-only
+contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+from integritychecksforvldbs_spark.sources import versioned_datasource as vds
+
+
+@pytest.fixture()
+def registered(spark):
+    vds.register(spark)
+    return spark
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _ks(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_batch_format_matches_native_read(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 10), path)
+    versioned.commit(spark, _mk(spark, 10, 15), path)
+    got = spark.read.format("versioned").load(path)
+    assert got.schema == versioned.read(spark, path).schema
+    assert _ks(got) == list(range(15))
+    # time travel through the format option
+    v1 = spark.read.format("versioned").option("version", 1).load(path)
+    assert _ks(v1) == list(range(10))
+
+
+def test_stream_delivers_each_commit_once(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+
+    def run():
+        (
+            spark.readStream.format("versioned").load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    assert _ks(spark.read.parquet(out)) == list(range(5))
+    # two more commits land; a restarted stream emits ONLY them —
+    # the checkpointed offset is the manifest version
+    versioned.commit(spark, _mk(spark, 5, 8), path)
+    versioned.commit(spark, _mk(spark, 8, 9), path)
+    run()
+    assert _ks(spark.read.parquet(out)) == list(range(9))
+    # idle restart: nothing new, nothing re-emitted
+    run()
+    assert _ks(spark.read.parquet(out)) == list(range(9))
+
+
+def test_stream_starting_version_skips_backlog(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    versioned.commit(spark, _mk(spark, 5, 7), path)
+    out = str(tmp_path / "out")
+    (
+        spark.readStream.format("versioned")
+        .option("startingVersion", 1)
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert _ks(spark.read.parquet(out)) == [5, 6]
+
+
+def test_stream_refuses_overwrite_commits(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    versioned.commit(spark, _mk(spark, 100, 102), path, mode="overwrite")
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException) as ei:
+        (
+            spark.readStream.format("versioned").load(path)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    assert "non-append commit" in str(ei.value)
+
+
+def test_versioned_to_versioned_exactly_once(registered, tmp_path):
+    """End-to-end: versioned streaming source → versioned_batch_sink.
+    Replaying the whole pipeline re-delivers nothing: the source's
+    checkpoint offset and the sink's batch_id-in-manifest are both
+    idempotence ledgers."""
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    versioned.commit(spark, _mk(spark, 0, 4), src)
+
+    def run():
+        (
+            spark.readStream.format("versioned").load(src)
+            .writeStream.foreachBatch(versioned.versioned_batch_sink(dst))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    versioned.commit(spark, _mk(spark, 4, 6), src)
+    run()
+    run()  # idle replay
+    assert _ks(versioned.read(spark, dst)) == list(range(6))
