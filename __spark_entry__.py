@@ -2716,6 +2716,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation.content_defined_chunks(_load(spark, sf, "documents"))
     )
 
+    # C4-style cross-corpus duplicated-span removal: 4-token chunks,
+    # drop every occurrence seen in >= 2 distinct docs, report
+    # survival per doc-bucket
+    def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+        chunks = curation.token_chunks(
+            _load(spark, sf, "documents"), chunk_size=4
+        )
+        kept = curation.dedup_spans(
+            chunks, span_col="chunk_text", doc_col="doc_id",
+            min_dup_docs=2,
+        )
+        return kept.groupBy(
+            (F.col("doc_id") % 16).cast("long").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("kept_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+
+    out["curation_span_dedup"] = _q_span_dedup
+
     # Bloom-skipped point lookups over a key-sorted orders mirror;
     # union of 4 probes, equality proven against a plain WHERE IN
     def _q_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
@@ -3130,6 +3151,9 @@ FROM orders WHERE o_orderkey % 10 = 7
     out["curation_cdc_chunks"] = curation.content_defined_chunks_oracle()
     out["curation_span_decontaminate"] = curation.decontaminate_spans_oracle(
         n=3
+    )
+    out["curation_span_dedup"] = curation.span_dedup_oracle(
+        chunk_size=4, min_dup_docs=2, buckets=16
     )
     _HALF_COPY_DOCS_SQL = (
         "(SELECT doc_id, text FROM documents "

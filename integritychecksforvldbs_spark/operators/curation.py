@@ -1150,6 +1150,125 @@ def content_chunk_dedup(
 
 
 # ---------------------------------------------------------------------------
+# cross-corpus duplicated-span removal (C4 / CCNet line dedup)
+# ---------------------------------------------------------------------------
+
+def dedup_spans(
+    spans: DataFrame,
+    span_col: str = "chunk_text",
+    doc_col: str = "doc_id",
+    min_dup_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Drop every occurrence of a span appearing in ``min_dup_docs``
+    or more DISTINCT documents — the C4 duplicated-three-sentence-span
+    rule / CCNet paragraph dedup, generalized over any row-per-span
+    frame (lines, sentences, fixed chunks, CDC chunks).  Cross-doc
+    repetition is the memorization-relevant signal, so the threshold
+    counts documents, not occurrences; spans shorter than
+    ``min_chars`` (separator residue, empty lines) never participate
+    and always survive.
+
+    Scale shape: one hash groupBy over the span stream to find the
+    duplicated set, then a left_anti join keyed on the span text —
+    both shuffle the SPANS, never the documents, and the duplicated
+    set that actually flows into the join is the (far smaller)
+    distinct-duplicated projection."""
+    dup = (
+        spans.filter(F.length(span_col) >= min_chars)
+        .groupBy(span_col)
+        .agg(F.countDistinct(doc_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_dup_docs)
+        .select(span_col)
+    )
+    return spans.join(dup, on=span_col, how="left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_dup_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated lines removed
+    (:func:`dedup_spans` over ``sep``-split lines, then an in-order
+    rebuild).  Documents whose every line was removed come back with
+    empty text — dropping them is the caller's policy decision.
+    Position order is restored by sorting (pos, line) structs, so the
+    collect_list's nondeterministic arrival order never shows."""
+    import re as _re
+
+    other = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *other,
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("_pos", "_line"),
+    )
+    kept = dedup_spans(
+        lines, span_col="_line", doc_col=id_col,
+        min_dup_docs=min_dup_docs, min_chars=min_chars,
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt.withColumnRenamed(text_col, "_rebuilt"), id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .drop("_rebuilt")
+    )
+
+
+def span_dedup_oracle(
+    table: str = "documents",
+    chunk_size: int = 4,
+    min_dup_docs: int = 2,
+    buckets: int = 16,
+) -> str:
+    """DuckDB oracle for the gate query: fixed-size chunks (the
+    :func:`token_chunks` construction) → :func:`dedup_spans` →
+    per-bucket survival aggregate."""
+    c = chunk_size
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM {table}),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) + {c - 1}) // {c})) AS chunk_idx
+  FROM t WHERE len(toks) > 0),
+ch AS (
+  SELECT doc_id,
+         CAST(LEAST({c}, len(toks) - chunk_idx * {c}) AS BIGINT)
+           AS n_chunk_tokens,
+         array_to_string(toks[chunk_idx * {c} + 1 : chunk_idx * {c} + {c}],
+                         ' ') AS chunk_text
+  FROM e),
+dup AS (
+  SELECT chunk_text FROM ch
+  WHERE length(chunk_text) >= 1
+  GROUP BY chunk_text
+  HAVING COUNT(DISTINCT doc_id) >= {min_dup_docs})
+SELECT CAST(doc_id % {buckets} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS kept_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch
+WHERE chunk_text NOT IN (SELECT chunk_text FROM dup)
+GROUP BY doc_id % {buckets}
+"""
+
+
+# ---------------------------------------------------------------------------
 # span-level decontamination (surgical redaction)
 # ---------------------------------------------------------------------------
 

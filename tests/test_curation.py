@@ -170,3 +170,71 @@ def test_token_chunks_reassemble_fixture(docs):
         .count()
     )
     assert bad == 0
+
+
+def test_line_dedup_removes_cross_doc_lines_preserving_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nshared boilerplate\nunique two"),
+            (2, "shared boilerplate\nonly in two"),
+            (3, "only in three\n\nshared boilerplate"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curation.line_dedup(df, min_dup_docs=2).collect()
+    }
+    # the shared line vanishes everywhere; survivors keep their order,
+    # and doc 3's empty line (below min_chars) is untouched
+    assert out == {
+        1: "unique one\nunique two",
+        2: "only in two",
+        3: "only in three\n",
+    }
+
+
+def test_line_dedup_fully_duplicated_doc_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curation.line_dedup(df, min_dup_docs=2).collect()
+    }
+    assert out == {1: "", 2: "", 3: "other"}
+
+
+def test_line_dedup_threshold_counts_docs_not_occurrences(spark):
+    # the repeated line lives in ONE doc only: with min_dup_docs=2 it
+    # survives (cross-doc repetition is the signal, not within-doc)
+    df = spark.createDataFrame(
+        [(1, "again\nagain"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curation.line_dedup(df, min_dup_docs=2).collect()
+    }
+    assert out == {1: "again\nagain", 2: "solo"}
+
+
+def test_dedup_spans_matches_duckdb_on_fixture(docs):
+    """Cross-engine: chunk-level span dedup counts equal DuckDB's
+    EXCEPT-style recomputation on the sf fixture."""
+    import duckdb
+
+    chunks = curation.token_chunks(docs, chunk_size=4)
+    kept = curation.dedup_spans(chunks, min_dup_docs=2)
+    got = kept.count()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = con.execute(
+        "SELECT SUM(n_kept_chunks) FROM ("
+        + curation.span_dedup_oracle(chunk_size=4, min_dup_docs=2)
+        + ")"
+    ).fetchone()[0]
+    assert got == want
