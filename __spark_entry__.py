@@ -2536,6 +2536,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_volume_anomalies"] = lambda spark, sf: analytics.volume_anomalies(
         _load(spark, sf, "events")
     )
+    # strict-progression conversion funnel (view -> click -> purchase),
+    # per-user sorted-array fold == the oracle's sequential min-chain
+    out["events_conversion_funnel"] = lambda spark, sf: (
+        analytics.conversion_funnel(
+            _load(spark, sf, "events"), ["view", "click", "purchase"]
+        )
+    )
     # freshness summary + late-data volume share the per-event_type
     # grain → one joined gate (variants stay registered past the cap)
     def _q_freshness_suite(spark: SparkSession, sf: str) -> DataFrame:
@@ -3131,6 +3138,9 @@ FROM ({_scd2_inner})
         ["text", "lang", "source", "n_chars"],
     )
     out["events_volume_anomalies"] = analytics.volume_anomalies_oracle()
+    out["events_conversion_funnel"] = analytics.conversion_funnel_oracle(
+        ["view", "click", "purchase"]
+    )
     out["events_retention_cohorts"] = analytics.retention_cohorts_oracle()
     out["events_rolling_active"] = analytics.rolling_active_users_oracle()
     _cdc_changes_sql = """

@@ -191,3 +191,113 @@ FROM (
   FROM hourly
 )
 """
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    buckets: int = 8,
+) -> DataFrame:
+    """Strict-progression conversion funnel: per user, step i counts
+    as reached only by an event of type ``steps[i]`` STRICTLY LATER
+    than the time step i-1 was reached (earliest qualifying event
+    wins).  Returns (step_idx, step, bucket, n_users) — distinct
+    users reaching each step, split over ``user_id % buckets`` so the
+    result carries per-cohort signal, not three scalars.
+
+    Strict ordering makes the fold deterministic under timestamp
+    ties: a candidate must be strictly later than its predecessor, so
+    it is always scanned after the predecessor's slot is set, and the
+    result equals the sequential min-chain (the oracle's k CTEs)
+    regardless of tie-breaking within a timestamp.
+
+    Scale shape: events are filtered to the step types BEFORE the one
+    groupBy, so the per-user array holds only funnel-relevant events;
+    the fold over the sorted array is row-local (no per-step
+    self-join chain, whose k shuffles this replaces).  The funnel
+    report is a |steps|×|buckets|-row aggregate."""
+    if len(steps) != len(set(steps)):
+        # duplicate step types would let one event's scan fill two
+        # slots in ways the min-chain oracle cannot express
+        raise ValueError(f"steps must be distinct, got {steps}")
+    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    k = len(steps)
+    per_user = (
+        events.filter(
+            F.col(user_col).isNotNull()
+            & F.col(type_col).isin(list(steps))
+        )
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.expr(
+                f"""
+            aggregate(
+              array_sort(collect_list(struct({ts_col} AS ts,
+                                             {type_col} AS et))),
+              CAST(array_repeat(NULL, {k}) AS array<timestamp>),
+              (acc, e) -> transform(acc, (x, i) ->
+                CASE
+                  WHEN x IS NOT NULL THEN x
+                  WHEN e.et = element_at(array({steps_sql}), i + 1)
+                       AND (i = 0 OR (element_at(acc, i) IS NOT NULL
+                                      AND e.ts > element_at(acc, i)))
+                  THEN e.ts
+                END))
+            """
+            ).alias("times")
+        )
+    )
+    step_map = F.array(*[F.lit(s) for s in steps])
+    reached = per_user.select(
+        "user_id",
+        F.posexplode("times").alias("step_idx", "t"),
+    ).filter(F.col("t").isNotNull())
+    return (
+        reached.groupBy(
+            F.col("step_idx").cast("long").alias("step_idx"),
+            (F.col("user_id") % buckets).cast("long").alias("bucket"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .withColumn(
+            "step", F.element_at(step_map, F.col("step_idx").cast("int") + 1)
+        )
+        .select("step_idx", "step", "bucket", "n_users")
+    )
+
+
+def conversion_funnel_oracle(
+    steps: list[str], table: str = "events", buckets: int = 8
+) -> str:
+    """Sequential min-chain: step i's time = MIN event of its type
+    strictly after step i-1's time — k CTEs, one per step."""
+    ctes = []
+    for i, s in enumerate(steps):
+        sq = s.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT user_id, MIN(ts) AS t0 FROM {table} "
+                f"WHERE event_type = '{sq}' AND user_id IS NOT NULL "
+                f"GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t{i} "
+                f"FROM {table} e JOIN s{i - 1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{sq}' AND e.ts > p.t{i - 1} "
+                f"GROUP BY e.user_id)"
+            )
+    selects = []
+    for i, s in enumerate(steps):
+        sq = s.replace("'", "''")
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step_idx, '{sq}' AS step, "
+            f"CAST(user_id % {buckets} AS BIGINT) AS bucket, "
+            f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            f"FROM s{i} GROUP BY user_id % {buckets}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )

@@ -84,3 +84,57 @@ def test_null_types_excluded_everywhere(ev):
     assert all(r["event_type"] is not None for r in ret)
     anom = analytics.volume_anomalies(ev).collect()
     assert all(r["event_type"] is not None for r in anom)
+
+
+def _funnel(spark, rows, steps=("view", "click", "purchase")):
+    from integritychecksforvldbs_spark.operators.analytics import (
+        conversion_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{s:02d}", t) for u, s, t in rows],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = conversion_funnel(df, list(steps), buckets=1)
+    return {r["step"]: r["n_users"] for r in out.collect()}
+
+
+def test_conversion_funnel_strict_order(spark):
+    # u1 converts fully; u2 clicks BEFORE viewing (click not counted,
+    # so no purchase chain either); u3 stops at click
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (2, 0, "click"), (2, 1, "view"), (2, 2, "purchase"),
+        (3, 0, "view"), (3, 1, "click"),
+    ]
+    got = _funnel(spark, rows)
+    # u2: view@1 then purchase@2 but no click after the view
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_conversion_funnel_tie_is_not_progression(spark):
+    # click at the SAME second as the view: strictly-later fails
+    rows = [(1, 0, "view"), (1, 0, "click")]
+    got = _funnel(spark, rows)
+    assert got == {"view": 1}
+
+
+def test_conversion_funnel_earliest_qualifying_wins(spark):
+    # two clicks after the view; the purchase lands between them —
+    # the EARLIER click anchors, so the purchase converts
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 3, "click"),
+        (1, 2, "purchase"),
+    ]
+    got = _funnel(spark, rows)
+    assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_conversion_funnel_rejects_duplicate_steps(spark):
+    from integritychecksforvldbs_spark.operators.analytics import (
+        conversion_funnel,
+    )
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        conversion_funnel(df, ["view", "click", "view"])
