@@ -2028,6 +2028,7 @@ JOIN ({text.lm_transition_surprise_oracle(table=_AUG_DOCS_SQL)}) s
 """
 
 
+_EPOCH_RATES = {"src0": 2400, "src1": 500, "src2": 0}
 _STRATA = {"en": 500, "de": 250, "fr": 100}
 
 
@@ -3011,6 +3012,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         val_per_mille=100,
         test_per_mille=100,
     )
+    # seeded deterministic global shuffle (training export order)
+    out["sample_training_order"] = lambda spark, sf: sampling.training_order(
+        _load(spark, sf, "documents").select("doc_id", "source"), seed=7
+    )
+    # fractional-epoch upsampling: 2.4 epochs of src0, half of src1,
+    # src2 dropped, everything else exactly once
+    out["sample_upsample_epochs"] = lambda spark, sf: sampling.upsample_epochs(
+        _load(spark, sf, "documents").select("doc_id", "source"),
+        _EPOCH_RATES,
+    )
     return out
 
 
@@ -3337,5 +3348,11 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
             test_per_mille=100,
         )
         + ") t"
+    )
+    out["sample_training_order"] = sampling.training_order_oracle(
+        "(SELECT doc_id, source FROM documents) d", seed=7
+    )
+    out["sample_upsample_epochs"] = sampling.upsample_epochs_oracle(
+        _EPOCH_RATES, table="(SELECT doc_id, source FROM documents) d"
     )
     return out

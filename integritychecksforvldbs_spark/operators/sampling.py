@@ -150,3 +150,97 @@ def split_assign_oracle(
         f"WHEN {b} < {val_per_mille + test_per_mille} THEN 'test' "
         f"ELSE 'train' END AS split FROM {table}"
     )
+
+
+def training_order(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Seeded deterministic global shuffle for training-data export:
+    every row gets ``shuffle_key = md5(seed || ':' || id)`` and the
+    frame is sorted by it — a reproducible pseudorandom order that is
+    identical across runs, partitionings, and engines (md5 is the
+    portable hash, as everywhere in this module), and decorrelated
+    between seeds, so epoch N re-exports with seed N.
+
+    Scale shape: a global sort is a range-partitioned exchange (Spark
+    samples key quantiles, no single-partition gather); the key is a
+    pure projection.  Writers preserve the order per output file and
+    name files by partition index, so a sequential reader of the
+    sorted export replays the exact order."""
+    key = F.md5(
+        F.concat(
+            F.lit(str(seed)), F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    return df.withColumn("shuffle_key", key).orderBy("shuffle_key")
+
+
+def training_order_oracle(
+    table: str = "documents", id_col: str = "doc_id", seed: int = 0
+) -> str:
+    return (
+        f"SELECT *, md5('{seed}' || ':' || CAST({id_col} AS VARCHAR)) "
+        f"AS shuffle_key FROM {table} ORDER BY shuffle_key"
+    )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    epochs_per_mille: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_per_mille: int = 1000,
+) -> DataFrame:
+    """Fractional-epoch upsampling — realize mixture weights like
+    "2.4 epochs of wiki" exactly: a row in a stratum rated e‰ emits
+    ``e DIV 1000`` full copies, plus one more iff its bucket-of-1000
+    falls under ``e MOD 1000`` (the same deterministic md5 bucket the
+    samplers use, so the fractional epoch is reproducible
+    row-for-row and disjoint sub-corpora stay disjoint).  Copies are
+    tagged ``epoch_idx`` (0-based) so a downstream
+    :func:`training_order` with per-epoch seeds interleaves them.
+
+    Row-local explode (no shuffle); rates of 0 drop the stratum
+    (``sequence`` must be guarded — Spark's sequence(0,-1) DESCENDS
+    rather than returning empty)."""
+    for k, v in epochs_per_mille.items():
+        if v < 0:
+            raise ValueError(f"negative epoch rate for {k!r}: {v}")
+    rate = F.lit(default_per_mille)
+    for k, v in sorted(epochs_per_mille.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    bucket = F.expr(_bucket_expr_spark(id_col, 1000))
+    n = (rate / 1000).cast("int") + F.when(
+        bucket < rate % 1000, F.lit(1)
+    ).otherwise(F.lit(0))
+    idxs = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch_idx", F.explode(idxs)).withColumn(
+        "epoch_idx", F.col("epoch_idx").cast("long")
+    )
+
+
+def upsample_epochs_oracle(
+    epochs_per_mille: dict[str, int],
+    table: str = "documents",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_per_mille: int = 1000,
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {v}"
+        for k, v in sorted(epochs_per_mille.items())
+    )
+    b = _bucket_expr_duckdb(id_col, 1000)
+    return f"""
+WITH rated AS (
+  SELECT *,
+         (CASE {cases} ELSE {default_per_mille} END) // 1000
+         + CASE WHEN {b} < (CASE {cases} ELSE {default_per_mille} END) % 1000
+                THEN 1 ELSE 0 END AS _n
+  FROM {table})
+SELECT * EXCLUDE (_n, _e), CAST(_e AS BIGINT) AS epoch_idx
+FROM (SELECT *, unnest(range(0, _n)) AS _e FROM rated)
+"""

@@ -107,3 +107,48 @@ def test_split_assign_partitions_and_is_stable(tables, duck):
 
     with _pytest.raises(ValueError, match="room for train"):
         S.split_assign(docs, val_per_mille=600, test_per_mille=500)
+
+
+def test_training_order_reproducible_and_seed_divergent(docs):
+    from integritychecksforvldbs_spark.operators.sampling import (
+        training_order,
+    )
+
+    a = [r["doc_id"] for r in training_order(docs, seed=1).collect()]
+    b = [r["doc_id"] for r in training_order(docs, seed=1).collect()]
+    c = [r["doc_id"] for r in training_order(docs, seed=2).collect()]
+    assert a == b  # same seed: byte-identical order
+    assert a != c  # different seed: different permutation
+    assert sorted(a) == sorted(c)  # …of the same corpus
+
+
+def test_upsample_epochs_copy_counts(spark):
+    from integritychecksforvldbs_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w" if i % 2 == 0 else "x") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = upsample_epochs(
+        df, {"w": 3000, "x": 250}, default_per_mille=1000
+    )
+    rows = out.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in rows}
+    # w: exactly 3 copies of all 100; x: ~25% of 100, deterministic
+    assert got["w"] == 300
+    assert 10 <= got["x"] <= 40
+    # epoch_idx is dense per row: every copy 0..n-1 present
+    w_idx = sorted(
+        r["epoch_idx"]
+        for r in out.filter("source = 'w' AND doc_id = 0").collect()
+    )
+    assert w_idx == [0, 1, 2]
+    # rate 0 drops; rerun is identical (determinism)
+    assert upsample_epochs(df, {"w": 0, "x": 0}).count() == 0
+    again = {r["source"]: r["count"]
+             for r in upsample_epochs(
+                 df, {"w": 3000, "x": 250}
+             ).groupBy("source").count().collect()}
+    assert again == got
