@@ -12,13 +12,14 @@ Spark-side mechanics are real and tested: Arrow-batched
 touch payload bytes), metadata-only operators as pure JVM expressions
 (frame sampling, byte stats), and stable output schemas.
 
-**Decoding**: P6/PPM and PNG images decode for REAL (pure
-numpy/stdlib-zlib — header parse, CRC verification, filter
-reconstruction, pixel array, channel/luminance statistics; corruption
-raises ValueError).  Other image formats decode through PIL when it
-is importable; without it — and for audio/video, which need
-torchaudio/pyav regardless — ``decode=\"real\"`` raises a documented
-``ValueError``, which IS the API contract for an unavailable decoder.
+**Decoding**: P6/PPM and PNG images AND RIFF/WAV PCM audio decode for
+REAL (pure numpy + stdlib zlib/wave — header parse, CRC verification,
+filter reconstruction, pixel/sample arrays, channel/luminance or
+RMS/zero-crossing statistics; corruption raises ValueError).  Other
+image formats decode through PIL when it is importable; without it —
+and for compressed audio / video, which need torchaudio/pyav —
+``decode=\"real\"`` raises a documented ``ValueError``, which IS the
+API contract for an unavailable decoder.
 ``decode=\"fake\"`` (the default) derives deterministic pseudo-
 features from payload bytes so the full pipeline is exercisable on
 arbitrary payloads.  Swapping in a fuller decoder changes ONE
@@ -325,6 +326,89 @@ def decode_png(payload: bytes):
     return w, h, np.ascontiguousarray(rgb)
 
 
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Serialize int16 mono samples as a RIFF/WAVE PCM payload via
+    stdlib ``wave`` — the self-contained audio format the real decode
+    path handles without torchaudio.  Test/fixture utility."""
+    import io
+    import wave
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Stdlib WAV/PCM decoder: returns (sample_rate, samples) with
+    samples a float64 array in [-1, 1] (multi-channel input is
+    down-mixed by mean).  8/16/32-bit integer PCM; raises ValueError
+    on malformed, truncated, or compressed payloads — corruption
+    surfaces, never masks."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            sr = wf.getframerate()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"malformed wav payload: {exc}") from exc
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported wav sample width {width}")
+    if len(raw) < n * nch * width:
+        raise ValueError(
+            f"truncated wav body: {len(raw)} bytes for "
+            f"{n} frames x {nch} ch x {width} B"
+        )
+    a = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        a = (a - 128.0) / 128.0  # 8-bit PCM is unsigned
+    else:
+        a = a / float(2 ** (8 * width - 1))
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1)
+    return sr, a
+
+
+def _audio_features(sr: int, samples, feature_dim: int):
+    """Audio features from decoded PCM: duration, RMS, zero-crossing
+    rate, peak, and a 12-slice energy profile — 16 floats,
+    deterministic, decoder-agnostic (same samples → same features
+    regardless of container; test-pinned)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.size == 0:
+        return [0.0] * feature_dim
+    zc = float(np.mean(np.abs(np.diff(np.signbit(a).astype(np.int8)))))
+    n_slices = 12
+    bounds = np.linspace(0, a.size, n_slices + 1).astype(np.int64)
+    profile = [
+        float(np.sqrt(np.mean(a[s:e] ** 2))) if e > s else 0.0
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+    feats = [
+        min(a.size / sr / 3600.0, 1.0) if sr else 0.0,  # duration vs 1h
+        float(np.sqrt(np.mean(a ** 2))),
+        zc,
+        float(np.max(np.abs(a))),
+    ] + profile
+    return feats[:feature_dim] + [0.0] * max(0, feature_dim - len(feats))
+
+
 def _image_features(w: int, h: int, px, feature_dim: int):
     """Image features from decoded RGB pixels: normalized dimensions,
     per-channel means, luminance std, and a 10-bin luminance
@@ -356,12 +440,13 @@ def _ppm_features(payload: bytes, feature_dim: int):
 def _decode_payload(payload: bytes, modality: str, decode: str):
     """Decode boundary — the ONE function a fuller decoder replaces.
 
-    ``decode='real'`` decodes P6/PPM and PNG images with the pure-
-    stdlib decoders above (no media library needed); any other format
-    decodes through PIL when it is importable, and otherwise raises
-    ``ValueError`` — that raise IS the documented contract of
-    ``decode='real'`` on a format without an available decoder (audio/
-    video need torchaudio/pyav regardless).  ``decode='fake'`` (the
+    ``decode='real'`` decodes P6/PPM and PNG images and RIFF/WAV PCM
+    audio with the pure-stdlib decoders above (no media library
+    needed); any other format decodes through PIL when it is
+    importable, and otherwise raises ``ValueError`` — that raise IS
+    the documented contract of ``decode='real'`` on a format without
+    an available decoder (compressed audio / video need
+    torchaudio/pyav regardless).  ``decode='fake'`` (the
     default) produces a deterministic pseudo-decode from the bytes so
     the full pipeline is exercisable on arbitrary payloads."""
     if decode == "real":
@@ -369,15 +454,17 @@ def _decode_payload(payload: bytes, modality: str, decode: str):
             return ("image", decode_ppm(payload))
         if payload.startswith(PNG_SIG):
             return ("image", decode_png(payload))
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            return ("audio", decode_wav(payload))
         try:
             from PIL import Image
         except ImportError as exc:
             raise ValueError(
                 "decode='real' has no decoder for this payload format: "
-                "P6/PPM and PNG decode natively; anything else needs "
-                "PIL (images) or torchaudio/pyav (audio/video), none "
-                "of which are installed — use decode='fake' or install "
-                "a decoder"
+                "P6/PPM, PNG, and WAV decode natively; anything else "
+                "needs PIL (images) or torchaudio/pyav (compressed "
+                "audio/video), none of which are installed — use "
+                "decode='fake' or install a decoder"
             ) from exc
         import io
 
@@ -424,6 +511,12 @@ def extract_features(
                     w, h, px = sig[1]
                     feats.append(
                         [float(x) for x in _image_features(w, h, px, feature_dim)]
+                    )
+                elif isinstance(sig, tuple) and sig[0] == "audio":
+                    sr, samples = sig[1]
+                    feats.append(
+                        [float(x)
+                         for x in _audio_features(sr, samples, feature_dim)]
                     )
                 else:
                     raw = (sig * ((feature_dim // len(sig)) + 1))[:feature_dim]

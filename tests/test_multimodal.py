@@ -362,3 +362,69 @@ def test_real_decode_features_on_png(spark):
     f = row["feature"]
     assert abs(f[2] - 128 / 255) < 1e-6  # channel mean
     assert f[5] == 0.0  # zero luminance std on a uniform image
+
+
+def test_wav_roundtrip_and_downmix():
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / sr) * 20000).astype(np.int16)
+    got_sr, samples = MM.decode_wav(MM.encode_wav(sine, sr))
+    assert got_sr == sr
+    assert samples.shape == (sr,)
+    assert np.allclose(samples, sine / 32768.0, atol=1e-9)
+    # stereo payload down-mixes by mean
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        inter = np.empty(2 * sr, dtype=np.int16)
+        inter[0::2] = sine
+        inter[1::2] = -sine
+        wf.writeframes(inter.tobytes())
+    _, mixed = MM.decode_wav(buf.getvalue())
+    assert np.allclose(mixed, 0.0, atol=1e-4)
+
+
+def test_wav_corruption_raises():
+    import numpy as np
+    import pytest
+
+    good = MM.encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        MM.decode_wav(good[:30])  # truncated header
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFF1234WAVEgarbage")
+
+
+def test_real_decode_features_on_wav(spark):
+    """decode='real' extracts true audio statistics from WAV payloads
+    end-to-end through the Arrow mapInPandas path."""
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr // 2)  # half a second
+    amp = 16384  # half full-scale
+    sine = (np.sin(2 * np.pi * 100 * t / sr) * amp).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "audio",
+                bytearray(MM.encode_wav(sine, sr)),
+                (None, None, sr, len(sine), "wav"),
+            )
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.extract_features(media, decode="real").collect()[0]
+    f = row["feature"]
+    # RMS of a half-scale sine is 0.5/sqrt(2)
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f[3] - 0.5) < 1e-3  # peak
+    assert f[1] > 0 and all(x > 0 for x in f[4:16])  # energy profile
