@@ -2534,9 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 rotation: events_hourly_counts (its aggregation grain is
     # recomputed inside events_volume_anomalies) moved past the cap
     # for the analytics-family gate
-    out["events_volume_anomalies"] = lambda spark, sf: analytics.volume_anomalies(
-        _load(spark, sf, "events")
-    )
     # strict-progression conversion funnel (view -> click -> purchase),
     # per-user sorted-array fold == the oracle's sequential min-chain
     out["events_conversion_funnel"] = lambda spark, sf: (
@@ -2587,14 +2584,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _pii_documents(_load(spark, sf, "documents"))
     )
     out["curation_increment"] = _q_dedup_increment
-    # r6 rotations: curation_chunk_dedup and curation_pack (family
-    # still gate-covered by funnel/split_budget/pii/increment) move
-    # past the cap for the round's two new oracle-backed gates —
-    # incremental BM25 index maintenance and the PNG real-decode chain
-    out["search_bm25_refreshed"] = _q_search_bm25_refreshed
+    # r6 rotations (late-round): events_conversion_funnel joined the
+    # head for the analytics family, so events_volume_anomalies and
+    # search_bm25_refreshed (families still gate-covered by the
+    # funnel row and search_bm25) move past the cap — freeing slots
+    # for the PNG real-decode chain and the round's new versioned
+    # (mini-lakehouse) family, gated by its MERGE query
     out["multimodal_png_roundtrip"] = _q_multimodal_png
+    out["versioned_merge_customers"] = _q_versioned_merge
 
     # ================= past the 50-row driver cap =================
+    out["search_bm25_refreshed"] = _q_search_bm25_refreshed
     out["curation_chunk_dedup"] = lambda spark, sf: curation.chunk_dedup(
         _docs_with_chunk_twins(spark, sf), chunk_size=16
     )
@@ -2616,9 +2616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # time travel, each pinned to the plain-SQL oracle
     out["versioned_latest_orders"] = _q_versioned_latest
     out["versioned_time_travel"] = _q_versioned_time_travel
-    out["versioned_merge_customers"] = _q_versioned_merge
     out["versioned_changes_feed"] = _q_versioned_changes
     out["versioned_pyds_time_travel"] = _q_versioned_pyds
+    out["events_volume_anomalies"] = lambda spark, sf: (
+        analytics.volume_anomalies(_load(spark, sf, "events"))
+    )
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
