@@ -2621,6 +2621,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_volume_anomalies"] = lambda spark, sf: (
         analytics.volume_anomalies(_load(spark, sf, "events"))
     )
+    # r6: gap-based batch sessionization (one shuffle serves lag +
+    # running-sum + the partition-local session rollup) and SemDeDup
+    # cluster-bounded semantic near-dup pairs (deterministic stride
+    # codebook = the oracle tier; trained k-means codebook available)
+    out["events_sessionize"] = lambda spark, sf: analytics.sessionize(
+        _load(spark, sf, "events")
+    )
+    out["dedup_semantic_pairs"] = lambda spark, sf: dedup.semantic_dedup_pairs(
+        _emb_with_twins(spark, sf), threshold=0.45
+    )
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -3151,6 +3161,10 @@ FROM ({_scd2_inner})
         ["text", "lang", "source", "n_chars"],
     )
     out["events_volume_anomalies"] = analytics.volume_anomalies_oracle()
+    out["events_sessionize"] = analytics.sessionize_oracle()
+    out["dedup_semantic_pairs"] = dedup.semantic_dedup_oracle(
+        table=_AUG_EMB_SQL, threshold=0.45
+    )
     out["events_conversion_funnel"] = analytics.conversion_funnel_oracle(
         ["view", "click", "purchase"]
     )

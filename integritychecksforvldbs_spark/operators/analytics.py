@@ -301,3 +301,99 @@ def conversion_funnel_oracle(
     return (
         "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based batch sessionization: one row per (user, session)
+    with start/end, event count, duration, and value total.
+
+    A new session starts at a user's first event and whenever the gap
+    since their previous event exceeds ``gap_minutes``; the session
+    sequence number is the running sum of those start flags — the
+    classic lag + cumulative-sum formulation, mirroring the streaming
+    session kernel (streaming/sessions.py) so batch backfill and live
+    sessionization agree on boundaries (gap strictly greater than the
+    threshold starts a new session in both).
+
+    Scale shape: ONE shuffle on ``user_col`` serves both windows (lag
+    and running sum share the partition+order), then the groupBy on
+    (user, session_seq) is partition-local — Catalyst sees the child
+    ordering and plans no second exchange.  Value totals are summed
+    in integer cents so the two engines' accumulation order cannot
+    flip the hash.  NULL users (fixture contamination) are excluded
+    identically in both engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = (
+        events.filter(F.col(user_col).isNotNull())
+        .withColumn(
+            "_new_session",
+            F.when(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(w))
+                > gap_us,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + F.lit(1),
+        )
+    )
+    return (
+        flagged.groupBy(
+            F.col(user_col).alias("user_id"), F.col("session_seq").alias("session_seq")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+            ).cast("long").alias("duration_us"),
+            F.sum(
+                F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+            ).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def sessionize_oracle(table: str = "events", gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM {table} WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seq AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) + 1
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM seq GROUP BY user_id, session_seq
+"""

@@ -1339,3 +1339,146 @@ SELECT n_predicted, n_truth, tp,
                  / ((CAST(tp AS DOUBLE) / n_predicted) + (CAST(tp AS DOUBLE) / n_truth)), {round_to}) END AS f1
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# 10. SemDeDup: cluster-bounded semantic near-dup discovery
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    centroid_stride: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded cosine near-dup pairs:
+    (cluster_id, vec_id_a, vec_id_b, cosine).
+
+    The scale path for embedding dedup (Abbas et al. 2023,
+    "SemDeDup"): partition the corpus into k clusters, then enumerate
+    pairs only WITHIN each cluster — global O(n²) becomes Σ|cluster|²
+    ≈ n²/k for balanced clusters, and each cluster's quadratic work is
+    an independent shuffle partition.  Pairs that straddle a cluster
+    boundary are missed by design; that is the approximation the
+    paper accepts (and measures) in exchange for tractability.
+
+    Two codebook tiers, same downstream plan:
+
+    - default — deterministic stride codebook (every vector whose id
+      ≡ 0 mod ``centroid_stride`` is a centroid).  No training pass,
+      fully oracle-able: the DuckDB twin replays assignment exactly
+      because the centroid SET is a pure projection of the input.
+    - ``centroids=`` — a trained codebook from
+      :func:`..similarity.kmeans_centroids` (rows-only tier; k-means
+      is not SQL-expressible).  Better-balanced clusters, so tighter
+      Σ|cluster|² at the same k.
+
+    Assignment is argmin squared-L2 over the broadcast codebook,
+    computed as a strict left-to-right double fold (the same
+    summation discipline as :func:`cosine_dup_pairs`) so both engines
+    produce bitwise-equal distances; ties break on centroid id via
+    lexicographic MIN over (d2, centroid_id) structs — one map-side-
+    combinable aggregation, no window over the n×k expansion.  At
+    100 TB: the n×k assignment expansion never materializes (partial
+    aggregation folds it map-side), the pair join shuffles on
+    cluster_id, and a skewed giant cluster is the known failure mode
+    — the mitigation is raising k, not a different plan.
+
+    Reference parity: the reference has no embedding operators; this
+    extends the dedup family (SURVEY §2 north-star extensions) beyond
+    CHECKTABLE-style exact comparison the same way MinHash-LSH does
+    for text.
+    """
+    nd = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        "norm",
+    )
+    if centroids is None:
+        cents = nd.filter(F.col("id") % centroid_stride == 0).select(
+            F.col("id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    else:
+        cents = nd.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id INT, cv ARRAY<DOUBLE>",
+        )
+    d2 = F.expr(
+        "aggregate(zip_with(CAST(v AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    )
+    assign = (
+        nd.crossJoin(F.broadcast(cents))
+        .select("id", F.struct(d2.alias("d2"), F.col("centroid_id")).alias("dc"))
+        .groupBy("id")
+        .agg(F.min("dc").alias("m"))
+        .select("id", F.col("m.centroid_id").alias("cluster_id"))
+    )
+    av = nd.join(assign, "id")
+    a = av.select(
+        F.col("cluster_id"),
+        F.col("id").alias("vec_id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = av.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cb"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select(
+            "cluster_id",
+            "vec_id_a",
+            "vec_id_b",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "cluster_id", "vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine")
+        )
+    )
+
+
+def semantic_dedup_oracle(
+    table: str = "embeddings", threshold: float = 0.8, centroid_stride: int = 64
+) -> str:
+    return f"""
+WITH nd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x)) AS norm
+  FROM {table}
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM nd WHERE vec_id % {centroid_stride} = 0),
+dist AS (
+  SELECT nd.vec_id, cent.cid,
+         list_reduce(list_transform(range(1, len(nd.v) + 1),
+                                    i -> (nd.v[i] - cent.cv[i]) * (nd.v[i] - cent.cv[i])),
+                     (acc, x) -> acc + x) AS d2
+  FROM nd CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+av AS (
+  SELECT a.vec_id, a.cluster_id, nd.v, nd.norm
+  FROM assign a JOIN nd ON a.vec_id = nd.vec_id
+)
+SELECT a.cluster_id, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                         (acc, x) -> acc + x) / (a.norm * b.norm), 6) AS cosine
+FROM av a JOIN av b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                  (acc, x) -> acc + x) / (a.norm * b.norm) >= {threshold}
+"""

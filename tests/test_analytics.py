@@ -138,3 +138,72 @@ def test_conversion_funnel_rejects_duplicate_steps(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with pytest.raises(ValueError):
         conversion_funnel(df, ["view", "click", "view"])
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+SESS_ROWS = [
+    # user 1: three events 10 min apart (one session), then a 2-hour
+    # gap (second session of one event)
+    (1, datetime(2024, 1, 1, 10, 0), 10, 1.0),
+    (2, datetime(2024, 1, 1, 10, 10), 10, 2.0),
+    (3, datetime(2024, 1, 1, 10, 20), 10, 3.0),
+    (4, datetime(2024, 1, 1, 12, 30), 10, 4.0),
+    # user 2: exactly at the gap boundary (30 min) — NOT a new session
+    # (strictly-greater starts one, matching streaming/sessions.py)
+    (5, datetime(2024, 1, 1, 9, 0), 20, 1.0),
+    (6, datetime(2024, 1, 1, 9, 30), 20, 1.0),
+    # user 2: one microsecond past the gap — new session
+    (7, datetime(2024, 1, 1, 10, 0, 0, 1), 20, 1.0),
+    # contamination: NULL user excluded
+    (8, datetime(2024, 1, 1, 10, 0), None, 9.0),
+]
+SESS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+@pytest.fixture(scope="module")
+def sess_ev(spark):
+    return spark.createDataFrame(SESS_ROWS, SESS_SCHEMA)
+
+
+def test_sessionize_gap_boundaries(sess_ev):
+    got = {
+        (r["user_id"], r["session_seq"]): r
+        for r in analytics.sessionize(sess_ev, gap_minutes=30).collect()
+    }
+    assert set(got) == {(10, 1), (10, 2), (20, 1), (20, 2)}
+    s11 = got[(10, 1)]
+    assert s11["n_events"] == 3
+    assert s11["duration_us"] == 20 * 60 * 1_000_000
+    assert s11["value_cents"] == 600
+    assert got[(10, 2)]["n_events"] == 1
+    assert got[(10, 2)]["duration_us"] == 0
+    # the exactly-30-min event stays in session 1; the +1us event opens
+    # session 2
+    assert got[(20, 1)]["n_events"] == 2
+    assert got[(20, 2)]["n_events"] == 1
+
+
+def test_sessionize_ts_tie_breaks_on_event_id(spark):
+    # two same-ts events after a big gap: the lower event_id carries
+    # the session-start flag in both engines (both windows order by
+    # (ts, event_id)), so the rollup is identical either way — pin
+    # that the pair lands in ONE session together
+    rows = [
+        (1, datetime(2024, 1, 1, 8, 0), 7, 1.0),
+        (2, datetime(2024, 1, 1, 12, 0), 7, 1.0),
+        (3, datetime(2024, 1, 1, 12, 0), 7, 1.0),
+    ]
+    df = spark.createDataFrame(rows, SESS_SCHEMA)
+    out = analytics.sessionize(df, gap_minutes=30).collect()
+    assert sorted((r["session_seq"], r["n_events"]) for r in out) == [(1, 1), (2, 2)]
+
+
+def test_sessionize_single_shuffle_plan(sess_ev):
+    # one exchange serves lag + running-sum + the session rollup: the
+    # groupBy keys are a prefix-extension of the window partition key,
+    # so Catalyst plans exactly one hashpartitioning exchange
+    plan = analytics.sessionize(sess_ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -207,3 +207,73 @@ def test_dedup_survivors_composition(corpus):
     all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert survivors == (all_ids - members) | keepers
     assert keepers <= survivors  # every cluster kept exactly its min
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _sem_fixture(spark):
+    # two well-separated "topics" (x-axis vs z-axis) with near-dups
+    # inside each, plus one cross-topic moderate pair that cluster
+    # bounding is EXPECTED to drop
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # centroid (stride 4): topic A
+        (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.98, 0.02, 0.0]),   # near-dup of 0 and 1
+        (3, [0.6, 0.0, 0.8]),     # between topics
+        (4, [0.0, 0.0, 1.0]),     # centroid (stride 4): topic B
+        (5, [0.0, 0.01, 0.99]),   # near-dup of 4
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_within_cluster_pairs(spark):
+    df = _sem_fixture(spark)
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): (r["cluster_id"], r["cosine"])
+        for r in dedup.semantic_dedup_pairs(
+            df, threshold=0.95, centroid_stride=4
+        ).collect()
+    }
+    # topic-A trio and topic-B pair found, each labeled with its cluster
+    assert set(got) >= {(0, 1), (0, 2), (1, 2), (4, 5)}
+    assert {got[k][0] for k in [(0, 1), (0, 2), (1, 2)]} == {0}
+    assert got[(4, 5)][0] == 4
+    assert got[(0, 1)][1] > 0.999
+
+
+def test_semantic_dedup_subset_of_global(spark):
+    """Cluster bounding only DROPS pairs relative to the exact
+    quadratic tier — never invents or rescores one."""
+    df = _sem_fixture(spark)
+    glob = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in dedup.cosine_dup_pairs(df, threshold=0.5).collect()
+    }
+    sem = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in dedup.semantic_dedup_pairs(
+            df, threshold=0.5, centroid_stride=4
+        ).collect()
+    }
+    assert set(sem) <= set(glob)
+    assert all(glob[k] == v for k, v in sem.items())
+    # the cross-topic pair (3 sits between clusters) is the dropped one
+    assert len(sem) < len(glob)
+
+
+def test_semantic_dedup_trained_codebook_tier(spark):
+    from integritychecksforvldbs_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    df = _sem_fixture(spark)
+    cents = kmeans_centroids(df, k=2, sample=6, iters=5, seed=7)
+    out = dedup.semantic_dedup_pairs(df, threshold=0.95, centroids=cents)
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in out.collect()}
+    # k-means with k=2 separates the topics; the same near-dup pairs
+    # surface, labeled by codebook position instead of stride id
+    assert got >= {(0, 1), (0, 2), (1, 2), (4, 5)}
+    assert out.columns == ["cluster_id", "vec_id_a", "vec_id_b", "cosine"]
