@@ -2628,6 +2628,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_sessionize"] = lambda spark, sf: analytics.sessionize(
         _load(spark, sf, "events")
     )
+    # rows-only: mergeable-HLL tier of rolling actives (DuckDB has no
+    # compatible sketch; error envelope vs the exact tier pinned by
+    # tests/test_analytics.py)
+    out["events_rolling_active_hll"] = lambda spark, sf: (
+        analytics.rolling_active_users_hll(_load(spark, sf, "events"))
+    )
     out["dedup_semantic_pairs"] = lambda spark, sf: dedup.semantic_dedup_pairs(
         _emb_with_twins(spark, sf), threshold=0.45
     )

@@ -397,3 +397,52 @@ SELECT user_id, session_seq,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM seq GROUP BY user_id, session_seq
 """
+
+
+def rolling_active_users_hll(
+    events: DataFrame,
+    window_days: int = 7,
+    lgk: int = 12,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sketch tier of :func:`rolling_active_users`: (day,
+    active_users_est) via mergeable HLL sketches (Spark's built-in
+    Apache DataSketches aggregates).
+
+    The exact tier expands to |user-days| × window rows before its
+    count-distinct — fine while user-days fit a shuffle, but DAU over
+    a 100 TB event log carries the full id universe through every
+    trailing window.  The sketch tier collapses each day to ONE
+    ~2^lgk-byte HLL first (map-side combinable), so the banded
+    trailing-window join moves |days| × window sketch rows —
+    kilobytes per day regardless of user count — and the union+
+    estimate is a |days|-group aggregate.  This is also the only tier
+    that supports pre-aggregation: per-day sketches can be persisted
+    once and re-windowed (7/28/90-day) without touching raw events.
+
+    Rows-only contract (DuckDB has no compatible HLL): the error
+    envelope vs the exact tier is pinned by pytest instead — at HLL's
+    small-cardinality range the sparse representation is exact, so
+    fixture-scale estimates equal the exact counts outright.
+    """
+    daily = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.expr(f"hll_sketch_agg({user_col}, {lgk})").alias("sk"))
+    )
+    days = daily.select(F.col("day").alias("as_of"))
+    return (
+        F.broadcast(days)
+        .join(
+            daily,
+            (F.col("day") <= F.col("as_of"))
+            & (F.col("day") > F.date_sub(F.col("as_of"), window_days)),
+        )
+        .groupBy(F.col("as_of").alias("day"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .cast("long")
+            .alias("active_users_est")
+        )
+    )

@@ -207,3 +207,41 @@ def test_sessionize_single_shuffle_plan(sess_ev):
     # so Catalyst plans exactly one hashpartitioning exchange
     plan = analytics.sessionize(sess_ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_active_hll_matches_exact_at_fixture_scale(ev):
+    """At fixture cardinalities HLL's sparse mode is exact, so the
+    sketch tier must reproduce the exact tier outright; at scale the
+    contract relaxes to the sketch's standard-error envelope."""
+    exact = {
+        r["day"]: r["active_users"]
+        for r in analytics.rolling_active_users(ev, window_days=7).collect()
+    }
+    est = {
+        r["day"]: r["active_users_est"]
+        for r in analytics.rolling_active_users_hll(ev, window_days=7).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[d] == exact[d] for d in exact)
+
+
+def test_rolling_active_hll_daily_preagg_is_mergeable(spark):
+    # 600 users over two days with 200 overlapping: the union across
+    # per-day sketches must count the distinct union, not the sum
+    rows = [
+        (datetime(2024, 3, 1, 10), u, "view") for u in range(400)
+    ] + [
+        (datetime(2024, 3, 2, 10), u, "view") for u in range(200, 600)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["day"]: r["active_users_est"]
+        for r in analytics.rolling_active_users_hll(df, window_days=7).collect()
+    }
+    import datetime as _dt
+
+    # lgk=12 leaves sparse mode by a few hundred distincts — allow the
+    # sketch's ~2% envelope, but the union must sit near 600 (the
+    # distinct union), nowhere near 800 (the naive sum)
+    assert abs(got[_dt.date(2024, 3, 1)] - 400) <= 8
+    assert abs(got[_dt.date(2024, 3, 2)] - 600) <= 12
