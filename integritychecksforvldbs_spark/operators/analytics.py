@@ -327,15 +327,17 @@ def sessionize(
     (user, session_seq) is partition-local — Catalyst sees the child
     ordering and plans no second exchange.  Value totals are summed
     in integer cents so the two engines' accumulation order cannot
-    flip the hash.  NULL users (fixture contamination) are excluded
-    identically in both engines.
+    flip the hash.  NULL users and NULL timestamps are excluded
+    identically in both engines (a NULL ts would otherwise sort
+    NULLS FIRST in Spark but NULLS LAST in DuckDB and drift the
+    running sum).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap_us = gap_minutes * 60 * 1_000_000
     flagged = (
-        events.filter(F.col(user_col).isNotNull())
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .withColumn(
             "_new_session",
             F.when(
@@ -380,7 +382,7 @@ WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {gap_us}
               THEN 1 ELSE 0 END AS new_session
-  FROM {table} WHERE user_id IS NOT NULL
+  FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 seq AS (
