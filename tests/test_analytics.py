@@ -245,3 +245,28 @@ def test_rolling_active_hll_daily_preagg_is_mergeable(spark):
     # distinct union), nowhere near 800 (the naive sum)
     assert abs(got[_dt.date(2024, 3, 1)] - 400) <= 8
     assert abs(got[_dt.date(2024, 3, 2)] - 600) <= 12
+
+
+def test_sessionize_agrees_with_native_session_window(sess_ev):
+    """Batch backfill parity: the lag+running-sum formulation must
+    reproduce Spark's native session_window boundaries exactly —
+    same starts, same event counts, streaming end = last event + gap."""
+    from integritychecksforvldbs_spark.streaming import sessions
+
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in analytics.sessionize(sess_ev, gap_minutes=30).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"]): r
+        for r in sessions.session_counts(
+            sess_ev.filter(F.col("user_id").isNotNull()),
+            gap="30 minutes",
+            key_col="user_id",
+        ).collect()
+    }
+    assert set(batch) == set(native)
+    for k, b in batch.items():
+        n = native[k]
+        assert b["n_events"] == n["n_events"]
+        assert (n["session_end"] - b["session_end"]).total_seconds() == 30 * 60
