@@ -1417,7 +1417,12 @@ def semantic_dedup_pairs(
         .agg(F.min("dc").alias("m"))
         .select("id", F.col("m.centroid_id").alias("cluster_id"))
     )
-    av = nd.join(assign, "id")
+    from integritychecksforvldbs_spark.functions.planutil import truncate_lineage
+
+    # materialize the assignment ONCE: a plain self-join re-derives the
+    # whole scan + n×k assignment chain on each side (Spark does no
+    # cross-branch CSE), doubling the dominant stage at scale
+    av = truncate_lineage(nd.join(assign, "id"))
     a = av.select(
         F.col("cluster_id"),
         F.col("id").alias("vec_id_a"),
