@@ -13,6 +13,10 @@ Stages (any subset, any order):
 - ``markup``       strip tags/entities, text := clean_text
 - ``quality``      keep docs passing the Gopher composite filter
 - ``dedup``        near-dup removal (MinHash-LSH cluster survivors)
+- ``semdedup``     SemDeDup semantic near-dup removal over a sibling
+  embeddings table (``--embeddings``, rows keyed vec_id ≡ doc_id):
+  cluster-bounded cosine pairs → connected-component keepers; every
+  non-keeper member is dropped
 - ``decontaminate``  drop docs overlapping the benchmark n-grams
   (explicit ``--benchmark`` table, else the self-contained mod split
   — which also drops the benchmark docs themselves, mirroring
@@ -77,6 +81,9 @@ def apply_stage(
     target_tokens: int = 1_000_000,
     val_per_mille: int = 10,
     test_per_mille: int = 10,
+    embeddings_df: DataFrame | None = None,
+    sem_threshold: float = 0.8,
+    sem_stride: int = 64,
 ) -> DataFrame:
     if stage == "markup":
         cleaned = text.strip_markup(df).select(
@@ -88,6 +95,17 @@ def apply_stage(
         return _keep_ids(df, keep)
     if stage == "dedup":
         return dedup.dedup_survivors(df)
+    if stage == "semdedup":
+        if embeddings_df is None:
+            raise ValueError("semdedup stage requires --embeddings")
+        pairs = dedup.semantic_dedup_pairs(
+            embeddings_df, threshold=sem_threshold, centroid_stride=sem_stride
+        ).select(
+            F.col("vec_id_a").alias("doc_id_a"),
+            F.col("vec_id_b").alias("doc_id_b"),
+        )
+        keepers = dedup.duplicate_cluster_keepers(pairs)
+        return _drop_ids(df, keepers.filter(F.col("doc_id") != F.col("keeper")))
     if stage == "decontaminate":
         # longer grams than the gate default (n=8 vs 3): a corpus-wide
         # shared trigram is noise, a shared 8-gram is leakage; the
@@ -153,12 +171,15 @@ def curate(
     stages: list[str],
     cap_k: int = 1000,
     benchmark_path: str | None = None,
+    embeddings_path: str | None = None,
     input_fmt: str | None = None,
     decontaminate_n: int = 8,
     contamination_threshold: float = 0.0,
     target_tokens: int = 1_000_000,
     val_per_mille: int = 10,
     test_per_mille: int = 10,
+    sem_threshold: float = 0.8,
+    sem_stride: int = 64,
 ) -> list[dict]:
     def _load(path: str, fmt: str | None) -> DataFrame:
         # extensionless paths are the lake default: parquet directories
@@ -169,6 +190,7 @@ def curate(
 
     df = _load(input_path, input_fmt)
     benchmark_df = _load(benchmark_path, None) if benchmark_path else None
+    embeddings_df = _load(embeddings_path, None) if embeddings_path else None
     report = []
     d, t = _counts(df)
     report.append({"stage": "raw", "n_docs": d, "n_tokens": t})
@@ -184,6 +206,9 @@ def curate(
             target_tokens=target_tokens,
             val_per_mille=val_per_mille,
             test_per_mille=test_per_mille,
+            embeddings_df=embeddings_df,
+            sem_threshold=sem_threshold,
+            sem_stride=sem_stride,
         ).persist()
         d, t = _counts(df)  # materializes the persist
         if prev is not None:
@@ -207,6 +232,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stages", default=DEFAULT_STAGES)
     ap.add_argument("--cap-k", type=int, default=1000)
     ap.add_argument("--benchmark", default=None, help="eval-suite table")
+    ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings table for the semdedup stage (vec_id ≡ doc_id)",
+    )
+    ap.add_argument("--sem-threshold", type=float, default=0.8)
+    ap.add_argument("--sem-stride", type=int, default=64)
     ap.add_argument("--decontaminate-n", type=int, default=8)
     ap.add_argument(
         "--contamination-threshold",
@@ -244,12 +276,15 @@ def main(argv: list[str] | None = None) -> int:
         stages,
         cap_k=args.cap_k,
         benchmark_path=args.benchmark,
+        embeddings_path=args.embeddings,
         input_fmt=args.input_format,
         decontaminate_n=args.decontaminate_n,
         contamination_threshold=args.contamination_threshold,
         target_tokens=args.target_tokens,
         val_per_mille=args.val_per_mille,
         test_per_mille=args.test_per_mille,
+        sem_threshold=args.sem_threshold,
+        sem_stride=args.sem_stride,
     )
     for row in report:
         print(f"{row['stage']:>14}: {row['n_docs']:>9} docs  {row['n_tokens']:>12} tokens")

@@ -126,3 +126,46 @@ def test_redact_stage_keeps_docs_and_cuts_spans(spark):
     assert got[1] == "intro [REDACTED] outro"   # doc KEPT, span cut
     assert got[2] == df.collect()[1]["text"]
     assert set(out.columns) == {"doc_id", "text", "source"}
+
+
+def test_semdedup_stage_drops_non_keepers(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(6)], "doc_id long, text string"
+    )
+    dpath = str(tmp_path / "docs")
+    docs.write.parquet(dpath)
+    # vec_id ≡ doc_id: 0/1/2 form one semantic group, 4/5 another;
+    # doc 3 sits between topics (kept)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.98, 0.02, 0.0]),
+            (3, [0.6, 0.0, 0.8]),
+            (4, [0.0, 0.0, 1.0]),
+            (5, [0.0, 0.01, 0.99]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    epath = str(tmp_path / "emb")
+    emb.write.parquet(epath)
+    out = str(tmp_path / "out")
+    report = pipeline_cli.curate(
+        spark,
+        dpath,
+        out,
+        ["semdedup"],
+        embeddings_path=epath,
+        sem_threshold=0.95,
+        sem_stride=4,
+    )
+    kept = {r["doc_id"] for r in load_table(spark, out).collect()}
+    # each group keeps its min id; the between-topics doc survives
+    assert kept == {0, 3, 4}
+    assert report[-1]["n_docs"] == 3
+
+
+def test_semdedup_stage_requires_embeddings(spark):
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="embeddings"):
+        pipeline_cli.apply_stage(docs, "semdedup", 10, None)
