@@ -25,6 +25,7 @@ from integritychecksforvldbs_spark.operators import (
     multimodal,
     profile,
     sampling,
+    scd,
     similarity,
     temporal,
     text,
@@ -630,6 +631,56 @@ UNION ALL
 SELECT c_custkey + 1000000, c_nationkey, c_acctbal, 'NEWSEG' AS c_mktsegment
 FROM customer WHERE c_custkey % 10 = 0
 """
+
+
+def _pit_dim(spark: SparkSession, sf_dir: str):
+    """Two-version customer-balance dimension for the point-in-time
+    gate: every customer has a v1 opening 1992-01-01; customers with
+    custkey % 3 == 0 close it at 1996-01-01 and open a +100.00 v2 —
+    deterministic arithmetic both engines replay exactly."""
+    from datetime import date
+
+    cust = _load(spark, sf_dir, "customer")
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    v1 = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        cents.alias("bal_cents"),
+        F.lit(date(1992, 1, 1)).alias("valid_from"),
+        F.when(F.expr("c_custkey % 3 = 0"), F.lit(date(1996, 1, 1)))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("valid_to"),
+    )
+    v2 = cust.filter("c_custkey % 3 = 0").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (cents + 10000).alias("bal_cents"),
+        F.lit(date(1996, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return v1.unionByName(v2)
+
+
+def _q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders enriched with the balance version valid at order date —
+    the AS-OF-fact-time lookup an SCD2 dimension exists to answer.
+    Left join: orphan custkeys (the fixture has FK orphans by design)
+    keep their orders with NULL attributes."""
+    from integritychecksforvldbs_spark.operators import scd
+
+    facts = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    out = scd.point_in_time_join(
+        facts, _pit_dim(spark, sf_dir), ["o_custkey"], "o_orderdate"
+    )
+    # DATE -> TIMESTAMP on both sides so NULL/date values hash alike
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "bal_cents",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
 
 
 def _q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2637,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_semantic_pairs"] = lambda spark, sf: dedup.semantic_dedup_pairs(
         _emb_with_twins(spark, sf), threshold=0.45
     )
+    out["scd2_point_in_time"] = _q_scd2_point_in_time
     # individual variants of the merged gates — bench.py headline names
     # and local verification targets; every one retains its oracle.
     for t in TABLES:
@@ -3171,6 +3223,26 @@ FROM ({_scd2_inner})
     out["dedup_semantic_pairs"] = dedup.semantic_dedup_oracle(
         table=_AUG_EMB_SQL, threshold=0.45
     )
+    _pit_dim_sql = """
+SELECT c_custkey AS o_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       DATE '1992-01-01' AS valid_from,
+       CASE WHEN c_custkey % 3 = 0 THEN DATE '1996-01-01' END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) + 10000,
+       DATE '1996-01-01', NULL
+FROM customer WHERE c_custkey % 3 = 0
+"""
+    out["scd2_point_in_time"] = f"""
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       bal_cents, CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(valid_to AS TIMESTAMP) AS valid_to
+FROM ({scd.point_in_time_join_oracle(
+        "SELECT o_orderkey, o_custkey, o_orderdate FROM orders",
+        _pit_dim_sql, ["o_custkey"], "o_orderdate",
+        ["o_orderkey", "o_custkey", "o_orderdate"], ["bal_cents"],
+    )}) t
+"""
     out["events_conversion_funnel"] = analytics.conversion_funnel_oracle(
         ["view", "click", "purchase"]
     )

@@ -238,3 +238,67 @@ SELECT {sel} FROM (
   FROM ({changes_sql}) t
 ) WHERE _rn = 1 {drop_deleted}
 """
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich facts with the dimension version valid AT the fact's
+    own time: ``valid_from <= ts < valid_to`` (``valid_to IS NULL`` =
+    still open) — the point-in-time (AS OF fact time) lookup every
+    consumer of an SCD2 dimension runs, and the reason the history is
+    kept at all.  ``how='left'`` keeps facts that predate their
+    entity's first version (NULL attributes); ``'inner'`` drops them.
+
+    Plan shape: the validity predicate is a RESIDUAL on an EQUI join
+    over ``key_cols``, so Catalyst plans a hash join (broadcast when
+    the dimension is small — the common case; dimensions are orders
+    of magnitude smaller than fact tables), never a nested-loop theta
+    join.  Each fact matches at most one version because SCD2 apply
+    maintains non-overlapping validity windows per key, so the join
+    cannot fan out.  At 100 TB: a hot entity key skews the shuffle
+    variant exactly like any equi join — operators.skewjoin's salting
+    applies unchanged since the validity check rides along as a
+    residual.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    d = dim
+    for c in key_cols:
+        d = d.withColumnRenamed(c, f"_dim_{c}")
+    eq = functools.reduce(
+        operator.and_,
+        [facts[c] == d[f"_dim_{c}"] for c in key_cols],
+    )
+    ts = facts[ts_col]
+    cond = (
+        eq
+        & (ts >= d["valid_from"])
+        & (d["valid_to"].isNull() | (ts < d["valid_to"]))
+    )
+    return facts.join(d, cond, how).drop(*[f"_dim_{c}" for c in key_cols])
+
+
+def point_in_time_join_oracle(
+    facts_sql: str,
+    dim_sql: str,
+    key_cols: list[str],
+    ts_col: str,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    how: str = "left",
+) -> str:
+    on = " AND ".join(f"f.{c} = d.{c}" for c in key_cols)
+    f_sel = ", ".join(f"f.{c}" for c in fact_cols)
+    d_sel = ", ".join(f"d.{c}" for c in dim_cols)
+    join_kw = "LEFT JOIN" if how == "left" else "JOIN"
+    return f"""
+SELECT {f_sel}, {d_sel}, d.valid_from, d.valid_to
+FROM ({facts_sql}) f {join_kw} ({dim_sql}) d
+  ON {on} AND f.{ts_col} >= d.valid_from
+  AND (d.valid_to IS NULL OR f.{ts_col} < d.valid_to)
+"""

@@ -163,3 +163,76 @@ def test_cdc_compaction_feeds_scd2(spark):
     acts = {(r["k"], r["version_action"]) for r in out.collect()}
     assert (3, "closed") in acts and (2, "opened") in acts
     assert (6, "opened") in acts and (1, "kept") in acts
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (AS OF fact time) lookup
+# ---------------------------------------------------------------------------
+
+PIT_DIM = [
+    # key 1: two versions split at Jun 1
+    (1, "old", 10, date(2024, 1, 1), date(2024, 6, 1)),
+    (1, "new", 20, date(2024, 6, 1), None),
+    # key 2: single open version
+    (2, "only", 30, date(2024, 3, 1), None),
+]
+PIT_FACTS = [
+    (100, 1, date(2024, 5, 31)),   # last day of v1
+    (101, 1, date(2024, 6, 1)),    # valid_from is INCLUSIVE -> v2
+    (102, 2, date(2024, 2, 1)),    # before key 2's first version
+    (103, 9, date(2024, 7, 1)),    # no dim entry at all
+]
+FACT_SCHEMA = "fact_id long, k long, ts date"
+
+
+def test_pit_join_selects_version_at_fact_time(spark):
+    dim = spark.createDataFrame(PIT_DIM, DIM_SCHEMA)
+    facts = spark.createDataFrame(PIT_FACTS, FACT_SCHEMA)
+    got = {
+        r["fact_id"]: (r["attr"], r["num"])
+        for r in scd.point_in_time_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert got[100] == ("old", 10)   # ts < valid_to: still v1
+    assert got[101] == ("new", 20)   # boundary day belongs to v2
+    assert got[102] == (None, None)  # predates first version: left-kept
+    assert got[103] == (None, None)  # unknown key: left-kept
+
+
+def test_pit_join_inner_drops_unmatched(spark):
+    dim = spark.createDataFrame(PIT_DIM, DIM_SCHEMA)
+    facts = spark.createDataFrame(PIT_FACTS, FACT_SCHEMA)
+    ids = {
+        r["fact_id"]
+        for r in scd.point_in_time_join(facts, dim, ["k"], "ts", how="inner").collect()
+    }
+    assert ids == {100, 101}
+
+
+def test_pit_join_never_fans_out(spark):
+    # SCD2 windows per key are non-overlapping, so row count is
+    # preserved under the left join
+    dim = spark.createDataFrame(PIT_DIM, DIM_SCHEMA)
+    facts = spark.createDataFrame(PIT_FACTS, FACT_SCHEMA)
+    assert scd.point_in_time_join(facts, dim, ["k"], "ts").count() == len(PIT_FACTS)
+
+
+def test_pit_join_rejects_bad_how(spark):
+    import pytest as _pytest
+
+    dim = spark.createDataFrame(PIT_DIM, DIM_SCHEMA)
+    facts = spark.createDataFrame(PIT_FACTS, FACT_SCHEMA)
+    with _pytest.raises(ValueError, match="how"):
+        scd.point_in_time_join(facts, dim, ["k"], "ts", how="full")
+
+
+def test_pit_join_is_hash_join_not_nested_loop(spark):
+    # the validity range rides as a RESIDUAL on the key equi-join: a
+    # broadcast dim must plan BroadcastHashJoin, never a nested loop
+    dim = spark.createDataFrame(PIT_DIM, DIM_SCHEMA)
+    facts = spark.createDataFrame(PIT_FACTS, FACT_SCHEMA)
+    plan = (
+        scd.point_in_time_join(facts, F.broadcast(dim), ["k"], "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
