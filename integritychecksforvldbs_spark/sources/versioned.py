@@ -99,6 +99,7 @@ def commit(
     path: str,
     mode: str = "append",
     extra: dict | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     as the table's next version.  Returns the committed version.
@@ -123,8 +124,11 @@ def commit(
     write_stats_friendly(spark, df, data_dir)
     new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
 
-    base = _latest_committed(path)
-    base_v = base[0] if base else 0
+    if expected_parent is not None:
+        base_v = expected_parent
+    else:
+        base = _latest_committed(path)
+        base_v = base[0] if base else 0
     os.makedirs(_vdir(path), exist_ok=True)
     for _ in range(_MAX_COMMIT_RETRIES):
         cur = _latest_committed(path)
@@ -338,11 +342,58 @@ def merge_into(
             source.select(*keys), cond, "left_anti"
         ).unionByName(source)
         try:
-            return commit(spark, merged, path, mode="overwrite")
+            return commit(
+                spark, merged, path, mode="overwrite",
+                expected_parent=base[0],
+            )
         except ConflictError:
             continue  # re-base on the racing commit and re-merge
     raise ConflictError(
         f"merge_into {path!r} lost {max_retries} overwrite races"
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Delete rows matching the SQL ``condition`` as ONE atomic
+    overwrite version; returns ``(version, n_deleted)``.  The
+    right-to-be-forgotten operation a governed lakehouse must offer:
+    the new snapshot excludes the rows, history versions still
+    contain them until :func:`vacuum` expires those versions — PHYSICAL
+    erasure is ``delete_where`` + ``vacuum(keep_versions=1)``, and the
+    docstring split is deliberate (auditability vs erasure are
+    different retention policies).
+
+    Same optimistic concurrency as :func:`merge_into`: a racing
+    commit re-bases the delete on the new state and retries, so the
+    predicate is re-evaluated against rows the race added.  A
+    no-match delete still commits a version (the audit trail records
+    that the delete ran)."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        base = _latest_committed(path)
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {path!r}")
+        cur = read(spark, path)
+        kept = cur.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        n_deleted = cur.count() - kept.count()
+        try:
+            return (
+                commit(
+                    spark, kept, path, mode="overwrite",
+                    expected_parent=base[0],
+                ),
+                n_deleted,
+            )
+        except ConflictError:
+            continue  # re-base on the racing commit, re-evaluate
+    raise ConflictError(
+        f"delete_where {path!r} lost {max_retries} overwrite races"
     )
 
 
@@ -353,15 +404,24 @@ def compact(
     overwrite commit: (version, files_before, files_after).  Old
     versions keep answering from the old files until ``vacuum``
     expires them — compaction never breaks time travel."""
-    cur = _latest_committed(path)
-    if cur is None:
-        raise FileNotFoundError(f"no committed version under {path!r}")
-    before = len(cur[1]["files"])
-    v = commit(
-        spark, read(spark, path).coalesce(n_files), path, mode="overwrite"
-    )
-    after = len(_read_manifest(path, v)["files"])
-    return v, before, after
+    for _ in range(5):
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        before = len(cur[1]["files"])
+        try:
+            v = commit(
+                spark,
+                read(spark, path).coalesce(n_files),
+                path,
+                mode="overwrite",
+                expected_parent=cur[0],
+            )
+        except ConflictError:
+            continue  # a commit raced the rewrite: re-base on it
+        after = len(_read_manifest(path, v)["files"])
+        return v, before, after
+    raise ConflictError(f"compact of {path!r} lost every overwrite race")
 
 
 def versioned_batch_sink(table_path: str, mode: str = "append"):

@@ -335,3 +335,64 @@ def test_changes_errors(spark, tmp_path):
         versioned.changes(spark, path, 0, 99)
     with pytest.raises(ValueError):
         versioned.changes(spark, path, 1, 0)
+
+
+def test_delete_where_atomic_and_time_travelable(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 10), path)
+    v, n = versioned.delete_where(spark, path, "k % 2 = 0")
+    assert (v, n) == (2, 5)
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(1, 10, 2)]
+    # history still answers with the deleted rows until vacuum
+    assert _rows(versioned.read(spark, path, version=1)) == [
+        (i,) for i in range(10)
+    ]
+    assert versioned.history(path)[-1].mode == "overwrite"
+
+
+def test_delete_where_null_condition_rows_are_kept(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 5), (2, None), (3, 50)], "id long, x long")
+    versioned.commit(spark, df, path)
+    # x > 10 is NULL for id 2 -> kept (SQL DELETE semantics)
+    _, n = versioned.delete_where(spark, path, "x > 10")
+    assert n == 1
+    assert sorted(r["id"] for r in versioned.read(spark, path).collect()) == [1, 2]
+
+
+def test_delete_where_no_match_still_commits_audit_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 3), path)
+    v, n = versioned.delete_where(spark, path, "k > 99")
+    assert (v, n) == (2, 0)
+    assert len(versioned.history(path)) == 2
+
+
+def test_delete_where_missing_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        versioned.delete_where(spark, str(tmp_path / "nope"), "id = 1")
+
+
+def test_delete_where_rebases_after_conflict(spark, tmp_path, monkeypatch):
+    """A commit racing ahead of the delete re-bases it: the predicate
+    re-evaluates against the NEW state, so rows the race appended are
+    deleted too when they match."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 4), path)
+
+    real_commit = versioned.commit
+    hits = {"n": 0}
+
+    def racing_commit(spark_, df, path_, mode="append", **kw):
+        if hits["n"] == 0:
+            hits["n"] += 1
+            real_commit(spark_, _mk(spark_, 100, 102), path_, mode="append")
+        return real_commit(spark_, df, path_, mode=mode, **kw)
+
+    monkeypatch.setattr(versioned, "commit", racing_commit)
+    _, n = versioned.delete_where(spark, path, "k % 2 = 0")
+    # 0,2 from the base plus 100 from the raced append
+    assert n == 3
+    assert sorted(r["k"] for r in versioned.read(spark, path).collect()) == [
+        1, 3, 101,
+    ]
