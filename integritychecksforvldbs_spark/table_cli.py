@@ -203,6 +203,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, required=True)
 
     p = sub.add_parser(
+        "versioned-delete",
+        help="delete rows matching a SQL predicate as a new version",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--where", required=True,
+        help="SQL condition; NULL evaluations keep the row (DELETE semantics)",
+    )
+
+    p = sub.add_parser(
         "versioned-changes",
         help="row-level change feed between two versions (CDF)",
     )
@@ -431,6 +441,13 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "cmd": "versioned-rollback", "restored": args.version,
             "as_version": v,
+        }
+    elif args.cmd == "versioned-delete":
+        from .sources import versioned
+
+        v, n = versioned.delete_where(spark, args.table, args.where)
+        summary = {
+            "cmd": "versioned-delete", "version": v, "n_deleted": n,
         }
     elif args.cmd == "versioned-changes":
         from .sources import versioned

@@ -164,3 +164,17 @@ def test_versioned_cli_roundtrip(spark, tmp_path, capsys):
         capsys, "versioned-vacuum", "--table", tbl, "--keep-versions", "2"
     )
     assert s["removed_data_dirs"] == []  # v2/v3 still reference everything
+
+
+def test_versioned_delete_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "w")
+    spark.range(0, 10).write.parquet(src)
+    tbl = str(tmp_path / "tbl")
+    _run(capsys, "versioned-commit", "--src", src, "--table", tbl)
+    s = _run(capsys, "versioned-delete", "--table", tbl, "--where", "id >= 7")
+    assert s == {"cmd": "versioned-delete", "version": 2, "n_deleted": 3}
+    from integritychecksforvldbs_spark.sources import versioned
+
+    assert versioned.read(spark, tbl).count() == 7
+    # history still has the full set until vacuum
+    assert versioned.read(spark, tbl, version=1).count() == 10
