@@ -335,6 +335,67 @@ def _q_zonemap_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Quarantined CSV ingestion — PERMISSIVE + corrupt-record split
+# ---------------------------------------------------------------------------
+
+_INGEST_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, "
+    "o_orderpriority string, o_totalprice double"
+)
+
+
+def _orders_csv_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """CSV copy of orders (4 typed columns) plus one deliberately
+    malformed file (3 rows with unparseable numerics), built once per
+    (process, sf_dir): the raw-landing-zone fixture the quarantined
+    ingest reads back.  The bad rows never reach the good side, so
+    the round-trip aggregate equals the parquet-side oracle exactly."""
+    import os
+
+    path = _mirror_path(sf_dir, "orders_csv")
+    marker = os.path.join(path, "_ICV_DONE")
+    if not os.path.exists(marker):
+        (
+            _load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(path)
+        )
+        with open(os.path.join(path, "part-badrows.csv"), "w") as f:
+            f.write(
+                "o_orderkey,o_custkey,o_orderpriority,o_totalprice\n"
+                "not_a_key,1,1-URGENT,10.5\n"
+                "11,not_a_cust,2-HIGH,20.25\n"
+                "12,3,3-MEDIUM,not_a_price\n"
+            )
+        with open(marker, "w") as f:
+            f.write("")
+    return path
+
+
+def _q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing zone → quarantined ingest → typed aggregate: the
+    three malformed rows land in quarantine (count pinned by
+    tests/test_ingest.py), the good rows round-trip CSV bit-exactly
+    (Java's shortest-repr double formatting), and the aggregate
+    matches the parquet-side oracle."""
+    from integritychecksforvldbs_spark.sources.ingest import (
+        ingest_quarantined,
+        split_quarantine,
+    )
+
+    raw = ingest_quarantined(
+        spark, _orders_csv_mirror(spark, sf_dir), _INGEST_SCHEMA, fmt="csv"
+    )
+    good, _bad = split_quarantine(raw)
+    return _orders_priority_agg(good)
+
+
 def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """Two-commit versioned orders table (once per process/sf): v1 =
     keys ≡ 0 (mod 3), v2 appends the remainder — latest is the full
@@ -2546,7 +2607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_revenue_top10"] = _q_join_revenue
     out["events_funnel"] = _q_funnel
     out["exists_late_orders"] = _q_exists_late_orders
-    out["antijoin_segments"] = _q_antijoin_segments
+    # r6 rotation: antijoin_segments (anti-join family still gated by
+    # set_ops_suite + exists_late_orders; its 0-row result made it the
+    # weakest compare) moved past the cap for the new quarantined-
+    # ingestion family gate
+    out["ingest_csv_roundtrip"] = _q_ingest_csv_roundtrip
     out["user_gaps"] = _q_user_gaps
     out["props_parse"] = _q_props_parse
     out["window_suite"] = _q_window_suite
@@ -2645,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_merge_customers"] = _q_versioned_merge
 
     # ================= past the 50-row driver cap =================
+    out["antijoin_segments"] = _q_antijoin_segments
     out["search_bm25_refreshed"] = _q_search_bm25_refreshed
     out["curation_chunk_dedup"] = lambda spark, sf: curation.chunk_dedup(
         _docs_with_chunk_twins(spark, sf), chunk_size=16
@@ -3300,6 +3366,9 @@ FROM orders WHERE o_orderkey IN (2, 7, 33, 1000)
     out["events_funnel"] = _funnel_oracle()
     out["exists_late_orders"] = _exists_late_orders_oracle()
     out["antijoin_segments"] = _antijoin_segments_oracle()
+    # the quarantined rows never reach the good side, so the CSV
+    # round-trip aggregate is exactly the parquet-side aggregate
+    out["ingest_csv_roundtrip"] = _VERSIONED_LATEST_ORACLE
     out["user_gaps"] = _user_gaps_oracle()
     out["props_parse"] = _props_parse_oracle()
     out["window_suite"] = _window_suite_oracle()
