@@ -959,6 +959,33 @@ def _q_tokens_subword_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _q_tokens_bpe_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture allocation driven by a REAL BPE merge loop: the
+    vocabulary is trained by functions/bpe.py (one distributed
+    word-count pass + the Sennrich merge loop over the vocab-sized
+    word table, cached per sf), then counting flows through the
+    ``tokens_expr`` seam as an Arrow-batched UDF.  Rows-only in the
+    driver gate (DuckDB cannot run the registered UDF);
+    tests/test_bpe.py pins Spark == pure Python ==
+    DuckDB-create_function equality on the same counting core, and
+    the trainer against a recompute-from-scratch reference."""
+    from integritychecksforvldbs_spark.functions import bpe
+    from integritychecksforvldbs_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = bpe.train_bpe(docs, n_merges=300, max_words=20_000)
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    expr = bpe.register_bpe_count(spark, merges, name="bpe_alloc")
+    return curation.mixture_allocation(
+        docs, target_tokens=100_000, tokens_expr=expr
+    )
+
+
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.operators.kernels import (
         BROADCAST_THRESHOLD_BYTES,
@@ -2723,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross-engine equality is pinned by tests/test_subword.py via
     # duckdb.create_function on the SAME Python core)
     out["tokens_subword_allocation"] = _q_tokens_subword_allocation
+    out["tokens_bpe_allocation"] = _q_tokens_bpe_allocation
     # r6: persisted-sidecar pruning (no query-time footer reads) and
     # the two skew-mitigation join plans — each contracted to equal
     # the plain-scan / plain-join oracle exactly
