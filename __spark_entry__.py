@@ -2790,6 +2790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 head rotations — still oracle-verified locally, just past the cap
     out["events_running_total"] = _q_running_total
     out["dedup_pairs"] = _q_dedup_pairs
+    # temperature-scaled (T=2 -> SQRT, IEEE-exact cross-engine) tier
+    out["curation_temperature_mixture"] = lambda spark, sf: (
+        curation.temperature_mixture(_load(spark, sf, "documents"))
+    )
     out["curation_mixture"] = lambda spark, sf: curation.mixture_allocation(
         _load(spark, sf, "documents")
     )
@@ -3449,6 +3453,7 @@ JOIN ({freshness.late_event_counts_oracle()}) l ON f.event_type = l.event_type
     out["curation_funnel"] = curation.curate_funnel_oracle(n=5, cap_k=20)
     out["text_vocabulary"] = text.vocabulary_oracle(k=500)
     out["curation_mixture"] = curation.mixture_allocation_oracle()
+    out["curation_temperature_mixture"] = curation.temperature_mixture_oracle()
     out["curation_split_budget"] = _curation_split_budget_oracle()
     out["curation_token_chunks"] = curation.token_chunks_oracle(chunk_size=64)
     out["curation_leakage_split"] = curation.leakage_safe_split_oracle()

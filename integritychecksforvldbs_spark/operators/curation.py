@@ -268,6 +268,93 @@ FROM per
 """
 
 
+def temperature_mixture(
+    df: DataFrame,
+    target_tokens: int = 1_000_000,
+    temperature: float = 2.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    tokens_expr: str | None = None,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture budgets: ``alloc ∝ src_tokens^(1/T)``
+    — the multilingual/multi-source sampling rule (mBERT, XLM-R) that
+    lifts low-resource sources above their natural share without the
+    head sources drowning them.  ``T=1`` is proportional (exactly
+    :func:`mixture_allocation`); ``T→∞`` approaches uniform.
+
+    Determinism contract: weights are computed in ONE float step and
+    immediately fixed to integers (``ROUND(w · weight_scale)``), and
+    every downstream step (sum, ratio) is integer arithmetic — so both
+    engines agree bit-for-bit provided the float step itself does.
+    ``T=2`` uses ``SQRT``, which IEEE 754 requires correctly rounded —
+    bit-exact everywhere — and is the gate-verified tier; other
+    temperatures route through ``POWER``, which carries no such
+    guarantee (documented approximate tier).  Int64 headroom:
+    ``target_tokens × max(weight) × weight_scale`` must stay under
+    2^63 — lower ``weight_scale`` for extreme targets (granularity
+    for headroom).
+
+    Scale shape: identical to :func:`mixture_allocation` — one
+    map-side-combined SUM per source, then |sources|-row arithmetic.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    n_tokens = F.expr(
+        tokens_expr
+        or f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+    )
+    per = (
+        df.select(F.col(source_col).alias("source"), n_tokens.alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("src_tokens"))
+    )
+    if temperature == 1.0:
+        w = "src_tokens"
+    elif temperature == 2.0:
+        w = (
+            f"CAST(ROUND(SQRT(CAST(src_tokens AS DOUBLE)) * {weight_scale}) "
+            "AS BIGINT)"
+        )
+    else:
+        w = (
+            f"CAST(ROUND(POWER(CAST(src_tokens AS DOUBLE), "
+            f"{1.0 / temperature!r}) * {weight_scale}) AS BIGINT)"
+        )
+    return per.withColumn("weight_scaled", F.expr(w)).withColumn(
+        "alloc_tokens",
+        F.expr(
+            f"CAST({target_tokens} AS BIGINT) * weight_scaled DIV "
+            "SUM(weight_scaled) OVER ()"
+        ),
+    )
+
+
+def temperature_mixture_oracle(
+    table: str = "documents",
+    target_tokens: int = 1_000_000,
+    weight_scale: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for the ``T=2`` (SQRT — IEEE-correctly-rounded,
+    hence bit-exact cross-engine) tier."""
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS src_tokens
+  FROM {table} GROUP BY source),
+w AS (
+  SELECT source, src_tokens,
+         CAST(ROUND(SQRT(CAST(src_tokens AS DOUBLE)) * {weight_scale}) AS BIGINT)
+           AS weight_scaled
+  FROM per)
+SELECT source, src_tokens, weight_scaled,
+       CAST(CAST({target_tokens} AS BIGINT) * weight_scaled
+            // SUM(weight_scaled) OVER () AS BIGINT) AS alloc_tokens
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # token chunking
 # ---------------------------------------------------------------------------

@@ -116,3 +116,43 @@ def test_budget_fill_kept_tokens_near_allocation(tables):
             assert total >= alloc[source]
         # overshoot bounded by the last document
         assert total - max(kept_tokens) < alloc[source]
+
+
+def test_temperature_mixture_t1_is_proportional(tables):
+    docs = tables["documents"]
+    prop = {
+        r.source: r.alloc_tokens
+        for r in curation.mixture_allocation(docs, target_tokens=50_000).collect()
+    }
+    t1 = {
+        r.source: r.alloc_tokens
+        for r in curation.temperature_mixture(
+            docs, target_tokens=50_000, temperature=1.0
+        ).collect()
+    }
+    assert t1 == prop
+
+
+def test_temperature_mixture_flattens_shares(tables):
+    """T=2 lifts the smallest source's share and shrinks the largest's
+    relative to proportional; allocations never exceed the target."""
+    docs = tables["documents"]
+    target = 100_000
+    prop = curation.temperature_mixture(docs, target, temperature=1.0).collect()
+    sq = curation.temperature_mixture(docs, target, temperature=2.0).collect()
+    assert sum(r.alloc_tokens for r in sq) <= target
+    by_tok = {r.source: r.src_tokens for r in prop}
+    lo = min(by_tok, key=by_tok.get)
+    hi = max(by_tok, key=by_tok.get)
+    p = {r.source: r.alloc_tokens for r in prop}
+    s = {r.source: r.alloc_tokens for r in sq}
+    if by_tok[lo] < by_tok[hi]:  # non-degenerate corpus
+        assert s[lo] >= p[lo]
+        assert s[hi] <= p[hi]
+
+
+def test_temperature_mixture_rejects_nonpositive_t(tables):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        curation.temperature_mixture(tables["documents"], temperature=0.0)
