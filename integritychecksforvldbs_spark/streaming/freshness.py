@@ -214,13 +214,21 @@ def dedup_stream(
     """Exactly-once event dedup: the first arrival of each id passes,
     re-deliveries (at-least-once sources replaying files/offsets) are
     dropped — including across micro-batches, because the id set is
-    streaming state.  The watermark bounds that state: an id's entry
-    is evicted once event time passes ``its ts + watermark``, so state
-    is O(ids per watermark window), not O(all ids ever).
+    streaming state.  The watermark bounds that state via
+    ``dropDuplicatesWithinWatermark``: an id's entry is evicted once
+    the watermark passes its event time + delay, so state is O(ids
+    per watermark window), not O(all ids ever).  (Plain
+    ``dropDuplicates`` on a key subset that EXCLUDES the event-time
+    column never evicts, watermark or not — the unbounded-state trap
+    this helper exists to avoid; dedup is only guaranteed for
+    re-deliveries arriving within the watermark delay, which is the
+    at-least-once-source replay window by construction.)
 
     Batch frames get plain ``dropDuplicates`` — the batch-equivalent
     the tests compare against.
     """
     if events.isStreaming:
-        events = events.withWatermark(ts_col, watermark)
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark([id_col])
     return events.dropDuplicates([id_col])

@@ -311,3 +311,59 @@ def test_attribution_left_outer_keeps_unmatched_purchases(spark, batch_events):
     assert unmatched.filter(
         F.col("click_ts").isNotNull() | F.col("lag_seconds").isNotNull()
     ).count() == 0
+
+
+def test_streaming_dedup_state_evicted_by_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark bounds dedup state: ids whose
+    event time has fallen behind the watermark are evicted, so state
+    tracks the replay window, not every id ever seen.  (Plain
+    dropDuplicates on a key subset without the event-time column
+    would hold all 300 rows forever.)"""
+    from datetime import datetime, timedelta
+
+    d = tmp_path / "evict_stream"
+    d.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    for i, hours in enumerate((0, 10, 20)):
+        rows = [
+            (1000 * i + j, t0 + timedelta(hours=hours), 1, "view")
+            for j in range(100)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(d / f"batch_{i}"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "batch_*"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = freshness.dedup_stream(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_evict_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dedup_evict_t").count() == 300  # nothing lost
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    # without eviction the final state would hold all 300 ids
+    assert totals and min(totals[-1:]) <= 200
+    assert any(
+        p["stateOperators"][0].get("numRowsRemoved", 0) > 0
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
