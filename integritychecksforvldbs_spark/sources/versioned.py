@@ -100,6 +100,7 @@ def commit(
     mode: str = "append",
     extra: dict | None = None,
     expected_parent: int | None = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     as the table's next version.  Returns the committed version.
@@ -110,9 +111,28 @@ def commit(
     the winner and retry (appends commute); overwrite losers raise
     ``ConflictError`` once a racing commit lands after the base they
     loaded (overwriting a state you never saw is a lost update, not a
-    merge)."""
+    merge).
+
+    Schema: every manifest records its version's schema (DDL).  An
+    APPEND whose schema disagrees with the table's committed schema
+    raises :class:`SchemaDriftError` unless ``allow_schema_change``
+    — a silent mismatch would surface only at read time, where the
+    parquet union null-fills whichever columns the planner's schema
+    lacks.  Overwrites replace the schema freely (the visible set is
+    replaced wholesale); either way :func:`schema_history` shows the
+    evolution."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    new_ddl = df.schema.simpleString()
+    if mode == "append" and not allow_schema_change:
+        cur0 = _latest_committed(path)
+        cur_ddl = cur0[1].get("schema") if cur0 else None
+        if cur_ddl is not None and cur_ddl != new_ddl:
+            raise SchemaDriftError(
+                f"append to {path!r} changes the schema:\n"
+                f"  table: {cur_ddl}\n  append: {new_ddl}\n"
+                "pass allow_schema_change=True to evolve it"
+            )
     from integritychecksforvldbs_spark.sources.catalog import (
         list_parquet_files,
     )
@@ -159,6 +179,7 @@ def commit(
                     "mode": mode,
                     "files": files,
                     "parent": cur_v or None,
+                    "schema": new_ddl,
                 },
                 f,
             )
@@ -172,6 +193,10 @@ def commit(
 
 class ConflictError(RuntimeError):
     """An optimistic commit raced a conflicting committed version."""
+
+
+class SchemaDriftError(ValueError):
+    """An append's schema disagrees with the table's committed schema."""
 
 
 def read(
@@ -274,6 +299,56 @@ def history(path: str) -> list[VersionInfo]:
     return out
 
 
+def schema_history(path: str) -> list[tuple[int, str | None]]:
+    """(version, schema DDL) per committed version, oldest first —
+    ``None`` for manifests predating schema recording."""
+    out = []
+    for v in _versions(path):
+        man = _read_manifest(path, v)
+        if man is not None:
+            out.append((v, man.get("schema")))
+    return out
+
+
+def schema_changes(
+    path: str, from_version: int, to_version: int | None = None
+) -> dict[str, list[str]]:
+    """Column-level diff between two committed schemas:
+    ``{"added": [...], "removed": [...], "retyped": [...]}`` — the
+    schema-evolution counterpart of :func:`changes`.  Raises when
+    either manifest predates schema recording (there is nothing
+    trustworthy to diff)."""
+    from pyspark.sql.types import StructType
+
+    def _fields(v: int) -> dict[str, str]:
+        man = _read_manifest(path, v)
+        if man is None:
+            raise FileNotFoundError(f"version {v} of {path!r} not found")
+        ddl = man.get("schema")
+        if ddl is None:
+            raise ValueError(
+                f"version {v} of {path!r} predates schema recording"
+            )
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(ddl).fields
+        }
+
+    if to_version is None:
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        to_version = cur[0]
+    a, b = _fields(from_version), _fields(to_version)
+    return {
+        "added": sorted(set(b) - set(a)),
+        "removed": sorted(set(a) - set(b)),
+        "retyped": sorted(
+            c for c in set(a) & set(b) if a[c] != b[c]
+        ),
+    }
+
+
 def rollback(spark: SparkSession, path: str, version: int) -> int:
     """Commit a NEW version whose visible file set is ``version``'s —
     time travel made durable without rewriting history (the bad
@@ -300,6 +375,7 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
                     "mode": f"rollback({version})",
                     "files": man["files"],
                     "parent": cur_v or None,
+                    "schema": man.get("schema"),
                 },
                 f,
             )

@@ -396,3 +396,64 @@ def test_delete_where_rebases_after_conflict(spark, tmp_path, monkeypatch):
     assert sorted(r["k"] for r in versioned.read(spark, path).collect()) == [
         1, 3, 101,
     ]
+
+
+# ---------------------------------------------------------------------------
+# schema recording, enforcement, and evolution
+# ---------------------------------------------------------------------------
+
+
+def test_append_schema_drift_refused_then_allowed(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    df = spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    versioned.commit(spark, df, p)
+    wider = df.withColumn("extra", F.lit(1))
+    with pytest.raises(versioned.SchemaDriftError, match="extra"):
+        versioned.commit(spark, wider, p)
+    # history unchanged by the refused commit
+    assert [vi.version for vi in versioned.history(p)] == [1]
+    v2 = versioned.commit(spark, wider, p, allow_schema_change=True)
+    assert v2 == 2
+    hist = versioned.schema_history(p)
+    assert hist[0][1] == "struct<k:bigint,v:string>"
+    assert "extra" in hist[1][1]
+
+
+def test_overwrite_replaces_schema_freely(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    versioned.commit(spark, spark.range(3).selectExpr("id AS k"), p)
+    narrow = spark.range(2).selectExpr("CAST(id AS STRING) AS name")
+    v2 = versioned.commit(spark, narrow, p, mode="overwrite")
+    assert versioned.read(spark, p).columns == ["name"]
+    ch = versioned.schema_changes(p, 1, v2)
+    assert ch == {"added": ["name"], "removed": ["k"], "retyped": []}
+
+
+def test_schema_changes_detects_retype(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    versioned.commit(spark, spark.range(3).selectExpr("id AS k", "id AS x"), p)
+    versioned.commit(
+        spark,
+        spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x"),
+        p,
+        allow_schema_change=True,
+    )
+    ch = versioned.schema_changes(p, 1, 2)
+    assert ch == {"added": [], "removed": [], "retyped": ["x"]}
+
+
+def test_rollback_carries_schema(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    versioned.commit(spark, spark.range(3).selectExpr("id AS k"), p)
+    versioned.commit(
+        spark,
+        spark.range(2).selectExpr("CAST(id AS STRING) AS name"),
+        p,
+        mode="overwrite",
+    )
+    v3 = versioned.rollback(spark, p, 1)
+    assert versioned.schema_changes(p, 1, v3) == {
+        "added": [], "removed": [], "retyped": []
+    }
+    # appends against the rolled-back schema are clean again
+    versioned.commit(spark, spark.range(1).selectExpr("id AS k"), p)
