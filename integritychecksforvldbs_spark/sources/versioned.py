@@ -71,6 +71,34 @@ def _read_manifest(path: str, v: int) -> dict | None:
         return None  # absent, or a committer died between CAS and body
 
 
+def _manifest_schema(man: dict):
+    """StructType recorded in a manifest, or None for manifests
+    predating schema recording.  Prefers the JSON form, which
+    StructType.fromJson parses in pure Python — no SparkSession, so
+    it works inside the Python Data Source planner worker; the DDL
+    form needs the JVM parser and is kept for human readability."""
+    from pyspark.sql.types import StructType
+
+    sj = man.get("schema_json")
+    if sj is not None:
+        parsed = StructType.fromJson(sj)
+    else:
+        ddl = man.get("schema")
+        if ddl is None:
+            return None
+        parsed = StructType.fromDDL(ddl)
+    # Spark's parquet scans report every column nullable regardless of
+    # the writer's schema; relax the recorded one the same way so the
+    # native read, the Python Data Source, and plain file reads all
+    # agree (and unions across them resolve)
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in parsed.fields]
+    )
+
+
 def _versions(path: str) -> list[int]:
     try:
         names = os.listdir(_vdir(path))
@@ -180,6 +208,11 @@ def commit(
                     "files": files,
                     "parent": cur_v or None,
                     "schema": new_ddl,
+                    # jsonValue parses WITHOUT a SparkSession
+                    # (StructType.fromJson is pure Python) — the form
+                    # the Python Data Source's planner worker, which
+                    # has no session, must use
+                    "schema_json": df.schema.jsonValue(),
                 },
                 f,
             )
@@ -206,7 +239,14 @@ def read(
     file list is resolved from the manifest BEFORE the scan plans, so
     the returned frame is a consistent snapshot — commits landing
     afterwards are invisible to it (and ``vacuum`` retains every
-    manifested file, so the snapshot stays readable)."""
+    manifested file, so the snapshot stays readable).
+
+    The scan is planned against the MANIFEST's recorded schema, not a
+    sampled file's: after a schema-evolving append the visible set
+    mixes file schemas, and letting the reader pick one file's schema
+    would silently drop the evolved columns from some plans — with
+    the declared schema, files missing a column null-fill it, the
+    standard additive-evolution read."""
     from integritychecksforvldbs_spark.sources.loader import load_table
 
     if version is None:
@@ -220,6 +260,9 @@ def read(
             raise FileNotFoundError(f"version {version} of {path!r} not found")
     if not man["files"]:
         raise ValueError(f"version {man['version']} of {path!r} is empty")
+    sch = _manifest_schema(man)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(*man["files"])
     return load_table(spark, *man["files"])
 
 
@@ -318,21 +361,16 @@ def schema_changes(
     schema-evolution counterpart of :func:`changes`.  Raises when
     either manifest predates schema recording (there is nothing
     trustworthy to diff)."""
-    from pyspark.sql.types import StructType
-
     def _fields(v: int) -> dict[str, str]:
         man = _read_manifest(path, v)
         if man is None:
             raise FileNotFoundError(f"version {v} of {path!r} not found")
-        ddl = man.get("schema")
-        if ddl is None:
+        sch = _manifest_schema(man)
+        if sch is None:
             raise ValueError(
                 f"version {v} of {path!r} predates schema recording"
             )
-        return {
-            f.name: f.dataType.simpleString()
-            for f in StructType.fromDDL(ddl).fields
-        }
+        return {f.name: f.dataType.simpleString() for f in sch.fields}
 
     if to_version is None:
         cur = _latest_committed(path)
@@ -376,6 +414,7 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
                     "files": man["files"],
                     "parent": cur_v or None,
                     "schema": man.get("schema"),
+                    "schema_json": man.get("schema_json"),
                 },
                 f,
             )

@@ -44,6 +44,7 @@ from pyspark.sql.types import StructType
 
 from integritychecksforvldbs_spark.sources.versioned import (
     _latest_committed,
+    _manifest_schema,
     _read_manifest,
 )
 
@@ -77,18 +78,50 @@ def _local(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
 
 
-def _read_file_batches(path: str) -> Iterator:
+def _arrow_target(schema: StructType):
+    """(name, arrow type) per declared field — computed driver-side,
+    shipped to executors on the pickled reader."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+
+
+def _read_file_batches(path: str, target=None) -> Iterator:
+    """Arrow batches of one data file, conformed to ``target`` (the
+    declared read schema as (name, arrow type) pairs): after a
+    schema-evolving append the visible set mixes file schemas, so
+    files missing a declared column null-fill it, surplus columns
+    drop, and per-file physical types cast to the declared one — the
+    same additive-evolution contract the native ``versioned.read``
+    plans.  Files already matching pass through untouched."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(_local(path))
     try:
-        yield from pf.iter_batches()
+        if target is None or pf.schema_arrow.names == [n for n, _ in target]:
+            yield from pf.iter_batches()
+            return
+        present = [n for n, _ in target if n in pf.schema_arrow.names]
+        for batch in pf.iter_batches(columns=present):
+            cols = []
+            for name, typ in target:
+                if name in present:
+                    col = batch.column(batch.schema.get_field_index(name))
+                    if col.type != typ:
+                        col = col.cast(typ)
+                else:
+                    col = pa.nulls(batch.num_rows, typ)
+                cols.append(col)
+            yield pa.RecordBatch.from_arrays(
+                cols, schema=pa.schema(pa.field(n, t) for n, t in target)
+            )
     finally:
         pf.close()
 
 
 class _VersionedBatchReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None):
+    def __init__(self, path: str, version: int | None, schema: StructType):
         if version is None:
             cur = _latest_committed(path)
             if cur is None:
@@ -103,18 +136,20 @@ class _VersionedBatchReader(DataSourceReader):
                     f"version {version} of {path!r} not found"
                 )
             self.files = man["files"]
+        self.target = _arrow_target(schema)
 
     def partitions(self):
         return [_FilePartition(f) for f in self.files]
 
     def read(self, partition: _FilePartition):
-        yield from _read_file_batches(partition.path)
+        yield from _read_file_batches(partition.path, self.target)
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int):
+    def __init__(self, path: str, starting_version: int, schema: StructType):
         self.path = path
         self.starting_version = starting_version
+        self.target = _arrow_target(schema)
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -163,7 +198,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
         return [_FilePartition(f) for f in files]
 
     def read(self, partition: _FilePartition):
-        yield from _read_file_batches(partition.path)
+        yield from _read_file_batches(partition.path, self.target)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint is the ledger; nothing to release
@@ -205,6 +240,15 @@ class VersionedDataSource(DataSource):
                     f"no committed version under {path!r}"
                 )
             files = cur[1]["files"]
+        recorded = _manifest_schema(man if v is not None else cur[1])
+        if recorded is not None:
+            # the manifest's recorded schema is authoritative — after a
+            # schema-evolving append the visible files disagree, and
+            # sampling one would drop the evolved columns.  Parsed via
+            # the pure-Python JSON form: this runs in the data-source
+            # planner worker, which has NO SparkSession (fromDDL would
+            # raise SESSION_OR_CONTEXT_NOT_EXISTS here).
+            return recorded
         if not files:
             raise ValueError(f"cannot infer schema of empty {path!r}")
         return _spark_schema(files)
@@ -212,12 +256,12 @@ class VersionedDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         v = self.options.get("version")
         return _VersionedBatchReader(
-            self._path(), int(v) if v is not None else None
+            self._path(), int(v) if v is not None else None, schema
         )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))
-        return _VersionedStreamReader(self._path(), start)
+        return _VersionedStreamReader(self._path(), start, schema)
 
 
 def register(spark) -> None:

@@ -457,3 +457,22 @@ def test_rollback_carries_schema(spark, tmp_path):
     }
     # appends against the rolled-back schema are clean again
     versioned.commit(spark, spark.range(1).selectExpr("id AS k"), p)
+
+
+def test_evolved_append_read_nullfills_old_files(spark, tmp_path):
+    """After an allow_schema_change append, reads plan against the
+    manifest's recorded schema: old files null-fill the new column
+    instead of the reader sampling one file's schema and silently
+    dropping it."""
+    p = str(tmp_path / "tbl")
+    versioned.commit(spark, spark.range(3).selectExpr("id AS k"), p)
+    versioned.commit(
+        spark,
+        spark.range(10, 12).selectExpr("id AS k", "id * 2 AS extra"),
+        p,
+        allow_schema_change=True,
+    )
+    got = versioned.read(spark, p)
+    assert got.columns == ["k", "extra"]
+    rows = {r["k"]: r["extra"] for r in got.collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: 20, 11: 22}

@@ -136,3 +136,26 @@ def test_versioned_to_versioned_exactly_once(registered, tmp_path):
     run()
     run()  # idle replay
     assert _ks(versioned.read(spark, dst)) == list(range(6))
+
+
+def test_pyds_reads_evolved_table_nullfilled(registered, tmp_path):
+    """format('versioned') plans against the manifest schema after an
+    allow_schema_change append: old files null-fill the new column in
+    the Arrow path exactly as the native read does."""
+    spark = registered
+    p = str(tmp_path / "tbl")
+    versioned.commit(spark, spark.range(3).selectExpr("id AS k"), p)
+    versioned.commit(
+        spark,
+        spark.range(10, 12).selectExpr("id AS k", "id * 2 AS extra"),
+        p,
+        allow_schema_change=True,
+    )
+    got = spark.read.format("versioned").load(p)
+    assert got.columns == ["k", "extra"]
+    rows = {r["k"]: r["extra"] for r in got.collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: 20, 11: 22}
+    native = {
+        r["k"]: r["extra"] for r in versioned.read(spark, p).collect()
+    }
+    assert rows == native
