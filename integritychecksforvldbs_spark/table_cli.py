@@ -224,6 +224,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-version", type=int, default=None)
 
     p = sub.add_parser(
+        "versioned-schema",
+        help="schema history, or the column diff between two versions",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--from-version", type=int, default=None,
+        help="with --from-version: diff against --to-version (default latest)",
+    )
+    p.add_argument("--to-version", type=int, default=None)
+
+    p = sub.add_parser(
         "versioned-vacuum",
         help="reclaim unreferenced data files (and optionally old versions)",
     )
@@ -449,6 +460,25 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "cmd": "versioned-delete", "version": v, "n_deleted": n,
         }
+    elif args.cmd == "versioned-schema":
+        from .sources import versioned
+
+        if args.from_version is not None:
+            summary = {
+                "cmd": "versioned-schema",
+                "from_version": args.from_version,
+                **versioned.schema_changes(
+                    args.table, args.from_version, args.to_version
+                ),
+            }
+        else:
+            summary = {
+                "cmd": "versioned-schema",
+                "history": [
+                    {"version": v, "schema": s}
+                    for v, s in versioned.schema_history(args.table)
+                ],
+            }
     elif args.cmd == "versioned-changes":
         from .sources import versioned
 

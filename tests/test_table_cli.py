@@ -178,3 +178,23 @@ def test_versioned_delete_cli(spark, tmp_path, capsys):
     assert versioned.read(spark, tbl).count() == 7
     # history still has the full set until vacuum
     assert versioned.read(spark, tbl, version=1).count() == 10
+
+
+def test_versioned_schema_cli(spark, tmp_path, capsys):
+    from integritychecksforvldbs_spark.sources import versioned
+
+    tbl = str(tmp_path / "tbl")
+    versioned.commit(spark, spark.range(3).selectExpr("id AS k"), tbl)
+    versioned.commit(
+        spark,
+        spark.range(2).selectExpr("id AS k", "id AS extra"),
+        tbl,
+        allow_schema_change=True,
+    )
+    s = _run(capsys, "versioned-schema", "--table", tbl)
+    assert [h["version"] for h in s["history"]] == [1, 2]
+    assert "extra" in s["history"][1]["schema"]
+    d = _run(
+        capsys, "versioned-schema", "--table", tbl, "--from-version", "1"
+    )
+    assert d["added"] == ["extra"] and d["removed"] == [] and d["retyped"] == []
