@@ -3190,6 +3190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _load(spark, sf, "documents").select("doc_id", "source"),
         _EPOCH_RATES,
     )
+    # A-ES weighted sampling, weight = whitespace token count (longer
+    # docs proportionally likelier; selection deterministic per seed)
+    out["sample_weighted"] = lambda spark, sf: sampling.weighted_sample(
+        _load(spark, sf, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        k=200,
+        weight_expr="size(filter(split(text, ' '), x -> x <> ''))",
+        seed=11,
+    ).select("doc_id", "source")
     return out
 
 
@@ -3550,5 +3560,12 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     )
     out["sample_upsample_epochs"] = sampling.upsample_epochs_oracle(
         _EPOCH_RATES, table="(SELECT doc_id, source FROM documents) d"
+    )
+    out["sample_weighted"] = sampling.weighted_sample_oracle(
+        "documents",
+        k=200,
+        weight_expr="len(list_filter(string_split(text, ' '), x -> x <> ''))",
+        out_cols=["doc_id", "source"],
+        seed=11,
     )
     return out

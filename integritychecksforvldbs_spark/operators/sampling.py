@@ -244,3 +244,82 @@ WITH rated AS (
 SELECT * EXCLUDE (_n, _e), CAST(_e AS BIGINT) AS epoch_idx
 FROM (SELECT *, unnest(range(0, _n)) AS _e FROM rated)
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _uniform_expr_spark(id_col: str, seed: int) -> str:
+    """md5-derived uniform in (0, 1] — 52 bits so the double is exact,
+    +1 so ln() never sees 0."""
+    return (
+        f"(CAST(conv(substring(md5('{seed}:' || CAST({id_col} AS STRING)),"
+        f" 1, 13), 16, 10) AS DOUBLE) + 1) / {float(1 << 52)!r}"
+    )
+
+
+def _uniform_expr_duckdb(id_col: str, seed: int) -> str:
+    return (
+        f"(CAST(CAST('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)),"
+        f" 1, 13) AS BIGINT) AS DOUBLE) + 1) / {float(1 << 52)!r}"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_expr: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """``k``-row weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): every row draws a deterministic md5 uniform
+    ``u`` and competes with key ``ln(u) / w`` — the exponential race
+    whose top-``k`` is distributed exactly as sequential
+    weighted-without-replacement draws.  The quality-weighted
+    subsampling op ("keep 1M docs, preferring high quality_score")
+    with the same reproducibility contract as every sampler here:
+    same rows for a given seed regardless of partitioning, ordering,
+    or engine.
+
+    Rows with non-positive or NULL weight never qualify (zero chance,
+    exactly as the math says).  Ties (measure-zero) break on the id.
+
+    Scale shape: one shuffle-free projection + filter, then Spark's
+    ``TakeOrderedAndProject`` — a per-partition top-``k`` heap merged
+    on the driver, never a global sort.  ``k`` must be driver-sized
+    (the same contract as any top-k).
+    """
+    w = f"CAST(({weight_expr}) AS DOUBLE)"
+    key = f"LN({_uniform_expr_spark(id_col, seed)}) / {w}"
+    return (
+        df.filter(F.expr(f"COALESCE({w}, 0.0) > 0.0"))
+        .orderBy(F.expr(key).desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle(
+    table: str,
+    k: int,
+    weight_expr: str,
+    out_cols: list[str],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """The identical race in DuckDB.  Exactness note: md5, the 52-bit
+    conv, and the division are bit-identical by construction; ``ln``
+    is the one step without an IEEE correct-rounding guarantee, and it
+    only matters at the rank-k boundary of a fixed dataset — the gate
+    pins that it holds on the fixtures (a 1-ulp boundary flip would
+    fail the gate loudly, not silently)."""
+    w = f"CAST(({weight_expr}) AS DOUBLE)"
+    sel = ", ".join(out_cols)
+    return f"""
+SELECT {sel} FROM {table}
+WHERE COALESCE({w}, 0.0) > 0.0
+ORDER BY ln({_uniform_expr_duckdb(id_col, seed)}) / {w} DESC, {id_col}
+LIMIT {k}
+"""

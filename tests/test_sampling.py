@@ -152,3 +152,47 @@ def test_upsample_epochs_copy_counts(spark):
                  df, {"w": 3000, "x": 250}
              ).groupBy("source").count().collect()}
     assert again == got
+
+
+def test_weighted_sample_deterministic_and_partition_independent(spark):
+    df = spark.createDataFrame(
+        [(i, "w" * (1 + i % 5)) for i in range(500)], "doc_id long, text string"
+    )
+    kw = dict(k=50, weight_expr="length(text)", seed=3)
+    a = sampling.weighted_sample(df.repartition(3), **kw).collect()
+    b = sampling.weighted_sample(df.repartition(17), **kw).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    c = sampling.weighted_sample(df, seed=4, k=50, weight_expr="length(text)")
+    assert sorted(r["doc_id"] for r in c.collect()) != sorted(
+        r["doc_id"] for r in a
+    )  # seed-divergent
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 250 light rows (weight 1) vs 250 heavy rows (weight 50): the
+    # heavy tier must dominate the sample (binomial tail at fixed
+    # seeds makes this deterministic, not statistical)
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 250 else 50.0) for i in range(500)],
+        "doc_id long, w double",
+    )
+    got = sampling.weighted_sample(df, k=100, weight_expr="w", seed=0).collect()
+    heavy = sum(1 for r in got if r["doc_id"] >= 250)
+    assert heavy > 80
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = sampling.weighted_sample(df, k=10, weight_expr="w", seed=0)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 5]
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    df = spark.range(1000).selectExpr("id AS doc_id", "1.0 AS w")
+    plan = sampling.weighted_sample(
+        df, k=10, weight_expr="w", seed=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
