@@ -456,6 +456,47 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+def _rollup_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Incremental-rollup fixture (once per process/sf): source table
+    commits keys ≡ 0 (mod 3), the rollup builds THERE, then the
+    remainder appends and the rollup refreshes from the change feed —
+    so the gate's equality with the full-table oracle proves the
+    incremental fold, not a rebuild."""
+    import os
+
+    from integritychecksforvldbs_spark.sources import matview, versioned
+
+    src = _mirror_path(sf_dir, "orders_rollup_src")
+    rp = _mirror_path(sf_dir, "orders_rollup")
+    if not os.path.exists(os.path.join(rp, "_versions", "v0000000002")):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(rp, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        versioned.commit(spark, orders.filter("o_orderkey % 3 = 0"), src)
+        matview.build_rollup(
+            spark, src, rp, ["o_orderpriority"], {"total_cents": "cents"}
+        )
+        versioned.commit(spark, orders.filter("o_orderkey % 3 != 0"), src)
+        matview.refresh_rollup(spark, src, rp)
+    return src, rp
+
+
+def _q_versioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from integritychecksforvldbs_spark.sources import matview
+
+    _src, rp = _rollup_paths(spark, sf_dir)
+    return matview.read_rollup(spark, rp).select(
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        "total_cents",
+    )
+
+
 def _versioned_merge_path(spark: SparkSession, sf_dir: str) -> str:
     """Two-version customer table (once per process/sf): v1 = the
     cents-projected customer table, v2 = a deterministic MERGE (keys
@@ -2763,6 +2804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_time_travel"] = _q_versioned_time_travel
     out["versioned_changes_feed"] = _q_versioned_changes
     out["versioned_pyds_time_travel"] = _q_versioned_pyds
+    # incremental materialized rollup: built at source v1, refreshed
+    # from the v2 change feed — must equal the full-table aggregate
+    out["versioned_rollup_refresh"] = _q_versioned_rollup
     out["events_volume_anomalies"] = lambda spark, sf: (
         analytics.volume_anomalies(_load(spark, sf, "events"))
     )
@@ -3411,6 +3455,7 @@ FROM orders WHERE o_orderkey IN (2, 7, 33, 1000)
     # the quarantined rows never reach the good side, so the CSV
     # round-trip aggregate is exactly the parquet-side aggregate
     out["ingest_csv_roundtrip"] = _VERSIONED_LATEST_ORACLE
+    out["versioned_rollup_refresh"] = _VERSIONED_LATEST_ORACLE
     out["user_gaps"] = _user_gaps_oracle()
     out["props_parse"] = _props_parse_oracle()
     out["window_suite"] = _window_suite_oracle()
