@@ -224,6 +224,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-version", type=int, default=None)
 
     p = sub.add_parser(
+        "rollup-build",
+        help="materialize a SUM/COUNT rollup over a versioned table",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--rollup", required=True)
+    p.add_argument("--keys", required=True, help="comma-separated group keys")
+    p.add_argument(
+        "--measure", action="append", default=[],
+        help="name=sql_expr (integer-valued), repeatable",
+    )
+
+    p = sub.add_parser(
+        "rollup-refresh",
+        help="fold the source's change feed into an existing rollup",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--rollup", required=True)
+
+    p = sub.add_parser(
         "versioned-schema",
         help="schema history, or the column diff between two versions",
     )
@@ -459,6 +478,30 @@ def main(argv: list[str] | None = None) -> int:
         v, n = versioned.delete_where(spark, args.table, args.where)
         summary = {
             "cmd": "versioned-delete", "version": v, "n_deleted": n,
+        }
+    elif args.cmd == "rollup-build":
+        from .sources import matview
+
+        measures = {}
+        for m in args.measure:
+            name, _, expr = m.partition("=")
+            if not expr:
+                ap.error(f"--measure needs name=expr, got {m!r}")
+            measures[name] = expr
+        v, src_v = matview.build_rollup(
+            spark, args.table, args.rollup, _csv(args.keys), measures
+        )
+        summary = {
+            "cmd": "rollup-build", "rollup_version": v,
+            "source_version": src_v,
+        }
+    elif args.cmd == "rollup-refresh":
+        from .sources import matview
+
+        v, src_v = matview.refresh_rollup(spark, args.table, args.rollup)
+        summary = {
+            "cmd": "rollup-refresh", "rollup_version": v,
+            "source_version": src_v,
         }
     elif args.cmd == "versioned-schema":
         from .sources import versioned

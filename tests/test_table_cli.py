@@ -198,3 +198,35 @@ def test_versioned_schema_cli(spark, tmp_path, capsys):
         capsys, "versioned-schema", "--table", tbl, "--from-version", "1"
     )
     assert d["added"] == ["extra"] and d["removed"] == [] and d["retyped"] == []
+
+
+def test_rollup_cli_roundtrip(spark, tmp_path, capsys):
+    from integritychecksforvldbs_spark.sources import matview, versioned
+
+    tbl, rp = str(tmp_path / "t"), str(tmp_path / "r")
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "g string, id long, cents long"
+        ),
+        tbl,
+    )
+    s = _run(
+        capsys, "rollup-build", "--table", tbl, "--rollup", rp,
+        "--keys", "g", "--measure", "total=cents",
+    )
+    assert s == {"cmd": "rollup-build", "rollup_version": 1, "source_version": 1}
+    versioned.commit(
+        spark,
+        spark.createDataFrame([("a", 3, 5)], "g string, id long, cents long"),
+        tbl,
+    )
+    s = _run(capsys, "rollup-refresh", "--table", tbl, "--rollup", rp)
+    assert s == {
+        "cmd": "rollup-refresh", "rollup_version": 2, "source_version": 2,
+    }
+    got = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in matview.read_rollup(spark, rp).collect()
+    }
+    assert got == {"a": (2, 15), "b": (1, 20)}
