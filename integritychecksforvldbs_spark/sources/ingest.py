@@ -92,6 +92,14 @@ def ingest_quarantined(
         **options,
     }
     lines = spark.read.text(path)
+    if fmt == "csv":
+        # native-reader parity: empty lines are skipped, not parsed
+        # into phantom all-null rows (whitespace-only lines still
+        # quarantine — they are content, just unparseable content)
+        lines = lines.filter(F.col("value") != F.lit(""))
+    else:
+        # the native JSON-lines source skips whitespace-only lines
+        lines = lines.filter(F.trim(F.col("value")) != F.lit(""))
     if fmt == "csv" and header:
         canonical = sep.join(f.name for f in full.fields[:-1])
         lines = lines.filter(F.col("value") != F.lit(canonical))

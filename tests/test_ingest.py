@@ -115,3 +115,21 @@ def test_gate_fixture_quarantines_exactly_the_bad_file(spark):
     ) == ["1-URGENT", "2-HIGH", "3-MEDIUM"]
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     assert good.count() == orders.count()
+
+
+def test_blank_lines_skipped_not_phantom_rows(spark, tmp_path):
+    """Native-reader parity: empty lines vanish (no phantom all-null
+    'good' rows); whitespace-only lines are content and quarantine."""
+    p = tmp_path / "a.csv"
+    p.write_text("k,price,label\n1,1.0,a\n\n2,2.0,b\n   \n")
+    raw = ingest_quarantined(spark, str(tmp_path), SCHEMA, fmt="csv")
+    good, bad = split_quarantine(raw)
+    assert sorted(r["k"] for r in good.collect()) == [1, 2]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["   "]
+    pj = tmp_path / "b.jsonl"
+    p.unlink()
+    pj.write_text('{"k": 1, "price": 1.0, "label": "a"}\n\n   \n')
+    rawj = ingest_quarantined(spark, str(tmp_path), SCHEMA, fmt="json")
+    goodj, badj = split_quarantine(rawj)
+    assert [r["k"] for r in goodj.collect()] == [1]
+    assert badj.count() == 0  # whitespace-only JSON lines skip, like native
