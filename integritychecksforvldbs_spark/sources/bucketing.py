@@ -135,3 +135,45 @@ def cobucketed_join(
     as a shuffle-free sort-merge join (verified by tests via
     :func:`plan_has_shuffle`)."""
     return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def partition_backfill(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_cols: list[str],
+) -> list[str]:
+    """Dynamic partition overwrite — the backfill/re-run operation on
+    a hive-partitioned layout: ONLY the ``col=value`` directories that
+    appear in ``df`` are replaced; every other partition's files are
+    untouched (contrast plain ``mode("overwrite")``, which truncates
+    the whole table).  Returns the overwritten partition directory
+    names, ``col=value[/col2=value2…]`` relative to ``path``.
+
+    This is Spark's ``partitionOverwriteMode=dynamic`` session
+    behavior applied per write (the conf is set and restored around
+    the write, not leaked into the session).  At 100 TB the job that
+    recomputes one bad day must cost one day's write, not a
+    three-year truncate-and-reload — and readers of OTHER partitions
+    never see a gap, since their files are never deleted.
+
+    The backfilled frame must carry all ``partition_cols``; a frame
+    with zero rows overwrites nothing (returns []).
+    """
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"backfill frame lacks partition cols {missing}")
+    parts = [
+        "/".join(f"{c}={r[c]}" for c in partition_cols)
+        for r in df.select(*partition_cols).distinct().collect()
+    ]
+    if not parts:
+        return []
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(conf, prev)
+    return sorted(parts)

@@ -86,3 +86,62 @@ def test_checkfilegroup_partitioned_matches_filtered_full_scan(
         .count()
     )
     assert res.metrics["n_rows"] == day_rows
+
+
+def test_partition_backfill_replaces_only_named_partitions(spark, tmp_path):
+    """Dynamic overwrite: the backfilled day's directory is replaced
+    (old rows gone, new rows in), every other day untouched — and the
+    session conf is restored afterwards."""
+    from integritychecksforvldbs_spark.sources.bucketing import (
+        partition_backfill,
+        partitioned_mirror,
+    )
+
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-01", 2, 20), ("2024-01-02", 3, 30)],
+        "day string, id long, v long",
+    )
+    partitioned_mirror(spark, base, p, ["day"])
+    fix = spark.createDataFrame(
+        [("2024-01-01", 9, 99)], "day string, id long, v long"
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(conf, "static")
+    parts = partition_backfill(spark, p, fix, ["day"])
+    assert parts == ["day=2024-01-01"]
+    assert spark.conf.get(conf, "static") == before  # conf restored
+    got = {
+        (str(r["day"]), r["id"]): r["v"]
+        for r in spark.read.parquet(p).collect()  # day infers as DATE
+    }
+    assert got == {("2024-01-01", 9): 99, ("2024-01-02", 3): 30}
+
+
+def test_partition_backfill_empty_frame_is_noop(spark, tmp_path):
+    from integritychecksforvldbs_spark.sources.bucketing import (
+        partition_backfill,
+        partitioned_mirror,
+    )
+
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10)], "day string, id long, v long"
+    )
+    partitioned_mirror(spark, base, p, ["day"])
+    assert partition_backfill(spark, p, base.limit(0), ["day"]) == []
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_partition_backfill_requires_partition_cols(spark, tmp_path):
+    from integritychecksforvldbs_spark.sources.bucketing import (
+        partition_backfill,
+    )
+
+    with pytest.raises(ValueError, match="partition cols"):
+        partition_backfill(
+            spark,
+            str(tmp_path / "x"),
+            spark.range(1).selectExpr("id AS v"),
+            ["day"],
+        )
