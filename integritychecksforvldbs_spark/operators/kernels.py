@@ -881,6 +881,59 @@ def checktable_violations_df(df: DataFrame, exp: TableExpectations) -> DataFrame
     return local.unionByName(dups)
 
 
+def row_quarantine(
+    df: DataFrame, exp: TableExpectations, include_pk_dups: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows by the expectations instead of counting them:
+    ``(valid, rejected)`` where rejected rows carry ``_violations``,
+    the array of rule names they break — the SEMANTIC gate that
+    follows :mod:`..sources.ingest`'s parse gate in a landing
+    pipeline (parse-quarantine → row-quarantine → bronze), and the
+    row-routing consumption shape of the same rules
+    :func:`checktable_violations_df` reports on.
+
+    Row-local rules (not-null, domain, purity) evaluate in one scan
+    as a filtered flag array — no explode, the row never duplicates.
+    ``include_pk_dups`` adds the duplicate-primary-key rule via one
+    count-over-key window (BOTH copies reject — which to keep is a
+    dedup policy, not a validity fact); pass False for the
+    shuffle-free purely-local gate.
+    """
+    preds = _row_rule_predicates(exp)
+    if exp.primary_key:
+        nn = " AND ".join(f"{k} IS NOT NULL" for k in exp.primary_key)
+        preds.append(("pk_null_rows", f"NOT ({nn})"))
+    if not preds:
+        raise ValueError(f"no row-local rules for {exp.table!r}")
+    flags = F.array(
+        *[
+            F.struct(F.lit(name).alias("rule"), F.expr(sql).alias("bad"))
+            for name, sql in preds
+        ]
+    )
+    viol = F.transform(
+        F.filter(flags, lambda f: f["bad"]), lambda f: f["rule"]
+    )
+    out = df.withColumn("_violations", viol)
+    if include_pk_dups and exp.primary_key:
+        from pyspark.sql.window import Window
+
+        keys = exp.primary_key
+        nn_col = F.expr(" AND ".join(f"{k} IS NOT NULL" for k in keys))
+        w = Window.partitionBy(*keys)
+        cnt = F.count(F.when(nn_col, 1)).over(w)
+        out = out.withColumn(
+            "_violations",
+            F.when(
+                nn_col & (cnt > 1),
+                F.concat(F.col("_violations"), F.array(F.lit("pk_dup_rows"))),
+            ).otherwise(F.col("_violations")),
+        )
+    valid = out.filter(F.size("_violations") == 0).drop("_violations")
+    rejected = out.filter(F.size("_violations") > 0)
+    return valid, rejected
+
+
 def checktable_violations_oracle(table: str, exp: TableExpectations) -> str:
     """Identical extraction in DuckDB: one UNION ALL branch per rule
     plus the count-over-key window for duplicates."""

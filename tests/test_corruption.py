@@ -192,3 +192,48 @@ def test_violations_rows_match_counters(spark, tables):
     # no other rule fired
     fired = {k for k, v in viol.items() if v}
     assert fired == {"null_text", "viol_lang_is_iso2", "viol_n_chars_matches_text", "pk_dup_rows"}
+
+
+def test_row_quarantine_routes_by_expectations(spark, tables):
+    """row_quarantine is the routing view of the same rule list the
+    counters/violation rows report: valid ∪ rejected == input, the
+    rejected rows name exactly the rules they break, and both copies
+    of a duplicated primary key reject."""
+    from integritychecksforvldbs_spark.operators.kernels import row_quarantine
+
+    docs = tables["documents"]
+    exp = expectations_for("documents")
+    n_all = docs.count()
+
+    good, bad = row_quarantine(docs, exp)
+    assert bad.count() == 0 and good.count() == n_all  # fixtures clean
+
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") == 11, F.lit("xyz")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+        F.when(F.col("doc_id") == 13, F.col("n_chars") + 5)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    ).unionByName(docs.filter(F.col("doc_id") == 17))
+
+    good, bad = row_quarantine(corrupted, exp)
+    assert good.count() + bad.count() == corrupted.count()
+    rules = {
+        r["doc_id"]: sorted(r["_violations"]) for r in bad.collect()
+    }
+    assert rules[7] == ["null_text"]
+    assert "viol_lang_is_iso2" in rules[11]
+    assert any("n_chars" in v for v in rules[13])
+    assert rules[17] == ["pk_dup_rows"]  # both copies reject
+    assert sum(1 for r in rules if r == 17) == 1  # dict key — but two rows
+    assert sorted(r for r in rules) == [7, 11, 13, 17]
+    assert bad.filter(F.col("doc_id") == 17).count() == 2
+
+    # shuffle-free local gate: dups pass, everything else still routes
+    good2, bad2 = row_quarantine(corrupted, exp, include_pk_dups=False)
+    assert bad2.filter(F.col("doc_id") == 17).count() == 0
+    assert bad2.count() == 3
+    # valid side carries the original schema, no helper column
+    assert good2.columns == corrupted.columns
