@@ -51,7 +51,94 @@ def _schema_with_corrupt(
             f"declared schema must not contain {corrupt_col!r}; "
             "it is appended by the ingest"
         )
-    return schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    # a NEW StructType — StructType.add mutates in place and returns
+    # self, which would append the corrupt column to the CALLER's
+    # schema object (breaking its other uses and making a second
+    # ingest call with the same object raise)
+    return T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+
+
+# past this many files the first-line sniff distributes over the
+# cluster instead of looping on the driver (the footer-stats pattern
+# zonemap/bloomskip use)
+SNIFF_DRIVER_LIMIT = 64
+
+
+def _first_line_matches(fpath: str, canonical: bytes) -> bool:
+    """Does ``fpath`` START with the canonical header line?  Reads
+    only the first line's bytes (bounded), never the file."""
+    local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
+    while local.startswith("//"):
+        local = local[1:]
+    try:
+        with open(local, "rb") as f:
+            head = f.readline(len(canonical) + 8)
+    except OSError:
+        return False
+    # a longer first line reads as canonical-plus-extra bytes and
+    # fails the equality; exactly-canonical (± line terminator) passes
+    return head.rstrip(b"\r\n") == canonical
+
+
+def _files_with_header(
+    spark: SparkSession, files: list[str], canonical: str
+) -> set[str]:
+    """Canonical paths of the files whose first line IS the header —
+    a metadata-scale sniff (first line per file), driver-side for few
+    files, distributed past :data:`SNIFF_DRIVER_LIMIT`."""
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+    )
+
+    canon_b = canonical.encode("utf-8")
+    if len(files) <= SNIFF_DRIVER_LIMIT:
+        return {
+            _canon_file_path(f)
+            for f in files
+            if _first_line_matches(f, canon_b)
+        }
+    sc = spark.sparkContext
+    hits = (
+        sc.parallelize(files, max(1, len(files) // 256))
+        .filter(lambda f: _first_line_matches(f, canon_b))
+        .collect()
+    )
+    return {_canon_file_path(f) for f in hits}
+
+
+def _drop_headers(
+    spark: SparkSession, lines: DataFrame, canonical: str
+) -> DataFrame:
+    """Drop header lines: rows equal to ``canonical``, in the FIRST
+    block of files that genuinely start with that header.  One scan,
+    no shuffle — file membership rides a literal predicate over the
+    sniffed (metadata-sized) file sets, spelled on whichever of
+    header/headerless is the minority so the predicate stays small."""
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+        _canon_file_path_expr,
+    )
+
+    all_files = {_canon_file_path(f) for f in lines.inputFiles()}
+    hdr = _files_with_header(spark, sorted(all_files), canonical)
+    if not hdr:
+        return lines  # no file starts with the header: nothing to drop
+    is_header_row = (F.col("value") == F.lit(canonical)) & (
+        F.col("_metadata.file_block_start") == 0
+    )
+    if hdr == all_files:
+        pass  # every file has a header — no membership test needed
+    elif len(hdr) <= len(all_files) - len(hdr):
+        is_header_row = is_header_row & _canon_file_path_expr().isin(
+            *sorted(hdr)
+        )
+    else:
+        is_header_row = is_header_row & ~_canon_file_path_expr().isin(
+            *sorted(all_files - hdr)
+        )
+    return lines.filter(~is_header_row)
 
 
 def ingest_quarantined(
@@ -70,12 +157,26 @@ def ingest_quarantined(
     parse (NULL for clean rows; PERMISSIVE keeps whatever partial
     parse was salvageable in the typed columns alongside).
 
-    CSV ``header=True`` drops lines exactly equal to the canonical
-    header (``sep``-joined declared field names) — the positional
-    contract the native reader's ``enforceSchema`` applies.  A file
-    whose header names/order DISAGREE with the declared schema is not
-    silently reinterpreted: its header line lands in quarantine,
-    surfacing the contract mismatch instead of burying it.
+    CSV ``header=True`` drops header lines — lines exactly equal to
+    the canonical header (``sep``-joined declared field names), the
+    positional contract the native reader's ``enforceSchema`` applies
+    — but only in files that actually START with that header (sniffed
+    once per file at metadata scale, first line only, distributed past
+    a file-count threshold) and only in the file's FIRST block: a
+    headerless file whose data happens to contain a header-valued row
+    (an all-string schema ingesting a column-name-valued row) keeps
+    every row, unlike a global value filter.  Residual limitation,
+    documented: in a file that DOES start with the header, an
+    additional data row spelled exactly like the header inside the
+    first ~128 MB block is also dropped (dropping the first such
+    duplicate is multiset-equivalent to dropping the header itself;
+    only further duplicates in that block are a real loss — reading
+    the native reader's exact first-line-only semantics would cost a
+    full shuffle or second scan at 100 TB, which this deliberately
+    avoids).  A file whose header names/order DISAGREE with the
+    declared schema is not silently reinterpreted: its header line
+    lands in quarantine, surfacing the contract mismatch instead of
+    burying it.
 
     One splittable text scan; parsing is the ``from_csv`` /
     ``from_json`` JVM expression.  All declared fields are parsed
@@ -102,7 +203,7 @@ def ingest_quarantined(
         lines = lines.filter(F.trim(F.col("value")) != F.lit(""))
     if fmt == "csv" and header:
         canonical = sep.join(f.name for f in full.fields[:-1])
-        lines = lines.filter(F.col("value") != F.lit(canonical))
+        lines = _drop_headers(spark, lines, canonical)
     parse = F.from_csv if fmt == "csv" else F.from_json
     parsed = lines.select(
         parse(F.col("value"), full.simpleString(), opts).alias("_r")

@@ -12,16 +12,29 @@ to its core):
   resolve a manifest, then read only its files, so a reader holds a
   consistent snapshot no matter what commits land mid-query;
 - committing is an optimistic-concurrency CAS: write data files,
-  then try to create manifest ``v{N+1}`` atomically (the same
+  serialize the COMPLETE manifest to a temporary file, then install
+  it at ``_versions/v{N+1}.json`` with one atomic link — the same
   ``put_if_absent`` primitive the work queue's :class:`~..plans.queue.ClaimBackend`
-  defines — mkdir on POSIX, If-None-Match on an object store).  A
-  loser re-reads the log and retries with the next number, re-basing
-  append manifests on the winner's file list (appends commute);
-  overwrite losers fail with a conflict error (they raced a commit
-  they would silently erase);
-- a crash before the manifest CAS leaves orphan data files that NO
-  reader can see; :func:`vacuum` reclaims anything unreferenced by
-  the retained manifests.
+  defines (exclusive create on POSIX, If-None-Match on an object
+  store), exactly how the Delta log installs ``N.json``.  A version
+  therefore either exists COMPLETE or not at all: there is no window
+  in which a committer holds a number without a readable body, so a
+  racing committer can never re-base past an in-flight commit and
+  drop its acknowledged files (the lost-update hazard of any
+  claim-then-write two-step).  A loser re-reads the log and retries
+  with the next number, re-basing append manifests on the winner's
+  file list (appends commute); overwrite losers fail with a conflict
+  error (they raced a commit they would silently erase);
+- a crash before the manifest CAS leaves orphan data files (and at
+  worst a temporary manifest file) that NO reader can see;
+  :func:`vacuum` reclaims anything unreferenced by the retained
+  manifests.
+
+Tables written by the pre-atomic layout (a ``vN/`` directory holding
+``manifest.json``, where a committer COULD die between claiming the
+directory and writing the body) remain readable: a legacy bodyless
+directory holds its number but commits nothing, and readers skip it.
+New commits always install the atomic single-file form.
 
 Operations: :func:`commit` (append/overwrite), :func:`read` (latest
 or ``version=``, i.e. time travel), :func:`history`,
@@ -65,10 +78,19 @@ def _vname(v: int) -> str:
 
 def _read_manifest(path: str, v: int) -> dict | None:
     try:
+        with open(os.path.join(_vdir(path), _vname(v) + ".json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        pass
+    except json.JSONDecodeError:
+        return None  # unreachable for atomic installs; defensive
+    # legacy dir layout: vN/manifest.json, possibly bodyless (the old
+    # protocol's committer could die between its mkdir and body write)
+    try:
         with open(os.path.join(_vdir(path), _vname(v), _BODY)) as f:
             return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        return None  # absent, or a committer died between CAS and body
+    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+        return None
 
 
 def _manifest_schema(man: dict):
@@ -100,25 +122,68 @@ def _manifest_schema(man: dict):
 
 
 def _versions(path: str) -> list[int]:
+    """Every version NUMBER present in the log: atomic ``vN.json``
+    manifests (always complete) plus legacy ``vN/`` dirs (which may be
+    bodyless corpses that still hold their number)."""
     try:
         names = os.listdir(_vdir(path))
     except FileNotFoundError:
         return []
-    return sorted(
-        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
-    )
+    out = set()
+    for n in names:
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit():
+            out.add(int(n[1:-5]))
+        elif n.startswith("v") and n[1:].isdigit():
+            out.add(int(n[1:]))
+    return sorted(out)
 
 
 def _latest_committed(path: str) -> tuple[int, dict] | None:
-    """Highest version whose manifest BODY exists.  A vN dir without a
-    body is a committer that died between the mkdir CAS and the body
-    write — it holds the number but commits nothing; later committers
-    skip past it, readers skip over it."""
+    """Highest version whose manifest exists.  Atomic installs make
+    every listed ``vN.json`` complete; a legacy bodyless ``vN/`` dir
+    holds its number but commits nothing and is skipped."""
     for v in reversed(_versions(path)):
         man = _read_manifest(path, v)
         if man is not None:
             return v, man
     return None
+
+
+def _contiguous_committed(path: str, from_v: int) -> int:
+    """Highest version V such that EVERY version in (from_v, V] has a
+    committed manifest — the safe streaming frontier.  With atomic
+    manifest installs the log has no gaps and this equals the latest
+    committed version; on a legacy-layout table a bodyless claim dir
+    caps the frontier so a streaming offset never commits past a
+    version slot whose body might still be in flight (advancing past
+    it would permanently drop that version's files from the stream
+    once the checkpoint moves on)."""
+    v = from_v
+    while _read_manifest(path, v + 1) is not None:
+        v += 1
+    return v
+
+
+def _install_manifest(path: str, v: int, man: dict) -> bool:
+    """Atomically install manifest ``v``; True iff this caller won the
+    CAS.  The full body is serialized to a tmp file first and linked
+    into place in one step (O_EXCL-equivalent create), so the manifest
+    is visible only complete — the Delta-log installation discipline."""
+    vd = _vdir(path)
+    os.makedirs(vd, exist_ok=True)
+    target = os.path.join(vd, _vname(v) + ".json")
+    tmp = os.path.join(vd, f".tmp-{_vname(v)}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)  # the CAS: exactly one committer wins vN
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def commit(
@@ -189,35 +254,30 @@ def commit(
         files = new_files if mode == "overwrite" else (
             (cur[1]["files"] if cur else []) + new_files
         )
-        # claim the next number past every DIRECTORY present — a
-        # bodyless dir (crashed committer) still holds its number
+        # claim the next number past every slot present — a legacy
+        # bodyless dir (old-protocol crashed committer) holds its number
         all_v = _versions(path)
         nxt = max(cur_v, all_v[-1] if all_v else 0) + 1
-        target = os.path.join(_vdir(path), _vname(nxt))
-        try:
-            os.mkdir(target)  # the CAS: exactly one committer wins vN
-        except FileExistsError:
-            continue  # lost the race — re-base (append) or re-check
-        tmp = os.path.join(target, f".{_BODY}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    **(extra or {}),
-                    "version": nxt,
-                    "mode": mode,
-                    "files": files,
-                    "parent": cur_v or None,
-                    "schema": new_ddl,
-                    # jsonValue parses WITHOUT a SparkSession
-                    # (StructType.fromJson is pure Python) — the form
-                    # the Python Data Source's planner worker, which
-                    # has no session, must use
-                    "schema_json": df.schema.jsonValue(),
-                },
-                f,
-            )
-        os.replace(tmp, os.path.join(target, _BODY))
-        return nxt
+        installed = _install_manifest(
+            path,
+            nxt,
+            {
+                **(extra or {}),
+                "version": nxt,
+                "mode": mode,
+                "files": files,
+                "parent": cur_v or None,
+                "schema": new_ddl,
+                # jsonValue parses WITHOUT a SparkSession
+                # (StructType.fromJson is pure Python) — the form
+                # the Python Data Source's planner worker, which
+                # has no session, must use
+                "schema_json": df.schema.jsonValue(),
+            },
+        )
+        if installed:
+            return nxt
+        # lost the race — re-base (append) or re-check (overwrite)
     raise ConflictError(
         f"commit to {path!r} lost {_MAX_COMMIT_RETRIES} CAS races; "
         "contention this hot needs a coordinating service"
@@ -400,26 +460,20 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
         cur_v = cur[0] if cur else 0
         all_v = _versions(path)
         nxt = max(cur_v, all_v[-1] if all_v else 0) + 1
-        target = os.path.join(_vdir(path), _vname(nxt))
-        try:
-            os.mkdir(target)
-        except FileExistsError:
-            continue
-        tmp = os.path.join(target, f".{_BODY}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": nxt,
-                    "mode": f"rollback({version})",
-                    "files": man["files"],
-                    "parent": cur_v or None,
-                    "schema": man.get("schema"),
-                    "schema_json": man.get("schema_json"),
-                },
-                f,
-            )
-        os.replace(tmp, os.path.join(target, _BODY))
-        return nxt
+        installed = _install_manifest(
+            path,
+            nxt,
+            {
+                "version": nxt,
+                "mode": f"rollback({version})",
+                "files": man["files"],
+                "parent": cur_v or None,
+                "schema": man.get("schema"),
+                "schema_json": man.get("schema_json"),
+            },
+        )
+        if installed:
+            return nxt
     raise ConflictError(f"rollback of {path!r} lost every CAS race")
 
 
@@ -439,11 +493,27 @@ def merge_into(
     resulting :class:`ConflictError` re-bases the WHOLE merge on the
     new state and retries — optimistic concurrency at merge
     granularity, so racing merges serialize without locks.  NULL keys
-    upsert like any other key (null-safe equality)."""
+    upsert like any other key (null-safe equality).
+
+    ``source`` must be UNIQUE on ``keys``: two source rows for one key
+    is an ambiguous upsert (which row should the table hold?), and
+    silently landing both would leave the table duplicated on the very
+    key the merge promised to deduplicate — so it raises, the same
+    multiple-source-match error Delta's ``MERGE`` enforces.  Callers
+    that genuinely hold multi-row sources pick the winner explicitly
+    (e.g. :func:`~..operators.scd.cdc_latest_snapshot` over a change
+    stream) before merging."""
     import functools
 
     from pyspark.sql import functions as F
 
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    if not dup.isEmpty():
+        sample = [tuple(r[k] for k in keys) for r in dup.limit(3).collect()]
+        raise ValueError(
+            f"merge_into source is not unique on keys {keys}: e.g. "
+            f"{sample}; deduplicate (pick a winner) before merging"
+        )
     for _ in range(max_retries):
         base = _latest_committed(path)
         if base is None:
@@ -619,16 +689,32 @@ def vacuum(
         removed.append(full)
     for v in hist:
         if v not in retained:
-            shutil.rmtree(os.path.join(_vdir(path), _vname(v)))
-    # bodyless claim dirs from crashed committers: reclaim the number
-    # slots below the latest committed version — age-guarded too (a
-    # slow committer may still be writing its body), and a higher
-    # bodyless slot may belong to an in-flight commit regardless
+            _remove_manifest(path, v)
+    # crashed-committer residue, age-guarded (a slow committer may
+    # still be mid-install): stale .tmp manifest bodies that never
+    # linked into place, and legacy bodyless claim DIRS below the
+    # latest committed version (old two-step protocol's corpses; a
+    # higher legacy slot may belong to an in-flight legacy commit)
+    try:
+        names = os.listdir(_vdir(path))
+    except FileNotFoundError:
+        names = []
+    for n in names:
+        if not n.startswith(".tmp-"):
+            continue
+        full = os.path.join(_vdir(path), n)
+        try:
+            if now - os.path.getmtime(full) >= min_age_s:
+                os.unlink(full)
+        except OSError:
+            pass  # racing removal / concurrent install
     top = retained[-1] if retained else 0
     for v in _versions(path):
         if v >= top or _read_manifest(path, v) is not None:
             continue
         vd = os.path.join(_vdir(path), _vname(v))
+        if not os.path.isdir(vd):
+            continue
         try:
             if now - os.path.getmtime(vd) < min_age_s:
                 continue
@@ -636,3 +722,18 @@ def vacuum(
             continue
         shutil.rmtree(vd)
     return removed
+
+
+def _remove_manifest(path: str, v: int) -> None:
+    """Remove version ``v``'s manifest artifact in whichever layout it
+    was written (atomic file, or legacy directory)."""
+    import shutil
+
+    f = os.path.join(_vdir(path), _vname(v) + ".json")
+    try:
+        os.unlink(f)
+    except FileNotFoundError:
+        pass
+    d = os.path.join(_vdir(path), _vname(v))
+    if os.path.isdir(d):
+        shutil.rmtree(d)

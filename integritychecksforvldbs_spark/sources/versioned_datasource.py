@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from integritychecksforvldbs_spark.sources.versioned import (
+    _contiguous_committed,
     _latest_committed,
     _manifest_schema,
     _read_manifest,
@@ -52,6 +53,12 @@ from integritychecksforvldbs_spark.sources.versioned import (
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+
+
+# how long a legacy bodyless claim dir is presumed possibly in flight
+# before the stream steps over it as a corpse — mirrors vacuum's
+# in-flight-commit protection window
+_LEGACY_CLAIM_GRACE_S = 3600.0
 
 
 def _arrow_schema(files: list[str]):
@@ -155,14 +162,56 @@ class _VersionedStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        cur = _latest_committed(self.path)
-        return {"version": cur[0] if cur else 0}
+        # the CONTIGUOUS committed frontier, not the raw maximum: an
+        # offset must never commit past a version slot whose manifest
+        # might still land (possible only on legacy-layout tables,
+        # where a committer could die — or merely be slow — between
+        # claiming its slot dir and writing the body) — once the
+        # checkpoint advances past such a slot, a late-landing body's
+        # files are permanently lost to the stream.  Atomic manifest
+        # installs have no such gaps, so there the frontier IS the
+        # latest committed version.  The walk resumes from the last
+        # frontier, so cost per call is O(new versions).
+        import time
+
+        frontier = getattr(self, "_frontier", self.starting_version)
+        while True:
+            frontier = _contiguous_committed(self.path, frontier)
+            cur = _latest_committed(self.path)
+            if cur is None or cur[0] <= frontier:
+                break  # frontier caught up with the committed log
+            # a hole at frontier+1 with committed versions past it
+            hole = os.path.join(
+                _local(self.path), "_versions", f"v{frontier + 1:010d}"
+            )
+            if not os.path.isdir(hole):
+                # no artifact at all: this slot was never a legacy
+                # claim — the manifest existed and vacuum expired it
+                # beyond this stream's checkpoint; fail loudly rather
+                # than stalling the stream forever
+                raise FileNotFoundError(
+                    f"version {frontier + 1} of {self.path!r} has no "
+                    f"committed manifest but v{cur[0]} does — vacuumed "
+                    "past the stream's checkpoint?"
+                )
+            # legacy bodyless claim dir: an in-flight legacy commit
+            # (wait — advancing would drop its files) or a crashed
+            # one (a corpse that will never commit; after the same
+            # grace vacuum applies, step over it)
+            if time.time() - os.path.getmtime(hole) < _LEGACY_CLAIM_GRACE_S:
+                break
+            frontier += 1
+        self._frontier = frontier
+        return {"version": frontier}
 
     def _files_between(self, start_v: int, end_v: int) -> list[str]:
         """Data files entering the visible set across (start_v,
-        end_v], refusing non-append commits.  Bodyless version slots
-        (crashed committers) hold a number but commit nothing and are
-        skipped, matching every other reader of the log."""
+        end_v], refusing non-append commits.  Every version in range
+        must have a committed manifest — ``latestOffset`` only
+        advances over the contiguous committed prefix, so a hole here
+        means the log was vacuumed past the stream's checkpoint (or
+        externally damaged), and silently skipping it would drop that
+        version's files from the stream forever."""
         seen: set[str] = set()
         if start_v > 0:
             base = _read_manifest(self.path, start_v)
@@ -176,7 +225,19 @@ class _VersionedStreamReader(DataSourceStreamReader):
         for v in range(start_v + 1, end_v + 1):
             man = _read_manifest(self.path, v)
             if man is None:
-                continue
+                legacy = os.path.join(
+                    _local(self.path), "_versions", f"v{v:010d}"
+                )
+                if os.path.isdir(legacy):
+                    # a legacy corpse latestOffset aged past: holds a
+                    # number, committed nothing — contributes no files
+                    continue
+                raise FileNotFoundError(
+                    f"version {v} of {self.path!r} has no committed "
+                    "manifest inside the batch range "
+                    f"({start_v}, {end_v}] — vacuumed past the "
+                    "stream's checkpoint?"
+                )
             mode = man.get("mode", "")
             if mode != "append":
                 raise ValueError(
