@@ -405,7 +405,8 @@ def _versioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     from integritychecksforvldbs_spark.sources import versioned
 
     path = _mirror_path(sf_dir, "orders_versioned")
-    if not os.path.exists(os.path.join(path, "_versions", "v0000000002")):
+    # layout-agnostic fixture probe (atomic vN.json or legacy vN/ dir)
+    if versioned._read_manifest(path, 2) is None:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -456,6 +457,98 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+
+def _versioned_opt_path(spark: SparkSession, sf_dir: str) -> str:
+    """OPTIMIZE-ZORDER fixture (once per process/sf): v1 commits the
+    full orders table in a SHUFFLED layout (every file spans ~the full
+    key ranges — nothing prunable), v2 is ``versioned.optimize(...,
+    zorder_by=[o_custkey, o_totalprice])`` — the overwrite rewrite
+    whose manifest stats become tight enough for ``read_where`` to
+    skip files on either column."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_versioned_opt")
+    if versioned._read_manifest(path, 2) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        versioned.commit(spark, orders.repartition(8), path)
+        versioned.optimize(
+            spark, path, zorder_by=["o_custkey", "o_totalprice"], n_files=8
+        )
+    return path
+
+
+def _q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping (the Delta/Iceberg idea: column
+    min/max recorded in the commit log at write time): ``read_where``
+    plans the scan over only the files whose stats admit a match,
+    re-applies the predicate as the residual filter, and must equal
+    the plain filtered oracle exactly — the skipped IO is the only
+    difference.  tests/test_versioned_stats.py pins that files ARE
+    skipped on the z-ordered layout."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    df = versioned.read_where(
+        spark,
+        _versioned_opt_path(spark, sf_dir),
+        {"o_custkey": (None, 400), "o_totalprice": (None, 150000.0)},
+    )
+    return _orders_priority_agg(df)
+
+
+_VERSIONED_PRUNED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_custkey <= 400 AND o_totalprice <= 150000.0
+GROUP BY o_orderpriority
+"""
+
+
+def _q_versioned_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): the row count folded from the
+    manifest's per-file footer census — no data file is opened
+    (test-pinned by making a data file unreadable), yet the number
+    must equal the oracle's full scan."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    n = versioned.row_count(spark, _versioned_orders_path(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
+def _q_versioned_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level MIN/MAX folded from manifest stats alone (int64 and
+    double parquet footer stats are exact, so the fold must equal the
+    oracle's scan bit-for-bit)."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    s = versioned.stats_summary(
+        _versioned_opt_path(spark, sf_dir), ["o_custkey", "o_totalprice"]
+    )
+    assert s["o_custkey"]["ok"] and s["o_totalprice"]["ok"]
+    return spark.createDataFrame(
+        [(
+            int(s["o_custkey"]["min"]), int(s["o_custkey"]["max"]),
+            float(s["o_totalprice"]["min"]), float(s["o_totalprice"]["max"]),
+        )],
+        "min_custkey long, max_custkey long, "
+        "min_price double, max_price double",
+    )
+
+
+_VERSIONED_STATS_ORACLE = """
+SELECT CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+"""
+
+
 def _rollup_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Incremental-rollup fixture (once per process/sf): source table
     commits keys ≡ 0 (mod 3), the rollup builds THERE, then the
@@ -468,7 +561,8 @@ def _rollup_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     src = _mirror_path(sf_dir, "orders_rollup_src")
     rp = _mirror_path(sf_dir, "orders_rollup")
-    if not os.path.exists(os.path.join(rp, "_versions", "v0000000002")):
+    # layout-agnostic fixture probe (atomic vN.json or legacy vN/ dir)
+    if versioned._read_manifest(rp, 2) is None:
         import shutil
 
         shutil.rmtree(src, ignore_errors=True)
@@ -506,8 +600,8 @@ def _versioned_merge_path(spark: SparkSession, sf_dir: str) -> str:
     from integritychecksforvldbs_spark.sources import versioned
 
     path = _mirror_path(sf_dir, "customer_versioned_merge")
-    marker = os.path.join(path, "_versions", "v0000000002")
-    if not os.path.exists(marker):
+    # layout-agnostic fixture probe (atomic vN.json or legacy vN/ dir)
+    if versioned._read_manifest(path, 2) is None:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
@@ -3244,6 +3338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weight_expr="size(filter(split(text, ' '), x -> x <> ''))",
         seed=11,
     ).select("doc_id", "source")
+    # manifest-embedded file stats: pruned reads, metadata-only
+    # COUNT(*), stats-folded MIN/MAX (r7; tests/test_versioned_stats.py)
+    out["versioned_pruned_read"] = _q_versioned_pruned_read
+    out["versioned_count_meta"] = _q_versioned_count_meta
+    out["versioned_stats_minmax"] = _q_versioned_stats_minmax
     return out
 
 
@@ -3613,4 +3712,9 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
         out_cols=["doc_id", "source"],
         seed=11,
     )
+    out["versioned_pruned_read"] = _VERSIONED_PRUNED_ORACLE
+    out["versioned_count_meta"] = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders"
+    )
+    out["versioned_stats_minmax"] = _VERSIONED_STATS_ORACLE
     return out

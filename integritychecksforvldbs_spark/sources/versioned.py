@@ -186,6 +186,119 @@ def _install_manifest(path: str, v: int, man: dict) -> bool:
         os.unlink(tmp)
 
 
+# ---------------------------------------------------------------------------
+# manifest-embedded file statistics — data skipping from the log
+# ---------------------------------------------------------------------------
+#
+# What Delta keeps in its add-file actions and Iceberg in its manifest
+# entries: per-file row counts and column min/max, recorded AT COMMIT
+# TIME (one footer read per newly written file, metadata IO only), so
+# query-time pruning and counts never re-open data files.  The zone-map
+# sidecar (zonemap.py) serves plain unversioned tables; here the stats
+# ride the same atomic manifest install as the file list, so they can
+# never drift from the snapshot they describe.
+
+STATS_MAX_COLUMNS = 32  # Delta's dataSkippingNumIndexedCols default
+
+
+def _stats_eligible_columns(schema) -> list[str]:
+    """Top-level columns worth indexing: orderable primitives (the
+    types parquet footers carry min/max for), first
+    :data:`STATS_MAX_COLUMNS` in schema order — wide schemas should
+    not turn every commit into a stats census."""
+    from pyspark.sql import types as T
+
+    ok = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+        T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType,
+    )
+    cols = [f.name for f in schema.fields if isinstance(f.dataType, ok)]
+    return cols[:STATS_MAX_COLUMNS]
+
+
+def _enc_stat(v):
+    """JSON-safe encoding of a footer min/max value, type-tagged so
+    :func:`_dec_stat` restores a comparable Python value."""
+    import base64
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):  # before date: subclass
+        return {"$ts": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$dec": str(v)}
+    if isinstance(v, bytes):
+        return {"$b64": base64.b64encode(v).decode("ascii")}
+    raise TypeError(f"unencodable stat value {type(v).__name__}")
+
+
+def _dec_stat(v):
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, dict):
+        if "$ts" in v:
+            return datetime.datetime.fromisoformat(v["$ts"])
+        if "$date" in v:
+            return datetime.date.fromisoformat(v["$date"])
+        if "$dec" in v:
+            return decimal.Decimal(v["$dec"])
+        if "$b64" in v:
+            return base64.b64decode(v["$b64"])
+    return v
+
+
+def _file_stats_for_dir(
+    spark: SparkSession, data_dir: str, columns: list[str]
+) -> dict[str, dict]:
+    """Per-file stats entry for every part-file under ``data_dir``:
+    ``{"n_rows": N, "cols": {c: {"min", "max", "nulls", "ok"}}}``.
+    One footer read per file, executor-distributed past the same
+    listing size as every other footer census in the repo."""
+    from integritychecksforvldbs_spark.sources.zonemap import (
+        build_zone_maps,
+    )
+
+    # with no eligible columns the census still records n_rows per
+    # file (the metadata-only COUNT needs it): probe a nonexistent
+    # column, which yields row counts with ok=False stats
+    zm = build_zone_maps(spark, data_dir, columns or ["__none__"])
+    out: dict[str, dict] = {}
+    for c, entries in zm.items():
+        for e in entries:
+            ent = out.setdefault(e.path, {"n_rows": e.n_rows, "cols": {}})
+            if c == "__none__":
+                continue
+            if e.n_rows == 0:
+                # an EMPTY part-file (Spark writes one for partition 0
+                # even with no rows) has no row groups, hence no
+                # min/max — but it provably contributes nothing, which
+                # is trustworthy knowledge, not missing stats: ok with
+                # null bounds, and pruning may always skip it
+                ent["cols"][c] = {
+                    "min": None, "max": None, "nulls": 0, "ok": True,
+                }
+                continue
+            ok, vmin, vmax = e.has_stats, e.vmin, e.vmax
+            if ok:
+                try:
+                    vmin, vmax = _enc_stat(vmin), _enc_stat(vmax)
+                except TypeError:
+                    ok, vmin, vmax = False, None, None
+            else:
+                vmin = vmax = None
+            ent["cols"][c] = {
+                "min": vmin, "max": vmax, "nulls": e.n_nulls, "ok": ok,
+            }
+    return out
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -194,6 +307,7 @@ def commit(
     extra: dict | None = None,
     expected_parent: int | None = None,
     allow_schema_change: bool = False,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     as the table's next version.  Returns the committed version.
@@ -236,6 +350,9 @@ def commit(
     data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
     write_stats_friendly(spark, df, data_dir)
     new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
+    if stats_columns is None:
+        stats_columns = _stats_eligible_columns(df.schema)
+    new_stats = _file_stats_for_dir(spark, data_dir, stats_columns)
 
     if expected_parent is not None:
         base_v = expected_parent
@@ -254,6 +371,14 @@ def commit(
         files = new_files if mode == "overwrite" else (
             (cur[1]["files"] if cur else []) + new_files
         )
+        # stats: new files were footer-censused ONCE above; an append
+        # carries the parent's entries forward unread (immutable files,
+        # immutable stats) — cost scales with the commit, not the table
+        if mode == "overwrite" or cur is None:
+            stats = new_stats
+        else:
+            stats = {**(cur[1].get("stats") or {}), **new_stats}
+        stats = {f: stats[f] for f in files if f in stats}
         # claim the next number past every slot present — a legacy
         # bodyless dir (old-protocol crashed committer) holds its number
         all_v = _versions(path)
@@ -266,6 +391,7 @@ def commit(
                 "version": nxt,
                 "mode": mode,
                 "files": files,
+                "stats": stats,
                 "parent": cur_v or None,
                 "schema": new_ddl,
                 # jsonValue parses WITHOUT a SparkSession
@@ -324,6 +450,223 @@ def read(
     if sch is not None:
         return spark.read.schema(sch).parquet(*man["files"])
     return load_table(spark, *man["files"])
+
+
+def _resolve_manifest(path: str, version: int | None) -> dict:
+    if version is None:
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        return cur[1]
+    man = _read_manifest(path, version)
+    if man is None:
+        raise FileNotFoundError(f"version {version} of {path!r} not found")
+    return man
+
+
+def row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """``COUNT(*)`` of a snapshot answered from MANIFEST STATS — no
+    data file is opened (the Iceberg/Delta metadata-only count).
+    Files a legacy manifest never censused fall back to one footer
+    read each (metadata IO, executor-distributed past the usual
+    listing size); the data pages are never touched either way."""
+    man = _resolve_manifest(path, version)
+    stats = man.get("stats") or {}
+    total = 0
+    missing = []
+    for f in man["files"]:
+        ent = stats.get(f)
+        if ent is not None:
+            total += int(ent["n_rows"])
+        else:
+            missing.append(f)
+    if missing:
+        from integritychecksforvldbs_spark.sources.catalog import (
+            DRIVER_SIDE_FOOTER_LIMIT,
+        )
+
+        def _n(p: str) -> int:
+            import pyarrow.parquet as pq
+
+            local = p[len("file:"):] if p.startswith("file:") else p
+            return int(pq.ParquetFile(local).metadata.num_rows)
+
+        if len(missing) <= DRIVER_SIDE_FOOTER_LIMIT:
+            total += sum(_n(p) for p in missing)
+        else:
+            sc = spark.sparkContext
+            slices = min(len(missing), sc.defaultParallelism * 2)
+            total += sc.parallelize(missing, slices).map(_n).sum()
+    return total
+
+
+def stats_summary(
+    path: str, columns: list[str], version: int | None = None
+) -> dict[str, dict]:
+    """Table-level ``{col: {"min", "max", "n_nulls", "ok"}}`` folded
+    from the manifest's per-file stats — the profile a planner (or an
+    operator deciding broadcast-ability) wants without a scan.
+    ``ok=False`` when ANY visible file lacks trustworthy stats for the
+    column: the folded bounds are then only what the censused subset
+    proves, never presented as table truth."""
+    from integritychecksforvldbs_spark.sources.zonemap import _lt
+
+    man = _resolve_manifest(path, version)
+    stats = man.get("stats") or {}
+    out: dict[str, dict] = {}
+    for c in columns:
+        vmin = vmax = None
+        n_nulls = 0
+        ok = True
+        for f in man["files"]:
+            ent = (stats.get(f) or {}).get("cols", {}).get(c)
+            if ent is None or not ent["ok"]:
+                ok = False
+                continue
+            if ent["min"] is None:
+                continue  # empty file: contributes no values
+            lo, hi = _dec_stat(ent["min"]), _dec_stat(ent["max"])
+            vmin = lo if vmin is None or _lt(lo, vmin) else vmin
+            vmax = hi if vmax is None or _lt(vmax, hi) else vmax
+            n_nulls += int(ent["nulls"])
+        out[c] = {"min": vmin, "max": vmax, "n_nulls": n_nulls, "ok": ok}
+    return out
+
+
+def _prune_manifest_files(
+    man: dict, bounds: dict[str, tuple]
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) under a conjunction of range predicates
+    ``{col: (lo, hi)}`` (either end ``None`` = open): a file is
+    skipped only when its manifest stats PROVE no row can match;
+    files without trustworthy stats are always kept — correctness
+    never depends on stats, they only remove provably-dead IO."""
+    from integritychecksforvldbs_spark.sources.zonemap import _lt
+
+    stats = man.get("stats") or {}
+    kept, skipped = [], []
+    for f in man["files"]:
+        dead = False
+        for c, (lo, hi) in bounds.items():
+            ent = (stats.get(f) or {}).get("cols", {}).get(c)
+            if ent is None or not ent["ok"]:
+                continue
+            if ent["min"] is None:
+                dead = True  # empty file: no row can match anything
+                break
+            vmin, vmax = _dec_stat(ent["min"]), _dec_stat(ent["max"])
+            if (lo is not None and _lt(vmax, lo)) or (
+                hi is not None and _lt(hi, vmin)
+            ):
+                dead = True
+                break
+        (skipped if dead else kept).append(f)
+    return kept, skipped
+
+
+def read_where(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """:func:`read` with manifest-stats file skipping: plan the scan
+    over only the files whose stats admit a match for EVERY range in
+    ``bounds`` (``{col: (lo, hi)}``, either end ``None`` = open), then
+    re-apply the predicate as an ordinary residual filter — Catalyst
+    still pushes it into the surviving scans' row groups, and the
+    answer is identical to filtering :func:`read` (test-pinned); the
+    stats only delete provably-dead file IO before the plan exists.
+    At 100 TB on a clustered layout (see :func:`optimize`) this is the
+    difference between opening 2% and 100% of a snapshot's objects."""
+    from pyspark.sql import functions as F
+
+    man = _resolve_manifest(path, version)
+    kept, _ = _prune_manifest_files(man, bounds)
+    sch = _manifest_schema(man)
+
+    def _residual(df: DataFrame) -> DataFrame:
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
+    if not kept:
+        if sch is None:
+            return _residual(read(spark, path, version)).limit(0)
+        return spark.createDataFrame([], sch)
+    if sch is not None:
+        return _residual(spark.read.schema(sch).parquet(*kept))
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    return _residual(load_table(spark, *kept))
+
+
+DEFAULT_OPTIMIZE_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str] | None = None,
+    n_files: int | None = None,
+    target_bytes: int = DEFAULT_OPTIMIZE_TARGET_BYTES,
+) -> tuple[int, int, int]:
+    """Rewrite the latest snapshot clustered — ``OPTIMIZE ... ZORDER
+    BY`` on this format: one exchange range-partitioning the data
+    along the z-curve over ``zorder_by`` (equi-depth bucketed, bits
+    interleaved; plain compaction when omitted), written as a new
+    overwrite commit whose manifest stats are therefore TIGHT — every
+    listed column's per-file min/max becomes selective, which is what
+    makes :func:`read_where` skip.  Returns (version, files_before,
+    files_after).  Old versions keep answering from the old files
+    until vacuum expires them; a racing commit re-bases the rewrite."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources.maintenance import zorder_key
+
+    for _ in range(5):
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        before = len(cur[1]["files"])
+        if n_files is None:
+            total = 0
+            for f in cur[1]["files"]:
+                try:
+                    total += os.path.getsize(_local(f))
+                except OSError:
+                    pass
+            n_out = max(1, math.ceil(total / target_bytes))
+        else:
+            n_out = n_files
+        df = read(spark, path)
+        if zorder_by:
+            z = zorder_key(df, zorder_by)
+            df = (
+                df.withColumn("__zorder", z)
+                .repartitionByRange(n_out, F.col("__zorder"))
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder")
+            )
+        else:
+            df = df.coalesce(n_out)
+        try:
+            v = commit(
+                spark, df, path, mode="overwrite",
+                extra={"optimized_by": zorder_by or []},
+                expected_parent=cur[0],
+            )
+        except ConflictError:
+            continue  # a commit raced the rewrite: re-base on it
+        return v, before, len(_read_manifest(path, v)["files"])
+    raise ConflictError(f"optimize of {path!r} lost every overwrite race")
 
 
 def changes(
@@ -467,6 +810,7 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
                 "version": nxt,
                 "mode": f"rollback({version})",
                 "files": man["files"],
+                "stats": man.get("stats") or {},
                 "parent": cur_v or None,
                 "schema": man.get("schema"),
                 "schema_json": man.get("schema_json"),

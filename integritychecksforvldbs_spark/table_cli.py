@@ -254,6 +254,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-version", type=int, default=None)
 
     p = sub.add_parser(
+        "versioned-optimize",
+        help="rewrite the latest snapshot clustered (OPTIMIZE [ZORDER BY])",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--zorder-by", default=None,
+        help="comma-separated numeric columns to z-order cluster on "
+        "(omit for plain compaction)",
+    )
+    p.add_argument("--n-files", type=int, default=None)
+
+    p = sub.add_parser(
+        "versioned-stats",
+        help="metadata-only row count and column min/max from manifest stats",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument(
+        "--columns", default=None,
+        help="comma-separated columns to fold min/max for",
+    )
+
+    p = sub.add_parser(
         "versioned-vacuum",
         help="reclaim unreferenced data files (and optionally old versions)",
     )
@@ -540,6 +563,38 @@ def main(argv: list[str] | None = None) -> int:
             "inserts": by_type.get("insert", 0),
             "deletes": by_type.get("delete", 0),
         }
+    elif args.cmd == "versioned-optimize":
+        from .sources import versioned
+
+        v, before, after = versioned.optimize(
+            spark, args.table,
+            zorder_by=_csv(args.zorder_by) if args.zorder_by else None,
+            n_files=args.n_files,
+        )
+        summary = {
+            "cmd": "versioned-optimize", "version": v,
+            "files_before": before, "files_after": after,
+            "zorder_by": _csv(args.zorder_by) if args.zorder_by else [],
+        }
+    elif args.cmd == "versioned-stats":
+        from .sources import versioned
+
+        summary = {
+            "cmd": "versioned-stats",
+            "n_rows": versioned.row_count(spark, args.table, args.version),
+        }
+        if args.columns:
+            summary["columns"] = {
+                c: {
+                    "min": None if ent["min"] is None else str(ent["min"]),
+                    "max": None if ent["max"] is None else str(ent["max"]),
+                    "n_nulls": ent["n_nulls"],
+                    "ok": ent["ok"],
+                }
+                for c, ent in versioned.stats_summary(
+                    args.table, _csv(args.columns), args.version
+                ).items()
+            }
     elif args.cmd == "versioned-vacuum":
         from .sources import versioned
 
