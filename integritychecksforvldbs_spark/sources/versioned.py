@@ -164,6 +164,35 @@ def _contiguous_committed(path: str, from_v: int) -> int:
     return v
 
 
+def _next_claim(path: str, cur_v: int) -> int | None:
+    """The version slot a committer who read ``cur_v`` as the latest
+    committed version may claim: the first slot past ``cur_v`` not
+    held by a VERIFIED legacy bodyless dir (old-protocol crashed
+    committer — holds its number, commits nothing, will never gain a
+    body because no old-protocol writer exists anymore).
+
+    Returns ``None`` when the slot already holds a committed manifest:
+    the caller's view is STALE — someone committed after its read —
+    and the only correct response is to re-read and re-base.  Claiming
+    any higher number instead would succeed at the CAS (the higher
+    slot is free) while carrying a file list built from the stale
+    base, silently dropping the interleaved commit's acknowledged
+    files from the new snapshot — the lost-update TOCTOU this helper
+    exists to close.  The base manifest and the claim number therefore
+    always derive from ONE consistent view (``cur_v``), and a racer
+    landing between the read and the install surfaces as a lost CAS,
+    never as a silent skip."""
+    nxt = cur_v + 1
+    while True:
+        if _read_manifest(path, nxt) is not None:
+            return None  # committed after our read — stale view, re-base
+        legacy = os.path.join(_vdir(path), _vname(nxt))
+        if os.path.isdir(legacy):
+            nxt += 1  # proven legacy bodyless corpse: skip its number
+            continue
+        return nxt
+
+
 def _install_manifest(path: str, v: int, man: dict) -> bool:
     """Atomically install manifest ``v``; True iff this caller won the
     CAS.  The full body is serialized to a tmp file first and linked
@@ -379,10 +408,15 @@ def commit(
         else:
             stats = {**(cur[1].get("stats") or {}), **new_stats}
         stats = {f: stats[f] for f in files if f in stats}
-        # claim the next number past every slot present — a legacy
-        # bodyless dir (old-protocol crashed committer) holds its number
-        all_v = _versions(path)
-        nxt = max(cur_v, all_v[-1] if all_v else 0) + 1
+        # base manifest and claim number from ONE consistent view: the
+        # claim is exactly cur_v+1 (stepping only over verified legacy
+        # corpse dirs); a commit landing after the cur read surfaces as
+        # a None claim or a lost CAS — both re-base — never as a silent
+        # skip-past that would drop the interloper's files (the r7
+        # lost-update TOCTOU)
+        nxt = _next_claim(path, cur_v)
+        if nxt is None:
+            continue  # stale view: re-read the log and re-base
         installed = _install_manifest(
             path,
             nxt,
@@ -790,10 +824,24 @@ def schema_changes(
     }
 
 
-def rollback(spark: SparkSession, path: str, version: int) -> int:
+def rollback(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    expected_parent: int | None = None,
+) -> int:
     """Commit a NEW version whose visible file set is ``version``'s —
     time travel made durable without rewriting history (the bad
-    versions stay queryable for forensics)."""
+    versions stay queryable for forensics).
+
+    Concurrency: by default LAST-WRITE-WINS — a commit racing the
+    rollback lands in history (the parent chain records it) but its
+    rows are not in the restored snapshot, which is what "restore to
+    version N" means.  Callers that instead want to fail when the
+    table moved under them pass ``expected_parent`` (the latest
+    version they observed): the rollback then raises
+    :class:`ConflictError` if any commit landed past it — the same
+    optimistic check ``commit(mode="overwrite")`` applies."""
     man = _read_manifest(path, version)
     if man is None:
         raise FileNotFoundError(f"version {version} of {path!r} not found")
@@ -801,8 +849,15 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     for _ in range(_MAX_COMMIT_RETRIES):
         cur = _latest_committed(path)
         cur_v = cur[0] if cur else 0
-        all_v = _versions(path)
-        nxt = max(cur_v, all_v[-1] if all_v else 0) + 1
+        if expected_parent is not None and cur_v != expected_parent:
+            raise ConflictError(
+                f"rollback of {path!r} to v{version} based on "
+                f"v{expected_parent} conflicts with committed v{cur_v}; "
+                "reload and retry"
+            )
+        nxt = _next_claim(path, cur_v)
+        if nxt is None:
+            continue  # a commit landed after the cur read — re-base
         installed = _install_manifest(
             path,
             nxt,

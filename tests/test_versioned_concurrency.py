@@ -1,0 +1,168 @@
+"""Deterministic interleaving tests for the versioned-log commit
+protocol (round-8 follow-up to the r7 stress test, which is
+probabilistic and caught the lost-update TOCTOU only ~half the time).
+
+The r7 race: ``commit`` read ``_latest_committed`` and then,
+separately, ``_versions`` to pick its claim number — a commit landing
+BETWEEN the two reads made the victim claim a free higher slot with a
+file list built from the stale base, so the CAS *succeeded* and the
+interloper's acknowledged files vanished from the latest snapshot.
+
+The fix derives base and claim from ONE view (``_next_claim``): the
+claim is exactly ``latest_committed + 1`` (stepping only over verified
+legacy corpse dirs), so an interleaved commit surfaces as a stale-view
+``None`` or a lost CAS — both re-base — never a silent skip.  These
+tests FORCE the interleaving at each window instead of hoping a
+thread scheduler finds it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _inject_between_read_and_install(monkeypatch, spark, path, lo, hi):
+    """Arrange for a competing append of ``[lo, hi)`` to land fully
+    inside the victim's read→install window: the victim has already
+    computed its base, files, and claim number when the interloper
+    commits.  Returns a dict recording the interloper's version."""
+    orig = versioned._install_manifest
+    state = {"armed": True, "interloper_v": None}
+
+    def hooked(p, v, man):
+        if state["armed"]:
+            state["armed"] = False  # the interloper itself installs freely
+            state["interloper_v"] = versioned.commit(
+                spark, _mk(spark, lo, hi), path
+            )
+        return orig(p, v, man)
+
+    monkeypatch.setattr(versioned, "_install_manifest", hooked)
+    return state
+
+
+def test_interleaved_commit_forces_rebase_not_lost_update(
+    spark, tmp_path, monkeypatch
+):
+    """The exact r7 scenario, deterministically: a commit lands after
+    the victim read the log but before it installs.  The victim's CAS
+    on latest+1 must LOSE, and its retry must re-base on the
+    interloper — the final snapshot holds BOTH appends."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    state = _inject_between_read_and_install(
+        monkeypatch, spark, path, 5, 10
+    )
+    v = versioned.commit(spark, _mk(spark, 10, 15), path)
+    assert state["interloper_v"] == 2
+    assert v == 3  # re-based PAST the interloper, never onto its slot
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(15)]
+    # log is gap-free and every version complete
+    assert versioned._versions(path) == [1, 2, 3]
+    assert all(
+        versioned._read_manifest(path, n) is not None for n in (1, 2, 3)
+    )
+
+
+def test_stale_view_at_claim_time_returns_none_and_rebases(
+    spark, tmp_path, monkeypatch
+):
+    """The narrower window: the interloper lands between the victim's
+    ``_latest_committed`` read and its ``_next_claim`` call.  The slot
+    latest+1 is then already committed, so ``_next_claim`` must return
+    None (stale view) rather than skip past it — and the commit loop
+    must re-base."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    orig = versioned._next_claim
+    state = {"armed": True, "saw_none": False}
+
+    def hooked(p, cur_v):
+        if state["armed"]:
+            state["armed"] = False
+            versioned.commit(spark, _mk(spark, 5, 10), path)
+        got = orig(p, cur_v)
+        if got is None:
+            state["saw_none"] = True
+        return got
+
+    monkeypatch.setattr(versioned, "_next_claim", hooked)
+    v = versioned.commit(spark, _mk(spark, 10, 15), path)
+    assert state["saw_none"]  # the stale view was DETECTED, not skipped
+    assert v == 3
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(15)]
+
+
+def test_next_claim_skips_only_verified_legacy_corpses(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 3), path)
+    # a legacy bodyless claim dir at slot 2: holds the number, commits
+    # nothing — the claim steps over it
+    os.mkdir(os.path.join(path, "_versions", "v0000000002"))
+    assert versioned._next_claim(path, 1) == 3
+    # a COMMITTED slot is never skipped: stale view → None
+    v = versioned.commit(spark, _mk(spark, 3, 6), path)
+    assert v == 3
+    assert versioned._next_claim(path, 1) is None
+
+
+def test_interleaved_commit_vs_overwrite_conflicts_loudly(
+    spark, tmp_path, monkeypatch
+):
+    """An overwrite racing an append must NOT silently erase it: the
+    overwrite's re-check sees the moved base and raises."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+    _inject_between_read_and_install(monkeypatch, spark, path, 5, 10)
+    with pytest.raises(versioned.ConflictError, match="overwrite"):
+        versioned.commit(spark, _mk(spark, 10, 15), path, mode="overwrite")
+    # the interloper's acknowledged rows are intact
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(10)]
+
+
+def test_rollback_rebases_past_interleaved_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Last-write-wins rollback: an append landing mid-rollback is in
+    HISTORY (the parent chain records it) but the restored snapshot is
+    exactly the target version's — and the rollback never claims the
+    interloper's slot."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)     # v1
+    versioned.commit(spark, _mk(spark, 5, 10), path)    # v2
+    _inject_between_read_and_install(monkeypatch, spark, path, 10, 15)
+    v = versioned.rollback(spark, path, 1)
+    assert v == 4  # v3 = the interloper, v4 = the rollback
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(5)]
+    # the interloper's version is committed history, readable by number
+    assert _rows(versioned.read(spark, path, version=3)) == [
+        (i,) for i in range(15)
+    ]
+    hist = {vi.version: vi for vi in versioned.history(path)}
+    assert hist[4].parent == 3  # the chain RECORDS the racing commit
+
+
+def test_rollback_expected_parent_conflicts_on_race(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5), path)   # v1
+    versioned.commit(spark, _mk(spark, 5, 10), path)  # v2
+    _inject_between_read_and_install(monkeypatch, spark, path, 10, 15)
+    with pytest.raises(versioned.ConflictError, match="rollback"):
+        versioned.rollback(spark, path, 1, expected_parent=2)
+    # nothing restored; the interloper's commit is the latest
+    assert _rows(versioned.read(spark, path)) == [(i,) for i in range(15)]
