@@ -301,6 +301,20 @@ def _file_stats_for_dir(
     out: dict[str, dict] = {}
     for c, entries in zm.items():
         for e in entries:
+            if e.n_rows < 0:
+                # the footer read FAILED — these files were written by
+                # THIS job moments ago, so an unreadable footer is a
+                # real IO/corruption error, not a stats gap.  Recording
+                # it as n_rows=0 would poison the manifest forever:
+                # row_count would silently answer 0 for the file and
+                # read_where would always prune it (and appends carry
+                # the entry forward) — wrong results, violating the
+                # "correctness never depends on stats" invariant.
+                raise IOError(
+                    f"parquet footer of freshly written {e.path!r} is "
+                    "unreadable; refusing to commit a manifest whose "
+                    "stats would record the file as empty"
+                )
             ent = out.setdefault(e.path, {"n_rows": e.n_rows, "cols": {}})
             if c == "__none__":
                 continue
@@ -906,7 +920,13 @@ def merge_into(
 
     from pyspark.sql import functions as F
 
-    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    # aggregate under a reserved alias: .count() would name the column
+    # "count", ambiguous whenever a key column is itself named count
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__merge_dup_n"))
+        .filter(F.col("__merge_dup_n") > 1)
+    )
     if not dup.isEmpty():
         sample = [tuple(r[k] for k in keys) for r in dup.limit(3).collect()]
         raise ValueError(

@@ -47,6 +47,7 @@ from integritychecksforvldbs_spark.sources.versioned import (
     _latest_committed,
     _manifest_schema,
     _read_manifest,
+    _versions,
 )
 
 
@@ -174,7 +175,30 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # frontier, so cost per call is O(new versions).
         import time
 
-        frontier = getattr(self, "_frontier", self.starting_version)
+        frontier = getattr(self, "_frontier", None)
+        if frontier is None:
+            # seed the walk at the retained horizon: vacuum expires
+            # manifests OLDEST-FIRST, so every version below the oldest
+            # retained one is EXPIRED, not in flight — without this, a
+            # stream restarted after a routine vacuum(keep_versions=K)
+            # would walk from startingVersion into the vacuumed range
+            # and raise on every trigger, even though its checkpoint is
+            # already past it.  _files_between keeps the loud error for
+            # the case that matters: a BATCH RANGE that actually needs
+            # an expired manifest.
+            oldest = next(
+                (
+                    v
+                    for v in _versions(self.path)
+                    if _read_manifest(self.path, v) is not None
+                ),
+                None,
+            )
+            frontier = (
+                self.starting_version
+                if oldest is None
+                else max(self.starting_version, oldest - 1)
+            )
         while True:
             frontier = _contiguous_committed(self.path, frontier)
             cur = _latest_committed(self.path)

@@ -40,7 +40,11 @@ from integritychecksforvldbs_spark.sources.loader import load_table
 class ZoneEntry:
     """Per-file stats for one column.  ``has_stats=False`` (missing
     footer statistics, unreadable file) means the file can never be
-    skipped."""
+    skipped.  ``n_rows == -1`` means the FOOTER READ ITSELF FAILED
+    (IO error, corrupt file): the row count is unknown — distinct
+    from a genuinely empty file's trustworthy ``n_rows == 0`` —
+    so consumers that would record the count as truth (the versioned
+    manifest census) must treat it as an error, not as zero."""
 
     path: str
     n_rows: int
@@ -99,7 +103,11 @@ def _read_zones(path: str, columns: list[str]) -> dict[str, ZoneEntry]:
             )
         return out
     except Exception:
-        return {c: ZoneEntry(path, 0, None, None, 0, False) for c in columns}
+        # footer read FAILED — n_rows=-1 distinguishes "count unknown"
+        # from a genuinely empty file's trustworthy n_rows=0 (pruning
+        # ignores the difference via has_stats=False; count consumers
+        # like the versioned manifest census must NOT)
+        return {c: ZoneEntry(path, -1, None, None, 0, False) for c in columns}
 
 
 def _read_zone(path: str, column: str) -> ZoneEntry:

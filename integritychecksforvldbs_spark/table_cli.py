@@ -335,7 +335,9 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "cmd": "zonemap", "n_files": len(zm),
             "files_with_stats": sum(1 for e in zm if e.has_stats),
-            "rows": sum(e.n_rows for e in zm),
+            # n_rows=-1 marks a failed footer read, not an empty file
+            "rows": sum(e.n_rows for e in zm if e.n_rows > 0),
+            "files_unreadable": sum(1 for e in zm if e.n_rows < 0),
         }
         if args.lo is not None and args.hi is not None:
             dt = load_table(spark, args.path).schema[args.column].dataType
