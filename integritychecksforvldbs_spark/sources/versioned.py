@@ -55,6 +55,12 @@ _VDIR = "_versions"
 _BODY = "manifest.json"
 _MAX_COMMIT_RETRIES = 20
 
+# every Nth version serializes the FULL folded snapshot; versions in
+# between are deltas (add_files only), so append metadata is O(commit)
+# while a reader folds at most N-1 deltas — Delta's add-action log +
+# periodic checkpoint, Iceberg's manifest segments, reduced to core
+CHECKPOINT_EVERY = 10
+
 
 @dataclass(frozen=True)
 class VersionInfo:
@@ -138,14 +144,81 @@ def _versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _chain_versions(path: str, man: dict) -> list[int]:
+    """Versions of the manifests a DELTA body folds over, nearest
+    first, excluding the body's own version; empty for a full
+    manifest.  Used by :func:`vacuum` to retain every manifest a
+    retained snapshot still resolves through."""
+    out: list[int] = []
+    while "files" not in man:
+        bv = int(man["delta_base"])
+        out.append(bv)
+        man = _read_manifest(path, bv)
+        if man is None:
+            raise FileNotFoundError(
+                f"delta base v{bv} of {path!r} is missing — the log was "
+                "vacuumed below a retained delta chain or damaged"
+            )
+    return out
+
+
+def _fold(path: str, man: dict) -> dict:
+    """The folded SNAPSHOT view of a manifest body.
+
+    A FULL body (has ``files``) is its own snapshot.  A DELTA body —
+    what appends write between checkpoints, the Delta-log add-action
+    discipline (versioned.py's answer to "every commit rewrites the
+    whole file list") — carries only ``add_files``/``add_stats`` on a
+    ``delta_base`` chain; folding walks the chain to the nearest full
+    manifest and applies the additions oldest-first.  The returned
+    dict has the top body's metadata (version, mode, parent, schema,
+    extras) with materialized ``files`` and ``stats``, so every
+    reader sees one shape regardless of the physical form.  Chain
+    length is bounded by the checkpoint interval, so a fold is O(1)
+    manifest reads, not O(history)."""
+    if "files" in man:
+        return man
+    chain = [man]
+    base = man
+    while "files" not in base:
+        bv = int(base["delta_base"])
+        nxt = _read_manifest(path, bv)
+        if nxt is None:
+            raise FileNotFoundError(
+                f"delta base v{bv} of {path!r} is missing — the log was "
+                "vacuumed below a retained delta chain or damaged"
+            )
+        base = nxt
+        chain.append(base)
+    files = list(base["files"])
+    stats = dict(base.get("stats") or {})
+    for d in reversed(chain[:-1]):
+        files = files + list(d["add_files"])
+        stats.update(d.get("add_stats") or {})
+    top = dict(man)
+    top.pop("add_files", None)
+    top.pop("add_stats", None)
+    top.pop("delta_base", None)
+    top["files"] = files
+    top["stats"] = {f: stats[f] for f in files if f in stats}
+    return top
+
+
+def _snapshot(path: str, v: int) -> dict | None:
+    """Folded snapshot of version ``v``; None when not committed."""
+    man = _read_manifest(path, v)
+    return None if man is None else _fold(path, man)
+
+
 def _latest_committed(path: str) -> tuple[int, dict] | None:
-    """Highest version whose manifest exists.  Atomic installs make
-    every listed ``vN.json`` complete; a legacy bodyless ``vN/`` dir
-    holds its number but commits nothing and is skipped."""
+    """Highest version whose manifest exists, FOLDED to its snapshot
+    view (``files``/``stats`` always materialized).  Atomic installs
+    make every listed ``vN.json`` complete; a legacy bodyless ``vN/``
+    dir holds its number but commits nothing and is skipped."""
     for v in reversed(_versions(path)):
         man = _read_manifest(path, v)
         if man is not None:
-            return v, man
+            return v, _fold(path, man)
     return None
 
 
@@ -411,17 +484,6 @@ def commit(
                 f"overwrite of {path!r} based on v{base_v} conflicts with "
                 f"committed v{cur_v}; reload and retry"
             )
-        files = new_files if mode == "overwrite" else (
-            (cur[1]["files"] if cur else []) + new_files
-        )
-        # stats: new files were footer-censused ONCE above; an append
-        # carries the parent's entries forward unread (immutable files,
-        # immutable stats) — cost scales with the commit, not the table
-        if mode == "overwrite" or cur is None:
-            stats = new_stats
-        else:
-            stats = {**(cur[1].get("stats") or {}), **new_stats}
-        stats = {f: stats[f] for f in files if f in stats}
         # base manifest and claim number from ONE consistent view: the
         # claim is exactly cur_v+1 (stepping only over verified legacy
         # corpse dirs); a commit landing after the cur read surfaces as
@@ -431,24 +493,52 @@ def commit(
         nxt = _next_claim(path, cur_v)
         if nxt is None:
             continue  # stale view: re-read the log and re-base
-        installed = _install_manifest(
-            path,
-            nxt,
-            {
-                **(extra or {}),
-                "version": nxt,
-                "mode": mode,
+        meta = {
+            **(extra or {}),
+            "version": nxt,
+            "mode": mode,
+            "parent": cur_v or None,
+            "schema": new_ddl,
+            # jsonValue parses WITHOUT a SparkSession
+            # (StructType.fromJson is pure Python) — the form
+            # the Python Data Source's planner worker, which
+            # has no session, must use
+            "schema_json": df.schema.jsonValue(),
+        }
+        if (
+            mode == "append"
+            and cur is not None
+            and nxt % CHECKPOINT_EVERY != 0
+        ):
+            # DELTA body: only this commit's additions ride the
+            # manifest, on a delta_base chain readers fold — append
+            # metadata is O(commit), not O(table-files).  Every
+            # CHECKPOINT_EVERY-th version serializes the full folded
+            # snapshot so chains stay bounded (the Delta-log
+            # add-action + periodic-checkpoint discipline).
+            body = {
+                **meta,
+                "delta_base": cur_v,
+                "add_files": new_files,
+                "add_stats": new_stats,
+            }
+        else:
+            files = new_files if mode == "overwrite" else (
+                (cur[1]["files"] if cur else []) + new_files
+            )
+            # stats: new files were footer-censused ONCE above; a
+            # checkpoint carries the parent's entries forward unread
+            # (immutable files, immutable stats)
+            if mode == "overwrite" or cur is None:
+                stats = new_stats
+            else:
+                stats = {**(cur[1].get("stats") or {}), **new_stats}
+            body = {
+                **meta,
                 "files": files,
-                "stats": stats,
-                "parent": cur_v or None,
-                "schema": new_ddl,
-                # jsonValue parses WITHOUT a SparkSession
-                # (StructType.fromJson is pure Python) — the form
-                # the Python Data Source's planner worker, which
-                # has no session, must use
-                "schema_json": df.schema.jsonValue(),
-            },
-        )
+                "stats": {f: stats[f] for f in files if f in stats},
+            }
+        installed = _install_manifest(path, nxt, body)
         if installed:
             return nxt
         # lost the race — re-base (append) or re-check (overwrite)
@@ -489,7 +579,7 @@ def read(
             raise FileNotFoundError(f"no committed version under {path!r}")
         man = cur[1]
     else:
-        man = _read_manifest(path, version)
+        man = _snapshot(path, version)
         if man is None:
             raise FileNotFoundError(f"version {version} of {path!r} not found")
     if not man["files"]:
@@ -501,12 +591,13 @@ def read(
 
 
 def _resolve_manifest(path: str, version: int | None) -> dict:
+    """Folded snapshot view of ``version`` (latest when None)."""
     if version is None:
         cur = _latest_committed(path)
         if cur is None:
             raise FileNotFoundError(f"no committed version under {path!r}")
         return cur[1]
-    man = _read_manifest(path, version)
+    man = _snapshot(path, version)
     if man is None:
         raise FileNotFoundError(f"version {version} of {path!r} not found")
     return man
@@ -746,7 +837,7 @@ def changes(
     def _files(v: int) -> list[str]:
         if v == 0:
             return []
-        man = _read_manifest(path, v)
+        man = _snapshot(path, v)
         if man is None:
             raise FileNotFoundError(f"version {v} of {path!r} not found")
         return man["files"]
@@ -782,14 +873,23 @@ def changes(
 
 def history(path: str) -> list[VersionInfo]:
     """Committed versions, oldest first (bodyless crashed claims are
-    not part of history)."""
+    not part of history).  ``n_files`` is the SNAPSHOT size; for a
+    delta body it folds incrementally over the ascending walk (one
+    raw read per version, no per-version chain re-fold)."""
     out = []
+    counts: dict[int, int] = {}
     for v in _versions(path):
         man = _read_manifest(path, v)
-        if man is not None:
-            out.append(
-                VersionInfo(v, man["mode"], len(man["files"]), man["parent"])
-            )
+        if man is None:
+            continue
+        if "files" in man:
+            n = len(man["files"])
+        elif int(man["delta_base"]) in counts:
+            n = counts[int(man["delta_base"])] + len(man["add_files"])
+        else:  # base expired below the retained horizon: full fold
+            n = len(_fold(path, man)["files"])
+        counts[v] = n
+        out.append(VersionInfo(v, man["mode"], n, man["parent"]))
     return out
 
 
@@ -856,7 +956,7 @@ def rollback(
     version they observed): the rollback then raises
     :class:`ConflictError` if any commit landed past it — the same
     optimistic check ``commit(mode="overwrite")`` applies."""
-    man = _read_manifest(path, version)
+    man = _snapshot(path, version)  # rollback restores the FULL set
     if man is None:
         raise FileNotFoundError(f"version {version} of {path!r} not found")
     os.makedirs(_vdir(path), exist_ok=True)
@@ -1068,6 +1168,15 @@ def vacuum(
     too, so no reader can resolve a version whose files are gone).
     Returns the deleted data directories.
 
+    Retained DELTA manifests pin their base chains: manifest files
+    below the retention horizon survive until the next checkpoint
+    version covers them (the same reason Delta only cleans its log up
+    to a checkpoint).  Data-file reclamation is unaffected — a chain
+    member's folded file set is a subset of its retained descendant's.
+    Physical-erasure flows (``delete_where`` + ``vacuum``) are also
+    unaffected: an overwrite writes a full manifest, so the erased
+    version's chain ends with it.
+
     ``min_age_s`` protects IN-FLIGHT commits: a committer that has
     written its data directory but not yet won the manifest CAS looks
     exactly like a crash orphan, so unreferenced directories younger
@@ -1079,9 +1188,15 @@ def vacuum(
     if hist and not retained:
         raise ValueError("keep_versions must retain at least one version")
     referenced: set[str] = set()
+    # a retained DELTA manifest resolves through its base chain, so the
+    # chain's manifests must survive too (their folded file sets are
+    # subsets of the retained tops', so no extra data files are pinned
+    # — only up to CHECKPOINT_EVERY-1 metadata files per retained tip)
+    keep_manifests: set[int] = set(retained)
     for v in retained:
         man = _read_manifest(path, v)
-        for fpath in man["files"]:
+        keep_manifests.update(_chain_versions(path, man))
+        for fpath in _fold(path, man)["files"]:
             referenced.add(os.path.dirname(_local(fpath)))
     removed = []
     import shutil
@@ -1107,7 +1222,7 @@ def vacuum(
         shutil.rmtree(full)
         removed.append(full)
     for v in hist:
-        if v not in retained:
+        if v not in keep_manifests:
             _remove_manifest(path, v)
     # crashed-committer residue, age-guarded (a slow committer may
     # still be mid-install): stale .tmp manifest bodies that never

@@ -47,6 +47,7 @@ from integritychecksforvldbs_spark.sources.versioned import (
     _latest_committed,
     _manifest_schema,
     _read_manifest,
+    _snapshot,
     _versions,
 )
 
@@ -138,7 +139,7 @@ class _VersionedBatchReader(DataSourceReader):
                 )
             self.files = cur[1]["files"]
         else:
-            man = _read_manifest(path, version)
+            man = _snapshot(path, version)
             if man is None:
                 raise FileNotFoundError(
                     f"version {version} of {path!r} not found"
@@ -238,7 +239,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
         version's files from the stream forever."""
         seen: set[str] = set()
         if start_v > 0:
-            base = _read_manifest(self.path, start_v)
+            base = _snapshot(self.path, start_v)  # folded: full file set
             if base is None:
                 raise FileNotFoundError(
                     f"offset version {start_v} of {self.path!r} vanished "
@@ -270,7 +271,11 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "replay deletions — consume mutating tables with "
                     "versioned.changes() in batch"
                 )
-            for f in man["files"]:
+            # a DELTA body lists exactly this commit's additions — the
+            # batch the stream wants, O(commit) metadata; a full
+            # (checkpoint) body diffs against the accumulated set
+            new = man["add_files"] if "add_files" in man else man["files"]
+            for f in new:
                 if f not in seen:
                     seen.add(f)
                     out.append(f)
@@ -312,7 +317,7 @@ class VersionedDataSource(DataSource):
         path = self._path()
         v = self.options.get("version")
         if v is not None:
-            man = _read_manifest(path, int(v))
+            man = _snapshot(path, int(v))
             if man is None:
                 raise FileNotFoundError(
                     f"version {v} of {path!r} not found"

@@ -59,34 +59,36 @@ def _stream_reader(path, starting_version=0):
 def test_restarted_stream_survives_vacuum_behind_checkpoint(
     spark, tmp_path
 ):
-    """Five commits, vacuum retains the last two: a reader whose
-    checkpoint (batch start) is past the vacuumed range must keep
-    running — latestOffset seeds at the retained horizon instead of
-    raising on the expired hole."""
+    """Twelve commits (checkpoint at v10), vacuum retains the last
+    two: a reader whose checkpoint (batch start) is past the vacuumed
+    range must keep running — latestOffset seeds at the retained
+    horizon instead of raising on the expired hole."""
     path = str(tmp_path / "tbl")
-    for i in range(5):
+    for i in range(12):
         versioned.commit(spark, _mk(spark, i * 3, (i + 1) * 3), path)
     versioned.vacuum(path, keep_versions=2, min_age_s=0)
-    assert versioned._versions(path) == [4, 5]
+    # v11/v12 retained; v10 (their checkpoint base) pinned by the
+    # delta chains; everything below the checkpoint expired
+    assert versioned._versions(path) == [10, 11, 12]
     r = _stream_reader(path)  # a RESTART re-instantiates the reader
-    assert r.latestOffset() == {"version": 5}
+    assert r.latestOffset() == {"version": 12}
     # the batch its checkpoint actually needs resolves fine
-    files = r._files_between(4, 5)
+    files = r._files_between(11, 12)
     assert len(files) >= 1
     # a second trigger keeps working (frontier caches past the hole)
-    assert r.latestOffset() == {"version": 5}
+    assert r.latestOffset() == {"version": 12}
 
 
 def test_replay_from_vacuumed_range_still_fails_loudly(spark, tmp_path):
     """The loud error lives where it belongs: a batch RANGE that needs
     an expired manifest cannot be served and must not be skipped."""
     path = str(tmp_path / "tbl")
-    for i in range(5):
+    for i in range(12):
         versioned.commit(spark, _mk(spark, i * 3, (i + 1) * 3), path)
     versioned.vacuum(path, keep_versions=2, min_age_s=0)
     r = _stream_reader(path)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
-        r._files_between(0, 5)
+        r._files_between(0, 12)
 
 
 def test_mid_log_hole_still_raises(spark, tmp_path):

@@ -50,8 +50,13 @@ def test_append_carries_parent_stats_forward(spark, tmp_path):
     versioned.commit(spark, _mk(spark, 0, 10), path)
     m1 = versioned._read_manifest(path, 1)
     versioned.commit(spark, _mk(spark, 10, 20), path)
-    m2 = versioned._read_manifest(path, 2)
-    # every v1 entry is byte-identical in v2 (carried, not re-censused)
+    # v2 is a DELTA body: only the new files' stats ride it — the
+    # parent's entries are never re-censused OR re-serialized
+    raw2 = versioned._read_manifest(path, 2)
+    assert "files" not in raw2 and set(raw2["add_stats"]).isdisjoint(
+        m1["stats"]
+    )
+    m2 = versioned._snapshot(path, 2)  # folded view carries them
     for f, ent in m1["stats"].items():
         assert m2["stats"][f] == ent
     assert set(m2["stats"]) == set(m2["files"])
@@ -66,7 +71,7 @@ def test_row_count_is_metadata_only(spark, tmp_path):
     versioned.commit(spark, _mk(spark, 57, 90), path)
     assert versioned.row_count(spark, path) == 90
     assert versioned.row_count(spark, path, version=1) == 57
-    man = versioned._read_manifest(path, 2)
+    man = versioned._snapshot(path, 2)
     victim = versioned._local(man["files"][0])
     os.rename(victim, victim + ".gone")
     try:
