@@ -12,11 +12,17 @@ to its core):
   resolve a manifest, then read only its files, so a reader holds a
   consistent snapshot no matter what commits land mid-query;
 - committing is an optimistic-concurrency CAS: write data files,
-  serialize the COMPLETE manifest to a temporary file, then install
+  serialize the manifest body to a temporary file, then install
   it at ``_versions/v{N+1}.json`` with one atomic link — the same
   ``put_if_absent`` primitive the work queue's :class:`~..plans.queue.ClaimBackend`
   defines (exclusive create on POSIX, If-None-Match on an object
-  store), exactly how the Delta log installs ``N.json``.  A version
+  store), exactly how the Delta log installs ``N.json``; tables
+  registered via :func:`use_log_backend` route the whole log through
+  an actual ClaimBackend instance, one shared seam for queue and log.
+  Append bodies are DELTAS (their own ``add_files``/``add_stats`` on
+  a ``delta_base`` chain) with a full snapshot checkpoint every
+  :data:`CHECKPOINT_EVERY` versions, so append metadata is O(commit)
+  and a reader's fold is O(1) manifest reads.  A version
   therefore either exists COMPLETE or not at all: there is no window
   in which a committer holds a number without a readable body, so a
   racing committer can never re-base past an in-flight commit and
@@ -82,7 +88,53 @@ def _vname(v: int) -> str:
     return f"v{v:010d}"
 
 
+# ---------------------------------------------------------------------------
+# log-store seam — the version log's CAS behind ClaimBackend
+# ---------------------------------------------------------------------------
+#
+# The commit CAS is the queue's put_if_absent primitive (exclusive
+# create on POSIX, If-None-Match on an object store, conditional
+# insert on an ACID table — see plans.queue.ClaimBackend).  By default
+# the log binds it to the filesystem (tmp + os.link, below); a table
+# registered here instead routes every manifest read/install/list/
+# delete through ONE shared ClaimBackend implementation, making the
+# module docstring's object-store claim real: the queue and the log
+# speak the same five-primitive seam.  The backend must make
+# put_if_absent atomic WITH its payload (object stores and ACID tables
+# do; DirCasBackend's mkdir+body two-step leaves a transient bodyless
+# record that readers treat as in-flight, and a committer that dies
+# inside it stalls writers loudly rather than corrupting the log).
+# Registration is process-local, so the Python Data Source planner
+# worker (a separate process) cannot see it — stream backend-logged
+# tables via their filesystem default or a driver-side reader.
+
+_LOG_BACKENDS: dict[str, object] = {}
+
+
+def _log_key(path: str) -> str:
+    return os.path.abspath(_local(path))
+
+
+def use_log_backend(path: str, backend) -> None:
+    """Route table ``path``'s version log through ``backend`` (a
+    :class:`~..plans.queue.ClaimBackend`); ``None`` unregisters."""
+    if backend is None:
+        _LOG_BACKENDS.pop(_log_key(path), None)
+    else:
+        _LOG_BACKENDS[_log_key(path)] = backend
+
+
+def _backend_for(path: str):
+    return _LOG_BACKENDS.get(_log_key(path))
+
+
 def _read_manifest(path: str, v: int) -> dict | None:
+    b = _backend_for(path)
+    if b is not None:
+        rec = b.get(_vname(v))
+        # a record without a payload is an in-flight (or crashed)
+        # two-step backend write: not committed
+        return rec.payload if rec is not None else None
     try:
         with open(os.path.join(_vdir(path), _vname(v) + ".json")) as f:
             return json.load(f)
@@ -131,6 +183,13 @@ def _versions(path: str) -> list[int]:
     """Every version NUMBER present in the log: atomic ``vN.json``
     manifests (always complete) plus legacy ``vN/`` dirs (which may be
     bodyless corpses that still hold their number)."""
+    b = _backend_for(path)
+    if b is not None:
+        out = set()
+        for k in b.list("v"):
+            if k.startswith("v") and k[1:].isdigit():
+                out.add(int(k[1:]))
+        return sorted(out)
     try:
         names = os.listdir(_vdir(path))
     except FileNotFoundError:
@@ -256,6 +315,12 @@ def _next_claim(path: str, cur_v: int) -> int | None:
     landing between the read and the install surfaces as a lost CAS,
     never as a silent skip."""
     nxt = cur_v + 1
+    b = _backend_for(path)
+    if b is not None:
+        # backend logs have no legacy corpses: any record at the slot
+        # — committed, or an in-flight two-step write — means our view
+        # is (or is about to be) stale; re-base/retry
+        return None if b.get(_vname(nxt)) is not None else nxt
     while True:
         if _read_manifest(path, nxt) is not None:
             return None  # committed after our read — stale view, re-base
@@ -270,7 +335,12 @@ def _install_manifest(path: str, v: int, man: dict) -> bool:
     """Atomically install manifest ``v``; True iff this caller won the
     CAS.  The full body is serialized to a tmp file first and linked
     into place in one step (O_EXCL-equivalent create), so the manifest
-    is visible only complete — the Delta-log installation discipline."""
+    is visible only complete — the Delta-log installation discipline.
+    A registered log backend replaces the filesystem link with the
+    seam's ``put_if_absent`` (the SAME primitive, store-native)."""
+    b = _backend_for(path)
+    if b is not None:
+        return b.put_if_absent(_vname(v), man)
     vd = _vdir(path)
     os.makedirs(vd, exist_ok=True)
     target = os.path.join(vd, _vname(v) + ".json")
@@ -1260,9 +1330,15 @@ def vacuum(
 
 def _remove_manifest(path: str, v: int) -> None:
     """Remove version ``v``'s manifest artifact in whichever layout it
-    was written (atomic file, or legacy directory)."""
+    was written (atomic file, legacy directory, or backend record)."""
     import shutil
 
+    b = _backend_for(path)
+    if b is not None:
+        rec = b.get(_vname(v))
+        if rec is not None:
+            b.delete_if(_vname(v), rec.version)
+        return
     f = os.path.join(_vdir(path), _vname(v) + ".json")
     try:
         os.unlink(f)

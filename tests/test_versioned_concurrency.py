@@ -166,3 +166,63 @@ def test_rollback_expected_parent_conflicts_on_race(
         versioned.rollback(spark, path, 1, expected_parent=2)
     # nothing restored; the interloper's commit is the latest
     assert _rows(versioned.read(spark, path)) == [(i,) for i in range(15)]
+
+
+def test_stream_and_batch_agree_under_concurrent_appends(spark, tmp_path):
+    """r7 verdict "What's wrong #2": after a lost update, the dropped
+    commit's manifest stayed in the log, so the STREAMING source
+    emitted files the latest BATCH read never showed.  With the claim
+    fix there are no dropped commits — pin that the stream's
+    cumulative file set equals the latest snapshot's file set when
+    appends race."""
+    import threading
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    path = str(tmp_path / "tbl")
+    errs: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            versioned.commit(spark, _mk(spark, i * 4, (i + 1) * 4), path)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    r = _VersionedStreamReader(
+        path, 0, StructType([StructField("k", LongType(), True)])
+    )
+    latest = r.latestOffset()["version"]
+    assert latest == 5
+    streamed = set(r._files_between(0, latest))
+    batch = set(versioned._snapshot(path, latest)["files"])
+    assert streamed == batch
+
+
+def test_append_racing_optimize_is_never_lost(
+    spark, tmp_path, monkeypatch
+):
+    """r7 verdict item 8: an append landing inside optimize's
+    read-rewrite window must either land after the rewrite or force a
+    re-base — never vanish into the rewritten file set."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 10).repartition(4), path)
+    versioned.commit(spark, _mk(spark, 10, 20).repartition(4), path)
+    state = _inject_between_read_and_install(monkeypatch, spark, path, 20, 25)
+    v, before, after = versioned.optimize(spark, path, n_files=1)
+    assert state["interloper_v"] == 3  # the racing append committed
+    # the re-based rewrite contains BOTH the original table and the
+    # racing append's acknowledged rows
+    assert _rows(versioned.read(spark, path)) == [
+        (i,) for i in range(25)
+    ]
+    assert after == 1  # and it really is the compacted layout
