@@ -436,6 +436,39 @@ def _q_versioned_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_versioned_compact_small(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental compaction: five dribbled single-file appends
+    bin-packed by ``compact_files`` into a REPLACE delta
+    (``remove_files`` + ``add_files``, ``data_change: false``) — the
+    Delta OPTIMIZE primitive whose IO scales with the small files,
+    never the table.  Layout-only by contract, so the compacted
+    latest snapshot aggregates to exactly the plain orders oracle.
+    (versioned.py compact_files; reference parity: the reference
+    delegates physical layout to the engine — its maintenance split
+    puts this in IndexOptimize territory, MaintenanceSolution.sql.)"""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_compact_small")
+    if versioned._read_manifest(path, 6) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        for m in range(5):
+            versioned.commit(
+                spark,
+                orders.filter(f"o_orderkey % 5 = {m}").coalesce(1),
+                path,
+            )
+        v, rewritten, _added = versioned.compact_files(
+            spark, path, min_bytes=1 << 30
+        )
+        assert v == 6 and rewritten == 5
+    return _orders_priority_agg(versioned.read(spark, path))
+
+
 def _q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: the same table AS OF v1 — only keys ≡ 0 (mod 3)
     exist there, no matter what later commits added."""
@@ -3343,6 +3376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_pruned_read"] = _q_versioned_pruned_read
     out["versioned_count_meta"] = _q_versioned_count_meta
     out["versioned_stats_minmax"] = _q_versioned_stats_minmax
+    # incremental compaction: small-file bin-pack as a replace delta
+    # (data_change=false); rows provably unchanged vs the plain oracle
+    # (r8; tests/test_versioned_compaction.py)
+    out["versioned_compact_small"] = _q_versioned_compact_small
     return out
 
 
@@ -3717,4 +3754,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders"
     )
     out["versioned_stats_minmax"] = _VERSIONED_STATS_ORACLE
+    # compaction is pure layout: the latest snapshot aggregates to
+    # exactly the plain orders aggregate
+    out["versioned_compact_small"] = _VERSIONED_LATEST_ORACLE
     return out

@@ -227,9 +227,11 @@ def _fold(path: str, man: dict) -> dict:
     A FULL body (has ``files``) is its own snapshot.  A DELTA body —
     what appends write between checkpoints, the Delta-log add-action
     discipline (versioned.py's answer to "every commit rewrites the
-    whole file list") — carries only ``add_files``/``add_stats`` on a
-    ``delta_base`` chain; folding walks the chain to the nearest full
-    manifest and applies the additions oldest-first.  The returned
+    whole file list") — carries ``add_files``/``add_stats`` (and, for
+    replace commits like incremental compaction, ``remove_files``) on
+    a ``delta_base`` chain; folding walks the chain to the nearest
+    full manifest and applies removals-then-additions oldest-first.
+    The returned
     dict has the top body's metadata (version, mode, parent, schema,
     extras) with materialized ``files`` and ``stats``, so every
     reader sees one shape regardless of the physical form.  Chain
@@ -252,6 +254,9 @@ def _fold(path: str, man: dict) -> dict:
     files = list(base["files"])
     stats = dict(base.get("stats") or {})
     for d in reversed(chain[:-1]):
+        rm = set(d.get("remove_files") or ())
+        if rm:
+            files = [f for f in files if f not in rm]
         files = files + list(d["add_files"])
         stats.update(d.get("add_stats") or {})
     top = dict(man)
@@ -955,7 +960,11 @@ def history(path: str) -> list[VersionInfo]:
         if "files" in man:
             n = len(man["files"])
         elif int(man["delta_base"]) in counts:
-            n = counts[int(man["delta_base"])] + len(man["add_files"])
+            n = (
+                counts[int(man["delta_base"])]
+                + len(man["add_files"])
+                - len(man.get("remove_files") or ())
+            )
         else:  # base expired below the retained horizon: full fold
             n = len(_fold(path, man)["files"])
         counts[v] = n
@@ -1198,6 +1207,129 @@ def compact(
     raise ConflictError(f"compact of {path!r} lost every overwrite race")
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_OPTIMIZE_TARGET_BYTES,
+    min_bytes: int | None = None,
+) -> tuple[int | None, int, int]:
+    """INCREMENTAL compaction: rewrite only the snapshot's small files
+    (< ``min_bytes``, default ``target_bytes // 2``) into
+    ~``target_bytes`` files and commit the swap as a REPLACE delta —
+    ``remove_files`` + ``add_files`` with ``data_change: false``, the
+    Delta ``OPTIMIZE`` primitive.  Returns
+    ``(version, files_rewritten, files_added)``; ``(None, 0, 0)`` when
+    fewer than two files qualify (nothing to bin-pack).
+
+    Why not :func:`compact`/:func:`optimize`: those rewrite the WHOLE
+    snapshot, O(table) IO per run — right for a one-off re-cluster,
+    wrong for the steady-state "thousands of streaming micro-batch
+    commits dribbled small files" case this handles, whose cost must
+    scale with the small files only.  Because no row changes
+    (``data_change: false``), the streaming source skips the version
+    entirely (rows were already emitted from the replaced files) and
+    :func:`changes` yields an empty feed — layout maintenance stays
+    invisible to consumers.
+
+    Concurrency: appends racing the rewrite commute (re-base and
+    retry); a racing commit that REMOVED any file being rewritten
+    (overwrite, delete, another compaction) raises
+    :class:`ConflictError` — swapping files a concurrent commit
+    already dropped would resurrect their rows.
+
+    Physical reclaim note: :func:`vacuum` frees whole data DIRS, so a
+    replaced file's bytes return once nothing retained references its
+    directory — compacting whole small commits (the normal case)
+    frees their dirs as soon as retention expires the pre-compaction
+    versions."""
+    import math
+
+    cur0 = _latest_committed(path)
+    if cur0 is None:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    if min_bytes is None:
+        min_bytes = target_bytes // 2
+    small = []
+    total = 0
+    for f in cur0[1]["files"]:
+        try:
+            sz = os.path.getsize(_local(f))
+        except OSError:
+            continue  # unreadable size: leave the file alone
+        if sz < min_bytes:
+            small.append(f)
+            total += sz
+    if len(small) < 2:
+        return None, 0, 0
+    sch = _manifest_schema(cur0[1])
+    df = (
+        spark.read.schema(sch).parquet(*small)
+        if sch is not None
+        else spark.read.parquet(*small)
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    from integritychecksforvldbs_spark.sources.catalog import (
+        list_parquet_files,
+    )
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        write_stats_friendly,
+    )
+
+    data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
+    write_stats_friendly(spark, df.coalesce(n_out), data_dir)
+    new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
+    stats_cols = (
+        _stats_eligible_columns(df.schema) if sch is not None else []
+    )
+    new_stats = _file_stats_for_dir(spark, data_dir, stats_cols)
+    removed = set(small)
+
+    os.makedirs(_vdir(path), exist_ok=True)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        cur_v, man = cur
+        gone = removed - set(man["files"])
+        if gone:
+            raise ConflictError(
+                f"compaction of {path!r} raced a commit that removed "
+                f"{len(gone)} of the files being rewritten; re-run"
+            )
+        nxt = _next_claim(path, cur_v)
+        if nxt is None:
+            continue  # a commit landed after the cur read — re-base
+        meta = {
+            "version": nxt,
+            "mode": "replace",
+            "data_change": False,
+            "parent": cur_v,
+            "schema": man.get("schema"),
+            "schema_json": man.get("schema_json"),
+        }
+        if nxt % CHECKPOINT_EVERY == 0:
+            files = [
+                f for f in man["files"] if f not in removed
+            ] + new_files
+            stats = {**(man.get("stats") or {}), **new_stats}
+            body = {
+                **meta,
+                "files": files,
+                "stats": {f: stats[f] for f in files if f in stats},
+            }
+        else:
+            body = {
+                **meta,
+                "delta_base": cur_v,
+                "add_files": new_files,
+                "add_stats": new_stats,
+                "remove_files": sorted(removed),
+            }
+        if _install_manifest(path, nxt, body):
+            return nxt, len(removed), len(new_files)
+    raise ConflictError(
+        f"compact_files of {path!r} lost {_MAX_COMMIT_RETRIES} CAS races"
+    )
+
+
 def versioned_batch_sink(table_path: str, mode: str = "append"):
     """``foreachBatch`` writer committing each micro-batch into a
     versioned table, exactly-once via the version log itself: the
@@ -1259,14 +1391,17 @@ def vacuum(
         raise ValueError("keep_versions must retain at least one version")
     referenced: set[str] = set()
     # a retained DELTA manifest resolves through its base chain, so the
-    # chain's manifests must survive too (their folded file sets are
-    # subsets of the retained tops', so no extra data files are pinned
-    # — only up to CHECKPOINT_EVERY-1 metadata files per retained tip)
+    # chain's manifests must survive too (bounded: < CHECKPOINT_EVERY
+    # metadata files per retained tip).  Chain members stay READABLE
+    # versions, so their folded file sets are pinned as well — for
+    # append chains that adds nothing (subsets of the retained tops'),
+    # and for replace deltas (incremental compaction) it keeps the
+    # replaced files alive until the next checkpoint covers them.
     keep_manifests: set[int] = set(retained)
     for v in retained:
-        man = _read_manifest(path, v)
-        keep_manifests.update(_chain_versions(path, man))
-        for fpath in _fold(path, man)["files"]:
+        keep_manifests.update(_chain_versions(path, _read_manifest(path, v)))
+    for v in keep_manifests:
+        for fpath in _fold(path, _read_manifest(path, v))["files"]:
             referenced.add(os.path.dirname(_local(fpath)))
     removed = []
     import shutil

@@ -264,6 +264,17 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "stream's checkpoint?"
                 )
             mode = man.get("mode", "")
+            if man.get("data_change") is False:
+                # layout maintenance (incremental compaction): the
+                # rewritten files hold rows ALREADY emitted from the
+                # replaced ones — emit nothing, but mark the rewrites
+                # seen so a later full checkpoint doesn't re-emit them
+                # as new (Delta's dataChange=false stream skip)
+                seen.update(
+                    man["add_files"] if "add_files" in man
+                    else man["files"]
+                )
+                continue
             if mode != "append":
                 raise ValueError(
                     f"streaming read of {self.path!r} hit a "

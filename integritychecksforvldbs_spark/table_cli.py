@@ -266,6 +266,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-files", type=int, default=None)
 
     p = sub.add_parser(
+        "versioned-compact-small",
+        help="incremental compaction: rewrite only small files as a "
+        "replace commit (data_change=false; streams skip it)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-bytes", type=int, default=None)
+    p.add_argument(
+        "--min-bytes", type=int, default=None,
+        help="files smaller than this are rewritten "
+        "(default: target-bytes / 2)",
+    )
+
+    p = sub.add_parser(
         "versioned-stats",
         help="metadata-only row count and column min/max from manifest stats",
     )
@@ -577,6 +590,19 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "versioned-optimize", "version": v,
             "files_before": before, "files_after": after,
             "zorder_by": _csv(args.zorder_by) if args.zorder_by else [],
+        }
+    elif args.cmd == "versioned-compact-small":
+        from .sources import versioned
+        from .sources.versioned import DEFAULT_OPTIMIZE_TARGET_BYTES
+
+        v, rewritten, added = versioned.compact_files(
+            spark, args.table,
+            target_bytes=args.target_bytes or DEFAULT_OPTIMIZE_TARGET_BYTES,
+            min_bytes=args.min_bytes,
+        )
+        summary = {
+            "cmd": "versioned-compact-small", "version": v,
+            "files_rewritten": rewritten, "files_added": added,
         }
     elif args.cmd == "versioned-stats":
         from .sources import versioned

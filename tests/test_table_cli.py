@@ -230,3 +230,22 @@ def test_rollup_cli_roundtrip(spark, tmp_path, capsys):
         for r in matview.read_rollup(spark, rp).collect()
     }
     assert got == {"a": (2, 15), "b": (1, 20)}
+
+
+def test_versioned_compact_small_cli(spark, tmp_path, capsys):
+    from integritychecksforvldbs_spark.sources import versioned
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        versioned.commit(
+            spark, spark.range(i * 3, (i + 1) * 3).coalesce(1), tbl
+        )
+    s = _run(
+        capsys, "versioned-compact-small", "--table", tbl,
+        "--min-bytes", str(1 << 30),
+    )
+    assert s == {
+        "cmd": "versioned-compact-small", "version": 5,
+        "files_rewritten": 4, "files_added": 1,
+    }
+    assert versioned.read(spark, tbl).count() == 12
