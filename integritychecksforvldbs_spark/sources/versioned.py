@@ -490,6 +490,125 @@ def _file_stats_for_dir(
     return out
 
 
+def _write_data(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_columns: list[str] | None = None,
+) -> tuple[list[str], dict[str, dict]]:
+    """Write ``df`` as a fresh immutable data directory under the
+    table and census its footers: ``(new_files, new_stats)``.  Shared
+    by every committing operation; a directory orphaned by a lost CAS
+    race is invisible to readers and reclaimed by :func:`vacuum`."""
+    from integritychecksforvldbs_spark.sources.catalog import (
+        list_parquet_files,
+    )
+    from integritychecksforvldbs_spark.sources.maintenance import (
+        write_stats_friendly,
+    )
+
+    data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
+    write_stats_friendly(spark, df, data_dir)
+    new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
+    if stats_columns is None:
+        stats_columns = _stats_eligible_columns(df.schema)
+    return new_files, _file_stats_for_dir(spark, data_dir, stats_columns)
+
+
+def _commit_replace(
+    path: str,
+    base_v: int,
+    base_man: dict,
+    removed: set[str],
+    new_files: list[str],
+    new_stats: dict[str, dict],
+    mode: str,
+    data_change: bool,
+    extra: dict | None = None,
+) -> int | None:
+    """Install a REPLACE commit (``removed`` swapped for
+    ``new_files``) on top of EXACTLY ``base_v``; ``None`` when any
+    commit landed past the base — the caller computed its rewrite
+    against that snapshot, so the only correct response is to re-base
+    and recompute (a racing append may hold rows the predicate/merge
+    must see).  Body is a delta off ``base_v`` (O(swap) metadata), or
+    the folded full snapshot at checkpoint versions."""
+    os.makedirs(_vdir(path), exist_ok=True)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        if cur is None or cur[0] != base_v:
+            return None  # the table moved: recompute against it
+        nxt = _next_claim(path, base_v)
+        if nxt is None:
+            return None
+        meta = {
+            **(extra or {}),
+            "version": nxt,
+            "mode": mode,
+            "data_change": data_change,
+            "parent": base_v,
+            "schema": base_man.get("schema"),
+            "schema_json": base_man.get("schema_json"),
+        }
+        if nxt % CHECKPOINT_EVERY == 0:
+            files = [
+                f for f in base_man["files"] if f not in removed
+            ] + new_files
+            stats = {**(base_man.get("stats") or {}), **new_stats}
+            body = {
+                **meta,
+                "files": files,
+                "stats": {f: stats[f] for f in files if f in stats},
+            }
+        else:
+            body = {
+                **meta,
+                "delta_base": base_v,
+                "add_files": new_files,
+                "add_stats": new_stats,
+                "remove_files": sorted(removed),
+            }
+        if _install_manifest(path, nxt, body):
+            return nxt
+    return None
+
+
+def _touched_files(
+    spark: SparkSession, man: dict, predicate
+) -> tuple[list[str], "DataFrame"]:
+    """(manifest paths of the files holding any row matching
+    ``predicate``, the schema-planned scan of the snapshot).  The scan
+    carries no filter pushdown loss: the probe projects only
+    ``input_file_name()`` after the predicate, so Catalyst prunes
+    columns and pushes the filter into every footer — at 100 TB on a
+    clustered layout this touches the predicate's row groups, not the
+    table."""
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+        _canon_file_path_expr,
+    )
+
+    sch = _manifest_schema(man)
+    df = (
+        spark.read.schema(sch).parquet(*man["files"])
+        if sch is not None
+        else spark.read.parquet(*man["files"])
+    )
+    canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
+    hit = (
+        df.filter(predicate)
+        .select(_canon_file_path_expr().alias("_file"))
+        .distinct()
+        .collect()
+    )
+    touched = sorted(
+        canon_to_manifest[r["_file"]]
+        for r in hit
+        if r["_file"] in canon_to_manifest
+    )
+    return touched, df
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -531,19 +650,7 @@ def commit(
                 f"  table: {cur_ddl}\n  append: {new_ddl}\n"
                 "pass allow_schema_change=True to evolve it"
             )
-    from integritychecksforvldbs_spark.sources.catalog import (
-        list_parquet_files,
-    )
-    from integritychecksforvldbs_spark.sources.maintenance import (
-        write_stats_friendly,
-    )
-
-    data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
-    write_stats_friendly(spark, df, data_dir)
-    new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
-    if stats_columns is None:
-        stats_columns = _stats_eligible_columns(df.schema)
-    new_stats = _file_stats_for_dir(spark, data_dir, stats_columns)
+    new_files, new_stats = _write_data(spark, df, path, stats_columns)
 
     if expected_parent is not None:
         base_v = expected_parent
@@ -1080,12 +1187,20 @@ def merge_into(
     replaced, new rows inserted) as ONE atomic version — the
     Delta-style ``MERGE`` (SURVEY §7.4) expressed on this format.
 
-    The merge plans against the latest snapshot and commits with
-    ``overwrite``; when a concurrent commit lands first, the
-    resulting :class:`ConflictError` re-bases the WHOLE merge on the
-    new state and retries — optimistic concurrency at merge
-    granularity, so racing merges serialize without locks.  NULL keys
-    upsert like any other key (null-safe equality).
+    FILE-SCOPED: the merge probes which files hold any row whose key
+    matches the source (column-pruned, filter-pushed semi-join probe),
+    rewrites ONLY those files minus their matched rows, and commits
+    [rewritten ∪ source] against the removed set as a replace delta —
+    IO scales with the files the keys touch plus the source, never the
+    table (the Delta MERGE rewrite discipline).  Files holding no
+    matched key are untouched bytes AND untouched metadata.
+
+    Concurrency: the rewrite is computed against one snapshot and the
+    replace commit lands only on exactly that base; when a concurrent
+    commit lands first, the WHOLE merge re-bases on the new state and
+    retries — optimistic concurrency at merge granularity, so racing
+    merges serialize without locks.  NULL keys upsert like any other
+    key (null-safe equality).
 
     ``source`` must be UNIQUE on ``keys``: two source rows for one key
     is an ambiguous upsert (which row should the table hold?), and
@@ -1116,23 +1231,70 @@ def merge_into(
         base = _latest_committed(path)
         if base is None:
             return commit(spark, source, path, mode="append")
-        cur = read(spark, path)
-        cond = functools.reduce(
-            lambda a, b: a & b,
-            [cur[k].eqNullSafe(source[k]) for k in keys],
-        )
-        merged = cur.join(
-            source.select(*keys), cond, "left_anti"
-        ).unionByName(source)
-        try:
-            return commit(
-                spark, merged, path, mode="overwrite",
-                expected_parent=base[0],
+        base_v, man = base
+        if man["files"]:
+            sch = _manifest_schema(man)
+            cur = (
+                spark.read.schema(sch).parquet(*man["files"])
+                if sch is not None
+                else spark.read.parquet(*man["files"])
             )
-        except ConflictError:
-            continue  # re-base on the racing commit and re-merge
+            # probe which files hold a matched row (left_semi over the
+            # source's keys-only projection — change-sized, so AQE
+            # turns it into a broadcast join when it fits; forcing the
+            # hint would OOM on a genuinely large source)
+            key_cond = functools.reduce(
+                lambda a, b: a & b,
+                [cur[k].eqNullSafe(source[k]) for k in keys],
+            )
+            from integritychecksforvldbs_spark.operators.kernels import (
+                _canon_file_path,
+                _canon_file_path_expr,
+            )
+
+            canon_to_manifest = {
+                _canon_file_path(f): f for f in man["files"]
+            }
+            hit = (
+                cur.withColumn("_file", _canon_file_path_expr())
+                .join(source.select(*keys), key_cond, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = sorted(
+                canon_to_manifest[r["_file"]]
+                for r in hit
+                if r["_file"] in canon_to_manifest
+            )
+        else:
+            touched = []
+        if touched:
+            hit_df = (
+                spark.read.schema(sch).parquet(*touched)
+                if sch is not None
+                else spark.read.parquet(*touched)
+            )
+            anti_cond = functools.reduce(
+                lambda a, b: a & b,
+                [hit_df[k].eqNullSafe(source[k]) for k in keys],
+            )
+            out = hit_df.join(
+                source.select(*keys), anti_cond, "left_anti"
+            ).unionByName(source)
+        else:
+            out = source
+        new_files, new_stats = _write_data(spark, out, path)
+        v = _commit_replace(
+            path, base_v, man, set(touched), new_files, new_stats,
+            mode="merge", data_change=True,
+        )
+        if v is not None:
+            return v
+        # the table moved mid-merge: orphaned rewrite (vacuum reclaims
+        # it), re-base on the racing commit and re-merge
     raise ConflictError(
-        f"merge_into {path!r} lost {max_retries} overwrite races"
+        f"merge_into {path!r} lost {max_retries} replace races"
     )
 
 
@@ -1151,32 +1313,62 @@ def delete_where(
     docstring split is deliberate (auditability vs erasure are
     different retention policies).
 
+    FILE-SCOPED: the delete first probes which files hold ANY matching
+    row (a column-pruned, filter-pushed scan), rewrites ONLY those
+    without their matching rows, and commits the swap as a replace
+    delta — IO scales with the files the predicate touches, not the
+    table (the Delta DELETE rewrite discipline).  On a clustered
+    layout (:func:`optimize`) a selective delete therefore rewrites a
+    handful of files out of millions.  A no-match delete commits a
+    ``data_change: false`` audit version without touching any file.
+
     Same optimistic concurrency as :func:`merge_into`: a racing
     commit re-bases the delete on the new state and retries, so the
-    predicate is re-evaluated against rows the race added.  A
-    no-match delete still commits a version (the audit trail records
-    that the delete ran)."""
+    predicate is re-evaluated against rows the race added."""
     from pyspark.sql import functions as F
 
+    pred = F.coalesce(F.expr(condition), F.lit(False))
     for _ in range(max_retries):
         base = _latest_committed(path)
         if base is None:
             raise FileNotFoundError(f"no committed version at {path!r}")
-        cur = read(spark, path)
-        kept = cur.filter(~F.coalesce(F.expr(condition), F.lit(False)))
-        n_deleted = cur.count() - kept.count()
-        try:
-            return (
-                commit(
-                    spark, kept, path, mode="overwrite",
-                    expected_parent=base[0],
-                ),
-                n_deleted,
+        base_v, man = base
+        if man["files"]:
+            touched, _scan = _touched_files(spark, man, pred)
+        else:
+            touched = []  # an all-deleted snapshot: nothing to match
+        if not touched:
+            v = _commit_replace(
+                path, base_v, man, set(), [], {},
+                mode="delete", data_change=False,
+                extra={"condition": condition},
             )
-        except ConflictError:
-            continue  # re-base on the racing commit, re-evaluate
+            if v is not None:
+                return v, 0
+            continue  # the table moved: re-probe against it
+        sch = _manifest_schema(man)
+        hit = (
+            spark.read.schema(sch).parquet(*touched)
+            if sch is not None
+            else spark.read.parquet(*touched)
+        )
+        kept = hit.filter(~pred)
+        n_deleted = hit.count() - kept.count()
+        if kept.isEmpty():
+            new_files, new_stats = [], {}
+        else:
+            new_files, new_stats = _write_data(spark, kept, path)
+        v = _commit_replace(
+            path, base_v, man, set(touched), new_files, new_stats,
+            mode="delete", data_change=True,
+            extra={"condition": condition},
+        )
+        if v is not None:
+            return v, n_deleted
+        # the table moved mid-rewrite: the written files stay orphaned
+        # (vacuum reclaims them) and the delete re-evaluates
     raise ConflictError(
-        f"delete_where {path!r} lost {max_retries} overwrite races"
+        f"delete_where {path!r} lost {max_retries} replace races"
     )
 
 
@@ -1268,20 +1460,7 @@ def compact_files(
         else spark.read.parquet(*small)
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    from integritychecksforvldbs_spark.sources.catalog import (
-        list_parquet_files,
-    )
-    from integritychecksforvldbs_spark.sources.maintenance import (
-        write_stats_friendly,
-    )
-
-    data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
-    write_stats_friendly(spark, df.coalesce(n_out), data_dir)
-    new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
-    stats_cols = (
-        _stats_eligible_columns(df.schema) if sch is not None else []
-    )
-    new_stats = _file_stats_for_dir(spark, data_dir, stats_cols)
+    new_files, new_stats = _write_data(spark, df.coalesce(n_out), path)
     removed = set(small)
 
     os.makedirs(_vdir(path), exist_ok=True)

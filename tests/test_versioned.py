@@ -347,7 +347,11 @@ def test_delete_where_atomic_and_time_travelable(spark, tmp_path):
     assert _rows(versioned.read(spark, path, version=1)) == [
         (i,) for i in range(10)
     ]
-    assert versioned.history(path)[-1].mode == "overwrite"
+    assert versioned.history(path)[-1].mode == "delete"
+    # file-scoped: the body is a replace delta, not a full snapshot
+    raw = versioned._read_manifest(path, v)
+    assert raw["mode"] == "delete" and raw["data_change"] is True
+    assert raw["remove_files"]  # only the touched files were swapped
 
 
 def test_delete_where_null_condition_rows_are_kept(spark, tmp_path):
@@ -380,16 +384,18 @@ def test_delete_where_rebases_after_conflict(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "tbl")
     versioned.commit(spark, _mk(spark, 0, 4), path)
 
-    real_commit = versioned.commit
+    real_replace = versioned._commit_replace
     hits = {"n": 0}
 
-    def racing_commit(spark_, df, path_, mode="append", **kw):
+    def racing_replace(*args, **kw):
         if hits["n"] == 0:
             hits["n"] += 1
-            real_commit(spark_, _mk(spark_, 100, 102), path_, mode="append")
-        return real_commit(spark_, df, path_, mode=mode, **kw)
+            # an append lands AFTER the delete computed its rewrite:
+            # the replace must refuse the moved base and re-evaluate
+            versioned.commit(spark, _mk(spark, 100, 102), path)
+        return real_replace(*args, **kw)
 
-    monkeypatch.setattr(versioned, "commit", racing_commit)
+    monkeypatch.setattr(versioned, "_commit_replace", racing_replace)
     _, n = versioned.delete_where(spark, path, "k % 2 = 0")
     # 0,2 from the base plus 100 from the raced append
     assert n == 3
