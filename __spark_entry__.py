@@ -469,6 +469,24 @@ def _q_versioned_compact_small(
     return _orders_priority_agg(versioned.read(spark, path))
 
 
+def _q_versioned_time_travel_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``TIMESTAMP AS OF``: read the versioned table at v1's RECORDED
+    commit time (``history()[0].committed_at``) — ``version_at`` must
+    resolve it back to exactly v1's snapshot, so the answer is the
+    mod-3 subset oracle, same as the version-number time travel.
+    (versioned.version_at / read(timestamp=); Delta's TIMESTAMP AS OF
+    rule incl. the artifact-mtime fallback for pre-r8 manifests.)"""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_orders_path(spark, sf_dir)
+    t1 = versioned.history(path)[0].committed_at
+    return _orders_priority_agg(
+        versioned.read(spark, path, timestamp=t1)
+    )
+
+
 def _q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: the same table AS OF v1 — only keys ≡ 0 (mod 3)
     exist there, no matter what later commits added."""
@@ -3380,6 +3398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (data_change=false); rows provably unchanged vs the plain oracle
     # (r8; tests/test_versioned_compaction.py)
     out["versioned_compact_small"] = _q_versioned_compact_small
+    # TIMESTAMP AS OF resolution end-to-end: v1's recorded commit
+    # time resolves back to v1's snapshot (r8)
+    out["versioned_time_travel_ts"] = _q_versioned_time_travel_ts
     return out
 
 
@@ -3757,4 +3778,6 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     # compaction is pure layout: the latest snapshot aggregates to
     # exactly the plain orders aggregate
     out["versioned_compact_small"] = _VERSIONED_LATEST_ORACLE
+    # TIMESTAMP AS OF v1's commit time == v1's snapshot
+    out["versioned_time_travel_ts"] = _VERSIONED_TT_ORACLE
     return out

@@ -74,6 +74,7 @@ class VersionInfo:
     mode: str
     n_files: int
     parent: int | None
+    committed_at: float | None = None  # epoch seconds; None pre-r8 logs
 
 
 def _local(path: str) -> str:
@@ -272,6 +273,50 @@ def _snapshot(path: str, v: int) -> dict | None:
     """Folded snapshot of version ``v``; None when not committed."""
     man = _read_manifest(path, v)
     return None if man is None else _fold(path, man)
+
+
+def _committed_at(path: str, v: int, man: dict) -> float | None:
+    """Epoch seconds version ``v`` committed: the body's recorded
+    ``committed_at`` (r8+), else the manifest artifact's mtime — the
+    same commit-time fallback Delta uses (the N.json modification
+    time) for logs predating in-body timestamps."""
+    ts = man.get("committed_at")
+    if ts is not None:
+        return float(ts)
+    b = _backend_for(path)
+    if b is not None:
+        rec = b.get(_vname(v))
+        return rec.modified if rec is not None else None
+    for p in (
+        os.path.join(_vdir(path), _vname(v) + ".json"),
+        os.path.join(_vdir(path), _vname(v), _BODY),
+    ):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            continue
+    return None
+
+
+def version_at(path: str, timestamp: float) -> int:
+    """``TIMESTAMP AS OF``: the highest version committed at or before
+    ``timestamp`` (epoch seconds).  Raises when the table's FIRST
+    retained commit is already later — there is no snapshot to hold
+    (mirrors Delta's earliest-version error after vacuum)."""
+    best = None
+    for v in _versions(path):
+        man = _read_manifest(path, v)
+        if man is None:
+            continue
+        ts = _committed_at(path, v, man)
+        if ts is not None and ts <= timestamp:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version of {path!r} committed at or before "
+            f"{timestamp} (vacuumed, or the table is younger)"
+        )
+    return best
 
 
 def _latest_committed(path: str) -> tuple[int, dict] | None:
@@ -541,12 +586,15 @@ def _commit_replace(
         nxt = _next_claim(path, base_v)
         if nxt is None:
             return None
+        import time
+
         meta = {
             **(extra or {}),
             "version": nxt,
             "mode": mode,
             "data_change": data_change,
             "parent": base_v,
+            "committed_at": time.time(),
             "schema": base_man.get("schema"),
             "schema_json": base_man.get("schema_json"),
         }
@@ -675,11 +723,14 @@ def commit(
         nxt = _next_claim(path, cur_v)
         if nxt is None:
             continue  # stale view: re-read the log and re-base
+        import time
+
         meta = {
             **(extra or {}),
             "version": nxt,
             "mode": mode,
             "parent": cur_v or None,
+            "committed_at": time.time(),
             "schema": new_ddl,
             # jsonValue parses WITHOUT a SparkSession
             # (StructType.fromJson is pure Python) — the form
@@ -739,9 +790,14 @@ class SchemaDriftError(ValueError):
 
 
 def read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """The table AS OF ``version`` (default: latest committed).  The
+    """The table AS OF ``version`` — or AS OF ``timestamp`` (epoch
+    seconds, resolved via :func:`version_at`; mutually exclusive with
+    ``version``) — defaulting to the latest committed.  The
     file list is resolved from the manifest BEFORE the scan plans, so
     the returned frame is a consistent snapshot — commits landing
     afterwards are invisible to it (and ``vacuum`` retains every
@@ -755,6 +811,10 @@ def read(
     standard additive-evolution read."""
     from integritychecksforvldbs_spark.sources.loader import load_table
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at(path, timestamp)
     if version is None:
         cur = _latest_committed(path)
         if cur is None:
@@ -1075,7 +1135,12 @@ def history(path: str) -> list[VersionInfo]:
         else:  # base expired below the retained horizon: full fold
             n = len(_fold(path, man)["files"])
         counts[v] = n
-        out.append(VersionInfo(v, man["mode"], n, man["parent"]))
+        out.append(
+            VersionInfo(
+                v, man["mode"], n, man["parent"],
+                _committed_at(path, v, man),
+            )
+        )
     return out
 
 
@@ -1158,6 +1223,8 @@ def rollback(
         nxt = _next_claim(path, cur_v)
         if nxt is None:
             continue  # a commit landed after the cur read — re-base
+        import time
+
         installed = _install_manifest(
             path,
             nxt,
@@ -1167,6 +1234,7 @@ def rollback(
                 "files": man["files"],
                 "stats": man.get("stats") or {},
                 "parent": cur_v or None,
+                "committed_at": time.time(),
                 "schema": man.get("schema"),
                 "schema_json": man.get("schema_json"),
             },

@@ -49,6 +49,7 @@ from integritychecksforvldbs_spark.sources.versioned import (
     _read_manifest,
     _snapshot,
     _versions,
+    version_at,
 )
 
 
@@ -155,13 +156,62 @@ class _VersionedBatchReader(DataSourceReader):
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int, schema: StructType):
+    def __init__(
+        self,
+        path: str,
+        starting_version: int,
+        schema: StructType,
+        max_versions: int | None = None,
+        max_files: int | None = None,
+    ):
         self.path = path
         self.starting_version = starting_version
         self.target = _arrow_target(schema)
+        self.max_versions = max_versions
+        self.max_files = max_files
+        # admission-control bookkeeping: the last offset THIS instance
+        # emitted.  None until the first latestOffset — the first call
+        # is deliberately UNCAPPED, because on a restart the reader
+        # cannot see the checkpoint and a capped first offset could
+        # land BELOW it, regressing the offset log and re-emitting
+        # versions (duplicates).  Steady-state triggers are capped.
+        self._last_emitted: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
+
+    def _new_file_count(self, v: int) -> int:
+        """Files version ``v`` would add to a batch — O(1) for delta
+        bodies (their add list IS the answer); full checkpoint bodies
+        diff against the predecessor's folded set."""
+        man = _read_manifest(self.path, v)
+        if man is None:
+            return 0  # a corpse the frontier aged past
+        if "add_files" in man:
+            return len(man["add_files"])
+        prev = _snapshot(self.path, v - 1) if v > 1 else None
+        before = set(prev["files"]) if prev is not None else set()
+        return len([f for f in man["files"] if f not in before])
+
+    def _admit(self, last: int, frontier: int) -> int:
+        """Clamp the next offset to the configured per-trigger caps
+        (at least one version always admitted, so a single oversized
+        commit still makes progress)."""
+        if frontier <= last:
+            return frontier
+        hi = frontier
+        if self.max_versions is not None:
+            hi = min(hi, last + max(1, self.max_versions))
+        if self.max_files is not None:
+            total = 0
+            v = last
+            while v < hi:
+                total += self._new_file_count(v + 1)
+                v += 1
+                if total >= self.max_files:
+                    break
+            hi = max(last + 1, v)
+        return hi
 
     def latestOffset(self) -> dict:
         # the CONTIGUOUS committed frontier, not the raw maximum: an
@@ -227,7 +277,14 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 break
             frontier += 1
         self._frontier = frontier
-        return {"version": frontier}
+        if self._last_emitted is None:
+            # first call: uncapped (see __init__ — a capped offset
+            # could regress below an unseen checkpoint on restart)
+            out = frontier
+        else:
+            out = self._admit(self._last_emitted, frontier)
+        self._last_emitted = out
+        return {"version": out}
 
     def _files_between(self, start_v: int, end_v: int) -> list[str]:
         """Data files entering the visible set across (start_v,
@@ -293,6 +350,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
+        # a replayed batch on restart tells us where the checkpoint
+        # actually is — never emit an offset below it afterwards
+        if self._last_emitted is None or int(end["version"]) > self._last_emitted:
+            self._last_emitted = int(end["version"])
         files = self._files_between(
             int(start["version"]), int(end["version"])
         )
@@ -310,8 +371,17 @@ class VersionedDataSource(DataSource):
 
     - ``path`` (required): versioned-table root
     - ``version`` (batch only): time-travel target
+    - ``timestamp`` (batch only): epoch-seconds time travel — resolves
+      to the highest version committed at or before it (``TIMESTAMP
+      AS OF``); mutually exclusive with ``version``
     - ``startingVersion`` (stream only, default 0): base offset,
       exclusive — 0 replays the table from its first commit
+    - ``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` (stream
+      only): per-trigger admission caps so a commit burst drains as
+      bounded micro-batches instead of one giant one; at least one
+      version is always admitted, and the first trigger after a
+      (re)start is uncapped (the reader cannot see the checkpoint, and
+      a capped first offset could regress below it)
     """
 
     @classmethod
@@ -324,9 +394,18 @@ class VersionedDataSource(DataSource):
             raise ValueError("format('versioned') requires .load(path)")
         return _local(p)
 
+    def _batch_version(self, path: str):
+        v = self.options.get("version")
+        ts = self.options.get("timestamp")
+        if ts is not None:
+            if v is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            return version_at(path, float(ts))
+        return int(v) if v is not None else None
+
     def schema(self) -> StructType:
         path = self._path()
-        v = self.options.get("version")
+        v = self._batch_version(path)
         if v is not None:
             man = _snapshot(path, int(v))
             if man is None:
@@ -355,14 +434,18 @@ class VersionedDataSource(DataSource):
         return _spark_schema(files)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        v = self.options.get("version")
-        return _VersionedBatchReader(
-            self._path(), int(v) if v is not None else None, schema
-        )
+        path = self._path()
+        return _VersionedBatchReader(path, self._batch_version(path), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         start = int(self.options.get("startingVersion", 0))
-        return _VersionedStreamReader(self._path(), start, schema)
+        mv = self.options.get("maxVersionsPerTrigger")
+        mf = self.options.get("maxFilesPerTrigger")
+        return _VersionedStreamReader(
+            self._path(), start, schema,
+            max_versions=int(mv) if mv is not None else None,
+            max_files=int(mf) if mf is not None else None,
+        )
 
 
 def register(spark) -> None:

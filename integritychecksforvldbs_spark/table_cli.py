@@ -498,7 +498,8 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "versioned-history",
             "versions": [
                 {"version": h.version, "mode": h.mode,
-                 "n_files": h.n_files, "parent": h.parent}
+                 "n_files": h.n_files, "parent": h.parent,
+                 "committed_at": h.committed_at}
                 for h in versioned.history(args.table)
             ],
         }
