@@ -1000,12 +1000,16 @@ def optimize(
     """Rewrite the latest snapshot clustered — ``OPTIMIZE ... ZORDER
     BY`` on this format: one exchange range-partitioning the data
     along the z-curve over ``zorder_by`` (equi-depth bucketed, bits
-    interleaved; plain compaction when omitted), written as a new
-    overwrite commit whose manifest stats are therefore TIGHT — every
-    listed column's per-file min/max becomes selective, which is what
-    makes :func:`read_where` skip.  Returns (version, files_before,
-    files_after).  Old versions keep answering from the old files
-    until vacuum expires them; a racing commit re-bases the rewrite."""
+    interleaved; plain compaction when omitted), committed as a
+    REPLACE of the whole visible set with ``data_change: false`` —
+    layout-only, so the streaming source skips the version (no
+    re-emission of already-delivered rows; Delta's dataChange
+    discipline) and :func:`changes` yields an empty feed.  The new
+    manifest stats are TIGHT — every listed column's per-file min/max
+    becomes selective, which is what makes :func:`read_where` skip.
+    Returns (version, files_before, files_after).  Old versions keep
+    answering from the old files until vacuum expires them; a racing
+    commit re-bases the rewrite."""
     import math
 
     from pyspark.sql import functions as F
@@ -1016,10 +1020,11 @@ def optimize(
         cur = _latest_committed(path)
         if cur is None:
             raise FileNotFoundError(f"no committed version under {path!r}")
-        before = len(cur[1]["files"])
+        cur_v, man = cur
+        before = len(man["files"])
         if n_files is None:
             total = 0
-            for f in cur[1]["files"]:
+            for f in man["files"]:
                 try:
                     total += os.path.getsize(_local(f))
                 except OSError:
@@ -1027,7 +1032,7 @@ def optimize(
             n_out = max(1, math.ceil(total / target_bytes))
         else:
             n_out = n_files
-        df = read(spark, path)
+        df = read(spark, path, version=cur_v)
         if zorder_by:
             z = zorder_key(df, zorder_by)
             df = (
@@ -1038,16 +1043,17 @@ def optimize(
             )
         else:
             df = df.coalesce(n_out)
-        try:
-            v = commit(
-                spark, df, path, mode="overwrite",
-                extra={"optimized_by": zorder_by or []},
-                expected_parent=cur[0],
-            )
-        except ConflictError:
-            continue  # a commit raced the rewrite: re-base on it
-        return v, before, len(_read_manifest(path, v)["files"])
-    raise ConflictError(f"optimize of {path!r} lost every overwrite race")
+        new_files, new_stats = _write_data(spark, df, path)
+        v = _commit_replace(
+            path, cur_v, man, set(man["files"]), new_files, new_stats,
+            mode="optimize", data_change=False,
+            extra={"optimized_by": zorder_by or []},
+        )
+        if v is not None:
+            return v, before, len(new_files)
+        # a commit raced the rewrite: re-base on it (the written files
+        # stay orphaned for vacuum)
+    raise ConflictError(f"optimize of {path!r} lost every replace race")
 
 
 def changes(
@@ -1443,28 +1449,29 @@ def delete_where(
 def compact(
     spark: SparkSession, path: str, n_files: int = 1
 ) -> tuple[int, int, int]:
-    """Rewrite the latest snapshot into ``n_files`` files as a new
-    overwrite commit: (version, files_before, files_after).  Old
-    versions keep answering from the old files until ``vacuum``
-    expires them — compaction never breaks time travel."""
+    """Rewrite the latest snapshot into ``n_files`` files as a
+    layout-only REPLACE commit (``data_change: false`` — streams skip
+    it, the change feed is empty): (version, files_before,
+    files_after).  Old versions keep answering from the old files
+    until ``vacuum`` expires them — compaction never breaks time
+    travel."""
     for _ in range(5):
         cur = _latest_committed(path)
         if cur is None:
             raise FileNotFoundError(f"no committed version under {path!r}")
-        before = len(cur[1]["files"])
-        try:
-            v = commit(
-                spark,
-                read(spark, path).coalesce(n_files),
-                path,
-                mode="overwrite",
-                expected_parent=cur[0],
-            )
-        except ConflictError:
-            continue  # a commit raced the rewrite: re-base on it
-        after = len(_read_manifest(path, v)["files"])
-        return v, before, after
-    raise ConflictError(f"compact of {path!r} lost every overwrite race")
+        cur_v, man = cur
+        before = len(man["files"])
+        new_files, new_stats = _write_data(
+            spark, read(spark, path, version=cur_v).coalesce(n_files), path
+        )
+        v = _commit_replace(
+            path, cur_v, man, set(man["files"]), new_files, new_stats,
+            mode="compact", data_change=False,
+        )
+        if v is not None:
+            return v, before, len(new_files)
+        # a commit raced the rewrite: re-base on it
+    raise ConflictError(f"compact of {path!r} lost every replace race")
 
 
 def compact_files(

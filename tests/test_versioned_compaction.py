@@ -179,3 +179,34 @@ def test_vacuum_after_compaction_keeps_chain_versions_readable(
     # their data (including the replaced small files) survives
     for n in range(1, v + 1):
         assert versioned.read(spark, path, version=n).count() > 0
+
+
+def test_stream_survives_full_optimize_and_compact(spark, dribbled):
+    """optimize/compact are layout-only replace commits now: a stream
+    crossing them emits nothing extra and does not raise (previously
+    they were overwrite commits, which KILLED any stream of the
+    table)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    path = dribbled
+    pre = set(versioned._snapshot(path, 6)["files"])
+    v_opt, _, _ = versioned.optimize(spark, path, n_files=2)
+    v_cmp, _, _ = versioned.compact(spark, path, n_files=1)
+    versioned.commit(spark, _mk(spark, 400, 403).coalesce(1), path)
+    r = _VersionedStreamReader(
+        path, 0, StructType([StructField("k", LongType(), True)])
+    )
+    latest = r.latestOffset()["version"]
+    assert latest == v_cmp + 1
+    assert r._files_between(6, v_opt) == []  # layout versions: silent
+    got = set(r._files_between(0, latest))
+    post = set(versioned._snapshot(path, latest)["files"]) - set(
+        versioned._snapshot(path, v_cmp)["files"]
+    )
+    assert got == pre | post  # original files + the new append only
+    # and the feed across both rewrites is empty
+    assert versioned.changes(spark, path, 6, v_cmp).count() == 0

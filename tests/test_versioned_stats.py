@@ -179,7 +179,7 @@ def test_optimize_zorder_tightens_skipping(spark, tmp_path):
         spark, path, zorder_by=["k", "price"], n_files=8
     )
     assert v == 2 and before == 8
-    man2 = versioned._read_manifest(path, 2)
+    man2 = versioned._snapshot(path, 2)  # optimize commits a replace delta
     _, skipped_after = versioned._prune_manifest_files(man2, bounds)
     assert len(skipped_after) > len(skipped_before)
     # rows preserved, answers identical, history intact
