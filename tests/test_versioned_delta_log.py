@@ -176,3 +176,58 @@ def test_vacuum_pins_retained_delta_chains(spark, tmp_path):
         assert versioned.row_count(spark, path, version=v) == v
     with pytest.raises(FileNotFoundError):
         versioned.read(spark, path, version=9)
+
+
+def test_append_metadata_at_ten_thousand_files(spark, tmp_path):
+    """The asymptotic claim at real scale, without real IO: a
+    synthetic checkpoint carrying 10,000 file entries (what a 100 TB
+    table's manifest looks like), then ONE real append — the append's
+    manifest must be KB-scale (O(commit)), not MB-scale (O(table)),
+    and the metadata-only COUNT must fold the synthetic census plus
+    the real one."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 2).coalesce(1), path)  # v1 real
+    real = versioned._snapshot(path, 1)
+    fake_files = [
+        f"file:{path}/data/synthetic/part-{i:05d}.parquet"
+        for i in range(10_000)
+    ]
+    fake_stats = {
+        f: {
+            "n_rows": 100,
+            "cols": {
+                "k": {"min": i * 100, "max": i * 100 + 99,
+                      "nulls": 0, "ok": True}
+            },
+        }
+        for i, f in enumerate(fake_files)
+    }
+    # install v2 as a synthetic full checkpoint: v1's real files plus
+    # the 10k synthetic entries (metadata only; data never read)
+    assert versioned._install_manifest(
+        path, 2,
+        {
+            "version": 2, "mode": "append", "parent": 1,
+            "files": real["files"] + fake_files,
+            "stats": {**real["stats"], **fake_stats},
+            "schema": real.get("schema"),
+            "schema_json": real.get("schema_json"),
+        },
+    )
+    versioned.commit(spark, _mk(spark, 2, 4).coalesce(1), path)  # v3 real
+    ckpt_bytes = _manifest_bytes(path, 2)
+    delta_bytes = _manifest_bytes(path, 3)
+    assert ckpt_bytes > 500_000  # the snapshot manifest IS table-sized
+    assert delta_bytes < ckpt_bytes / 100, (
+        f"append wrote {delta_bytes}B vs {ckpt_bytes}B snapshot"
+    )
+    # folded reads stay correct without opening any synthetic file
+    assert versioned.row_count(spark, path) == 2 + 10_000 * 100 + 2
+    assert len(versioned._snapshot(path, 3)["files"]) == 10_002
+    # stats pruning folds the synthetic census: a narrow range keeps
+    # ~1 synthetic file (+ the real ones, whose k-range overlaps 0..99)
+    kept, skipped = versioned._prune_manifest_files(
+        versioned._resolve_manifest(path, None),
+        {"k": (500_000, 500_050)},
+    )
+    assert len(skipped) > 9_900 and len(kept) <= 3
