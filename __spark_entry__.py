@@ -469,6 +469,44 @@ def _q_versioned_compact_small(
     return _orders_priority_agg(versioned.read(spark, path))
 
 
+def _q_versioned_update_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """File-scoped UPDATE (versioned.update_where): double the price
+    of every 97th order as ONE replace-delta version — only files
+    holding a matching row are rewritten — then aggregate the latest
+    snapshot; the oracle recomputes the same UPDATE with a CASE.
+    (Completes the DML triad next to delete_where/merge_into; Delta's
+    UPDATE rewrite discipline.)"""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_updated")
+    if versioned._read_manifest(path, 2) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        versioned.commit(spark, orders, path)
+        v, n = versioned.update_where(
+            spark, path, "o_orderkey % 97 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        assert v == 2 and n > 0
+    return _orders_priority_agg(versioned.read(spark, path))
+
+
+_VERSIONED_UPDATE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(
+           (CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def _q_versioned_time_travel_ts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3401,6 +3439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TIMESTAMP AS OF resolution end-to-end: v1's recorded commit
     # time resolves back to v1's snapshot (r8)
     out["versioned_time_travel_ts"] = _q_versioned_time_travel_ts
+    # file-scoped UPDATE as a replace delta (r8)
+    out["versioned_update_where"] = _q_versioned_update_where
     return out
 
 
@@ -3780,4 +3820,5 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_compact_small"] = _VERSIONED_LATEST_ORACLE
     # TIMESTAMP AS OF v1's commit time == v1's snapshot
     out["versioned_time_travel_ts"] = _VERSIONED_TT_ORACLE
+    out["versioned_update_where"] = _VERSIONED_UPDATE_ORACLE
     return out

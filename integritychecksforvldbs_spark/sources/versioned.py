@@ -1446,6 +1446,88 @@ def delete_where(
     )
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """``UPDATE ... SET col = expr, ... WHERE condition`` as ONE
+    atomic version; returns ``(version, n_updated)``.  Completes the
+    DML triad next to :func:`delete_where` and :func:`merge_into`.
+
+    FILE-SCOPED like its siblings: only the files holding a matching
+    row are rewritten (matching rows transformed through
+    ``set_exprs``, the rest carried verbatim), committed as a replace
+    delta — IO scales with the touched files.  ``set_exprs`` values
+    are SQL expressions evaluated against the PRE-update row (standard
+    UPDATE semantics: all assignments see the old values).  A NULL
+    condition is not-a-match, SQL UPDATE semantics.  No-match updates
+    commit a ``data_change: false`` audit version.  Concurrency: a
+    racing commit forces full re-evaluation against the new state."""
+    from pyspark.sql import functions as F
+
+    unknown = [c for c in set_exprs if "." in c]
+    if unknown:
+        raise ValueError(f"nested-field updates not supported: {unknown}")
+    pred = F.coalesce(F.expr(condition), F.lit(False))
+    for _ in range(max_retries):
+        base = _latest_committed(path)
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {path!r}")
+        base_v, man = base
+        bad = [c for c in set_exprs if man.get("schema") is not None
+               and _manifest_schema(man) is not None
+               and c not in _manifest_schema(man).fieldNames()]
+        if bad:
+            raise ValueError(f"SET of unknown column(s): {bad}")
+        if man["files"]:
+            touched, _scan = _touched_files(spark, man, pred)
+        else:
+            touched = []
+        if not touched:
+            v = _commit_replace(
+                path, base_v, man, set(), [], {},
+                mode="update", data_change=False,
+                extra={"condition": condition},
+            )
+            if v is not None:
+                return v, 0
+            continue
+        sch = _manifest_schema(man)
+        hit = (
+            spark.read.schema(sch).parquet(*touched)
+            if sch is not None
+            else spark.read.parquet(*touched)
+        )
+        n_updated = hit.filter(pred).count()
+        # every assignment sees the PRE-update row: compute all new
+        # values in one projection (no sequential dependence)
+        cols = [
+            F.when(pred, F.expr(set_exprs[c]))
+            .otherwise(F.col(c))
+            .cast(hit.schema[c].dataType)  # UPDATE never retypes
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in hit.columns
+        ]
+        rewritten = hit.select(*cols)
+        new_files, new_stats = _write_data(spark, rewritten, path)
+        v = _commit_replace(
+            path, base_v, man, set(touched), new_files, new_stats,
+            mode="update", data_change=True,
+            extra={"condition": condition},
+        )
+        if v is not None:
+            return v, n_updated
+        # the table moved mid-rewrite: re-evaluate (orphans vacuumed)
+    raise ConflictError(
+        f"update_where {path!r} lost {max_retries} replace races"
+    )
+
+
 def compact(
     spark: SparkSession, path: str, n_files: int = 1
 ) -> tuple[int, int, int]:
@@ -1616,6 +1698,7 @@ def vacuum(
     path: str,
     keep_versions: int | None = None,
     min_age_s: float = DEFAULT_VACUUM_MIN_AGE_S,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reclaim data files no retained manifest references: crash
     orphans (written but never committed); files visible only in
@@ -1678,8 +1761,11 @@ def vacuum(
             continue  # racing removal
         if age < min_age_s:
             continue  # possibly an in-flight commit's data — retain
-        shutil.rmtree(full)
+        if not dry_run:
+            shutil.rmtree(full)
         removed.append(full)
+    if dry_run:
+        return removed  # report-only: no manifest or litter removal
     for v in hist:
         if v not in keep_manifests:
             _remove_manifest(path, v)

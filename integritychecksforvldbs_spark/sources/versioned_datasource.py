@@ -376,6 +376,9 @@ class VersionedDataSource(DataSource):
       AS OF``); mutually exclusive with ``version``
     - ``startingVersion`` (stream only, default 0): base offset,
       exclusive — 0 replays the table from its first commit
+    - ``startingTimestamp`` (stream only): epoch seconds; stream only
+      the commits AFTER it (mutually exclusive with
+      ``startingVersion``; older than the table = replay all)
     - ``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` (stream
       only): per-trigger admission caps so a commit burst drains as
       bounded micro-batches instead of one giant one; at least one
@@ -438,7 +441,20 @@ class VersionedDataSource(DataSource):
         return _VersionedBatchReader(path, self._batch_version(path), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        start = int(self.options.get("startingVersion", 0))
+        st = self.options.get("startingTimestamp")
+        if st is not None:
+            if self.options.get("startingVersion") is not None:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both"
+                )
+            # versions committed AFTER the timestamp stream; version_at
+            # resolves the last one at-or-before it = the base offset
+            try:
+                start = version_at(self._path(), float(st))
+            except FileNotFoundError:
+                start = 0  # older than the whole table: replay all
+        else:
+            start = int(self.options.get("startingVersion", 0))
         mv = self.options.get("maxVersionsPerTrigger")
         mf = self.options.get("maxFilesPerTrigger")
         return _VersionedStreamReader(

@@ -213,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "versioned-update",
+        help="UPDATE ... SET col=expr WHERE predicate as a new version",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", required=True)
+    p.add_argument(
+        "--set", required=True,
+        help="comma-separated col=SQL-expr assignments, all evaluated "
+        "against the pre-update row",
+    )
+
+    p = sub.add_parser(
         "versioned-changes",
         help="row-level change feed between two versions (CDF)",
     )
@@ -517,6 +529,19 @@ def main(argv: list[str] | None = None) -> int:
         v, n = versioned.delete_where(spark, args.table, args.where)
         summary = {
             "cmd": "versioned-delete", "version": v, "n_deleted": n,
+        }
+    elif args.cmd == "versioned-update":
+        from .sources import versioned
+
+        sets = {}
+        for part in args.set.split(","):
+            c, _, e = part.partition("=")
+            if not _ or not c.strip():
+                raise SystemExit(f"bad --set assignment: {part!r}")
+            sets[c.strip()] = e.strip()
+        v, n = versioned.update_where(spark, args.table, args.where, sets)
+        summary = {
+            "cmd": "versioned-update", "version": v, "n_updated": n,
         }
     elif args.cmd == "rollup-build":
         from .sources import matview
