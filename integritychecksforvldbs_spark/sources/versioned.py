@@ -129,13 +129,26 @@ def _backend_for(path: str):
     return _LOG_BACKENDS.get(_log_key(path))
 
 
+def _ckpt_key(v: int) -> str:
+    return _vname(v) + "~ckpt"
+
+
 def _read_manifest(path: str, v: int) -> dict | None:
     b = _backend_for(path)
     if b is not None:
-        rec = b.get(_vname(v))
-        # a record without a payload is an in-flight (or crashed)
-        # two-step backend write: not committed
+        # a vacuum-written checkpoint sidecar (full body) supersedes a
+        # delta original whose base chain may have been expired
+        rec = b.get(_ckpt_key(v))
+        if rec is None or rec.payload is None:
+            # a record without a payload is an in-flight (or crashed)
+            # two-step backend write: not committed
+            rec = b.get(_vname(v))
         return rec.payload if rec is not None else None
+    try:
+        with open(os.path.join(_vdir(path), _ckpt_key(v) + ".json")) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     try:
         with open(os.path.join(_vdir(path), _vname(v) + ".json")) as f:
             return json.load(f)
@@ -344,6 +357,39 @@ def _contiguous_committed(path: str, from_v: int) -> int:
     while _read_manifest(path, v + 1) is not None:
         v += 1
     return v
+
+
+def _write_checkpoint(path: str, v: int) -> None:
+    """Materialize version ``v``'s FOLDED snapshot as a checkpoint
+    sidecar (``vN~ckpt.json``), after which ``v`` resolves without its
+    delta-base chain — what lets :func:`vacuum` expire the chain's
+    manifests (and the files only they referenced) below the retention
+    horizon even when the retained tip is a delta.  Idempotent;
+    installed with the same complete-or-absent discipline as every
+    manifest."""
+    if _read_manifest(path, v) is None:
+        raise FileNotFoundError(f"version {v} of {path!r} not found")
+    body = _snapshot(path, v)
+    b = _backend_for(path)
+    if b is not None:
+        b.put_if_absent(_ckpt_key(v), body)
+        return
+    target = os.path.join(_vdir(path), _ckpt_key(v) + ".json")
+    if os.path.exists(target):
+        return
+    tmp = os.path.join(
+        _vdir(path), f".tmp-{_ckpt_key(v)}-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass  # a concurrent vacuum wrote the identical fold
+    finally:
+        os.unlink(tmp)
 
 
 def _next_claim(path: str, cur_v: int) -> int | None:
@@ -570,6 +616,7 @@ def _commit_replace(
     mode: str,
     data_change: bool,
     extra: dict | None = None,
+    commute_with_appends: bool = False,
 ) -> int | None:
     """Install a REPLACE commit (``removed`` swapped for
     ``new_files``) on top of EXACTLY ``base_v``; ``None`` when any
@@ -577,14 +624,33 @@ def _commit_replace(
     against that snapshot, so the only correct response is to re-base
     and recompute (a racing append may hold rows the predicate/merge
     must see).  Body is a delta off ``base_v`` (O(swap) metadata), or
-    the folded full snapshot at checkpoint versions."""
+    the folded full snapshot at checkpoint versions.
+
+    ``commute_with_appends``: layout-only swaps (incremental
+    compaction) change no rows, so a racing commit that still holds
+    every file being rewritten commutes — the install re-bases in
+    place instead of returning None; a race that REMOVED one of them
+    raises (swapping files a concurrent commit already dropped would
+    resurrect their rows)."""
     os.makedirs(_vdir(path), exist_ok=True)
     for _ in range(_MAX_COMMIT_RETRIES):
         cur = _latest_committed(path)
-        if cur is None or cur[0] != base_v:
-            return None  # the table moved: recompute against it
+        if cur is None:
+            return None
+        if cur[0] != base_v:
+            if not commute_with_appends:
+                return None  # the table moved: recompute against it
+            gone = removed - set(cur[1]["files"])
+            if gone:
+                raise ConflictError(
+                    f"replace of {path!r} raced a commit that removed "
+                    f"{len(gone)} of the files being rewritten; re-run"
+                )
+            base_v, base_man = cur  # the swap commutes: re-base here
         nxt = _next_claim(path, base_v)
         if nxt is None:
+            if commute_with_appends:
+                continue  # the slot filled mid-claim: re-read and go on
             return None
         import time
 
@@ -621,34 +687,38 @@ def _commit_replace(
     return None
 
 
+def _scan_files(
+    spark: SparkSession, man: dict, files: list[str] | None = None
+) -> DataFrame:
+    """Plan a parquet scan of ``files`` (default: the manifest's whole
+    visible set) against the manifest's recorded schema — the one
+    read shape every file-scoped operation shares."""
+    files = man["files"] if files is None else files
+    sch = _manifest_schema(man)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(*files)
+    return spark.read.parquet(*files)
+
+
 def _touched_files(
-    spark: SparkSession, man: dict, predicate
+    spark: SparkSession, man: dict, mark
 ) -> tuple[list[str], "DataFrame"]:
-    """(manifest paths of the files holding any row matching
-    ``predicate``, the schema-planned scan of the snapshot).  The scan
-    carries no filter pushdown loss: the probe projects only
-    ``input_file_name()`` after the predicate, so Catalyst prunes
-    columns and pushes the filter into every footer — at 100 TB on a
-    clustered layout this touches the predicate's row groups, not the
-    table."""
+    """(manifest paths of the files holding any row ``mark`` selects,
+    the schema-planned scan of the snapshot).  ``mark`` is a callable
+    DataFrame→DataFrame returning the matching rows — a filter for
+    DELETE/UPDATE, a key semi-join for MERGE.  The probe projects only
+    ``input_file_name()`` after the mark, so Catalyst prunes columns
+    and pushes filters into every footer — at 100 TB on a clustered
+    layout this touches the predicate's row groups, not the table."""
     from integritychecksforvldbs_spark.operators.kernels import (
         _canon_file_path,
         _canon_file_path_expr,
     )
 
-    sch = _manifest_schema(man)
-    df = (
-        spark.read.schema(sch).parquet(*man["files"])
-        if sch is not None
-        else spark.read.parquet(*man["files"])
-    )
+    df = _scan_files(spark, man)
     canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
-    hit = (
-        df.filter(predicate)
-        .select(_canon_file_path_expr().alias("_file"))
-        .distinct()
-        .collect()
-    )
+    probe = df.withColumn("_file", _canon_file_path_expr())
+    hit = mark(probe).select("_file").distinct().collect()
     touched = sorted(
         canon_to_manifest[r["_file"]]
         for r in hit
@@ -1306,49 +1376,25 @@ def merge_into(
         if base is None:
             return commit(spark, source, path, mode="append")
         base_v, man = base
-        if man["files"]:
-            sch = _manifest_schema(man)
-            cur = (
-                spark.read.schema(sch).parquet(*man["files"])
-                if sch is not None
-                else spark.read.parquet(*man["files"])
-            )
-            # probe which files hold a matched row (left_semi over the
-            # source's keys-only projection — change-sized, so AQE
-            # turns it into a broadcast join when it fits; forcing the
-            # hint would OOM on a genuinely large source)
-            key_cond = functools.reduce(
-                lambda a, b: a & b,
-                [cur[k].eqNullSafe(source[k]) for k in keys],
-            )
-            from integritychecksforvldbs_spark.operators.kernels import (
-                _canon_file_path,
-                _canon_file_path_expr,
-            )
 
-            canon_to_manifest = {
-                _canon_file_path(f): f for f in man["files"]
-            }
-            hit = (
-                cur.withColumn("_file", _canon_file_path_expr())
-                .join(source.select(*keys), key_cond, "left_semi")
-                .select("_file")
-                .distinct()
-                .collect()
+        # probe which files hold a matched row (left_semi over the
+        # source's keys-only projection — change-sized, so AQE turns
+        # it into a broadcast join when it fits; forcing the hint
+        # would OOM on a genuinely large source)
+        def _matched(df: DataFrame) -> DataFrame:
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [df[k].eqNullSafe(source[k]) for k in keys],
             )
-            touched = sorted(
-                canon_to_manifest[r["_file"]]
-                for r in hit
-                if r["_file"] in canon_to_manifest
-            )
-        else:
-            touched = []
+            return df.join(source.select(*keys), cond, "left_semi")
+
+        touched = (
+            _touched_files(spark, man, _matched)[0]
+            if man["files"]
+            else []
+        )
         if touched:
-            hit_df = (
-                spark.read.schema(sch).parquet(*touched)
-                if sch is not None
-                else spark.read.parquet(*touched)
-            )
+            hit_df = _scan_files(spark, man, touched)
             anti_cond = functools.reduce(
                 lambda a, b: a & b,
                 [hit_df[k].eqNullSafe(source[k]) for k in keys],
@@ -1408,7 +1454,9 @@ def delete_where(
             raise FileNotFoundError(f"no committed version at {path!r}")
         base_v, man = base
         if man["files"]:
-            touched, _scan = _touched_files(spark, man, pred)
+            touched, _ = _touched_files(
+                spark, man, lambda df: df.filter(pred)
+            )
         else:
             touched = []  # an all-deleted snapshot: nothing to match
         if not touched:
@@ -1420,15 +1468,11 @@ def delete_where(
             if v is not None:
                 return v, 0
             continue  # the table moved: re-probe against it
-        sch = _manifest_schema(man)
-        hit = (
-            spark.read.schema(sch).parquet(*touched)
-            if sch is not None
-            else spark.read.parquet(*touched)
-        )
+        hit = _scan_files(spark, man, touched)
         kept = hit.filter(~pred)
-        n_deleted = hit.count() - kept.count()
-        if kept.isEmpty():
+        n_kept = kept.count()
+        n_deleted = hit.count() - n_kept
+        if n_kept == 0:
             new_files, new_stats = [], {}
         else:
             new_files, new_stats = _write_data(spark, kept, path)
@@ -1477,13 +1521,23 @@ def update_where(
         if base is None:
             raise FileNotFoundError(f"no committed version at {path!r}")
         base_v, man = base
-        bad = [c for c in set_exprs if man.get("schema") is not None
-               and _manifest_schema(man) is not None
-               and c not in _manifest_schema(man).fieldNames()]
+        sch = _manifest_schema(man)
+        known = (
+            set(sch.fieldNames())
+            if sch is not None
+            else (
+                set(_scan_files(spark, man).columns)
+                if man["files"]
+                else set(set_exprs)  # empty snapshot: nothing to check
+            )
+        )
+        bad = sorted(set(set_exprs) - known)
         if bad:
             raise ValueError(f"SET of unknown column(s): {bad}")
         if man["files"]:
-            touched, _scan = _touched_files(spark, man, pred)
+            touched, _ = _touched_files(
+                spark, man, lambda df: df.filter(pred)
+            )
         else:
             touched = []
         if not touched:
@@ -1495,12 +1549,7 @@ def update_where(
             if v is not None:
                 return v, 0
             continue
-        sch = _manifest_schema(man)
-        hit = (
-            spark.read.schema(sch).parquet(*touched)
-            if sch is not None
-            else spark.read.parquet(*touched)
-        )
+        hit = _scan_files(spark, man, touched)
         n_updated = hit.filter(pred).count()
         # every assignment sees the PRE-update row: compute all new
         # values in one projection (no sequential dependence)
@@ -1610,60 +1659,18 @@ def compact_files(
             total += sz
     if len(small) < 2:
         return None, 0, 0
-    sch = _manifest_schema(cur0[1])
-    df = (
-        spark.read.schema(sch).parquet(*small)
-        if sch is not None
-        else spark.read.parquet(*small)
-    )
+    df = _scan_files(spark, cur0[1], small)
     n_out = max(1, math.ceil(total / target_bytes))
     new_files, new_stats = _write_data(spark, df.coalesce(n_out), path)
-    removed = set(small)
-
-    os.makedirs(_vdir(path), exist_ok=True)
-    for _ in range(_MAX_COMMIT_RETRIES):
-        cur = _latest_committed(path)
-        cur_v, man = cur
-        gone = removed - set(man["files"])
-        if gone:
-            raise ConflictError(
-                f"compaction of {path!r} raced a commit that removed "
-                f"{len(gone)} of the files being rewritten; re-run"
-            )
-        nxt = _next_claim(path, cur_v)
-        if nxt is None:
-            continue  # a commit landed after the cur read — re-base
-        meta = {
-            "version": nxt,
-            "mode": "replace",
-            "data_change": False,
-            "parent": cur_v,
-            "schema": man.get("schema"),
-            "schema_json": man.get("schema_json"),
-        }
-        if nxt % CHECKPOINT_EVERY == 0:
-            files = [
-                f for f in man["files"] if f not in removed
-            ] + new_files
-            stats = {**(man.get("stats") or {}), **new_stats}
-            body = {
-                **meta,
-                "files": files,
-                "stats": {f: stats[f] for f in files if f in stats},
-            }
-        else:
-            body = {
-                **meta,
-                "delta_base": cur_v,
-                "add_files": new_files,
-                "add_stats": new_stats,
-                "remove_files": sorted(removed),
-            }
-        if _install_manifest(path, nxt, body):
-            return nxt, len(removed), len(new_files)
-    raise ConflictError(
-        f"compact_files of {path!r} lost {_MAX_COMMIT_RETRIES} CAS races"
+    v = _commit_replace(
+        path, cur0[0], cur0[1], set(small), new_files, new_stats,
+        mode="replace", data_change=False, commute_with_appends=True,
     )
+    if v is None:
+        raise ConflictError(
+            f"compact_files of {path!r} lost {_MAX_COMMIT_RETRIES} CAS races"
+        )
+    return v, len(small), len(new_files)
 
 
 def versioned_batch_sink(table_path: str, mode: str = "append"):
@@ -1705,41 +1712,46 @@ def vacuum(
     versions OLDER than the last ``keep_versions`` when given
     (bounding time-travel depth — the expired manifests are removed
     too, so no reader can resolve a version whose files are gone).
-    Returns the deleted data directories.
+    Returns the deleted paths (whole data dirs, or individual files
+    for directories a retained version still partially references).
 
-    Retained DELTA manifests pin their base chains: manifest files
-    below the retention horizon survive until the next checkpoint
-    version covers them (the same reason Delta only cleans its log up
-    to a checkpoint).  Data-file reclamation is unaffected — a chain
-    member's folded file set is a subset of its retained descendant's.
-    Physical-erasure flows (``delete_where`` + ``vacuum``) are also
-    unaffected: an overwrite writes a full manifest, so the erased
-    version's chain ends with it.
+    When the OLDEST retained version is a delta, its folded snapshot
+    is first materialized as a checkpoint sidecar
+    (:func:`_write_checkpoint`), so its base chain — and the files
+    only the chain referenced — can expire with everything below the
+    horizon (Delta's checkpoint-then-clean-the-log discipline).
+    Reclamation is FILE-granular: a file a replace commit swapped out
+    (file-scoped DELETE/UPDATE/MERGE, compaction) is physically
+    removed even when siblings in its directory stay live — which is
+    what makes ``delete_where`` + ``vacuum(keep_versions=1)`` a real
+    right-to-be-forgotten erasure, not just an unreferencing.
 
     ``min_age_s`` protects IN-FLIGHT commits: a committer that has
     written its data directory but not yet won the manifest CAS looks
-    exactly like a crash orphan, so unreferenced directories younger
-    than the threshold are left alone (the same retention reasoning
-    behind Delta's VACUUM default).  Lower it only when no commit can
-    be running."""
+    exactly like a crash orphan, so unreferenced files/directories
+    younger than the threshold are left alone (the same retention
+    reasoning behind Delta's VACUUM default).  Lower it only when no
+    commit can be running."""
+    import time
+
     hist = [vi.version for vi in history(path)]
     retained = hist if keep_versions is None else hist[-keep_versions:]
     if hist and not retained:
         raise ValueError("keep_versions must retain at least one version")
+    expiring = bool(retained) and retained[0] != (hist[0] if hist else None)
+    if retained and expiring and not dry_run:
+        # un-pin the oldest retained tip from its delta-base chain
+        # BEFORE expiring anything the chain resolves through
+        if "files" not in _read_manifest(path, retained[0]):
+            _write_checkpoint(path, retained[0])
     referenced: set[str] = set()
-    # a retained DELTA manifest resolves through its base chain, so the
-    # chain's manifests must survive too (bounded: < CHECKPOINT_EVERY
-    # metadata files per retained tip).  Chain members stay READABLE
-    # versions, so their folded file sets are pinned as well — for
-    # append chains that adds nothing (subsets of the retained tops'),
-    # and for replace deltas (incremental compaction) it keeps the
-    # replaced files alive until the next checkpoint covers them.
-    keep_manifests: set[int] = set(retained)
     for v in retained:
-        keep_manifests.update(_chain_versions(path, _read_manifest(path, v)))
-    for v in keep_manifests:
-        for fpath in _fold(path, _read_manifest(path, v))["files"]:
-            referenced.add(os.path.dirname(_local(fpath)))
+        man = _read_manifest(path, v)
+        if dry_run and "files" not in man:
+            # report-only: fold through the (still intact) chain
+            man = _fold(path, man)
+        for fpath in _fold(path, man)["files"]:
+            referenced.add(_local(fpath))
     removed = []
     import shutil
 
@@ -1748,26 +1760,54 @@ def vacuum(
         dirs = sorted(os.listdir(data_root))
     except FileNotFoundError:
         dirs = []
-    import time
 
     now = time.time()
+    referenced_dirs = {os.path.dirname(f) for f in referenced}
     for d in dirs:
         full = os.path.join(data_root, d)
-        if full in referenced:
-            continue
         try:
             age = now - os.path.getmtime(full)
         except OSError:
             continue  # racing removal
-        if age < min_age_s:
-            continue  # possibly an in-flight commit's data — retain
-        if not dry_run:
-            shutil.rmtree(full)
-        removed.append(full)
+        if full not in referenced_dirs:
+            if age < min_age_s:
+                continue  # possibly an in-flight commit's data — retain
+            if not dry_run:
+                shutil.rmtree(full)
+            removed.append(full)
+            continue
+        # partially referenced dir: remove the individual files a
+        # replace commit swapped out (age-guarded per file)
+        try:
+            names = os.listdir(full)
+        except FileNotFoundError:
+            continue
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            fp = os.path.join(full, n)
+            if fp in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(fp) < min_age_s:
+                    continue
+            except OSError:
+                continue
+            if not dry_run:
+                try:
+                    os.unlink(fp)
+                except FileNotFoundError:
+                    continue
+                crc = os.path.join(full, f".{n}.crc")
+                try:
+                    os.unlink(crc)
+                except FileNotFoundError:
+                    pass
+            removed.append(fp)
     if dry_run:
         return removed  # report-only: no manifest or litter removal
     for v in hist:
-        if v not in keep_manifests:
+        if v not in retained:
             _remove_manifest(path, v)
     # crashed-committer residue, age-guarded (a slow committer may
     # still be mid-install): stale .tmp manifest bodies that never
@@ -1810,15 +1850,16 @@ def _remove_manifest(path: str, v: int) -> None:
 
     b = _backend_for(path)
     if b is not None:
-        rec = b.get(_vname(v))
-        if rec is not None:
-            b.delete_if(_vname(v), rec.version)
+        for key in (_vname(v), _ckpt_key(v)):
+            rec = b.get(key)
+            if rec is not None:
+                b.delete_if(key, rec.version)
         return
-    f = os.path.join(_vdir(path), _vname(v) + ".json")
-    try:
-        os.unlink(f)
-    except FileNotFoundError:
-        pass
+    for name in (_vname(v) + ".json", _ckpt_key(v) + ".json"):
+        try:
+            os.unlink(os.path.join(_vdir(path), name))
+        except FileNotFoundError:
+            pass
     d = os.path.join(_vdir(path), _vname(v))
     if os.path.isdir(d):
         shutil.rmtree(d)

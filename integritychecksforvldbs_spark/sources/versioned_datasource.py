@@ -403,7 +403,11 @@ class VersionedDataSource(DataSource):
         if ts is not None:
             if v is not None:
                 raise ValueError("pass version OR timestamp, not both")
-            return version_at(path, float(ts))
+            # Spark calls schema() then reader(); resolve the
+            # timestamp's O(log-length) manifest walk once per source
+            if not hasattr(self, "_resolved_ts_version"):
+                self._resolved_ts_version = version_at(path, float(ts))
+            return self._resolved_ts_version
         return int(v) if v is not None else None
 
     def schema(self) -> StructType:

@@ -107,6 +107,45 @@ def _csv(s: str) -> list[str]:
     return [c.strip() for c in s.split(",") if c.strip()]
 
 
+def _split_assignments(s: str) -> list[str]:
+    """Split ``col=expr, col=expr`` on TOP-LEVEL commas only: commas
+    inside parentheses/brackets or single-quoted SQL strings belong to
+    the expression (``price=round(price, 2)`` is one assignment)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":  # '' escape
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf:
+        out.append("".join(buf))
+    return [p for p in (x.strip() for x in out) if p]
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="table operations")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -534,11 +573,13 @@ def main(argv: list[str] | None = None) -> int:
         from .sources import versioned
 
         sets = {}
-        for part in args.set.split(","):
-            c, _, e = part.partition("=")
-            if not _ or not c.strip():
+        for part in _split_assignments(args.set):
+            c, eq, e = part.partition("=")
+            if not eq or not c.strip() or not e.strip():
                 raise SystemExit(f"bad --set assignment: {part!r}")
             sets[c.strip()] = e.strip()
+        if not sets:
+            raise SystemExit("--set needs at least one col=expr")
         v, n = versioned.update_where(spark, args.table, args.where, sets)
         summary = {
             "cmd": "versioned-update", "version": v, "n_updated": n,

@@ -67,9 +67,8 @@ def test_restarted_stream_survives_vacuum_behind_checkpoint(
     for i in range(12):
         versioned.commit(spark, _mk(spark, i * 3, (i + 1) * 3), path)
     versioned.vacuum(path, keep_versions=2, min_age_s=0)
-    # v11/v12 retained; v10 (their checkpoint base) pinned by the
-    # delta chains; everything below the checkpoint expired
-    assert versioned._versions(path) == [10, 11, 12]
+    # v11 checkpointed, chain expired: only the retained tail remains
+    assert versioned._versions(path) == [11, 12]
     r = _stream_reader(path)  # a RESTART re-instantiates the reader
     assert r.latestOffset() == {"version": 12}
     # the batch its checkpoint actually needs resolves fine

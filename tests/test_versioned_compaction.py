@@ -169,16 +169,21 @@ def test_compaction_rebases_past_racing_append(
     )
 
 
-def test_vacuum_after_compaction_keeps_chain_versions_readable(
-    spark, dribbled
-):
+def test_vacuum_after_compaction_expires_replaced_files(spark, dribbled):
+    import os
+
     path = dribbled
-    v, _, _ = versioned.compact_files(spark, path, min_bytes=1 << 30)
+    sizes = _sizes(path, 6)
+    big = max(sizes, key=sizes.get)
+    small = [versioned._local(f) for f in sizes if f != big]
+    v, _, _ = versioned.compact_files(spark, path, min_bytes=sizes[big])
     versioned.vacuum(path, keep_versions=1, min_age_s=0)
-    # the replace delta's chain pins v1..v6 as readable versions, so
-    # their data (including the replaced small files) survives
-    for n in range(1, v + 1):
-        assert versioned.read(spark, path, version=n).count() > 0
+    # the compaction tip got a checkpoint; everything below expired,
+    # including the replaced small files\' bytes
+    assert versioned._versions(path) == [v]
+    for f in small:
+        assert not os.path.exists(f)
+    assert versioned.row_count(spark, path) == 200_015
 
 
 def test_stream_survives_full_optimize_and_compact(spark, dribbled):

@@ -164,18 +164,24 @@ def test_overwrite_and_schema_evolution_reset_or_ride_the_chain(
     ]
 
 
-def test_vacuum_pins_retained_delta_chains(spark, tmp_path):
+def test_vacuum_checkpoints_oldest_retained_then_expires_chain(
+    spark, tmp_path
+):
     path = str(tmp_path / "tbl")
     for i in range(12):
         versioned.commit(spark, _mk(spark, i, i + 1), path)
     versioned.vacuum(path, keep_versions=2, min_age_s=0)
-    # v11/v12 retained, their chains pin the v10 checkpoint; the
-    # pre-checkpoint log (and only-its files) expired
-    assert versioned._versions(path) == [10, 11, 12]
-    for v in (10, 11, 12):
+    # v11 (a delta) got a checkpoint sidecar, so its base chain — and
+    # everything below the horizon — really expired
+    assert versioned._versions(path) == [11, 12]
+    assert "files" in versioned._read_manifest(path, 11)  # the sidecar
+    for v in (11, 12):
         assert versioned.row_count(spark, path, version=v) == v
     with pytest.raises(FileNotFoundError):
-        versioned.read(spark, path, version=9)
+        versioned.read(spark, path, version=10)
+    # the checkpointed tip remains appendable and foldable
+    versioned.commit(spark, _mk(spark, 100, 101), path)
+    assert versioned.row_count(spark, path) == 13
 
 
 def test_append_metadata_at_ten_thousand_files(spark, tmp_path):

@@ -154,3 +154,40 @@ def test_merge_on_null_key_still_file_scoped(spark, tmp_path):
     assert _rows(versioned.read(spark, path)) == [
         (1, "a"), (2, "b"), (None, "N")  # None sorts last in _rows
     ]
+
+
+def test_delete_plus_vacuum_is_physical_erasure(spark, tmp_path):
+    """The right-to-be-forgotten contract, end to end: after a
+    file-scoped DELETE and vacuum(keep_versions=1), the deleted rows'
+    file is GONE FROM DISK — even though live sibling files share its
+    directory — and no retained version can resolve the rows.
+    (r8 self-review high finding: the replace-delta DELETE plus
+    chain-pinning vacuum silently kept erased data readable; vacuum
+    now checkpoints the oldest retained tip and reclaims at file
+    granularity.)"""
+    import os
+
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 300), path)
+    # cluster into 3 banded files sharing ONE data directory
+    versioned.optimize(spark, path, zorder_by=["k"], n_files=3)
+    v_del, n = versioned.delete_where(spark, path, "k >= 0 AND k <= 50")
+    raw = versioned._read_manifest(path, v_del)
+    assert len(raw["remove_files"]) == 1
+    victim = versioned._local(raw["remove_files"][0])
+    siblings = [
+        versioned._local(f)
+        for f in versioned._snapshot(path, v_del)["files"]
+        if os.path.dirname(versioned._local(f)) == os.path.dirname(victim)
+    ]
+    assert os.path.exists(victim) and siblings
+    removed = versioned.vacuum(path, keep_versions=1, min_age_s=0)
+    assert victim in removed
+    assert not os.path.exists(victim)  # the PII bytes are GONE
+    for s in siblings:
+        assert os.path.exists(s)  # live files in the same dir survive
+    # the retained tip got a checkpoint and still answers exactly
+    assert versioned._versions(path) == [v_del]
+    assert versioned.read(spark, path).count() == 300 - n
+    with pytest.raises(FileNotFoundError):
+        versioned.read(spark, path, version=v_del - 1)
