@@ -133,36 +133,55 @@ def _ckpt_key(v: int) -> str:
     return _vname(v) + "~ckpt"
 
 
-def _read_manifest(path: str, v: int) -> dict | None:
+def _read_ckpt(path: str, v: int) -> dict | None:
+    """Version ``v``'s vacuum-written checkpoint sidecar, if any — a
+    FULL body that supersedes a delta original whose base chain may
+    have been expired.  Probed only for delta bodies (full bodies
+    never need one), so every hot read of a full manifest costs one
+    IO, not two."""
     b = _backend_for(path)
     if b is not None:
-        # a vacuum-written checkpoint sidecar (full body) supersedes a
-        # delta original whose base chain may have been expired
         rec = b.get(_ckpt_key(v))
-        if rec is None or rec.payload is None:
-            # a record without a payload is an in-flight (or crashed)
-            # two-step backend write: not committed
-            rec = b.get(_vname(v))
         return rec.payload if rec is not None else None
     try:
         with open(os.path.join(_vdir(path), _ckpt_key(v) + ".json")) as f:
             return json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
-        pass
-    try:
-        with open(os.path.join(_vdir(path), _vname(v) + ".json")) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        pass
-    except json.JSONDecodeError:
-        return None  # unreachable for atomic installs; defensive
-    # legacy dir layout: vN/manifest.json, possibly bodyless (the old
-    # protocol's committer could die between its mkdir and body write)
-    try:
-        with open(os.path.join(_vdir(path), _vname(v), _BODY)) as f:
-            return json.load(f)
-    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
         return None
+
+
+def _read_manifest(path: str, v: int) -> dict | None:
+    b = _backend_for(path)
+    if b is not None:
+        rec = b.get(_vname(v))
+        # a record without a payload is an in-flight (or crashed)
+        # two-step backend write: not committed
+        man = rec.payload if rec is not None else None
+    else:
+        man = None
+        try:
+            with open(os.path.join(_vdir(path), _vname(v) + ".json")) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            # legacy dir layout: vN/manifest.json, possibly bodyless
+            # (the old protocol's committer could die between its
+            # mkdir and body write)
+            try:
+                with open(
+                    os.path.join(_vdir(path), _vname(v), _BODY)
+                ) as f:
+                    man = json.load(f)
+            except (
+                FileNotFoundError, NotADirectoryError, json.JSONDecodeError
+            ):
+                man = None
+        except json.JSONDecodeError:
+            man = None  # unreachable for atomic installs; defensive
+    if man is not None and "files" not in man:
+        ckpt = _read_ckpt(path, v)
+        if ckpt is not None:
+            return ckpt
+    return man
 
 
 def _manifest_schema(man: dict):
@@ -372,7 +391,15 @@ def _write_checkpoint(path: str, v: int) -> None:
     body = _snapshot(path, v)
     b = _backend_for(path)
     if b is not None:
-        b.put_if_absent(_ckpt_key(v), body)
+        if not b.put_if_absent(_ckpt_key(v), body):
+            # the record exists — but a vacuum that crashed inside a
+            # two-step backend write may have left it BODYLESS, and
+            # expiring the chain against an unreadable checkpoint
+            # bricks the table; the fold is deterministic, so an
+            # unconditional repair write is identical-or-restoring
+            rec = b.get(_ckpt_key(v))
+            if rec is None or rec.payload is None:
+                b.put(_ckpt_key(v), body)
         return
     target = os.path.join(_vdir(path), _ckpt_key(v) + ".json")
     if os.path.exists(target):
@@ -717,12 +744,18 @@ def _touched_files(
 
     df = _scan_files(spark, man)
     canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
-    probe = df.withColumn("_file", _canon_file_path_expr())
-    hit = mark(probe).select("_file").distinct().collect()
+    # collision-proof probe column: withColumn REPLACES an existing
+    # column, so a fixed name would silently shadow a real table
+    # column of that name inside ``mark``'s predicate
+    fcol = "__icv_probe_file"
+    while fcol in df.columns:
+        fcol += "_"
+    probe = df.withColumn(fcol, _canon_file_path_expr())
+    hit = mark(probe).select(fcol).distinct().collect()
     touched = sorted(
-        canon_to_manifest[r["_file"]]
+        canon_to_manifest[r[fcol]]
         for r in hit
-        if r["_file"] in canon_to_manifest
+        if r[fcol] in canon_to_manifest
     )
     return touched, df
 
@@ -1490,6 +1523,36 @@ def delete_where(
     )
 
 
+def _can_upcast(src, dst) -> bool:
+    """Lossless implicit conversions an UPDATE applies silently —
+    Spark's ``Cast.canUpCast`` numeric-precedence rule reduced to the
+    types this module's stats cover: widening along
+    byte<short<int<long<float<double, NULL into anything, date into
+    timestamp.  Everything else (string↔numeric, narrowing, decimal
+    reshaping) must be written explicitly in the SET expression."""
+    from pyspark.sql import types as T
+
+    if isinstance(src, T.NullType):
+        return True
+    order = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType,
+    )
+    si = next((i for i, t in enumerate(order) if isinstance(src, t)), None)
+    di = next((i for i, t in enumerate(order) if isinstance(dst, t)), None)
+    if si is not None and di is not None:
+        return si <= di
+    if isinstance(src, T.DateType) and isinstance(
+        dst, (T.TimestampType, T.TimestampNTZType)
+    ):
+        return True
+    # SQL fractional literals type as decimal (0.0 is decimal(1,1));
+    # promoting into double mirrors Spark's own arithmetic coercion
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DoubleType):
+        return True
+    return False
+
+
 def update_where(
     spark: SparkSession,
     path: str,
@@ -1551,12 +1614,28 @@ def update_where(
             continue
         hit = _scan_files(spark, man, touched)
         n_updated = hit.filter(pred).count()
+        # UPDATE never retypes — but a blind cast would silently NULL
+        # an uncastable/overflowing SET result (ANSI off): resolve
+        # each expression's type and allow only lossless widenings
+        # implicitly; anything else must be cast in the expression
+        resolved = hit.select(
+            *[F.expr(e).alias(c) for c, e in set_exprs.items()]
+        ).schema
+        for f in resolved.fields:
+            want = hit.schema[f.name].dataType
+            if f.dataType != want and not _can_upcast(f.dataType, want):
+                raise ValueError(
+                    f"SET expression for {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the column is "
+                    f"{want.simpleString()}; cast explicitly in the "
+                    "expression if the conversion is intended"
+                )
         # every assignment sees the PRE-update row: compute all new
         # values in one projection (no sequential dependence)
         cols = [
             F.when(pred, F.expr(set_exprs[c]))
             .otherwise(F.col(c))
-            .cast(hit.schema[c].dataType)  # UPDATE never retypes
+            .cast(hit.schema[c].dataType)  # validated lossless above
             .alias(c)
             if c in set_exprs
             else F.col(c)
@@ -1744,6 +1823,11 @@ def vacuum(
         # BEFORE expiring anything the chain resolves through
         if "files" not in _read_manifest(path, retained[0]):
             _write_checkpoint(path, retained[0])
+            if "files" not in _read_manifest(path, retained[0]):
+                raise IOError(
+                    f"checkpoint of v{retained[0]} of {path!r} is not "
+                    "readable; refusing to expire its base chain"
+                )
     referenced: set[str] = set()
     for v in retained:
         man = _read_manifest(path, v)

@@ -114,20 +114,20 @@ def _split_assignments(s: str) -> list[str]:
     out: list[str] = []
     buf: list[str] = []
     depth = 0
-    in_str = False
+    in_str: str | None = None  # the active quote char, ' or "
     i = 0
     while i < len(s):
         ch = s[i]
-        if in_str:
+        if in_str is not None:
             buf.append(ch)
-            if ch == "'":
-                if i + 1 < len(s) and s[i + 1] == "'":  # '' escape
-                    buf.append("'")
+            if ch == in_str:
+                if i + 1 < len(s) and s[i + 1] == in_str:  # '' escape
+                    buf.append(in_str)
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    in_str = None
+        elif ch in "'\"":
+            in_str = ch
             buf.append(ch)
         elif ch in "([":
             depth += 1
@@ -350,6 +350,10 @@ def main(argv: list[str] | None = None) -> int:
         "--min-age-s", type=float, default=None,
         help="retain unreferenced data dirs younger than this (an "
         "in-flight commit's files look like orphans; default 3600)",
+    )
+    p.add_argument(
+        "--dry-run", action="store_true",
+        help="report what would be reclaimed without deleting anything",
     )
 
     p = sub.add_parser("bm25-search", help="top-k BM25 query")
@@ -696,8 +700,15 @@ def main(argv: list[str] | None = None) -> int:
         kw = {}
         if args.min_age_s is not None:
             kw["min_age_s"] = args.min_age_s
-        removed = versioned.vacuum(args.table, args.keep_versions, **kw)
-        summary = {"cmd": "versioned-vacuum", "removed_data_dirs": removed}
+        removed = versioned.vacuum(
+            args.table, args.keep_versions, dry_run=args.dry_run, **kw
+        )
+        # whole dirs AND individual files (partial-dir reclaim)
+        summary = {
+            "cmd": "versioned-vacuum",
+            "dry_run": args.dry_run,
+            "removed_paths": removed,
+        }
     elif args.cmd == "bm25-search":
         from .operators.search import bm25_topk, bm25_topk_indexed
 

@@ -163,7 +163,7 @@ def test_versioned_cli_roundtrip(spark, tmp_path, capsys):
     s = _run(
         capsys, "versioned-vacuum", "--table", tbl, "--keep-versions", "2"
     )
-    assert s["removed_data_dirs"] == []  # v2/v3 still reference everything
+    assert s["removed_paths"] == []  # v2/v3 still reference everything
 
 
 def test_versioned_delete_cli(spark, tmp_path, capsys):

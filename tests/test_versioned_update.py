@@ -185,3 +185,73 @@ def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
     removed = versioned.vacuum(path, keep_versions=1, min_age_s=0)
     assert removed == would  # the report was exact
     assert not os.path.exists(would[0])
+
+
+def test_update_raises_instead_of_silently_nulling(spark, banded):
+    """A SET expression whose type cannot losslessly widen into the
+    column must raise — a blind cast would NULL the matched rows with
+    ANSI off (self-review finding)."""
+    with pytest.raises(ValueError, match="cast explicitly"):
+        versioned.update_where(spark, banded, "k = 1", {"k": "'oops'"})
+    # lossless widenings keep working implicitly
+    v, n = versioned.update_where(spark, banded, "k = 1", {"price": "7"})
+    assert n == 1
+    assert versioned.read(spark, banded).filter(
+        "k = 1 AND price = 7.0"
+    ).count() == 1
+
+
+def test_probe_column_name_collision_is_safe(spark, tmp_path):
+    """A table column literally named like the probe's internal file
+    column must not be shadowed inside the predicate (self-review
+    finding: withColumn REPLACES same-named columns)."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "keep"), (2, "x")], "k long, __icv_probe_file string"
+        ).coalesce(1),
+        path,
+    )
+    v, n = versioned.delete_where(
+        spark, path, "__icv_probe_file = 'x'"
+    )
+    assert n == 1
+    assert sorted(
+        r["__icv_probe_file"]
+        for r in versioned.read(spark, path).collect()
+    ) == ["keep"]
+
+
+def test_vacuum_cli_dry_run(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from integritychecksforvldbs_spark.table_cli import main
+
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 5).coalesce(1), path)
+    versioned.commit(
+        spark, _mk(spark, 0, 2).coalesce(1), path, mode="overwrite"
+    )
+    main(
+        [
+            "versioned-vacuum", "--table", path, "--keep-versions", "1",
+            "--min-age-s", "0", "--dry-run",
+        ]
+    )
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["dry_run"] is True and len(s["removed_paths"]) == 1
+    assert os.path.exists(s["removed_paths"][0])  # report-only
+
+
+def test_split_assignments_handles_quotes_and_parens():
+    from integritychecksforvldbs_spark.table_cli import _split_assignments
+
+    assert _split_assignments("a=round(b, 2), c=map('x,y', 1)") == [
+        "a=round(b, 2)", "c=map('x,y', 1)"
+    ]
+    assert _split_assignments('a="x,y", b=2') == ['a="x,y"', "b=2"]
+    assert _split_assignments("a='it''s, ok', b=1") == [
+        "a='it''s, ok'", "b=1"
+    ]
