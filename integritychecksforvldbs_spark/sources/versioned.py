@@ -691,6 +691,11 @@ def _commit_replace(
             "schema": base_man.get("schema"),
             "schema_json": base_man.get("schema_json"),
         }
+        # the CHECK-constraint map rides every body (set_constraints
+        # overrides via extra; everything else inherits the base's)
+        meta.setdefault(
+            "constraints", dict(base_man.get("constraints") or {})
+        )
         if nxt % CHECKPOINT_EVERY == 0:
             files = [
                 f for f in base_man["files"] if f not in removed
@@ -802,6 +807,7 @@ def commit(
                 "pass allow_schema_change=True to evolve it"
             )
     new_files, new_stats = _write_data(spark, df, path, stats_columns)
+    validated_constraints: dict | None = None
 
     if expected_parent is not None:
         base_v = expected_parent
@@ -828,12 +834,19 @@ def commit(
             continue  # stale view: re-read the log and re-base
         import time
 
+        active = dict(cur[1].get("constraints") or {}) if cur else {}
+        if active != validated_constraints:
+            # the constraint map changed since (or was never) checked:
+            # every data-adding commit must satisfy the ACTIVE map
+            _enforce(spark, path, active, new_files, df.schema, "commit")
+            validated_constraints = active
         meta = {
             **(extra or {}),
             "version": nxt,
             "mode": mode,
             "parent": cur_v or None,
             "committed_at": time.time(),
+            "constraints": active,
             "schema": new_ddl,
             # jsonValue parses WITHOUT a SparkSession
             # (StructType.fromJson is pure Python) — the form
@@ -890,6 +903,119 @@ class ConflictError(RuntimeError):
 
 class SchemaDriftError(ValueError):
     """An append's schema disagrees with the table's committed schema."""
+
+
+class ConstraintViolation(ValueError):
+    """A commit's rows violate the table's CHECK constraints."""
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints — commit-time integrity gates
+# ---------------------------------------------------------------------------
+#
+# The reference's whole purpose is INTEGRITY CHECKING of stored data
+# (DBCC CHECKDB over committed pages); constraints are the
+# prevention-side complement the engine's own tables get: a SQL
+# predicate registered on the table that every data-adding commit must
+# satisfy, or it refuses to install — Delta's ``ALTER TABLE ADD
+# CONSTRAINT`` CHECK semantics (violation = predicate definitively
+# FALSE; NULL passes, as in SQL CHECK).  The active map rides every
+# manifest body next to the schema, so it versions, time-travels, and
+# rolls back with the data it governed.
+
+
+def _violations(df: DataFrame, constraints: dict[str, str]) -> dict:
+    """{name: violating-row count} over ``df``, ONE aggregation pass
+    for all constraints (map-side combined, no shuffle of data)."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return {}
+    aggs = [
+        F.sum(
+            F.when(
+                F.coalesce(F.expr(sql), F.lit(True)) == F.lit(False), 1
+            ).otherwise(0)
+        ).alias(name)
+        for name, sql in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {n: int(row[n] or 0) for n in constraints if (row[n] or 0) > 0}
+
+
+def _enforce(
+    spark: SparkSession,
+    path: str,
+    constraints: dict[str, str],
+    new_files: list[str],
+    schema,
+    what: str,
+) -> None:
+    """Refuse ``new_files`` (freshly written, never yet visible) if
+    any row violates ``constraints`` — the check scans only the
+    commit's own files, O(commit); the refused files stay invisible
+    orphans for vacuum."""
+    if not constraints or not new_files:
+        return
+    df = (
+        spark.read.schema(schema).parquet(*new_files)
+        if schema is not None
+        else spark.read.parquet(*new_files)
+    )
+    bad = _violations(df, constraints)
+    if bad:
+        detail = ", ".join(
+            f"{n!r} ({c} rows, CHECK {constraints[n]})"
+            for n, c in sorted(bad.items())
+        )
+        raise ConstraintViolation(
+            f"{what} to {path!r} violates table constraints: {detail}"
+        )
+
+
+def constraints(path: str, version: int | None = None) -> dict[str, str]:
+    """The CHECK-constraint map active at ``version`` (default:
+    latest) — ``{name: sql_predicate}``."""
+    return dict(_resolve_manifest(path, version).get("constraints") or {})
+
+
+def set_constraints(
+    spark: SparkSession, path: str, new: dict[str, str]
+) -> int:
+    """Replace the table's CHECK-constraint map as a metadata-only
+    version (``data_change: false`` — streams skip it; the visible
+    file set is untouched).  The EXISTING data is validated against
+    the new map first, exactly like Delta's ``ADD CONSTRAINT``: a
+    constraint the current rows already violate is refused, otherwise
+    every later data-adding commit (append, merge, update) must
+    satisfy it or fail with :class:`ConstraintViolation`.  Pass ``{}``
+    to drop all constraints."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        base_v, man = cur
+        if new and man["files"]:
+            bad = _violations(_scan_files(spark, man), new)
+            if bad:
+                detail = ", ".join(
+                    f"{n!r} ({c} rows)" for n, c in sorted(bad.items())
+                )
+                raise ConstraintViolation(
+                    f"existing rows of {path!r} violate: {detail}; "
+                    "clean the data before adding the constraint"
+                )
+        v = _commit_replace(
+            path, base_v, man, set(), [], {},
+            mode="set_constraints", data_change=False,
+            extra={"constraints": dict(new)},
+        )
+        if v is not None:
+            return v
+        # a commit raced the validation: re-validate against it
+    raise ConflictError(
+        f"set_constraints on {path!r} lost {_MAX_COMMIT_RETRIES} races"
+    )
 
 
 def read(
@@ -1344,6 +1470,9 @@ def rollback(
                 "stats": man.get("stats") or {},
                 "parent": cur_v or None,
                 "committed_at": time.time(),
+                # the restore is wholesale: the target's constraint
+                # map governed its data and returns with it
+                "constraints": dict(man.get("constraints") or {}),
                 "schema": man.get("schema"),
                 "schema_json": man.get("schema_json"),
             },
@@ -1438,6 +1567,10 @@ def merge_into(
         else:
             out = source
         new_files, new_stats = _write_data(spark, out, path)
+        _enforce(
+            spark, path, man.get("constraints") or {},
+            new_files, _manifest_schema(man), "merge_into",
+        )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
             mode="merge", data_change=True,
@@ -1643,6 +1776,10 @@ def update_where(
         ]
         rewritten = hit.select(*cols)
         new_files, new_stats = _write_data(spark, rewritten, path)
+        _enforce(
+            spark, path, man.get("constraints") or {},
+            new_files, _manifest_schema(man), "update_where",
+        )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
             mode="update", data_change=True,

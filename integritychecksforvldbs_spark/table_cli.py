@@ -356,6 +356,18 @@ def main(argv: list[str] | None = None) -> int:
         help="report what would be reclaimed without deleting anything",
     )
 
+    p = sub.add_parser(
+        "versioned-constraints",
+        help="show or replace the table's CHECK constraints",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument(
+        "--set", default=None,
+        help="comma-separated name=SQL-predicate assignments replacing "
+        "the map (existing rows validated first); '' drops all; omit "
+        "to just show the active map",
+    )
+
     p = sub.add_parser("bm25-search", help="top-k BM25 query")
     p.add_argument("--corpus", default=None, help="direct scan of a corpus")
     p.add_argument("--index", default=None, help="bm25-index layout")
@@ -709,6 +721,26 @@ def main(argv: list[str] | None = None) -> int:
             "dry_run": args.dry_run,
             "removed_paths": removed,
         }
+    elif args.cmd == "versioned-constraints":
+        from .sources import versioned
+
+        if args.set is None:
+            summary = {
+                "cmd": "versioned-constraints",
+                "constraints": versioned.constraints(args.table),
+            }
+        else:
+            new = {}
+            for part in _split_assignments(args.set):
+                c, eq, e = part.partition("=")
+                if not eq or not c.strip() or not e.strip():
+                    raise SystemExit(f"bad --set assignment: {part!r}")
+                new[c.strip()] = e.strip()
+            v = versioned.set_constraints(spark, args.table, new)
+            summary = {
+                "cmd": "versioned-constraints", "version": v,
+                "constraints": new,
+            }
     elif args.cmd == "bm25-search":
         from .operators.search import bm25_topk, bm25_topk_indexed
 
