@@ -507,6 +507,47 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_constrained_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Commit-time CHECK constraints (versioned.set_constraints):
+    the mirror table carries ``o_totalprice >= 0``; the mod-3
+    remainder append passes the gate, and a deliberately violating
+    append is REFUSED without burning a version — the latest snapshot
+    is therefore exactly the full orders table (the oracle).
+    Prevention-side complement of the reference's integrity checks
+    (IC:1-50 preamble: detect corruption in committed data; this
+    refuses it at commit time, Delta's ADD CONSTRAINT semantics)."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_constrained")
+    if versioned._read_manifest(path, 3) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        versioned.commit(spark, orders.filter("o_orderkey % 3 = 0"), path)
+        versioned.set_constraints(
+            spark, path, {"price_nonneg": "o_totalprice >= 0"}
+        )
+        versioned.commit(spark, orders.filter("o_orderkey % 3 != 0"), path)
+        try:
+            versioned.commit(
+                spark,
+                orders.limit(5).withColumn(
+                    "o_totalprice", F.lit(-1.0)
+                ),
+                path,
+            )
+            raise AssertionError("violating append was not refused")
+        except versioned.ConstraintViolation:
+            pass
+        assert versioned._versions(path) == [1, 2, 3]
+    return _orders_priority_agg(versioned.read(spark, path))
+
+
 def _q_versioned_time_travel_ts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3441,6 +3482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_time_travel_ts"] = _q_versioned_time_travel_ts
     # file-scoped UPDATE as a replace delta (r8)
     out["versioned_update_where"] = _q_versioned_update_where
+    # commit-time CHECK constraints: violating append refused (r8)
+    out["versioned_constrained_append"] = _q_versioned_constrained_append
     return out
 
 
@@ -3821,4 +3864,6 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     # TIMESTAMP AS OF v1's commit time == v1's snapshot
     out["versioned_time_travel_ts"] = _VERSIONED_TT_ORACLE
     out["versioned_update_where"] = _VERSIONED_UPDATE_ORACLE
+    # the refused append never landed: latest == plain full orders
+    out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE
     return out
