@@ -1427,8 +1427,9 @@ def schema_changes(
 def rollback(
     spark: SparkSession,
     path: str,
-    version: int,
+    version: int | None = None,
     expected_parent: int | None = None,
+    timestamp: float | None = None,
 ) -> int:
     """Commit a NEW version whose visible file set is ``version``'s —
     time travel made durable without rewriting history (the bad
@@ -1441,7 +1442,18 @@ def rollback(
     table moved under them pass ``expected_parent`` (the latest
     version they observed): the rollback then raises
     :class:`ConflictError` if any commit landed past it — the same
-    optimistic check ``commit(mode="overwrite")`` applies."""
+    optimistic check ``commit(mode="overwrite")`` applies.
+
+    ``timestamp`` (epoch seconds, mutually exclusive with ``version``)
+    restores the snapshot that was current at that moment, resolved
+    through :func:`version_at` — ``RESTORE TABLE ... TO TIMESTAMP
+    AS OF``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at(path, timestamp)
+    if version is None:
+        raise ValueError("rollback needs a version or a timestamp")
     man = _snapshot(path, version)  # rollback restores the FULL set
     if man is None:
         raise FileNotFoundError(f"version {version} of {path!r} not found")
@@ -1826,6 +1838,7 @@ def compact_files(
     path: str,
     target_bytes: int = DEFAULT_OPTIMIZE_TARGET_BYTES,
     min_bytes: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int | None, int, int]:
     """INCREMENTAL compaction: rewrite only the snapshot's small files
     (< ``min_bytes``, default ``target_bytes // 2``) into
@@ -1877,7 +1890,25 @@ def compact_files(
         return None, 0, 0
     df = _scan_files(spark, cur0[1], small)
     n_out = max(1, math.ceil(total / target_bytes))
-    new_files, new_stats = _write_data(spark, df.coalesce(n_out), path)
+    if zorder_by:
+        # cluster the rewrite like optimize() does — the bin-packed
+        # files come out with TIGHT per-file stats, so read_where
+        # skipping improves as a side effect of routine maintenance
+        from pyspark.sql import functions as F
+
+        from integritychecksforvldbs_spark.sources.maintenance import (
+            zorder_key,
+        )
+
+        df = (
+            df.withColumn("__zorder", zorder_key(df, zorder_by))
+            .repartitionByRange(n_out, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+    else:
+        df = df.coalesce(n_out)
+    new_files, new_stats = _write_data(spark, df, path)
     v = _commit_replace(
         path, cur0[0], cur0[1], set(small), new_files, new_stats,
         mode="replace", data_change=False, commute_with_appends=True,

@@ -215,3 +215,33 @@ def test_stream_survives_full_optimize_and_compact(spark, dribbled):
     assert got == pre | post  # original files + the new append only
     # and the feed across both rewrites is empty
     assert versioned.changes(spark, path, 6, v_cmp).count() == 0
+
+
+def test_compact_files_zorder_tightens_stats(spark, tmp_path):
+    """Clustered incremental compaction: the bin-packed files come
+    out range-disjoint on the z-order key, so manifest-stats pruning
+    starts skipping where the dribbled layout could not."""
+    path = str(tmp_path / "tbl")
+    # shuffled dribble: every small file spans ~the full key range
+    for i in range(6):
+        versioned.commit(
+            spark,
+            spark.range(0, 600).filter(f"id % 6 = {i}")
+            .select(F.col("id").alias("k")).coalesce(1),
+            path,
+        )
+    man_before = versioned._resolve_manifest(path, None)
+    _, skipped_before = versioned._prune_manifest_files(
+        man_before, {"k": (0, 49)}
+    )
+    v, rewritten, added = versioned.compact_files(
+        spark, path, min_bytes=1 << 30, zorder_by=["k"],
+        target_bytes=1,  # force multiple output files to band
+    )
+    assert rewritten == 6 and added >= 2
+    man_after = versioned._resolve_manifest(path, None)
+    _, skipped_after = versioned._prune_manifest_files(
+        man_after, {"k": (0, 49)}
+    )
+    assert len(skipped_after) > len(skipped_before)
+    assert versioned.read(spark, path).count() == 600

@@ -165,3 +165,18 @@ def test_replayed_batch_pins_floor_for_later_caps(spark, tmp_path):
     r.partitions({"version": 5}, {"version": 6})
     # subsequent triggers cap from that floor, never below it
     assert r.latestOffset() == {"version": 8}
+
+
+def test_rollback_to_timestamp(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 3), path)
+    t1 = time.time()
+    time.sleep(0.05)
+    versioned.commit(spark, _mk(spark, 3, 6), path)
+    v = versioned.rollback(spark, path, timestamp=t1)
+    assert v == 3
+    assert _ks(versioned.read(spark, path)) == [0, 1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        versioned.rollback(spark, path, version=1, timestamp=t1)
+    with pytest.raises(ValueError, match="needs a version"):
+        versioned.rollback(spark, path)
