@@ -1920,6 +1920,60 @@ def compact_files(
     return v, len(small), len(new_files)
 
 
+def clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """SHALLOW CLONE: create ``dst_path`` as a new versioned table
+    whose first commit REFERENCES the source snapshot's data files —
+    zero data copied, metadata-only, O(manifest) regardless of table
+    size (the Delta ``CREATE TABLE ... SHALLOW CLONE`` primitive; the
+    zero-copy branch a 100 TB experimentation workflow needs).
+
+    The clone is independent from its first commit on: appends, DML,
+    compaction and constraints on either table never touch the other
+    (writes land under each table's own ``data/`` root, and a clone's
+    replace commits merely UN-reference source files — ``vacuum`` on
+    the clone walks only the clone's data root, so it can never delete
+    source bytes).  CAVEAT, same as Delta's: ``vacuum`` on the SOURCE
+    does not know about clones, so expiring source versions can
+    reclaim files a clone still references — clone from snapshots the
+    source retains, or re-materialize (``optimize``) the clone to own
+    its data."""
+    if _versions(dst_path):
+        raise FileExistsError(f"{dst_path!r} already has a version log")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at(src_path, timestamp)
+    man = _resolve_manifest(src_path, version)
+    import time
+
+    os.makedirs(_vdir(dst_path), exist_ok=True)
+    body = {
+        "version": 1,
+        "mode": "clone",
+        "files": list(man["files"]),
+        "stats": dict(man.get("stats") or {}),
+        "parent": None,
+        "committed_at": time.time(),
+        "constraints": dict(man.get("constraints") or {}),
+        "schema": man.get("schema"),
+        "schema_json": man.get("schema_json"),
+        "cloned_from": src_path,
+        "cloned_version": int(man["version"]),
+    }
+    if not _install_manifest(dst_path, 1, body):
+        raise ConflictError(
+            f"clone lost the v1 race at {dst_path!r} — another writer "
+            "is creating the same table"
+        )
+    return 1
+
+
 def versioned_batch_sink(table_path: str, mode: str = "append"):
     """``foreachBatch`` writer committing each micro-batch into a
     versioned table, exactly-once via the version log itself: the

@@ -321,6 +321,8 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "stream's checkpoint?"
                 )
             mode = man.get("mode", "")
+            if mode == "clone":
+                mode = "append"  # a clone's v1 is a pure initial load
             if man.get("data_change") is False:
                 # layout maintenance (incremental compaction): the
                 # rewritten files hold rows ALREADY emitted from the

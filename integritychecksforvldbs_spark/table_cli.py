@@ -357,6 +357,15 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "versioned-clone",
+        help="zero-copy SHALLOW CLONE of a snapshot into a new table",
+    )
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--timestamp", type=float, default=None)
+
+    p = sub.add_parser(
         "versioned-constraints",
         help="show or replace the table's CHECK constraints",
     )
@@ -720,6 +729,17 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "versioned-vacuum",
             "dry_run": args.dry_run,
             "removed_paths": removed,
+        }
+    elif args.cmd == "versioned-clone":
+        from .sources import versioned
+
+        versioned.clone(
+            spark, args.src, args.dst,
+            version=args.version, timestamp=args.timestamp,
+        )
+        summary = {
+            "cmd": "versioned-clone", "dst": args.dst,
+            "n_rows": versioned.row_count(spark, args.dst),
         }
     elif args.cmd == "versioned-constraints":
         from .sources import versioned
