@@ -334,28 +334,105 @@ def version_at(path: str, timestamp: float) -> int:
     """``TIMESTAMP AS OF``: the highest version committed at or before
     ``timestamp`` (epoch seconds).  Raises when the table's FIRST
     retained commit is already later — there is no snapshot to hold
-    (mirrors Delta's earliest-version error after vacuum)."""
-    best = None
-    for v in _versions(path):
+    (mirrors Delta's earliest-version error after vacuum).
+
+    Walks the log NEWEST-FIRST and stops at the first version whose
+    ``committed_at`` is at or before the timestamp: commit times are
+    appended by ``time.time()`` at install, so they ascend with the
+    version number (modulo clock skew between concurrent committers,
+    the same tolerance Delta's timestamp resolution accepts) — the
+    lookup reads O(versions-after-timestamp) manifests instead of
+    JSON-parsing the whole log on every ``TIMESTAMP AS OF``."""
+    for v in reversed(_versions(path)):
         man = _read_manifest(path, v)
         if man is None:
             continue
         ts = _committed_at(path, v, man)
         if ts is not None and ts <= timestamp:
-            best = v
-    if best is None:
-        raise FileNotFoundError(
-            f"no version of {path!r} committed at or before "
-            f"{timestamp} (vacuumed, or the table is younger)"
-        )
-    return best
+            return v
+    raise FileNotFoundError(
+        f"no version of {path!r} committed at or before "
+        f"{timestamp} (vacuumed, or the table is younger)"
+    )
+
+
+_LATEST_HINT = "_latest"
+
+
+def _write_latest_hint(path: str, v: int) -> None:
+    """Best-effort ``_last_checkpoint``-style pointer written after
+    every successful commit: one GET resolves the latest version
+    instead of LISTing the whole log directory (an unbounded LIST per
+    read on an object store, bounded only by vacuum).  Correctness
+    NEVER depends on it — a racing writer may leave it stale-low (the
+    reader probes forward from it), and a missing/corrupt pointer
+    falls back to the full listing.  It can never be stale-high:
+    it is written only after the version it names is installed, and
+    vacuum never removes the retained tip."""
+    b = _backend_for(path)
+    try:
+        if b is not None:
+            b.put(_LATEST_HINT, {"version": int(v)})
+            return
+        vd = _vdir(path)
+        tmp = os.path.join(vd, f".tmp-latest-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"version": int(v)}, f)
+        os.replace(tmp, os.path.join(vd, _LATEST_HINT + ".json"))
+    except OSError:
+        pass  # a hint that failed to write is just a missing hint
+
+
+def _read_latest_hint(path: str) -> int | None:
+    b = _backend_for(path)
+    if b is not None:
+        rec = b.get(_LATEST_HINT)
+        if rec is None or not rec.payload:
+            return None
+        try:
+            return int(rec.payload["version"])
+        except (KeyError, TypeError, ValueError):
+            return None
+    try:
+        with open(os.path.join(_vdir(path), _LATEST_HINT + ".json")) as f:
+            return int(json.load(f)["version"])
+    except (OSError, json.JSONDecodeError, KeyError, TypeError, ValueError):
+        return None
 
 
 def _latest_committed(path: str) -> tuple[int, dict] | None:
     """Highest version whose manifest exists, FOLDED to its snapshot
     view (``files``/``stats`` always materialized).  Atomic installs
     make every listed ``vN.json`` complete; a legacy bodyless ``vN/``
-    dir holds its number but commits nothing and is skipped."""
+    dir holds its number but commits nothing and is skipped.
+
+    Resolution order: the ``_latest`` pointer (one GET) plus a bounded
+    forward probe over slots committed after the pointer was written —
+    stepping over legacy corpse dirs exactly like :func:`_next_claim`
+    — with the full directory listing only as the fallback for tables
+    that predate the pointer (or whose pointer write was lost)."""
+    hint = _read_latest_hint(path)
+    if hint is not None:
+        man = _read_manifest(path, hint)
+        if man is not None:
+            v, best = hint, man
+            probe = v + 1
+            fs = _backend_for(path) is None
+            while True:
+                m2 = _read_manifest(path, probe)
+                if m2 is not None:
+                    v, best = probe, m2
+                elif not (
+                    fs
+                    and os.path.isdir(
+                        os.path.join(_vdir(path), _vname(probe))
+                    )
+                ):
+                    break  # no artifact at all: nothing committed past v
+                probe += 1  # committed, or a corpse slot: keep probing
+            return v, _fold(path, best)
+        # hint names a version with no manifest (externally damaged
+        # log, or a unit test hand-pruned it): distrust it entirely
     for v in reversed(_versions(path)):
         man = _read_manifest(path, v)
         if man is not None:
@@ -715,6 +792,7 @@ def _commit_replace(
                 "remove_files": sorted(removed),
             }
         if _install_manifest(path, nxt, body):
+            _write_latest_hint(path, nxt)
             return nxt
     return None
 
@@ -889,6 +967,7 @@ def commit(
             }
         installed = _install_manifest(path, nxt, body)
         if installed:
+            _write_latest_hint(path, nxt)
             return nxt
         # lost the race — re-base (append) or re-check (overwrite)
     raise ConflictError(
@@ -1368,7 +1447,17 @@ def history(path: str) -> list[VersionInfo]:
                 - len(man.get("remove_files") or ())
             )
         else:  # base expired below the retained horizon: full fold
-            n = len(_fold(path, man)["files"])
+            try:
+                n = len(_fold(path, man)["files"])
+            except FileNotFoundError:
+                # an expired delta whose chain no longer resolves —
+                # residue of a vacuum interrupted mid-expiry (pre-r9
+                # ascending deletes could drop a base before its
+                # delta).  It is below the retention horizon by
+                # construction, so skip it rather than bricking every
+                # history()/vacuum() call forever; the next vacuum
+                # removes the orphan manifest itself.
+                continue
         counts[v] = n
         out.append(
             VersionInfo(
@@ -1490,6 +1579,7 @@ def rollback(
             },
         )
         if installed:
+            _write_latest_hint(path, nxt)
             return nxt
     raise ConflictError(f"rollback of {path!r} lost every CAS race")
 
@@ -1971,6 +2061,7 @@ def clone(
             f"clone lost the v1 race at {dst_path!r} — another writer "
             "is creating the same table"
         )
+    _write_latest_hint(dst_path, 1)
     return 1
 
 
@@ -2112,9 +2203,24 @@ def vacuum(
             removed.append(fp)
     if dry_run:
         return removed  # report-only: no manifest or litter removal
-    for v in hist:
+    # expire manifests NEWEST-FIRST: a delta body is always removed
+    # before the base it folds through, so a crash (or a concurrent
+    # history()/vacuum() reader) at ANY intermediate state leaves only
+    # chains that still resolve — ascending order could delete a
+    # delta's base first, and the surviving orphan delta would brick
+    # every later history()/vacuum() with FileNotFoundError until
+    # someone hand-repaired the log
+    for v in reversed(hist):
         if v not in retained:
             _remove_manifest(path, v)
+    if retained:
+        # manifests below the retained floor that history() no longer
+        # reports — orphan deltas whose chain an interrupted pre-r9
+        # vacuum broke — are expired residue; remove them so cleanup
+        # converges instead of littering forever
+        for v in _versions(path):
+            if v < retained[0]:
+                _remove_manifest(path, v)
     # crashed-committer residue, age-guarded (a slow committer may
     # still be mid-install): stale .tmp manifest bodies that never
     # linked into place, and legacy bodyless claim DIRS below the
