@@ -507,6 +507,49 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via DELETION VECTORS (versioned.py
+    delete_where(strategy="dv"), r9): every 501st order dies as a
+    positional-delete sidecar — the commit adds/removes NO data files
+    (asserted on the raw manifest), the read path anti-filters the
+    dead positions, and the latest snapshot aggregates to the oracle's
+    ``WHERE o_orderkey % 501 <> 0``.  The write-amplification fix the
+    r8 verdict ranked #1: a point delete writes O(deleted-row islands)
+    sidecar bytes instead of rewriting every touched file (Delta
+    DV / Iceberg positional-delete discipline, public designs;
+    reference parity: SQL Server gives the reference row-granular
+    DELETE natively — DIC's engine delegates storage, this format
+    needs DVs to match it)."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_dv_delete")
+    if versioned._read_manifest(path, 2) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        versioned.commit(spark, orders, path)
+        v, n = versioned.delete_where(
+            spark, path, "o_orderkey % 501 = 0", strategy="dv"
+        )
+        raw = versioned._read_manifest(path, v)
+        assert v == 2 and n > 0
+        assert raw.get("add_files") == [] and raw.get("remove_files") == []
+        assert versioned.dv_info(path)  # sidecars, not rewrites
+    return _orders_priority_agg(versioned.read(spark, path))
+
+
+_VERSIONED_DV_DELETE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 501 <> 0
+GROUP BY o_orderpriority
+"""
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2880,9 +2923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["skew_profile_lineitem"] = lambda spark, sf: profile.key_skew_profile(
         _load(spark, sf, "lineitem"), ["l_orderkey"]
     )
-    out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
-        _load(spark, sf, "orders"), ["o_custkey"], k=20
-    )
 
     # ---- relational operator families (§2.2-2.7) ---------------- 10-24
     out["agg_pricing_summary"] = _q_agg_pricing
@@ -2908,7 +2948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["props_parse"] = _q_props_parse
     out["window_suite"] = _q_window_suite
     out["set_ops_suite"] = _q_set_ops_suite
-    out["grouping_sets_pricing"] = _q_grouping_sets
 
     # ---- dedup kernels (north star) ------------------------------ 25-30
     # twin-injected corpus so the gate verifies real duplicate groups
@@ -3000,8 +3039,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (mini-lakehouse) family, gated by its MERGE query
     out["multimodal_png_roundtrip"] = _q_multimodal_png
     out["versioned_merge_customers"] = _q_versioned_merge
+    # r9 rotations: the round's flagship file-scoped-DML surface joins
+    # the head (VERDICT r8 next-round #8) — versioned_update_where
+    # (replace-delta UPDATE) and versioned_dv_delete (merge-on-read
+    # deletion vectors, the r9 headline).  Freed slots:
+    # heavy_hitters_orders (profiling family still gated by
+    # profile_documents + skew_profile_lineitem) and
+    # grouping_sets_pricing (grouping-analytics family still gated by
+    # pricing_cube — CUBE is grouping sets); both stay registered
+    # below the cap.
+    out["versioned_update_where"] = _q_versioned_update_where
+    out["versioned_dv_delete"] = _q_versioned_dv_delete
 
     # ================= past the 50-row driver cap =================
+    out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
+        _load(spark, sf, "orders"), ["o_custkey"], k=20
+    )
+    out["grouping_sets_pricing"] = _q_grouping_sets
     out["antijoin_segments"] = _q_antijoin_segments
     out["search_bm25_refreshed"] = _q_search_bm25_refreshed
     out["curation_chunk_dedup"] = lambda spark, sf: curation.chunk_dedup(
@@ -3480,8 +3534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # TIMESTAMP AS OF resolution end-to-end: v1's recorded commit
     # time resolves back to v1's snapshot (r8)
     out["versioned_time_travel_ts"] = _q_versioned_time_travel_ts
-    # file-scoped UPDATE as a replace delta (r8)
-    out["versioned_update_where"] = _q_versioned_update_where
     # commit-time CHECK constraints: violating append refused (r8)
     out["versioned_constrained_append"] = _q_versioned_constrained_append
     return out
@@ -3864,6 +3916,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     # TIMESTAMP AS OF v1's commit time == v1's snapshot
     out["versioned_time_travel_ts"] = _VERSIONED_TT_ORACLE
     out["versioned_update_where"] = _VERSIONED_UPDATE_ORACLE
+    out["versioned_dv_delete"] = _VERSIONED_DV_DELETE_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE
     return out

@@ -286,18 +286,26 @@ def _fold(path: str, man: dict) -> dict:
         chain.append(base)
     files = list(base["files"])
     stats = dict(base.get("stats") or {})
+    dvs = dict(base.get("dvs") or {})
     for d in reversed(chain[:-1]):
         rm = set(d.get("remove_files") or ())
         if rm:
             files = [f for f in files if f not in rm]
+            for f in rm:
+                dvs.pop(f, None)  # a removed file takes its DV with it
         files = files + list(d["add_files"])
         stats.update(d.get("add_stats") or {})
+        # a DML's new DV entry SUPERSEDES the file's old one (it holds
+        # the full union of dead positions, not an increment)
+        dvs.update(d.get("add_dvs") or {})
     top = dict(man)
     top.pop("add_files", None)
     top.pop("add_stats", None)
+    top.pop("add_dvs", None)
     top.pop("delta_base", None)
     top["files"] = files
     top["stats"] = {f: stats[f] for f in files if f in stats}
+    top["dvs"] = {f: dvs[f] for f in files if f in dvs}
     return top
 
 
@@ -721,6 +729,7 @@ def _commit_replace(
     data_change: bool,
     extra: dict | None = None,
     commute_with_appends: bool = False,
+    new_dvs: dict | None = None,
 ) -> int | None:
     """Install a REPLACE commit (``removed`` swapped for
     ``new_files``) on top of EXACTLY ``base_v``; ``None`` when any
@@ -730,12 +739,21 @@ def _commit_replace(
     must see).  Body is a delta off ``base_v`` (O(swap) metadata), or
     the folded full snapshot at checkpoint versions.
 
+    ``new_dvs`` (merge-on-read DML): deletion-vector entries
+    ``{file: {"path", "n"}}`` this commit installs — each SUPERSEDES
+    the file's previous entry (it holds the full dead-position union).
+
     ``commute_with_appends``: layout-only swaps (incremental
     compaction) change no rows, so a racing commit that still holds
     every file being rewritten commutes — the install re-bases in
     place instead of returning None; a race that REMOVED one of them
     raises (swapping files a concurrent commit already dropped would
-    resurrect their rows)."""
+    resurrect their rows), and so does one that changed a rewritten
+    file's DELETION VECTOR (the rewrite materialized the old live set;
+    swapping it in would resurrect the newly dead rows)."""
+    orig_dvs = {
+        f: (base_man.get("dvs") or {}).get(f) for f in removed
+    }
     os.makedirs(_vdir(path), exist_ok=True)
     for _ in range(_MAX_COMMIT_RETRIES):
         cur = _latest_committed(path)
@@ -749,6 +767,14 @@ def _commit_replace(
                 raise ConflictError(
                     f"replace of {path!r} raced a commit that removed "
                     f"{len(gone)} of the files being rewritten; re-run"
+                )
+            cur_dvs = cur[1].get("dvs") or {}
+            drift = [f for f in removed if cur_dvs.get(f) != orig_dvs[f]]
+            if drift:
+                raise ConflictError(
+                    f"replace of {path!r} raced a DML that changed the "
+                    f"deletion vector of {len(drift)} of the files being "
+                    "rewritten; re-run"
                 )
             base_v, base_man = cur  # the swap commutes: re-base here
         nxt = _next_claim(path, base_v)
@@ -778,10 +804,17 @@ def _commit_replace(
                 f for f in base_man["files"] if f not in removed
             ] + new_files
             stats = {**(base_man.get("stats") or {}), **new_stats}
+            dvs = {
+                f: e
+                for f, e in (base_man.get("dvs") or {}).items()
+                if f not in removed
+            }
+            dvs.update(new_dvs or {})
             body = {
                 **meta,
                 "files": files,
                 "stats": {f: stats[f] for f in files if f in stats},
+                "dvs": {f: dvs[f] for f in files if f in dvs},
             }
         else:
             body = {
@@ -791,6 +824,8 @@ def _commit_replace(
                 "add_stats": new_stats,
                 "remove_files": sorted(removed),
             }
+            if new_dvs:
+                body["add_dvs"] = new_dvs
         if _install_manifest(path, nxt, body):
             _write_latest_hint(path, nxt)
             return nxt
@@ -810,37 +845,175 @@ def _scan_files(
     return spark.read.parquet(*files)
 
 
+def _dvs_for(man: dict, files: list[str]) -> dict[str, dict]:
+    """The manifest's DV entries restricted to ``files``."""
+    dvs = man.get("dvs") or {}
+    if not dvs:
+        return {}
+    fset = set(files)
+    return {f: e for f, e in dvs.items() if f in fset}
+
+
+def _scan_live(
+    spark: SparkSession, man: dict, files: list[str] | None = None
+) -> DataFrame:
+    """:func:`_scan_files` minus the rows the snapshot's deletion
+    vectors mark dead — the LIVE view every semantic operation
+    (reads, DML probes and rewrites, constraint validation,
+    compaction) must see; a snapshot without DVs pays nothing."""
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        apply_dvs,
+    )
+
+    files = man["files"] if files is None else files
+    return apply_dvs(
+        spark, _scan_files(spark, man, files), _dvs_for(man, files)
+    )
+
+
+def _scan_live_pos(
+    spark: SparkSession,
+    man: dict,
+    files: list[str] | None = None,
+) -> tuple[DataFrame, str, str]:
+    """The live scan PLUS each row's physical address: returns
+    ``(df, fcol, rcol)`` where ``fcol`` is the canonicalized file path
+    and ``rcol`` the row index within it — what the merge-on-read DML
+    write path marks rows by.  Column names are collision-proofed
+    against the table schema."""
+    from integritychecksforvldbs_spark.sources import deletion_vectors as dv
+
+    files = man["files"] if files is None else files
+    df = _scan_files(spark, man, files)
+    fcol, rcol = "__icv_dv_file", "__icv_dv_pos"
+    while fcol in df.columns:
+        fcol += "_"
+    while rcol in df.columns:
+        rcol += "_"
+    df = dv.scan_with_position(df, fcol, rcol)
+    df = dv.anti_join_positions(
+        spark, df, _dvs_for(man, files), fcol, rcol
+    )
+    return df, fcol, rcol
+
+
 def _touched_files(
     spark: SparkSession, man: dict, mark
 ) -> tuple[list[str], "DataFrame"]:
-    """(manifest paths of the files holding any row ``mark`` selects,
-    the schema-planned scan of the snapshot).  ``mark`` is a callable
-    DataFrame→DataFrame returning the matching rows — a filter for
-    DELETE/UPDATE, a key semi-join for MERGE.  The probe projects only
-    ``input_file_name()`` after the mark, so Catalyst prunes columns
-    and pushes filters into every footer — at 100 TB on a clustered
-    layout this touches the predicate's row groups, not the table."""
+    """(manifest paths of the files holding any LIVE row ``mark``
+    selects, the schema-planned scan of the snapshot).  ``mark`` is a
+    callable DataFrame→DataFrame returning the matching rows — a
+    filter for DELETE/UPDATE, a key semi-join for MERGE.  The probe
+    projects only the file column after the mark, so Catalyst prunes
+    columns and pushes filters into every footer — at 100 TB on a
+    clustered layout this touches the predicate's row groups, not the
+    table.  Rows a deletion vector already marks dead never count as
+    matches (they are not in the table)."""
     from integritychecksforvldbs_spark.operators.kernels import (
         _canon_file_path,
-        _canon_file_path_expr,
     )
 
-    df = _scan_files(spark, man)
     canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
-    # collision-proof probe column: withColumn REPLACES an existing
-    # column, so a fixed name would silently shadow a real table
-    # column of that name inside ``mark``'s predicate
-    fcol = "__icv_probe_file"
-    while fcol in df.columns:
-        fcol += "_"
-    probe = df.withColumn(fcol, _canon_file_path_expr())
+    probe, fcol, _rcol = _scan_live_pos(spark, man)
     hit = mark(probe).select(fcol).distinct().collect()
     touched = sorted(
         canon_to_manifest[r[fcol]]
         for r in hit
         if r[fcol] in canon_to_manifest
     )
-    return touched, df
+    return touched, _scan_files(spark, man)
+
+
+# fraction of the touched files' live rows above which the auto DML
+# strategy prefers rewriting the files over growing deletion vectors:
+# a DV read costs an anti-join forever after, so marking most of a
+# file dead is worse than materializing the survivors once — the same
+# small-change / large-change split Delta draws
+DV_MAX_FRACTION = 0.2
+
+
+def _live_rows_estimate(man: dict, files: list[str]) -> int | None:
+    """LIVE row count of ``files`` from manifest metadata alone
+    (physical stats minus DV dead counts); None when any file was
+    never censused — the caller falls back to counting the scan."""
+    stats = man.get("stats") or {}
+    dvs = man.get("dvs") or {}
+    total = 0
+    for f in files:
+        ent = stats.get(f)
+        if ent is None:
+            return None
+        total += int(ent["n_rows"])
+        if f in dvs:
+            total -= int(dvs[f]["n"])
+    return total
+
+
+def _fold_dv_entries(
+    path: str, man: dict, ranges_new: dict[str, list[list[int]]]
+) -> tuple[set[str], dict[str, dict]]:
+    """Turn a DML's per-file dead-position ranges (keyed by CANONICAL
+    path, as :func:`~.deletion_vectors.matched_ranges` returns them)
+    into commit inputs against snapshot ``man``: each file's new
+    ranges union with its existing DV, a file whose union covers every
+    physical row is FULLY DEAD (dropped from the file list — no DV
+    needed, and vacuum reclaims its bytes), the rest get superseding
+    DV artifacts written.  Returns ``(removed_files, add_dvs)``."""
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+    )
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        merge_ranges,
+        ranges_count,
+        read_dv_ranges,
+        write_dv,
+    )
+
+    canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
+    stats = man.get("stats") or {}
+    dvs = man.get("dvs") or {}
+    removed: set[str] = set()
+    add_dvs: dict[str, dict] = {}
+    for canon, rs in ranges_new.items():
+        mf = canon_to_manifest.get(canon)
+        if mf is None:
+            continue  # defensive: a path the snapshot does not hold
+        old = read_dv_ranges(dvs[mf]) if mf in dvs else []
+        union = merge_ranges(old, rs)
+        n = ranges_count(union)
+        phys = (stats.get(mf) or {}).get("n_rows")
+        if phys is not None and n >= int(phys):
+            removed.add(mf)
+        else:
+            add_dvs[mf] = write_dv(path, canon, union)
+    return removed, add_dvs
+
+
+def _use_dv(
+    strategy: str,
+    n_matched: int,
+    live_df: DataFrame,
+    man: dict,
+    touched: list[str],
+) -> bool:
+    """Copy-vs-DV decision: explicit strategies win; ``auto`` takes
+    the merge-on-read path when the matched rows are a small fraction
+    of the touched files' LIVE rows (metadata-only when stats allow,
+    one count otherwise)."""
+    if strategy == "dv":
+        return True
+    if strategy == "copy":
+        return False
+    if strategy != "auto":
+        raise ValueError(
+            f"strategy must be auto/dv/copy, got {strategy!r}"
+        )
+    if n_matched == 0:
+        return False
+    live = _live_rows_estimate(man, touched)
+    if live is None:
+        live = live_df.count()
+    return n_matched <= DV_MAX_FRACTION * live
 
 
 def commit(
@@ -958,12 +1131,15 @@ def commit(
             # (immutable files, immutable stats)
             if mode == "overwrite" or cur is None:
                 stats = new_stats
+                dvs = {}
             else:
                 stats = {**(cur[1].get("stats") or {}), **new_stats}
+                dvs = dict(cur[1].get("dvs") or {})
             body = {
                 **meta,
                 "files": files,
                 "stats": {f: stats[f] for f in files if f in stats},
+                "dvs": {f: dvs[f] for f in files if f in dvs},
             }
         installed = _install_manifest(path, nxt, body)
         if installed:
@@ -1058,6 +1234,14 @@ def constraints(path: str, version: int | None = None) -> dict[str, str]:
     return dict(_resolve_manifest(path, version).get("constraints") or {})
 
 
+def dv_info(path: str, version: int | None = None) -> dict[str, dict]:
+    """Deletion-vector entries of a snapshot — ``{data_file: {"path":
+    sidecar, "n": dead_rows}}`` (empty for a fully-materialized
+    snapshot).  The observability hook DV tests, the table CLI, and
+    maintenance policy ("compact when Σn/Σrows crosses X") read."""
+    return dict(_resolve_manifest(path, version).get("dvs") or {})
+
+
 def set_constraints(
     spark: SparkSession, path: str, new: dict[str, str]
 ) -> int:
@@ -1075,7 +1259,9 @@ def set_constraints(
             raise FileNotFoundError(f"no committed version under {path!r}")
         base_v, man = cur
         if new and man["files"]:
-            bad = _violations(_scan_files(spark, man), new)
+            # validate the LIVE rows: positions a deletion vector
+            # already killed are not part of the table's data
+            bad = _violations(_scan_live(spark, man), new)
             if bad:
                 detail = ", ".join(
                     f"{n!r} ({c} rows)" for n, c in sorted(bad.items())
@@ -1134,10 +1320,18 @@ def read(
             raise FileNotFoundError(f"version {version} of {path!r} not found")
     if not man["files"]:
         raise ValueError(f"version {man['version']} of {path!r} is empty")
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        apply_dvs,
+    )
+
     sch = _manifest_schema(man)
     if sch is not None:
-        return spark.read.schema(sch).parquet(*man["files"])
-    return load_table(spark, *man["files"])
+        df = spark.read.schema(sch).parquet(*man["files"])
+    else:
+        df = load_table(spark, *man["files"])
+    # merge-on-read: rows the snapshot's deletion vectors mark dead
+    # are anti-filtered here (no DVs → df unchanged, no plan overhead)
+    return apply_dvs(spark, df, man.get("dvs") or {})
 
 
 def _resolve_manifest(path: str, version: int | None) -> dict:
@@ -1188,6 +1382,9 @@ def row_count(
             sc = spark.sparkContext
             slices = min(len(missing), sc.defaultParallelism * 2)
             total += sc.parallelize(missing, slices).map(_n).sum()
+    # merge-on-read: physical rows minus the deletion vectors' dead
+    # counts (recorded in the manifest entry — still no data-file IO)
+    total -= sum(int(e["n"]) for e in (man.get("dvs") or {}).values())
     return total
 
 
@@ -1199,7 +1396,11 @@ def stats_summary(
     operator deciding broadcast-ability) wants without a scan.
     ``ok=False`` when ANY visible file lacks trustworthy stats for the
     column: the folded bounds are then only what the censused subset
-    proves, never presented as table truth."""
+    proves, never presented as table truth.  Stats are PHYSICAL-file
+    facts: on a snapshot with deletion vectors they include the dead
+    rows, so min/max/null counts are conservative envelopes of the
+    live data (exactly Delta's stance) — pruning stays sound, exact
+    aggregates come from the live scan."""
     from integritychecksforvldbs_spark.sources.zonemap import _lt
 
     man = _resolve_manifest(path, version)
@@ -1284,15 +1485,23 @@ def read_where(
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        apply_dvs,
+    )
+
     if not kept:
         if sch is None:
             return _residual(read(spark, path, version)).limit(0)
         return spark.createDataFrame([], sch)
     if sch is not None:
-        return _residual(spark.read.schema(sch).parquet(*kept))
-    from integritychecksforvldbs_spark.sources.loader import load_table
+        scan = spark.read.schema(sch).parquet(*kept)
+    else:
+        from integritychecksforvldbs_spark.sources.loader import load_table
 
-    return _residual(load_table(spark, *kept))
+        scan = load_table(spark, *kept)
+    # DV anti-filter before the residual: stats prune whole files, the
+    # deletion vectors remove the surviving files' dead rows
+    return _residual(apply_dvs(spark, scan, _dvs_for(man, kept)))
 
 
 DEFAULT_OPTIMIZE_TARGET_BYTES = 128 * 1024 * 1024
@@ -1385,18 +1594,29 @@ def changes(
     ``exceptAll`` between the entered and left files, so a rewrite
     that re-emits identical rows (compaction, z-order) yields an
     EMPTY feed — layout maintenance is invisible to downstream
-    consumers, exactly as it should be."""
+    consumers, exactly as it should be.
+
+    Deletion vectors: each side's dead rows are anti-filtered before
+    the diff, and files present in BOTH snapshots whose DV changed
+    contribute their newly-dead positions as ``'delete'`` rows (a
+    merge-on-read DELETE's feed) — or newly-LIVE positions as
+    ``'insert'`` rows (a rollback across a DV delete restores them).
+    Cost still scales with the change: only the DV-changed files are
+    scanned, semi-joined against the position diff."""
     from pyspark.sql import functions as F
 
+    from integritychecksforvldbs_spark.sources import (
+        deletion_vectors as dvmod,
+    )
     from integritychecksforvldbs_spark.sources.loader import load_table
 
-    def _files(v: int) -> list[str]:
+    def _man(v: int) -> dict | None:
         if v == 0:
-            return []
+            return None
         man = _snapshot(path, v)
         if man is None:
             raise FileNotFoundError(f"version {v} of {path!r} not found")
-        return man["files"]
+        return man
 
     if to_version is None:
         cur = _latest_committed(path)
@@ -1407,21 +1627,74 @@ def changes(
         raise ValueError(
             f"from_version {from_version} is past to_version {to_version}"
         )
-    f_from, f_to = set(_files(from_version)), set(_files(to_version))
+    man_from, man_to = _man(from_version), _man(to_version)
+    files_from = man_from["files"] if man_from else []
+    files_to = man_to["files"] if man_to else []
+    dv_from = (man_from.get("dvs") or {}) if man_from else {}
+    dv_to = (man_to.get("dvs") or {}) if man_to else {}
+    f_from, f_to = set(files_from), set(files_to)
     entered = sorted(f_to - f_from)
     left = sorted(f_from - f_to)
-    if not entered and not left:
+    # files visible in both snapshots whose deletion vector differs
+    dv_changed = sorted(
+        f for f in (f_from & f_to) if dv_from.get(f) != dv_to.get(f)
+    )
+    if not entered and not left and not dv_changed:
         base = read(spark, path, version=to_version).limit(0)
         return base.withColumn("_change_type", F.lit("insert")).limit(0)
     none = None  # schema donor when one side has no files
-    df_in = load_table(spark, *entered) if entered else none
-    df_out = load_table(spark, *left) if left else none
+    df_in = (
+        dvmod.apply_dvs(
+            spark, load_table(spark, *entered), _dvs_for(man_to, entered)
+        )
+        if entered
+        else none
+    )
+    df_out = (
+        dvmod.apply_dvs(
+            spark, load_table(spark, *left), _dvs_for(man_from, left)
+        )
+        if left
+        else none
+    )
+    donor = df_in if df_in is not None else df_out
+    if donor is None:  # pure DV change: donate schema from the tip
+        donor = read(spark, path, version=to_version).limit(0)
     if df_in is None:
-        df_in = df_out.limit(0)
+        df_in = donor.limit(0)
     if df_out is None:
-        df_out = df_in.limit(0)
+        df_out = donor.limit(0)
     inserts = df_in.exceptAll(df_out)
     deletes = df_out.exceptAll(df_in)
+    if dv_changed:
+        raw = load_table(spark, *dv_changed)
+        fcol, rcol = "__icv_dv_file", "__icv_dv_pos"
+        while fcol in raw.columns:
+            fcol += "_"
+        while rcol in raw.columns:
+            rcol += "_"
+        raw = dvmod.scan_with_position(raw, fcol, rcol)
+        pos_from = dvmod.positions_df(
+            spark, _dvs_for(man_from, dv_changed) if man_from else {}
+        )
+        pos_to = dvmod.positions_df(
+            spark, _dvs_for(man_to, dv_changed) if man_to else {}
+        )
+
+        def _rows_at(pos: DataFrame) -> DataFrame:
+            cond = (raw[fcol] == pos["__dv_file"]) & (
+                raw[rcol] == pos["__dv_pos"]
+            )
+            return raw.join(F.broadcast(pos), cond, "left_semi").drop(
+                fcol, rcol
+            )
+
+        deletes = deletes.unionByName(
+            _rows_at(pos_to.exceptAll(pos_from))  # newly dead
+        )
+        inserts = inserts.unionByName(
+            _rows_at(pos_from.exceptAll(pos_to))  # restored by rollback
+        )
     return inserts.withColumn(
         "_change_type", F.lit("insert")
     ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
@@ -1569,6 +1842,9 @@ def rollback(
                 "mode": f"rollback({version})",
                 "files": man["files"],
                 "stats": man.get("stats") or {},
+                # the restored snapshot's deletion vectors return with
+                # its file list — live-row semantics travel together
+                "dvs": dict(man.get("dvs") or {}),
                 "parent": cur_v or None,
                 "committed_at": time.time(),
                 # the restore is wholesale: the target's constraint
@@ -1590,6 +1866,7 @@ def merge_into(
     source: DataFrame,
     keys: list[str],
     max_retries: int = 5,
+    strategy: str = "auto",
 ) -> int:
     """Upsert ``source`` into the table by ``keys`` (matched rows
     replaced, new rows inserted) as ONE atomic version — the
@@ -1617,7 +1894,15 @@ def merge_into(
     multiple-source-match error Delta's ``MERGE`` enforces.  Callers
     that genuinely hold multi-row sources pick the winner explicitly
     (e.g. :func:`~..operators.scd.cdc_latest_snapshot` over a change
-    stream) before merging."""
+    stream) before merging.
+
+    ``strategy`` — how matched rows leave the old files: ``"copy"``
+    rewrites every touched file minus its matched rows (copy-on-write,
+    the pre-r9 behaviour); ``"dv"`` marks the matched positions in
+    DELETION VECTORS and writes only the source (merge-on-read: bytes
+    written scale with the CHANGE, not the touched files); ``"auto"``
+    (default) picks DV when the matched rows are a small fraction
+    (:data:`DV_MAX_FRACTION`) of the touched files' live rows."""
     import functools
 
     from pyspark.sql import functions as F
@@ -1658,7 +1943,33 @@ def merge_into(
             else []
         )
         if touched:
-            hit_df = _scan_files(spark, man, touched)
+            from integritychecksforvldbs_spark.sources.deletion_vectors import (
+                matched_ranges,
+            )
+
+            live, fcol, rcol = _scan_live_pos(spark, man, touched)
+            matched_pos = _matched(live)
+            n_matched = matched_pos.count()
+            if _use_dv(strategy, n_matched, live, man, touched):
+                # merge-on-read: the matched rows' positions go into
+                # superseding deletion vectors; only the source is
+                # written — the touched files' bytes are untouched
+                removed, add_dvs = _fold_dv_entries(
+                    path, man, matched_ranges(matched_pos, fcol, rcol)
+                )
+                new_files, new_stats = _write_data(spark, source, path)
+                _enforce(
+                    spark, path, man.get("constraints") or {},
+                    new_files, _manifest_schema(man), "merge_into",
+                )
+                v = _commit_replace(
+                    path, base_v, man, removed, new_files, new_stats,
+                    mode="merge", data_change=True, new_dvs=add_dvs,
+                )
+                if v is not None:
+                    return v
+                continue  # re-based: re-probe and re-merge
+            hit_df = live.drop(fcol, rcol)
             anti_cond = functools.reduce(
                 lambda a, b: a & b,
                 [hit_df[k].eqNullSafe(source[k]) for k in keys],
@@ -1667,6 +1978,7 @@ def merge_into(
                 source.select(*keys), anti_cond, "left_anti"
             ).unionByName(source)
         else:
+            _use_dv(strategy, 0, source, man, [])  # validate strategy
             out = source
         new_files, new_stats = _write_data(spark, out, path)
         _enforce(
@@ -1691,6 +2003,7 @@ def delete_where(
     path: str,
     condition: str,
     max_retries: int = 5,
+    strategy: str = "auto",
 ) -> tuple[int, int]:
     """Delete rows matching the SQL ``condition`` as ONE atomic
     overwrite version; returns ``(version, n_deleted)``.  The
@@ -1712,8 +2025,26 @@ def delete_where(
 
     Same optimistic concurrency as :func:`merge_into`: a racing
     commit re-bases the delete on the new state and retries, so the
-    predicate is re-evaluated against rows the race added."""
+    predicate is re-evaluated against rows the race added.
+
+    ``strategy`` — ``"copy"`` rewrites each touched file minus its
+    matching rows (copy-on-write); ``"dv"`` writes DELETION VECTORS
+    instead (merge-on-read): the touched files' bytes are untouched
+    and the commit writes O(deleted-row islands) sidecar bytes — the
+    shape a single-row GDPR delete on a multi-GB file needs; a file
+    whose dead set reaches every physical row is dropped outright.
+    ``"auto"`` (default) picks DV when the matched rows are a small
+    fraction (:data:`DV_MAX_FRACTION`) of the touched files' live
+    rows.  Either way PHYSICAL erasure remains ``delete_where`` +
+    ``vacuum(keep_versions=1)`` — with one more step on the DV path:
+    the dead bytes live until :func:`compact_files` /
+    :func:`optimize` materializes the deletion away (vacuum then
+    reclaims the file), exactly Delta's REORG-then-VACUUM contract."""
     from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        matched_ranges,
+    )
 
     pred = F.coalesce(F.expr(condition), F.lit(False))
     for _ in range(max_retries):
@@ -1728,6 +2059,7 @@ def delete_where(
         else:
             touched = []  # an all-deleted snapshot: nothing to match
         if not touched:
+            _use_dv(strategy, 0, None, man, [])  # validate strategy
             v = _commit_replace(
                 path, base_v, man, set(), [], {},
                 mode="delete", data_change=False,
@@ -1736,10 +2068,23 @@ def delete_where(
             if v is not None:
                 return v, 0
             continue  # the table moved: re-probe against it
-        hit = _scan_files(spark, man, touched)
-        kept = hit.filter(~pred)
+        live, fcol, rcol = _scan_live_pos(spark, man, touched)
+        matched = live.filter(pred)
+        n_deleted = matched.count()
+        if _use_dv(strategy, n_deleted, live, man, touched):
+            removed, add_dvs = _fold_dv_entries(
+                path, man, matched_ranges(matched, fcol, rcol)
+            )
+            v = _commit_replace(
+                path, base_v, man, removed, [], {},
+                mode="delete", data_change=True,
+                extra={"condition": condition}, new_dvs=add_dvs,
+            )
+            if v is not None:
+                return v, n_deleted
+            continue  # re-based: re-evaluate against the new state
+        kept = live.drop(fcol, rcol).filter(~pred)
         n_kept = kept.count()
-        n_deleted = hit.count() - n_kept
         if n_kept == 0:
             new_files, new_stats = [], {}
         else:
@@ -1794,6 +2139,7 @@ def update_where(
     condition: str,
     set_exprs: dict[str, str],
     max_retries: int = 5,
+    strategy: str = "auto",
 ) -> tuple[int, int]:
     """``UPDATE ... SET col = expr, ... WHERE condition`` as ONE
     atomic version; returns ``(version, n_updated)``.  Completes the
@@ -1807,8 +2153,20 @@ def update_where(
     UPDATE semantics: all assignments see the old values).  A NULL
     condition is not-a-match, SQL UPDATE semantics.  No-match updates
     commit a ``data_change: false`` audit version.  Concurrency: a
-    racing commit forces full re-evaluation against the new state."""
+    racing commit forces full re-evaluation against the new state.
+
+    ``strategy`` — ``"copy"`` rewrites the touched files wholesale;
+    ``"dv"`` is merge-on-read: the matched rows' OLD positions go into
+    deletion vectors and only the TRANSFORMED matched rows are written
+    as new files (bytes scale with the updated rows, not the touched
+    files — Delta's DV UPDATE shape); ``"auto"`` (default) picks DV
+    when the matched rows are a small fraction
+    (:data:`DV_MAX_FRACTION`) of the touched files' live rows."""
     from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        matched_ranges,
+    )
 
     unknown = [c for c in set_exprs if "." in c]
     if unknown:
@@ -1839,6 +2197,7 @@ def update_where(
         else:
             touched = []
         if not touched:
+            _use_dv(strategy, 0, None, man, [])  # validate strategy
             v = _commit_replace(
                 path, base_v, man, set(), [], {},
                 mode="update", data_change=False,
@@ -1847,8 +2206,10 @@ def update_where(
             if v is not None:
                 return v, 0
             continue
-        hit = _scan_files(spark, man, touched)
-        n_updated = hit.filter(pred).count()
+        live, fcol, rcol = _scan_live_pos(spark, man, touched)
+        hit = live.drop(fcol, rcol)
+        matched_pos = live.filter(pred)
+        n_updated = matched_pos.count()
         # UPDATE never retypes — but a blind cast would silently NULL
         # an uncastable/overflowing SET result (ANSI off): resolve
         # each expression's type and allow only lossless widenings
@@ -1865,6 +2226,36 @@ def update_where(
                     f"{want.simpleString()}; cast explicitly in the "
                     "expression if the conversion is intended"
                 )
+        if _use_dv(strategy, n_updated, live, man, touched):
+            # merge-on-read UPDATE: old positions die in deletion
+            # vectors, the transformed matched rows append — every
+            # assignment still sees the PRE-update row (the projection
+            # runs on the matched originals)
+            removed, add_dvs = _fold_dv_entries(
+                path, man, matched_ranges(matched_pos, fcol, rcol)
+            )
+            tcols = [
+                F.expr(set_exprs[c])
+                .cast(hit.schema[c].dataType)  # validated lossless above
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in hit.columns
+            ]
+            rewritten = matched_pos.drop(fcol, rcol).select(*tcols)
+            new_files, new_stats = _write_data(spark, rewritten, path)
+            _enforce(
+                spark, path, man.get("constraints") or {},
+                new_files, _manifest_schema(man), "update_where",
+            )
+            v = _commit_replace(
+                path, base_v, man, removed, new_files, new_stats,
+                mode="update", data_change=True,
+                extra={"condition": condition}, new_dvs=add_dvs,
+            )
+            if v is not None:
+                return v, n_updated
+            continue  # re-based: re-evaluate against the new state
         # every assignment sees the PRE-update row: compute all new
         # values in one projection (no sequential dependence)
         cols = [
@@ -1978,7 +2369,14 @@ def compact_files(
             total += sz
     if len(small) < 2:
         return None, 0, 0
-    df = _scan_files(spark, cur0[1], small)
+    # the rewrite materializes the LIVE view: rows the small files'
+    # deletion vectors killed are filtered before the bin-pack, so
+    # compaction doubles as DV REORG (Delta's PURGE) — the swapped-in
+    # files carry no DV entries and the dead bytes become vacuum food.
+    # A racing DML that grows a small file's DV mid-rewrite conflicts
+    # (see _commit_replace's DV-drift check) instead of resurrecting
+    # its rows.
+    df = _scan_live(spark, cur0[1], small)
     n_out = max(1, math.ceil(total / target_bytes))
     if zorder_by:
         # cluster the rewrite like optimize() does — the bin-packed
@@ -2048,6 +2446,9 @@ def clone(
         "mode": "clone",
         "files": list(man["files"]),
         "stats": dict(man.get("stats") or {}),
+        # DV sidecars are referenced like data files: zero-copy, and
+        # the same source-vacuum caveat applies to them
+        "dvs": dict(man.get("dvs") or {}),
         "parent": None,
         "committed_at": time.time(),
         "constraints": dict(man.get("constraints") or {}),
@@ -2142,13 +2543,17 @@ def vacuum(
                     "readable; refusing to expire its base chain"
                 )
     referenced: set[str] = set()
+    referenced_dvs: set[str] = set()
     for v in retained:
         man = _read_manifest(path, v)
         if dry_run and "files" not in man:
             # report-only: fold through the (still intact) chain
             man = _fold(path, man)
-        for fpath in _fold(path, man)["files"]:
+        snap = _fold(path, man)
+        for fpath in snap["files"]:
             referenced.add(_local(fpath))
+        for e in (snap.get("dvs") or {}).values():
+            referenced_dvs.add(_local(e["path"]))
     removed = []
     import shutil
 
@@ -2201,6 +2606,30 @@ def vacuum(
                 except FileNotFoundError:
                     pass
             removed.append(fp)
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        dv_root,
+    )
+
+    dvr = dv_root(path)
+    try:
+        dv_names = sorted(os.listdir(dvr))
+    except FileNotFoundError:
+        dv_names = []
+    for n in dv_names:
+        fp = os.path.join(dvr, n)
+        if fp in referenced_dvs:
+            continue
+        try:
+            if now - os.path.getmtime(fp) < min_age_s:
+                continue  # possibly an in-flight DML's sidecar
+        except OSError:
+            continue
+        if not dry_run:
+            try:
+                os.unlink(fp)
+            except FileNotFoundError:
+                continue
+        removed.append(fp)
     if dry_run:
         return removed  # report-only: no manifest or litter removal
     # expire manifests NEWEST-FIRST: a delta body is always removed

@@ -56,6 +56,12 @@ from integritychecksforvldbs_spark.sources.versioned import (
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    # deletion-vector dead-position ranges of this file ([[s, e], ...]
+    # inclusive, or None) — resolved by the planner from the manifest's
+    # DV entries (pure-Python json reads, no SparkSession needed) and
+    # shipped on the pickled partition; the reader anti-filters them
+    # batch-by-batch as it streams the file
+    dv_ranges: tuple | None = None
 
 
 # how long a legacy bodyless claim dir is presumed possibly in flight
@@ -96,24 +102,45 @@ def _arrow_target(schema: StructType):
     return [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
 
 
-def _read_file_batches(path: str, target=None) -> Iterator:
+def _read_file_batches(path: str, target=None, dv_ranges=None) -> Iterator:
     """Arrow batches of one data file, conformed to ``target`` (the
     declared read schema as (name, arrow type) pairs): after a
     schema-evolving append the visible set mixes file schemas, so
     files missing a declared column null-fill it, surplus columns
     drop, and per-file physical types cast to the declared one — the
     same additive-evolution contract the native ``versioned.read``
-    plans.  Files already matching pass through untouched."""
+    plans.  Files already matching pass through untouched.
+    ``dv_ranges``: the file's deletion-vector dead positions — the
+    reader streams the file sequentially, so a running offset maps
+    each batch onto the ranges and dead rows are mask-filtered out
+    (the merge-on-read contract of ``versioned.read``, kept by this
+    format for parity)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        batch_mask_ranges,
+    )
+
+    def _dv_filter(batches):
+        if not dv_ranges:
+            yield from batches
+            return
+        rs = sorted([int(a), int(b)] for a, b in dv_ranges)
+        offset = 0
+        for b in batches:
+            n = b.num_rows
+            mask = batch_mask_ranges(rs, offset, n)
+            offset += n
+            yield b.filter(pa.array(mask)) if mask is not None else b
 
     pf = pq.ParquetFile(_local(path))
     try:
         if target is None or pf.schema_arrow.names == [n for n, _ in target]:
-            yield from pf.iter_batches()
+            yield from _dv_filter(pf.iter_batches())
             return
         present = [n for n, _ in target if n in pf.schema_arrow.names]
-        for batch in pf.iter_batches(columns=present):
+        for batch in _dv_filter(pf.iter_batches(columns=present)):
             cols = []
             for name, typ in target:
                 if name in present:
@@ -138,21 +165,35 @@ class _VersionedBatchReader(DataSourceReader):
                 raise FileNotFoundError(
                     f"no committed version under {path!r}"
                 )
-            self.files = cur[1]["files"]
+            man = cur[1]
         else:
             man = _snapshot(path, version)
             if man is None:
                 raise FileNotFoundError(
                     f"version {version} of {path!r} not found"
                 )
-            self.files = man["files"]
+        self.files = man["files"]
+        # resolve DV sidecars at plan time (pure Python — this runs in
+        # the planner worker): each partition carries its own ranges
+        from integritychecksforvldbs_spark.sources.deletion_vectors import (
+            read_dv_ranges,
+        )
+
+        self.dv_ranges = {
+            f: tuple(tuple(r) for r in read_dv_ranges(e))
+            for f, e in (man.get("dvs") or {}).items()
+        }
         self.target = _arrow_target(schema)
 
     def partitions(self):
-        return [_FilePartition(f) for f in self.files]
+        return [
+            _FilePartition(f, self.dv_ranges.get(f)) for f in self.files
+        ]
 
     def read(self, partition: _FilePartition):
-        yield from _read_file_batches(partition.path, self.target)
+        yield from _read_file_batches(
+            partition.path, self.target, partition.dv_ranges
+        )
 
 
 class _VersionedStreamReader(DataSourceStreamReader):

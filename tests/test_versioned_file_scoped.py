@@ -110,7 +110,10 @@ def test_merge_rewrites_only_files_holding_matched_keys(spark, banded):
     src = spark.createDataFrame(
         [(35, "UPDATED"), (999, "NEW")], "k long, v string"
     )
-    v = versioned.merge_into(spark, path, src, keys=["k"])
+    # strategy="copy" pins the copy-on-write physical form this test
+    # is about (auto would take the merge-on-read DV path for a
+    # 1-of-10-rows match; that shape is pinned in test_versioned_dv.py)
+    v = versioned.merge_into(spark, path, src, keys=["k"], strategy="copy")
     raw = versioned._read_manifest(path, v)
     # only the 30-39 band held a matched key
     assert len(raw["remove_files"]) == 1
