@@ -1058,6 +1058,38 @@ def commit(
                 "pass allow_schema_change=True to evolve it"
             )
     new_files, new_stats = _write_data(spark, df, path, stats_columns)
+
+    def _validate(active: dict) -> None:
+        _enforce(spark, path, active, new_files, df.schema, "commit")
+
+    return _commit_prepared(
+        path, new_files, new_stats, mode, new_ddl,
+        df.schema.jsonValue(), extra=extra,
+        expected_parent=expected_parent, validate=_validate,
+    )
+
+
+def _commit_prepared(
+    path: str,
+    new_files: list[str],
+    new_stats: dict,
+    mode: str,
+    new_ddl: str | None,
+    schema_json: dict | None,
+    extra: dict | None = None,
+    expected_parent: int | None = None,
+    validate=None,
+) -> int:
+    """The COMMIT PROTOCOL half of :func:`commit`, factored off the
+    data-writing half: given already-written immutable files, run the
+    read-claim-install retry loop against the version log.  Pure
+    metadata — no SparkSession — which is what lets the cross-process
+    stress tests race the REAL protocol from independent OS processes
+    (the isolation the reference's queue actually serves,
+    DatabaseIntegrityCheck.sql:1095-1228) without each booting a JVM.
+    ``validate`` is called with the ACTIVE constraint map whenever it
+    (re)resolves; :func:`commit` binds it to the Spark-side scan of
+    the new files."""
     validated_constraints: dict | None = None
 
     if expected_parent is not None:
@@ -1089,7 +1121,8 @@ def commit(
         if active != validated_constraints:
             # the constraint map changed since (or was never) checked:
             # every data-adding commit must satisfy the ACTIVE map
-            _enforce(spark, path, active, new_files, df.schema, "commit")
+            if validate is not None:
+                validate(active)
             validated_constraints = active
         meta = {
             **(extra or {}),
@@ -1099,11 +1132,11 @@ def commit(
             "committed_at": time.time(),
             "constraints": active,
             "schema": new_ddl,
-            # jsonValue parses WITHOUT a SparkSession
+            # the JSON schema form parses WITHOUT a SparkSession
             # (StructType.fromJson is pure Python) — the form
             # the Python Data Source's planner worker, which
             # has no session, must use
-            "schema_json": df.schema.jsonValue(),
+            "schema_json": schema_json,
         }
         if (
             mode == "append"

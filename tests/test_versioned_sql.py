@@ -1,0 +1,185 @@
+"""SQL front door for versioned tables (versioned_sql.py, r9).
+
+Pins the r8 verdict's "What's missing #5": MERGE/DELETE/UPDATE and
+time-travel SELECT as SQL statements, each routed to the versioned
+primitives and matching the Python-API result exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+from integritychecksforvldbs_spark.sources.versioned_sql import (
+    register_table,
+    versioned_sql,
+)
+
+
+def _mk(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .coalesce(1)
+    )
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 100), path)
+    register_table("t9", path)
+    yield path
+    register_table("t9", None)
+
+
+def test_sql_delete_matches_api(spark, tbl):
+    m = versioned_sql(spark, "DELETE FROM t9 WHERE k IN (3, 4, 50)")
+    row = m.collect()[0]
+    assert row["version"] == 2 and row["n_deleted"] == 3
+    assert versioned.read(spark, tbl).count() == 97
+    assert versioned.read(spark, tbl).filter("k = 4").count() == 0
+
+
+def test_sql_delete_without_where_empties_table(spark, tbl):
+    m = versioned_sql(spark, "delete from t9")
+    assert m.collect()[0]["n_deleted"] == 100
+    assert versioned._latest_committed(tbl)[1]["files"] == []
+
+
+def test_sql_update_multi_set_sees_pre_update_row(spark, tbl):
+    m = versioned_sql(
+        spark,
+        "UPDATE t9 SET g = g + k, v = concat(v, '-', g) WHERE k in (7, 8)",
+    )
+    row = m.collect()[0]
+    assert row["version"] == 2 and row["n_updated"] == 2
+    got = {
+        r["k"]: (r["g"], r["v"])
+        for r in versioned.read(spark, tbl).filter("k in (7, 8)").collect()
+    }
+    # both assignments evaluated against the OLD row (g before the SET)
+    assert got[7] == (7 + 7 % 5, "v7-2") and got[8] == (8 + 8 % 5, "v8-3")
+
+
+def test_sql_update_set_list_with_function_commas(spark, tbl):
+    versioned_sql(
+        spark,
+        "UPDATE t9 SET v = concat_ws(',', v, 'x'), g = greatest(g, 4) "
+        "WHERE k = 1",
+    )
+    r = versioned.read(spark, tbl).filter("k = 1").collect()[0]
+    assert r["v"] == "v1,x" and r["g"] == 4
+
+
+def test_sql_merge_subquery_source(spark, tbl):
+    m = versioned_sql(
+        spark,
+        """MERGE INTO t9 AS t
+           USING (SELECT 42 AS k, 0 AS g, 'UPD' AS v
+                  UNION ALL
+                  SELECT 999 AS k, 1 AS g, 'NEW' AS v) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    row = m.collect()[0]
+    assert row["version"] == 2 and row["n_source_rows"] == 2
+    got = dict(
+        (r["k"], r["v"])
+        for r in versioned.read(spark, tbl)
+        .filter("k in (41, 42, 999)")
+        .collect()
+    )
+    assert got == {41: "v41", 42: "UPD", 999: "NEW"}
+    assert versioned.read(spark, tbl).count() == 101
+
+
+def test_sql_merge_view_source_and_when_optional(spark, tbl):
+    spark.createDataFrame(
+        [(1, 9, "one")], "k long, g long, v string"
+    ).createOrReplaceTempView("src_view")
+    versioned_sql(spark, "MERGE INTO t9 t USING src_view s ON t.k = s.k")
+    assert versioned.read(spark, tbl).filter("k = 1").collect()[0][
+        "v"
+    ] == "one"
+
+
+def test_sql_merge_rejects_non_upsert_when(spark, tbl):
+    with pytest.raises(ValueError, match="upsert-all"):
+        versioned_sql(
+            spark,
+            "MERGE INTO t9 t USING src ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_sql_merge_rejects_non_equality_on(spark, tbl):
+    spark.createDataFrame([(1, 1, "x")], "k long, g long, v string")\
+        .createOrReplaceTempView("src2")
+    with pytest.raises(ValueError, match="equalit"):
+        versioned_sql(
+            spark, "MERGE INTO t9 t USING src2 s ON t.k < s.k"
+        )
+
+
+def test_sql_select_latest_join_and_time_travel(spark, tbl):
+    versioned_sql(spark, "DELETE FROM t9 WHERE k >= 50")  # v2
+    # latest
+    n = versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM t9"
+    ).collect()[0]["n"]
+    assert n == 50
+    # VERSION AS OF pins the pre-delete snapshot
+    n1 = versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM t9 VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert n1 == 100
+    # TIMESTAMP AS OF via v1's recorded commit time
+    ts = versioned._committed_at(tbl, 1, versioned._read_manifest(tbl, 1))
+    nts = versioned_sql(
+        spark, f"SELECT COUNT(*) AS n FROM t9 TIMESTAMP AS OF {ts}"
+    ).collect()[0]["n"]
+    assert nts == 100
+    # snapshots join: v1 rows missing from latest == the deleted band
+    gone = versioned_sql(
+        spark,
+        "SELECT a.k FROM t9 VERSION AS OF 1 a "
+        "LEFT ANTI JOIN t9 b ON a.k = b.k",
+    )
+    assert gone.count() == 50
+
+
+def test_sql_strategy_passthrough_dv(spark, tbl):
+    m = versioned_sql(
+        spark, "DELETE FROM t9 WHERE k = 5", strategy="dv"
+    )
+    v = m.collect()[0]["version"]
+    raw = versioned._read_manifest(tbl, v)
+    assert raw.get("add_dvs") and raw.get("remove_files") == []
+
+
+def test_sql_explicit_path_and_unknown_name(spark, tbl):
+    n = versioned_sql(
+        spark, f"DELETE FROM {tbl} WHERE k = 6"
+    ).collect()[0]["n_deleted"]
+    assert n == 1
+    with pytest.raises(ValueError, match="unknown versioned table"):
+        versioned_sql(spark, "DELETE FROM nope WHERE k = 1")
+
+
+def test_sql_rejects_unsupported_verbs(spark, tbl):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        versioned_sql(spark, "DROP TABLE t9")
