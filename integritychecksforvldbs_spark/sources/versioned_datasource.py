@@ -204,12 +204,14 @@ class _VersionedStreamReader(DataSourceStreamReader):
         schema: StructType,
         max_versions: int | None = None,
         max_files: int | None = None,
+        skip_change_commits: bool = False,
     ):
         self.path = path
         self.starting_version = starting_version
         self.target = _arrow_target(schema)
         self.max_versions = max_versions
         self.max_files = max_files
+        self.skip_change_commits = skip_change_commits
         # admission-control bookkeeping: the last offset THIS instance
         # emitted.  None until the first latestOffset — the first call
         # is deliberately UNCAPPED, because on a restart the reader
@@ -376,11 +378,25 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 )
                 continue
             if mode != "append":
+                if self.skip_change_commits:
+                    # Delta's skipChangeCommits stance: the consumer
+                    # declared it only wants pure appends — a DML/
+                    # overwrite/rollback version contributes NOTHING
+                    # (its files are marked seen so a later checkpoint
+                    # body doesn't resurface them as new), and deletes
+                    # are simply not replayed
+                    seen.update(
+                        man["add_files"] if "add_files" in man
+                        else man["files"]
+                    )
+                    continue
                 raise ValueError(
                     f"streaming read of {self.path!r} hit a "
                     f"non-append commit v{v} ({mode}); a stream cannot "
                     "replay deletions — consume mutating tables with "
-                    "versioned.changes() in batch"
+                    "versioned.changes() in batch, or opt into "
+                    "append-only consumption with "
+                    ".option('skipChangeCommits', 'true')"
                 )
             # a DELTA body lists exactly this commit's additions — the
             # batch the stream wants, O(commit) metadata; a full
@@ -428,6 +444,12 @@ class VersionedDataSource(DataSource):
       version is always admitted, and the first trigger after a
       (re)start is uncapped (the reader cannot see the checkpoint, and
       a capped first offset could regress below it)
+    - ``skipChangeCommits`` (stream only, default false): consume
+      MUTATING tables append-only — DML/overwrite/rollback versions
+      are skipped wholesale instead of failing the stream (their
+      deletes are never replayed, their new rows never emitted;
+      Delta's option of the same name).  Without it a stream still
+      fails loudly on the first non-append commit.
     """
 
     @classmethod
@@ -504,10 +526,14 @@ class VersionedDataSource(DataSource):
             start = int(self.options.get("startingVersion", 0))
         mv = self.options.get("maxVersionsPerTrigger")
         mf = self.options.get("maxFilesPerTrigger")
+        scc = str(
+            self.options.get("skipChangeCommits", "false")
+        ).lower() in ("true", "1", "yes")
         return _VersionedStreamReader(
             self._path(), start, schema,
             max_versions=int(mv) if mv is not None else None,
             max_files=int(mf) if mf is not None else None,
+            skip_change_commits=scc,
         )
 
 

@@ -250,6 +250,11 @@ def main(argv: list[str] | None = None) -> int:
         "--where", required=True,
         help="SQL condition; NULL evaluations keep the row (DELETE semantics)",
     )
+    p.add_argument(
+        "--strategy", choices=["auto", "dv", "copy"], default="auto",
+        help="dv = merge-on-read deletion vectors (O(deleted rows) "
+        "bytes); copy = rewrite touched files; auto picks by fraction",
+    )
 
     p = sub.add_parser(
         "versioned-update",
@@ -262,6 +267,47 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated col=SQL-expr assignments, all evaluated "
         "against the pre-update row",
     )
+    p.add_argument(
+        "--strategy", choices=["auto", "dv", "copy"], default="auto",
+        help="dv = merge-on-read (old positions die in deletion "
+        "vectors, only transformed rows are written)",
+    )
+
+    p = sub.add_parser(
+        "versioned-merge",
+        help="upsert a parquet source into a versioned table by keys",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--source", required=True, help="parquet path of the source")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument(
+        "--strategy", choices=["auto", "dv", "copy"], default="auto",
+    )
+
+    p = sub.add_parser(
+        "versioned-sql",
+        help="one SQL statement against versioned tables: MERGE INTO / "
+        "DELETE FROM / UPDATE ... SET / SELECT (VERSION|TIMESTAMP AS OF)",
+    )
+    p.add_argument("--statement", required=True)
+    p.add_argument(
+        "--register", action="append", default=[],
+        help="name=table_path binding usable in the statement, repeatable",
+    )
+    p.add_argument(
+        "--strategy", choices=["auto", "dv", "copy"], default="auto",
+    )
+    p.add_argument(
+        "--max-rows", type=int, default=100,
+        help="rows of a SELECT result to print (metrics rows always fit)",
+    )
+
+    p = sub.add_parser(
+        "versioned-dv-info",
+        help="deletion-vector entries of a snapshot (file -> sidecar, n)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--version", type=int, default=None)
 
     p = sub.add_parser(
         "versioned-changes",
@@ -590,9 +636,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "versioned-delete":
         from .sources import versioned
 
-        v, n = versioned.delete_where(spark, args.table, args.where)
+        v, n = versioned.delete_where(
+            spark, args.table, args.where, strategy=args.strategy
+        )
         summary = {
             "cmd": "versioned-delete", "version": v, "n_deleted": n,
+            "strategy": args.strategy,
         }
     elif args.cmd == "versioned-update":
         from .sources import versioned
@@ -605,9 +654,52 @@ def main(argv: list[str] | None = None) -> int:
             sets[c.strip()] = e.strip()
         if not sets:
             raise SystemExit("--set needs at least one col=expr")
-        v, n = versioned.update_where(spark, args.table, args.where, sets)
+        v, n = versioned.update_where(
+            spark, args.table, args.where, sets, strategy=args.strategy
+        )
         summary = {
             "cmd": "versioned-update", "version": v, "n_updated": n,
+            "strategy": args.strategy,
+        }
+    elif args.cmd == "versioned-merge":
+        from .sources import versioned
+
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        if not keys:
+            raise SystemExit("--keys needs at least one column")
+        v = versioned.merge_into(
+            spark, args.table, load_table(spark, args.source), keys,
+            strategy=args.strategy,
+        )
+        summary = {"cmd": "versioned-merge", "version": v}
+    elif args.cmd == "versioned-sql":
+        from .sources import versioned_sql as vsql
+
+        bound = []
+        try:
+            for item in args.register:
+                name, eq, tpath = item.partition("=")
+                if not eq or not name.strip() or not tpath.strip():
+                    raise SystemExit(f"bad --register binding: {item!r}")
+                vsql.register_table(name.strip(), tpath.strip())
+                bound.append(name.strip())
+            df = vsql.versioned_sql(
+                spark, args.statement, strategy=args.strategy
+            )
+            rows = [r.asDict() for r in df.limit(args.max_rows).collect()]
+        finally:
+            for name in bound:  # process-local registry: leave it clean
+                vsql.register_table(name, None)
+        summary = {"cmd": "versioned-sql", "rows": rows}
+    elif args.cmd == "versioned-dv-info":
+        from .sources import versioned
+
+        dvs = versioned.dv_info(args.table, args.version)
+        summary = {
+            "cmd": "versioned-dv-info",
+            "n_files_with_dvs": len(dvs),
+            "n_dead_rows": sum(int(e["n"]) for e in dvs.values()),
+            "entries": dvs,
         }
     elif args.cmd == "rollup-build":
         from .sources import matview

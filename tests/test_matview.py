@@ -118,3 +118,23 @@ def test_rollup_is_itself_versioned(spark, tmp_path):
     }
     assert v1 == {"a": 10}
     assert _snap(spark, rp) == {"a": (2, 17)}
+
+
+def test_refresh_folds_dv_deletes_and_updates(spark, tmp_path):
+    """The change feed is deletion-vector-aware (r9), so a rollup
+    refresh across merge-on-read DML equals a full rebuild."""
+    tbl, rp = str(tmp_path / "t"), str(tmp_path / "r")
+    versioned.commit(
+        spark,
+        _mk(spark, [("a", 1, 10), ("a", 2, 25), ("b", 3, 1), ("b", 4, 6)]),
+        tbl,
+    )
+    matview.build_rollup(spark, tbl, rp, KEYS, MEASURES)
+    versioned.delete_where(spark, tbl, "id = 2", strategy="dv")
+    versioned.update_where(
+        spark, tbl, "id = 3", {"cents": "cents + 100"}, strategy="dv"
+    )
+    matview.refresh_rollup(spark, tbl, rp)
+    got = _snap(spark, rp)
+    assert got == {"a": (1, 10), "b": (2, 107)}
+    assert got == _rebuild_snap(spark, tbl, tmp_path, "r2")

@@ -172,7 +172,10 @@ def test_versioned_delete_cli(spark, tmp_path, capsys):
     tbl = str(tmp_path / "tbl")
     _run(capsys, "versioned-commit", "--src", src, "--table", tbl)
     s = _run(capsys, "versioned-delete", "--table", tbl, "--where", "id >= 7")
-    assert s == {"cmd": "versioned-delete", "version": 2, "n_deleted": 3}
+    assert s == {
+        "cmd": "versioned-delete", "version": 2, "n_deleted": 3,
+        "strategy": "auto",
+    }
     from integritychecksforvldbs_spark.sources import versioned
 
     assert versioned.read(spark, tbl).count() == 7
@@ -249,3 +252,53 @@ def test_versioned_compact_small_cli(spark, tmp_path, capsys):
         "files_rewritten": 4, "files_added": 1,
     }
     assert versioned.read(spark, tbl).count() == 12
+
+
+def test_versioned_dv_and_sql_cli(spark, tmp_path, capsys):
+    """r9 surface: --strategy dv on DML, versioned-merge, versioned-sql
+    (metrics + time-travel SELECT), versioned-dv-info."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    tbl = str(tmp_path / "tbl")
+    versioned.commit(
+        spark,
+        spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+        tbl,
+    )
+    s = _run(
+        capsys, "versioned-delete", "--table", tbl,
+        "--where", "k in (5, 6)", "--strategy", "dv",
+    )
+    assert s["n_deleted"] == 2 and s["strategy"] == "dv"
+    s = _run(capsys, "versioned-dv-info", "--table", tbl)
+    assert s["n_dead_rows"] == 2 and s["n_files_with_dvs"] >= 1
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(7, 99), (900, 1)], "k long, g long").write.parquet(
+        src
+    )
+    s = _run(
+        capsys, "versioned-merge", "--table", tbl, "--source", src,
+        "--keys", "k", "--strategy", "dv",
+    )
+    assert s["version"] == 3
+    s = _run(
+        capsys, "versioned-sql", "--register", f"t={tbl}",
+        "--statement", "UPDATE t SET g = g * 10 WHERE k = 0",
+    )
+    assert s["rows"][0]["n_updated"] == 1
+    s = _run(
+        capsys, "versioned-sql", "--register", f"t={tbl}",
+        "--statement", "SELECT COUNT(*) AS n FROM t VERSION AS OF 1",
+    )
+    assert s["rows"][0]["n"] == 200
+    got = {
+        r["k"]: r["g"]
+        for r in versioned.read(spark, tbl)
+        .filter("k in (0, 7, 900)")
+        .collect()
+    }
+    assert got == {0: 0, 7: 99, 900: 1}

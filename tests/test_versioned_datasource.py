@@ -159,3 +159,49 @@ def test_pyds_reads_evolved_table_nullfilled(registered, tmp_path):
         r["k"]: r["extra"] for r in versioned.read(spark, p).collect()
     }
     assert rows == native
+
+
+def test_stream_skip_change_commits_survives_dml(registered, tmp_path):
+    """skipChangeCommits (r9; Delta's option of the same name): a
+    stream over a MUTATING table keeps running append-only — DML
+    versions (here a deletion-vector delete and a copy-path update)
+    contribute nothing, later appends still arrive exactly once."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    versioned.commit(spark, _mk(spark, 0, 5), path)
+
+    def run():
+        (
+            spark.readStream.format("versioned")
+            .option("skipChangeCommits", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    assert _ks(spark.read.parquet(out)) == list(range(5))
+    versioned.delete_where(spark, path, "k = 2", strategy="dv")
+    versioned.commit(spark, _mk(spark, 5, 8), path)
+    versioned.delete_where(spark, path, "k = 6", strategy="copy")
+    run()
+    # the appends arrived; neither delete replayed or re-emitted rows
+    assert _ks(spark.read.parquet(out)) == list(range(8))
+    # and WITHOUT the option the same table still fails loudly
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    r = _VersionedStreamReader(
+        path, 0, StructType([StructField("k", LongType(), True)])
+    )
+    with pytest.raises(ValueError, match="skipChangeCommits"):
+        r._files_between(0, versioned._latest_committed(path)[0])
