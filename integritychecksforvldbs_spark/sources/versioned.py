@@ -885,11 +885,7 @@ def _scan_live_pos(
 
     files = man["files"] if files is None else files
     df = _scan_files(spark, man, files)
-    fcol, rcol = "__icv_dv_file", "__icv_dv_pos"
-    while fcol in df.columns:
-        fcol += "_"
-    while rcol in df.columns:
-        rcol += "_"
+    fcol, rcol = dv._unique_names(df)
     df = dv.scan_with_position(df, fcol, rcol)
     df = dv.anti_join_positions(
         spark, df, _dvs_for(man, files), fcol, rcol
@@ -899,9 +895,9 @@ def _scan_live_pos(
 
 def _touched_files(
     spark: SparkSession, man: dict, mark
-) -> tuple[list[str], "DataFrame"]:
-    """(manifest paths of the files holding any LIVE row ``mark``
-    selects, the schema-planned scan of the snapshot).  ``mark`` is a
+) -> list[str]:
+    """Manifest paths of the files holding any LIVE row ``mark``
+    selects.  ``mark`` is a
     callable DataFrame→DataFrame returning the matching rows — a
     filter for DELETE/UPDATE, a key semi-join for MERGE.  The probe
     projects only the file column after the mark, so Catalyst prunes
@@ -916,12 +912,11 @@ def _touched_files(
     canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
     probe, fcol, _rcol = _scan_live_pos(spark, man)
     hit = mark(probe).select(fcol).distinct().collect()
-    touched = sorted(
+    return sorted(
         canon_to_manifest[r[fcol]]
         for r in hit
         if r[fcol] in canon_to_manifest
     )
-    return touched, _scan_files(spark, man)
 
 
 # fraction of the touched files' live rows above which the auto DML
@@ -1701,26 +1696,26 @@ def changes(
     deletes = df_out.exceptAll(df_in)
     if dv_changed:
         raw = load_table(spark, *dv_changed)
-        fcol, rcol = "__icv_dv_file", "__icv_dv_pos"
-        while fcol in raw.columns:
-            fcol += "_"
-        while rcol in raw.columns:
-            rcol += "_"
+        fcol, rcol = dvmod._unique_names(raw)
         raw = dvmod.scan_with_position(raw, fcol, rcol)
-        pos_from = dvmod.positions_df(
-            spark, _dvs_for(man_from, dv_changed) if man_from else {}
-        )
-        pos_to = dvmod.positions_df(
-            spark, _dvs_for(man_to, dv_changed) if man_to else {}
-        )
+        ent_from = _dvs_for(man_from, dv_changed) if man_from else {}
+        ent_to = _dvs_for(man_to, dv_changed) if man_to else {}
+        pos_from = dvmod.positions_df(spark, ent_from)
+        pos_to = dvmod.positions_df(spark, ent_to)
+        # the diff is bounded by both sides' recorded dead counts —
+        # broadcast only when that bound fits (the same guard
+        # anti_join_positions applies; an auto-DV bulk delete can
+        # legitimately hold tens of millions of positions)
+        fits = sum(
+            int(e["n"]) for e in list(ent_from.values()) + list(ent_to.values())
+        ) <= dvmod.DV_BROADCAST_MAX_POSITIONS
 
         def _rows_at(pos: DataFrame) -> DataFrame:
             cond = (raw[fcol] == pos["__dv_file"]) & (
                 raw[rcol] == pos["__dv_pos"]
             )
-            return raw.join(F.broadcast(pos), cond, "left_semi").drop(
-                fcol, rcol
-            )
+            build = F.broadcast(pos) if fits else pos
+            return raw.join(build, cond, "left_semi").drop(fcol, rcol)
 
         deletes = deletes.unionByName(
             _rows_at(pos_to.exceptAll(pos_from))  # newly dead
@@ -1971,7 +1966,7 @@ def merge_into(
             return df.join(source.select(*keys), cond, "left_semi")
 
         touched = (
-            _touched_files(spark, man, _matched)[0]
+            _touched_files(spark, man, _matched)
             if man["files"]
             else []
         )
@@ -2086,9 +2081,7 @@ def delete_where(
             raise FileNotFoundError(f"no committed version at {path!r}")
         base_v, man = base
         if man["files"]:
-            touched, _ = _touched_files(
-                spark, man, lambda df: df.filter(pred)
-            )
+            touched = _touched_files(spark, man, lambda df: df.filter(pred))
         else:
             touched = []  # an all-deleted snapshot: nothing to match
         if not touched:
@@ -2224,9 +2217,7 @@ def update_where(
         if bad:
             raise ValueError(f"SET of unknown column(s): {bad}")
         if man["files"]:
-            touched, _ = _touched_files(
-                spark, man, lambda df: df.filter(pred)
-            )
+            touched = _touched_files(spark, man, lambda df: df.filter(pred))
         else:
             touched = []
         if not touched:

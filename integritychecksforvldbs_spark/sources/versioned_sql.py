@@ -102,6 +102,46 @@ def _split_top(s: str, sep: str) -> list[str]:
     return out
 
 
+def _string_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) of every quoted string literal — the substitution
+    passes must never rewrite table names INSIDE literals (a WHERE
+    v = 't' comparison is data, not a reference)."""
+    spans, i = [], 0
+    in_str: str | None = None
+    start = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                spans.append((start, i + 1))
+                in_str = None
+        elif c in ("'", '"'):
+            in_str, start = c, i
+        i += 1
+    if in_str:
+        spans.append((start, len(s)))
+    return spans
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+def _sub_outside_strings(pattern: re.Pattern, repl, s: str) -> str:
+    """``pattern.sub(repl, s)`` restricted to matches that start
+    outside string literals."""
+    spans = _string_spans(s)
+    out, last = [], 0
+    for m in pattern.finditer(s):
+        if _in_spans(m.start(), spans):
+            continue
+        out.append(s[last:m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
 def _epoch(ts: str) -> float:
     ts = ts.strip().strip("'\"")
     try:
@@ -112,15 +152,24 @@ def _epoch(ts: str) -> float:
         return datetime.datetime.fromisoformat(ts).timestamp()
 
 
-_DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<tbl>\S+)(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
-    re.I | re.S,
+_DELETE_HEAD = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>\S+)", re.I | re.S
 )
-_UPDATE = re.compile(
-    r"^\s*UPDATE\s+(?P<tbl>\S+)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
-    re.I | re.S,
+_UPDATE_HEAD = re.compile(
+    r"^\s*UPDATE\s+(?P<tbl>\S+)\s+SET\s+", re.I | re.S
 )
+
+
+def _split_where(rest: str) -> tuple[str, str | None]:
+    """(before, condition) at the first TOP-LEVEL ``WHERE`` — found
+    outside parens and string literals, so a WHERE inside a SET
+    expression's literal never splits the statement."""
+    w = _find_top(rest, r"\bWHERE\b")
+    if w < 0:
+        return rest, None
+    return rest[:w], rest[w:].split(None, 1)[1] if len(
+        rest[w:].split(None, 1)
+    ) > 1 else ""
 _MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<tbl>\S+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
     r"\s+USING\s+",
@@ -227,25 +276,31 @@ def versioned_sql(
     stmt = statement.strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
     if head == "DELETE":
-        m = _DELETE.match(stmt)
+        m = _DELETE_HEAD.match(stmt)
         if not m:
             raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
         path = _resolve(m.group("tbl"))
-        cond = (m.group("cond") or "true").strip()
+        before, cond = _split_where(stmt[m.end():])
+        if before.strip().rstrip(";"):
+            raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
+        cond = (cond or "true").strip().rstrip(";").strip() or "true"
         v, n = versioned.delete_where(spark, path, cond, strategy=strategy)
         return _metrics(spark, version=v, n_deleted=n)
     if head == "UPDATE":
-        m = _UPDATE.match(stmt)
+        m = _UPDATE_HEAD.match(stmt)
         if not m:
             raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
         path = _resolve(m.group("tbl"))
-        cond = (m.group("cond") or "true").strip()
+        sets_sql, cond = _split_where(stmt[m.end():])
+        cond = (cond or "true").strip().rstrip(";").strip() or "true"
         sets: dict[str, str] = {}
-        for piece in _split_top(m.group("sets"), r","):
+        for piece in _split_top(sets_sql.rstrip().rstrip(";"), r","):
             col, eq, expr = piece.partition("=")
             if not eq or not col.strip() or not expr.strip():
                 raise ValueError(f"cannot parse SET assignment: {piece!r}")
             sets[col.strip().strip("`")] = expr.strip()
+        if not sets:
+            raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
         v, n = versioned.update_where(
             spark, path, cond, sets, strategy=strategy
         )
@@ -269,7 +324,19 @@ def versioned_sql(
             source = spark.table(src_tok)
         keys = []
         for piece in _split_top(m["on"], r"\bAND\b"):
-            eq = _split_top(piece, r"=")
+            # <=> IS what merge_into implements (null-safe equality);
+            # a plain = upserts NULL keys identically, so both spell
+            # the same merge.  Any other comparison is not an upsert
+            # key — diagnose it as such rather than mis-splitting on
+            # the '=' inside >=, <=, !=, <>.
+            eq = _split_top(piece, r"<=>")
+            if len(eq) == 1:
+                if _find_top(piece, r"(>=|<=|!=|<>|[<>])") >= 0:
+                    raise ValueError(
+                        f"MERGE ON must be a conjunction of equalities "
+                        f"(= or <=>), got {piece.strip()!r}"
+                    )
+                eq = _split_top(piece, r"=")
             if len(eq) != 2:
                 raise ValueError(
                     f"MERGE ON must be a conjunction of equalities, got "
@@ -295,12 +362,18 @@ def versioned_sql(
                     "column in the USING subquery"
                 )
             keys.append(pair[talias])
-        v = versioned.merge_into(
-            spark, path, source, keys, strategy=strategy
-        )
-        return _metrics(
-            spark, version=v, n_source_rows=source.count()
-        )
+        # persist: merge_into evaluates the source several times (dup
+        # check, probe, anti-join, write) and the metrics count once
+        # more — a heavy USING subquery should run ONCE
+        source = source.persist()
+        try:
+            n_src = source.count()
+            v = versioned.merge_into(
+                spark, path, source, keys, strategy=strategy
+            )
+        finally:
+            source.unpersist()
+        return _metrics(spark, version=v, n_source_rows=n_src)
     if head in ("SELECT", "WITH"):
         return _select(spark, stmt)
     raise ValueError(
@@ -310,12 +383,21 @@ def versioned_sql(
 
 
 def _select(spark: SparkSession, stmt: str) -> DataFrame:
-    """Materialize every registered table reference (honoring VERSION
-    AS OF / TIMESTAMP AS OF suffixes) as a snapshot temp view, rewrite
-    the statement to name the views, and let ``spark.sql`` do the
-    rest — the whole SQL surface (joins, CTEs, windows) works over
-    pinned snapshots."""
-    out = stmt
+    """Run a SELECT/WITH over registered versioned tables:
+
+    - a ``<name> VERSION AS OF n`` / ``TIMESTAMP AS OF ts`` reference
+      is rewritten to a snapshot temp view (matches inside string
+      literals are left alone — they are data); qualify columns
+      through an explicit alias (``FROM t VERSION AS OF 1 a``) as with
+      any derived relation;
+    - a BARE registered name is bound as a temp view OF THE SAME NAME
+      over the latest snapshot — the statement text is untouched, so
+      qualified references (``t.k``) and string literals can never be
+      garbled by rewriting (registering a name deliberately shadows
+      any same-named temp view for the session).
+
+    Everything else is ordinary ``spark.sql`` — joins, CTEs, windows
+    all work over the pinned snapshots."""
 
     def _sub_tt(m: re.Match) -> str:
         name = m.group("tbl")
@@ -323,25 +405,23 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
             return m.group(0)
         path = _TABLES[name.lower()]
         if m.group("ver") is not None:
-            ver: int | None = int(m.group("ver"))
-            view = f"__icv_v_{name.lower()}_v{ver}"
-            df = versioned.read(spark, path, version=ver)
+            ver = int(m.group("ver"))
         else:
-            ts = _epoch(m.group("ts"))
-            ver = versioned.version_at(path, ts)
-            view = f"__icv_v_{name.lower()}_v{ver}"
-            df = versioned.read(spark, path, version=ver)
-        df.createOrReplaceTempView(view)
+            ver = versioned.version_at(path, _epoch(m.group("ts")))
+        view = f"__icv_v_{name.lower()}_v{ver}"
+        versioned.read(spark, path, version=ver).createOrReplaceTempView(
+            view
+        )
         return view
 
-    out = _TIME_TRAVEL.sub(_sub_tt, out)
-    # bare (latest-snapshot) references
+    out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, stmt)
+    spans = _string_spans(out)
     for name, path in _TABLES.items():
         pat = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])", re.I)
-        if pat.search(out):
-            view = f"__icv_v_{name}_latest"
-            versioned.read(spark, path).createOrReplaceTempView(view)
-            out = pat.sub(view, out)
+        if any(
+            not _in_spans(mm.start(), spans) for mm in pat.finditer(out)
+        ):
+            versioned.read(spark, path).createOrReplaceTempView(name)
     return spark.sql(out)
 
 

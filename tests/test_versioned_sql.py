@@ -183,3 +183,60 @@ def test_sql_explicit_path_and_unknown_name(spark, tbl):
 def test_sql_rejects_unsupported_verbs(spark, tbl):
     with pytest.raises(ValueError, match="unsupported statement"):
         versioned_sql(spark, "DROP TABLE t9")
+
+
+# --- r9 self-review regressions (parser safety) ---
+
+
+def test_sql_string_literals_never_rewritten(spark, tbl):
+    """A literal equal to the table name is DATA: the latest-ref
+    binding must not garble it (r9 review finding #1)."""
+    versioned_sql(spark, "UPDATE t9 SET v = 't9' WHERE k = 3")
+    got = versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM t9 WHERE v = 't9'"
+    ).collect()[0]["n"]
+    assert got == 1
+
+
+def test_sql_qualified_columns_resolve(spark, tbl):
+    """FROM t9 ... t9.k must keep resolving: bare latest refs bind a
+    temp view OF THE SAME NAME instead of rewriting the text."""
+    got = versioned_sql(
+        spark,
+        "SELECT t9.k FROM t9 WHERE t9.k < 3 ORDER BY t9.k",
+    )
+    assert [r["k"] for r in got.collect()] == [0, 1, 2]
+
+
+def test_sql_where_inside_set_literal(spark, tbl):
+    """A 'where' inside a SET string literal must not split the
+    statement (r9 review finding #4)."""
+    versioned_sql(spark, "UPDATE t9 SET v = 'a where b = 1' WHERE k = 2")
+    r = versioned.read(spark, tbl).filter("k = 2").collect()[0]
+    assert r["v"] == "a where b = 1"
+    # and a DELETE whose literal contains ' where ' stays whole
+    m = versioned_sql(
+        spark, "DELETE FROM t9 WHERE v = 'no where match'"
+    )
+    assert m.collect()[0]["n_deleted"] == 0
+
+
+def test_sql_merge_null_safe_equality_accepted(spark, tbl):
+    spark.createDataFrame(
+        [(4, 1, "four")], "k long, g long, v string"
+    ).createOrReplaceTempView("src_nse")
+    versioned_sql(spark, "MERGE INTO t9 t USING src_nse s ON t.k <=> s.k")
+    assert versioned.read(spark, tbl).filter("k = 4").collect()[0][
+        "v"
+    ] == "four"
+
+
+def test_sql_merge_comparison_ops_diagnosed_not_missplit(spark, tbl):
+    spark.createDataFrame(
+        [(1, 1, "x")], "k long, g long, v string"
+    ).createOrReplaceTempView("src_cmp")
+    for op in (">=", "<=", "!=", "<>"):
+        with pytest.raises(ValueError, match="equalit"):
+            versioned_sql(
+                spark, f"MERGE INTO t9 t USING src_cmp s ON t.k {op} s.k"
+            )
