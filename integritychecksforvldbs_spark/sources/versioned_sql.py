@@ -29,6 +29,11 @@ registered via :func:`register_table` or an explicit path):
   requested snapshot view and the rewritten statement runs through
   ``spark.sql`` unchanged otherwise (joins, CTEs, aggregates all
   work; ts is epoch seconds or an ISO-8601 literal).
+- Maintenance statements, the Delta SQL verbs mapped 1:1 onto the
+  primitives: ``RESTORE TABLE <t> TO VERSION AS OF n`` (or
+  ``TIMESTAMP AS OF ts``), ``VACUUM <t> [RETAIN k VERSIONS]
+  [DRY RUN]``, ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``, and
+  ``DESCRIBE HISTORY <t>``.
 
 DML statements return a one-row metrics DataFrame (``version`` plus
 ``n_deleted``/``n_updated``/``n_source_rows``), mirroring the metrics
@@ -262,6 +267,28 @@ _TIME_TRAVEL = re.compile(
 )
 
 
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>\S+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\S+))\s*;?\s*$",
+    re.I | re.S,
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?P<tbl>\S+)"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
+    re.I | re.S,
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<tbl>\S+)"
+    r"(?:\s+ZORDER\s+BY\s+\((?P<zcols>[^)]*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_DESC_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>\S+)\s*;?\s*$", re.I | re.S
+)
+
+
 def _metrics(spark: SparkSession, **kv) -> DataFrame:
     cols = ", ".join(f"{k} long" for k in kv)
     return spark.createDataFrame([tuple(int(v) for v in kv.values())], cols)
@@ -374,11 +401,70 @@ def versioned_sql(
         finally:
             source.unpersist()
         return _metrics(spark, version=v, n_source_rows=n_src)
+    if head == "RESTORE":
+        m = _RESTORE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse RESTORE statement: {stmt!r}")
+        path = _resolve(m.group("tbl"))
+        if m.group("ver") is not None:
+            v = versioned.rollback(spark, path, version=int(m.group("ver")))
+        else:
+            v = versioned.rollback(
+                spark, path, timestamp=_epoch(m.group("ts"))
+            )
+        return _metrics(spark, version=v)
+    if head == "VACUUM":
+        m = _VACUUM.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse VACUUM statement: {stmt!r}")
+        removed = versioned.vacuum(
+            _resolve(m.group("tbl")),
+            keep_versions=(
+                int(m.group("keep")) if m.group("keep") is not None else None
+            ),
+            dry_run=m.group("dry") is not None,
+        )
+        return _metrics(spark, n_removed=len(removed))
+    if head == "OPTIMIZE":
+        m = _OPTIMIZE.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE statement: {stmt!r}")
+        zcols = None
+        if m.group("zcols"):
+            zcols = [
+                c.strip().strip("`")
+                for c in m.group("zcols").split(",")
+                if c.strip()
+            ]
+        v, before, after = versioned.optimize(
+            spark, _resolve(m.group("tbl")), zorder_by=zcols
+        )
+        return _metrics(
+            spark, version=v, files_before=before, files_after=after
+        )
+    if head == "DESCRIBE":
+        m = _DESC_HISTORY.match(stmt)
+        if not m:
+            raise ValueError(
+                f"only DESCRIBE HISTORY <table> is supported: {stmt!r}"
+            )
+        hist = versioned.history(_resolve(m.group("tbl")))
+        return spark.createDataFrame(
+            [
+                (
+                    vi.version, vi.mode, vi.n_files, vi.parent,
+                    vi.committed_at,
+                )
+                for vi in hist
+            ],
+            "version long, mode string, n_files long, parent long, "
+            "committed_at double",
+        )
     if head in ("SELECT", "WITH"):
         return _select(spark, stmt)
     raise ValueError(
         f"unsupported statement {head!r}: expected SELECT/WITH, DELETE, "
-        "UPDATE, or MERGE"
+        "UPDATE, MERGE, RESTORE, VACUUM, OPTIMIZE, or DESCRIBE HISTORY"
     )
 
 

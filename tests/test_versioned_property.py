@@ -72,3 +72,99 @@ def test_random_op_sequences_match_model(vspark, tmp_path_factory, ops):
         assert got == set(want), f"v{v} diverged"
     latest = {r["k"] for r in versioned.read(spark, path).collect()}
     assert latest == set(model[-1])
+
+
+# --- r9: merge-on-read DML random walk -------------------------------
+
+# op := (verb, arg, strategy) — strategy exercises copy-on-write and
+# deletion-vector paths interchangeably; the model never knows which
+# physical form a commit took, which IS the merge-on-read contract
+DML_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "delete", "update", "merge", "rollback", "compact"]),
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from(["auto", "dv", "copy"]),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=DML_OPS)
+def test_random_dml_walk_matches_model_regardless_of_strategy(
+    vspark, tmp_path_factory, ops
+):
+    """Any interleaving of appends, DV/copy deletes, DV/copy updates,
+    DV/copy merges, rollbacks, and compactions agrees row-for-row with
+    a trivial multiset model — physical form (rewrite vs deletion
+    vector) must be observationally invisible."""
+    spark = vspark
+    path = str(tmp_path_factory.mktemp("vdml") / "tbl")
+
+    def df(rows):
+        return spark.createDataFrame(list(rows), "k long, v long")
+
+    model: list[list[tuple[int, int]]] = []  # model[i] = rows at v i+1
+
+    def cur():
+        return list(model[-1]) if model else []
+
+    versioned.commit(spark, df([(i, i) for i in range(10)]), path)
+    model.append([(i, i) for i in range(10)])
+
+    for verb, arg, strat in ops:
+        if verb == "append":
+            new = [(100 + arg * 10 + j, arg) for j in range(3)]
+            versioned.commit(spark, df(new), path)
+            model.append(cur() + new)
+        elif verb == "delete":
+            m = 2 + arg % 3
+            versioned.delete_where(spark, path, f"k % {m} = 0", strategy=strat)
+            model.append([(k, v) for k, v in cur() if k % m != 0])
+        elif verb == "update":
+            m = 2 + arg % 3
+            versioned.update_where(
+                spark, path, f"k % {m} = 1", {"v": "v + 1000"},
+                strategy=strat,
+            )
+            model.append(
+                [(k, v + 1000) if k % m == 1 else (k, v) for k, v in cur()]
+            )
+        elif verb == "merge":
+            src = [(arg * 3 + j, -(arg * 3 + j)) for j in range(2)]
+            keys = {k for k, _ in src}
+            versioned.merge_into(spark, path, df(src), ["k"], strategy=strat)
+            model.append([r for r in cur() if r[0] not in keys] + src)
+        elif verb == "rollback":
+            target = (arg % len(model)) + 1
+            versioned.rollback(spark, path, version=target)
+            model.append(list(model[target - 1]))
+        else:  # compact: layout-only, rows unchanged
+            if cur():
+                versioned.compact(spark, path, n_files=1)
+                model.append(cur())
+        got = (
+            sorted(
+                tuple(r) for r in versioned.read(spark, path).collect()
+            )
+            if model[-1]
+            else []
+        )
+        if not model[-1]:
+            # an empty snapshot refuses read(); row_count still answers
+            assert versioned.row_count(spark, path) == 0
+        else:
+            assert got == sorted(model[-1]), (verb, arg, strat)
+    # every historical version still time-travels to its model state
+    for i, snap in enumerate(model):
+        v = i + 1
+        if snap:
+            assert sorted(
+                tuple(r)
+                for r in versioned.read(spark, path, version=v).collect()
+            ) == sorted(snap), f"time travel to v{v}"

@@ -240,3 +240,56 @@ def test_sql_merge_comparison_ops_diagnosed_not_missplit(spark, tbl):
             versioned_sql(
                 spark, f"MERGE INTO t9 t USING src_cmp s ON t.k {op} s.k"
             )
+
+
+# --- maintenance statements (Delta SQL verbs -> primitives) ---
+
+
+def test_sql_restore_and_describe_history(spark, tbl):
+    versioned_sql(spark, "DELETE FROM t9 WHERE k >= 10")  # v2
+    m = versioned_sql(spark, "RESTORE TABLE t9 TO VERSION AS OF 1")
+    assert m.collect()[0]["version"] == 3
+    assert versioned.read(spark, tbl).count() == 100
+    hist = versioned_sql(spark, "DESCRIBE HISTORY t9").collect()
+    assert [r["version"] for r in hist] == [1, 2, 3]
+    assert hist[2]["mode"] == "rollback(1)"
+    # TIMESTAMP AS OF restore, via v2's recorded commit time
+    ts = versioned._committed_at(tbl, 2, versioned._read_manifest(tbl, 2))
+    versioned_sql(spark, f"RESTORE TABLE t9 TO TIMESTAMP AS OF {ts}")
+    assert versioned.read(spark, tbl).count() == 10
+
+
+def test_sql_optimize_zorder_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        versioned.commit(spark, _mk(spark, i * 10, (i + 1) * 10), path)
+    register_table("tz", path)
+    try:
+        m = versioned_sql(spark, "OPTIMIZE tz ZORDER BY (k, g)")
+        row = m.collect()[0]
+        assert row["files_before"] == 3 and row["version"] == 4
+        assert versioned.read(spark, path).count() == 30
+        # fresh artifacts are in-flight-protected (min_age_s): backdate
+        # them so the vacuum statement has something reclaimable
+        import glob as _glob
+        import os as _os
+
+        old = _os.path.getmtime(path) - 7200
+        for f in _glob.glob(_os.path.join(path, "data", "*")) + _glob.glob(
+            _os.path.join(path, "data", "*", "*")
+        ):
+            _os.utime(f, (old, old))
+        dry = versioned_sql(
+            spark, "VACUUM tz RETAIN 1 VERSIONS DRY RUN"
+        ).collect()[0]["n_removed"]
+        assert dry >= 1
+        # nothing removed by the dry run
+        assert len(versioned.history(path)) == 4
+        got = versioned_sql(
+            spark, "VACUUM tz RETAIN 1 VERSIONS"
+        ).collect()[0]["n_removed"]
+        assert got == dry
+        assert len(versioned.history(path)) == 1
+        assert versioned.read(spark, path).count() == 30
+    finally:
+        register_table("tz", None)
