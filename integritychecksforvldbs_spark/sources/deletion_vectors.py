@@ -287,3 +287,46 @@ def batch_mask_ranges(ranges, offset: int, n_rows: int):
             mask = np.ones(n_rows, dtype=bool)
         mask[max(s - offset, 0):min(e + 1 - offset, n_rows)] = False
     return mask
+
+
+def subtract_ranges(
+    a: list[list[int]], b: list[list[int]]
+) -> list[list[int]]:
+    """Positions in ``a`` not in ``b`` (both sorted range lists,
+    inclusive) — how a change feed derives the NEWLY-dead positions of
+    a version from the previous version's deletion vector."""
+    out: list[list[int]] = []
+    bi = 0
+    b = [list(map(int, r)) for r in b]
+    for s, e in (list(map(int, r)) for r in a):
+        cur = s
+        while cur <= e:
+            while bi < len(b) and b[bi][1] < cur:
+                bi += 1
+            if bi >= len(b) or b[bi][0] > e:
+                out.append([cur, e])
+                break
+            bs, be = b[bi]
+            if bs > cur:
+                out.append([cur, bs - 1])
+            cur = be + 1
+    return out
+
+
+def batch_take_ranges(ranges, offset: int, n_rows: int):
+    """Boolean TAKE-mask for a batch: True exactly at the positions
+    ``ranges`` names (the dual of :func:`batch_mask_ranges`), or None
+    when the batch holds none of them — the change-feed reader's
+    "emit the rows AT these positions" filter."""
+    import numpy as np
+
+    mask = None
+    for s, e in ranges:
+        if e < offset:
+            continue
+        if s >= offset + n_rows:
+            break
+        if mask is None:
+            mask = np.zeros(n_rows, dtype=bool)
+        mask[max(s - offset, 0):min(e + 1 - offset, n_rows)] = True
+    return mask

@@ -1992,7 +1992,8 @@ def merge_into(
                 )
                 v = _commit_replace(
                     path, base_v, man, removed, new_files, new_stats,
-                    mode="merge", data_change=True, new_dvs=add_dvs,
+                    mode="merge", data_change=True,
+                    extra={"row_local": True}, new_dvs=add_dvs,
                 )
                 if v is not None:
                     return v
@@ -2104,7 +2105,11 @@ def delete_where(
             v = _commit_replace(
                 path, base_v, man, removed, [], {},
                 mode="delete", data_change=True,
-                extra={"condition": condition}, new_dvs=add_dvs,
+                # row_local: any removed file is FULLY dead — no live
+                # row was carried into another file, so the change
+                # feed may treat the file-set diff as row-exact
+                extra={"condition": condition, "row_local": True},
+                new_dvs=add_dvs,
             )
             if v is not None:
                 return v, n_deleted
@@ -2275,7 +2280,8 @@ def update_where(
             v = _commit_replace(
                 path, base_v, man, removed, new_files, new_stats,
                 mode="update", data_change=True,
-                extra={"condition": condition}, new_dvs=add_dvs,
+                extra={"condition": condition, "row_local": True},
+                new_dvs=add_dvs,
             )
             if v is not None:
                 return v, n_updated

@@ -44,6 +44,7 @@ from pyspark.sql.types import StructType
 
 from integritychecksforvldbs_spark.sources.versioned import (
     _contiguous_committed,
+    _fold,
     _latest_committed,
     _manifest_schema,
     _read_manifest,
@@ -62,6 +63,20 @@ class _FilePartition(InputPartition):
     # shipped on the pickled partition; the reader anti-filters them
     # batch-by-batch as it streams the file
     dv_ranges: tuple | None = None
+
+
+@dataclass
+class _CDFPartition(InputPartition):
+    """One change-feed read unit: emit ``ctype`` rows of ``path`` at
+    version ``version`` — the whole file's live rows (``mode='all'``,
+    ``ranges`` = the file's dead positions to EXCLUDE) or exactly the
+    positions in ``ranges`` (``mode='at'``, a DV diff)."""
+
+    path: str
+    version: int
+    ctype: str  # 'insert' | 'delete'
+    mode: str  # 'all' | 'at'
+    ranges: tuple | None = None
 
 
 # how long a legacy bodyless claim dir is presumed possibly in flight
@@ -205,10 +220,21 @@ class _VersionedStreamReader(DataSourceStreamReader):
         max_versions: int | None = None,
         max_files: int | None = None,
         skip_change_commits: bool = False,
+        change_feed: bool = False,
     ):
         self.path = path
         self.starting_version = starting_version
-        self.target = _arrow_target(schema)
+        self.change_feed = change_feed
+        if change_feed:
+            # _change_type/_commit_version are SYNTHESIZED per batch;
+            # the files are read against the table schema alone
+            base = StructType(
+                [f for f in schema.fields
+                 if f.name not in ("_change_type", "_commit_version")]
+            )
+            self.target = _arrow_target(base)
+        else:
+            self.target = _arrow_target(schema)
         self.max_versions = max_versions
         self.max_files = max_files
         self.skip_change_commits = skip_change_commits
@@ -408,18 +434,167 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     out.append(f)
         return out
 
+    def _cdf_partitions_between(
+        self, start_v: int, end_v: int
+    ) -> list[_CDFPartition]:
+        """Change-feed read units for (start_v, end_v]: per version,
+        the FOLDED snapshot diff against its predecessor — entered
+        files emit their live rows as inserts, departed files their
+        live rows as deletes, and common files with a changed deletion
+        vector emit the position diff (newly dead → delete, revived →
+        insert).  Exactly file/DV-local changes are expressible; a
+        rewrite that both removes and adds files (copy-path DML) would
+        surface every carried row as a false delete+insert pair, so it
+        fails loudly toward batch ``versioned.changes()``, which
+        cancels carried rows with a multiset diff (the same reason
+        Delta's CDF writes dedicated change files for such commits)."""
+        from integritychecksforvldbs_spark.sources.deletion_vectors import (
+            read_dv_ranges,
+            subtract_ranges,
+        )
+
+        if start_v > 0:
+            prev = _snapshot(self.path, start_v)
+            if prev is None:
+                raise FileNotFoundError(
+                    f"offset version {start_v} of {self.path!r} vanished "
+                    "(vacuumed past the stream's checkpoint?)"
+                )
+        else:
+            prev = None
+        out: list[_CDFPartition] = []
+        for v in range(start_v + 1, end_v + 1):
+            man = _read_manifest(self.path, v)
+            if man is None:
+                legacy = os.path.join(
+                    _local(self.path), "_versions", f"v{v:010d}"
+                )
+                if os.path.isdir(legacy):
+                    continue  # corpse: committed nothing
+                raise FileNotFoundError(
+                    f"version {v} of {self.path!r} has no committed "
+                    "manifest inside the change-feed range "
+                    f"({start_v}, {end_v}]"
+                )
+            snap = _fold(self.path, man)
+            emit = man.get("data_change") is not False and not (
+                self.skip_change_commits
+                and man.get("mode", "") not in ("append", "clone")
+            )
+            if not emit:
+                prev = snap
+                continue
+            pf = set(prev["files"]) if prev else set()
+            pd = (prev.get("dvs") or {}) if prev else {}
+            cf, cd = set(snap["files"]), snap.get("dvs") or {}
+            entered, left = sorted(cf - pf), sorted(pf - cf)
+            # row_local (merge-on-read DML): removed files were FULLY
+            # dead, so no live row was carried between files and the
+            # file-set diff is row-exact even with adds and drops in
+            # one commit; without the marker a remove+add commit is a
+            # copy-path rewrite whose carried rows would surface as
+            # false delete+insert pairs
+            if entered and left and not man.get("row_local"):
+                raise ValueError(
+                    f"change feed of {self.path!r} hit v{v} "
+                    f"({man.get('mode')}): a rewrite that swaps files "
+                    "is not file-local — consume it with "
+                    "versioned.changes() in batch, or take the "
+                    "merge-on-read DML path (strategy='dv')"
+                )
+
+            def _live(f, dvs, ver, ctype):
+                rs = (
+                    tuple(tuple(r) for r in read_dv_ranges(dvs[f]))
+                    if f in dvs
+                    else None
+                )
+                return _CDFPartition(f, ver, ctype, "all", rs)
+
+            out.extend(_live(f, cd, v, "insert") for f in entered)
+            out.extend(_live(f, pd, v, "delete") for f in left)
+            for f in sorted(cf & pf):
+                if pd.get(f) == cd.get(f):
+                    continue
+                old_r = read_dv_ranges(pd[f]) if f in pd else []
+                new_r = read_dv_ranges(cd[f]) if f in cd else []
+                newly = subtract_ranges(new_r, old_r)
+                revived = subtract_ranges(old_r, new_r)
+                if newly:
+                    out.append(
+                        _CDFPartition(
+                            f, v, "delete", "at",
+                            tuple(tuple(r) for r in newly),
+                        )
+                    )
+                if revived:
+                    out.append(
+                        _CDFPartition(
+                            f, v, "insert", "at",
+                            tuple(tuple(r) for r in revived),
+                        )
+                    )
+            prev = snap
+        return out
+
     def partitions(self, start: dict, end: dict):
         # a replayed batch on restart tells us where the checkpoint
         # actually is — never emit an offset below it afterwards
         if self._last_emitted is None or int(end["version"]) > self._last_emitted:
             self._last_emitted = int(end["version"])
+        if self.change_feed:
+            return self._cdf_partitions_between(
+                int(start["version"]), int(end["version"])
+            )
         files = self._files_between(
             int(start["version"]), int(end["version"])
         )
         return [_FilePartition(f) for f in files]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _CDFPartition):
+            yield from self._read_cdf(partition)
+            return
         yield from _read_file_batches(partition.path, self.target)
+
+    def _read_cdf(self, part: _CDFPartition):
+        import pyarrow as pa
+
+        from integritychecksforvldbs_spark.sources.deletion_vectors import (
+            batch_take_ranges,
+        )
+
+        if part.mode == "all":
+            batches = _read_file_batches(
+                part.path, self.target, part.ranges
+            )
+        else:  # 'at': emit exactly the positions in ranges
+
+            def _take():
+                rs = sorted([int(a), int(b)] for a, b in part.ranges)
+                offset = 0
+                for b in _read_file_batches(part.path, self.target):
+                    mask = batch_take_ranges(rs, offset, b.num_rows)
+                    offset += b.num_rows
+                    if mask is not None:
+                        yield b.filter(pa.array(mask))
+
+            batches = _take()
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            schema = b.schema.append(
+                pa.field("_change_type", pa.string())
+            ).append(pa.field("_commit_version", pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns)
+                + [
+                    pa.array([part.ctype] * n, pa.string()),
+                    pa.array([part.version] * n, pa.int64()),
+                ],
+                schema=schema,
+            )
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint is the ledger; nothing to release
@@ -450,6 +625,17 @@ class VersionedDataSource(DataSource):
       deletes are never replayed, their new rows never emitted;
       Delta's option of the same name).  Without it a stream still
       fails loudly on the first non-append commit.
+    - ``readChangeFeed`` (stream only, default false): emit ROW-LEVEL
+      CHANGES instead of rows — the table schema plus
+      ``_change_type`` ('insert'/'delete'; an update is its
+      delete+insert pair) and ``_commit_version`` (Delta CDF's
+      streaming shape).  Appends, merge-on-read DML (deletion-vector
+      diffs), pure removals, overwrites/rollbacks that only add or
+      only drop files, and rollbacks across DVs are all exact;
+      a copy-path rewrite (remove+add in one commit) fails loudly
+      toward batch ``versioned.changes()``, whose multiset diff
+      cancels the carried rows.  Composes with ``skipChangeCommits``
+      (then only inserts flow).
     """
 
     @classmethod
@@ -493,6 +679,17 @@ class VersionedDataSource(DataSource):
                 )
             files = cur[1]["files"]
         recorded = _manifest_schema(man if v is not None else cur[1])
+        if self._change_feed():
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            base = recorded if recorded is not None else _spark_schema(files)
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
         if recorded is not None:
             # the manifest's recorded schema is authoritative — after a
             # schema-evolving append the visible files disagree, and
@@ -505,7 +702,18 @@ class VersionedDataSource(DataSource):
             raise ValueError(f"cannot infer schema of empty {path!r}")
         return _spark_schema(files)
 
+    def _change_feed(self) -> bool:
+        return str(
+            self.options.get("readChangeFeed", "false")
+        ).lower() in ("true", "1", "yes")
+
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._change_feed():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option here; batch "
+                "change feeds are versioned.changes(spark, path, "
+                "from_version, to_version)"
+            )
         path = self._path()
         return _VersionedBatchReader(path, self._batch_version(path), schema)
 
@@ -534,6 +742,7 @@ class VersionedDataSource(DataSource):
             max_versions=int(mv) if mv is not None else None,
             max_files=int(mf) if mf is not None else None,
             skip_change_commits=scc,
+            change_feed=self._change_feed(),
         )
 
 

@@ -205,3 +205,112 @@ def test_stream_skip_change_commits_survives_dml(registered, tmp_path):
     )
     with pytest.raises(ValueError, match="skipChangeCommits"):
         r._files_between(0, versioned._latest_committed(path)[0])
+
+
+def test_stream_read_change_feed_matches_batch_changes(
+    registered, tmp_path
+):
+    """readChangeFeed (r9): the CDF STREAM over appends + merge-on-read
+    DML equals the batch versioned.changes() feed, with
+    _commit_version attributing every row to its commit."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    versioned.commit(
+        spark,
+        spark.range(0, 10).selectExpr("id as k", "id * 2 as v"),
+        path,
+    )  # v1
+    versioned.delete_where(spark, path, "k in (2, 3)", strategy="dv")  # v2
+    versioned.commit(
+        spark,
+        spark.range(10, 13).selectExpr("id as k", "id * 2 as v"),
+        path,
+    )  # v3
+    versioned.update_where(
+        spark, path, "k = 5", {"v": "v + 100"}, strategy="dv"
+    )  # v4
+
+    (
+        spark.readStream.format("versioned")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in got.collect()
+    )
+    expect = sorted(
+        [(1, "insert", k, 2 * k) for k in range(10)]
+        + [(2, "delete", 2, 4), (2, "delete", 3, 6)]
+        + [(3, "insert", k, 2 * k) for k in (10, 11, 12)]
+        + [(4, "delete", 5, 10), (4, "insert", 5, 110)]
+    )
+    assert rows == expect
+    # per-COMMIT agreement with the batch feed (the stream is
+    # per-commit; batch changes() over a wider range reports the NET
+    # diff, where an insert-then-delete cancels)
+    for v in (1, 2, 3, 4):
+        batch = sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in versioned.changes(spark, path, v - 1, v).collect()
+        )
+        stream = sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in got.filter(
+                F.col("_commit_version") == v
+            ).collect()
+        )
+        assert stream == batch, v
+    # and APPLYING the whole stream reproduces the latest snapshot
+    state: dict = {}
+    for _v, ctype, k, val in rows:
+        if ctype == "insert":
+            state[(k, val)] = state.get((k, val), 0) + 1
+        else:
+            state[(k, val)] -= 1
+    applied = sorted(kv for kv, n in state.items() for _ in range(n))
+    latest = sorted(
+        (r["k"], r["v"])
+        for r in versioned.read(spark, path).collect()
+    )
+    assert applied == latest
+
+
+def test_stream_change_feed_rejects_copy_rewrites(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 10).coalesce(1), path)
+    versioned.delete_where(spark, path, "k = 1", strategy="copy")
+    r = _stream_reader_cdf(path)
+    with pytest.raises(ValueError, match="not file-local"):
+        r._cdf_partitions_between(1, 2)
+    # while a whole-file (pure-removal) delete IS expressible
+    path2 = str(tmp_path / "tbl2")
+    versioned.commit(spark, _mk(spark, 0, 5), path2)
+    versioned.commit(spark, _mk(spark, 5, 10), path2)
+    versioned.delete_where(spark, path2, "k >= 5")  # drops whole band
+    parts = _stream_reader_cdf(path2)._cdf_partitions_between(2, 3)
+    assert [p.ctype for p in parts] == ["delete"] * len(parts)
+
+
+def _stream_reader_cdf(path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    return _VersionedStreamReader(
+        path, 0,
+        StructType([StructField("k", LongType(), True)]),
+        change_feed=True,
+    )
