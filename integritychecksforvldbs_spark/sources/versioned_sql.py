@@ -34,6 +34,10 @@ registered via :func:`register_table` or an explicit path):
   ``TIMESTAMP AS OF ts``), ``VACUUM <t> [RETAIN k VERSIONS]
   [DRY RUN]``, ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``, and
   ``DESCRIBE HISTORY <t>``.
+- ``SELECT ... FROM table_changes('<t>', from_v[, to_v]) ...`` — the
+  batch change feed (:func:`~.versioned.changes`) as a table-valued
+  reference inside any SELECT (Delta's TVF of the same name); rows
+  carry ``_change_type``.
 
 DML statements return a one-row metrics DataFrame (``version`` plus
 ``n_deleted``/``n_updated``/``n_source_rows``), mirroring the metrics
@@ -259,6 +263,11 @@ _WHEN_UPSERT_ALL = re.compile(
     r"^\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
     re.I | re.S,
+)
+_TABLE_CHANGES = re.compile(
+    r"\btable_changes\s*\(\s*'?(?P<tbl>[^'(),\s]+)'?\s*,"
+    r"\s*(?P<from>\d+)\s*(?:,\s*(?P<to>\d+)\s*)?\)",
+    re.I,
 )
 _TIME_TRAVEL = re.compile(
     r"\b(?P<tbl>\w+)\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
@@ -500,7 +509,17 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
         )
         return view
 
-    out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, stmt)
+    def _sub_changes(m: re.Match) -> str:
+        path = _resolve(m.group("tbl"))
+        lo = int(m.group("from"))
+        hi = int(m.group("to")) if m.group("to") is not None else None
+        feed = versioned.changes(spark, path, lo, hi)
+        view = f"__icv_ch_{abs(hash((path, lo, hi))) % 10**9}"
+        feed.createOrReplaceTempView(view)
+        return view
+
+    out = _sub_outside_strings(_TABLE_CHANGES, _sub_changes, stmt)
+    out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, out)
     spans = _string_spans(out)
     for name, path in _TABLES.items():
         pat = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])", re.I)

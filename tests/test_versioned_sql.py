@@ -293,3 +293,22 @@ def test_sql_optimize_zorder_and_vacuum(spark, tmp_path):
         assert versioned.read(spark, path).count() == 30
     finally:
         register_table("tz", None)
+
+
+def test_sql_table_changes_tvf(spark, tbl):
+    versioned_sql(spark, "DELETE FROM t9 WHERE k in (1, 2)", strategy="dv")
+    got = versioned_sql(
+        spark,
+        "SELECT _change_type, k FROM table_changes('t9', 1, 2) "
+        "ORDER BY k",
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in got] == [
+        ("delete", 1), ("delete", 2),
+    ]
+    # composes with aggregation and a WHERE of its own
+    n = versioned_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('t9', 0, 1) "
+        "WHERE _change_type = 'insert'",
+    ).collect()[0]["n"]
+    assert n == 100
