@@ -58,7 +58,9 @@ def test_manifest_is_atomic_file_never_bodyless(spark, tmp_path):
     path = str(tmp_path / "tbl")
     versioned.commit(spark, _mk(spark, 0, 3), path)
     vdir = os.path.join(path, "_versions")
-    names = sorted(os.listdir(vdir))
+    # ignore the r9 `_latest` pointer (a hint, not part of the log's
+    # version records): the invariant here is about version ARTIFACTS
+    names = sorted(n for n in os.listdir(vdir) if n.startswith("v"))
     assert names == ["v0000000001.json"]
     with open(os.path.join(vdir, names[0])) as f:
         man = json.load(f)
