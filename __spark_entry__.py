@@ -550,6 +550,39 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_dv_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across a DELETION-VECTOR delete (r9): the manifest's
+    file set is unchanged — the diff is the DV position delta, scanned
+    from only the DV-changed files — and the feed is exactly the
+    deleted rows as ``_change_type='delete'``; the oracle selects the
+    same rows directly."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_dv_delete")
+    _q_versioned_dv_delete(spark, sf_dir)  # ensure the fixture exists
+    return (
+        versioned.changes(spark, path, 1, 2)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_DV_CHANGES_ORACLE = """
+SELECT 'delete' AS _change_type, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 501 = 0
+GROUP BY o_orderpriority
+"""
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3536,6 +3569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["versioned_time_travel_ts"] = _q_versioned_time_travel_ts
     # commit-time CHECK constraints: violating append refused (r8)
     out["versioned_constrained_append"] = _q_versioned_constrained_append
+    # change feed across a deletion-vector delete: the DV position
+    # delta IS the feed (r9; head-50 gates the DV family via
+    # versioned_dv_delete)
+    out["versioned_dv_changes"] = _q_versioned_dv_changes
     return out
 
 
@@ -3917,6 +3954,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_time_travel_ts"] = _VERSIONED_TT_ORACLE
     out["versioned_update_where"] = _VERSIONED_UPDATE_ORACLE
     out["versioned_dv_delete"] = _VERSIONED_DV_DELETE_ORACLE
+    out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE
     return out

@@ -226,3 +226,48 @@ def test_append_racing_optimize_is_never_lost(
         (i,) for i in range(25)
     ]
     assert after == 1  # and it really is the compacted layout
+
+
+def test_racing_dv_deletes_serialize_without_lost_deletes(
+    spark, tmp_path
+):
+    """N threads issue merge-on-read deletes of DISJOINT key bands
+    concurrently: the replace-on-exact-base protocol serializes them
+    (losers re-probe against the winner's snapshot, whose DV they must
+    union into their superseding sidecar), so EVERY band ends up dead —
+    a lost DV update would resurrect a band."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    versioned.commit(
+        spark,
+        spark.range(0, 400).select(F.col("id").alias("k")).coalesce(2),
+        path,
+    )
+    errs = []
+
+    def worker(i):
+        try:
+            v, n = versioned.delete_where(
+                spark, path, f"k >= {i * 20} AND k < {i * 20 + 10}",
+                strategy="dv", max_retries=30,
+            )
+            assert n == 10
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    got = sorted(r["k"] for r in versioned.read(spark, path).collect())
+    expect = [
+        k for k in range(400)
+        if not any(i * 20 <= k < i * 20 + 10 for i in range(4))
+    ]
+    assert got == expect
+    assert versioned.row_count(spark, path) == 360
