@@ -141,3 +141,49 @@ def test_appends_racing_rollbacks_across_processes(tmp_path):
     for vi in versioned.history(path):
         snap = versioned._snapshot(path, vi.version)
         assert snap is not None and "files" in snap
+
+
+def test_cli_processes_racing_appends_full_stack(spark, tmp_path):
+    """The CLI-level variant: four REAL `table_cli versioned-commit`
+    invocations — separate Python processes, separate JVMs, real data
+    writes — race appends into one table.  Full-stack promotion of the
+    protocol stress above: every acknowledged commit's rows are in the
+    final snapshot and the chain is gap-free."""
+    import json
+    import subprocess
+
+    srcs = []
+    for w in range(4):
+        src = str(tmp_path / f"src{w}")
+        spark.range(w * 100, w * 100 + 10).selectExpr(
+            "id as k"
+        ).coalesce(1).write.parquet(src)
+        srcs.append(src)
+    tbl = str(tmp_path / "tbl")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",  # 4 concurrent JVMs share the box
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m",
+                "integritychecksforvldbs_spark.table_cli",
+                "versioned-commit", "--src", src, "--table", tbl,
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=_REPO, env=env, text=True,
+        )
+        for src in srcs
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["version"] >= 1
+    hist = versioned.history(tbl)
+    assert [vi.version for vi in hist] == [1, 2, 3, 4]
+    got = sorted(r["k"] for r in versioned.read(spark, tbl).collect())
+    assert got == sorted(
+        k for w in range(4) for k in range(w * 100, w * 100 + 10)
+    )
