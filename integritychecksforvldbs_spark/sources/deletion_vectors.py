@@ -214,6 +214,67 @@ def apply_dvs(
     return out.drop(fcol, rcol)
 
 
+# a DV set whose islands fit here is anti-filtered as an INLINED
+# whole-stage-codegen predicate (no sidecar scan, no join stage) — the
+# point-delete fast path; bigger sets take the distributed anti-join
+DV_INLINE_MAX_RANGES = 64
+DV_INLINE_MAX_FILES = 16
+
+
+def inline_ranges(dvs: dict[str, dict]) -> dict | None:
+    """``{file: ranges}`` when the whole DV set is small enough to
+    carry in the PLAN itself, else None.  Artifact bytes scale with
+    ISLANDS, not positions — a contiguous million-row delete is one
+    tiny range (inline it), a pathological scatter is a big artifact
+    (don't even read it driver-side)."""
+    if len(dvs) > DV_INLINE_MAX_FILES:
+        return None
+    for e in dvs.values():
+        try:
+            if os.path.getsize(_local(e["path"])) > 65536:
+                return None
+        except OSError:
+            return None
+    per_file = {f: read_dv_ranges(e) for f, e in dvs.items()}
+    if sum(len(r) for r in per_file.values()) > DV_INLINE_MAX_RANGES:
+        return None
+    return per_file
+
+
+def dead_ranges_pred(ranges: list[list[int]], rcol: str):
+    """Column true exactly at the positions in ``ranges`` — pure
+    whole-stage-codegen comparisons on the native row index."""
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col(rcol) >= int(s)) & (F.col(rcol) <= int(e))
+            for s, e in ranges
+        ],
+    )
+
+
+def _inline_dead_pred(dvs: dict[str, dict], fcol: str, rcol: str):
+    """A Column that is True exactly on dead rows, or None when the
+    set is too big to inline (see :func:`inline_ranges`)."""
+    import functools
+
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+    )
+
+    per_file = inline_ranges(dvs)
+    if per_file is None:
+        return None
+    terms = [
+        (F.col(fcol) == F.lit(_canon_file_path(f)))
+        & dead_ranges_pred(ranges, rcol)
+        for f, ranges in per_file.items()
+    ]
+    return functools.reduce(lambda a, b: a | b, terms)
+
+
 def anti_join_positions(
     spark: SparkSession,
     df: DataFrame,
@@ -221,11 +282,17 @@ def anti_join_positions(
     fcol: str,
     rcol: str,
 ) -> DataFrame:
-    """LEFT ANTI join ``df`` (already carrying position columns
-    ``fcol``/``rcol``) against the dead-position set of ``dvs``,
-    broadcast when the manifest's recorded counts say it fits."""
+    """Anti-filter ``df`` (already carrying position columns
+    ``fcol``/``rcol``) against the dead-position set of ``dvs``: an
+    INLINED predicate when the set's islands fit (a point delete costs
+    one codegen filter, no extra scan or join stage), else a LEFT ANTI
+    join against the distributed position set, broadcast when the
+    manifest's recorded counts say it fits."""
     if not dvs:
         return df
+    dead = _inline_dead_pred(dvs, fcol, rcol)
+    if dead is not None:
+        return df.filter(~dead)
     pos = positions_df(spark, dvs)
     if sum(int(e["n"]) for e in dvs.values()) <= DV_BROADCAST_MAX_POSITIONS:
         pos = F.broadcast(pos)

@@ -860,15 +860,46 @@ def _scan_live(
     """:func:`_scan_files` minus the rows the snapshot's deletion
     vectors mark dead — the LIVE view every semantic operation
     (reads, DML probes and rewrites, constraint validation,
-    compaction) must see; a snapshot without DVs pays nothing."""
-    from integritychecksforvldbs_spark.sources.deletion_vectors import (
-        apply_dvs,
-    )
+    compaction) must see; a snapshot without DVs pays nothing.
+
+    Plan shape when the DV set is small (the point-delete case): the
+    clean files scan as ONE untouched relation (zero overhead — no
+    metadata columns, no join) unioned with a per-DV'd-file scan whose
+    dead positions are a pure codegen ``row_index`` range filter (the
+    file's identity is implied by its own scan, so no per-row path
+    canonicalization either).  Big DV sets fall back to the
+    distributed anti-join."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources import deletion_vectors as dv
 
     files = man["files"] if files is None else files
-    return apply_dvs(
-        spark, _scan_files(spark, man, files), _dvs_for(man, files)
-    )
+    dvs = _dvs_for(man, files)
+    if not dvs:
+        return _scan_files(spark, man, files)
+    per_file = dv.inline_ranges(dvs)
+    if per_file is not None:
+        clean = [f for f in files if f not in dvs]
+        parts = []
+        if clean:
+            parts.append(_scan_files(spark, man, clean))
+        for f in files:
+            if f not in per_file:
+                continue
+            sc = _scan_files(spark, man, [f])
+            rcol = "__icv_dv_pos"
+            while rcol in sc.columns:
+                rcol += "_"
+            parts.append(
+                sc.withColumn(rcol, F.col("_metadata.row_index"))
+                .filter(~dv.dead_ranges_pred(per_file[f], rcol))
+                .drop(rcol)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return dv.apply_dvs(spark, _scan_files(spark, man, files), dvs)
 
 
 def _scan_live_pos(
@@ -1348,18 +1379,14 @@ def read(
             raise FileNotFoundError(f"version {version} of {path!r} not found")
     if not man["files"]:
         raise ValueError(f"version {man['version']} of {path!r} is empty")
-    from integritychecksforvldbs_spark.sources.deletion_vectors import (
-        apply_dvs,
-    )
-
+    if man.get("dvs"):
+        # merge-on-read: the live view (clean files untouched, DV'd
+        # files inline-filtered or anti-joined — see _scan_live)
+        return _scan_live(spark, man)
     sch = _manifest_schema(man)
     if sch is not None:
-        df = spark.read.schema(sch).parquet(*man["files"])
-    else:
-        df = load_table(spark, *man["files"])
-    # merge-on-read: rows the snapshot's deletion vectors mark dead
-    # are anti-filtered here (no DVs → df unchanged, no plan overhead)
-    return apply_dvs(spark, df, man.get("dvs") or {})
+        return spark.read.schema(sch).parquet(*man["files"])
+    return load_table(spark, *man["files"])
 
 
 def _resolve_manifest(path: str, version: int | None) -> dict:
@@ -1513,23 +1540,13 @@ def read_where(
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
-    from integritychecksforvldbs_spark.sources.deletion_vectors import (
-        apply_dvs,
-    )
-
     if not kept:
         if sch is None:
             return _residual(read(spark, path, version)).limit(0)
         return spark.createDataFrame([], sch)
-    if sch is not None:
-        scan = spark.read.schema(sch).parquet(*kept)
-    else:
-        from integritychecksforvldbs_spark.sources.loader import load_table
-
-        scan = load_table(spark, *kept)
-    # DV anti-filter before the residual: stats prune whole files, the
-    # deletion vectors remove the surviving files' dead rows
-    return _residual(apply_dvs(spark, scan, _dvs_for(man, kept)))
+    # stats prune whole files first, then the live scan removes the
+    # surviving files' DV-dead rows (inline filter or anti-join)
+    return _residual(_scan_live(spark, man, kept))
 
 
 DEFAULT_OPTIMIZE_TARGET_BYTES = 128 * 1024 * 1024
