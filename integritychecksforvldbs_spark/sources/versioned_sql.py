@@ -152,7 +152,9 @@ def _sub_outside_strings(pattern: re.Pattern, repl, s: str) -> str:
 
 
 def _epoch(ts: str) -> float:
-    ts = ts.strip().strip("'\"")
+    # an unquoted timestamp inside a subquery may arrive with trailing
+    # punctuation the \S+ capture swallowed ("... AS OF 123.4)")
+    ts = ts.strip().rstrip("),;").strip("'\"")
     try:
         return float(ts)
     except ValueError:
@@ -270,8 +272,11 @@ _TABLE_CHANGES = re.compile(
     re.I,
 )
 _TIME_TRAVEL = re.compile(
+    # the unquoted-timestamp class is epoch/ISO characters only, so a
+    # closing paren or comma after "AS OF <ts>" is never captured (and
+    # therefore never substituted away) inside a subquery
     r"\b(?P<tbl>\w+)\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
-    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\S+))",
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[\w.:+-]+))",
     re.I,
 )
 

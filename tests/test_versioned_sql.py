@@ -312,3 +312,13 @@ def test_sql_table_changes_tvf(spark, tbl):
         "WHERE _change_type = 'insert'",
     ).collect()[0]["n"]
     assert n == 100
+
+
+def test_sql_time_travel_inside_subquery(spark, tbl):
+    versioned_sql(spark, "DELETE FROM t9 WHERE k >= 50")  # v2
+    ts = versioned._committed_at(tbl, 1, versioned._read_manifest(tbl, 1))
+    n = versioned_sql(
+        spark,
+        f"SELECT n FROM (SELECT COUNT(*) AS n FROM t9 TIMESTAMP AS OF {ts})",
+    ).collect()[0]["n"]
+    assert n == 100
