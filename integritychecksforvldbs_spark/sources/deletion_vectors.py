@@ -200,7 +200,10 @@ def _unique_names(df: DataFrame) -> tuple[str, str]:
 
 
 def apply_dvs(
-    spark: SparkSession, df: DataFrame, dvs: dict[str, dict]
+    spark: SparkSession,
+    df: DataFrame,
+    dvs: dict[str, dict],
+    try_inline: bool = True,
 ) -> DataFrame:
     """Anti-filter the dead positions of ``dvs`` (manifest entries,
     keyed by data-file path) out of ``df`` — which must be the raw
@@ -210,7 +213,9 @@ def apply_dvs(
         return df
     fcol, rcol = _unique_names(df)
     out = scan_with_position(df, fcol, rcol)
-    out = anti_join_positions(spark, out, dvs, fcol, rcol)
+    out = anti_join_positions(
+        spark, out, dvs, fcol, rcol, try_inline=try_inline
+    )
     return out.drop(fcol, rcol)
 
 
@@ -238,7 +243,13 @@ def inline_ranges(dvs: dict[str, dict]) -> dict | None:
     per_file = {f: read_dv_ranges(e) for f, e in dvs.items()}
     if sum(len(r) for r in per_file.values()) > DV_INLINE_MAX_RANGES:
         return None
-    return per_file
+    # an EMPTY range list (a defensively-tolerated degenerate artifact:
+    # hand-repaired log or an external writer) kills no rows — drop the
+    # entry so downstream predicates never reduce over nothing.  NOTE
+    # for callers: absence from the result therefore means "fully
+    # live", so clean-file lists must be derived from THIS dict, not
+    # from the dvs map
+    return {f: r for f, r in per_file.items() if r}
 
 
 def dead_ranges_pred(ranges: list[list[int]], rcol: str):
@@ -267,6 +278,8 @@ def _inline_dead_pred(dvs: dict[str, dict], fcol: str, rcol: str):
     per_file = inline_ranges(dvs)
     if per_file is None:
         return None
+    if not per_file:  # only degenerate empty vectors: nothing is dead
+        return F.lit(False)
     terms = [
         (F.col(fcol) == F.lit(_canon_file_path(f)))
         & dead_ranges_pred(ranges, rcol)
@@ -281,16 +294,19 @@ def anti_join_positions(
     dvs: dict[str, dict],
     fcol: str,
     rcol: str,
+    try_inline: bool = True,
 ) -> DataFrame:
     """Anti-filter ``df`` (already carrying position columns
     ``fcol``/``rcol``) against the dead-position set of ``dvs``: an
     INLINED predicate when the set's islands fit (a point delete costs
     one codegen filter, no extra scan or join stage), else a LEFT ANTI
     join against the distributed position set, broadcast when the
-    manifest's recorded counts say it fits."""
+    manifest's recorded counts say it fits.  ``try_inline=False`` skips
+    the inline probe for callers that already ran (and declined) it —
+    it re-reads sidecar artifacts driver-side."""
     if not dvs:
         return df
-    dead = _inline_dead_pred(dvs, fcol, rcol)
+    dead = _inline_dead_pred(dvs, fcol, rcol) if try_inline else None
     if dead is not None:
         return df.filter(~dead)
     pos = positions_df(spark, dvs)

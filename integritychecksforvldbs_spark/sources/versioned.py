@@ -838,11 +838,16 @@ def _scan_files(
     """Plan a parquet scan of ``files`` (default: the manifest's whole
     visible set) against the manifest's recorded schema — the one
     read shape every file-scoped operation shares."""
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
     files = man["files"] if files is None else files
     sch = _manifest_schema(man)
     if sch is not None:
         return spark.read.schema(sch).parquet(*files)
-    return spark.read.parquet(*files)
+    # legacy manifests without a recorded schema: load_table applies
+    # the nanos/NTZ timestamp normalizations a raw spark.read.parquet
+    # lacks, so a table keeps ONE dtype story across every code path
+    return load_table(spark, *files)
 
 
 def _dvs_for(man: dict, files: list[str]) -> dict[str, dict]:
@@ -879,7 +884,10 @@ def _scan_live(
         return _scan_files(spark, man, files)
     per_file = dv.inline_ranges(dvs)
     if per_file is not None:
-        clean = [f for f in files if f not in dvs]
+        # clean = everything inline_ranges holds no ranges for — that
+        # includes a dv'd file with a degenerate EMPTY vector (fully
+        # live; inline_ranges drops such entries by contract)
+        clean = [f for f in files if f not in per_file]
         parts = []
         if clean:
             parts.append(_scan_files(spark, man, clean))
@@ -899,7 +907,10 @@ def _scan_live(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
-    return dv.apply_dvs(spark, _scan_files(spark, man, files), dvs)
+    # the inline probe just declined: don't repeat it inside apply_dvs
+    return dv.apply_dvs(
+        spark, _scan_files(spark, man, files), dvs, try_inline=False
+    )
 
 
 def _scan_live_pos(

@@ -572,12 +572,15 @@ class _VersionedStreamReader(DataSourceStreamReader):
 
             def _take():
                 rs = sorted([int(a), int(b)] for a, b in part.ranges)
+                last = rs[-1][1]
                 offset = 0
                 for b in _read_file_batches(part.path, self.target):
                     mask = batch_take_ranges(rs, offset, b.num_rows)
                     offset += b.num_rows
                     if mask is not None:
                         yield b.filter(pa.array(mask))
+                    if offset > last:
+                        break  # a point diff never decodes the tail
 
             batches = _take()
         for b in batches:
@@ -682,6 +685,10 @@ class VersionedDataSource(DataSource):
         if self._change_feed():
             from pyspark.sql.types import LongType, StringType, StructField
 
+            if recorded is None and not files:
+                raise ValueError(
+                    f"cannot infer schema of empty {path!r}"
+                )
             base = recorded if recorded is not None else _spark_schema(files)
             return StructType(
                 list(base.fields)

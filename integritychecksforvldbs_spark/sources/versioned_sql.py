@@ -164,10 +164,10 @@ def _epoch(ts: str) -> float:
 
 
 _DELETE_HEAD = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<tbl>\S+)", re.I | re.S
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>[^\s;]+)", re.I | re.S
 )
 _UPDATE_HEAD = re.compile(
-    r"^\s*UPDATE\s+(?P<tbl>\S+)\s+SET\s+", re.I | re.S
+    r"^\s*UPDATE\s+(?P<tbl>[^\s;]+)\s+SET\s+", re.I | re.S
 )
 
 
@@ -182,7 +182,7 @@ def _split_where(rest: str) -> tuple[str, str | None]:
         rest[w:].split(None, 1)
     ) > 1 else ""
 _MERGE_HEAD = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<tbl>\S+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"^\s*MERGE\s+INTO\s+(?P<tbl>[^\s;]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
     r"\s+USING\s+",
     re.I | re.S,
 )
@@ -267,7 +267,7 @@ _WHEN_UPSERT_ALL = re.compile(
     re.I | re.S,
 )
 _TABLE_CHANGES = re.compile(
-    r"\btable_changes\s*\(\s*'?(?P<tbl>[^'(),\s]+)'?\s*,"
+    r"\btable_changes\s*\(\s*(?P<tbl>'[^']*'|[^'(),\s]+)\s*,"
     r"\s*(?P<from>\d+)\s*(?:,\s*(?P<to>\d+)\s*)?\)",
     re.I,
 )
@@ -282,24 +282,24 @@ _TIME_TRAVEL = re.compile(
 
 
 _RESTORE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>\S+)\s+TO\s+"
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>[^\s;]+)\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\S+))\s*;?\s*$",
     re.I | re.S,
 )
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+(?P<tbl>\S+)"
+    r"^\s*VACUUM\s+(?P<tbl>[^\s;]+)"
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?"
     r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.I | re.S,
 )
 _OPTIMIZE = re.compile(
-    r"^\s*OPTIMIZE\s+(?P<tbl>\S+)"
+    r"^\s*OPTIMIZE\s+(?P<tbl>[^\s;]+)"
     r"(?:\s+ZORDER\s+BY\s+\((?P<zcols>[^)]*)\))?\s*;?\s*$",
     re.I | re.S,
 )
 _DESC_HISTORY = re.compile(
-    r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>\S+)\s*;?\s*$", re.I | re.S
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[^\s;]+)\s*;?\s*$", re.I | re.S
 )
 
 

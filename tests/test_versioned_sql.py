@@ -322,3 +322,33 @@ def test_sql_time_travel_inside_subquery(spark, tbl):
         f"SELECT n FROM (SELECT COUNT(*) AS n FROM t9 TIMESTAMP AS OF {ts})",
     ).collect()[0]["n"]
     assert n == 100
+
+
+def test_sql_trailing_semicolons_everywhere(spark, tbl):
+    """r9 second-review: `\\S+` table captures swallowed a trailing
+    `;`, breaking the exact forms the regexes advertised."""
+    assert versioned_sql(
+        spark, "DELETE FROM t9 WHERE k = 0;"
+    ).collect()[0]["n_deleted"] == 1
+    assert versioned_sql(
+        spark, "UPDATE t9 SET g = g WHERE k = 1;"
+    ).collect()[0]["n_updated"] == 1
+    hist = versioned_sql(spark, "DESCRIBE HISTORY t9;").collect()
+    assert [r["version"] for r in hist] == [1, 2, 3]
+    versioned_sql(spark, "RESTORE TABLE t9 TO VERSION AS OF 1;")
+    assert versioned.read(spark, tbl).count() == 100
+    assert versioned_sql(spark, "OPTIMIZE t9;").collect()[0]["version"] == 5
+    assert versioned_sql(
+        spark, "VACUUM t9 RETAIN 5 VERSIONS DRY RUN;"
+    ).collect()[0]["n_removed"] >= 0
+
+
+def test_sql_table_changes_quoted_path_argument(spark, tmp_path):
+    path = str(tmp_path / "tbl with space")
+    versioned.commit(spark, _mk(spark, 0, 10), path)
+    versioned.commit(spark, _mk(spark, 10, 12), path)
+    n = versioned_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM table_changes('{path}', 1, 2)",
+    ).collect()[0]["n"]
+    assert n == 2
