@@ -58,6 +58,36 @@ from pyspark.sql import functions as F
 # back to whatever strategy Catalyst/AQE picks
 DV_BROADCAST_MAX_POSITIONS = 4_000_000
 
+# islands-on-the-driver cap for the DV WRITE path: the fraction gate
+# (versioned.DV_MAX_FRACTION) bounds how many rows a DV DML may mark,
+# but not how FRAGMENTED they are — a scattered sub-20% delete (every
+# Nth row of a huge snapshot, a predicate on a high-entropy column) is
+# one island PER ROW, and collecting O(matched) islands would OOM the
+# driver at 100 TB.  matched_ranges therefore collects through a
+# LIMIT(cap+1) probe (executors stop early; the driver never holds
+# more than cap+1 island rows) and raises IslandCapExceeded above it;
+# the auto DML strategy falls back to copy-on-write, a forced
+# strategy="dv" surfaces the error.  1M islands ≈ tens of MB of driver
+# lists — safe — while every sane DV shape (point deletes, contiguous
+# bulk ranges, mild scatter) stays far below it.
+DV_MAX_ISLANDS = 1_000_000
+
+
+class IslandCapExceeded(ValueError):
+    """The DML's matched rows fragment into more islands than the
+    driver-side cap allows (see :data:`DV_MAX_ISLANDS`) — the caller
+    should rewrite the touched files (copy-on-write) instead of
+    growing deletion vectors."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        super().__init__(
+            f"matched rows fragment into more than {cap} deletion-"
+            "vector islands; a vector this scattered costs more than "
+            "rewriting the files — use strategy='copy' (or 'auto', "
+            "which falls back automatically)"
+        )
+
 _POS_SCHEMA = "file string, ranges array<array<long>>, n long"
 
 
@@ -322,7 +352,10 @@ def anti_join_positions(
 
 
 def matched_ranges(
-    marked: DataFrame, fcol: str, rcol: str
+    marked: DataFrame,
+    fcol: str,
+    rcol: str,
+    max_islands: int | str | None = "auto",
 ) -> dict[str, list[list[int]]]:
     """Per-file dead-position RANGES of the rows in ``marked`` (a
     frame carrying position columns ``fcol``/``rcol``) — the
@@ -330,10 +363,20 @@ def matched_ranges(
     one ``[start, end]`` island, computed distributed, and only the
     islands come back to the driver.  A contiguous bulk delete of a
     million rows collects ONE range; a scattered point delete collects
-    one range per row — either way O(islands), never a driver-side
-    position list."""
+    one range per row — O(islands), never a driver-side position list.
+
+    ``max_islands`` bounds that driver collect: the islands come back
+    through a ``LIMIT(cap + 1)`` (so the driver holds at most cap+1
+    rows and executors stop early) and crossing the cap raises
+    :class:`IslandCapExceeded` — the signal that this delete is too
+    scattered for merge-on-read and the files should be rewritten
+    instead.  ``"auto"`` (default) reads :data:`DV_MAX_ISLANDS` at
+    call time; ``None`` disables the cap (tests / callers that already
+    bounded the input)."""
     from pyspark.sql import Window
 
+    if max_islands == "auto":
+        max_islands = DV_MAX_ISLANDS
     w = Window.partitionBy(fcol).orderBy(rcol)
     grp = (F.col(rcol) - F.row_number().over(w)).alias("__dv_grp")
     islands = (
@@ -342,10 +385,15 @@ def matched_ranges(
         .select(F.col(fcol), F.col(rcol), grp)
         .groupBy(fcol, "__dv_grp")
         .agg(F.min(rcol).alias("__dv_s"), F.max(rcol).alias("__dv_e"))
-        .collect()
     )
+    if max_islands is not None:
+        rows = islands.limit(int(max_islands) + 1).collect()
+        if len(rows) > int(max_islands):
+            raise IslandCapExceeded(int(max_islands))
+    else:
+        rows = islands.collect()
     out: dict[str, list[list[int]]] = {}
-    for r in islands:
+    for r in rows:
         out.setdefault(r[fcol], []).append([int(r["__dv_s"]), int(r["__dv_e"])])
     for f in out:
         out[f].sort()

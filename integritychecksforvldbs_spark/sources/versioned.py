@@ -1053,6 +1053,32 @@ def _use_dv(
     return n_matched <= DV_MAX_FRACTION * live
 
 
+def _try_dv_ranges(
+    strategy: str, matched: DataFrame, fcol: str, rcol: str
+) -> dict | None:
+    """:func:`~.deletion_vectors.matched_ranges` under its island cap
+    (:data:`~.deletion_vectors.DV_MAX_ISLANDS`): the fraction gate in
+    :func:`_use_dv` bounds matched COUNT, not fragmentation — a
+    scattered every-Nth-row delete can stay under the fraction yet
+    fragment into O(matched) islands, which must never all land on the
+    driver.  On cap breach ``auto`` returns None (the caller rewrites
+    the files copy-on-write — bytes written scale with the touched
+    files, driver memory stays O(1)); a user-forced ``"dv"`` surfaces
+    :class:`~.deletion_vectors.IslandCapExceeded` instead of silently
+    doing something else."""
+    from integritychecksforvldbs_spark.sources.deletion_vectors import (
+        IslandCapExceeded,
+        matched_ranges,
+    )
+
+    try:
+        return matched_ranges(matched, fcol, rcol)
+    except IslandCapExceeded:
+        if strategy == "dv":
+            raise
+        return None
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame,
@@ -1999,20 +2025,19 @@ def merge_into(
             else []
         )
         if touched:
-            from integritychecksforvldbs_spark.sources.deletion_vectors import (
-                matched_ranges,
-            )
-
             live, fcol, rcol = _scan_live_pos(spark, man, touched)
             matched_pos = _matched(live)
             n_matched = matched_pos.count()
-            if _use_dv(strategy, n_matched, live, man, touched):
+            ranges = (
+                _try_dv_ranges(strategy, matched_pos, fcol, rcol)
+                if _use_dv(strategy, n_matched, live, man, touched)
+                else None
+            )
+            if ranges is not None:
                 # merge-on-read: the matched rows' positions go into
                 # superseding deletion vectors; only the source is
                 # written — the touched files' bytes are untouched
-                removed, add_dvs = _fold_dv_entries(
-                    path, man, matched_ranges(matched_pos, fcol, rcol)
-                )
+                removed, add_dvs = _fold_dv_entries(path, man, ranges)
                 new_files, new_stats = _write_data(spark, source, path)
                 _enforce(
                     spark, path, man.get("constraints") or {},
@@ -2099,10 +2124,6 @@ def delete_where(
     reclaims the file), exactly Delta's REORG-then-VACUUM contract."""
     from pyspark.sql import functions as F
 
-    from integritychecksforvldbs_spark.sources.deletion_vectors import (
-        matched_ranges,
-    )
-
     pred = F.coalesce(F.expr(condition), F.lit(False))
     for _ in range(max_retries):
         base = _latest_committed(path)
@@ -2126,10 +2147,13 @@ def delete_where(
         live, fcol, rcol = _scan_live_pos(spark, man, touched)
         matched = live.filter(pred)
         n_deleted = matched.count()
-        if _use_dv(strategy, n_deleted, live, man, touched):
-            removed, add_dvs = _fold_dv_entries(
-                path, man, matched_ranges(matched, fcol, rcol)
-            )
+        ranges = (
+            _try_dv_ranges(strategy, matched, fcol, rcol)
+            if _use_dv(strategy, n_deleted, live, man, touched)
+            else None
+        )
+        if ranges is not None:
+            removed, add_dvs = _fold_dv_entries(path, man, ranges)
             v = _commit_replace(
                 path, base_v, man, removed, [], {},
                 mode="delete", data_change=True,
@@ -2223,10 +2247,6 @@ def update_where(
     (:data:`DV_MAX_FRACTION`) of the touched files' live rows."""
     from pyspark.sql import functions as F
 
-    from integritychecksforvldbs_spark.sources.deletion_vectors import (
-        matched_ranges,
-    )
-
     unknown = [c for c in set_exprs if "." in c]
     if unknown:
         raise ValueError(f"nested-field updates not supported: {unknown}")
@@ -2283,14 +2303,17 @@ def update_where(
                     f"{want.simpleString()}; cast explicitly in the "
                     "expression if the conversion is intended"
                 )
-        if _use_dv(strategy, n_updated, live, man, touched):
+        ranges = (
+            _try_dv_ranges(strategy, matched_pos, fcol, rcol)
+            if _use_dv(strategy, n_updated, live, man, touched)
+            else None
+        )
+        if ranges is not None:
             # merge-on-read UPDATE: old positions die in deletion
             # vectors, the transformed matched rows append — every
             # assignment still sees the PRE-update row (the projection
             # runs on the matched originals)
-            removed, add_dvs = _fold_dv_entries(
-                path, man, matched_ranges(matched_pos, fcol, rcol)
-            )
+            removed, add_dvs = _fold_dv_entries(path, man, ranges)
             tcols = [
                 F.expr(set_exprs[c])
                 .cast(hit.schema[c].dataType)  # validated lossless above
