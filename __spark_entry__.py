@@ -869,6 +869,110 @@ GROUP BY c_mktsegment
 """
 
 
+def _versioned_mwhen_path(spark: SparkSession, sf_dir: str) -> str:
+    """Customer table transformed by the reference's THREE-BRANCH
+    inventory MERGE (IC:454-484: matched update, not-matched insert,
+    not-matched-BY-SOURCE deactivate — here a conditional DELETE rides
+    the matched branch too), expressed through the SQL front door
+    (versioned_sql → versioned.merge_when), built once per
+    process/sf."""
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    path = _mirror_path(sf_dir, "customer_versioned_mwhen")
+    if versioned._read_manifest(path, 2) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        cust = _load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        )
+        versioned.commit(spark, cust, path)
+        src = cust.filter("c_custkey % 7 = 0").withColumn(
+            "cents", F.col("cents") + 500
+        ).unionByName(
+            spark.range(5).select(
+                (F.lit(20_000_000) + F.col("id")).alias("c_custkey"),
+                F.lit("MACHINERY").alias("c_mktsegment"),
+                F.lit(1000).cast("long").alias("cents"),
+            )
+        )
+        src.createOrReplaceTempView("mwhen_src")
+        register_table("mwhen_cust", path)
+        try:
+            versioned_sql(
+                spark,
+                """MERGE INTO mwhen_cust t USING mwhen_src s
+                   ON t.c_custkey = s.c_custkey
+                   WHEN MATCHED AND s.cents > 100000 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET cents = s.cents
+                   WHEN NOT MATCHED THEN
+                     INSERT (c_custkey, c_mktsegment, cents)
+                     VALUES (s.c_custkey, s.c_mktsegment, s.cents)
+                   WHEN NOT MATCHED BY SOURCE
+                     AND t.c_mktsegment = 'BUILDING'
+                     THEN UPDATE SET cents = t.cents + 1""",
+            )
+        finally:
+            register_table("mwhen_cust", None)
+    return path
+
+
+def _q_versioned_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE WHEN clauses through the SQL bridge — the
+    oracle recomputes each branch (conditional matched delete/update,
+    insert, not-matched-by-source update) in plain SQL."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_mwhen_path(spark, sf_dir)
+    return (
+        versioned.read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_MWHEN_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+src AS (
+  SELECT c_custkey, c_mktsegment, cents + 500 AS cents
+  FROM cust WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT CAST(20000000 + i AS BIGINT), 'MACHINERY',
+         CAST(1000 AS BIGINT)
+  FROM range(5) r(i)),
+merged AS (
+  SELECT c.c_custkey, c.c_mktsegment, s.cents
+  FROM cust c JOIN src s USING (c_custkey)
+  WHERE s.cents <= 100000
+  UNION ALL
+  SELECT c.c_custkey, c.c_mktsegment,
+         CASE WHEN c.c_mktsegment = 'BUILDING'
+              THEN c.cents + 1 ELSE c.cents END
+  FROM cust c
+  WHERE c.c_custkey NOT IN (SELECT c_custkey FROM src)
+  UNION ALL
+  SELECT s.c_custkey, s.c_mktsegment, s.cents
+  FROM src s
+  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM cust))
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged
+GROUP BY c_mktsegment
+"""
+
+
 _VERSIONED_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3081,10 +3185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # grouping_sets_pricing (grouping-analytics family still gated by
     # pricing_cube — CUBE is grouping sets); both stay registered
     # below the cap.
-    out["versioned_update_where"] = _q_versioned_update_where
+    # r10 rotation: versioned_merge_when (conditional three-branch
+    # MERGE through the SQL bridge — the reference's own inventory
+    # MERGE shape, IC:454-484) takes the head slot of
+    # versioned_update_where, whose replace-delta UPDATE semantics the
+    # new row's matched-update branch also exercises;
+    # versioned_update_where stays registered below the cap.
+    out["versioned_merge_when"] = _q_versioned_merge_when
     out["versioned_dv_delete"] = _q_versioned_dv_delete
 
     # ================= past the 50-row driver cap =================
+    out["versioned_update_where"] = _q_versioned_update_where
     out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
         _load(spark, sf, "orders"), ["o_custkey"], k=20
     )
@@ -3954,6 +4065,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_time_travel_ts"] = _VERSIONED_TT_ORACLE
     out["versioned_update_where"] = _VERSIONED_UPDATE_ORACLE
     out["versioned_dv_delete"] = _VERSIONED_DV_DELETE_ORACLE
+    out["versioned_merge_when"] = _VERSIONED_MWHEN_ORACLE
     out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE

@@ -2080,6 +2080,419 @@ def merge_into(
     )
 
 
+def _norm_when_clauses(clauses: list[dict]) -> list[dict]:
+    """Validate + normalize a ``merge_when`` clause list.  Each clause
+    is ``{"when": matched|not_matched|not_matched_by_source,
+    "cond": <sql or None>, "action": update|delete|insert,
+    "set"/"values": {col: sql} or "*"}`` — the branch shapes ANSI/Delta
+    MERGE allows (matched → update/delete, not-matched → insert,
+    not-matched-by-source → update/delete)."""
+    if not clauses:
+        raise ValueError("merge_when needs at least one WHEN clause")
+    allowed = {
+        "matched": ("update", "delete"),
+        "not_matched": ("insert",),
+        "not_matched_by_source": ("update", "delete"),
+    }
+    out = []
+    for c in clauses:
+        when = str(c.get("when", "")).lower()
+        action = str(c.get("action", "")).lower()
+        if when not in allowed:
+            raise ValueError(f"unknown WHEN kind {c.get('when')!r}")
+        if action not in allowed[when]:
+            raise ValueError(
+                f"WHEN {when} cannot {action.upper()}: allowed "
+                f"{'/'.join(a.upper() for a in allowed[when])}"
+            )
+        norm = {"when": when, "action": action, "cond": c.get("cond")}
+        if action == "update":
+            sets = c.get("set")
+            if sets != "*" and not (
+                isinstance(sets, dict) and sets
+            ):
+                raise ValueError(
+                    "UPDATE clause needs set={col: expr} or '*'"
+                )
+            if when == "not_matched_by_source" and sets == "*":
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * "
+                    "(there is no source row to copy)"
+                )
+            norm["set"] = sets
+        elif action == "insert":
+            vals = c.get("values")
+            if vals != "*" and not (isinstance(vals, dict) and vals):
+                raise ValueError(
+                    "INSERT clause needs values={col: expr} or '*'"
+                )
+            norm["values"] = vals
+        out.append(norm)
+    return out
+
+
+def merge_when(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    clauses: list[dict],
+    target_alias: str = "t",
+    source_alias: str = "s",
+    max_retries: int = 5,
+    strategy: str = "auto",
+) -> tuple[int, dict]:
+    """General conditional MERGE — the full WHEN-clause form next to
+    :func:`merge_into`'s upsert-all fast path.  Returns ``(version,
+    {"n_updated", "n_deleted", "n_inserted"})``.
+
+    ``clauses`` (see :func:`_norm_when_clauses`) express, in order:
+
+    - ``WHEN MATCHED [AND cond] THEN UPDATE SET col=expr… | DELETE``
+    - ``WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES …``
+    - ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE … | DELETE``
+
+    First-true-clause-wins per row within each branch family, the
+    ANSI/Delta MERGE rule.  Conditions and SET/VALUES expressions are
+    verbatim SQL referencing ``target_alias``/``source_alias``
+    (``t.col``/``s.col`` by default); a NULL condition is
+    not-satisfied.  The reference's own inventory MERGE is exactly the
+    three-branch form (matched update, not-matched insert,
+    not-matched-BY-SOURCE deactivate — IC:454-484, deactivate at
+    IC:482-483), which the state store reproduces procedurally
+    (plans/state.py); this gives the SQL front door the same shape.
+
+    Execution is file-scoped like the triad: one probe finds the files
+    holding any row a clause would MODIFY (matched rows passing a
+    matched-clause condition, or — when NOT-MATCHED-BY-SOURCE clauses
+    exist — unmatched rows passing theirs), those files are rewritten
+    (copy-on-write) or their dead positions go to deletion vectors
+    (``strategy``, same auto gate and island cap as the triad), and
+    insert rows come from an anti-join of the source against the
+    table's keys (column-pruned scan).  ``source`` must be unique on
+    ``keys`` (same ambiguity rule as :func:`merge_into`).  Optimistic
+    concurrency: a racing commit re-bases the whole merge."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    clauses = _norm_when_clauses(clauses)
+    ta, sa = target_alias, source_alias
+    if ta == sa:
+        raise ValueError("target_alias and source_alias must differ")
+    m_clauses = [c for c in clauses if c["when"] == "matched"]
+    n_clauses = [c for c in clauses if c["when"] == "not_matched_by_source"]
+    i_clauses = [c for c in clauses if c["when"] == "not_matched"]
+
+    # ambiguity rule: one target row matching 2+ source rows has no
+    # well-defined UPDATE/DELETE outcome — same check as merge_into
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__merge_dup_n"))
+        .filter(F.col("__merge_dup_n") > 1)
+    )
+    if not dup.isEmpty():
+        sample = [tuple(r[k] for k in keys) for r in dup.limit(3).collect()]
+        raise ValueError(
+            f"merge_when source is not unique on keys {keys}: e.g. "
+            f"{sample}; deduplicate (pick a winner) before merging"
+        )
+
+    flag = "__icv_merge_src"
+    while flag in source.columns:
+        flag += "_"
+    src_f = source.withColumn(flag, F.lit(True)).alias(sa)
+    key_cond = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"{ta}.{k}").eqNullSafe(F.col(f"{sa}.{k}"))
+            for k in keys
+        ],
+    )
+
+    def _cond(c) -> F.Column:
+        if c.get("cond") is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(c["cond"]), F.lit(False))
+
+    matched = F.col(f"{sa}.{flag}").isNotNull()
+    act_col = None
+    tag_clause: dict[str, dict] = {}
+    for i, c in enumerate(m_clauses):
+        tag = f"m{i}"
+        tag_clause[tag] = c
+        branch = matched & _cond(c)
+        act_col = (
+            F.when(branch, tag)
+            if act_col is None
+            else act_col.when(branch, tag)
+        )
+    for i, c in enumerate(n_clauses):
+        tag = f"n{i}"
+        tag_clause[tag] = c
+        branch = (~matched) & _cond(c)
+        act_col = (
+            F.when(branch, tag)
+            if act_col is None
+            else act_col.when(branch, tag)
+        )
+    act = (
+        act_col.otherwise("keep") if act_col is not None else F.lit("keep")
+    )
+
+    def _validated_cast(frame, exprs: dict[str, str], tgt_schema, what):
+        """Resolve each SET/VALUES expression's type against ``frame``
+        and allow only lossless widenings implicitly — the same
+        discipline as update_where."""
+        resolved = frame.select(
+            *[F.expr(e).alias(c) for c, e in exprs.items()]
+        ).schema
+        for f in resolved.fields:
+            want = tgt_schema[f.name].dataType
+            if f.dataType != want and not _can_upcast(f.dataType, want):
+                raise ValueError(
+                    f"{what} expression for {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the column is "
+                    f"{want.simpleString()}; cast explicitly in the "
+                    "expression if the conversion is intended"
+                )
+
+    for _ in range(max_retries):
+        base = _latest_committed(path)
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {path!r}")
+        base_v, man = base
+        sch = _manifest_schema(man)
+        tgt_schema = (
+            sch
+            if sch is not None
+            else (
+                _scan_files(spark, man).schema if man["files"] else None
+            )
+        )
+        if tgt_schema is None:
+            raise ValueError(
+                f"merge_when needs a table schema at {path!r}"
+            )
+        tcols = tgt_schema.fieldNames()
+        for c in m_clauses + n_clauses:
+            if c["action"] == "update" and c["set"] != "*":
+                bad = sorted(set(c["set"]) - set(tcols))
+                if bad:
+                    raise ValueError(f"SET of unknown column(s): {bad}")
+        for c in i_clauses:
+            if c["values"] == "*":
+                missing = sorted(set(tcols) - set(source.columns))
+                if missing:
+                    raise ValueError(
+                        f"INSERT * needs source columns {missing}"
+                    )
+            else:
+                bad = sorted(set(c["values"]) - set(tcols))
+                if bad:
+                    raise ValueError(
+                        f"INSERT of unknown column(s): {bad}"
+                    )
+
+        def _mark(df: DataFrame) -> DataFrame:
+            j = df.alias(ta).join(src_f, key_cond, "left_outer")
+            return j.filter(act != F.lit("keep"))
+
+        touched = (
+            _touched_files(spark, man, _mark) if man["files"] else []
+        )
+
+        # insert rows: source keys absent from the WHOLE table's live
+        # rows (column-pruned keys-only scan), first-true insert clause
+        def _insert_df() -> DataFrame | None:
+            if not i_clauses:
+                return None
+            if man["files"]:
+                live_keys = (
+                    _scan_live(spark, man).select(*keys).alias(ta)
+                )
+                anti = src_f.join(live_keys, key_cond, "left_anti")
+            else:
+                anti = src_f
+            iact_col = None
+            for j, c in enumerate(i_clauses):
+                branch = _cond(c)
+                iact_col = (
+                    F.when(branch, f"i{j}")
+                    if iact_col is None
+                    else iact_col.when(branch, f"i{j}")
+                )
+            anti = anti.withColumn("__icv_iact", iact_col.otherwise("x"))
+            parts = []
+            for j, c in enumerate(i_clauses):
+                rows = anti.filter(F.col("__icv_iact") == f"i{j}")
+                if c["values"] == "*":
+                    exprs = {c2: f"{sa}.{c2}" for c2 in tcols}
+                else:
+                    exprs = dict(c["values"])
+                _validated_cast(rows, exprs, tgt_schema, "INSERT VALUES")
+                proj = [
+                    (
+                        F.expr(exprs[c2])
+                        if c2 in exprs
+                        else F.lit(None)
+                    )
+                    .cast(tgt_schema[c2].dataType)
+                    .alias(c2)
+                    for c2 in tcols
+                ]
+                parts.append(rows.select(*proj))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        def _updated_df(mod: DataFrame) -> DataFrame | None:
+            parts = []
+            for tag, c in tag_clause.items():
+                if c["action"] != "update":
+                    continue
+                rows = mod.filter(F.col("__icv_act") == tag)
+                sets = (
+                    {c2: f"{sa}.{c2}" for c2 in tcols}
+                    if c["set"] == "*"
+                    else dict(c["set"])
+                )
+                _validated_cast(rows, sets, tgt_schema, "UPDATE SET")
+                proj = [
+                    (
+                        F.expr(sets[c2])
+                        if c2 in sets
+                        else F.col(f"{ta}.{c2}")
+                    )
+                    .cast(tgt_schema[c2].dataType)
+                    .alias(c2)
+                    for c2 in tcols
+                ]
+                parts.append(rows.select(*proj))
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        ins = _insert_df()
+        n_inserted = ins.count() if ins is not None else 0
+
+        if not touched:
+            _use_dv(strategy, 0, None, man, [])  # validate strategy
+            if ins is None or n_inserted == 0:
+                v = _commit_replace(
+                    path, base_v, man, set(), [], {},
+                    mode="merge", data_change=False,
+                )
+                if v is not None:
+                    return v, {
+                        "n_updated": 0, "n_deleted": 0, "n_inserted": 0,
+                    }
+                continue
+            new_files, new_stats = _write_data(spark, ins, path)
+            _enforce(
+                spark, path, man.get("constraints") or {},
+                new_files, tgt_schema, "merge_when",
+            )
+            v = _commit_replace(
+                path, base_v, man, set(), new_files, new_stats,
+                mode="merge", data_change=True,
+            )
+            if v is not None:
+                return v, {
+                    "n_updated": 0,
+                    "n_deleted": 0,
+                    "n_inserted": n_inserted,
+                }
+            continue
+
+        live, fcol, rcol = _scan_live_pos(spark, man, touched)
+        joined = live.alias(ta).join(src_f, key_cond, "left_outer")
+        joined = joined.withColumn("__icv_act", act)
+        mod = joined.filter(F.col("__icv_act") != "keep")
+        by_tag = {
+            r["__icv_act"]: int(r["n"])
+            for r in mod.groupBy("__icv_act")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_updated = sum(
+            n
+            for t, n in by_tag.items()
+            if tag_clause[t]["action"] == "update"
+        )
+        n_deleted = sum(
+            n
+            for t, n in by_tag.items()
+            if tag_clause[t]["action"] == "delete"
+        )
+        n_modified = n_updated + n_deleted
+        metrics = {
+            "n_updated": n_updated,
+            "n_deleted": n_deleted,
+            "n_inserted": n_inserted,
+        }
+
+        ranges = (
+            _try_dv_ranges(strategy, mod, fcol, rcol)
+            if _use_dv(strategy, n_modified, live, man, touched)
+            else None
+        )
+        upd = _updated_df(mod)
+        new_rows = upd
+        if ins is not None and n_inserted > 0:
+            new_rows = (
+                ins if new_rows is None else new_rows.unionByName(ins)
+            )
+        if ranges is not None:
+            # merge-on-read: every modified row's OLD position dies in
+            # a deletion vector; only the transformed updates + inserts
+            # are written
+            removed, add_dvs = _fold_dv_entries(path, man, ranges)
+            if new_rows is not None:
+                new_files, new_stats = _write_data(spark, new_rows, path)
+            else:
+                new_files, new_stats = [], {}
+            _enforce(
+                spark, path, man.get("constraints") or {},
+                new_files, tgt_schema, "merge_when",
+            )
+            v = _commit_replace(
+                path, base_v, man, removed, new_files, new_stats,
+                mode="merge", data_change=True,
+                extra={"row_local": True}, new_dvs=add_dvs,
+            )
+            if v is not None:
+                return v, metrics
+            continue  # re-based: re-probe and re-merge
+        # copy-on-write: rewrite the touched files — kept rows verbatim,
+        # updated rows transformed, deletes dropped — plus the inserts
+        kept = joined.filter(F.col("__icv_act") == "keep").select(
+            *[F.col(f"{ta}.{c}").alias(c) for c in tcols]
+        )
+        out = kept
+        if new_rows is not None:
+            out = out.unionByName(new_rows)
+        new_files, new_stats = _write_data(spark, out, path)
+        _enforce(
+            spark, path, man.get("constraints") or {},
+            new_files, tgt_schema, "merge_when",
+        )
+        v = _commit_replace(
+            path, base_v, man, set(touched), new_files, new_stats,
+            mode="merge", data_change=True,
+        )
+        if v is not None:
+            return v, metrics
+        # the table moved mid-merge: re-base and re-merge
+    raise ConflictError(
+        f"merge_when {path!r} lost {max_retries} replace races"
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,

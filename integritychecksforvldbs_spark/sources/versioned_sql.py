@@ -18,12 +18,21 @@ registered via :func:`register_table` or an explicit path):
 
 - ``DELETE FROM <table> [WHERE <cond>]``
 - ``UPDATE <table> SET col = expr[, ...] [WHERE <cond>]``
+- ``INSERT INTO <table> [(cols)] VALUES (…)[, …] | SELECT …`` —
+  appends through :func:`~.versioned.commit` (CHECK constraints and
+  schema-drift refusal ride along); a column list maps the query's
+  output positionally and NULL-fills the rest; the SELECT may itself
+  reference registered versioned tables (incl. time travel).
 - ``MERGE INTO <table> [AS] t USING (<subquery>)|<view> [AS] s
-  ON t.k = s.k [AND ...]
-  [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]``
-  — the upsert-all form, exactly :func:`~.versioned.merge_into`'s
-  semantics (matched rows replaced wholesale, new rows inserted);
-  per-column WHEN clauses are out of scope by design.
+  ON t.k = s.k [AND ...] WHEN ...`` — the upsert-all form (``WHEN
+  MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``, or no
+  WHEN at all) dispatches to :func:`~.versioned.merge_into`; every
+  other clause combination parses into :func:`~.versioned.merge_when`:
+  ``WHEN MATCHED [AND cond] THEN UPDATE SET col=expr,…|SET *|DELETE``,
+  ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *|(cols)
+  VALUES (exprs)``, and ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  UPDATE SET …|DELETE`` — the reference's own inventory MERGE is
+  exactly the three-branch form (IC:454-484; deactivate IC:482-483).
 - ``SELECT ... FROM <table> [VERSION AS OF n | TIMESTAMP AS OF ts]
   ...`` — every registered table reference is materialized as the
   requested snapshot view and the rewritten statement runs through
@@ -266,6 +275,148 @@ _WHEN_UPSERT_ALL = re.compile(
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
     re.I | re.S,
 )
+
+
+def _parse_set_list(sets_sql: str) -> dict[str, str]:
+    """``col = expr[, ...]`` → {col: expr}, commas and '=' respected
+    at paren/quote depth 0 only (shared by UPDATE and MERGE…UPDATE)."""
+    sets: dict[str, str] = {}
+    for piece in _split_top(sets_sql.strip().rstrip(";"), r","):
+        col, eq, expr = piece.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise ValueError(f"cannot parse SET assignment: {piece!r}")
+        sets[col.strip().strip("`")] = expr.strip()
+    if not sets:
+        raise ValueError(f"empty SET list: {sets_sql!r}")
+    return sets
+
+
+_CLAUSE_HEAD = re.compile(
+    r"^\s*WHEN\s+(?P<kind>MATCHED"
+    r"|NOT\s+MATCHED(?:\s+BY\s+(?P<by>TARGET|SOURCE))?)\b",
+    re.I | re.S,
+)
+_UPDATE_ACT = re.compile(r"^UPDATE\s+SET\s+(?P<body>.*)$", re.I | re.S)
+_INSERT_ACT = re.compile(r"^INSERT\s*(?P<body>.*)$", re.I | re.S)
+
+
+def _take_balanced(s: str) -> tuple[str, str]:
+    """``s`` starting at '(' → (inside, rest-after-close), quote-aware."""
+    assert s.startswith("(")
+    depth, in_str = 0, None
+    for i, c in enumerate(s):
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:i], s[i + 1:]
+    raise ValueError(f"unbalanced parentheses in {s!r}")
+
+
+def _parse_when_clauses(when_text: str) -> list[dict]:
+    """The general WHEN grammar → ``merge_when`` clause dicts:
+
+    - ``WHEN MATCHED [AND cond] THEN UPDATE SET a=e,…|SET *|DELETE``
+    - ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *``
+      or ``INSERT (cols) VALUES (exprs)``
+    - ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE``
+
+    Keywords found at paren/quote depth 0 only, so conditions and
+    expressions may contain anything."""
+    text = when_text.strip().rstrip(";").strip()
+    pieces: list[str] = []
+    while text:
+        if not re.match(r"WHEN\b", text, re.I):
+            raise ValueError(f"expected WHEN, got {text[:40]!r}")
+        nxt = _find_top(text[4:], r"\bWHEN\b")
+        if nxt < 0:
+            pieces.append(text)
+            break
+        pieces.append(text[: 4 + nxt])
+        text = text[4 + nxt:]
+    clauses: list[dict] = []
+    for piece in pieces:
+        m = _CLAUSE_HEAD.match(piece)
+        if not m:
+            raise ValueError(f"cannot parse WHEN clause: {piece!r}")
+        kind = re.sub(r"\s+", " ", m.group("kind").upper())
+        by = (m.group("by") or "").upper()
+        when = (
+            "matched"
+            if kind == "MATCHED"
+            else (
+                "not_matched_by_source"
+                if by == "SOURCE"
+                else "not_matched"
+            )
+        )
+        rest = piece[m.end():]
+        tpos = _find_top(rest, r"\bTHEN\b")
+        if tpos < 0:
+            raise ValueError(f"WHEN clause needs THEN: {piece!r}")
+        pre, act = rest[:tpos].strip(), rest[tpos + 4:].strip()
+        cond = None
+        if pre:
+            am = re.match(r"^AND\s+", pre, re.I)
+            if not am:
+                raise ValueError(
+                    f"expected AND <condition> before THEN: {piece!r}"
+                )
+            cond = pre[am.end():].strip()
+        clause: dict = {"when": when, "cond": cond}
+        if re.fullmatch(r"DELETE\s*", act, re.I):
+            clause["action"] = "delete"
+        elif _UPDATE_ACT.match(act):
+            body = _UPDATE_ACT.match(act).group("body").strip()
+            clause["action"] = "update"
+            clause["set"] = "*" if body == "*" else _parse_set_list(body)
+        elif _INSERT_ACT.match(act):
+            body = _INSERT_ACT.match(act).group("body").strip()
+            clause["action"] = "insert"
+            if body == "*":
+                clause["values"] = "*"
+            else:
+                if not body.startswith("("):
+                    raise ValueError(
+                        f"INSERT needs * or (cols) VALUES (exprs): "
+                        f"{act!r}"
+                    )
+                cols_s, rest2 = _take_balanced(body)
+                vm = re.match(r"\s*VALUES\s*", rest2, re.I)
+                if not vm or not rest2[vm.end():].lstrip().startswith(
+                    "("
+                ):
+                    raise ValueError(
+                        f"INSERT needs (cols) VALUES (exprs): {act!r}"
+                    )
+                vals_s, tail = _take_balanced(rest2[vm.end():].lstrip())
+                if tail.strip():
+                    raise ValueError(
+                        f"unexpected text after VALUES: {tail!r}"
+                    )
+                cols = [
+                    c.strip().strip("`")
+                    for c in _split_top(cols_s, r",")
+                ]
+                vals = [v.strip() for v in _split_top(vals_s, r",")]
+                if len(cols) != len(vals) or not cols or not all(cols):
+                    raise ValueError(
+                        f"INSERT column/value count mismatch: {act!r}"
+                    )
+                clause["values"] = dict(zip(cols, vals))
+        else:
+            raise ValueError(
+                f"WHEN clause action must be UPDATE SET/DELETE/INSERT: "
+                f"{act!r}"
+            )
+        clauses.append(clause)
+    return clauses
 _TABLE_CHANGES = re.compile(
     r"\btable_changes\s*\(\s*(?P<tbl>'[^']*'|[^'(),\s]+)\s*,"
     r"\s*(?P<from>\d+)\s*(?:,\s*(?P<to>\d+)\s*)?\)",
@@ -278,6 +429,13 @@ _TIME_TRAVEL = re.compile(
     r"\b(?P<tbl>\w+)\s+(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|[\w.:+-]+))",
     re.I,
+)
+
+
+_INSERT_HEAD = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<tbl>[^\s(;]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<rest>.*)$",
+    re.I | re.S,
 )
 
 
@@ -334,13 +492,9 @@ def versioned_sql(
         path = _resolve(m.group("tbl"))
         sets_sql, cond = _split_where(stmt[m.end():])
         cond = (cond or "true").strip().rstrip(";").strip() or "true"
-        sets: dict[str, str] = {}
-        for piece in _split_top(sets_sql.rstrip().rstrip(";"), r","):
-            col, eq, expr = piece.partition("=")
-            if not eq or not col.strip() or not expr.strip():
-                raise ValueError(f"cannot parse SET assignment: {piece!r}")
-            sets[col.strip().strip("`")] = expr.strip()
-        if not sets:
+        try:
+            sets = _parse_set_list(sets_sql)
+        except ValueError:
             raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
         v, n = versioned.update_where(
             spark, path, cond, sets, strategy=strategy
@@ -349,12 +503,12 @@ def versioned_sql(
     if head == "MERGE":
         m = _parse_merge(stmt)
         when = m["when"]
+        # upsert-all (the WHEN form merge_into implements natively, or
+        # no WHEN at all) takes the proven fast path; everything else
+        # parses into merge_when's general clause list
+        clauses = None
         if when and not _WHEN_UPSERT_ALL.match(when):
-            raise ValueError(
-                "only the upsert-all MERGE form is supported: WHEN "
-                "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
-                f"INSERT * (got {when.strip()!r})"
-            )
+            clauses = _parse_when_clauses(when)
         path = _resolve(m["tbl"])
         talias = (m["talias"] or m["tbl"]).lower().strip("`'\"")
         src_tok = m["src"].strip()
@@ -403,18 +557,111 @@ def versioned_sql(
                     "column in the USING subquery"
                 )
             keys.append(pair[talias])
-        # persist: merge_into evaluates the source several times (dup
+        # persist: the merge evaluates the source several times (dup
         # check, probe, anti-join, write) and the metrics count once
         # more — a heavy USING subquery should run ONCE
         source = source.persist()
         try:
             n_src = source.count()
-            v = versioned.merge_into(
-                spark, path, source, keys, strategy=strategy
+            if clauses is None:
+                v = versioned.merge_into(
+                    spark, path, source, keys, strategy=strategy
+                )
+                return _metrics(spark, version=v, n_source_rows=n_src)
+            v, mm = versioned.merge_when(
+                spark, path, source, keys, clauses,
+                target_alias=talias, source_alias=salias,
+                strategy=strategy,
+            )
+            return _metrics(
+                spark, version=v, n_source_rows=n_src, **mm
             )
         finally:
             source.unpersist()
-        return _metrics(spark, version=v, n_source_rows=n_src)
+    if head == "INSERT":
+        m = _INSERT_HEAD.match(stmt)
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
+        path = _resolve(m.group("tbl"))
+        cols = (
+            [c.strip().strip("`") for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        body = m.group("rest").strip().rstrip(";").strip()
+        bhead = body.split(None, 1)[0].upper() if body else ""
+        if bhead == "VALUES":
+            df = spark.sql(body)  # VALUES (...) is a standalone query
+        elif bhead in ("SELECT", "WITH"):
+            # the source query may itself reference registered
+            # versioned tables (incl. time travel / table_changes)
+            df = _select(spark, body)
+        else:
+            raise ValueError(
+                f"INSERT INTO needs VALUES or SELECT/WITH: {stmt!r}"
+            )
+        base = versioned._latest_committed(path)
+        if base is None:
+            raise FileNotFoundError(
+                f"INSERT INTO an uncommitted table {m.group('tbl')!r}: "
+                "create it first (versioned.commit)"
+            )
+        sch = versioned._manifest_schema(base[1])
+        if sch is None:
+            out = df  # legacy table without a recorded schema
+        else:
+            tcols = sch.fieldNames()
+            if cols is not None:
+                unknown = sorted(set(cols) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"INSERT of unknown column(s): {unknown}"
+                    )
+                if len(df.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT column list names {len(cols)} columns "
+                        f"but the query produces {len(df.columns)}"
+                    )
+                src_for = dict(zip(cols, df.columns))
+            else:
+                if len(df.columns) != len(tcols):
+                    raise ValueError(
+                        f"INSERT needs {len(tcols)} columns "
+                        f"({', '.join(tcols)}), got {len(df.columns)}; "
+                        "name them with INSERT INTO t (cols...)"
+                    )
+                src_for = dict(zip(tcols, df.columns))
+            # positional → named alignment, then lossless-only implicit
+            # casts (the update_where discipline): a VALUES literal may
+            # type narrower (int vs long) — widen silently, refuse
+            # anything lossy without an explicit cast in the query
+            from pyspark.sql import functions as F
+            proj = []
+            for tc in tcols:
+                want = sch[tc].dataType
+                if tc in src_for:
+                    have = df.schema[src_for[tc]].dataType
+                    if have != want and not versioned._can_upcast(
+                        have, want
+                    ):
+                        raise ValueError(
+                            f"INSERT value for {tc!r} has type "
+                            f"{have.simpleString()} but the column is "
+                            f"{want.simpleString()}; cast explicitly"
+                        )
+                    proj.append(
+                        F.col(src_for[tc]).cast(want).alias(tc)
+                    )
+                else:
+                    proj.append(F.lit(None).cast(want).alias(tc))
+            out = df.select(*proj)
+        out = out.persist()
+        try:
+            n = out.count()
+            v = versioned.commit(spark, out, path, mode="append")
+        finally:
+            out.unpersist()
+        return _metrics(spark, version=v, n_inserted=n)
     if head == "RESTORE":
         m = _RESTORE.match(stmt)
         if not m:
@@ -477,8 +724,9 @@ def versioned_sql(
     if head in ("SELECT", "WITH"):
         return _select(spark, stmt)
     raise ValueError(
-        f"unsupported statement {head!r}: expected SELECT/WITH, DELETE, "
-        "UPDATE, MERGE, RESTORE, VACUUM, OPTIMIZE, or DESCRIBE HISTORY"
+        f"unsupported statement {head!r}: expected SELECT/WITH, INSERT, "
+        "DELETE, UPDATE, MERGE, RESTORE, VACUUM, OPTIMIZE, or "
+        "DESCRIBE HISTORY"
     )
 
 

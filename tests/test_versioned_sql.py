@@ -117,12 +117,23 @@ def test_sql_merge_view_source_and_when_optional(spark, tbl):
     ] == "one"
 
 
-def test_sql_merge_rejects_non_upsert_when(spark, tbl):
-    with pytest.raises(ValueError, match="upsert-all"):
+def test_sql_merge_rejects_malformed_when(spark, tbl):
+    # general WHEN clauses are supported since r10 (merge_when, see
+    # test_versioned_merge_when.py); an unknown action must still be
+    # diagnosed, not silently upserted
+    spark.createDataFrame([(1, 1, "x")], "k long, g long, v string")\
+        .createOrReplaceTempView("src0")
+    with pytest.raises(ValueError, match="UPDATE SET/DELETE/INSERT"):
         versioned_sql(
             spark,
-            "MERGE INTO t9 t USING src ON t.k = s.k "
-            "WHEN MATCHED THEN DELETE",
+            "MERGE INTO t9 t USING src0 s ON t.k = s.k "
+            "WHEN MATCHED THEN FROBNICATE",
+        )
+    with pytest.raises(ValueError, match="THEN"):
+        versioned_sql(
+            spark,
+            "MERGE INTO t9 t USING src0 s ON t.k = s.k "
+            "WHEN MATCHED UPDATE SET g = 1",
         )
 
 
