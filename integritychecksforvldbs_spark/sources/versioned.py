@@ -46,12 +46,30 @@ Operations: :func:`commit` (append/overwrite), :func:`read` (latest
 or ``version=``, i.e. time travel), :func:`history`,
 :func:`rollback` (a NEW commit restoring an old version's file list
 — history is never rewritten), :func:`vacuum`.
+
+PARTITION LAYOUT — an explicit no.  Data files live flat under
+``data/``; the format deliberately has no hive ``col=value/``
+directory scheme.  Pruning comes from the manifest's per-file min/max
+stats instead: :func:`read_where` and the DELETE/UPDATE probes
+(:func:`_dml_candidates` → :func:`_prune_manifest_files`) plan scans
+over only the files whose stats admit a match, which on a clustered
+layout (:func:`optimize` / ZORDER) skips exactly the files a
+partition key would have — without freezing ONE directory key at
+write time (re-cluster by a different column and pruning follows; a
+hive layout would need a full rewrite), without small-file explosion
+on high-cardinality keys, and without a second pruning mechanism next
+to the stats the manifest already carries.  This is the position
+Delta ships as "liquid clustering supersedes partitioning"; the
+plain-parquet side of the engine keeps real hive partitions
+(catalog.py/bucketing.py) because THERE the directory scheme is the
+only metadata that exists.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 
@@ -133,6 +151,116 @@ def _ckpt_key(v: int) -> str:
     return _vname(v) + "~ckpt"
 
 
+# full snapshot bodies at or above this many file entries externalize
+# the file list (+stats/DVs) to a PARQUET sidecar instead of inlining
+# it in the JSON manifest: one JSON document holding 100k file entries
+# is ~20 MB the driver re-serializes per checkpoint and re-parses
+# whole on every cold fold — the reason Delta moved checkpoints from
+# JSON to parquet.  The sidecar is columnar-compressed (~10× smaller)
+# and pyarrow reads it vectorized in pure Python (no SparkSession —
+# the Python Data Source planner worker stays supported).  Small
+# snapshots keep the inline-JSON form (human-readable, zero extra IO);
+# backend-logged tables always inline (ClaimBackend payloads are JSON
+# documents by contract).
+CKPT_PARQUET_MIN_FILES = 512
+
+
+def _ckpt_pq_name(v: int) -> str:
+    # unique per write attempt: two committers racing one checkpoint
+    # slot must never link the same sidecar name (the CAS loser's
+    # content would shadow the winner's); the manifest body names its
+    # own sidecar, orphans are vacuum food
+    return f"{_vname(v)}~files-{uuid.uuid4().hex[:12]}.parquet"
+
+
+def _write_ckpt_parquet(
+    path: str, name: str, files: list, stats: dict, dvs: dict
+) -> None:
+    """Write a checkpoint's file list as a parquet sidecar (one row
+    per file entry; stats/DV payloads are JSON strings per row — their
+    schemas vary by table).  Complete-or-absent via tmp + rename."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "file": pa.array(files, type=pa.string()),
+            "stat": pa.array(
+                [
+                    json.dumps(stats[f]) if f in stats else None
+                    for f in files
+                ],
+                type=pa.string(),
+            ),
+            "dv": pa.array(
+                [
+                    json.dumps(dvs[f]) if f in dvs else None
+                    for f in files
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    vd = _vdir(path)
+    os.makedirs(vd, exist_ok=True)
+    tmp = os.path.join(vd, f".tmp-{name}")
+    pq.write_table(table, tmp, compression="zstd")
+    os.rename(tmp, os.path.join(vd, name))
+
+
+def _full_body(
+    path: str, v: int, meta: dict, files: list, stats: dict, dvs: dict
+) -> dict:
+    """A full-snapshot manifest body: inline JSON below
+    :data:`CKPT_PARQUET_MIN_FILES` (or on a backend log), else the
+    file list externalized to a parquet sidecar the body points at
+    (``ckpt_files``)."""
+    stats = {f: stats[f] for f in files if f in stats}
+    dvs = {f: dvs[f] for f in files if f in dvs}
+    if (
+        _backend_for(path) is None
+        and len(files) >= CKPT_PARQUET_MIN_FILES
+    ):
+        name = _ckpt_pq_name(v)
+        _write_ckpt_parquet(path, name, files, stats, dvs)
+        return {**meta, "ckpt_files": name, "n_files": len(files)}
+    return {**meta, "files": files, "stats": stats, "dvs": dvs}
+
+
+def _materialize_body(path: str, man: dict) -> dict:
+    """Resolve a body's externalized file list (``ckpt_files`` →
+    parquet sidecar) back to the inline shape every consumer sees;
+    inline bodies pass through untouched.  Pure Python (pyarrow), so
+    the Python Data Source planner worker can call it."""
+    if "ckpt_files" not in man:
+        return man
+    import pyarrow.parquet as pq
+
+    pq_path = os.path.join(_vdir(path), man["ckpt_files"])
+    try:
+        t = pq.read_table(pq_path)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"manifest v{man.get('version')} of {path!r} points at a "
+            f"missing checkpoint sidecar {man['ckpt_files']!r} — the "
+            "log was externally damaged"
+        )
+    files = t.column("file").to_pylist()
+    stats, dvs = {}, {}
+    for f, s, d in zip(
+        files, t.column("stat").to_pylist(), t.column("dv").to_pylist()
+    ):
+        if s is not None:
+            stats[f] = json.loads(s)
+        if d is not None:
+            dvs[f] = json.loads(d)
+    out = {k: v for k, v in man.items() if k != "ckpt_files"}
+    out["files"] = files
+    out["stats"] = stats
+    out["dvs"] = dvs
+    return out
+
+
 def _read_ckpt(path: str, v: int) -> dict | None:
     """Version ``v``'s vacuum-written checkpoint sidecar, if any — a
     FULL body that supersedes a delta original whose base chain may
@@ -177,10 +305,12 @@ def _read_manifest(path: str, v: int) -> dict | None:
                 man = None
         except json.JSONDecodeError:
             man = None  # unreachable for atomic installs; defensive
+    if man is not None and "ckpt_files" in man:
+        return _materialize_body(path, man)
     if man is not None and "files" not in man:
         ckpt = _read_ckpt(path, v)
         if ckpt is not None:
-            return ckpt
+            return _materialize_body(path, ckpt)
     return man
 
 
@@ -489,6 +619,13 @@ def _write_checkpoint(path: str, v: int) -> None:
     target = os.path.join(_vdir(path), _ckpt_key(v) + ".json")
     if os.path.exists(target):
         return
+    # big snapshots externalize the file list exactly like commit-time
+    # checkpoints (the ~ckpt sidecar is the same O(files) body)
+    body = _full_body(
+        path, v, {k: x for k, x in body.items()
+                  if k not in ("files", "stats", "dvs")},
+        body["files"], body.get("stats") or {}, body.get("dvs") or {},
+    )
     tmp = os.path.join(
         _vdir(path), f".tmp-{_ckpt_key(v)}-{uuid.uuid4().hex[:8]}"
     )
@@ -810,12 +947,7 @@ def _commit_replace(
                 if f not in removed
             }
             dvs.update(new_dvs or {})
-            body = {
-                **meta,
-                "files": files,
-                "stats": {f: stats[f] for f in files if f in stats},
-                "dvs": {f: dvs[f] for f in files if f in dvs},
-            }
+            body = _full_body(path, nxt, meta, files, stats, dvs)
         else:
             body = {
                 **meta,
@@ -936,7 +1068,7 @@ def _scan_live_pos(
 
 
 def _touched_files(
-    spark: SparkSession, man: dict, mark
+    spark: SparkSession, man: dict, mark, files: list[str] | None = None
 ) -> list[str]:
     """Manifest paths of the files holding any LIVE row ``mark``
     selects.  ``mark`` is a
@@ -945,20 +1077,116 @@ def _touched_files(
     projects only the file column after the mark, so Catalyst prunes
     columns and pushes filters into every footer — at 100 TB on a
     clustered layout this touches the predicate's row groups, not the
-    table.  Rows a deletion vector already marks dead never count as
-    matches (they are not in the table)."""
+    table.  ``files`` restricts the probe to a candidate subset (the
+    DML paths pass the manifest-stats-admitted files, so the probe
+    never even PLANS a scan of provably-unmatchable files).  Rows a
+    deletion vector already marks dead never count as matches (they
+    are not in the table)."""
     from integritychecksforvldbs_spark.operators.kernels import (
         _canon_file_path,
     )
 
     canon_to_manifest = {_canon_file_path(f): f for f in man["files"]}
-    probe, fcol, _rcol = _scan_live_pos(spark, man)
+    if files is not None and not files:
+        return []  # stats proved no file can hold a match
+    probe, fcol, _rcol = _scan_live_pos(spark, man, files)
     hit = mark(probe).select(fcol).distinct().collect()
     return sorted(
         canon_to_manifest[r[fcol]]
         for r in hit
         if r[fcol] in canon_to_manifest
     )
+
+
+# one atom of a conjunctive DML predicate the stats pruner understands:
+# `col <op> literal` or `literal <op> col`, literal a number or a
+# single-quoted string
+_BOUND_ATOM = re.compile(
+    r"^\s*(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s*"
+    r"(?P<op>>=|<=|==|=|<|>)\s*"
+    r"(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*$"
+)
+_BOUND_ATOM_REV = re.compile(
+    r"^\s*(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*"
+    r"(?P<op>>=|<=|==|=|<|>)\s*"
+    r"(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s*$"
+)
+
+
+def _bounds_from_condition(condition: str) -> dict[str, tuple]:
+    """Conservative ``{col: (lo, hi)}`` range bounds implied by a DML
+    predicate — ONLY from top-level AND conjunctions of
+    ``col <op> literal`` atoms; any OR/NOT/BETWEEN/function at the top
+    level, or any unrecognized atom, contributes nothing (atoms) or
+    disables pruning entirely (OR/NOT — a disjunct could match rows
+    the other atoms exclude).  Strict comparisons bound inclusively
+    (sound: pruning may only KEEP extra files, the probe's residual
+    predicate decides truth).  This is why the format needs no hive
+    partition-column layout: manifest min/max stats on a clustered
+    table prune DML probes and reads the way partition values would,
+    without freezing one directory key at write time."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        _find_top,
+        _split_top,
+    )
+
+    if _find_top(condition, r"\b(OR|NOT|BETWEEN|IN)\b") >= 0:
+        return {}
+    out: dict[str, tuple] = {}
+    for piece in _split_top(condition, r"\bAND\b"):
+        m = _BOUND_ATOM.match(piece)
+        rev = False
+        if m is None:
+            m = _BOUND_ATOM_REV.match(piece)
+            rev = True
+        if m is None:
+            continue  # unrecognized atom: no bound from it
+        col = m.group("qcol") or m.group("col")
+        lit_s = m.group("lit")
+        lit = (
+            lit_s[1:-1]
+            if lit_s.startswith("'")
+            else (float(lit_s) if "." in lit_s else int(lit_s))
+        )
+        op = m.group("op")
+        if rev:  # literal <op> col  ≡  col <flipped-op> literal
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        lo, hi = out.get(col, (None, None))
+        if op in ("=", "=="):
+            lo = lit if lo is None or _stat_lt(lo, lit) else lo
+            hi = lit if hi is None or _stat_lt(lit, hi) else hi
+        elif op in (">", ">="):
+            lo = lit if lo is None or _stat_lt(lo, lit) else lo
+        else:  # <, <=
+            hi = lit if hi is None or _stat_lt(lit, hi) else hi
+        out[col] = (lo, hi)
+    return {c: b for c, b in out.items() if b != (None, None)}
+
+
+def _stat_lt(a, b) -> bool:
+    from integritychecksforvldbs_spark.sources.zonemap import _lt
+
+    try:
+        return _lt(a, b)
+    except TypeError:
+        return False  # incomparable (mixed types): never tightens
+
+
+def _dml_candidates(man: dict, condition: str) -> list[str] | None:
+    """Manifest files a DELETE/UPDATE probe must scan, per the stats
+    bounds the condition implies — None when the condition yields no
+    usable bounds (probe everything).  Best-effort by contract: any
+    failure (a literal whose type disagrees with the column's stats,
+    exotic stat encodings) degrades to the unpruned probe, never to a
+    wrong answer — the probe's own predicate is always re-applied."""
+    try:
+        bounds = _bounds_from_condition(condition)
+        if not bounds:
+            return None
+        kept, _ = _prune_manifest_files(man, bounds)
+        return kept
+    except Exception:
+        return None
 
 
 # fraction of the touched files' live rows above which the auto DML
@@ -1231,12 +1459,7 @@ def _commit_prepared(
             else:
                 stats = {**(cur[1].get("stats") or {}), **new_stats}
                 dvs = dict(cur[1].get("dvs") or {})
-            body = {
-                **meta,
-                "files": files,
-                "stats": {f: stats[f] for f in files if f in stats},
-                "dvs": {f: dvs[f] for f in files if f in dvs},
-            }
+            body = _full_body(path, nxt, meta, files, stats, dvs)
         installed = _install_manifest(path, nxt, body)
         if installed:
             _write_latest_hint(path, nxt)
@@ -2544,7 +2767,10 @@ def delete_where(
             raise FileNotFoundError(f"no committed version at {path!r}")
         base_v, man = base
         if man["files"]:
-            touched = _touched_files(spark, man, lambda df: df.filter(pred))
+            touched = _touched_files(
+                spark, man, lambda df: df.filter(pred),
+                files=_dml_candidates(man, condition),
+            )
         else:
             touched = []  # an all-deleted snapshot: nothing to match
         if not touched:
@@ -2683,7 +2909,10 @@ def update_where(
         if bad:
             raise ValueError(f"SET of unknown column(s): {bad}")
         if man["files"]:
-            touched = _touched_files(spark, man, lambda df: df.filter(pred))
+            touched = _touched_files(
+                spark, man, lambda df: df.filter(pred),
+                files=_dml_candidates(man, condition),
+            )
         else:
             touched = []
         if not touched:
@@ -3162,6 +3391,37 @@ def vacuum(
                 os.unlink(full)
         except OSError:
             pass  # racing removal / concurrent install
+    # parquet checkpoint sidecars no live body references — a CAS
+    # loser's write, or residue of a hand-pruned manifest; each
+    # sidecar's name is unique per write attempt, so the version's
+    # surviving bodies name exactly the ones to keep (age-guarded:
+    # an in-flight commit writes its sidecar BEFORE installing the
+    # manifest that will reference it)
+    import re as _re
+
+    pq_pat = _re.compile(r"^v(\d{10})~files-[0-9a-f]+\.parquet$")
+    for n in names:
+        m = pq_pat.match(n)
+        if m is None:
+            continue
+        v = int(m.group(1))
+        refs = set()
+        for name2 in (_vname(v) + ".json", _ckpt_key(v) + ".json"):
+            try:
+                with open(os.path.join(_vdir(path), name2)) as f:
+                    body = json.load(f)
+                if body.get("ckpt_files"):
+                    refs.add(body["ckpt_files"])
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+        if n in refs:
+            continue
+        full = os.path.join(_vdir(path), n)
+        try:
+            if now - os.path.getmtime(full) >= min_age_s:
+                os.unlink(full)
+        except OSError:
+            pass
     top = retained[-1] if retained else 0
     for v in _versions(path):
         if v >= top or _read_manifest(path, v) is not None:
@@ -3190,9 +3450,21 @@ def _remove_manifest(path: str, v: int) -> None:
             if rec is not None:
                 b.delete_if(key, rec.version)
         return
+    import glob as _glob
+
     for name in (_vname(v) + ".json", _ckpt_key(v) + ".json"):
         try:
             os.unlink(os.path.join(_vdir(path), name))
+        except FileNotFoundError:
+            pass
+    # parquet checkpoint sidecars (commit-time and ~ckpt) of this
+    # version — named vN~files-<uuid>.parquet, owned by the manifests
+    # just removed
+    for p in _glob.glob(
+        os.path.join(_vdir(path), _vname(v) + "~files-*.parquet")
+    ):
+        try:
+            os.unlink(p)
         except FileNotFoundError:
             pass
     d = os.path.join(_vdir(path), _vname(v))
