@@ -2354,6 +2354,52 @@ def _norm_when_clauses(clauses: list[dict]) -> list[dict]:
     return out
 
 
+def _refs_alias(sql: str, alias: str) -> bool:
+    """True when ``sql`` references ``alias.<col>`` outside string
+    literals — the fast diagnosis for clause/alias mismatches the
+    analyzer would otherwise report as NULL-valued surprises."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        _in_spans,
+        _string_spans,
+    )
+
+    spans = _string_spans(sql)
+    for m in re.finditer(
+        rf"(?<![\w.`]){re.escape(alias)}\s*\.", sql, re.I
+    ):
+        if not _in_spans(m.start(), spans):
+            return True
+    return False
+
+
+def _check_clause_aliases(
+    clauses: list[dict], ta: str, sa: str
+) -> None:
+    """ANSI MERGE scoping, diagnosed eagerly: a NOT-MATCHED-BY-SOURCE
+    clause has no source row (every ``sa.col`` would be NULL, which
+    SQL rejects outright), and a NOT-MATCHED insert has no target row
+    (every ``ta.col`` likewise)."""
+    for c in clauses:
+        exprs = [c.get("cond") or ""]
+        sets = c.get("set") if c["action"] == "update" else c.get("values")
+        if isinstance(sets, dict):
+            exprs += list(sets.values())
+        if c["when"] == "not_matched_by_source":
+            bad, side = sa, "the source"
+        elif c["when"] == "not_matched":
+            bad, side = ta, "the target"
+        else:
+            continue
+        for e in exprs:
+            if e and _refs_alias(e, bad):
+                raise ValueError(
+                    f"WHEN {c['when'].upper().replace('_', ' ')} "
+                    f"clauses cannot reference {side} ({bad}.…): "
+                    f"there is no {side} row on that branch "
+                    f"(got {e!r})"
+                )
+
+
 def merge_when(
     spark: SparkSession,
     path: str,
@@ -2403,6 +2449,7 @@ def merge_when(
     ta, sa = target_alias, source_alias
     if ta == sa:
         raise ValueError("target_alias and source_alias must differ")
+    _check_clause_aliases(clauses, ta, sa)
     m_clauses = [c for c in clauses if c["when"] == "matched"]
     n_clauses = [c for c in clauses if c["when"] == "not_matched_by_source"]
     i_clauses = [c for c in clauses if c["when"] == "not_matched"]

@@ -38,11 +38,16 @@ registered via :func:`register_table` or an explicit path):
   requested snapshot view and the rewritten statement runs through
   ``spark.sql`` unchanged otherwise (joins, CTEs, aggregates all
   work; ts is epoch seconds or an ISO-8601 literal).
+- ``CREATE [OR REPLACE] TABLE <t> AS SELECT …|VALUES …`` — creates
+  (or, with OR REPLACE, overwrites) the table from the query; plain
+  CREATE refuses a table that already has committed versions.
 - Maintenance statements, the Delta SQL verbs mapped 1:1 onto the
   primitives: ``RESTORE TABLE <t> TO VERSION AS OF n`` (or
   ``TIMESTAMP AS OF ts``), ``VACUUM <t> [RETAIN k VERSIONS]
-  [DRY RUN]``, ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``, and
-  ``DESCRIBE HISTORY <t>``.
+  [DRY RUN]``, ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``,
+  ``DESCRIBE HISTORY <t>``, and ``DESCRIBE DETAIL <t>`` (one
+  metadata-only row: version, file/row/DV counts, constraints,
+  schema — no data file is opened).
 - ``SELECT ... FROM table_changes('<t>', from_v[, to_v]) ...`` — the
   batch change feed (:func:`~.versioned.changes`) as a table-valued
   reference inside any SELECT (Delta's TVF of the same name); rows
@@ -459,6 +464,14 @@ _OPTIMIZE = re.compile(
 _DESC_HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[^\s;]+)\s*;?\s*$", re.I | re.S
 )
+_DESC_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<tbl>[^\s;]+)\s*;?\s*$", re.I | re.S
+)
+_CREATE = re.compile(
+    r"^\s*CREATE\s+(?:(?P<orrep>OR\s+REPLACE)\s+)?TABLE\s+"
+    r"(?P<tbl>[^\s;]+)\s+AS\s+(?P<q>.*)$",
+    re.I | re.S,
+)
 
 
 def _metrics(spark: SparkSession, **kv) -> DataFrame:
@@ -703,11 +716,70 @@ def versioned_sql(
         return _metrics(
             spark, version=v, files_before=before, files_after=after
         )
+    if head == "CREATE":
+        m = _CREATE.match(stmt)
+        if not m:
+            raise ValueError(
+                f"only CREATE [OR REPLACE] TABLE <t> AS <query> is "
+                f"supported: {stmt!r}"
+            )
+        path = _resolve(m.group("tbl"))
+        q = m.group("q").strip().rstrip(";").strip()
+        qhead = q.split(None, 1)[0].upper() if q else ""
+        if qhead == "VALUES":
+            df = spark.sql(q)
+        elif qhead in ("SELECT", "WITH"):
+            df = _select(spark, q)
+        else:
+            raise ValueError(
+                f"CREATE TABLE AS needs SELECT/WITH/VALUES: {stmt!r}"
+            )
+        exists = versioned._latest_committed(path) is not None
+        if exists and not m.group("orrep"):
+            raise ValueError(
+                f"table {m.group('tbl')!r} already has committed "
+                "versions; use CREATE OR REPLACE TABLE to overwrite"
+            )
+        df = df.persist()
+        try:
+            n = df.count()
+            v = versioned.commit(
+                spark, df, path,
+                mode="overwrite" if exists else "append",
+            )
+        finally:
+            df.unpersist()
+        return _metrics(spark, version=v, n_rows=n)
     if head == "DESCRIBE":
+        dm = _DESC_DETAIL.match(stmt)
+        if dm:
+            path = _resolve(dm.group("tbl"))
+            v, man = versioned._latest_committed(path) or (None, None)
+            if man is None:
+                raise FileNotFoundError(
+                    f"no committed version at {dm.group('tbl')!r}"
+                )
+            dvs = man.get("dvs") or {}
+            return spark.createDataFrame(
+                [(
+                    int(v),
+                    len(man["files"]),
+                    int(versioned.row_count(spark, path)),
+                    len(dvs),
+                    int(sum(int(e["n"]) for e in dvs.values())),
+                    len(man.get("constraints") or {}),
+                    str(man.get("mode")),
+                    man.get("schema"),
+                )],
+                "version long, n_files long, n_rows long, n_dvs long, "
+                "dv_dead_rows long, n_constraints long, "
+                "last_mode string, schema string",
+            )
         m = _DESC_HISTORY.match(stmt)
         if not m:
             raise ValueError(
-                f"only DESCRIBE HISTORY <table> is supported: {stmt!r}"
+                f"only DESCRIBE HISTORY|DETAIL <table> is supported: "
+                f"{stmt!r}"
             )
         hist = versioned.history(_resolve(m.group("tbl")))
         return spark.createDataFrame(
@@ -725,8 +797,8 @@ def versioned_sql(
         return _select(spark, stmt)
     raise ValueError(
         f"unsupported statement {head!r}: expected SELECT/WITH, INSERT, "
-        "DELETE, UPDATE, MERGE, RESTORE, VACUUM, OPTIMIZE, or "
-        "DESCRIBE HISTORY"
+        "DELETE, UPDATE, MERGE, CREATE TABLE AS, RESTORE, VACUUM, "
+        "OPTIMIZE, or DESCRIBE HISTORY/DETAIL"
     )
 
 
