@@ -973,6 +973,80 @@ GROUP BY c_mktsegment
 """
 
 
+def _versioned_evo_path(spark: SparkSession, sf_dir: str) -> str:
+    """Customer table carried through the full ALTER TABLE lifecycle
+    (rename → add → backfill → drop → delete), built once per
+    process/sf.  RENAME and DROP are metadata-only commits riding the
+    table's column mapping (sources/versioned.py: physical names in
+    the immutable files never change; a re-added name binds a fresh
+    physical name), so every later read and DML resolves logical
+    names through the manifest — the Delta column-mapping discipline
+    re-expressed on this format."""
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    path = _mirror_path(sf_dir, "customer_versioned_evo")
+    if versioned._read_manifest(path, 6) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        cust = _load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        versioned.commit(spark, cust, path)                     # v1
+        register_table("evo_cust", path)
+        versioned_sql(
+            spark, "ALTER TABLE evo_cust RENAME COLUMN c_acctbal TO balance"
+        )                                                       # v2
+        versioned_sql(
+            spark, "ALTER TABLE evo_cust ADD COLUMN cents bigint"
+        )                                                       # v3
+        versioned.update_where(                                 # v4
+            spark, path, "true",
+            {"cents": "CAST(round(balance * 100) AS BIGINT)"},
+        )
+        versioned_sql(spark, "ALTER TABLE evo_cust DROP COLUMN balance")
+        versioned.delete_where(                                 # v6
+            spark, path,
+            "c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 0",
+        )
+    return path
+
+
+def _q_versioned_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE schema evolution end-to-end: the renamed column's
+    values survive (they back-fill ``cents``), the dropped column is
+    gone, and DML keeps working on the mapped table — the oracle
+    recomputes the final state straight from the source rows."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_evo_path(spark, sf_dir)
+    return (
+        versioned.read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_EVO_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer
+WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 0)
+GROUP BY c_mktsegment
+"""
+
+
 _VERSIONED_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3193,8 +3267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # versioned_update_where stays registered below the cap.
     out["versioned_merge_when"] = _q_versioned_merge_when
     out["versioned_dv_delete"] = _q_versioned_dv_delete
+    # r10 wave-5 rotation: versioned_schema_evolution (ALTER TABLE
+    # rename/add/drop through the column mapping, the round's new
+    # format surface) takes the head slot of versioned_merge_customers
+    # — the MERGE family stays gated by versioned_merge_when, whose
+    # three-branch form subsumes the upsert-all shape; the upsert row
+    # stays registered below the cap.
+    out["versioned_schema_evolution"] = _q_versioned_schema_evolution
+    del out["versioned_merge_customers"]
 
     # ================= past the 50-row driver cap =================
+    out["versioned_merge_customers"] = _q_versioned_merge
     out["versioned_update_where"] = _q_versioned_update_where
     out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
         _load(spark, sf, "orders"), ["o_custkey"], k=20
@@ -4066,6 +4149,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_update_where"] = _VERSIONED_UPDATE_ORACLE
     out["versioned_dv_delete"] = _VERSIONED_DV_DELETE_ORACLE
     out["versioned_merge_when"] = _VERSIONED_MWHEN_ORACLE
+    out["versioned_schema_evolution"] = _VERSIONED_EVO_ORACLE
     out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE

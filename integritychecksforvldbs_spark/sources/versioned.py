@@ -342,6 +342,118 @@ def _manifest_schema(man: dict):
     )
 
 
+# ---------------------------------------------------------------------------
+# Column mapping — rename/drop columns without rewriting data files
+# ---------------------------------------------------------------------------
+#
+# Data files always store a column under its PHYSICAL name, which is
+# fixed for the column's whole lifetime; the manifest's schema records
+# the LOGICAL (user-facing) names.  ``column_mapping`` holds the
+# non-identity logical→physical entries, so a table that never renamed
+# anything carries no mapping at all and pays nothing.  ``retired_cols``
+# lists physical names that ever LEFT the live schema (DROP COLUMN, or
+# a schema-evolving append that removed a column): a later ADD of the
+# same logical name binds a FRESH physical name instead, so the old
+# bytes still sitting in immutable files can never resurrect into the
+# new column — the hazard Delta's column-mapping field IDs exist for.
+
+
+def _mapping(man: dict) -> dict[str, str]:
+    """Logical→physical column mapping of a manifest ({} = identity)."""
+    return dict(man.get("column_mapping") or {})
+
+
+def _physical_schema(man: dict):
+    """The manifest's logical schema with each field renamed to the
+    physical name data files store it under."""
+    sch = _manifest_schema(man)
+    if sch is None:
+        return None
+    m = _mapping(man)
+    if not m:
+        return sch
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(m.get(f.name, f.name), f.dataType, True, f.metadata)
+         for f in sch.fields]
+    )
+
+
+def _to_logical(df: DataFrame, man: dict) -> DataFrame:
+    """Rename a physical-named frame's columns to their logical names
+    (extra columns — position markers — pass through untouched)."""
+    m = _mapping(man)
+    if not m:
+        return df
+    return df.withColumnsRenamed({p: lg for lg, p in m.items()})
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a logical-named frame's columns to physical names for
+    writing."""
+    if not mapping:
+        return df
+    present = set(df.columns)
+    ren = {lg: p for lg, p in mapping.items() if lg in present}
+    return df.withColumnsRenamed(ren) if ren else df
+
+
+def _retired(man: dict) -> list[str]:
+    return list(man.get("retired_cols") or [])
+
+
+def _fresh_physical(name: str, taken_lower: set[str]) -> str:
+    """A physical name for a (re)added logical column that can never
+    collide with bytes already sitting in the table's files."""
+    if name.lower() not in taken_lower:
+        return name
+    cand = f"{name}_{uuid.uuid4().hex[:8]}"
+    while cand.lower() in taken_lower:
+        cand = f"{name}_{uuid.uuid4().hex[:8]}"
+    return cand
+
+
+def _evolve_mapping(
+    cur_man: dict, new_schema
+) -> tuple[dict[str, str], list[str]]:
+    """The (mapping, retired) a schema-evolving APPEND carries: kept
+    columns keep their physical names, columns the new schema dropped
+    retire theirs, and columns it added bind collision-free fresh
+    ones — so re-adding a once-dropped name can never resurrect the
+    old bytes still in the files."""
+    cur_sch = _manifest_schema(cur_man)
+    m = _mapping(cur_man)
+    retired = _retired(cur_man)
+    if cur_sch is None:
+        return m, retired
+    cur_names = set(cur_sch.fieldNames())
+    new_names = [f.name for f in new_schema.fields]
+    new_set = set(new_names)
+    out: dict[str, str] = {}
+    for name in cur_names & new_set:
+        p = m.get(name, name)
+        if p != name:
+            out[name] = p
+    rset = {r.lower() for r in retired}
+    for name in cur_names - new_set:
+        p = m.get(name, name)
+        if p.lower() not in rset:
+            retired.append(p)
+            rset.add(p.lower())
+    taken = rset | {
+        m.get(n, n).lower() for n in cur_names & new_set
+    }
+    for name in new_names:
+        if name in cur_names:
+            continue
+        p = _fresh_physical(name, taken)
+        taken.add(p.lower())
+        if p != name:
+            out[name] = p
+    return out, retired
+
+
 def _versions(path: str) -> list[int]:
     """Every version NUMBER present in the log: atomic ``vN.json``
     manifests (always complete) plus legacy ``vN/`` dirs (which may be
@@ -835,11 +947,15 @@ def _write_data(
     df: DataFrame,
     path: str,
     stats_columns: list[str] | None = None,
+    mapping: dict[str, str] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` as a fresh immutable data directory under the
     table and census its footers: ``(new_files, new_stats)``.  Shared
     by every committing operation; a directory orphaned by a lost CAS
-    race is invisible to readers and reclaimed by :func:`vacuum`."""
+    race is invisible to readers and reclaimed by :func:`vacuum`.
+    ``mapping``: the table's column mapping — ``df`` arrives in
+    LOGICAL names and is written (and its stats keyed) under the
+    PHYSICAL ones, like every data file before it."""
     from integritychecksforvldbs_spark.sources.catalog import (
         list_parquet_files,
     )
@@ -847,6 +963,10 @@ def _write_data(
         write_stats_friendly,
     )
 
+    if mapping:
+        df = _to_physical(df, mapping)
+        if stats_columns is not None:
+            stats_columns = [mapping.get(c, c) for c in stats_columns]
     data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
     write_stats_friendly(spark, df, data_dir)
     new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
@@ -928,14 +1048,22 @@ def _commit_replace(
             "data_change": data_change,
             "parent": base_v,
             "committed_at": time.time(),
-            "schema": base_man.get("schema"),
-            "schema_json": base_man.get("schema_json"),
         }
+        # schema inherits from the base unless the caller is changing
+        # it (ALTER TABLE overrides via extra)
+        meta.setdefault("schema", base_man.get("schema"))
+        meta.setdefault("schema_json", base_man.get("schema_json"))
         # the CHECK-constraint map rides every body (set_constraints
         # overrides via extra; everything else inherits the base's)
         meta.setdefault(
             "constraints", dict(base_man.get("constraints") or {})
         )
+        # so does the column mapping (ALTER overrides via extra)
+        meta.setdefault("column_mapping", _mapping(base_man))
+        meta.setdefault("retired_cols", _retired(base_man))
+        for _k in ("column_mapping", "retired_cols"):
+            if not meta.get(_k):
+                meta.pop(_k, None)
         if nxt % CHECKPOINT_EVERY == 0:
             files = [
                 f for f in base_man["files"] if f not in removed
@@ -965,17 +1093,25 @@ def _commit_replace(
 
 
 def _scan_files(
-    spark: SparkSession, man: dict, files: list[str] | None = None
+    spark: SparkSession,
+    man: dict,
+    files: list[str] | None = None,
+    mapped: bool = True,
 ) -> DataFrame:
     """Plan a parquet scan of ``files`` (default: the manifest's whole
     visible set) against the manifest's recorded schema — the one
-    read shape every file-scoped operation shares."""
+    read shape every file-scoped operation shares.  Under a column
+    mapping the scan plans against PHYSICAL names (what the files
+    store) and renames to logical; ``mapped=False`` returns the raw
+    physical frame, for callers that must attach ``_metadata``
+    columns to the scan relation before any projection."""
     from integritychecksforvldbs_spark.sources.loader import load_table
 
     files = man["files"] if files is None else files
-    sch = _manifest_schema(man)
+    sch = _physical_schema(man)
     if sch is not None:
-        return spark.read.schema(sch).parquet(*files)
+        df = spark.read.schema(sch).parquet(*files)
+        return _to_logical(df, man) if mapped else df
     # legacy manifests without a recorded schema: load_table applies
     # the nanos/NTZ timestamp normalizations a raw spark.read.parquet
     # lacks, so a table keeps ONE dtype story across every code path
@@ -1018,15 +1154,17 @@ def _scan_live(
     if per_file is not None:
         # clean = everything inline_ranges holds no ranges for — that
         # includes a dv'd file with a degenerate EMPTY vector (fully
-        # live; inline_ranges drops such entries by contract)
+        # live; inline_ranges drops such entries by contract).  The
+        # per-file branches stay PHYSICAL until the final rename: the
+        # ``_metadata`` column must attach to the scan relation itself
         clean = [f for f in files if f not in per_file]
         parts = []
         if clean:
-            parts.append(_scan_files(spark, man, clean))
+            parts.append(_scan_files(spark, man, clean, mapped=False))
         for f in files:
             if f not in per_file:
                 continue
-            sc = _scan_files(spark, man, [f])
+            sc = _scan_files(spark, man, [f], mapped=False)
             rcol = "__icv_dv_pos"
             while rcol in sc.columns:
                 rcol += "_"
@@ -1038,10 +1176,16 @@ def _scan_live(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return _to_logical(out, man)
     # the inline probe just declined: don't repeat it inside apply_dvs
-    return dv.apply_dvs(
-        spark, _scan_files(spark, man, files), dvs, try_inline=False
+    return _to_logical(
+        dv.apply_dvs(
+            spark,
+            _scan_files(spark, man, files, mapped=False),
+            dvs,
+            try_inline=False,
+        ),
+        man,
     )
 
 
@@ -1058,13 +1202,20 @@ def _scan_live_pos(
     from integritychecksforvldbs_spark.sources import deletion_vectors as dv
 
     files = man["files"] if files is None else files
-    df = _scan_files(spark, man, files)
+    df = _scan_files(spark, man, files, mapped=False)
     fcol, rcol = dv._unique_names(df)
+    # collision-proof the markers against the LOGICAL names too — the
+    # frame is renamed to them below
+    logical = set((_manifest_schema(man) or df.schema).fieldNames())
+    while fcol in logical:
+        fcol += "_"
+    while rcol in logical or rcol == fcol:
+        rcol += "_"
     df = dv.scan_with_position(df, fcol, rcol)
     df = dv.anti_join_positions(
         spark, df, _dvs_for(man, files), fcol, rcol
     )
-    return df, fcol, rcol
+    return _to_logical(df, man), fcol, rcol
 
 
 def _touched_files(
@@ -1339,19 +1490,36 @@ def commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     new_ddl = df.schema.simpleString()
-    if mode == "append" and not allow_schema_change:
+    # column mapping: overwrites start fresh (the visible set — and
+    # with it every physical name in play — is replaced wholesale, so
+    # they never even read the base); appends inherit the table's
+    # mapping, extended/retired for any columns a schema-evolving
+    # append introduces or removes
+    extra = dict(extra or {})
+    mapping, retired = {}, []
+    if mode == "append":
         cur0 = _latest_committed(path)
-        cur_ddl = cur0[1].get("schema") if cur0 else None
-        if cur_ddl is not None and cur_ddl != new_ddl:
-            raise SchemaDriftError(
-                f"append to {path!r} changes the schema:\n"
-                f"  table: {cur_ddl}\n  append: {new_ddl}\n"
-                "pass allow_schema_change=True to evolve it"
-            )
-    new_files, new_stats = _write_data(spark, df, path, stats_columns)
+        if not allow_schema_change:
+            cur_ddl = cur0[1].get("schema") if cur0 else None
+            if cur_ddl is not None and cur_ddl != new_ddl:
+                raise SchemaDriftError(
+                    f"append to {path!r} changes the schema:\n"
+                    f"  table: {cur_ddl}\n  append: {new_ddl}\n"
+                    "pass allow_schema_change=True to evolve it"
+                )
+        if cur0 is not None:
+            mapping, retired = _evolve_mapping(cur0[1], df.schema)
+            extra.setdefault("column_mapping", mapping)
+            extra.setdefault("retired_cols", retired)
+    new_files, new_stats = _write_data(
+        spark, df, path, stats_columns, mapping=mapping
+    )
 
     def _validate(active: dict) -> None:
-        _enforce(spark, path, active, new_files, df.schema, "commit")
+        _enforce(
+            spark, path, active, new_files, df.schema, "commit",
+            mapping=mapping,
+        )
 
     return _commit_prepared(
         path, new_files, new_stats, mode, new_ddl,
@@ -1429,6 +1597,16 @@ def _commit_prepared(
             # has no session, must use
             "schema_json": schema_json,
         }
+        # the column mapping rides every body the way constraints do:
+        # appends inherit the table's (unless the caller evolved it),
+        # overwrites reset it (fresh physical names); empty values are
+        # pruned so unmapped tables pay zero body bytes
+        if mode == "append" and cur is not None:
+            meta.setdefault("column_mapping", _mapping(cur[1]))
+            meta.setdefault("retired_cols", _retired(cur[1]))
+        for _k in ("column_mapping", "retired_cols"):
+            if not meta.get(_k):
+                meta.pop(_k, None)
         if (
             mode == "append"
             and cur is not None
@@ -1524,18 +1702,36 @@ def _enforce(
     new_files: list[str],
     schema,
     what: str,
+    mapping: dict[str, str] | None = None,
 ) -> None:
     """Refuse ``new_files`` (freshly written, never yet visible) if
     any row violates ``constraints`` — the check scans only the
     commit's own files, O(commit); the refused files stay invisible
-    orphans for vacuum."""
+    orphans for vacuum.  ``schema`` is LOGICAL; under a column
+    mapping the files store physical names, so the scan plans against
+    the renamed schema and the frame returns to logical names before
+    the (logical-named) constraint predicates evaluate."""
     if not constraints or not new_files:
         return
-    df = (
-        spark.read.schema(schema).parquet(*new_files)
-        if schema is not None
-        else spark.read.parquet(*new_files)
-    )
+    if schema is not None and mapping:
+        from pyspark.sql.types import StructField, StructType
+
+        phys = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, True, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(phys).parquet(*new_files)
+        df = df.withColumnsRenamed(
+            {p: lg for lg, p in mapping.items()}
+        )
+    elif schema is not None:
+        df = spark.read.schema(schema).parquet(*new_files)
+    else:
+        df = spark.read.parquet(*new_files)
     bad = _violations(df, constraints)
     if bad:
         detail = ", ".join(
@@ -1602,6 +1798,180 @@ def set_constraints(
     )
 
 
+# ---------------------------------------------------------------------------
+# ALTER TABLE — metadata-only schema evolution (ADD/RENAME/DROP COLUMN)
+# ---------------------------------------------------------------------------
+
+
+def _refs_column(sql: str, name: str) -> bool:
+    """True when ``sql`` references ``name`` as a bare or backquoted
+    identifier outside string literals (case-insensitive, the
+    resolution rule Spark applies)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:  # blank out single-quoted string literals
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(" " * (j + 1 - i))
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    bare = "".join(out)
+    pat = re.compile(
+        rf"(?<![\w.`])(?:`{re.escape(name)}`|{re.escape(name)})(?![\w`])",
+        re.IGNORECASE,
+    )
+    return pat.search(bare) is not None
+
+
+def _refusing_constraints(man: dict, name: str) -> list[str]:
+    return sorted(
+        n for n, sql in (man.get("constraints") or {}).items()
+        if _refs_column(sql, name)
+    )
+
+
+def _alter(path: str, mode: str, transform) -> int:
+    """CAS retry loop shared by the ALTER COLUMN family: a
+    metadata-only commit (``data_change: false``, empty file swap)
+    whose body carries the transformed schema + column mapping.
+    ``transform(man, schema) -> (new_schema, mapping, retired)``."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        base_v, man = cur
+        sch = _manifest_schema(man)
+        if sch is None:
+            raise ValueError(
+                f"{path!r} predates schema recording; rewrite it "
+                "(optimize/compact) before ALTER"
+            )
+        new_sch, mapping, retired = transform(man, sch)
+        v = _commit_replace(
+            path, base_v, man, set(), [], {},
+            mode=mode, data_change=False,
+            extra={
+                "schema": new_sch.simpleString(),
+                "schema_json": new_sch.jsonValue(),
+                "column_mapping": mapping,
+                "retired_cols": retired,
+            },
+        )
+        if v is not None:
+            return v
+    raise ConflictError(f"{mode} on {path!r} lost every CAS race")
+
+
+def add_column(path: str, name: str, dtype) -> int:
+    """``ALTER TABLE ADD COLUMN``: a metadata-only commit appending a
+    nullable column to the schema — existing files null-fill it on
+    read (the additive-evolution contract), O(0) data IO.  If the
+    name was ever dropped from this table, the new column binds a
+    FRESH physical name, so the old bytes never resurrect.  ``dtype``
+    is a :class:`~pyspark.sql.types.DataType` or a DDL string (the
+    string form needs an active SparkSession to parse)."""
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    if isinstance(dtype, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        dtype = _parse_datatype_string(dtype)
+    if not isinstance(dtype, DataType):
+        raise TypeError(f"dtype must be a DataType or DDL string: {dtype!r}")
+
+    def _tr(man, sch):
+        if any(f.name.lower() == name.lower() for f in sch.fields):
+            raise ValueError(f"column {name!r} already exists in {path!r}")
+        m = _mapping(man)
+        retired = _retired(man)
+        taken = {r.lower() for r in retired} | {
+            m.get(f.name, f.name).lower() for f in sch.fields
+        }
+        p = _fresh_physical(name, taken)
+        if p != name:
+            m[name] = p
+        new_sch = StructType(
+            list(sch.fields) + [StructField(name, dtype, True)]
+        )
+        return new_sch, m, retired
+
+    return _alter(path, f"alter(add {name})", _tr)
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE RENAME COLUMN``: metadata-only — the data files
+    keep the column under its physical name forever; the manifest's
+    column mapping binds the new logical name to it.  Refused while a
+    CHECK constraint references the old name (drop or rewrite the
+    constraint first — silently re-pointing a predicate is how a
+    governance rule stops meaning what its author wrote)."""
+    from pyspark.sql.types import StructField, StructType
+
+    def _tr(man, sch):
+        names = {f.name.lower() for f in sch.fields}
+        if old.lower() not in names:
+            raise ValueError(f"no column {old!r} in {path!r}")
+        if new.lower() in names:
+            raise ValueError(f"column {new!r} already exists in {path!r}")
+        refs = _refusing_constraints(man, old)
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint(s) "
+                f"{refs} reference it; drop them first"
+            )
+        m = _mapping(man)
+        phys = m.pop(old, old)
+        if phys != new:
+            m[new] = phys
+        new_sch = StructType(
+            [
+                StructField(new, f.dataType, True, f.metadata)
+                if f.name.lower() == old.lower()
+                else f
+                for f in sch.fields
+            ]
+        )
+        return new_sch, m, _retired(man)
+
+    return _alter(path, f"alter(rename {old} to {new})", _tr)
+
+
+def drop_column(path: str, name: str) -> int:
+    """``ALTER TABLE DROP COLUMN``: metadata-only — the physical
+    column stays in the immutable files but leaves the schema, and
+    its physical name is RETIRED so a later ADD of the same name can
+    never read the orphaned bytes.  Time travel to pre-drop versions
+    still sees the column (their manifests kept it)."""
+    from pyspark.sql.types import StructType
+
+    def _tr(man, sch):
+        if not any(f.name.lower() == name.lower() for f in sch.fields):
+            raise ValueError(f"no column {name!r} in {path!r}")
+        if len(sch.fields) == 1:
+            raise ValueError(f"cannot drop the only column of {path!r}")
+        refs = _refusing_constraints(man, name)
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint(s) "
+                f"{refs} reference it; drop them first"
+            )
+        m = _mapping(man)
+        retired = _retired(man)
+        phys = m.pop(name, name)
+        if phys.lower() not in {r.lower() for r in retired}:
+            retired.append(phys)
+        new_sch = StructType(
+            [f for f in sch.fields if f.name.lower() != name.lower()]
+        )
+        return new_sch, m, retired
+
+    return _alter(path, f"alter(drop {name})", _tr)
+
+
 def read(
     spark: SparkSession,
     path: str,
@@ -1643,10 +2013,7 @@ def read(
         # merge-on-read: the live view (clean files untouched, DV'd
         # files inline-filtered or anti-joined — see _scan_live)
         return _scan_live(spark, man)
-    sch = _manifest_schema(man)
-    if sch is not None:
-        return spark.read.schema(sch).parquet(*man["files"])
-    return load_table(spark, *man["files"])
+    return _scan_files(spark, man)
 
 
 def _resolve_manifest(path: str, version: int | None) -> dict:
@@ -1720,13 +2087,14 @@ def stats_summary(
 
     man = _resolve_manifest(path, version)
     stats = man.get("stats") or {}
+    m = _mapping(man)  # callers ask in LOGICAL names; stats key physical
     out: dict[str, dict] = {}
     for c in columns:
         vmin = vmax = None
         n_nulls = 0
         ok = True
         for f in man["files"]:
-            ent = (stats.get(f) or {}).get("cols", {}).get(c)
+            ent = (stats.get(f) or {}).get("cols", {}).get(m.get(c, c))
             if ent is None or not ent["ok"]:
                 ok = False
                 continue
@@ -1751,11 +2119,12 @@ def _prune_manifest_files(
     from integritychecksforvldbs_spark.sources.zonemap import _lt
 
     stats = man.get("stats") or {}
+    m = _mapping(man)  # stats are keyed by PHYSICAL name
     kept, skipped = [], []
     for f in man["files"]:
         dead = False
         for c, (lo, hi) in bounds.items():
-            ent = (stats.get(f) or {}).get("cols", {}).get(c)
+            ent = (stats.get(f) or {}).get("cols", {}).get(m.get(c, c))
             if ent is None or not ent["ok"]:
                 continue
             if ent["min"] is None:
@@ -1865,7 +2234,9 @@ def optimize(
             )
         else:
             df = df.coalesce(n_out)
-        new_files, new_stats = _write_data(spark, df, path)
+        new_files, new_stats = _write_data(
+            spark, df, path, mapping=_mapping(man)
+        )
         v = _commit_replace(
             path, cur_v, man, set(man["files"]), new_files, new_stats,
             mode="optimize", data_change=False,
@@ -1947,20 +2318,48 @@ def changes(
     if not entered and not left and not dv_changed:
         base = read(spark, path, version=to_version).limit(0)
         return base.withColumn("_change_type", F.lit("insert")).limit(0)
+
+    def _side_scan(man_side, files_side):
+        """One side's live rows in that side's LOGICAL names — the
+        scan stays physical until the DV anti-join has attached its
+        ``_metadata`` positions."""
+        if _physical_schema(man_side) is not None:
+            raw = _scan_files(spark, man_side, files_side, mapped=False)
+        else:
+            raw = load_table(spark, *files_side)
+        return _to_logical(
+            dvmod.apply_dvs(spark, raw, _dvs_for(man_side, files_side)),
+            man_side,
+        )
+
+    def _conform_to_tip(df_from: DataFrame) -> DataFrame:
+        """Project a FROM-logical frame into the TO snapshot's column
+        space by PHYSICAL identity: a renamed column carries over
+        under its new name, a column the tip added null-fills, one it
+        dropped projects out — so the feed always speaks the schema a
+        reader at ``to_version`` holds (Delta CDF's contract)."""
+        to_sch = _manifest_schema(man_to)
+        from_sch = _manifest_schema(man_from)
+        if to_sch is None or from_sch is None:
+            return df_from  # legacy manifests: no recorded schemas
+        m_to, m_from = _mapping(man_to), _mapping(man_from)
+        phys_to_from = {
+            m_from.get(n, n): n for n in from_sch.fieldNames()
+        }
+        cols = []
+        for f in to_sch.fields:
+            src = phys_to_from.get(m_to.get(f.name, f.name))
+            cols.append(
+                F.col(src).cast(f.dataType).alias(f.name)
+                if src is not None
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+        return df_from.select(*cols)
+
     none = None  # schema donor when one side has no files
-    df_in = (
-        dvmod.apply_dvs(
-            spark, load_table(spark, *entered), _dvs_for(man_to, entered)
-        )
-        if entered
-        else none
-    )
+    df_in = _side_scan(man_to, entered) if entered else none
     df_out = (
-        dvmod.apply_dvs(
-            spark, load_table(spark, *left), _dvs_for(man_from, left)
-        )
-        if left
-        else none
+        _conform_to_tip(_side_scan(man_from, left)) if left else none
     )
     donor = df_in if df_in is not None else df_out
     if donor is None:  # pure DV change: donate schema from the tip
@@ -1972,7 +2371,11 @@ def changes(
     inserts = df_in.exceptAll(df_out)
     deletes = df_out.exceptAll(df_in)
     if dv_changed:
-        raw = load_table(spark, *dv_changed)
+        raw = (
+            _scan_files(spark, man_to, dv_changed, mapped=False)
+            if _physical_schema(man_to) is not None
+            else load_table(spark, *dv_changed)
+        )
         fcol, rcol = dvmod._unique_names(raw)
         raw = dvmod.scan_with_position(raw, fcol, rcol)
         ent_from = _dvs_for(man_from, dv_changed) if man_from else {}
@@ -1992,7 +2395,10 @@ def changes(
                 raw[rcol] == pos["__dv_pos"]
             )
             build = F.broadcast(pos) if fits else pos
-            return raw.join(build, cond, "left_semi").drop(fcol, rcol)
+            return _to_logical(
+                raw.join(build, cond, "left_semi").drop(fcol, rcol),
+                man_to,
+            )
 
         deletes = deletes.unionByName(
             _rows_at(pos_to.exceptAll(pos_from))  # newly dead
@@ -2157,6 +2563,16 @@ def rollback(
                 "constraints": dict(man.get("constraints") or {}),
                 "schema": man.get("schema"),
                 "schema_json": man.get("schema_json"),
+                # the restored snapshot's column mapping governs its
+                # files' physical names and returns with them
+                **(
+                    {"column_mapping": _mapping(man)}
+                    if _mapping(man) else {}
+                ),
+                **(
+                    {"retired_cols": _retired(man)}
+                    if _retired(man) else {}
+                ),
             },
         )
         if installed:
@@ -2261,10 +2677,13 @@ def merge_into(
                 # superseding deletion vectors; only the source is
                 # written — the touched files' bytes are untouched
                 removed, add_dvs = _fold_dv_entries(path, man, ranges)
-                new_files, new_stats = _write_data(spark, source, path)
+                new_files, new_stats = _write_data(
+                    spark, source, path, mapping=_mapping(man)
+                )
                 _enforce(
                     spark, path, man.get("constraints") or {},
                     new_files, _manifest_schema(man), "merge_into",
+                    mapping=_mapping(man),
                 )
                 v = _commit_replace(
                     path, base_v, man, removed, new_files, new_stats,
@@ -2285,10 +2704,13 @@ def merge_into(
         else:
             _use_dv(strategy, 0, source, man, [])  # validate strategy
             out = source
-        new_files, new_stats = _write_data(spark, out, path)
+        new_files, new_stats = _write_data(
+            spark, out, path, mapping=_mapping(man)
+        )
         _enforce(
             spark, path, man.get("constraints") or {},
             new_files, _manifest_schema(man), "merge_into",
+            mapping=_mapping(man),
         )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
@@ -2662,10 +3084,13 @@ def merge_when(
                         "n_updated": 0, "n_deleted": 0, "n_inserted": 0,
                     }
                 continue
-            new_files, new_stats = _write_data(spark, ins, path)
+            new_files, new_stats = _write_data(
+                spark, ins, path, mapping=_mapping(man)
+            )
             _enforce(
                 spark, path, man.get("constraints") or {},
                 new_files, tgt_schema, "merge_when",
+                mapping=_mapping(man),
             )
             v = _commit_replace(
                 path, base_v, man, set(), new_files, new_stats,
@@ -2723,7 +3148,9 @@ def merge_when(
             # are written
             removed, add_dvs = _fold_dv_entries(path, man, ranges)
             if new_rows is not None:
-                new_files, new_stats = _write_data(spark, new_rows, path)
+                new_files, new_stats = _write_data(
+                    spark, new_rows, path, mapping=_mapping(man)
+                )
             else:
                 new_files, new_stats = [], {}
             _enforce(
@@ -2746,10 +3173,13 @@ def merge_when(
         out = kept
         if new_rows is not None:
             out = out.unionByName(new_rows)
-        new_files, new_stats = _write_data(spark, out, path)
+        new_files, new_stats = _write_data(
+            spark, out, path, mapping=_mapping(man)
+        )
         _enforce(
             spark, path, man.get("constraints") or {},
             new_files, tgt_schema, "merge_when",
+            mapping=_mapping(man),
         )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
@@ -2857,7 +3287,9 @@ def delete_where(
         if n_kept == 0:
             new_files, new_stats = [], {}
         else:
-            new_files, new_stats = _write_data(spark, kept, path)
+            new_files, new_stats = _write_data(
+                spark, kept, path, mapping=_mapping(man)
+            )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
             mode="delete", data_change=True,
@@ -3012,10 +3444,13 @@ def update_where(
                 for c in hit.columns
             ]
             rewritten = matched_pos.drop(fcol, rcol).select(*tcols)
-            new_files, new_stats = _write_data(spark, rewritten, path)
+            new_files, new_stats = _write_data(
+                spark, rewritten, path, mapping=_mapping(man)
+            )
             _enforce(
                 spark, path, man.get("constraints") or {},
                 new_files, _manifest_schema(man), "update_where",
+                mapping=_mapping(man),
             )
             v = _commit_replace(
                 path, base_v, man, removed, new_files, new_stats,
@@ -3038,10 +3473,13 @@ def update_where(
             for c in hit.columns
         ]
         rewritten = hit.select(*cols)
-        new_files, new_stats = _write_data(spark, rewritten, path)
+        new_files, new_stats = _write_data(
+            spark, rewritten, path, mapping=_mapping(man)
+        )
         _enforce(
             spark, path, man.get("constraints") or {},
             new_files, _manifest_schema(man), "update_where",
+            mapping=_mapping(man),
         )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
@@ -3072,7 +3510,8 @@ def compact(
         cur_v, man = cur
         before = len(man["files"])
         new_files, new_stats = _write_data(
-            spark, read(spark, path, version=cur_v).coalesce(n_files), path
+            spark, read(spark, path, version=cur_v).coalesce(n_files), path,
+            mapping=_mapping(man),
         )
         v = _commit_replace(
             path, cur_v, man, set(man["files"]), new_files, new_stats,
@@ -3166,7 +3605,9 @@ def compact_files(
         )
     else:
         df = df.coalesce(n_out)
-    new_files, new_stats = _write_data(spark, df, path)
+    new_files, new_stats = _write_data(
+        spark, df, path, mapping=_mapping(cur0[1])
+    )
     v = _commit_replace(
         path, cur0[0], cur0[1], set(small), new_files, new_stats,
         mode="replace", data_change=False, commute_with_appends=True,
@@ -3224,6 +3665,8 @@ def clone(
         "constraints": dict(man.get("constraints") or {}),
         "schema": man.get("schema"),
         "schema_json": man.get("schema_json"),
+        **({"column_mapping": _mapping(man)} if _mapping(man) else {}),
+        **({"retired_cols": _retired(man)} if _retired(man) else {}),
         "cloned_from": src_path,
         "cloned_version": int(man["version"]),
     }

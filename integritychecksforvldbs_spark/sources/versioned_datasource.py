@@ -109,12 +109,20 @@ def _local(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
 
 
-def _arrow_target(schema: StructType):
-    """(name, arrow type) per declared field — computed driver-side,
-    shipped to executors on the pickled reader."""
+def _arrow_target(schema: StructType, mapping: dict | None = None):
+    """(read name, output name, arrow type) per declared field —
+    computed driver-side, shipped to executors on the pickled reader.
+    Under a column mapping the files store a column under its stable
+    PHYSICAL name (the read name); the declared schema speaks the
+    LOGICAL one (the output name).  Unmapped tables have the two
+    equal."""
     from pyspark.sql.pandas.types import to_arrow_type
 
-    return [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+    m = mapping or {}
+    return [
+        (m.get(f.name, f.name), f.name, to_arrow_type(f.dataType))
+        for f in schema.fields
+    ]
 
 
 def _read_file_batches(path: str, target=None, dv_ranges=None) -> Iterator:
@@ -151,23 +159,25 @@ def _read_file_batches(path: str, target=None, dv_ranges=None) -> Iterator:
 
     pf = pq.ParquetFile(_local(path))
     try:
-        if target is None or pf.schema_arrow.names == [n for n, _ in target]:
+        if target is None or (
+            pf.schema_arrow.names == [r for r, _o, _t in target]
+            and all(r == o for r, o, _t in target)
+        ):
             yield from _dv_filter(pf.iter_batches())
             return
-        present = [n for n, _ in target if n in pf.schema_arrow.names]
+        present = [r for r, _o, _t in target if r in pf.schema_arrow.names]
+        out_schema = pa.schema(pa.field(o, t) for _r, o, t in target)
         for batch in _dv_filter(pf.iter_batches(columns=present)):
             cols = []
-            for name, typ in target:
-                if name in present:
-                    col = batch.column(batch.schema.get_field_index(name))
+            for read, _out, typ in target:
+                if read in present:
+                    col = batch.column(batch.schema.get_field_index(read))
                     if col.type != typ:
                         col = col.cast(typ)
                 else:
                     col = pa.nulls(batch.num_rows, typ)
                 cols.append(col)
-            yield pa.RecordBatch.from_arrays(
-                cols, schema=pa.schema(pa.field(n, t) for n, t in target)
-            )
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
     finally:
         pf.close()
 
@@ -198,7 +208,7 @@ class _VersionedBatchReader(DataSourceReader):
             f: tuple(tuple(r) for r in read_dv_ranges(e))
             for f, e in (man.get("dvs") or {}).items()
         }
-        self.target = _arrow_target(schema)
+        self.target = _arrow_target(schema, man.get("column_mapping"))
 
     def partitions(self):
         return [
@@ -225,6 +235,16 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self.path = path
         self.starting_version = starting_version
         self.change_feed = change_feed
+        # physical names are STABLE for a column's lifetime, so the
+        # current mapping's read-names are valid for every replayed
+        # file, whenever it was written.  A damaged/vacuumed log must
+        # NOT fail here: construction is schema-time; the offset walk
+        # raises the precise diagnostic itself
+        try:
+            cur = _latest_committed(path)
+            mapping = cur[1].get("column_mapping") if cur else None
+        except Exception:
+            mapping = None
         if change_feed:
             # _change_type/_commit_version are SYNTHESIZED per batch;
             # the files are read against the table schema alone
@@ -232,9 +252,9 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 [f for f in schema.fields
                  if f.name not in ("_change_type", "_commit_version")]
             )
-            self.target = _arrow_target(base)
+            self.target = _arrow_target(base, mapping)
         else:
-            self.target = _arrow_target(schema)
+            self.target = _arrow_target(schema, mapping)
         self.max_versions = max_versions
         self.max_files = max_files
         self.skip_change_commits = skip_change_commits

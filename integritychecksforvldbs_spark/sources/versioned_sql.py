@@ -48,6 +48,12 @@ registered via :func:`register_table` or an explicit path):
   ``DESCRIBE HISTORY <t>``, and ``DESCRIBE DETAIL <t>`` (one
   metadata-only row: version, file/row/DV counts, constraints,
   schema — no data file is opened).
+- ``ALTER TABLE <t> ADD COLUMN[S] <name> <type>[, ...]`` /
+  ``RENAME COLUMN <a> TO <b>`` / ``DROP COLUMN[S] <c>[, ...]`` —
+  metadata-only schema evolution: ADD null-fills on read, RENAME and
+  DROP ride the table's column mapping (physical names in the
+  immutable files never change; a re-added name binds a fresh
+  physical name so dropped bytes cannot resurrect).
 - ``SELECT ... FROM table_changes('<t>', from_v[, to_v]) ...`` — the
   batch change feed (:func:`~.versioned.changes`) as a table-valued
   reference inside any SELECT (Delta's TVF of the same name); rows
@@ -472,6 +478,21 @@ _CREATE = re.compile(
     r"(?P<tbl>[^\s;]+)\s+AS\s+(?P<q>.*)$",
     re.I | re.S,
 )
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+ADD\s+COLUMNS?\s+"
+    r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>[^\s;]+)\s+TO\s+(?P<new>[^\s;]+)\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+DROP\s+COLUMNS?\s+"
+    r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 def _metrics(spark: SparkSession, **kv) -> DataFrame:
@@ -750,6 +771,40 @@ def versioned_sql(
         finally:
             df.unpersist()
         return _metrics(spark, version=v, n_rows=n)
+    if head == "ALTER":
+        m = _ALTER_ADD.match(stmt)
+        if m:
+            path = _resolve(m.group("tbl"))
+            v = None
+            for piece in _split_top(m.group("cols"), r","):
+                parts = piece.strip().split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"ADD COLUMN needs '<name> <type>': {piece!r}"
+                    )
+                name, ddl = parts[0].strip("`"), parts[1].strip()
+                v = versioned.add_column(path, name, ddl)
+            return _metrics(spark, version=v)
+        m = _ALTER_RENAME.match(stmt)
+        if m:
+            v = versioned.rename_column(
+                _resolve(m.group("tbl")),
+                m.group("old").strip("`"),
+                m.group("new").strip("`"),
+            )
+            return _metrics(spark, version=v)
+        m = _ALTER_DROP.match(stmt)
+        if m:
+            path = _resolve(m.group("tbl"))
+            v = None
+            for piece in _split_top(m.group("cols"), r","):
+                v = versioned.drop_column(path, piece.strip().strip("`"))
+            return _metrics(spark, version=v)
+        raise ValueError(
+            "only ALTER TABLE <t> ADD COLUMN[S] <name> <type>[, ...] | "
+            f"RENAME COLUMN <a> TO <b> | DROP COLUMN[S] <c>[, ...] is "
+            f"supported: {stmt!r}"
+        )
     if head == "DESCRIBE":
         dm = _DESC_DETAIL.match(stmt)
         if dm:
@@ -797,8 +852,8 @@ def versioned_sql(
         return _select(spark, stmt)
     raise ValueError(
         f"unsupported statement {head!r}: expected SELECT/WITH, INSERT, "
-        "DELETE, UPDATE, MERGE, CREATE TABLE AS, RESTORE, VACUUM, "
-        "OPTIMIZE, or DESCRIBE HISTORY/DETAIL"
+        "DELETE, UPDATE, MERGE, CREATE TABLE AS, ALTER TABLE, RESTORE, "
+        "VACUUM, OPTIMIZE, or DESCRIBE HISTORY/DETAIL"
     )
 
 
