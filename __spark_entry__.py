@@ -1047,6 +1047,67 @@ GROUP BY c_mktsegment
 """
 
 
+def _versioned_bloom_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders committed range-clustered by DATE (so the customer key
+    is scattered across every file and min/max stats cannot prune a
+    key equality), Bloom-indexed on ``o_custkey``
+    (versioned.build_bloom), then erased for ONE customer — the
+    GDPR-erasure shape whose DML probe must open only the
+    bloom-admitted files at 100 TB."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_versioned_bloom")
+    if versioned._read_manifest(path, 3) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        versioned.commit(
+            spark, orders.repartitionByRange(8, "o_orderdate"), path
+        )                                                       # v1
+        versioned.build_bloom(spark, path, "o_custkey")         # v2
+        probe = orders.agg(F.min("o_custkey")).collect()[0][0]
+        versioned.delete_where(
+            spark, path, f"o_custkey = {int(probe)}"
+        )                                                       # v3
+    return path
+
+
+def _q_versioned_bloom_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom point-probe erasure end-to-end: the delete probed only
+    the files whose bitsets admit the key; the oracle recomputes the
+    surviving aggregate straight from the source rows."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_bloom_path(spark, sf_dir)
+    return (
+        versioned.read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_BLOOM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_custkey <> (SELECT MIN(o_custkey) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
 _VERSIONED_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3279,6 +3340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ================= past the 50-row driver cap =================
     out["versioned_merge_customers"] = _q_versioned_merge
     out["versioned_update_where"] = _q_versioned_update_where
+    # r10 wave 6: Bloom point-probe erasure (build_bloom + delete by
+    # scattered high-cardinality key); versioned family stays gated in
+    # the head by merge_when/dv_delete/schema_evolution
+    out["versioned_bloom_delete"] = _q_versioned_bloom_delete
     out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
         _load(spark, sf, "orders"), ["o_custkey"], k=20
     )
@@ -4150,6 +4215,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_dv_delete"] = _VERSIONED_DV_DELETE_ORACLE
     out["versioned_merge_when"] = _VERSIONED_MWHEN_ORACLE
     out["versioned_schema_evolution"] = _VERSIONED_EVO_ORACLE
+    out["versioned_bloom_delete"] = _VERSIONED_BLOOM_ORACLE
     out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE

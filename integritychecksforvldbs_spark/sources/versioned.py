@@ -1058,10 +1058,12 @@ def _commit_replace(
         meta.setdefault(
             "constraints", dict(base_man.get("constraints") or {})
         )
-        # so does the column mapping (ALTER overrides via extra)
+        # so do the column mapping (ALTER overrides via extra) and
+        # the Bloom index registry (build_bloom overrides via extra)
         meta.setdefault("column_mapping", _mapping(base_man))
         meta.setdefault("retired_cols", _retired(base_man))
-        for _k in ("column_mapping", "retired_cols"):
+        meta.setdefault("bloom", dict(base_man.get("bloom") or {}))
+        for _k in ("column_mapping", "retired_cols", "bloom"):
             if not meta.get(_k):
                 meta.pop(_k, None)
         if nxt % CHECKPOINT_EVERY == 0:
@@ -1604,7 +1606,8 @@ def _commit_prepared(
         if mode == "append" and cur is not None:
             meta.setdefault("column_mapping", _mapping(cur[1]))
             meta.setdefault("retired_cols", _retired(cur[1]))
-        for _k in ("column_mapping", "retired_cols"):
+            meta.setdefault("bloom", dict(cur[1].get("bloom") or {}))
+        for _k in ("column_mapping", "retired_cols", "bloom"):
             if not meta.get(_k):
                 meta.pop(_k, None)
         if (
@@ -1972,6 +1975,281 @@ def drop_column(path: str, name: str) -> int:
     return _alter(path, f"alter(drop {name})", _tr)
 
 
+# ---------------------------------------------------------------------------
+# Bloom point-probe pruning — equality predicates on unclustered columns
+# ---------------------------------------------------------------------------
+#
+# Manifest min/max stats prune RANGE predicates on value-clustered
+# layouts, but say nothing for ``col = v`` on a high-cardinality column
+# the table is not sorted by — the GDPR-erasure shape ("delete this
+# user id") that at 100 TB otherwise probes every file.  build_bloom
+# adds the standard companion (Delta's bloom indexes, ORC bloom
+# streams) at the TABLE-FORMAT level: one bitset per (data file,
+# column), built in one distributed pass over only the not-yet-indexed
+# files (data files are immutable, so bitsets are too — a rebuild
+# carries them over), persisted as a parquet sidecar under
+# ``{table}/bloom/`` and pointed at by the manifest, so the index
+# versions/clones/travels with the snapshot.  DML probes and
+# equality ``read_where`` then skip every file whose bitset provably
+# lacks the literal; files the index predates are always kept, and any
+# probe failure degrades to the unpruned scan — correctness never
+# depends on the index.  Configs key by PHYSICAL column name, so the
+# index survives ALTER RENAME like the stats do.
+
+BLOOM_N_BITS_DEFAULT = 1 << 17  # 16 KiB/bitset: ~1% fpp at ~15k distinct
+BLOOM_K_DEFAULT = 5
+# above this file count the probe-vs-bitset test runs as a join over
+# the index sidecar instead of a driver loop (bloomskip's discipline)
+BLOOM_DRIVER_PRUNE_LIMIT = 10_000
+
+
+def _bloom_root(path: str) -> str:
+    return os.path.join(_local(path), "bloom")
+
+
+def build_bloom(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    n_bits: int = BLOOM_N_BITS_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> int:
+    """Build (or incrementally refresh) the table's Bloom index for
+    ``column`` over the CURRENT snapshot and record it in a
+    metadata-only commit.  Returns the committed version.  Files the
+    previous build already indexed carry their bitsets over unread
+    (immutable files, immutable bitsets); changing ``n_bits``/``k``
+    forces a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
+    )
+    from integritychecksforvldbs_spark.sources.bloomskip import (
+        _positions_expr,
+    )
+
+    cur = _latest_committed(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version under {path!r}")
+    base_v, man = cur
+    sch = _manifest_schema(man)
+    if sch is None or column not in sch.fieldNames():
+        raise ValueError(f"no column {column!r} in {path!r}")
+    phys = _mapping(man).get(column, column)
+    old = (man.get("bloom") or {}).get(phys)
+    carried = None
+    indexed: set[str] = set()
+    if (
+        old is not None
+        and int(old["n_bits"]) == int(n_bits)
+        and int(old["k"]) == int(k)
+    ):
+        try:
+            prev = spark.read.parquet(old["index"])
+            live = {_canon_file_path(f) for f in man["files"]}
+            # the index is file-count-sized: resolve the carry-over
+            # set driver-side (no UDF in the plan)
+            old_files = [
+                r["file"] for r in prev.select("file").distinct().collect()
+            ]
+            keep = [f for f in old_files if _canon_file_path(f) in live]
+            carried = prev.filter(F.col("file").isin(keep))
+            indexed = {_canon_file_path(f) for f in keep}
+        except Exception:
+            carried, indexed = None, set()
+    todo = [
+        f for f in man["files"] if _canon_file_path(f) not in indexed
+    ]
+    parts = []
+    if todo:
+        raw = _scan_files(spark, man, todo, mapped=False)
+        fresh = (
+            raw.select(
+                F.input_file_name().alias("file"),
+                F.col(phys).alias("__v"),
+            )
+            .where(F.col("__v").isNotNull())
+            .dropDuplicates(["file", "__v"])
+            .select(
+                "file",
+                F.explode(
+                    _positions_expr("__v", int(n_bits), int(k))
+                ).alias("p"),
+            )
+            .groupBy("file")
+            .agg(F.collect_set("p").alias("bits"))
+            .select(
+                "file",
+                "bits",
+                F.lit(int(n_bits)).alias("n_bits"),
+                F.lit(int(k)).alias("k"),
+            )
+        )
+        parts.append(fresh)
+    if carried is not None:
+        parts.append(
+            carried.select("file", "bits", "n_bits", "k")
+        )
+    if not parts:
+        raise ValueError(f"{path!r} has no files to index")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    index_dir = os.path.join(_bloom_root(path), uuid.uuid4().hex[:12])
+    # the index is metadata-scale (one row per file): keep it compact
+    out.coalesce(8).write.parquet(index_dir)
+    entry = {"index": index_dir, "n_bits": int(n_bits), "k": int(k)}
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = _latest_committed(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {path!r}")
+        base_v, man = cur
+        # racing appends may have added files the index predates —
+        # they are simply unindexed (always kept by the probe)
+        new_bloom = {**(man.get("bloom") or {}), phys: entry}
+        v = _commit_replace(
+            path, base_v, man, set(), [], {},
+            mode=f"bloom({column})", data_change=False,
+            extra={"bloom": new_bloom},
+        )
+        if v is not None:
+            return v
+    raise ConflictError(f"build_bloom on {path!r} lost every CAS race")
+
+
+# one equality atom of a conjunctive DML predicate: `col = literal`
+def _eq_literals_from_condition(condition: str) -> dict[str, object]:
+    """``{col: literal}`` for the top-level ``col = lit`` conjuncts of
+    a DML predicate — same conservative algebra as
+    :func:`_bounds_from_condition` (OR/NOT/BETWEEN/IN disable it)."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        _find_top,
+        _split_top,
+    )
+
+    if _find_top(condition, r"\b(OR|NOT|BETWEEN|IN)\b") >= 0:
+        return {}
+    out: dict[str, object] = {}
+    for piece in _split_top(condition, r"\bAND\b"):
+        m = _BOUND_ATOM.match(piece) or _BOUND_ATOM_REV.match(piece)
+        if m is None or m.group("op") not in ("=", "=="):
+            continue
+        col = m.group("qcol") or m.group("col")
+        lit_s = m.group("lit")
+        out[col] = (
+            lit_s[1:-1]
+            if lit_s.startswith("'")
+            else (float(lit_s) if "." in lit_s else int(lit_s))
+        )
+    return out
+
+
+def _bloom_prune_files(
+    spark: SparkSession,
+    man: dict,
+    eq: dict[str, object],
+    files: list[str],
+) -> list[str]:
+    """``files`` minus those the manifest's Bloom index proves cannot
+    contain the probed equalities.  Best-effort by contract: columns
+    without an index contribute nothing, unindexed files are kept, and
+    ANY failure returns ``files`` unpruned — the probe's own predicate
+    always re-applies."""
+    bloom = man.get("bloom") or {}
+    if not bloom or not eq or not files:
+        return files
+    try:
+        from pyspark.sql import functions as F
+
+        from integritychecksforvldbs_spark.operators.kernels import (
+            _canon_file_path,
+        )
+        from integritychecksforvldbs_spark.sources.bloomskip import (
+            _probe_positions,
+        )
+
+        sch = _manifest_schema(man)
+        if sch is None:
+            return files
+        m = _mapping(man)
+        kept = list(files)
+        for col, value in eq.items():
+            if col not in sch.fieldNames():
+                continue
+            cfg = bloom.get(m.get(col, col))
+            if cfg is None or not kept:
+                continue
+            dtype = sch[col].dataType
+            probe = _probe_positions(
+                spark, value, dtype, int(cfg["n_bits"]), int(cfg["k"])
+            )
+            idx = spark.read.parquet(cfg["index"])
+            if len(kept) <= BLOOM_DRIVER_PRUNE_LIMIT:
+                rows = idx.select("file", "bits").collect()
+                bitsets = {
+                    _canon_file_path(r["file"]): set(r["bits"])
+                    for r in rows
+                }
+                probe_set = set(probe)
+                kept = [
+                    f
+                    for f in kept
+                    if (b := bitsets.get(_canon_file_path(f))) is None
+                    or probe_set <= b
+                ]
+            else:
+                listing = spark.createDataFrame(
+                    [(f, _canon_file_path(f)) for f in kept],
+                    "path string, cfile string",
+                )
+                idx2 = idx.select(
+                    F.udf(_canon_file_path, "string")(F.col("file")).alias(
+                        "cfile"
+                    ),
+                    "bits",
+                )
+                probe_arr = F.array(*[F.lit(int(p)) for p in probe])
+                survivors = (
+                    listing.join(idx2, "cfile", "left")
+                    .filter(
+                        F.col("bits").isNull()
+                        | (
+                            F.size(
+                                F.array_except(probe_arr, F.col("bits"))
+                            )
+                            == 0
+                        )
+                    )
+                    .select("path")
+                    .collect()
+                )
+                keep_set = {r["path"] for r in survivors}
+                kept = [f for f in kept if f in keep_set]
+        return kept
+    except Exception:
+        return files
+
+
+def _probe_candidates(
+    spark: SparkSession, man: dict, condition: str
+) -> list[str] | None:
+    """The files a DELETE/UPDATE probe must scan: manifest-stats range
+    pruning (:func:`_dml_candidates`) narrowed further by the Bloom
+    index on equality atoms.  None = no pruning applies (probe the
+    whole visible set)."""
+    cand = _dml_candidates(man, condition)
+    eq = {}
+    try:
+        eq = _eq_literals_from_condition(condition)
+    except Exception:
+        pass
+    if not eq or not (man.get("bloom") or {}):
+        return cand
+    base = man["files"] if cand is None else cand
+    return _bloom_prune_files(spark, man, eq, base)
+
+
 def read(
     spark: SparkSession,
     path: str,
@@ -2159,6 +2437,15 @@ def read_where(
 
     man = _resolve_manifest(path, version)
     kept, _ = _prune_manifest_files(man, bounds)
+    # point bounds (lo == hi) probe the Bloom index too — the
+    # unclustered-high-cardinality case min/max stats cannot prune
+    eq = {
+        c: lo
+        for c, (lo, hi) in bounds.items()
+        if lo is not None and lo == hi
+    }
+    if eq and (man.get("bloom") or {}):
+        kept = _bloom_prune_files(spark, man, eq, kept)
     sch = _manifest_schema(man)
 
     def _residual(df: DataFrame) -> DataFrame:
@@ -2572,6 +2859,10 @@ def rollback(
                 **(
                     {"retired_cols": _retired(man)}
                     if _retired(man) else {}
+                ),
+                **(
+                    {"bloom": dict(man["bloom"])}
+                    if man.get("bloom") else {}
                 ),
             },
         )
@@ -3246,7 +3537,7 @@ def delete_where(
         if man["files"]:
             touched = _touched_files(
                 spark, man, lambda df: df.filter(pred),
-                files=_dml_candidates(man, condition),
+                files=_probe_candidates(spark, man, condition),
             )
         else:
             touched = []  # an all-deleted snapshot: nothing to match
@@ -3390,7 +3681,7 @@ def update_where(
         if man["files"]:
             touched = _touched_files(
                 spark, man, lambda df: df.filter(pred),
-                files=_dml_candidates(man, condition),
+                files=_probe_candidates(spark, man, condition),
             )
         else:
             touched = []
@@ -3667,6 +3958,10 @@ def clone(
         "schema_json": man.get("schema_json"),
         **({"column_mapping": _mapping(man)} if _mapping(man) else {}),
         **({"retired_cols": _retired(man)} if _retired(man) else {}),
+        # the Bloom index sidecars are referenced zero-copy, same
+        # caveat as data files: vacuum on the SOURCE may reclaim them
+        # (the probe then degrades to unpruned, never to wrong)
+        **({"bloom": dict(man["bloom"])} if man.get("bloom") else {}),
         "cloned_from": src_path,
         "cloned_version": int(man["version"]),
     }
@@ -3757,6 +4052,7 @@ def vacuum(
                 )
     referenced: set[str] = set()
     referenced_dvs: set[str] = set()
+    referenced_bloom: set[str] = set()
     for v in retained:
         man = _read_manifest(path, v)
         if dry_run and "files" not in man:
@@ -3767,6 +4063,8 @@ def vacuum(
             referenced.add(_local(fpath))
         for e in (snap.get("dvs") or {}).values():
             referenced_dvs.add(_local(e["path"]))
+        for e in (snap.get("bloom") or {}).values():
+            referenced_bloom.add(_local(e["index"]))
     removed = []
     import shutil
 
@@ -3843,6 +4141,25 @@ def vacuum(
             except FileNotFoundError:
                 continue
         removed.append(fp)
+    # Bloom index dirs no retained manifest points at (superseded
+    # builds, crash orphans) — age-guarded like everything else
+    broot = _bloom_root(path)
+    try:
+        bloom_dirs = sorted(os.listdir(broot))
+    except FileNotFoundError:
+        bloom_dirs = []
+    for n in bloom_dirs:
+        full = os.path.join(broot, n)
+        if full in referenced_bloom:
+            continue
+        try:
+            if now - os.path.getmtime(full) < min_age_s:
+                continue  # possibly an in-flight build's sidecar
+        except OSError:
+            continue
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
     if dry_run:
         return removed  # report-only: no manifest or litter removal
     # expire manifests NEWEST-FIRST: a delta body is always removed

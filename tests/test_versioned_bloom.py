@@ -1,0 +1,241 @@
+"""Bloom point-probe pruning for versioned tables (round-10 wave 6).
+
+Manifest min/max stats prune RANGE predicates on clustered layouts;
+``col = v`` on a high-cardinality column the table is NOT sorted by —
+the GDPR-erasure shape — probes every file without help.
+``versioned.build_bloom`` adds the standard companion (Delta bloom
+indexes, ORC bloom streams) at the table-format level: one bitset per
+(immutable data file, column), built distributed over only the
+not-yet-indexed files, persisted as a parquet sidecar referenced by
+the manifest so it versions/clones/travels with snapshots, keyed by
+PHYSICAL column name so ALTER RENAME cannot orphan it.
+
+Pinned here: probe pruning beats the stats pruner on scattered
+equality, DELETE/UPDATE probes scan only bloom-admitted files (spy),
+unindexed (post-build) files are always kept, incremental rebuild
+scans only new files (spy), correctness is identical with and without
+the index, rename-safety, the commit-inheritance of the ``bloom`` key,
+and vacuum's reclamation of superseded index dirs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+
+
+def _scattered(spark, path, n=20_000, files=16):
+    """Range-clustered by ts; uid is high-cardinality and SCATTERED —
+    min/max stats can never prune a uid equality."""
+    df = spark.range(0, n).select(
+        F.col("id").alias("ts"),
+        (F.xxhash64("id") % 100_000).alias("uid"),
+        (F.col("id") * 2).alias("v"),
+    )
+    versioned.commit(spark, df.repartitionByRange(files, "ts"), path)
+    return df
+
+
+def _uid_at(df, ts):
+    return df.filter(F.col("ts") == ts).collect()[0].uid
+
+
+@pytest.fixture
+def probe_spy(monkeypatch):
+    calls = []
+    real = versioned._scan_live_pos
+
+    def spy(spark, man, files=None):
+        calls.append(files)
+        return real(spark, man, files)
+
+    monkeypatch.setattr(versioned, "_scan_live_pos", spy)
+    return calls
+
+
+def test_bloom_prunes_scattered_equality(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t)
+    probe = _uid_at(df, 12_345)
+    man = versioned._resolve_manifest(t, None)
+    kept_stats, _ = versioned._prune_manifest_files(
+        man, {"uid": (probe, probe)}
+    )
+    assert len(kept_stats) == len(man["files"]), "stats cannot prune this"
+    versioned.build_bloom(spark, t, "uid")
+    man = versioned._resolve_manifest(t, None)
+    kept = versioned._bloom_prune_files(
+        spark, man, {"uid": probe}, man["files"]
+    )
+    assert len(kept) < len(man["files"]) // 2
+
+
+def test_delete_probe_scans_only_bloom_admitted(spark, tmp_path, probe_spy):
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t)
+    versioned.build_bloom(spark, t, "uid")
+    probe = _uid_at(df, 777)
+    expected = df.filter(F.col("uid") == probe).count()
+    v, n = versioned.delete_where(spark, t, f"uid = {probe}")
+    assert n == expected
+    probe_files = [c for c in probe_spy if c is not None]
+    n_files = len(versioned._resolve_manifest(t, None)["files"])
+    assert probe_files and all(
+        len(c) < n_files // 2 for c in probe_files
+    )
+    assert versioned.read(spark, t).filter(
+        F.col("uid") == probe
+    ).count() == 0
+
+
+def test_update_probe_scans_only_bloom_admitted(spark, tmp_path, probe_spy):
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t)
+    versioned.build_bloom(spark, t, "uid")
+    probe = _uid_at(df, 4_242)
+    v, n = versioned.update_where(spark, t, f"uid = {probe}", {"v": "-1"})
+    assert n >= 1
+    probe_files = [c for c in probe_spy if c is not None]
+    assert probe_files and all(len(c) <= 4 for c in probe_files)
+    assert (
+        versioned.read(spark, t).filter("v = -1").count() == n
+    )
+
+
+def test_unindexed_files_always_kept(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _scattered(spark, t)
+    versioned.build_bloom(spark, t, "uid")
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [(99_999_999, 424_242, 1)], "ts long, uid long, v long"
+        ),
+        t,
+    )
+    # the new file predates no index entry — the probe must keep it
+    v, n = versioned.delete_where(spark, t, "uid = 424242")
+    assert n == 1
+    assert (
+        versioned.read(spark, t).filter("uid = 424242").count() == 0
+    )
+
+
+def test_incremental_rebuild_scans_only_new_files(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "t")
+    _scattered(spark, t, files=8)
+    versioned.build_bloom(spark, t, "uid")
+    versioned.commit(
+        spark,
+        spark.range(50_000, 50_100).select(
+            F.col("id").alias("ts"),
+            (F.xxhash64("id") % 100_000).alias("uid"),
+            F.lit(0).cast("long").alias("v"),
+        ).coalesce(1),
+        t,
+    )
+    scanned = []
+    real = versioned._scan_files
+
+    def spy(spark_, man, files=None, mapped=True):
+        scanned.append(files)
+        return real(spark_, man, files, mapped)
+
+    monkeypatch.setattr(versioned, "_scan_files", spy)
+    versioned.build_bloom(spark, t, "uid")
+    build_scans = [c for c in scanned if c is not None]
+    assert build_scans and all(len(c) == 1 for c in build_scans), (
+        "rebuild must index only the ONE new file"
+    )
+    # the refreshed index prunes across old and new files alike
+    man = versioned._resolve_manifest(t, None)
+    kept = versioned._bloom_prune_files(
+        spark, man, {"uid": -12_345_678}, man["files"]
+    )
+    assert kept == []  # a uid nowhere in the table prunes everything
+
+
+def test_bloom_survives_rename_and_inherits_commits(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t)
+    versioned.build_bloom(spark, t, "uid")
+    versioned.rename_column(t, "uid", "user_id")
+    versioned.delete_where(spark, t, "ts = 0")  # a commit in between
+    probe = _uid_at(df, 9_000)
+    man = versioned._resolve_manifest(t, None)
+    assert man.get("bloom"), "bloom entry must ride DML commits"
+    kept = versioned._bloom_prune_files(
+        spark, man, {"user_id": probe}, man["files"]
+    )
+    assert len(kept) < len(man["files"]) // 2
+    v, n = versioned.delete_where(spark, t, f"user_id = {probe}")
+    assert n == df.filter(F.col("uid") == probe).count()
+
+
+def test_probe_failure_degrades_to_unpruned(spark, tmp_path):
+    import shutil
+
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t, files=4)
+    versioned.build_bloom(spark, t, "uid")
+    man = versioned._resolve_manifest(t, None)
+    shutil.rmtree(
+        next(iter(man["bloom"].values()))["index"], ignore_errors=True
+    )
+    probe = _uid_at(df, 55)
+    kept = versioned._bloom_prune_files(
+        spark, man, {"uid": probe}, man["files"]
+    )
+    assert kept == man["files"]  # unpruned, never wrong
+    v, n = versioned.delete_where(spark, t, f"uid = {probe}")
+    assert n == df.filter(F.col("uid") == probe).count()
+
+
+def test_vacuum_reclaims_superseded_index_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _scattered(spark, t, files=4)
+    versioned.build_bloom(spark, t, "uid")
+    man1 = versioned._resolve_manifest(t, None)
+    dir1 = next(iter(man1["bloom"].values()))["index"]
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(1, 2, 3)], "ts long, uid long, v long"),
+        t,
+    )
+    versioned.build_bloom(spark, t, "uid")  # supersedes dir1
+    man2 = versioned._resolve_manifest(t, None)
+    dir2 = next(iter(man2["bloom"].values()))["index"]
+    assert dir1 != dir2
+    removed = versioned.vacuum(t, keep_versions=1, min_age_s=0.0)
+    assert dir1 in removed
+    assert os.path.isdir(dir2) and not os.path.isdir(dir1)
+    # the surviving index still prunes: a uid outside the generator's
+    # range (xxhash64 % 100000) can survive only as the appended
+    # unindexed file + bitset false positives
+    man = versioned._resolve_manifest(t, None)
+    kept = versioned._bloom_prune_files(
+        spark, man, {"uid": -123_456_789}, man["files"]
+    )
+    assert len(kept) <= 1
+
+
+def test_join_path_equals_driver_path(spark, tmp_path, monkeypatch):
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t, files=8)
+    versioned.build_bloom(spark, t, "uid")
+    probe = _uid_at(df, 31)
+    man = versioned._resolve_manifest(t, None)
+    kept_driver = versioned._bloom_prune_files(
+        spark, man, {"uid": probe}, man["files"]
+    )
+    monkeypatch.setattr(versioned, "BLOOM_DRIVER_PRUNE_LIMIT", 0)
+    kept_join = versioned._bloom_prune_files(
+        spark, man, {"uid": probe}, man["files"]
+    )
+    assert kept_driver == kept_join
