@@ -54,6 +54,16 @@ registered via :func:`register_table` or an explicit path):
   DROP ride the table's column mapping (physical names in the
   immutable files never change; a re-added name binds a fresh
   physical name so dropped bytes cannot resurrect).
+- ``ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)`` /
+  ``DROP CONSTRAINT <name>`` — commit-time CHECK constraints
+  (:func:`~.versioned.set_constraints`; ADD validates the existing
+  live rows first, Delta's semantics).
+- ``CREATE BLOOMFILTER INDEX ON [TABLE] <t> FOR COLUMNS (c[, ...])``
+  — :func:`~.versioned.build_bloom` per column (Delta's syntax):
+  point-probe file skipping for equality DML/reads.
+- ``DROP TABLE [IF EXISTS] <t>`` unbinds the registration
+  (external-table semantics — the table root stays on disk);
+  ``SHOW TABLES`` lists the registrations.
 - ``SELECT ... FROM table_changes('<t>', from_v[, to_v]) ...`` — the
   batch change feed (:func:`~.versioned.changes`) as a table-valued
   reference inside any SELECT (Delta's TVF of the same name); rows
@@ -478,6 +488,27 @@ _CREATE = re.compile(
     r"(?P<tbl>[^\s;]+)\s+AS\s+(?P<q>.*)$",
     re.I | re.S,
 )
+_ALTER_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>[^\s;]+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>[^\s;]+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_CREATE_BLOOM = re.compile(
+    r"^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<tbl>[^\s;]+)\s+FOR\s+COLUMNS\s*"
+    r"\(\s*(?P<cols>[^()]+?)\s*\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tbl>[^\s;]+)\s*;?\s*$",
+    re.I | re.S,
+)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
 _ALTER_ADD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+ADD\s+COLUMNS?\s+"
     r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
@@ -738,6 +769,13 @@ def versioned_sql(
             spark, version=v, files_before=before, files_after=after
         )
     if head == "CREATE":
+        m = _CREATE_BLOOM.match(stmt)
+        if m:
+            path = _resolve(m.group("tbl"))
+            v = None
+            for piece in _split_top(m.group("cols"), r","):
+                v = versioned.build_bloom(spark, path, piece.strip().strip("`"))
+            return _metrics(spark, version=v)
         m = _CREATE.match(stmt)
         if not m:
             raise ValueError(
@@ -772,6 +810,31 @@ def versioned_sql(
             df.unpersist()
         return _metrics(spark, version=v, n_rows=n)
     if head == "ALTER":
+        m = _ALTER_CONSTRAINT.match(stmt)
+        if m:
+            path = _resolve(m.group("tbl"))
+            cur = dict(versioned.constraints(path))
+            name = m.group("name").strip("`")
+            if name in cur:
+                raise ValueError(
+                    f"constraint {name!r} already exists on "
+                    f"{m.group('tbl')!r}; DROP CONSTRAINT it first"
+                )
+            cur[name] = m.group("expr").strip()
+            v = versioned.set_constraints(spark, path, cur)
+            return _metrics(spark, version=v, n_constraints=len(cur))
+        m = _ALTER_DROP_CONSTRAINT.match(stmt)
+        if m:
+            path = _resolve(m.group("tbl"))
+            cur = dict(versioned.constraints(path))
+            name = m.group("name").strip("`")
+            if name not in cur:
+                raise ValueError(
+                    f"no constraint {name!r} on {m.group('tbl')!r}"
+                )
+            del cur[name]
+            v = versioned.set_constraints(spark, path, cur)
+            return _metrics(spark, version=v, n_constraints=len(cur))
         m = _ALTER_ADD.match(stmt)
         if m:
             path = _resolve(m.group("tbl"))
@@ -804,6 +867,39 @@ def versioned_sql(
             "only ALTER TABLE <t> ADD COLUMN[S] <name> <type>[, ...] | "
             f"RENAME COLUMN <a> TO <b> | DROP COLUMN[S] <c>[, ...] is "
             f"supported: {stmt!r}"
+        )
+    if head == "DROP":
+        m = _DROP_TABLE.match(stmt)
+        if not m:
+            raise ValueError(
+                f"only DROP TABLE [IF EXISTS] <name> is supported: {stmt!r}"
+            )
+        name = m.group("tbl").strip().strip("`'\"").lower()
+        existed = name in _TABLES
+        if not existed and "IF EXISTS" not in stmt.upper():
+            raise ValueError(
+                f"unknown versioned table {m.group('tbl')!r}"
+            )
+        # EXTERNAL-table semantics: the registration goes away, the
+        # table root (data + log) stays on disk — destroying committed
+        # history needs the explicit vacuum/filesystem path, not a
+        # one-line SQL statement
+        _TABLES.pop(name, None)
+        return _metrics(spark, n_dropped=int(existed))
+    if head == "SHOW":
+        if not _SHOW_TABLES.match(stmt):
+            raise ValueError(f"only SHOW TABLES is supported: {stmt!r}")
+        rows = [(n, p) for n, p in sorted(_TABLES.items())]
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        return spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("table", StringType(), False),
+                    StructField("path", StringType(), False),
+                ]
+            ),
         )
     if head == "DESCRIBE":
         dm = _DESC_DETAIL.match(stmt)
@@ -852,8 +948,9 @@ def versioned_sql(
         return _select(spark, stmt)
     raise ValueError(
         f"unsupported statement {head!r}: expected SELECT/WITH, INSERT, "
-        "DELETE, UPDATE, MERGE, CREATE TABLE AS, ALTER TABLE, RESTORE, "
-        "VACUUM, OPTIMIZE, or DESCRIBE HISTORY/DETAIL"
+        "DELETE, UPDATE, MERGE, CREATE TABLE AS, CREATE BLOOMFILTER "
+        "INDEX, ALTER TABLE, DROP TABLE, SHOW TABLES, RESTORE, VACUUM, "
+        "OPTIMIZE, or DESCRIBE HISTORY/DETAIL"
     )
 
 
