@@ -380,13 +380,28 @@ def _physical_schema(man: dict):
     )
 
 
+def _rename_atomic(df: DataFrame, ren: dict[str, str]) -> DataFrame:
+    """Rename via ONE select projection.  ``withColumnsRenamed``
+    applies its map SEQUENTIALLY, so a cyclic mapping — reachable
+    through a rename chain like a→tmp, b→a, tmp→b, which leaves
+    ``{a: b, b: a}`` — would corrupt the frame (both columns end up
+    with one name); a single projection renames atomically."""
+    if not ren or all(ren.get(c, c) == c for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(f"`{c}`").alias(ren.get(c, c)) for c in df.columns]
+    )
+
+
 def _to_logical(df: DataFrame, man: dict) -> DataFrame:
     """Rename a physical-named frame's columns to their logical names
     (extra columns — position markers — pass through untouched)."""
     m = _mapping(man)
     if not m:
         return df
-    return df.withColumnsRenamed({p: lg for lg, p in m.items()})
+    return _rename_atomic(df, {p: lg for lg, p in m.items()})
 
 
 def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
@@ -394,9 +409,7 @@ def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     writing."""
     if not mapping:
         return df
-    present = set(df.columns)
-    ren = {lg: p for lg, p in mapping.items() if lg in present}
-    return df.withColumnsRenamed(ren) if ren else df
+    return _rename_atomic(df, dict(mapping))
 
 
 def _retired(man: dict) -> list[str]:
@@ -1728,9 +1741,7 @@ def _enforce(
             ]
         )
         df = spark.read.schema(phys).parquet(*new_files)
-        df = df.withColumnsRenamed(
-            {p: lg for lg, p in mapping.items()}
-        )
+        df = _rename_atomic(df, {p: lg for lg, p in mapping.items()})
     elif schema is not None:
         df = spark.read.schema(schema).parquet(*new_files)
     else:

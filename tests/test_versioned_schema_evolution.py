@@ -299,6 +299,33 @@ def test_datasource_batch_read_on_mapped_table(spark, tmp_path):
     assert old.count() == 3
 
 
+def test_cyclic_rename_chain_swaps_atomically(spark, tmp_path):
+    """a→tmp, b→a, tmp→b leaves the mapping ``{a: b, b: a}`` — a
+    CYCLE.  withColumnsRenamed applies its map sequentially and would
+    collapse both columns onto one name; the atomic select projection
+    must keep the two columns distinct with values tracking names."""
+    t = str(tmp_path / "t")
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(1, 100, 200)], "k int, a int, b int"),
+        t,
+    )
+    versioned.rename_column(t, "a", "tmp")
+    versioned.rename_column(t, "b", "a")
+    versioned.rename_column(t, "tmp", "b")
+    assert versioned._mapping(versioned._resolve_manifest(t, None)) == {
+        "a": "b", "b": "a",
+    }
+    got = versioned.read(spark, t)
+    assert sorted(got.columns) == ["a", "b", "k"]
+    r = got.collect()[0]
+    assert r["a"] == 200 and r["b"] == 100
+    # DML and the write path round-trip through the swap
+    versioned.update_where(spark, t, "a = 200", {"b": "b + 1"})
+    r = versioned.read(spark, t).collect()[0]
+    assert r["b"] == 101 and r["a"] == 200
+
+
 def test_mapping_rides_every_body_form(spark, tmp_path):
     """Delta bodies, checkpoint bodies, and the parquet-externalized
     checkpoint all carry the mapping — reads stay correct across
