@@ -919,11 +919,14 @@ def versioned_sql(
                     len(dvs),
                     int(sum(int(e["n"]) for e in dvs.values())),
                     len(man.get("constraints") or {}),
+                    len(man.get("column_mapping") or {}),
+                    len(man.get("bloom") or {}),
                     str(man.get("mode")),
                     man.get("schema"),
                 )],
                 "version long, n_files long, n_rows long, n_dvs long, "
                 "dv_dead_rows long, n_constraints long, "
+                "n_mapped_columns long, n_bloom_indexes long, "
                 "last_mode string, schema string",
             )
         m = _DESC_HISTORY.match(stmt)

@@ -192,8 +192,10 @@ def test_sql_explicit_path_and_unknown_name(spark, tbl):
 
 
 def test_sql_rejects_unsupported_verbs(spark, tbl):
+    # DROP TABLE became a supported verb in r10 (registration unbind);
+    # TRUNCATE stands in as the representative unknown statement
     with pytest.raises(ValueError, match="unsupported statement"):
-        versioned_sql(spark, "DROP TABLE t9")
+        versioned_sql(spark, "TRUNCATE TABLE t9")
 
 
 # --- r9 self-review regressions (parser safety) ---

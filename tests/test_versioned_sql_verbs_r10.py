@@ -62,6 +62,9 @@ def test_sql_bloom_index_and_show_drop(spark, tmp_path):
     )
     man = versioned._resolve_manifest(t, None)
     assert set(man.get("bloom") or {}) == {"name", "id"}
+    detail = versioned_sql(spark, "DESCRIBE DETAIL w7b").collect()[0]
+    assert detail["n_bloom_indexes"] == 2
+    assert detail["n_mapped_columns"] == 0
     rows = versioned_sql(spark, "SHOW TABLES").collect()
     assert any(r.table == "w7b" for r in rows)
     versioned_sql(spark, "DROP TABLE w7b")
