@@ -1512,6 +1512,7 @@ def commit(
     # append introduces or removes
     extra = dict(extra or {})
     mapping, retired = {}, []
+    prepared_against = None
     if mode == "append":
         cur0 = _latest_committed(path)
         if not allow_schema_change:
@@ -1526,6 +1527,16 @@ def commit(
             mapping, retired = _evolve_mapping(cur0[1], df.schema)
             extra.setdefault("column_mapping", mapping)
             extra.setdefault("retired_cols", retired)
+            # the drift check, the mapping evolution, and the PHYSICAL
+            # names just written are all decisions against THIS view —
+            # a metadata change racing the commit must conflict, not be
+            # silently overwritten by the stale view (see
+            # _commit_prepared's prepared_against contract)
+            prepared_against = {
+                "schema": cur0[1].get("schema"),
+                "column_mapping": _mapping(cur0[1]),
+                "retired_cols": _retired(cur0[1]),
+            }
     new_files, new_stats = _write_data(
         spark, df, path, stats_columns, mapping=mapping
     )
@@ -1540,6 +1551,7 @@ def commit(
         path, new_files, new_stats, mode, new_ddl,
         df.schema.jsonValue(), extra=extra,
         expected_parent=expected_parent, validate=_validate,
+        prepared_against=prepared_against,
     )
 
 
@@ -1553,6 +1565,7 @@ def _commit_prepared(
     extra: dict | None = None,
     expected_parent: int | None = None,
     validate=None,
+    prepared_against: dict | None = None,
 ) -> int:
     """The COMMIT PROTOCOL half of :func:`commit`, factored off the
     data-writing half: given already-written immutable files, run the
@@ -1563,7 +1576,18 @@ def _commit_prepared(
     DatabaseIntegrityCheck.sql:1095-1228) without each booting a JVM.
     ``validate`` is called with the ACTIVE constraint map whenever it
     (re)resolves; :func:`commit` binds it to the Spark-side scan of
-    the new files."""
+    the new files.
+
+    ``prepared_against``: the ``(schema, column_mapping,
+    retired_cols)`` view the caller computed its drift check, mapping
+    evolution, and PHYSICAL file bytes against.  An append commutes
+    with racing APPENDS, but a metadata change (ALTER, a
+    schema-evolving append) landing mid-commit invalidates those
+    decisions — before this check, the loser's re-based retry would
+    install its STALE schema/mapping in the new top body and silently
+    ERASE the rename (the fold reads only the top body's metadata).
+    Now it raises ConflictError, Delta's metadata-changed conflict
+    rule; the caller reloads and retries against the new schema."""
     validated_constraints: dict | None = None
 
     if expected_parent is not None:
@@ -1591,6 +1615,19 @@ def _commit_prepared(
             continue  # stale view: re-read the log and re-base
         import time
 
+        if prepared_against is not None and cur is not None:
+            now_view = {
+                "schema": cur[1].get("schema"),
+                "column_mapping": _mapping(cur[1]),
+                "retired_cols": _retired(cur[1]),
+            }
+            if now_view != prepared_against:
+                raise ConflictError(
+                    f"commit to {path!r} raced a schema/mapping change "
+                    f"(prepared against {prepared_against['schema']!r}, "
+                    f"table is now {now_view['schema']!r} at v{cur_v}); "
+                    "reload and retry"
+                )
         active = dict(cur[1].get("constraints") or {}) if cur else {}
         if active != validated_constraints:
             # the constraint map changed since (or was never) checked:

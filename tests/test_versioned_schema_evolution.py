@@ -326,6 +326,54 @@ def test_cyclic_rename_chain_swaps_atomically(spark, tmp_path):
     assert r["b"] == 101 and r["a"] == 200
 
 
+def test_append_racing_alter_conflicts_not_erases(
+    spark, tmp_path, monkeypatch
+):
+    """An ALTER landing between an append's base load and its CAS
+    must surface as ConflictError — before the prepared_against check
+    the append's re-based retry installed its STALE schema/mapping in
+    the new top body and silently ERASED the rename (the fold reads
+    only the top body's metadata)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    real = versioned._latest_committed
+    lied = {"done": False}
+
+    def interleave(p):
+        out = real(p)
+        if not lied["done"] and out is not None and out[0] >= 1:
+            lied["done"] = True
+            monkeypatch.setattr(versioned, "_latest_committed", real)
+            versioned.rename_column(t, "name", "label")
+            monkeypatch.setattr(versioned, "_latest_committed", interleave)
+        return out
+
+    monkeypatch.setattr(versioned, "_latest_committed", interleave)
+    with pytest.raises(versioned.ConflictError, match="schema/mapping"):
+        versioned.commit(
+            spark,
+            spark.createDataFrame(
+                [(4, "d", 40)], "id int, name string, qty int"
+            ),
+            t,
+        )
+    monkeypatch.undo()
+    # the rename SURVIVED the losing append
+    man = versioned._resolve_manifest(t, None)
+    assert versioned._mapping(man) == {"label": "name"}
+    got = versioned.read(spark, t)
+    assert got.columns == ["id", "label", "qty"]
+    assert sorted(r.label for r in got.collect()) == ["a", "b", "c"]
+    # and a reloaded retry (new schema) lands cleanly
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [(4, "d", 40)], "id int, label string, qty int"
+        ),
+        t,
+    )
+    assert versioned.read(spark, t).count() == 4
+
+
 def test_mapping_rides_every_body_form(spark, tmp_path):
     """Delta bodies, checkpoint bodies, and the parquet-externalized
     checkpoint all carry the mapping — reads stay correct across
