@@ -1108,6 +1108,47 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_convert_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-copy CONVERT of the plain supplier parquet into a
+    versioned table (versioned.convert_to_versioned — the CONVERT TO
+    DELTA analogue): v1's manifest references the source part-files
+    in place with a footer census, so the converted read must equal
+    the plain-parquet oracle exactly, no byte copied."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "supplier_converted")
+    if versioned._read_manifest(path, 1) is None:
+        import os
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        versioned.convert_to_versioned(
+            spark, os.path.join(sf_dir, "supplier.parquet"), path
+        )
+    return (
+        versioned.read(spark, path)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(
+                F.expr("CAST(round(s_acctbal * 100) AS BIGINT)")
+            ).cast("long").alias("total_cents"),
+        )
+    )
+
+
+_VERSIONED_CONVERT_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
 _VERSIONED_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3344,6 +3385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scattered high-cardinality key); versioned family stays gated in
     # the head by merge_when/dv_delete/schema_evolution
     out["versioned_bloom_delete"] = _q_versioned_bloom_delete
+    # r10 wave 9: zero-copy plain-parquet conversion (CONVERT TO
+    # DELTA analogue)
+    out["versioned_convert_supplier"] = _q_versioned_convert_supplier
     out["heavy_hitters_orders"] = lambda spark, sf: profile.heavy_hitters(
         _load(spark, sf, "orders"), ["o_custkey"], k=20
     )
@@ -4216,6 +4260,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_merge_when"] = _VERSIONED_MWHEN_ORACLE
     out["versioned_schema_evolution"] = _VERSIONED_EVO_ORACLE
     out["versioned_bloom_delete"] = _VERSIONED_BLOOM_ORACLE
+    out["versioned_convert_supplier"] = _VERSIONED_CONVERT_ORACLE
     out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE

@@ -1901,16 +1901,19 @@ def _alter(path: str, mode: str, transform) -> int:
                 f"{path!r} predates schema recording; rewrite it "
                 "(optimize/compact) before ALTER"
             )
-        new_sch, mapping, retired = transform(man, sch)
+        out = transform(man, sch)
+        new_sch, mapping, retired = out[:3]
+        extra = {
+            "schema": new_sch.simpleString(),
+            "schema_json": new_sch.jsonValue(),
+            "column_mapping": mapping,
+            "retired_cols": retired,
+        }
+        if len(out) > 3 and out[3]:
+            extra.update(out[3])
         v = _commit_replace(
             path, base_v, man, set(), [], {},
-            mode=mode, data_change=False,
-            extra={
-                "schema": new_sch.simpleString(),
-                "schema_json": new_sch.jsonValue(),
-                "column_mapping": mapping,
-                "retired_cols": retired,
-            },
+            mode=mode, data_change=False, extra=extra,
         )
         if v is not None:
             return v
@@ -2018,7 +2021,11 @@ def drop_column(path: str, name: str) -> int:
         new_sch = StructType(
             [f for f in sch.fields if f.name.lower() != name.lower()]
         )
-        return new_sch, m, retired
+        # a Bloom index on the dropped column dies with it (its dir
+        # stays until vacuum ages it out, like any superseded build)
+        bloom = dict(man.get("bloom") or {})
+        bloom.pop(phys, None)
+        return new_sch, m, retired, {"bloom": bloom}
 
     return _alter(path, f"alter(drop {name})", _tr)
 
@@ -4019,6 +4026,91 @@ def clone(
             "is creating the same table"
         )
     _write_latest_hint(dst_path, 1)
+    return 1
+
+
+def convert_to_versioned(
+    spark: SparkSession,
+    source_dir: str,
+    path: str,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """CONVERT an existing plain-parquet directory into a versioned
+    table — ZERO bytes copied or moved (Delta's ``CONVERT TO DELTA``):
+    version 1's manifest simply REFERENCES the part-files where they
+    already live, with a one-pass footer census for the stats every
+    pruning path reads.  At 100 TB this is the only viable migration
+    door — a rewrite would be days of IO for a metadata-sized fact.
+
+    The source files stay in place and are treated as immutable from
+    here on: ``vacuum`` walks only ``{path}/data``, so it can never
+    reclaim them (the clone caveat, in reverse — deleting the source
+    dir breaks the versions that reference it); ``optimize``/
+    ``compact`` progressively materialize rewrites under the table
+    root when the table should come to own its bytes.
+
+    Schema: recorded from the normalized :func:`~.loader.load_table`
+    read UNLESS the source carries parquet timestamp physical types a
+    plain schema'd scan cannot reproduce (INT64 TIMESTAMP(NANOS) /
+    NTZ — see loader.py); then the manifest records no schema and
+    every scan takes the legacy load_table path, which applies the
+    same normalizations query-by-query."""
+    if _versions(path):
+        raise FileExistsError(f"{path!r} already has a version log")
+    from integritychecksforvldbs_spark.sources.catalog import (
+        list_parquet_files,
+    )
+
+    files = sorted(f.path for f in list_parquet_files(spark, source_dir))
+    if not files:
+        raise ValueError(f"no parquet files under {source_dir!r}")
+    hazard = False
+    try:
+        import pyarrow.parquet as pq
+
+        from integritychecksforvldbs_spark.sources.loader import (
+            _nanos_columns,
+        )
+
+        for f in files[:1]:
+            if _nanos_columns(f):
+                hazard = True
+            sch_arrow = pq.read_schema(_local(f))
+            if any(
+                str(t).startswith("timestamp") and getattr(t, "tz", None) is None
+                for t in sch_arrow.types
+            ):
+                hazard = True
+    except Exception:
+        hazard = True  # unknown physical types: take the safe path
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    df = load_table(spark, *files)
+    if stats_columns is None:
+        stats_columns = _stats_eligible_columns(df.schema)
+    stats = _file_stats_for_dir(spark, source_dir, stats_columns)
+    import time
+
+    body = {
+        "version": 1,
+        "mode": "convert",
+        "files": files,
+        "stats": {f: stats[f] for f in files if f in stats},
+        "dvs": {},
+        "parent": None,
+        "committed_at": time.time(),
+        "constraints": {},
+        "schema": None if hazard else df.schema.simpleString(),
+        "schema_json": None if hazard else df.schema.jsonValue(),
+        "converted_from": source_dir,
+    }
+    os.makedirs(_vdir(path), exist_ok=True)
+    if not _install_manifest(path, 1, body):
+        raise ConflictError(
+            f"convert lost the v1 race at {path!r} — another writer is "
+            "creating the same table"
+        )
+    _write_latest_hint(path, 1)
     return 1
 
 

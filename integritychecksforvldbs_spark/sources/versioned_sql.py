@@ -61,6 +61,10 @@ registered via :func:`register_table` or an explicit path):
 - ``CREATE BLOOMFILTER INDEX ON [TABLE] <t> FOR COLUMNS (c[, ...])``
   — :func:`~.versioned.build_bloom` per column (Delta's syntax):
   point-probe file skipping for equality DML/reads.
+- ``CONVERT TO VERSIONED '<parquet_dir>' AT '<table_root>' [AS
+  <name>]`` — zero-copy conversion of an existing plain-parquet
+  directory (:func:`~.versioned.convert_to_versioned`, the CONVERT TO
+  DELTA analogue); AS registers the name.
 - ``DROP TABLE [IF EXISTS] <t>`` unbinds the registration
   (external-table semantics — the table root stays on disk);
   ``SHOW TABLES`` lists the registrations.
@@ -509,6 +513,11 @@ _DROP_TABLE = re.compile(
     re.I | re.S,
 )
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_CONVERT = re.compile(
+    r"^\s*CONVERT\s+TO\s+VERSIONED\s+'(?P<src>[^']+)'\s+AT\s+"
+    r"'(?P<dst>[^']+)'(?:\s+AS\s+(?P<name>[^\s;]+))?\s*;?\s*$",
+    re.I | re.S,
+)
 _ALTER_ADD = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+ADD\s+COLUMNS?\s+"
     r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
@@ -868,6 +877,19 @@ def versioned_sql(
             f"RENAME COLUMN <a> TO <b> | DROP COLUMN[S] <c>[, ...] is "
             f"supported: {stmt!r}"
         )
+    if head == "CONVERT":
+        m = _CONVERT.match(stmt)
+        if not m:
+            raise ValueError(
+                "only CONVERT TO VERSIONED '<parquet_dir>' AT "
+                f"'<table_root>' [AS <name>] is supported: {stmt!r}"
+            )
+        v = versioned.convert_to_versioned(
+            spark, m.group("src"), m.group("dst")
+        )
+        if m.group("name"):
+            register_table(m.group("name").strip("`"), m.group("dst"))
+        return _metrics(spark, version=v)
     if head == "DROP":
         m = _DROP_TABLE.match(stmt)
         if not m:
@@ -952,8 +974,9 @@ def versioned_sql(
     raise ValueError(
         f"unsupported statement {head!r}: expected SELECT/WITH, INSERT, "
         "DELETE, UPDATE, MERGE, CREATE TABLE AS, CREATE BLOOMFILTER "
-        "INDEX, ALTER TABLE, DROP TABLE, SHOW TABLES, RESTORE, VACUUM, "
-        "OPTIMIZE, or DESCRIBE HISTORY/DETAIL"
+        "INDEX, ALTER TABLE, CONVERT TO VERSIONED, DROP TABLE, "
+        "SHOW TABLES, RESTORE, VACUUM, OPTIMIZE, or DESCRIBE "
+        "HISTORY/DETAIL"
     )
 
 

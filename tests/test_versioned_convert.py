@@ -1,0 +1,116 @@
+"""Zero-copy conversion of plain parquet into a versioned table
+(round-10: the CONVERT TO DELTA analogue, the 100 TB migration door —
+version 1's manifest REFERENCES the part-files in place with a
+footer-census for stats; no byte is copied or moved).
+
+Pinned here: reference-in-place (no copy), stats-backed pruning on the
+converted snapshot, DML/ALTER/bloom on converted tables, vacuum never
+touching source bytes, the ns-timestamp hazard path (no recorded
+schema → every scan takes the legacy load_table normalization), the
+SQL verb, and refusal to convert over an existing log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+from integritychecksforvldbs_spark.sources.loader import load_table
+from integritychecksforvldbs_spark.sources.versioned_sql import (
+    versioned_sql,
+)
+
+
+def _plain(spark, path, n=1000, files=4):
+    (
+        spark.range(0, n)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(files, "k")
+        .write.parquet(path)
+    )
+    return path
+
+
+def test_convert_references_in_place_and_prunes(spark, tmp_path):
+    src = _plain(spark, str(tmp_path / "plain"))
+    t = str(tmp_path / "tbl")
+    assert versioned.convert_to_versioned(spark, src, t) == 1
+    got = versioned.read(spark, t)
+    assert got.count() == 1000 and set(got.columns) == {"k", "v"}
+    man = versioned._resolve_manifest(t, None)
+    assert all("/plain/" in f for f in man["files"])  # zero-copy
+    # the census feeds pruning immediately
+    kept, skipped = versioned._prune_manifest_files(
+        man, {"k": (990, None)}
+    )
+    assert skipped and len(kept) == 1
+    assert versioned.read_where(spark, t, {"k": (990, None)}).count() == 10
+
+
+def test_convert_refuses_existing_log(spark, tmp_path):
+    src = _plain(spark, str(tmp_path / "plain"))
+    t = str(tmp_path / "tbl")
+    versioned.convert_to_versioned(spark, src, t)
+    with pytest.raises(FileExistsError):
+        versioned.convert_to_versioned(spark, src, t)
+
+
+def test_dml_alter_bloom_on_converted_table(spark, tmp_path):
+    src = _plain(spark, str(tmp_path / "plain"))
+    t = str(tmp_path / "tbl")
+    versioned.convert_to_versioned(spark, src, t)
+    v, n = versioned.delete_where(spark, t, "k < 100")
+    assert n == 100 and versioned.read(spark, t).count() == 900
+    # source bytes untouched by DML (replace commits only un-reference)
+    assert load_table(spark, src).count() == 1000
+    versioned.rename_column(t, "v", "val")
+    assert versioned.read(spark, t).columns == ["k", "val"]
+    versioned.build_bloom(spark, t, "k")
+    man = versioned._resolve_manifest(t, None)
+    kept = versioned._bloom_prune_files(
+        spark, man, {"k": 500}, man["files"]
+    )
+    assert len(kept) < len(man["files"])
+
+
+def test_vacuum_never_reclaims_source_bytes(spark, tmp_path):
+    src = _plain(spark, str(tmp_path / "plain"))
+    t = str(tmp_path / "tbl")
+    versioned.convert_to_versioned(spark, src, t)
+    versioned.update_where(spark, t, "k = 5", {"v": "0"}, strategy="copy")
+    removed = versioned.vacuum(t, keep_versions=1, min_age_s=0.0)
+    # the un-referenced ORIGINAL files live under the source dir,
+    # outside {table}/data — vacuum must not have deleted them
+    assert load_table(spark, src).count() == 1000
+    assert all("/plain/" not in r for r in removed)
+    assert versioned.read(spark, t).count() == 1000
+    assert versioned.read(spark, t).filter("k = 5").collect()[0].v == 0
+
+
+def test_ns_timestamp_source_takes_legacy_path(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = str(tmp_path / "ev")
+    versioned.convert_to_versioned(spark, src, t)
+    man = versioned._resolve_manifest(t, None)
+    assert man.get("schema") is None  # hazard: scans via load_table
+    got = versioned.read(spark, t)
+    plain = load_table(spark, src)
+    assert got.count() == plain.count()
+    assert dict(got.dtypes)["ts"] == dict(plain.dtypes)["ts"]
+
+
+def test_sql_convert_verb(spark, tmp_path):
+    src = _plain(spark, str(tmp_path / "plain"))
+    t = str(tmp_path / "tbl")
+    r = versioned_sql(
+        spark, f"CONVERT TO VERSIONED '{src}' AT '{t}' AS conv_t"
+    ).collect()[0]
+    assert r.version == 1
+    out = versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM conv_t"
+    ).collect()[0]
+    assert out.n == 1000
+    versioned_sql(spark, "DROP TABLE conv_t")
