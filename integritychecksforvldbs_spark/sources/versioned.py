@@ -85,6 +85,49 @@ _MAX_COMMIT_RETRIES = 20
 # periodic checkpoint, Iceberg's manifest segments, reduced to core
 CHECKPOINT_EVERY = 10
 
+# protocol feature gating — Delta's reader-version/table-features idea
+# reduced to its core.  Every installed body is stamped with the
+# format features required to interpret it; a reader refuses a body
+# whose features it does not implement, so a renamed column can never
+# be silently null-filled by a reader that predates column mapping.
+# Body-level stamping is COMPLETE coverage: mapping/bloom/retired ride
+# every body via commit inheritance, DV entries appear in every full
+# body and every DML delta, and a fold parses each body on the chain —
+# an unknown feature anywhere a reader must look raises before any
+# data is interpreted.
+SUPPORTED_FEATURES = frozenset(
+    {
+        "column-mapping",
+        "deletion-vectors",
+        "bloom-index",
+        "parquet-checkpoint",
+    }
+)
+
+
+class VersionedFeatureError(ValueError):
+    """The manifest requires format features this reader lacks."""
+
+
+def _stamp_features(man: dict) -> dict:
+    """The body with its ``required_features`` recomputed from what it
+    actually uses (empty → key absent, so plain tables pay nothing)."""
+    feats = set(man.get("required_features") or ())
+    if man.get("column_mapping") or man.get("retired_cols"):
+        feats.add("column-mapping")
+    if man.get("dvs") or man.get("add_dvs"):
+        feats.add("deletion-vectors")
+    if man.get("bloom"):
+        feats.add("bloom-index")
+    if "ckpt_files" in man:
+        feats.add("parquet-checkpoint")
+    man = dict(man)
+    if feats:
+        man["required_features"] = sorted(feats)
+    else:
+        man.pop("required_features", None)
+    return man
+
 
 @dataclass(frozen=True)
 class VersionInfo:
@@ -305,12 +348,26 @@ def _read_manifest(path: str, v: int) -> dict | None:
                 man = None
         except json.JSONDecodeError:
             man = None  # unreachable for atomic installs; defensive
+    def _gate(body: dict) -> dict:
+        unknown = (
+            set(body.get("required_features") or ()) - SUPPORTED_FEATURES
+        )
+        if unknown:
+            raise VersionedFeatureError(
+                f"version {v} of {path!r} requires format feature(s) "
+                f"{sorted(unknown)} this reader does not implement; "
+                "upgrade the engine before reading this table"
+            )
+        return body
+
+    if man is not None:
+        _gate(man)
     if man is not None and "ckpt_files" in man:
         return _materialize_body(path, man)
     if man is not None and "files" not in man:
         ckpt = _read_ckpt(path, v)
         if ckpt is not None:
-            return _materialize_body(path, ckpt)
+            return _materialize_body(path, _gate(ckpt))
     return man
 
 
@@ -728,7 +785,7 @@ def _write_checkpoint(path: str, v: int) -> None:
     manifest."""
     if _read_manifest(path, v) is None:
         raise FileNotFoundError(f"version {v} of {path!r} not found")
-    body = _snapshot(path, v)
+    body = _stamp_features(_snapshot(path, v))
     b = _backend_for(path)
     if b is not None:
         if not b.put_if_absent(_ckpt_key(v), body):
@@ -746,10 +803,12 @@ def _write_checkpoint(path: str, v: int) -> None:
         return
     # big snapshots externalize the file list exactly like commit-time
     # checkpoints (the ~ckpt sidecar is the same O(files) body)
-    body = _full_body(
-        path, v, {k: x for k, x in body.items()
-                  if k not in ("files", "stats", "dvs")},
-        body["files"], body.get("stats") or {}, body.get("dvs") or {},
+    body = _stamp_features(
+        _full_body(
+            path, v, {k: x for k, x in body.items()
+                      if k not in ("files", "stats", "dvs")},
+            body["files"], body.get("stats") or {}, body.get("dvs") or {},
+        )
     )
     tmp = os.path.join(
         _vdir(path), f".tmp-{_ckpt_key(v)}-{uuid.uuid4().hex[:8]}"
@@ -808,6 +867,7 @@ def _install_manifest(path: str, v: int, man: dict) -> bool:
     is visible only complete — the Delta-log installation discipline.
     A registered log backend replaces the filesystem link with the
     seam's ``put_if_absent`` (the SAME primitive, store-native)."""
+    man = _stamp_features(man)
     b = _backend_for(path)
     if b is not None:
         return b.put_if_absent(_vname(v), man)
