@@ -299,6 +299,37 @@ def test_datasource_batch_read_on_mapped_table(spark, tmp_path):
     assert old.count() == 3
 
 
+def test_pruning_and_pushdown_pass_through_mapping(spark, tmp_path):
+    """The scale contract of the mapping: the logical→physical rename
+    is a pure projection Catalyst sees through, so a narrow consumer
+    still prunes the parquet ReadSchema to the PHYSICAL column and
+    pushes its predicate into the scan — a mapped table pays zero at
+    100 TB."""
+    import re
+
+    t = str(tmp_path / "t")
+    versioned.commit(
+        spark,
+        spark.range(1000).selectExpr(
+            "id AS a", "id*2 AS b", "id*3 AS c", "CAST(id AS STRING) AS s"
+        ),
+        t,
+    )
+    versioned.rename_column(t, "b", "bee")
+    plan = (
+        versioned.read(spark, t)
+        .select("bee")
+        .filter("bee > 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rs = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert rs and "struct<b:bigint>" in rs.group(1), plan
+    pf = re.search(r"PushedFilters: ([^\n]+)", plan)
+    assert pf and "GreaterThan(b,100)" in pf.group(1), plan
+
+
 def test_cyclic_rename_chain_swaps_atomically(spark, tmp_path):
     """a→tmp, b→a, tmp→b leaves the mapping ``{a: b, b: a}`` — a
     CYCLE.  withColumnsRenamed applies its map sequentially and would
