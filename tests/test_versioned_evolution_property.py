@@ -21,7 +21,10 @@ from integritychecksforvldbs_spark.sources import versioned
 OPS = st.lists(
     st.tuples(
         st.sampled_from(
-            ["rename", "add", "drop", "append", "delete", "compact"]
+            [
+                "rename", "add", "drop", "append", "delete",
+                "compact", "rollback",
+            ]
         ),
         st.integers(min_value=0, max_value=7),
         st.integers(min_value=0, max_value=7),
@@ -54,6 +57,13 @@ def test_schema_evolution_walk_matches_model(
         ),
         path,
     )
+    # snapshots[i] = model state right after table version i+1 —
+    # every executed walk op commits exactly one version, so the
+    # model's history indexes map 1:1 onto the log and ROLLBACK can
+    # be modeled as a restore of a recorded state
+    import copy
+
+    snapshots = [(list(cols), copy.deepcopy(rows))]
 
     def spark_df():
         return versioned.read(spark, path)
@@ -107,9 +117,19 @@ def test_schema_evolution_walk_matches_model(
             victim = rows[a % len(rows)]["k"]
             versioned.delete_where(spark, path, f"k = {victim}")
             rows = [r for r in rows if r["k"] != victim]
-        else:  # compact — layout-only, model unchanged
-            if rows:
-                versioned.compact(spark, path, n_files=1)
+        elif kind == "compact":  # layout-only, model unchanged
+            if not rows:
+                continue
+            versioned.compact(spark, path, n_files=1)
+        else:  # rollback to a recorded version
+            target = a % len(snapshots)
+            versioned.rollback(spark, path, version=target + 1)
+            cols = list(snapshots[target][0])
+            rows = copy.deepcopy(snapshots[target][1])
+            next_key = max((r["k"] for r in rows), default=-1) + 1
+            if next_key < 4:
+                next_key = 100 + len(snapshots)  # never reuse a key
+        snapshots.append((list(cols), copy.deepcopy(rows)))
         got_cols = spark_df().columns
         assert got_cols == cols, (kind, got_cols, cols)
         got = sorted(
