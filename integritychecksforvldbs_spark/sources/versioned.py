@@ -2994,6 +2994,7 @@ def merge_into(
     keys: list[str],
     max_retries: int = 5,
     strategy: str = "auto",
+    extra: dict | None = None,
 ) -> int:
     """Upsert ``source`` into the table by ``keys`` (matched rows
     replaced, new rows inserted) as ONE atomic version — the
@@ -3050,7 +3051,7 @@ def merge_into(
     for _ in range(max_retries):
         base = _latest_committed(path)
         if base is None:
-            return commit(spark, source, path, mode="append")
+            return commit(spark, source, path, mode="append", extra=extra)
         base_v, man = base
 
         # probe which files hold a matched row (left_semi over the
@@ -3094,7 +3095,8 @@ def merge_into(
                 v = _commit_replace(
                     path, base_v, man, removed, new_files, new_stats,
                     mode="merge", data_change=True,
-                    extra={"row_local": True}, new_dvs=add_dvs,
+                    extra={**(extra or {}), "row_local": True},
+                    new_dvs=add_dvs,
                 )
                 if v is not None:
                     return v
@@ -3120,7 +3122,7 @@ def merge_into(
         )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
-            mode="merge", data_change=True,
+            mode="merge", data_change=True, extra=extra,
         )
         if v is not None:
             return v
@@ -4174,7 +4176,9 @@ def convert_to_versioned(
     return 1
 
 
-def versioned_batch_sink(table_path: str, mode: str = "append"):
+def versioned_batch_sink(
+    table_path: str, mode: str = "append", keys: list[str] | None = None
+):
     """``foreachBatch`` writer committing each micro-batch into a
     versioned table, exactly-once via the version log itself: the
     ``batch_id`` rides INSIDE the manifest body that the commit CAS
@@ -4182,7 +4186,20 @@ def versioned_batch_sink(table_path: str, mode: str = "append"):
     event — a replayed batch whose id already appears in history is a
     no-op, and there is no separate ledger file whose update could
     crash apart from the data swap (the window the plain-parquet
-    sinks need ``.bak`` dances for)."""
+    sinks need ``.bak`` dances for).
+
+    ``mode="merge"`` (requires ``keys``) UPSERTS each micro-batch by
+    key through :func:`merge_into` instead of appending — the
+    streaming-CDC sink shape Delta documents as foreachBatch+MERGE,
+    exactly-once by the same in-body batch_id (the merge's single
+    replace commit carries it).  Batches must be unique on ``keys``
+    (merge_into's own ambiguous-upsert refusal applies); compact a
+    change stream to its latest row per key first (e.g.
+    ``scd.cdc_latest_snapshot``)."""
+    if mode == "merge" and not keys:
+        raise ValueError('versioned_batch_sink(mode="merge") needs keys')
+    if mode not in ("append", "overwrite", "merge"):
+        raise ValueError(f"unknown sink mode {mode!r}")
 
     def write(df: DataFrame, batch_id: int) -> None:
         for v in _versions(table_path):
@@ -4190,6 +4207,12 @@ def versioned_batch_sink(table_path: str, mode: str = "append"):
             if man is not None and man.get("batch_id") == int(batch_id):
                 return  # replayed batch: already committed
         if df.isEmpty():
+            return
+        if mode == "merge":
+            merge_into(
+                df.sparkSession, table_path, df, list(keys),
+                extra={"batch_id": int(batch_id)},
+            )
             return
         commit(
             df.sparkSession, df, table_path, mode=mode,
