@@ -3564,6 +3564,7 @@ def merge_when(
             _enforce(
                 spark, path, man.get("constraints") or {},
                 new_files, tgt_schema, "merge_when",
+                mapping=_mapping(man),
             )
             v = _commit_replace(
                 path, base_v, man, removed, new_files, new_stats,

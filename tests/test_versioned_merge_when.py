@@ -351,3 +351,58 @@ def test_sql_insert_constraint_refused(spark, tmp_path):
         assert versioned.read(spark, path).count() == 10
     finally:
         register_table("cinv", None)
+
+
+def test_dv_merge_enforces_constraint_under_column_mapping(
+    spark, tmp_path
+):
+    """Regression (r10 advice, high): the merge-on-read branch wrote
+    mapped files but ran _enforce without the mapping, so a CHECK on a
+    renamed column scanned logical names against physical-named files,
+    read nulls, and coalesce(null, True) silently passed violating
+    rows.  Pinned: rename + CHECK on the new name + strategy='dv'
+    violating update -> ConstraintViolation, table unchanged."""
+    path = str(tmp_path / "mapped")
+    versioned.commit(spark, _mk(spark, 0, 100), path)
+    versioned.rename_column(path, "qty", "quantity")
+    versioned.set_constraints(spark, path, {"q_small": "quantity < 500"})
+    before = _rows(versioned.read(spark, path))
+    src = spark.range(90, 95).select(
+        F.col("id").alias("k"),
+        (F.lit(1000) + F.col("id")).cast("long").alias("quantity"),
+    )
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.merge_when(
+            spark, path, src, ["k"],
+            [{"when": "matched", "action": "update",
+              "set": {"quantity": "s.quantity"}}],
+            strategy="dv",
+        )
+    assert _rows(versioned.read(spark, path)) == before
+
+
+def test_dv_merge_valid_update_under_column_mapping(spark, tmp_path):
+    """Companion: a NON-violating dv merge on a mapped table commits
+    and the renamed column carries the updated values (the _enforce
+    fix must not refuse valid rows by mis-reading physical names)."""
+    path = str(tmp_path / "mapped_ok")
+    versioned.commit(spark, _mk(spark, 0, 100), path)
+    versioned.rename_column(path, "qty", "quantity")
+    versioned.set_constraints(spark, path, {"q_small": "quantity < 500"})
+    src = spark.range(90, 95).select(
+        F.col("id").alias("k"),
+        (F.lit(400) + F.col("id") % 7).cast("long").alias("quantity"),
+    )
+    v, m = versioned.merge_when(
+        spark, path, src, ["k"],
+        [{"when": "matched", "action": "update",
+          "set": {"quantity": "s.quantity"}}],
+        strategy="dv",
+    )
+    assert m["n_updated"] == 5
+    got = {
+        r["k"]: r["quantity"]
+        for r in versioned.read(spark, path).filter("k >= 90").collect()
+    }
+    for k in range(90, 95):
+        assert got[k] == 400 + k % 7
