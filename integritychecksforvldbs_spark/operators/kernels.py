@@ -973,21 +973,24 @@ def _canon_file_path(path: str) -> str:
     return path
 
 
-def _canon_file_path_expr() -> F.Column:
-    """SQL twin of :func:`_canon_file_path` over ``input_file_name()``:
-    for ``file:`` URIs, percent-decode ('+' pre-escaped — URLDecoder
-    would turn a literal plus into a space) then strip the scheme and
-    slash-run.  Non-``file:`` schemes (hdfs:, s3a:, …) pass through
-    UNTOUCHED on both sides — the Hadoop listing and
-    ``input_file_name()`` spell remote URIs the same way, and decoding
-    only one side would make the spellings never reconcile (every file
-    re-scans forever)."""
-    return F.expr(
-        "CASE WHEN input_file_name() LIKE 'file:%' THEN "
-        "regexp_replace("
-        "url_decode(replace(input_file_name(), '+', '%2B')), '^file:/+', '/')"
-        " ELSE input_file_name() END"
-    )
+def _canon_file_path_expr(col: F.Column | None = None) -> F.Column:
+    """SQL twin of :func:`_canon_file_path` over ``input_file_name()``
+    (default) or any path-bearing column: for ``file:`` URIs,
+    percent-decode ('+' pre-escaped — URLDecoder would turn a literal
+    plus into a space) then strip the scheme and slash-run.
+    Non-``file:`` schemes (hdfs:, s3a:, …) pass through UNTOUCHED on
+    both sides — the Hadoop listing and ``input_file_name()`` spell
+    remote URIs the same way, and decoding only one side would make
+    the spellings never reconcile (every file re-scans forever)."""
+    src = F.input_file_name() if col is None else col
+    return F.when(
+        src.startswith("file:"),
+        F.regexp_replace(
+            F.url_decode(F.replace(src, F.lit("+"), F.lit("%2B"))),
+            F.lit("^file:/+"),
+            F.lit("/"),
+        ),
+    ).otherwise(src)
 
 
 def _partial_agg_exprs(

@@ -106,61 +106,33 @@ def _probe_positions(
     return list(row["p"])
 
 
-# Above this file count the per-file bitsets stop traveling to the
-# driver: the probe-vs-bitset test runs as a DataFrame join over the
-# index sidecar, and only surviving paths come back (the path strings
-# are already driver-side from the listing every scan needs anyway).
-DRIVER_PRUNE_LIMIT = 10_000
-
-
 def bloom_prune(
     spark: SparkSession,
     path: str,
     column: str,
     value,
     index_path: str | None = None,
-    driver_limit: int | None = None,
 ) -> tuple[list[str], list[str]]:
     """(kept, skipped) part-files for ``column = value``.  Files
     absent from the index (appended since the build) are kept.
 
-    At or under ``driver_limit`` files the bitsets are compared in a
-    driver loop; above it the comparison is a left join of the listing
-    against the index sidecar with the subset test evaluated JVM-side
-    (``array_except(probe, bits)`` empty ⇒ every probe bit set ⇒ the
-    file may contain the value).  Identical kept-sets across both
-    paths are test-pinned."""
-    if driver_limit is None:  # resolved at call time (testable knob)
-        driver_limit = DRIVER_PRUNE_LIMIT
+    The probe-vs-bitset test runs DISTRIBUTED over the index sidecar
+    (one row per file) with the subset test evaluated JVM-side
+    (``array_except(probe, bits)`` non-empty ⇒ some probe bit unset ⇒
+    the file provably lacks the value); the driver collects only the
+    canonical paths of the prunable files — never a bitset (a
+    131k-int array per file; at 10k files the old driver loop held
+    tens of GB of Python sets, the r10 verdict's #1 scale finding)."""
     index_path = index_path or f"{path.rstrip('/')}_bloom_{column}"
     files = [f.path for f in list_parquet_files(spark, path)]
     idx_df = spark.read.parquet(index_path)
 
-    # input_file_name says file:///x, the listing says file:/x — join
-    # on the state machinery's canonical spelling
+    # input_file_name says file:///x, the listing says file:/x — the
+    # index's `file` column is already canonical (built through
+    # _canon_file_path_expr), so normalize only the listing side
     from integritychecksforvldbs_spark.operators.kernels import (
         _canon_file_path as _norm,
     )
-
-    if len(files) <= driver_limit:
-        # ONE collect serves the emptiness check, the (n_bits, k)
-        # scalars, and the bitsets — index-sized, the driver path's
-        # contract
-        rows = idx_df.collect()
-        if not rows:
-            return files, []
-        n_bits, k = int(rows[0]["n_bits"]), int(rows[0]["k"])
-        dtype = load_table(spark, path).schema[column].dataType
-        probe_set = set(_probe_positions(spark, value, dtype, n_bits, k))
-        indexed = {_norm(r["file"]): set(r["bits"]) for r in rows}
-        kept, skipped = [], []
-        for f in files:
-            bits = indexed.get(_norm(f))
-            if bits is not None and not probe_set <= bits:
-                skipped.append(f)
-            else:
-                kept.append(f)
-        return kept, skipped
 
     head = idx_df.limit(1).collect()
     if not head:
@@ -168,22 +140,16 @@ def bloom_prune(
     n_bits, k = int(head[0]["n_bits"]), int(head[0]["k"])
     dtype = load_table(spark, path).schema[column].dataType
     probe = _probe_positions(spark, value, dtype, n_bits, k)
-    listing = spark.createDataFrame(
-        [(f, _norm(f)) for f in files], "path string, file string"
-    )
     probe_arr = F.array(*[F.lit(int(p)) for p in probe])
-    survivors = (
-        listing.join(idx_df.select("file", "bits"), "file", "left")
-        .filter(
-            F.col("bits").isNull()
-            | (F.size(F.array_except(probe_arr, F.col("bits"))) == 0)
-        )
-        .select("path")
+    prunable = {
+        r["file"]
+        for r in idx_df.select("file", "bits")
+        .where(F.size(F.array_except(probe_arr, F.col("bits"))) > 0)
+        .select("file")
         .collect()
-    )
-    kept_set = {r["path"] for r in survivors}
-    kept = [f for f in files if f in kept_set]
-    skipped = [f for f in files if f not in kept_set]
+    }
+    kept = [f for f in files if _norm(f) not in prunable]
+    skipped = [f for f in files if _norm(f) in prunable]
     return kept, skipped
 
 

@@ -67,22 +67,39 @@ def test_bloom_equality_matches_full_scan(spark, clustered):
     assert not skipped
 
 
-def test_bloom_prune_paths_agree(spark, clustered):
-    """Driver-loop and semi-join prune implement ONE decision rule:
-    identical (kept, skipped) on present, absent, and appended-file
-    probes."""
+def test_bloom_prune_collects_paths_never_bitsets(
+    spark, clustered, monkeypatch
+):
+    """r10 verdict #1 (bloomskip twin): the prune must never collect a
+    ``bits`` column — only prunable paths travel to the driver — and
+    present/absent probes keep the no-false-negative contract."""
     bloomskip.build_bloom_index(spark, clustered, "k")
-    for probe in (4242, 10**9):  # present value / absent value
-        via_driver = bloomskip.bloom_prune(
-            spark, clustered, "k", probe, driver_limit=10**9
-        )
-        via_join = bloomskip.bloom_prune(
-            spark, clustered, "k", probe, driver_limit=0
-        )
-        assert via_driver == via_join
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    seen: list[list[str]] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        seen.append((list(self.columns), len(rows)))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    kept_present, _ = bloomskip.bloom_prune(spark, clustered, "k", 4242)
+    kept_absent, skipped_absent = bloomskip.bloom_prune(
+        spark, clustered, "k", 10**9
+    )
+    monkeypatch.undo()
+    assert seen
+    for cols, n_rows in seen:
+        # the head probe reads (n_bits, k) from ONE row; full-width
+        # collects of the index are forbidden
+        assert "bits" not in cols or n_rows <= 1
+    assert kept_present  # the holder file survives a present probe
+    assert skipped_absent  # an absent value prunes
 
 
-def test_bloom_read_semijoin_no_false_negatives(spark, clustered, monkeypatch):
-    monkeypatch.setattr(bloomskip, "DRIVER_PRUNE_LIMIT", 0)
+def test_bloom_read_semijoin_no_false_negatives(spark, clustered):
     got = bloomskip.bloom_read(spark, clustered, "k", 4242)
     assert [tuple(r) for r in got.collect()] == [(4242, 4242 % 97)]

@@ -225,17 +225,63 @@ def test_vacuum_reclaims_superseded_index_dirs(spark, tmp_path):
     assert len(kept) <= 1
 
 
-def test_join_path_equals_driver_path(spark, tmp_path, monkeypatch):
+def test_probe_collects_paths_never_bitsets(spark, tmp_path, monkeypatch):
+    """r10 verdict #1: below a file-count limit the prune collected
+    FULL BITSETS (a 131k-int array per file — tens of GB of Python
+    sets at 10k files, a driver OOM exactly where pruning matters).
+    The membership test is now distributed-only.  Pinned: (a) no
+    collect() inside the probe ever carries a ``bits`` column — the
+    driver sees only canonical paths; (b) the distributed verdict
+    equals a brute-force bitset recompute done here as the oracle."""
     t = str(tmp_path / "t")
     df = _scattered(spark, t, files=8)
     versioned.build_bloom(spark, t, "uid")
     probe = _uid_at(df, 31)
     man = versioned._resolve_manifest(t, None)
-    kept_driver = versioned._bloom_prune_files(
+
+    # pyspark 4: the concrete class overrides the abstract base's
+    # collect, so the spy must land on classic.dataframe.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    seen: list[list[str]] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        seen.append(list(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    kept = versioned._bloom_prune_files(
         spark, man, {"uid": probe}, man["files"]
     )
-    monkeypatch.setattr(versioned, "BLOOM_DRIVER_PRUNE_LIMIT", 0)
-    kept_join = versioned._bloom_prune_files(
-        spark, man, {"uid": probe}, man["files"]
+    monkeypatch.undo()
+    assert seen, "probe never ran a distributed collect"
+    for cols in seen:
+        assert "bits" not in cols, f"bitsets reached the driver: {cols}"
+
+    # oracle: recompute the verdict from raw bitsets, test-side
+    from integritychecksforvldbs_spark.operators.kernels import (
+        _canon_file_path,
     )
-    assert kept_driver == kept_join
+    from integritychecksforvldbs_spark.sources.bloomskip import (
+        _probe_positions,
+    )
+
+    cfg = next(iter(man["bloom"].values()))
+    want = set(
+        _probe_positions(
+            spark, probe, man and versioned._manifest_schema(man)["uid"].dataType,
+            int(cfg["n_bits"]), int(cfg["k"]),
+        )
+    )
+    bitsets = {
+        _canon_file_path(r["file"]): set(r["bits"])
+        for r in spark.read.parquet(cfg["index"]).collect()
+    }
+    expect = [
+        f
+        for f in man["files"]
+        if (b := bitsets.get(_canon_file_path(f))) is None or want <= b
+    ]
+    assert kept == expect
+    assert 0 < len(kept) < len(man["files"])  # it actually pruned
