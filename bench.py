@@ -32,15 +32,60 @@ HEADLINE = [
     "events_hourly_counts",
     # r10: the versioned read paths join the headline so format
     # overhead is tracked round-over-round — the table builds (commit +
-    # DML) are mirror-cached and paid in the warm-up sweep; the timed
-    # runs measure the snapshot read (plain) and the DV'd read
-    # (merge-on-read anti-filter) respectively.  Comparison point:
-    # agg_pricing_summary is the same-shape aggregate over plain
+    # DML) are mirror-cached and paid in a PREBUILD SUBPROCESS (r11:
+    # they ran inside the timed session's JVM and its heap/cache
+    # pressure was the prime suspect for the r9→r10 1.5× artifact
+    # drift); the timed runs measure the snapshot read (plain) and the
+    # DV'd read (merge-on-read anti-filter) respectively.  Comparison
+    # point: agg_pricing_summary is the same-shape aggregate over plain
     # parquet lineitem; versioned_latest_orders does it over the
     # manifest-resolved orders snapshot.
     "versioned_latest_orders",
     "versioned_dv_delete",
 ]
+
+# BENCH_r10's exact query set — summed separately so cross-round session
+# drift is quantifiable from adjacent artifacts even as queries join the
+# headline (compare subtotals at matching keys, never raw totals).
+R10_SET = list(HEADLINE)
+
+
+def _prebuild_mirrors(sf_dir: str) -> None:
+    """Materialize every on-disk mirror fixture the headline needs
+    (versioned tables: commit + DML at bench scale) in a SUBPROCESS,
+    so the timed session's JVM never carries the builds' heap pressure
+    or cached blocks.  Mirrors are content-probed (skip if present),
+    so a warm temp dir makes this a no-op."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    names = [n for n in HEADLINE if n.startswith("versioned_")]
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import __spark_entry__ as mod\n"
+        "from integritychecksforvldbs_spark.session import get_spark\n"
+        "spark = get_spark(app_name='bench-prebuild')\n"
+        "qs = mod.queries()\n"
+        f"for n in {names!r}:\n"
+        "    if n in qs:\n"
+        f"        qs[n](spark, {sf_dir!r}).write.format('noop')"
+        ".mode('overwrite').save()\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def _calibration_sec(spark, sf_dir: str) -> float:
+    """A fixed session-speed scalar recorded in the artifact: min-of-3
+    count() over the smallest table.  It measures job-launch + scan
+    overhead on THIS session — two rounds whose calibrations differ by
+    1.5× had different sessions, not different plans."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        runs.append(time.time() - t0)
+    return round(min(runs), 4)
 
 
 def _wait_for_quiet_machine() -> tuple[float, bool]:
@@ -74,6 +119,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
+    _prebuild_mirrors(sf_dir)
     load_at_start, contended = _wait_for_quiet_machine()
 
     import __spark_entry__ as mod
@@ -104,6 +150,13 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name in names:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # shed the warm-up's cached blocks and let GC/JIT settle so the
+    # timed loop starts from a reproducible heap, then take the
+    # session-speed calibration the artifact records
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2.0)
+    calibration = _calibration_sec(spark, sf_dir)
 
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -135,6 +188,17 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "sf": sf,
+                # session-speed scalar + fixed-set subtotal: compare
+                # THESE across rounds before believing any total moved
+                "calibration_sec": calibration,
+                "subtotals": {
+                    "r10_16q": round(
+                        sum(
+                            timings[n] for n in R10_SET if n in timings
+                        ),
+                        3,
+                    ),
+                },
                 # self-diagnosing record: a true reading was taken on a
                 # quiet machine; contended=true says "distrust the
                 # magnitudes, the box never quieted within the wait"
