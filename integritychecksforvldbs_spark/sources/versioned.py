@@ -1597,6 +1597,19 @@ def commit(
                 "column_mapping": _mapping(cur0[1]),
                 "retired_cols": _retired(cur0[1]),
             }
+        else:
+            # append prepared against an EMPTY table: the files about
+            # to be written carry identity physical names and this
+            # schema.  If a racing writer installs v1 first, those
+            # bytes are only valid beneath an IDENTICAL metadata view
+            # — the retry loop must conflict on anything else (before
+            # this, the loser re-based and installed its files under
+            # the winner's schema/mapping with no drift check at all).
+            prepared_against = {
+                "schema": new_ddl,
+                "column_mapping": {},
+                "retired_cols": [],
+            }
     new_files, new_stats = _write_data(
         spark, df, path, stats_columns, mapping=mapping
     )
@@ -4108,23 +4121,35 @@ def convert_to_versioned(
     files = sorted(f.path for f in list_parquet_files(spark, source_dir))
     if not files:
         raise ValueError(f"no parquet files under {source_dir!r}")
-    hazard = False
-    try:
+    # EVERY file's footer is probed (r10 advice: sampling files[:1]
+    # missed heterogeneous directories whose later part-files carry
+    # the hazard — the very mis-read the check exists for), as a
+    # distributed footer sweep with a short-circuiting take(1) — the
+    # same O(files) executor IO the stats census below already pays.
+    # timestamp[ns] is tz-less, so the single tz-is-None test covers
+    # both the NANOS and the NTZ physical shapes.
+    def _file_hazard(p: str) -> bool:
         import pyarrow.parquet as pq
 
-        from integritychecksforvldbs_spark.sources.loader import (
-            _nanos_columns,
+        local = p[len("file:"):] if p.startswith("file:") else p
+        sch_arrow = pq.ParquetFile(local).schema_arrow
+        return any(
+            str(t).startswith("timestamp")
+            and getattr(t, "tz", None) is None
+            for t in sch_arrow.types
         )
 
-        for f in files[:1]:
-            if _nanos_columns(f):
-                hazard = True
-            sch_arrow = pq.read_schema(_local(f))
-            if any(
-                str(t).startswith("timestamp") and getattr(t, "tz", None) is None
-                for t in sch_arrow.types
-            ):
-                hazard = True
+    try:
+        sc = spark.sparkContext
+        n_slices = max(
+            1, min(len(files), (sc.defaultParallelism or 8) * 4)
+        )
+        hazard = bool(
+            sc.parallelize(files, n_slices)
+            .map(_file_hazard)
+            .filter(lambda h: h)
+            .take(1)
+        )
     except Exception:
         hazard = True  # unknown physical types: take the safe path
     from integritychecksforvldbs_spark.sources.loader import load_table

@@ -236,15 +236,25 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self.starting_version = starting_version
         self.change_feed = change_feed
         # physical names are STABLE for a column's lifetime, so the
-        # current mapping's read-names are valid for every replayed
-        # file, whenever it was written.  A damaged/vacuumed log must
-        # NOT fail here: construction is schema-time; the offset walk
-        # raises the precise diagnostic itself
+        # mapping pinned here is valid for every file committed at or
+        # before the pinned version, whenever it was written.  It is
+        # NOT valid past a MID-STREAM mapping change (overwrite reset,
+        # rename, DROP+re-ADD binding a fresh physical name): files
+        # appended after one would silently null-fill under stale
+        # physical names, so the walk FAILS LOUDLY when an emitted
+        # version beyond the pin carries a different mapping (Delta's
+        # stance without schemaTrackingLocation: restart the stream to
+        # re-pin).  A damaged/vacuumed log must NOT fail here:
+        # construction is schema-time; the offset walk raises the
+        # precise diagnostic itself
         try:
             cur = _latest_committed(path)
             mapping = cur[1].get("column_mapping") if cur else None
+            self._pinned_version = cur[0] if cur else 0
         except Exception:
             mapping = None
+            self._pinned_version = 0
+        self._pinned_mapping = dict(mapping or {})
         if change_feed:
             # _change_type/_commit_version are SYNTHESIZED per batch;
             # the files are read against the table schema alone
@@ -375,6 +385,24 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self._last_emitted = out
         return {"version": out}
 
+    def _check_mapping_stable(self, v: int, man: dict) -> None:
+        """Refuse to read version ``v``'s files when it carries a
+        COLUMN MAPPING the stream was not pinned against (v beyond the
+        pin): its files bind physical names the pinned arrow target
+        cannot see, and reading on would silently null-fill the
+        remapped columns.  Versions at or before the pin are safe by
+        the physical-name-stability contract."""
+        if v <= self._pinned_version:
+            return
+        if dict(man.get("column_mapping") or {}) != self._pinned_mapping:
+            raise ValueError(
+                f"streaming read of {self.path!r}: version {v} changed "
+                "the table's column mapping mid-stream (ALTER/overwrite "
+                "past the reader's pinned schema) — restart the stream "
+                "so it re-pins the current mapping; reading on would "
+                "silently null-fill the remapped columns"
+            )
+
     def _files_between(self, start_v: int, end_v: int) -> list[str]:
         """Data files entering the visible set across (start_v,
         end_v], refusing non-append commits.  Every version in range
@@ -444,6 +472,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "append-only consumption with "
                     ".option('skipChangeCommits', 'true')"
                 )
+            self._check_mapping_stable(v, man)
             # a DELTA body lists exactly this commit's additions — the
             # batch the stream wants, O(commit) metadata; a full
             # (checkpoint) body diffs against the accumulated set
@@ -504,6 +533,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
             if not emit:
                 prev = snap
                 continue
+            self._check_mapping_stable(v, man)
             pf = set(prev["files"]) if prev else set()
             pd = (prev.get("dvs") or {}) if prev else {}
             cf, cd = set(snap["files"]), snap.get("dvs") or {}

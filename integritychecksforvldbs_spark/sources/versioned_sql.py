@@ -111,10 +111,13 @@ def _resolve(token: str) -> str:
     )
 
 
-def _split_top(s: str, sep: str) -> list[str]:
+def _split_top(s: str, sep: str, angle: bool = False) -> list[str]:
     """Split on ``sep`` (a regex, case-insensitive) at paren/quote
     depth 0 — SET lists and ON conjunctions contain commas and ANDs
-    inside function calls and string literals."""
+    inside function calls and string literals.  ``angle=True`` also
+    tracks ``<``/``>`` depth for TYPE lists (``map<string,int>``)
+    — opt-in only, because in predicates those characters are
+    comparison operators, not brackets."""
     out, depth, last, i = [], 0, 0, 0
     in_str: str | None = None
     pat = re.compile(sep, re.I)
@@ -129,9 +132,9 @@ def _split_top(s: str, sep: str) -> list[str]:
             in_str = c
             i += 1
             continue
-        if c == "(":
+        if c == "(" or (angle and c == "<"):
             depth += 1
-        elif c == ")":
+        elif c == ")" or (angle and c == ">"):
             depth -= 1
         elif depth == 0:
             m = pat.match(s, i)
@@ -509,7 +512,8 @@ _CREATE_BLOOM = re.compile(
     re.I | re.S,
 )
 _DROP_TABLE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<tbl>[^\s;]+)\s*;?\s*$",
+    r"^\s*DROP\s+TABLE\s+(?P<ifexists>IF\s+EXISTS\s+)?"
+    r"(?P<tbl>[^\s;]+)\s*;?\s*$",
     re.I | re.S,
 )
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
@@ -848,7 +852,7 @@ def versioned_sql(
         if m:
             path = _resolve(m.group("tbl"))
             v = None
-            for piece in _split_top(m.group("cols"), r","):
+            for piece in _split_top(m.group("cols"), r",", angle=True):
                 parts = piece.strip().split(None, 1)
                 if len(parts) != 2:
                     raise ValueError(
@@ -898,7 +902,7 @@ def versioned_sql(
             )
         name = m.group("tbl").strip().strip("`'\"").lower()
         existed = name in _TABLES
-        if not existed and "IF EXISTS" not in stmt.upper():
+        if not existed and not m.group("ifexists"):
             raise ValueError(
                 f"unknown versioned table {m.group('tbl')!r}"
             )

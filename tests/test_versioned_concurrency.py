@@ -271,3 +271,54 @@ def test_racing_dv_deletes_serialize_without_lost_deletes(
     ]
     assert got == expect
     assert versioned.row_count(spark, path) == 360
+
+
+def test_v1_race_conflicts_on_divergent_winner_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """r10 advice (low): an append prepared against an EMPTY table
+    that loses the v1 race used to retry with NO metadata check and
+    install identity-physical-named files beneath the winner's
+    schema.  Pinned: a winner with a DIFFERENT schema → ConflictError;
+    a winner with the IDENTICAL schema → clean re-based v2 append."""
+    path = str(tmp_path / "t")
+    real = versioned._write_data
+    raced: list[int] = []
+
+    def race_once(spark_, df_, path_, *a, **kw):
+        out = real(spark_, df_, path_, *a, **kw)
+        if not raced:
+            raced.append(1)
+            # the winner lands v1 with a DIFFERENT schema mid-window
+            versioned.commit(
+                spark,
+                spark.range(5).select(
+                    F.col("id").alias("k"),
+                    F.lit("w").alias("extra"),
+                ),
+                path,
+            )
+        return out
+
+    monkeypatch.setattr(versioned, "_write_data", race_once)
+    with pytest.raises(versioned.ConflictError):
+        versioned.commit(spark, _mk(spark, 0, 10), path)
+    monkeypatch.undo()
+    # the winner's table is intact
+    assert versioned.read(spark, path).columns == ["k", "extra"]
+
+    # identical-schema winner: the loser's re-base commutes cleanly
+    path2 = str(tmp_path / "t2")
+    raced.clear()
+
+    def race_same(spark_, df_, path_, *a, **kw):
+        out = real(spark_, df_, path_, *a, **kw)
+        if not raced:
+            raced.append(1)
+            versioned.commit(spark, _mk(spark, 100, 105), path2)
+        return out
+
+    monkeypatch.setattr(versioned, "_write_data", race_same)
+    v = versioned.commit(spark, _mk(spark, 0, 10), path2)
+    assert v == 2
+    assert versioned.read(spark, path2).count() == 15

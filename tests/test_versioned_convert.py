@@ -114,3 +114,36 @@ def test_sql_convert_verb(spark, tmp_path):
     ).collect()[0]
     assert out.n == 1000
     versioned_sql(spark, "DROP TABLE conv_t")
+
+
+def test_heterogeneous_source_hazard_found_past_first_file(
+    spark, tmp_path
+):
+    """r10 advice (medium): the hazard probe sampled files[:1], so a
+    directory whose LATER part-files carry INT64 TIMESTAMP(NANOS)
+    recorded a schema and every schema'd scan mis-read them.  The
+    probe is now a distributed sweep over every footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "mixed")
+    os.makedirs(src)
+    # part-00000: clean (sorts FIRST in the listing)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}),
+        os.path.join(src, "part-00000.parquet"),
+    )
+    # part-00001: nanosecond timestamp — the hazard
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([3, 4], pa.int64()),
+                "ts": pa.array([0, 1], pa.timestamp("ns")),
+            }
+        ),
+        os.path.join(src, "part-00001.parquet"),
+    )
+    t = str(tmp_path / "tbl_mixed")
+    versioned.convert_to_versioned(spark, src, t)
+    man = versioned._resolve_manifest(t, None)
+    assert man.get("schema") is None  # hazard detected past file 0

@@ -314,3 +314,75 @@ def _stream_reader_cdf(path):
         StructType([StructField("k", LongType(), True)]),
         change_feed=True,
     )
+
+
+def test_stream_fails_loudly_on_midstream_mapping_change(
+    spark, tmp_path
+):
+    """r10 advice (medium): the reader pins the column mapping at
+    construction; files appended after a MID-STREAM mapping change
+    (rename / DROP+re-ADD / overwrite reset) bind physical names the
+    pinned arrow target cannot see and were silently null-filled.
+    Pinned: a version beyond the pin with a different mapping raises
+    loudly (Delta's no-schemaTrackingLocation stance — restart to
+    re-pin); a benign post-pin append still streams; pre-pin mapping
+    history never fires."""
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [(1, "a")], "id int, name string"
+        ).coalesce(1),
+        t,
+    )
+    reader = _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema
+    )
+    # benign post-pin append: same mapping, streams fine
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [(2, "b")], "id int, name string"
+        ).coalesce(1),
+        t,
+    )
+    assert len(reader._files_between(0, 2)) == 2
+
+    versioned.rename_column(t, "name", "label")  # v3, mapping changes
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [(3, "c")], "id int, label string"
+        ).coalesce(1),
+        t,
+    )  # v4: files bind the label physical name
+    with pytest.raises(ValueError, match="mid-stream"):
+        reader._files_between(2, 4)
+
+    # a reader constructed AFTER the rename pins the new mapping and
+    # replays the whole history (physical names stable at or before
+    # the pin)
+    fresh = _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema
+    )
+    assert len(fresh._files_between(0, 4)) == 3
+
+
+def test_cdf_stream_fails_loudly_on_midstream_mapping_change(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    versioned.commit(spark, _mk(spark, 0, 5), t)
+    reader = _stream_reader_cdf(t)
+    versioned.rename_column(t, "k", "kk")  # v2
+    versioned.commit(
+        spark,
+        spark.range(5, 8).select(F.col("id").alias("kk")),
+        t,
+    )  # v3
+    with pytest.raises(ValueError, match="mid-stream"):
+        reader._cdf_partitions_between(1, 3)

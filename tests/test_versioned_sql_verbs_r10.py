@@ -114,3 +114,61 @@ def test_stream_reads_mapped_table(spark, tmp_path):
     # pre-rename files replay under the CURRENT logical name, with
     # their values (physical identity), not nulls
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_sql_add_columns_nested_types(spark, tmp_path):
+    """r10 verdict gap #2: _split_top tracked only () and quotes, so
+    ``map<string,int>`` split at its comma and failed type parse.
+    Angle-depth is opt-in (type lists only — in predicates < and > are
+    comparisons).  Pinned: SQL round-trip == Python API for map/array/
+    struct adds, multi-column statements included."""
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    register_table("w11n", t)
+    try:
+        versioned_sql(
+            spark, "CREATE TABLE w11n AS VALUES (1,'a') AS v(id,name)"
+        )
+        versioned_sql(
+            spark,
+            "ALTER TABLE w11n ADD COLUMNS m map<string,int>, "
+            "tags array<string>, "
+            "pt struct<x: double, y: map<string, array<int>>>",
+        )
+        sch = versioned.read(spark, t).schema
+        assert sch["m"].dataType == T.MapType(
+            T.StringType(), T.IntegerType()
+        )
+        assert sch["tags"].dataType == T.ArrayType(T.StringType())
+        assert sch["pt"].dataType == T.StructType(
+            [
+                T.StructField("x", T.DoubleType()),
+                T.StructField(
+                    "y",
+                    T.MapType(
+                        T.StringType(), T.ArrayType(T.IntegerType())
+                    ),
+                ),
+            ]
+        )
+        # the loud failure for malformed types is retained
+        with pytest.raises(Exception):
+            versioned_sql(
+                spark, "ALTER TABLE w11n ADD COLUMNS bad map<string,"
+            )
+    finally:
+        register_table("w11n", None)
+
+
+def test_sql_drop_table_if_exists_any_whitespace(spark):
+    """r10 advice (low): the handler substring-probed 'IF EXISTS'
+    while the regex accepted arbitrary whitespace, so double-spaced
+    ``IF  EXISTS`` on an unknown table raised."""
+    m = versioned_sql(
+        spark, "DROP TABLE IF  EXISTS never_registered_w11"
+    ).collect()[0]
+    assert m["n_dropped"] == 0
+    versioned_sql(spark, "DROP TABLE if\n  exists never_registered_w11")
+    with pytest.raises(ValueError, match="unknown versioned table"):
+        versioned_sql(spark, "DROP TABLE never_registered_w11")
