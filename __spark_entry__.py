@@ -583,6 +583,62 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column layout (r11: the last format gap the r9/r10
+    verdicts carried — reference analogue: CHECKFILEGROUP scoped to
+    one filegroup, DatabaseIntegrityCheck.sql:1476-1487).  The mirror
+    commits orders PARTITIONED BY o_orderpriority (hive
+    ``data/o_orderpriority=.../`` dirs; partition values folded into
+    the manifest stats as exact min==max bounds), runs a
+    partition-scoped DELETE whose probe is asserted to touch ONLY the
+    matching partition's files, then ``read_where`` plans the scan
+    over exactly that partition and aggregates it; the oracle
+    recomputes with plain WHERE clauses."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "orders_partitioned")
+    if versioned._read_manifest(path, 2) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _load(spark, sf_dir, "orders")
+        versioned.commit(
+            spark, orders, path, partition_by=["o_orderpriority"]
+        )
+        man = versioned._resolve_manifest(path, None)
+        assert man["partition_by"] == ["o_orderpriority"]
+        cand = versioned._dml_candidates(
+            man, "o_orderpriority = '3-MEDIUM'"
+        )
+        assert cand and all("o_orderpriority=3-MEDIUM" in f for f in cand)
+        assert len(cand) < len(man["files"])  # the probe is scoped
+        v, n = versioned.delete_where(
+            spark, path,
+            "o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 = 0",
+        )
+        assert v == 2 and n > 0
+    got = versioned.read_where(
+        spark, path, {"o_orderpriority": ("3-MEDIUM", "3-MEDIUM")}
+    ).filter("o_orderpriority = '3-MEDIUM'")
+    return got.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+_VERSIONED_PARTITIONED_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3876,6 +3932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delta IS the feed (r9; head-50 gates the DV family via
     # versioned_dv_delete)
     out["versioned_dv_changes"] = _q_versioned_dv_changes
+    # r11: hive partition-column layout — partition-scoped DML probe
+    # + read_where planning exactly one partition's files
+    out["versioned_partitioned_prune"] = _q_versioned_partitioned
     return out
 
 
@@ -4262,6 +4321,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_bloom_delete"] = _VERSIONED_BLOOM_ORACLE
     out["versioned_convert_supplier"] = _VERSIONED_CONVERT_ORACLE
     out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
+    out["versioned_partitioned_prune"] = _VERSIONED_PARTITIONED_ORACLE
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE
     return out

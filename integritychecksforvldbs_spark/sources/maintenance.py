@@ -102,7 +102,12 @@ def compact_table(
     return before, table_file_stats(dest_path)
 
 
-def write_stats_friendly(spark: SparkSession, df: DataFrame, dest: str) -> None:
+def write_stats_friendly(
+    spark: SparkSession,
+    df: DataFrame,
+    dest: str,
+    partition_by: list[str] | None = None,
+) -> None:
     """Parquet write with footer min/max intact for EVERY column.
 
     Spark's default timestamp encoding is legacy INT96, which parquet
@@ -110,12 +115,16 @@ def write_stats_friendly(spark: SparkSession, df: DataFrame, dest: str) -> None:
     silently produce files that zone maps and row-group pushdown
     cannot prune (the entire point of sorting).  TIMESTAMP_MICROS is
     the standards-track encoding with full stats; scoped to this
-    write, restored after."""
+    write, restored after.  ``partition_by``: hive-style
+    ``col=value/`` layout."""
     key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(key, "INT96")
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try:
-        df.write.mode("overwrite").parquet(dest)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(dest)
     finally:
         spark.conf.set(key, prev)
 

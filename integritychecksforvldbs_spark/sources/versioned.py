@@ -101,6 +101,7 @@ SUPPORTED_FEATURES = frozenset(
         "deletion-vectors",
         "bloom-index",
         "parquet-checkpoint",
+        "partitioned-layout",
     }
 )
 
@@ -121,6 +122,8 @@ def _stamp_features(man: dict) -> dict:
         feats.add("bloom-index")
     if "ckpt_files" in man:
         feats.add("parquet-checkpoint")
+    if man.get("partition_by"):
+        feats.add("partitioned-layout")
     man = dict(man)
     if feats:
         man["required_features"] = sorted(feats)
@@ -418,6 +421,110 @@ def _manifest_schema(man: dict):
 def _mapping(man: dict) -> dict[str, str]:
     """Logical→physical column mapping of a manifest ({} = identity)."""
     return dict(man.get("column_mapping") or {})
+
+
+# ---------------------------------------------------------------------------
+# Partition-column layout — hive-style data/col=value/ directories
+# ---------------------------------------------------------------------------
+#
+# ``commit(..., partition_by=["c"])`` lays data files out under
+# ``data/c=value/`` (the engine's own plain-parquet side is
+# hive-partitioned, catalog.py; reference scope analogue: the
+# reference scopes CHECKFILEGROUP to ONE filegroup,
+# DatabaseIntegrityCheck.sql:1476-1487 — a partition is this format's
+# filegroup).  The manifest records ``partition_by`` (PHYSICAL column
+# names — immutable for a column's lifetime, so ALTER RENAME cannot
+# orphan the layout, same discipline as stats/bloom keys) and each
+# file's partition values are FOLDED INTO ITS STATS ENTRY as exact
+# min==max bounds, which makes every existing stats consumer —
+# ``read_where`` pruning, DML probe candidates, metadata-only counts,
+# partition-scoped OPTIMIZE — partition-aware with zero new code
+# paths.  Scans reconstruct the partition columns JVM-side via
+# Spark's ``basePath`` partition discovery (the values live in the
+# directory names, not the footers).
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_by(man: dict) -> list[str]:
+    """PHYSICAL partition column names of a manifest ([] = flat)."""
+    return list(man.get("partition_by") or [])
+
+
+def _partition_base(fpath: str) -> str:
+    """The directory above a file's hive partition segments — the
+    ``basePath`` Spark's partition discovery needs.  Data-dir names
+    are uuid hex / ``col=value``; only the latter contain ``=``."""
+    d = os.path.dirname(fpath)
+    while "=" in os.path.basename(d):
+        d = os.path.dirname(d)
+    return d
+
+
+def _partition_segments(fpath: str) -> dict[str, str]:
+    """Raw (unescaped) ``{col: value-string}`` parsed from a file's
+    hive partition directories, innermost last."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    d = os.path.dirname(fpath)
+    while "=" in os.path.basename(d):
+        seg = os.path.basename(d)
+        k, _, v = seg.partition("=")
+        out[unquote(k)] = unquote(v)
+        d = os.path.dirname(d)
+    return out
+
+
+def _check_part_dtype(name: str, dtype) -> None:
+    """Refuse a partition column whose directory value could not be
+    parsed back — BEFORE any bytes move."""
+    from pyspark.sql import types as T
+
+    ok = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+        T.TimestampType, T.TimestampNTZType, T.BooleanType,
+        T.StringType,
+    )
+    if not isinstance(dtype, ok):
+        raise TypeError(
+            f"unsupported partition column type for {name!r}: "
+            f"{dtype.simpleString()}"
+        )
+
+
+def _typed_part_value(s: str, dtype):
+    """A partition directory's value string as the comparable Python
+    value of the column's type (None for hive's null sentinel) —
+    mirrors Spark's own partition-value cast so the folded stats agree
+    with what the scan reconstructs."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    if s == _HIVE_NULL:
+        return None
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return int(s)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(s)
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(s)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(s)
+    if isinstance(dtype, T.BooleanType):
+        return s.lower() == "true"
+    if isinstance(dtype, T.StringType):
+        return s
+    raise TypeError(
+        f"unsupported partition column type {dtype.simpleString()}"
+    )
 
 
 def _physical_schema(man: dict):
@@ -1021,14 +1128,26 @@ def _write_data(
     path: str,
     stats_columns: list[str] | None = None,
     mapping: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
-    """Write ``df`` as a fresh immutable data directory under the
-    table and census its footers: ``(new_files, new_stats)``.  Shared
-    by every committing operation; a directory orphaned by a lost CAS
-    race is invisible to readers and reclaimed by :func:`vacuum`.
+    """Write ``df`` as fresh immutable data files under the table and
+    census its footers: ``(new_files, new_stats)``.  Shared by every
+    committing operation; files orphaned by a lost CAS race are
+    invisible to readers and reclaimed by :func:`vacuum`.
     ``mapping``: the table's column mapping — ``df`` arrives in
     LOGICAL names and is written (and its stats keyed) under the
-    PHYSICAL ones, like every data file before it."""
+    PHYSICAL ones, like every data file before it.
+
+    ``partition_by`` (PHYSICAL names): hive layout.  The write stages
+    under a private dir, is censused there, then each file MOVES to
+    ``data/col=value/<writeid>-<name>`` — partition dirs must sit
+    directly under one common root or Spark's basePath discovery
+    refuses the mixed-depth listing; the move is a same-filesystem
+    rename here, and on an object store a real committer would write
+    direct.  Each file's partition values fold into its stats entry
+    as exact min==max bounds, so every stats consumer (read_where,
+    DML probes, metadata counts, partition-scoped OPTIMIZE) prunes
+    partitions with zero new code paths."""
     from integritychecksforvldbs_spark.sources.catalog import (
         list_parquet_files,
     )
@@ -1040,12 +1159,72 @@ def _write_data(
         df = _to_physical(df, mapping)
         if stats_columns is not None:
             stats_columns = [mapping.get(c, c) for c in stats_columns]
-    data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
-    write_stats_friendly(spark, df, data_dir)
-    new_files = sorted(f.path for f in list_parquet_files(spark, data_dir))
+    if not partition_by:
+        data_dir = f"{path.rstrip('/')}/data/{uuid.uuid4().hex[:12]}"
+        write_stats_friendly(spark, df, data_dir)
+        new_files = sorted(
+            f.path for f in list_parquet_files(spark, data_dir)
+        )
+        if stats_columns is None:
+            stats_columns = _stats_eligible_columns(df.schema)
+        return new_files, _file_stats_for_dir(
+            spark, data_dir, stats_columns
+        )
+
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not in the frame's schema"
+        )
+    pdtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in partition_by:
+        _check_part_dtype(c, pdtypes[c])
+    wid = uuid.uuid4().hex[:12]
+    staged = f"{path.rstrip('/')}/data/.stage-{wid}"
+    write_stats_friendly(spark, df, staged, partition_by=partition_by)
+    staged_files = sorted(
+        f.path for f in list_parquet_files(spark, staged)
+    )
     if stats_columns is None:
         stats_columns = _stats_eligible_columns(df.schema)
-    return new_files, _file_stats_for_dir(spark, data_dir, stats_columns)
+    stats = _file_stats_for_dir(spark, staged, stats_columns)
+
+    import shutil
+
+    data_root = os.path.join(_local(path), "data")
+    stage_root = _local(staged)
+    new_files, new_stats = [], {}
+    for f in staged_files:
+        lf = _local(f)
+        rel = os.path.relpath(os.path.dirname(lf), stage_root)
+        dst_dir = os.path.join(data_root, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, f"{wid}-{os.path.basename(lf)}")
+        os.replace(lf, dst)
+        final = f"file:{dst}" if f.startswith("file:") else dst
+        ent = stats.get(f) or stats.get(lf)
+        if ent is not None:
+            # fold the partition values in as exact bounds — footers
+            # cannot carry them (partitionBy strips the columns)
+            seg = _partition_segments(dst)
+            for c in partition_by:
+                if c not in seg:
+                    raise IOError(
+                        f"staged file {dst!r} lacks partition dir "
+                        f"for {c!r}"
+                    )
+                v = _typed_part_value(seg[c], pdtypes[c])
+                ent["cols"][c] = {
+                    "min": _enc_stat(v),
+                    "max": _enc_stat(v),
+                    "nulls": 0 if v is not None else ent["n_rows"],
+                    "ok": True,
+                }
+            new_stats[final] = ent
+        new_files.append(final)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    new_files.sort()
+    return new_files, new_stats
 
 
 def _commit_replace(
@@ -1136,7 +1315,10 @@ def _commit_replace(
         meta.setdefault("column_mapping", _mapping(base_man))
         meta.setdefault("retired_cols", _retired(base_man))
         meta.setdefault("bloom", dict(base_man.get("bloom") or {}))
-        for _k in ("column_mapping", "retired_cols", "bloom"):
+        meta.setdefault("partition_by", _partition_by(base_man))
+        for _k in (
+            "column_mapping", "retired_cols", "bloom", "partition_by",
+        ):
             if not meta.get(_k):
                 meta.pop(_k, None)
         if nxt % CHECKPOINT_EVERY == 0:
@@ -1172,6 +1354,7 @@ def _scan_files(
     man: dict,
     files: list[str] | None = None,
     mapped: bool = True,
+    per_scan=None,
 ) -> DataFrame:
     """Plan a parquet scan of ``files`` (default: the manifest's whole
     visible set) against the manifest's recorded schema — the one
@@ -1179,14 +1362,58 @@ def _scan_files(
     mapping the scan plans against PHYSICAL names (what the files
     store) and renames to logical; ``mapped=False`` returns the raw
     physical frame, for callers that must attach ``_metadata``
-    columns to the scan relation before any projection."""
+    columns to the scan relation before any projection.  ``per_scan``
+    is applied to EACH underlying scan relation before any union —
+    the only place ``_metadata`` resolves when a partitioned snapshot
+    spans several basePath roots."""
     from integritychecksforvldbs_spark.sources.loader import load_table
 
     files = man["files"] if files is None else files
     sch = _physical_schema(man)
     if sch is not None:
-        df = spark.read.schema(sch).parquet(*files)
-        return _to_logical(df, man) if mapped else df
+        pby = _partition_by(man)
+        if pby and files:
+            # partition columns live in the directory names, not the
+            # footers: basePath discovery reconstructs them JVM-side
+            # (values cast per the declared schema, zero Python).  A
+            # snapshot can reference files under SEVERAL roots (a
+            # clone's source files next to its own appends), and Spark
+            # takes one basePath per scan — group by base and union.
+            groups: dict[str, list[str]] = {}
+            for f in files:
+                groups.setdefault(_partition_base(f), []).append(f)
+            parts = []
+            for b in sorted(groups):
+                p = (
+                    spark.read.schema(sch)
+                    .option("basePath", b)
+                    .parquet(*groups[b])
+                )
+                parts.append(per_scan(p) if per_scan is not None else p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = spark.read.schema(sch).parquet(*files)
+            if per_scan is not None:
+                df = per_scan(df)
+        if not mapped:
+            # raw-frame callers needing _metadata attach it INSIDE
+            # per_scan (the hidden column resolves only on the scan
+            # relation itself, never across the union above); they
+            # address columns by name, so discovery's ordering is fine
+            return df
+        df = _to_logical(df, man)
+        if pby:
+            # discovery appends partition columns after the data ones:
+            # restore the declared order (per_scan extras, if any,
+            # ride along after them)
+            extra = [
+                c for c in df.columns
+                if c not in set(_manifest_schema(man).fieldNames())
+            ]
+            df = df.select(*_manifest_schema(man).fieldNames(), *extra)
+        return df
     # legacy manifests without a recorded schema: load_table applies
     # the nanos/NTZ timestamp normalizations a raw spark.read.parquet
     # lacks, so a table keeps ONE dtype story across every code path
@@ -1253,12 +1480,14 @@ def _scan_live(
             out = out.unionByName(p)
         return _to_logical(out, man)
     # the inline probe just declined: don't repeat it inside apply_dvs
+    # (applied per scan relation: _metadata cannot attach across the
+    # multi-base union a cloned partitioned snapshot plans)
     return _to_logical(
-        dv.apply_dvs(
-            spark,
-            _scan_files(spark, man, files, mapped=False),
-            dvs,
-            try_inline=False,
+        _scan_files(
+            spark, man, files, mapped=False,
+            per_scan=lambda p: dv.apply_dvs(
+                spark, p, dvs, try_inline=False
+            ),
         ),
         man,
     )
@@ -1277,16 +1506,26 @@ def _scan_live_pos(
     from integritychecksforvldbs_spark.sources import deletion_vectors as dv
 
     files = man["files"] if files is None else files
-    df = _scan_files(spark, man, files, mapped=False)
-    fcol, rcol = dv._unique_names(df)
+    sch = _physical_schema(man)
+    taken = set(sch.fieldNames()) if sch is not None else set(
+        _scan_files(spark, man, files, mapped=False).columns
+    )
     # collision-proof the markers against the LOGICAL names too — the
     # frame is renamed to them below
-    logical = set((_manifest_schema(man) or df.schema).fieldNames())
-    while fcol in logical:
+    msch = _manifest_schema(man)
+    if msch is not None:
+        taken |= set(msch.fieldNames())
+    fcol, rcol = "__icv_dv_file", "__icv_dv_pos"
+    while fcol in taken:
         fcol += "_"
-    while rcol in logical or rcol == fcol:
+    while rcol in taken or rcol == fcol:
         rcol += "_"
-    df = dv.scan_with_position(df, fcol, rcol)
+    # positions attach PER SCAN RELATION (_metadata does not resolve
+    # across the multi-base union a cloned partitioned snapshot plans)
+    df = _scan_files(
+        spark, man, files, mapped=False,
+        per_scan=lambda p: dv.scan_with_position(p, fcol, rcol),
+    )
     df = dv.anti_join_positions(
         spark, df, _dvs_for(man, files), fcol, rcol
     )
@@ -1542,6 +1781,7 @@ def commit(
     expected_parent: int | None = None,
     allow_schema_change: bool = False,
     stats_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and commit them
     as the table's next version.  Returns the committed version.
@@ -1561,7 +1801,14 @@ def commit(
     parquet union null-fills whichever columns the planner's schema
     lacks.  Overwrites replace the schema freely (the visible set is
     replaced wholesale); either way :func:`schema_history` shows the
-    evolution."""
+    evolution.
+
+    ``partition_by`` (LOGICAL column names): hive ``data/col=value/``
+    layout with the values folded into the manifest stats (see
+    :func:`_write_data`).  Appends inherit the table's partitioning
+    when omitted and REFUSE a different one (a mixed-layout snapshot
+    cannot be planned as one scan); overwrites may re-partition
+    freely — the visible set is replaced wholesale."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     new_ddl = df.schema.simpleString()
@@ -1573,6 +1820,7 @@ def commit(
     extra = dict(extra or {})
     mapping, retired = {}, []
     prepared_against = None
+    pby_phys: list[str] = []
     if mode == "append":
         cur0 = _latest_committed(path)
         if not allow_schema_change:
@@ -1587,6 +1835,20 @@ def commit(
             mapping, retired = _evolve_mapping(cur0[1], df.schema)
             extra.setdefault("column_mapping", mapping)
             extra.setdefault("retired_cols", retired)
+            # appends inherit the table's partition layout; a caller
+            # naming a DIFFERENT one is refused — a snapshot mixing
+            # layouts cannot be planned as one basePath scan
+            table_pby = _partition_by(cur0[1])
+            if partition_by is not None:
+                asked = [mapping.get(c, c) for c in partition_by]
+                if asked != table_pby:
+                    raise ValueError(
+                        f"append to {path!r} asked for partitioning "
+                        f"{partition_by} but the table is laid out by "
+                        f"{table_pby or 'nothing'}; overwrite to "
+                        "re-partition"
+                    )
+            pby_phys = table_pby
             # the drift check, the mapping evolution, and the PHYSICAL
             # names just written are all decisions against THIS view —
             # a metadata change racing the commit must conflict, not be
@@ -1596,8 +1858,10 @@ def commit(
                 "schema": cur0[1].get("schema"),
                 "column_mapping": _mapping(cur0[1]),
                 "retired_cols": _retired(cur0[1]),
+                "partition_by": table_pby,
             }
         else:
+            pby_phys = list(partition_by or [])
             # append prepared against an EMPTY table: the files about
             # to be written carry identity physical names and this
             # schema.  If a racing writer installs v1 first, those
@@ -1609,9 +1873,16 @@ def commit(
                 "schema": new_ddl,
                 "column_mapping": {},
                 "retired_cols": [],
+                "partition_by": pby_phys,
             }
+    else:
+        # overwrite: fresh layout, fresh (identity) physical names
+        pby_phys = list(partition_by or [])
+    if pby_phys:
+        extra.setdefault("partition_by", pby_phys)
     new_files, new_stats = _write_data(
-        spark, df, path, stats_columns, mapping=mapping
+        spark, df, path, stats_columns, mapping=mapping,
+        partition_by=pby_phys,
     )
 
     def _validate(active: dict) -> None:
@@ -1693,7 +1964,11 @@ def _commit_prepared(
                 "schema": cur[1].get("schema"),
                 "column_mapping": _mapping(cur[1]),
                 "retired_cols": _retired(cur[1]),
+                "partition_by": _partition_by(cur[1]),
             }
+            # callers predating the partition key compare without it
+            if "partition_by" not in prepared_against:
+                now_view.pop("partition_by")
             if now_view != prepared_against:
                 raise ConflictError(
                     f"commit to {path!r} raced a schema/mapping change "
@@ -1730,7 +2005,10 @@ def _commit_prepared(
             meta.setdefault("column_mapping", _mapping(cur[1]))
             meta.setdefault("retired_cols", _retired(cur[1]))
             meta.setdefault("bloom", dict(cur[1].get("bloom") or {}))
-        for _k in ("column_mapping", "retired_cols", "bloom"):
+            meta.setdefault("partition_by", _partition_by(cur[1]))
+        for _k in (
+            "column_mapping", "retired_cols", "bloom", "partition_by",
+        ):
             if not meta.get(_k):
                 meta.pop(_k, None)
         if (
@@ -1839,6 +2117,17 @@ def _enforce(
     the (logical-named) constraint predicates evaluate."""
     if not constraints or not new_files:
         return
+    # partitioned layout: the files sit under col=value dirs (only
+    # partition dirs ever contain '=' under data/) — basePath
+    # discovery reinjects the partition columns a constraint may read
+    partitioned = "=" in os.path.basename(os.path.dirname(new_files[0]))
+
+    def _rd(sch):
+        r = spark.read.schema(sch) if sch is not None else spark.read
+        if partitioned:
+            r = r.option("basePath", _partition_base(new_files[0]))
+        return r.parquet(*new_files)
+
     if schema is not None and mapping:
         from pyspark.sql.types import StructField, StructType
 
@@ -1850,12 +2139,12 @@ def _enforce(
                 for f in schema.fields
             ]
         )
-        df = spark.read.schema(phys).parquet(*new_files)
+        df = _rd(phys)
         df = _rename_atomic(df, {p: lg for lg, p in mapping.items()})
     elif schema is not None:
-        df = spark.read.schema(schema).parquet(*new_files)
+        df = _rd(schema)
     else:
-        df = spark.read.parquet(*new_files)
+        df = _rd(None)
     bad = _violations(df, constraints)
     if bad:
         detail = ", ".join(
@@ -2085,6 +2374,12 @@ def drop_column(path: str, name: str) -> int:
             raise ValueError(
                 f"cannot drop {name!r}: CHECK constraint(s) "
                 f"{refs} reference it; drop them first"
+            )
+        phys0 = _mapping(man).get(name, name)
+        if phys0 in _partition_by(man):
+            raise ValueError(
+                f"cannot drop {name!r}: the table is partitioned by "
+                "it — overwrite with a new layout first"
             )
         m = _mapping(man)
         retired = _retired(man)
@@ -2631,7 +2926,8 @@ def optimize(
         else:
             df = df.coalesce(n_out)
         new_files, new_stats = _write_data(
-            spark, df, path, mapping=_mapping(man)
+            spark, df, path, mapping=_mapping(man),
+            partition_by=_partition_by(man),
         )
         v = _commit_replace(
             path, cur_v, man, set(man["files"]), new_files, new_stats,
@@ -2719,14 +3015,24 @@ def changes(
         """One side's live rows in that side's LOGICAL names — the
         scan stays physical until the DV anti-join has attached its
         ``_metadata`` positions."""
+        dvs_side = _dvs_for(man_side, files_side)
         if _physical_schema(man_side) is not None:
-            raw = _scan_files(spark, man_side, files_side, mapped=False)
+            raw = _scan_files(
+                spark, man_side, files_side, mapped=False,
+                per_scan=lambda p: dvmod.apply_dvs(spark, p, dvs_side),
+            )
         else:
-            raw = load_table(spark, *files_side)
-        return _to_logical(
-            dvmod.apply_dvs(spark, raw, _dvs_for(man_side, files_side)),
-            man_side,
-        )
+            raw = dvmod.apply_dvs(
+                spark, load_table(spark, *files_side), dvs_side
+            )
+        out = _to_logical(raw, man_side)
+        sch_side = _manifest_schema(man_side)
+        if sch_side is not None and _partition_by(man_side):
+            # partition discovery appends the partition columns last;
+            # the multiset diff below is POSITIONAL — restore the
+            # declared order
+            out = out.select(*sch_side.fieldNames())
+        return out
 
     def _conform_to_tip(df_from: DataFrame) -> DataFrame:
         """Project a FROM-logical frame into the TO snapshot's column
@@ -2767,13 +3073,25 @@ def changes(
     inserts = df_in.exceptAll(df_out)
     deletes = df_out.exceptAll(df_in)
     if dv_changed:
-        raw = (
-            _scan_files(spark, man_to, dv_changed, mapped=False)
-            if _physical_schema(man_to) is not None
-            else load_table(spark, *dv_changed)
-        )
-        fcol, rcol = dvmod._unique_names(raw)
-        raw = dvmod.scan_with_position(raw, fcol, rcol)
+        sch_to = _physical_schema(man_to)
+        if sch_to is not None:
+            taken = set(sch_to.fieldNames())
+            fcol, rcol = "__icv_dv_file", "__icv_dv_pos"
+            while fcol in taken:
+                fcol += "_"
+            while rcol in taken or rcol == fcol:
+                rcol += "_"
+            # positions attach per scan relation (multi-base unions)
+            raw = _scan_files(
+                spark, man_to, dv_changed, mapped=False,
+                per_scan=lambda p: dvmod.scan_with_position(
+                    p, fcol, rcol
+                ),
+            )
+        else:
+            raw = load_table(spark, *dv_changed)
+            fcol, rcol = dvmod._unique_names(raw)
+            raw = dvmod.scan_with_position(raw, fcol, rcol)
         ent_from = _dvs_for(man_from, dv_changed) if man_from else {}
         ent_to = _dvs_for(man_to, dv_changed) if man_to else {}
         pos_from = dvmod.positions_df(spark, ent_from)
@@ -3079,7 +3397,8 @@ def merge_into(
                 # written — the touched files' bytes are untouched
                 removed, add_dvs = _fold_dv_entries(path, man, ranges)
                 new_files, new_stats = _write_data(
-                    spark, source, path, mapping=_mapping(man)
+                    spark, source, path, mapping=_mapping(man),
+                    partition_by=_partition_by(man),
                 )
                 _enforce(
                     spark, path, man.get("constraints") or {},
@@ -3107,7 +3426,8 @@ def merge_into(
             _use_dv(strategy, 0, source, man, [])  # validate strategy
             out = source
         new_files, new_stats = _write_data(
-            spark, out, path, mapping=_mapping(man)
+            spark, out, path, mapping=_mapping(man),
+            partition_by=_partition_by(man),
         )
         _enforce(
             spark, path, man.get("constraints") or {},
@@ -3487,7 +3807,8 @@ def merge_when(
                     }
                 continue
             new_files, new_stats = _write_data(
-                spark, ins, path, mapping=_mapping(man)
+                spark, ins, path, mapping=_mapping(man),
+                partition_by=_partition_by(man),
             )
             _enforce(
                 spark, path, man.get("constraints") or {},
@@ -3551,7 +3872,8 @@ def merge_when(
             removed, add_dvs = _fold_dv_entries(path, man, ranges)
             if new_rows is not None:
                 new_files, new_stats = _write_data(
-                    spark, new_rows, path, mapping=_mapping(man)
+                    spark, new_rows, path, mapping=_mapping(man),
+                    partition_by=_partition_by(man),
                 )
             else:
                 new_files, new_stats = [], {}
@@ -3577,7 +3899,8 @@ def merge_when(
         if new_rows is not None:
             out = out.unionByName(new_rows)
         new_files, new_stats = _write_data(
-            spark, out, path, mapping=_mapping(man)
+            spark, out, path, mapping=_mapping(man),
+            partition_by=_partition_by(man),
         )
         _enforce(
             spark, path, man.get("constraints") or {},
@@ -3691,7 +4014,8 @@ def delete_where(
             new_files, new_stats = [], {}
         else:
             new_files, new_stats = _write_data(
-                spark, kept, path, mapping=_mapping(man)
+                spark, kept, path, mapping=_mapping(man),
+                partition_by=_partition_by(man),
             )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
@@ -3848,7 +4172,8 @@ def update_where(
             ]
             rewritten = matched_pos.drop(fcol, rcol).select(*tcols)
             new_files, new_stats = _write_data(
-                spark, rewritten, path, mapping=_mapping(man)
+                spark, rewritten, path, mapping=_mapping(man),
+                partition_by=_partition_by(man),
             )
             _enforce(
                 spark, path, man.get("constraints") or {},
@@ -3877,7 +4202,8 @@ def update_where(
         ]
         rewritten = hit.select(*cols)
         new_files, new_stats = _write_data(
-            spark, rewritten, path, mapping=_mapping(man)
+            spark, rewritten, path, mapping=_mapping(man),
+            partition_by=_partition_by(man),
         )
         _enforce(
             spark, path, man.get("constraints") or {},
@@ -3914,7 +4240,7 @@ def compact(
         before = len(man["files"])
         new_files, new_stats = _write_data(
             spark, read(spark, path, version=cur_v).coalesce(n_files), path,
-            mapping=_mapping(man),
+            mapping=_mapping(man), partition_by=_partition_by(man),
         )
         v = _commit_replace(
             path, cur_v, man, set(man["files"]), new_files, new_stats,
@@ -3932,6 +4258,7 @@ def compact_files(
     target_bytes: int = DEFAULT_OPTIMIZE_TARGET_BYTES,
     min_bytes: int | None = None,
     zorder_by: list[str] | None = None,
+    where: str | None = None,
 ) -> tuple[int | None, int, int]:
     """INCREMENTAL compaction: rewrite only the snapshot's small files
     (< ``min_bytes``, default ``target_bytes // 2``) into
@@ -3969,9 +4296,22 @@ def compact_files(
         raise FileNotFoundError(f"no committed version under {path!r}")
     if min_bytes is None:
         min_bytes = target_bytes // 2
+    candidates = cur0[1]["files"]
+    if where:
+        # partition/stats-scoped OPTIMIZE (the reference scopes
+        # CHECKFILEGROUP to one filegroup, DIC:1476-1487): bin-pack
+        # only files the manifest stats place inside ``where`` — on a
+        # partitioned table a `part_col = v` predicate is EXACT (the
+        # partition values fold into the stats as min==max bounds).
+        # Conservative by contract: an undecidable file stays a
+        # candidate, and the rewrite re-splits rows by partitionBy, so
+        # scope only ever bounds IO, never correctness.
+        scoped = _dml_candidates(cur0[1], where)
+        if scoped is not None:
+            candidates = scoped
     small = []
     total = 0
-    for f in cur0[1]["files"]:
+    for f in candidates:
         try:
             sz = os.path.getsize(_local(f))
         except OSError:
@@ -4009,7 +4349,8 @@ def compact_files(
     else:
         df = df.coalesce(n_out)
     new_files, new_stats = _write_data(
-        spark, df, path, mapping=_mapping(cur0[1])
+        spark, df, path, mapping=_mapping(cur0[1]),
+        partition_by=_partition_by(cur0[1]),
     )
     v = _commit_replace(
         path, cur0[0], cur0[1], set(small), new_files, new_stats,
@@ -4074,6 +4415,10 @@ def clone(
         # caveat as data files: vacuum on the SOURCE may reclaim them
         # (the probe then degrades to unpruned, never to wrong)
         **({"bloom": dict(man["bloom"])} if man.get("bloom") else {}),
+        **(
+            {"partition_by": _partition_by(man)}
+            if _partition_by(man) else {}
+        ),
         "cloned_from": src_path,
         "cloned_version": int(man["version"]),
     }
@@ -4305,14 +4650,20 @@ def vacuum(
         dirs = []
 
     now = time.time()
-    referenced_dirs = {os.path.dirname(f) for f in referenced}
+    # top-level dirs a retained file lives under (one uuid write dir,
+    # or a col=value partition dir whose files span many commits)
+    referenced_top = set()
+    for f in referenced:
+        rel = os.path.relpath(f, data_root)
+        if not rel.startswith(".."):
+            referenced_top.add(rel.split(os.sep, 1)[0])
     for d in dirs:
         full = os.path.join(data_root, d)
         try:
             age = now - os.path.getmtime(full)
         except OSError:
             continue  # racing removal
-        if full not in referenced_dirs:
+        if d not in referenced_top:
             if age < min_age_s:
                 continue  # possibly an in-flight commit's data — retain
             if not dry_run:
@@ -4320,33 +4671,40 @@ def vacuum(
             removed.append(full)
             continue
         # partially referenced dir: remove the individual files a
-        # replace commit swapped out (age-guarded per file)
-        try:
-            names = os.listdir(full)
-        except FileNotFoundError:
-            continue
-        for n in names:
-            if not n.endswith(".parquet"):
-                continue
-            fp = os.path.join(full, n)
-            if fp in referenced:
-                continue
-            try:
-                if now - os.path.getmtime(fp) < min_age_s:
+        # replace commit swapped out (age-guarded per file); the walk
+        # is RECURSIVE — partition layouts nest col=value dirs, and
+        # the one-level walk would have missed (or worse, whole-dir
+        # reclaimed) files under them
+        for dirpath, _subdirs, names in os.walk(full, topdown=False):
+            for n in names:
+                if not n.endswith(".parquet"):
                     continue
-            except OSError:
-                continue
-            if not dry_run:
-                try:
-                    os.unlink(fp)
-                except FileNotFoundError:
+                fp = os.path.join(dirpath, n)
+                if fp in referenced:
                     continue
-                crc = os.path.join(full, f".{n}.crc")
                 try:
-                    os.unlink(crc)
-                except FileNotFoundError:
+                    if now - os.path.getmtime(fp) < min_age_s:
+                        continue
+                except OSError:
+                    continue
+                if not dry_run:
+                    try:
+                        os.unlink(fp)
+                    except FileNotFoundError:
+                        continue
+                    crc = os.path.join(dirpath, f".{n}.crc")
+                    try:
+                        os.unlink(crc)
+                    except FileNotFoundError:
+                        pass
+                removed.append(fp)
+            # bottom-up: prune a partition dir emptied by the removals
+            if not dry_run and dirpath != full:
+                try:
+                    if not os.listdir(dirpath):
+                        os.rmdir(dirpath)
+                except OSError:
                     pass
-            removed.append(fp)
     from integritychecksforvldbs_spark.sources.deletion_vectors import (
         dv_root,
     )

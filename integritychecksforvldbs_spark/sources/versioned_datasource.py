@@ -166,6 +166,16 @@ def _read_file_batches(path: str, target=None, dv_ranges=None) -> Iterator:
             yield from _dv_filter(pf.iter_batches())
             return
         present = [r for r, _o, _t in target if r in pf.schema_arrow.names]
+        # hive-partitioned layout: a column absent from the footer may
+        # live in the file's col=value directory names — reconstruct
+        # it as the constant the path declares (physical names, like
+        # the footer's)
+        from integritychecksforvldbs_spark.sources.versioned import (
+            _HIVE_NULL,
+            _partition_segments,
+        )
+
+        part_vals = _partition_segments(path)
         out_schema = pa.schema(pa.field(o, t) for _r, o, t in target)
         for batch in _dv_filter(pf.iter_batches(columns=present)):
             cols = []
@@ -174,6 +184,11 @@ def _read_file_batches(path: str, target=None, dv_ranges=None) -> Iterator:
                     col = batch.column(batch.schema.get_field_index(read))
                     if col.type != typ:
                         col = col.cast(typ)
+                elif read in part_vals and part_vals[read] != _HIVE_NULL:
+                    col = pa.repeat(
+                        pa.scalar(part_vals[read], pa.string()),
+                        batch.num_rows,
+                    ).cast(typ)
                 else:
                     col = pa.nulls(batch.num_rows, typ)
                 cols.append(col)

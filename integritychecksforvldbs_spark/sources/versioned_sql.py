@@ -38,9 +38,12 @@ registered via :func:`register_table` or an explicit path):
   requested snapshot view and the rewritten statement runs through
   ``spark.sql`` unchanged otherwise (joins, CTEs, aggregates all
   work; ts is epoch seconds or an ISO-8601 literal).
-- ``CREATE [OR REPLACE] TABLE <t> AS SELECT …|VALUES …`` — creates
-  (or, with OR REPLACE, overwrites) the table from the query; plain
-  CREATE refuses a table that already has committed versions.
+- ``CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (c[, ...])] AS
+  SELECT …|VALUES …`` — creates (or, with OR REPLACE, overwrites) the
+  table from the query, optionally hive-partitioned
+  (``data/col=value/`` layout with partition values folded into the
+  manifest stats); plain CREATE refuses a table that already has
+  committed versions.
 - Maintenance statements, the Delta SQL verbs mapped 1:1 onto the
   primitives: ``RESTORE TABLE <t> TO VERSION AS OF n`` (or
   ``TIMESTAMP AS OF ts``), ``VACUUM <t> [RETAIN k VERSIONS]
@@ -492,7 +495,9 @@ _DESC_DETAIL = re.compile(
 )
 _CREATE = re.compile(
     r"^\s*CREATE\s+(?:(?P<orrep>OR\s+REPLACE)\s+)?TABLE\s+"
-    r"(?P<tbl>[^\s;]+)\s+AS\s+(?P<q>.*)$",
+    r"(?P<tbl>[^\s;]+)\s+"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<pby>[^()]+?)\s*\)\s+)?"
+    r"AS\s+(?P<q>.*)$",
     re.I | re.S,
 )
 _ALTER_CONSTRAINT = re.compile(
@@ -812,12 +817,18 @@ def versioned_sql(
                 f"table {m.group('tbl')!r} already has committed "
                 "versions; use CREATE OR REPLACE TABLE to overwrite"
             )
+        pby = [
+            c.strip().strip("`")
+            for c in (m.group("pby") or "").split(",")
+            if c.strip()
+        ]
         df = df.persist()
         try:
             n = df.count()
             v = versioned.commit(
                 spark, df, path,
                 mode="overwrite" if exists else "append",
+                partition_by=pby or None,
             )
         finally:
             df.unpersist()
@@ -949,11 +960,12 @@ def versioned_sql(
                     len(man.get("bloom") or {}),
                     str(man.get("mode")),
                     man.get("schema"),
+                    ",".join(man.get("partition_by") or []),
                 )],
                 "version long, n_files long, n_rows long, n_dvs long, "
                 "dv_dead_rows long, n_constraints long, "
                 "n_mapped_columns long, n_bloom_indexes long, "
-                "last_mode string, schema string",
+                "last_mode string, schema string, partition_by string",
             )
         m = _DESC_HISTORY.match(stmt)
         if not m:
