@@ -1891,12 +1891,48 @@ def commit(
             mapping=mapping,
         )
 
-    return _commit_prepared(
+    v = _commit_prepared(
         path, new_files, new_stats, mode, new_ddl,
         df.schema.jsonValue(), extra=extra,
         expected_parent=expected_parent, validate=_validate,
         prepared_against=prepared_against,
     )
+    if mode == "append":
+        _auto_refresh_bloom(spark, path)
+    return v
+
+
+def _auto_refresh_bloom(spark: SparkSession, path: str) -> None:
+    """Post-append hook: incrementally index the files the commit
+    just added, for every Bloom config recorded with ``auto=True``
+    (:func:`build_bloom`) — IO pinned to the new files (the carry-over
+    never re-reads indexed ones).  Best-effort: the data commit has
+    already succeeded and an unindexed file only costs pruning (it is
+    always kept), so a refresh failure must never surface as a commit
+    failure."""
+    try:
+        cur = _latest_committed(path)
+        if cur is None:
+            return
+        man = cur[1]
+        bloom = man.get("bloom") or {}
+        if not any(e.get("auto") for e in bloom.values()):
+            return
+        inv = {p: lg for lg, p in _mapping(man).items()}
+        sch = _manifest_schema(man)
+        names = set(sch.fieldNames()) if sch is not None else set()
+        for phys, cfg in bloom.items():
+            if not cfg.get("auto"):
+                continue
+            logical = inv.get(phys, phys)
+            if logical not in names:
+                continue
+            build_bloom(
+                spark, path, logical,
+                int(cfg["n_bits"]), int(cfg["k"]),
+            )
+    except Exception:
+        pass
 
 
 def _commit_prepared(
@@ -2433,13 +2469,24 @@ def build_bloom(
     column: str,
     n_bits: int = BLOOM_N_BITS_DEFAULT,
     k: int = BLOOM_K_DEFAULT,
+    auto: bool | None = None,
 ) -> int:
     """Build (or incrementally refresh) the table's Bloom index for
     ``column`` over the CURRENT snapshot and record it in a
     metadata-only commit.  Returns the committed version.  Files the
     previous build already indexed carry their bitsets over unread
     (immutable files, immutable bitsets); changing ``n_bits``/``k``
-    forces a full rebuild."""
+    forces a full rebuild.
+
+    ``auto=True`` records the config as self-refreshing: every later
+    :func:`commit` APPEND runs the incremental refresh over just the
+    files it added (r10 verdict gap #3 — without it, point-probe
+    pruning silently decayed on hot append tables until a manual
+    re-run); ``auto=False`` turns it off, ``None`` (default) keeps the
+    existing setting across refreshes.  DML rewrites stay
+    refresh-on-demand: their new files are simply unindexed (always
+    kept — sound, never wrong) until the next append or manual
+    build."""
     from pyspark.sql import functions as F
 
     from integritychecksforvldbs_spark.operators.kernels import (
@@ -2520,6 +2567,11 @@ def build_bloom(
     # the index is metadata-scale (one row per file): keep it compact
     out.coalesce(8).write.parquet(index_dir)
     entry = {"index": index_dir, "n_bits": int(n_bits), "k": int(k)}
+    want_auto = bool(old.get("auto")) if (
+        auto is None and old is not None
+    ) else bool(auto)
+    if want_auto:
+        entry["auto"] = True
     for _ in range(_MAX_COMMIT_RETRIES):
         cur = _latest_committed(path)
         if cur is None:
@@ -3554,6 +3606,7 @@ def merge_when(
     source_alias: str = "s",
     max_retries: int = 5,
     strategy: str = "auto",
+    extra: dict | None = None,
 ) -> tuple[int, dict]:
     """General conditional MERGE — the full WHEN-clause form next to
     :func:`merge_into`'s upsert-all fast path.  Returns ``(version,
@@ -3799,7 +3852,7 @@ def merge_when(
             if ins is None or n_inserted == 0:
                 v = _commit_replace(
                     path, base_v, man, set(), [], {},
-                    mode="merge", data_change=False,
+                    mode="merge", data_change=False, extra=extra,
                 )
                 if v is not None:
                     return v, {
@@ -3817,7 +3870,7 @@ def merge_when(
             )
             v = _commit_replace(
                 path, base_v, man, set(), new_files, new_stats,
-                mode="merge", data_change=True,
+                mode="merge", data_change=True, extra=extra,
             )
             if v is not None:
                 return v, {
@@ -3885,7 +3938,8 @@ def merge_when(
             v = _commit_replace(
                 path, base_v, man, removed, new_files, new_stats,
                 mode="merge", data_change=True,
-                extra={"row_local": True}, new_dvs=add_dvs,
+                extra={**(extra or {}), "row_local": True},
+                new_dvs=add_dvs,
             )
             if v is not None:
                 return v, metrics
@@ -3909,7 +3963,7 @@ def merge_when(
         )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
-            mode="merge", data_change=True,
+            mode="merge", data_change=True, extra=extra,
         )
         if v is not None:
             return v, metrics
@@ -4529,7 +4583,10 @@ def convert_to_versioned(
 
 
 def versioned_batch_sink(
-    table_path: str, mode: str = "append", keys: list[str] | None = None
+    table_path: str,
+    mode: str = "append",
+    keys: list[str] | None = None,
+    clauses: list[dict] | None = None,
 ):
     """``foreachBatch`` writer committing each micro-batch into a
     versioned table, exactly-once via the version log itself: the
@@ -4547,9 +4604,20 @@ def versioned_batch_sink(
     replace commit carries it).  Batches must be unique on ``keys``
     (merge_into's own ambiguous-upsert refusal applies); compact a
     change stream to its latest row per key first (e.g.
-    ``scd.cdc_latest_snapshot``)."""
+    ``scd.cdc_latest_snapshot``).
+
+    ``clauses`` (with ``mode="merge"``) routes each batch through the
+    CONDITIONAL :func:`merge_when` form instead of the upsert-all fast
+    path — the full CDC shape (r10 verdict gap #4): ``WHEN MATCHED AND
+    s.op='D' THEN DELETE`` makes delete-bearing change streams land as
+    deletes, with the same atomic in-body batch_id so replays stay
+    no-ops."""
     if mode == "merge" and not keys:
         raise ValueError('versioned_batch_sink(mode="merge") needs keys')
+    if clauses and mode != "merge":
+        raise ValueError(
+            'versioned_batch_sink clauses need mode="merge"'
+        )
     if mode not in ("append", "overwrite", "merge"):
         raise ValueError(f"unknown sink mode {mode!r}")
 
@@ -4561,6 +4629,21 @@ def versioned_batch_sink(
         if df.isEmpty():
             return
         if mode == "merge":
+            if clauses:
+                if _latest_committed(table_path) is None:
+                    raise FileNotFoundError(
+                        "versioned_batch_sink(clauses=...) needs an "
+                        f"existing target table at {table_path!r}: a "
+                        "conditional merge cannot derive the target "
+                        "schema from a change batch (the batch carries "
+                        "CDC columns the table must not) — create it "
+                        "first, e.g. commit(spark, df.limit(0), path)"
+                    )
+                merge_when(
+                    df.sparkSession, table_path, df, list(keys),
+                    clauses, extra={"batch_id": int(batch_id)},
+                )
+                return
             merge_into(
                 df.sparkSession, table_path, df, list(keys),
                 extra={"batch_id": int(batch_id)},

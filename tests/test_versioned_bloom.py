@@ -285,3 +285,58 @@ def test_probe_collects_paths_never_bitsets(spark, tmp_path, monkeypatch):
     ]
     assert kept == expect
     assert 0 < len(kept) < len(man["files"])  # it actually pruned
+
+
+def test_auto_refresh_on_append(spark, tmp_path, monkeypatch):
+    """r10 verdict gap #3: files appended after build_bloom stayed
+    unindexed until a manual re-run, silently decaying point-probe
+    pruning on hot append tables.  build_bloom(auto=True) records the
+    config; every later APPEND refreshes incrementally over just its
+    own files (footer IO pinned by a scan spy), and the probe prunes
+    with no manual rebuild.  A manual refresh with auto unset keeps
+    the flag; DML rewrites stay refresh-on-demand."""
+    t = str(tmp_path / "t")
+    _scattered(spark, t, files=4)
+    versioned.build_bloom(spark, t, "uid", auto=True)
+    man = versioned._resolve_manifest(t, None)
+    (cfg,) = man["bloom"].values()
+    assert cfg["auto"] is True
+
+    scanned = []
+    real = versioned._scan_files
+
+    def spy(spark_, man_, files=None, **kw):
+        scanned.append(list(files) if files is not None else None)
+        return real(spark_, man_, files, **kw)
+
+    monkeypatch.setattr(versioned, "_scan_files", spy)
+    df = spark.range(100_000, 100_010).select(
+        F.col("id").alias("ts"),
+        F.lit(-42).cast("long").alias("uid"),
+        (F.col("id") * 2).alias("v"),
+    )
+    versioned.commit(spark, df.coalesce(1), t)
+    monkeypatch.undo()
+    man = versioned._resolve_manifest(t, None)
+    assert man["bloom"]  # survived the append
+    # the refresh's census scanned ONLY the appended file — never the
+    # already-indexed originals
+    bloom_scans = [fs for fs in scanned if fs is not None]
+    assert bloom_scans and all(len(fs) == 1 for fs in bloom_scans)
+    # the probe prunes without any manual rebuild: uid=-42 lives only
+    # in the appended file, so every original file is skippable
+    kept = versioned._bloom_prune_files(
+        spark, man, {"uid": -42}, man["files"]
+    )
+    assert len(kept) <= 2  # appended file + bitset false positives
+    # and a value from the ORIGINAL files prunes the appended one
+    probe = versioned.read(spark, t).filter("ts = 31").collect()[0].uid
+    kept2 = versioned._bloom_prune_files(
+        spark, man, {"uid": int(probe)}, man["files"]
+    )
+    assert 0 < len(kept2) < len(man["files"])
+    # manual refresh with auto unset (None) keeps the recorded flag
+    versioned.build_bloom(spark, t, "uid")
+    man = versioned._resolve_manifest(t, None)
+    (cfg,) = man["bloom"].values()
+    assert cfg["auto"] is True

@@ -105,3 +105,110 @@ def test_sink_validation(tmp_path):
         versioned.versioned_batch_sink(str(tmp_path), mode="merge")
     with pytest.raises(ValueError, match="unknown sink mode"):
         versioned.versioned_batch_sink(str(tmp_path), mode="replace")
+
+
+CDC_CLAUSES = [
+    {"when": "matched", "cond": "s.op = 'D'", "action": "delete"},
+    {"when": "matched", "action": "update", "set": {"val": "s.val"}},
+    {"when": "not_matched", "cond": "s.op <> 'D'", "action": "insert",
+     "values": {"k": "s.k", "val": "s.val"}},
+]
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string, op string")
+
+
+def test_conditional_merge_sink_cdc_deletes(spark, tmp_path):
+    """r10 verdict gap #4: the merge sink was upsert-only, so a
+    delete-bearing change stream could not land as deletes.
+    versioned_batch_sink(mode='merge', clauses=...) routes through
+    merge_when — the CDC shape WHEN MATCHED AND s.op='D' THEN DELETE —
+    with the in-body batch_id keeping replays no-ops."""
+    dst = str(tmp_path / "dst")
+    versioned.commit(
+        spark, _kv(spark, [(1, "a"), (2, "b"), (3, "c")]), dst
+    )
+    w = versioned.versioned_batch_sink(
+        dst, mode="merge", keys=["k"], clauses=CDC_CLAUSES
+    )
+    # batch 0: update 1, delete 2, insert 4, and a delete for a key
+    # that never existed (no-op by the matched guard)
+    w(_cdc(spark, [(1, "A!", "U"), (2, None, "D"),
+                   (4, "d", "I"), (9, None, "D")]), 0)
+    got = {r.k: r.val for r in versioned.read(spark, dst).collect()}
+    assert got == {1: "A!", 3: "c", 4: "d"}
+    v_after = versioned._latest_committed(dst)[0]
+    man = versioned._latest_committed(dst)[1]
+    assert man.get("batch_id") == 0 and man.get("mode") == "merge"
+    # replay of the SAME delete-bearing batch is a no-op
+    w(_cdc(spark, [(1, "SHOULD-NOT-LAND", "U"), (3, None, "D")]), 0)
+    assert versioned._latest_committed(dst)[0] == v_after
+    assert {r.k: r.val for r in versioned.read(spark, dst).collect()} == {
+        1: "A!", 3: "c", 4: "d"
+    }
+    # the next batch id lands
+    w(_cdc(spark, [(3, None, "D")]), 1)
+    assert {r.k for r in versioned.read(spark, dst).collect()} == {1, 4}
+
+
+def test_conditional_merge_sink_stream_end_to_end(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned.commit(
+        spark, _cdc(spark, [(1, "a", "I"), (2, "b", "I")]), src
+    )
+    # a conditional merge needs an EXISTING target (the batch carries
+    # CDC columns the table must not): zero-row create, Delta-style
+    versioned.commit(
+        spark, spark.createDataFrame([], "k long, val string"), dst
+    )
+
+    def run():
+        (
+            spark.readStream.format("versioned")
+            .option("maxVersionsPerTrigger", 1)
+            .load(src)
+            .writeStream.foreachBatch(
+                versioned.versioned_batch_sink(
+                    dst, mode="merge", keys=["k"], clauses=CDC_CLAUSES
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    # a second run delivers the delete-bearing commit as its own batch
+    # (the first trigger of a fresh checkpoint is uncapped by design,
+    # so one run would fold both commits into a key-ambiguous batch —
+    # the documented compact-first contract would refuse it)
+    versioned.commit(
+        spark, _cdc(spark, [(2, None, "D"), (5, "e", "I")]), src
+    )
+    run()
+    got = {r.k: r.val for r in versioned.read(spark, dst).collect()}
+    assert got == {1: "a", 5: "e"}  # 2 inserted then deleted
+    run()  # idle replay: no re-delivery, no re-merge
+    assert {
+        r.k: r.val for r in versioned.read(spark, dst).collect()
+    } == {1: "a", 5: "e"}
+
+
+def test_sink_clauses_need_merge_mode(tmp_path):
+    with pytest.raises(ValueError, match='need mode="merge"'):
+        versioned.versioned_batch_sink(
+            str(tmp_path), mode="append", clauses=CDC_CLAUSES
+        )
+
+
+def test_sink_clauses_need_existing_target(spark, tmp_path):
+    w = versioned.versioned_batch_sink(
+        str(tmp_path / "nope"), mode="merge", keys=["k"],
+        clauses=CDC_CLAUSES,
+    )
+    with pytest.raises(FileNotFoundError, match="existing target"):
+        w(_cdc(spark, [(1, "a", "I")]), 0)
