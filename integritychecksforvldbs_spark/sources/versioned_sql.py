@@ -47,7 +47,9 @@ registered via :func:`register_table` or an explicit path):
 - Maintenance statements, the Delta SQL verbs mapped 1:1 onto the
   primitives: ``RESTORE TABLE <t> TO VERSION AS OF n`` (or
   ``TIMESTAMP AS OF ts``), ``VACUUM <t> [RETAIN k VERSIONS]
-  [DRY RUN]``, ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``,
+  [DRY RUN]``, ``OPTIMIZE <t> [WHERE <cond>] [ZORDER BY (a, b, ...)]``
+  (WHERE = stats/partition-scoped compaction of only the in-scope
+  files, Delta's scoped OPTIMIZE),
   ``DESCRIBE HISTORY <t>``, and ``DESCRIBE DETAIL <t>`` (one
   metadata-only row: version, file/row/DV counts, constraints,
   schema — no data file is opened).
@@ -61,9 +63,10 @@ registered via :func:`register_table` or an explicit path):
   ``DROP CONSTRAINT <name>`` — commit-time CHECK constraints
   (:func:`~.versioned.set_constraints`; ADD validates the existing
   live rows first, Delta's semantics).
-- ``CREATE BLOOMFILTER INDEX ON [TABLE] <t> FOR COLUMNS (c[, ...])``
-  — :func:`~.versioned.build_bloom` per column (Delta's syntax):
-  point-probe file skipping for equality DML/reads.
+- ``CREATE BLOOMFILTER INDEX ON [TABLE] <t> FOR COLUMNS (c[, ...])
+  [WITH AUTO REFRESH]`` — :func:`~.versioned.build_bloom` per column
+  (Delta's syntax): point-probe file skipping for equality DML/reads;
+  WITH AUTO REFRESH records the index as self-refreshing on append.
 - ``CONVERT TO VERSIONED '<parquet_dir>' AT '<table_root>' [AS
   <name>]`` — zero-copy conversion of an existing plain-parquet
   directory (:func:`~.versioned.convert_to_versioned`, the CONVERT TO
@@ -484,6 +487,7 @@ _VACUUM = re.compile(
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<tbl>[^\s;]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ZORDER\s+BY\s+\((?P<zcols>[^)]*)\))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -513,7 +517,8 @@ _ALTER_DROP_CONSTRAINT = re.compile(
 _CREATE_BLOOM = re.compile(
     r"^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?"
     r"(?P<tbl>[^\s;]+)\s+FOR\s+COLUMNS\s*"
-    r"\(\s*(?P<cols>[^()]+?)\s*\)\s*;?\s*$",
+    r"\(\s*(?P<cols>[^()]+?)\s*\)"
+    r"(?:\s+(?P<auto>WITH\s+AUTO\s+REFRESH))?\s*;?\s*$",
     re.I | re.S,
 )
 _DROP_TABLE = re.compile(
@@ -780,6 +785,23 @@ def versioned_sql(
                 for c in m.group("zcols").split(",")
                 if c.strip()
             ]
+        if m.group("where"):
+            # scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE): bin-pack
+            # only the files the stats place inside the predicate —
+            # exact on a partition-column predicate
+            path = _resolve(m.group("tbl"))
+            v, rewritten, added = versioned.compact_files(
+                spark, path,
+                min_bytes=1 << 62,  # every in-scope file qualifies
+                zorder_by=zcols,
+                where=m.group("where").strip(),
+            )
+            if v is None:  # <2 in-scope files: nothing to bin-pack
+                v = versioned._latest_committed(path)[0]
+            return _metrics(
+                spark, version=v, files_before=rewritten,
+                files_after=added,
+            )
         v, before, after = versioned.optimize(
             spark, _resolve(m.group("tbl")), zorder_by=zcols
         )
@@ -791,8 +813,11 @@ def versioned_sql(
         if m:
             path = _resolve(m.group("tbl"))
             v = None
+            auto = True if m.group("auto") else None
             for piece in _split_top(m.group("cols"), r","):
-                v = versioned.build_bloom(spark, path, piece.strip().strip("`"))
+                v = versioned.build_bloom(
+                    spark, path, piece.strip().strip("`"), auto=auto
+                )
             return _metrics(spark, version=v)
         m = _CREATE.match(stmt)
         if not m:

@@ -352,3 +352,45 @@ def test_unsupported_partition_type_refused(spark, tmp_path):
     with pytest.raises(TypeError, match="partition column type"):
         versioned.commit(spark, df, path, partition_by=["c"])
     assert not os.path.exists(os.path.join(path, "_versions"))
+
+
+def test_sql_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE <t> WHERE c = 1 bin-packs ONLY that partition's files
+    (Delta's scoped OPTIMIZE), leaving the out-of-scope partition's
+    layout untouched, and WITH AUTO REFRESH rides the bloom verb."""
+    path = str(tmp_path / "t")
+    register_table("p11o", path)
+    try:
+        for lo in range(0, 40, 10):
+            versioned.commit(
+                spark, _mk(spark, lo, lo + 10, buckets=2).coalesce(1),
+                path, partition_by=["c"],
+            )
+        before = versioned._resolve_manifest(path, None)
+        n_c0 = sum(1 for f in before["files"] if "c=0" in f)
+        row = versioned_sql(spark, "OPTIMIZE p11o WHERE c = 1").collect()[0]
+        assert row["files_before"] == 4 and row["files_after"] >= 1
+        man = versioned._resolve_manifest(path, None)
+        assert sum(1 for f in man["files"] if "c=0" in f) == n_c0
+        assert [f for f in before["files"] if "c=0" in f] == [
+            f for f in man["files"] if "c=0" in f
+        ]
+        assert _rows(versioned.read(spark, path)) == _rows(
+            _mk(spark, 0, 40, buckets=2)
+        )
+        # single in-scope file: nothing to bin-pack, clean metrics row
+        row = versioned_sql(
+            spark, "OPTIMIZE p11o WHERE c = 1"
+        ).collect()[0]
+        assert row["files_before"] <= 1 or row["files_after"] >= 1
+        # bloom auto-refresh SQL form
+        versioned_sql(
+            spark,
+            "CREATE BLOOMFILTER INDEX ON p11o FOR COLUMNS (k) "
+            "WITH AUTO REFRESH",
+        )
+        man = versioned._resolve_manifest(path, None)
+        (cfg,) = man["bloom"].values()
+        assert cfg.get("auto") is True
+    finally:
+        register_table("p11o", None)
