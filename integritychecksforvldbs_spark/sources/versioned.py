@@ -4490,6 +4490,7 @@ def convert_to_versioned(
     source_dir: str,
     path: str,
     stats_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """CONVERT an existing plain-parquet directory into a versioned
     table — ZERO bytes copied or moved (Delta's ``CONVERT TO DELTA``):
@@ -4510,7 +4511,16 @@ def convert_to_versioned(
     plain schema'd scan cannot reproduce (INT64 TIMESTAMP(NANOS) /
     NTZ — see loader.py); then the manifest records no schema and
     every scan takes the legacy load_table path, which applies the
-    same normalizations query-by-query."""
+    same normalizations query-by-query.
+
+    ``partition_by``: REQUIRED when the source is hive-partitioned
+    (``col=value/`` directories — Delta's ``CONVERT TO DELTA ...
+    PARTITIONED BY`` takes the same declaration): the partition
+    columns live in directory names, not footers, so converting
+    without declaring them would silently drop those columns from
+    every read.  The conversion stays zero-copy — the manifest
+    records ``partition_by`` and folds each file's directory values
+    into its stats, exactly like a natively partitioned commit."""
     if _versions(path):
         raise FileExistsError(f"{path!r} already has a version log")
     from integritychecksforvldbs_spark.sources.catalog import (
@@ -4520,6 +4530,21 @@ def convert_to_versioned(
     files = sorted(f.path for f in list_parquet_files(spark, source_dir))
     if not files:
         raise ValueError(f"no parquet files under {source_dir!r}")
+    discovered: set[str] = set()
+    for f in files:
+        discovered.update(_partition_segments(f))
+    if discovered and partition_by is None:
+        raise ValueError(
+            f"{source_dir!r} is hive-partitioned (directory columns "
+            f"{sorted(discovered)}); pass partition_by=[...] so the "
+            "conversion keeps those columns — converting without the "
+            "declaration would silently drop them from every read"
+        )
+    if partition_by is not None and set(partition_by) != discovered:
+        raise ValueError(
+            f"partition_by {partition_by} does not match the source's "
+            f"directory columns {sorted(discovered)}"
+        )
     # EVERY file's footer is probed (r10 advice: sampling files[:1]
     # missed heterogeneous directories whose later part-files carry
     # the hazard — the very mis-read the check exists for), as a
@@ -4553,10 +4578,51 @@ def convert_to_versioned(
         hazard = True  # unknown physical types: take the safe path
     from integritychecksforvldbs_spark.sources.loader import load_table
 
-    df = load_table(spark, *files)
+    if partition_by:
+        if hazard:
+            raise ValueError(
+                f"{source_dir!r} mixes hive partitioning with "
+                "nanos/NTZ timestamp physical types; the schema-less "
+                "legacy scan cannot reconstruct partition columns — "
+                "normalize the timestamps (rewrite) before converting"
+            )
+        # discovery infers the partition columns' types from the
+        # directory values, exactly what the scan path will replan
+        df = (
+            spark.read.option("basePath", source_dir)
+            .parquet(source_dir)
+        )
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition columns {missing} not discovered under "
+                f"{source_dir!r}"
+            )
+        pdtypes = {f.name: f.dataType for f in df.schema.fields}
+        for c in partition_by:
+            _check_part_dtype(c, pdtypes[c])
+    else:
+        df = load_table(spark, *files)
     if stats_columns is None:
         stats_columns = _stats_eligible_columns(df.schema)
     stats = _file_stats_for_dir(spark, source_dir, stats_columns)
+    if partition_by:
+        # fold the directory values into each file's stats, exactly
+        # like a natively partitioned commit (footers cannot carry
+        # partition columns)
+        for f in files:
+            ent = stats.get(f)
+            if ent is None:
+                continue
+            seg = _partition_segments(f)
+            for c in partition_by:
+                v = _typed_part_value(seg[c], pdtypes[c])
+                ent["cols"][c] = {
+                    "min": _enc_stat(v),
+                    "max": _enc_stat(v),
+                    "nulls": 0 if v is not None else ent["n_rows"],
+                    "ok": True,
+                }
     import time
 
     body = {
@@ -4570,6 +4636,7 @@ def convert_to_versioned(
         "constraints": {},
         "schema": None if hazard else df.schema.simpleString(),
         "schema_json": None if hazard else df.schema.jsonValue(),
+        **({"partition_by": list(partition_by)} if partition_by else {}),
         "converted_from": source_dir,
     }
     os.makedirs(_vdir(path), exist_ok=True)

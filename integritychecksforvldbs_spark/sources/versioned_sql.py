@@ -67,10 +67,13 @@ registered via :func:`register_table` or an explicit path):
   [WITH AUTO REFRESH]`` — :func:`~.versioned.build_bloom` per column
   (Delta's syntax): point-probe file skipping for equality DML/reads;
   WITH AUTO REFRESH records the index as self-refreshing on append.
-- ``CONVERT TO VERSIONED '<parquet_dir>' AT '<table_root>' [AS
-  <name>]`` — zero-copy conversion of an existing plain-parquet
-  directory (:func:`~.versioned.convert_to_versioned`, the CONVERT TO
-  DELTA analogue); AS registers the name.
+- ``CONVERT TO VERSIONED '<parquet_dir>' AT '<table_root>'
+  [PARTITIONED BY (c[, ...])] [AS <name>]`` — zero-copy conversion of
+  an existing plain-parquet directory
+  (:func:`~.versioned.convert_to_versioned`, the CONVERT TO DELTA
+  analogue); hive-partitioned sources REQUIRE the PARTITIONED BY
+  declaration (the columns live in directory names, not footers); AS
+  registers the name.
 - ``DROP TABLE [IF EXISTS] <t>`` unbinds the registration
   (external-table semantics — the table root stays on disk);
   ``SHOW TABLES`` lists the registrations.
@@ -529,7 +532,9 @@ _DROP_TABLE = re.compile(
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
 _CONVERT = re.compile(
     r"^\s*CONVERT\s+TO\s+VERSIONED\s+'(?P<src>[^']+)'\s+AT\s+"
-    r"'(?P<dst>[^']+)'(?:\s+AS\s+(?P<name>[^\s;]+))?\s*;?\s*$",
+    r"'(?P<dst>[^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pby>[^()]+?)\s*\))?"
+    r"(?:\s+AS\s+(?P<name>[^\s;]+))?\s*;?\s*$",
     re.I | re.S,
 )
 _ALTER_ADD = re.compile(
@@ -924,8 +929,14 @@ def versioned_sql(
                 "only CONVERT TO VERSIONED '<parquet_dir>' AT "
                 f"'<table_root>' [AS <name>] is supported: {stmt!r}"
             )
+        pby = [
+            c.strip().strip("`")
+            for c in (m.group("pby") or "").split(",")
+            if c.strip()
+        ]
         v = versioned.convert_to_versioned(
-            spark, m.group("src"), m.group("dst")
+            spark, m.group("src"), m.group("dst"),
+            partition_by=pby or None,
         )
         if m.group("name"):
             register_table(m.group("name").strip("`"), m.group("dst"))

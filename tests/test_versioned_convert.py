@@ -147,3 +147,73 @@ def test_heterogeneous_source_hazard_found_past_first_file(
     versioned.convert_to_versioned(spark, src, t)
     man = versioned._resolve_manifest(t, None)
     assert man.get("schema") is None  # hazard detected past file 0
+
+
+def test_convert_partitioned_source(spark, tmp_path):
+    """r11: CONVERT of an already hive-partitioned plain directory
+    (Delta's CONVERT TO DELTA ... PARTITIONED BY).  Before this, the
+    conversion silently DROPPED the partition columns (they live in
+    directory names, not footers).  Pinned: undeclared partitioning
+    is refused loudly; declared partitioning keeps the columns
+    (values, types, pruning) zero-copy; appends inherit."""
+    src = str(tmp_path / "plain_part")
+    (
+        spark.range(100)
+        .selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS c", "id * 2 AS v"
+        )
+        .write.partitionBy("c")
+        .parquet(src)
+    )
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        versioned.convert_to_versioned(spark, src, t)
+    with pytest.raises(ValueError, match="does not match"):
+        versioned.convert_to_versioned(spark, src, t, partition_by=["v"])
+    assert versioned.convert_to_versioned(
+        spark, src, t, partition_by=["c"]
+    ) == 1
+    man = versioned._resolve_manifest(t, None)
+    assert man["partition_by"] == ["c"]
+    got = versioned.read(spark, t)
+    assert set(got.columns) == {"k", "c", "v"}
+    assert got.count() == 100
+    assert got.agg(F.sum("c")).collect()[0][0] == sum(i % 4 for i in range(100))
+    # folded stats prune exactly, zero-copy (files referenced in place)
+    cand = versioned._dml_candidates(man, "c = 2")
+    assert cand and all("c=2" in f for f in cand)
+    assert all(f.split("file:")[-1].startswith(src) or src in f for f in man["files"])
+    # appends inherit the layout and land under the TABLE's data root
+    # (discovery ordered the declared schema data-cols-first, so the
+    # append must speak that order — the usual drift contract)
+    versioned.commit(
+        spark,
+        spark.range(100, 110).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 4 AS INT) AS c"
+        ),
+        t,
+    )
+    assert versioned.read(spark, t).count() == 110
+    assert versioned.read(spark, t).filter("c = 1").count() == 28
+
+
+def test_sql_convert_partitioned_verb(spark, tmp_path):
+    src = str(tmp_path / "plain_part")
+    (
+        spark.range(40)
+        .selectExpr("id AS k", "CAST(id % 2 AS INT) AS c")
+        .write.partitionBy("c")
+        .parquet(src)
+    )
+    t = str(tmp_path / "tbl")
+    r = versioned_sql(
+        spark,
+        f"CONVERT TO VERSIONED '{src}' AT '{t}' "
+        "PARTITIONED BY (c) AS convp_t",
+    ).collect()[0]
+    assert r.version == 1
+    out = versioned_sql(
+        spark, "SELECT SUM(c) AS s FROM convp_t"
+    ).collect()[0]
+    assert out.s == 20
+    versioned_sql(spark, "DROP TABLE convp_t")
