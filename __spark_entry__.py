@@ -639,6 +639,58 @@ GROUP BY o_orderstatus
 """
 
 
+def _q_versioned_partitioned_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Date-partitioned versioned EVENTS — the r10 verdict's exact
+    shape ("would manifest pruning touch the same files hive
+    partition pruning would, on events"): the mirror commits events
+    PARTITIONED BY event_date (30 daily ``event_date=.../`` dirs),
+    a date-RANGE read_where is asserted to plan only the three
+    in-range days' files, and the pruned scan aggregates to the
+    plain-SQL answer."""
+    import datetime
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "events_versioned_by_date")
+    if versioned._read_manifest(path, 1) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ev = _load(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        versioned.commit(spark, ev, path, partition_by=["event_date"])
+    lo, hi = datetime.date(2024, 1, 10), datetime.date(2024, 1, 12)
+    man = versioned._resolve_manifest(path, None)
+    kept, _ = versioned._prune_manifest_files(
+        man, {"event_date": (lo, hi)}
+    )
+    # the pruning is EXACT: only the three in-range days' files plan
+    assert kept and len(kept) < len(man["files"])
+    for f in kept:
+        d = datetime.date.fromisoformat(
+            versioned._partition_segments(f)["event_date"]
+        )
+        assert lo <= d <= hi
+    got = versioned.read_where(spark, path, {"event_date": (lo, hi)})
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_VERSIONED_PARTITIONED_EVENTS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY event_type
+"""
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3933,8 +3985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # versioned_dv_delete)
     out["versioned_dv_changes"] = _q_versioned_dv_changes
     # r11: hive partition-column layout — partition-scoped DML probe
-    # + read_where planning exactly one partition's files
+    # + read_where planning exactly one partition's files; the events
+    # shape proves a date-RANGE prunes to exactly the in-range days
     out["versioned_partitioned_prune"] = _q_versioned_partitioned
+    out["versioned_partitioned_events"] = _q_versioned_partitioned_events
     return out
 
 
@@ -4322,6 +4376,9 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_convert_supplier"] = _VERSIONED_CONVERT_ORACLE
     out["versioned_dv_changes"] = _VERSIONED_DV_CHANGES_ORACLE
     out["versioned_partitioned_prune"] = _VERSIONED_PARTITIONED_ORACLE
+    out["versioned_partitioned_events"] = (
+        _VERSIONED_PARTITIONED_EVENTS_ORACLE
+    )
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE
     return out
