@@ -3418,9 +3418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["events_freshness_suite"] = _q_freshness_suite
-    out["events_attribution"] = lambda spark, sf: joins.purchase_attribution(
-        _load(spark, sf, "events")
-    )
     out["events_sessions"] = lambda spark, sf: sessions.session_counts(
         _load(spark, sf, "events")
     )
@@ -3485,8 +3482,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays registered below the cap.
     out["versioned_schema_evolution"] = _q_versioned_schema_evolution
     del out["versioned_merge_customers"]
+    # r11 centerpiece: hive partition-column layout — the gate row
+    # rides the head so the driver records it (events_attribution,
+    # one of the events family's eight head rows, moved past the cap)
+    out["versioned_partitioned_prune"] = _q_versioned_partitioned
 
     # ================= past the 50-row driver cap =================
+    out["events_attribution"] = lambda spark, sf: joins.purchase_attribution(
+        _load(spark, sf, "events")
+    )
     out["versioned_merge_customers"] = _q_versioned_merge
     out["versioned_update_where"] = _q_versioned_update_where
     # r10 wave 6: Bloom point-probe erasure (build_bloom + delete by
@@ -3984,10 +3988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # delta IS the feed (r9; head-50 gates the DV family via
     # versioned_dv_delete)
     out["versioned_dv_changes"] = _q_versioned_dv_changes
-    # r11: hive partition-column layout — partition-scoped DML probe
-    # + read_where planning exactly one partition's files; the events
-    # shape proves a date-RANGE prunes to exactly the in-range days
-    out["versioned_partitioned_prune"] = _q_versioned_partitioned
+    # r11: the events shape proves a date-RANGE prunes to exactly the
+    # in-range days (the head's versioned_partitioned_prune gates the
+    # partition-layout family)
     out["versioned_partitioned_events"] = _q_versioned_partitioned_events
     return out
 
