@@ -49,6 +49,11 @@ HEADLINE = [
 # headline (compare subtotals at matching keys, never raw totals).
 R10_SET = list(HEADLINE)
 
+# r11: the partition-layout read path joins the headline — the
+# partition-scoped DELETE + pruned read over the hive-partitioned
+# versioned orders mirror (build paid in the prebuild subprocess).
+HEADLINE.append("versioned_partitioned_prune")
+
 
 def _prebuild_mirrors(sf_dir: str) -> None:
     """Materialize every on-disk mirror fixture the headline needs
