@@ -1532,6 +1532,45 @@ def _scan_live_pos(
     return _to_logical(df, man), fcol, rcol
 
 
+def _merge_probe_candidates(
+    spark: SparkSession, man: dict, source: DataFrame, keys: list[str]
+) -> list[str] | None:
+    """Manifest files a MERGE probe must scan: those whose per-key
+    stats OVERLAP the source's key ranges (one small agg over the
+    source).  At 100 TB this is what keeps a time-keyed CDC upsert
+    touching O(recent files) instead of probing the whole table — the
+    same stats machinery partition layouts fold into, so a merge keyed
+    by a partition column prunes to exactly the source's partitions.
+    ``None`` = no pruning: a NULL source key matches null rows under
+    eqNullSafe anywhere (so any null key bails), and any failure
+    degrades to the unpruned probe.  Conservative by contract — the
+    key semi-join re-applies exact matching on whatever survives."""
+    from pyspark.sql import functions as F
+
+    try:
+        if not (man.get("stats") or {}):
+            return None
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs += [
+                F.min(k).alias(f"__mn{i}"),
+                F.max(k).alias(f"__mx{i}"),
+                F.sum(F.col(k).isNull().cast("long")).alias(f"__nl{i}"),
+            ]
+        row = source.agg(*aggs).collect()[0]
+        bounds: dict[str, tuple] = {}
+        for i, k in enumerate(keys):
+            if int(row[f"__nl{i}"] or 0) > 0:
+                return None  # null keys match null rows in any file
+            if row[f"__mn{i}"] is None:
+                return []  # empty source: nothing can match
+            bounds[k] = (row[f"__mn{i}"], row[f"__mx{i}"])
+        kept, _ = _prune_manifest_files(man, bounds)
+        return kept
+    except Exception:
+        return None
+
+
 def _touched_files(
     spark: SparkSession, man: dict, mark, files: list[str] | None = None
 ) -> list[str]:
@@ -3430,7 +3469,10 @@ def merge_into(
             return df.join(source.select(*keys), cond, "left_semi")
 
         touched = (
-            _touched_files(spark, man, _matched)
+            _touched_files(
+                spark, man, _matched,
+                files=_merge_probe_candidates(spark, man, source, keys),
+            )
             if man["files"]
             else []
         )
@@ -3766,7 +3808,19 @@ def merge_when(
             return j.filter(act != F.lit("keep"))
 
         touched = (
-            _touched_files(spark, man, _mark) if man["files"] else []
+            _touched_files(
+                spark, man, _mark,
+                # WHEN NOT MATCHED BY SOURCE marks target rows with NO
+                # source match — they can live in ANY file, so source
+                # key ranges only prune when no such clause exists
+                files=(
+                    _merge_probe_candidates(spark, man, source, keys)
+                    if not n_clauses
+                    else None
+                ),
+            )
+            if man["files"]
+            else []
         )
 
         # insert rows: source keys absent from the WHOLE table's live
