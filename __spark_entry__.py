@@ -691,6 +691,48 @@ GROUP BY event_type
 """
 
 
+def _q_versioned_hidden_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN (transform) partitioning — Iceberg's partition
+    transforms on this format: the mirror commits events PARTITIONED
+    BY day(ts) (a SYNTHETIC ts_day dir derived from ts; the schema
+    never carries it), and a plain ``ts`` RANGE predicate — which
+    never mentions the partition — is asserted to plan only the three
+    in-range days' files before aggregating to the plain-SQL answer."""
+    import datetime
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _mirror_path(sf_dir, "events_versioned_hidden_day")
+    if versioned._read_manifest(path, 1) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ev = _load(spark, sf_dir, "events")
+        versioned.commit(spark, ev, path, partition_by=["day(ts)"])
+    man = versioned._resolve_manifest(path, None)
+    assert man["partition_transforms"] == {
+        "ts_day": {"fn": "day", "src": "ts"}
+    }
+    lo = datetime.datetime(2024, 1, 10, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 12, 23, 59, 59, 999999)
+    kept, _ = versioned._prune_manifest_files(man, {"ts": (lo, hi)})
+    assert kept and len(kept) < len(man["files"])
+    for f in kept:
+        d = datetime.date.fromisoformat(
+            versioned._partition_segments(f)["ts_day"]
+        )
+        assert datetime.date(2024, 1, 10) <= d <= datetime.date(2024, 1, 12)
+    got = versioned.read_where(spark, path, {"ts": (lo, hi)})
+    # the schema is the plain events schema — ts_day never surfaces
+    assert "ts_day" not in got.columns
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3992,6 +4034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-range days (the head's versioned_partitioned_prune gates the
     # partition-layout family)
     out["versioned_partitioned_events"] = _q_versioned_partitioned_events
+    # r11: HIDDEN partitioning (Iceberg transforms) — a ts range that
+    # never mentions the partition prunes the synthetic day dirs
+    out["versioned_hidden_partition"] = _q_versioned_hidden_partition
     return out
 
 
@@ -4382,6 +4427,17 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_partitioned_events"] = (
         _VERSIONED_PARTITIONED_EVENTS_ORACLE
     )
+    # the ts-range WHERE is hour-granular here (vs the identity gate's
+    # date cast) so the two gates cannot mask each other's bugs
+    out["versioned_hidden_partition"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+GROUP BY event_type
+"""
     # the refused append never landed: latest == plain full orders
     out["versioned_constrained_append"] = _VERSIONED_LATEST_ORACLE
     return out

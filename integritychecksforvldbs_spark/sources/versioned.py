@@ -102,6 +102,7 @@ SUPPORTED_FEATURES = frozenset(
         "bloom-index",
         "parquet-checkpoint",
         "partitioned-layout",
+        "transform-partitioning",
     }
 )
 
@@ -124,6 +125,8 @@ def _stamp_features(man: dict) -> dict:
         feats.add("parquet-checkpoint")
     if man.get("partition_by"):
         feats.add("partitioned-layout")
+    if man.get("partition_transforms"):
+        feats.add("transform-partitioning")
     man = dict(man)
     if feats:
         man["required_features"] = sorted(feats)
@@ -449,6 +452,158 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 def _partition_by(man: dict) -> list[str]:
     """PHYSICAL partition column names of a manifest ([] = flat)."""
     return list(man.get("partition_by") or [])
+
+
+def _partition_transforms(man: dict) -> dict[str, dict]:
+    """HIDDEN-partitioning transforms of a manifest: ``{dir_col:
+    {"fn", "src", "n"}}`` where ``src`` is the PHYSICAL source column
+    ({} = identity layout).  Iceberg's idea: the table partitions by a
+    DERIVED value (``day(ts)``, ``truncate(8, k)``) that never appears
+    in the schema — queries keep filtering the source column and the
+    stats-fold pruning translates their bounds onto the partition
+    dirs.  Transform dirs are synthetic, so the data files carry
+    every schema column and scans stay plain file-list scans (no
+    basePath discovery)."""
+    return dict(man.get("partition_transforms") or {})
+
+
+_TRANSFORM_SPEC = re.compile(
+    r"^\s*(?P<fn>day|month|year|truncate|bucket)\s*\(\s*"
+    r"(?:(?P<n>\d+)\s*,\s*)?(?P<col>[A-Za-z_]\w*)\s*\)\s*$",
+    re.I,
+)
+
+_MONOTONIC_TRANSFORMS = {"day", "month", "year", "truncate"}
+
+
+def _parse_partition_spec(
+    partition_by: list[str], schema, mapping: dict[str, str]
+) -> tuple[list[str], dict[str, dict]]:
+    """User ``partition_by`` entries — plain column names (identity)
+    or ``fn(col)`` / ``truncate(n, col)`` transforms — parsed into
+    (dir column names, transforms keyed by dir name, sources
+    PHYSICAL).  Identity and transform entries cannot mix: identity
+    dirs strip real columns (scans need basePath discovery), synthetic
+    dirs must not be discovered (they are not schema columns) — one
+    table cannot plan both ways."""
+    from pyspark.sql import types as T
+
+    names = set(schema.fieldNames())
+    dirs: list[str] = []
+    transforms: dict[str, dict] = {}
+    for ent in partition_by:
+        m = _TRANSFORM_SPEC.match(ent)
+        if m is None:
+            if ent not in names:
+                raise ValueError(
+                    f"partition column {ent!r} not in the schema"
+                )
+            dirs.append(mapping.get(ent, ent))
+            continue
+        fn = m.group("fn").lower()
+        col = m.group("col")
+        n = int(m.group("n")) if m.group("n") else None
+        if fn == "bucket":
+            raise ValueError(
+                "bucket(...) partition transform is not supported: "
+                "its hash is not driver-computable for pruning — use "
+                "truncate(n, col) or build a Bloom index for point "
+                "probes instead"
+            )
+        if col not in names:
+            raise ValueError(
+                f"partition transform source {col!r} not in the schema"
+            )
+        dtype = schema[col].dataType
+        if fn in ("day", "month", "year"):
+            if n is not None:
+                raise ValueError(f"{fn}() takes no width: {ent!r}")
+            if not isinstance(
+                dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            ):
+                raise ValueError(
+                    f"{fn}() needs a date/timestamp column: {ent!r}"
+                )
+            dname = f"{col}_{fn}"
+        else:  # truncate
+            if n is None or n <= 0:
+                raise ValueError(
+                    f"truncate needs a positive width: {ent!r}"
+                )
+            if not isinstance(
+                dtype,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.StringType),
+            ):
+                raise ValueError(
+                    f"truncate() needs an integer/string column: {ent!r}"
+                )
+            dname = f"{col}_trunc_{n}"
+        if dname in names:
+            raise ValueError(
+                f"derived partition dir {dname!r} collides with a "
+                "schema column; rename one"
+            )
+        dirs.append(dname)
+        transforms[dname] = {
+            "fn": fn, "src": mapping.get(col, col),
+            **({"n": n} if n is not None else {}),
+        }
+    if transforms and len(transforms) != len(dirs):
+        raise ValueError(
+            "identity and transform partition entries cannot mix in "
+            f"one table: {partition_by!r} (identity dirs need basePath "
+            "discovery, synthetic dirs must not be discovered)"
+        )
+    return dirs, transforms
+
+
+def _transform_write_expr(tr: dict, src_type):
+    """The Spark column computing a transform's dir value from its
+    (physical-named) source — MUST stay in lockstep with
+    :func:`_transform_value` (the driver-side twin the pruning
+    translation applies to predicate bounds)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fn, src = tr["fn"], tr["src"]
+    if fn == "day":
+        return F.to_date(F.col(src))
+    if fn == "month":
+        return F.trunc(F.to_date(F.col(src)), "month")
+    if fn == "year":
+        return F.trunc(F.to_date(F.col(src)), "year")
+    n = int(tr["n"])
+    if isinstance(src_type, T.StringType):
+        return F.substring(F.col(src), 1, n)
+    # integer floor-truncate (pmod keeps negatives Iceberg-correct)
+    return (F.col(src) - F.pmod(F.col(src), F.lit(n))).cast(src_type)
+
+
+def _transform_value(tr: dict, v):
+    """Driver-side twin of :func:`_transform_write_expr` over a
+    Python predicate-bound value (session tz pinned UTC, so the
+    timestamp→date folds agree).  Every supported transform is
+    MONOTONIC, which is what makes translating a (lo, hi) source
+    bound onto the dir value sound."""
+    import datetime
+
+    if v is None:
+        return None
+    fn = tr["fn"]
+    if fn in ("day", "month", "year"):
+        d = v.date() if isinstance(v, datetime.datetime) else v
+        if fn == "month":
+            d = d.replace(day=1)
+        elif fn == "year":
+            d = d.replace(month=1, day=1)
+        return d
+    n = int(tr["n"])
+    if isinstance(v, str):
+        return v[:n]
+    return v - (v % n)  # python % floors: Iceberg's negative contract
+
+
 
 
 def _partition_base(fpath: str) -> str:
@@ -1129,6 +1284,7 @@ def _write_data(
     stats_columns: list[str] | None = None,
     mapping: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
+    transforms: dict[str, dict] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` as fresh immutable data files under the table and
     census its footers: ``(new_files, new_stats)``.  Shared by every
@@ -1171,11 +1327,24 @@ def _write_data(
             spark, data_dir, stats_columns
         )
 
+    transforms = transforms or {}
+    if transforms:
+        # hidden partitioning: synthesize each dir column from its
+        # (physical-named) source; partitionBy strips it from the
+        # files, so the data stays self-contained and scans stay
+        # plain file-list scans
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        for dcol, tr in transforms.items():
+            df = df.withColumn(
+                dcol, _transform_write_expr(tr, src_types[tr["src"]])
+            )
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(
             f"partition columns {missing} not in the frame's schema"
         )
+    # synthesized dir columns already carry their result type
+    # (_transform_write_expr: day/month/year → date, truncate → src)
     pdtypes = {f.name: f.dataType for f in df.schema.fields}
     for c in partition_by:
         _check_part_dtype(c, pdtypes[c])
@@ -1316,8 +1485,12 @@ def _commit_replace(
         meta.setdefault("retired_cols", _retired(base_man))
         meta.setdefault("bloom", dict(base_man.get("bloom") or {}))
         meta.setdefault("partition_by", _partition_by(base_man))
+        meta.setdefault(
+            "partition_transforms", _partition_transforms(base_man)
+        )
         for _k in (
             "column_mapping", "retired_cols", "bloom", "partition_by",
+            "partition_transforms",
         ):
             if not meta.get(_k):
                 meta.pop(_k, None)
@@ -1371,7 +1544,15 @@ def _scan_files(
     files = man["files"] if files is None else files
     sch = _physical_schema(man)
     if sch is not None:
-        pby = _partition_by(man)
+        # transform (hidden) partitioning: the dirs are SYNTHETIC —
+        # the files carry every schema column, so the plain file-list
+        # scan is exact and discovery must NOT run (it would resurface
+        # the derived dir as a column)
+        pby = (
+            _partition_by(man)
+            if not _partition_transforms(man)
+            else []
+        )
         if pby and files:
             # partition columns live in the directory names, not the
             # footers: basePath discovery reconstructs them JVM-side
@@ -1603,18 +1784,45 @@ def _touched_files(
 
 
 # one atom of a conjunctive DML predicate the stats pruner understands:
-# `col <op> literal` or `literal <op> col`, literal a number or a
-# single-quoted string
+# `col <op> literal` or `literal <op> col`, literal a number, a
+# single-quoted string, or a typed TIMESTAMP'...'/DATE'...' literal
+_LIT_PAT = (
+    r"-?\d+(?:\.\d+)?|(?:TIMESTAMP|DATE)?\s*'[^']*'"
+)
 _BOUND_ATOM = re.compile(
     r"^\s*(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s*"
     r"(?P<op>>=|<=|==|=|<|>)\s*"
-    r"(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*$"
+    rf"(?P<lit>{_LIT_PAT})\s*$",
+    re.I,
 )
 _BOUND_ATOM_REV = re.compile(
-    r"^\s*(?P<lit>-?\d+(?:\.\d+)?|'[^']*')\s*"
+    rf"^\s*(?P<lit>{_LIT_PAT})\s*"
     r"(?P<op>>=|<=|==|=|<|>)\s*"
-    r"(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s*$"
+    r"(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s*$",
+    re.I,
 )
+
+
+def _parse_atom_literal(lit_s: str):
+    """The comparable Python value of a predicate atom's literal —
+    int/float, str, or (typed) datetime/date for TIMESTAMP'…'/DATE'…'
+    (ISO bodies; anything unparseable raises and the atom contributes
+    no bound)."""
+    import datetime
+
+    s = lit_s.strip()
+    up = s.upper()
+    if up.startswith("TIMESTAMP"):
+        return datetime.datetime.fromisoformat(
+            s[len("TIMESTAMP"):].strip()[1:-1]
+        )
+    if up.startswith("DATE"):
+        return datetime.date.fromisoformat(
+            s[len("DATE"):].strip()[1:-1]
+        )
+    if s.startswith("'"):
+        return s[1:-1]
+    return float(s) if "." in s else int(s)
 
 
 def _bounds_from_condition(condition: str) -> dict[str, tuple]:
@@ -1646,12 +1854,10 @@ def _bounds_from_condition(condition: str) -> dict[str, tuple]:
         if m is None:
             continue  # unrecognized atom: no bound from it
         col = m.group("qcol") or m.group("col")
-        lit_s = m.group("lit")
-        lit = (
-            lit_s[1:-1]
-            if lit_s.startswith("'")
-            else (float(lit_s) if "." in lit_s else int(lit_s))
-        )
+        try:
+            lit = _parse_atom_literal(m.group("lit"))
+        except Exception:
+            continue  # unparseable literal: no bound from this atom
         op = m.group("op")
         if rev:  # literal <op> col  ≡  col <flipped-op> literal
             op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
@@ -1878,16 +2084,19 @@ def commit(
             # naming a DIFFERENT one is refused — a snapshot mixing
             # layouts cannot be planned as one basePath scan
             table_pby = _partition_by(cur0[1])
+            table_tr = _partition_transforms(cur0[1])
             if partition_by is not None:
-                asked = [mapping.get(c, c) for c in partition_by]
-                if asked != table_pby:
+                asked, asked_tr = _parse_partition_spec(
+                    partition_by, df.schema, mapping
+                )
+                if asked != table_pby or asked_tr != table_tr:
                     raise ValueError(
                         f"append to {path!r} asked for partitioning "
                         f"{partition_by} but the table is laid out by "
                         f"{table_pby or 'nothing'}; overwrite to "
                         "re-partition"
                     )
-            pby_phys = table_pby
+            pby_phys, pby_tr = table_pby, table_tr
             # the drift check, the mapping evolution, and the PHYSICAL
             # names just written are all decisions against THIS view —
             # a metadata change racing the commit must conflict, not be
@@ -1900,7 +2109,9 @@ def commit(
                 "partition_by": table_pby,
             }
         else:
-            pby_phys = list(partition_by or [])
+            pby_phys, pby_tr = _parse_partition_spec(
+                partition_by or [], df.schema, {}
+            )
             # append prepared against an EMPTY table: the files about
             # to be written carry identity physical names and this
             # schema.  If a racing writer installs v1 first, those
@@ -1916,12 +2127,16 @@ def commit(
             }
     else:
         # overwrite: fresh layout, fresh (identity) physical names
-        pby_phys = list(partition_by or [])
+        pby_phys, pby_tr = _parse_partition_spec(
+            partition_by or [], df.schema, {}
+        )
     if pby_phys:
         extra.setdefault("partition_by", pby_phys)
+    if pby_tr:
+        extra.setdefault("partition_transforms", pby_tr)
     new_files, new_stats = _write_data(
         spark, df, path, stats_columns, mapping=mapping,
-        partition_by=pby_phys,
+        partition_by=pby_phys, transforms=pby_tr,
     )
 
     def _validate(active: dict) -> None:
@@ -2081,8 +2296,12 @@ def _commit_prepared(
             meta.setdefault("retired_cols", _retired(cur[1]))
             meta.setdefault("bloom", dict(cur[1].get("bloom") or {}))
             meta.setdefault("partition_by", _partition_by(cur[1]))
+            meta.setdefault(
+                "partition_transforms", _partition_transforms(cur[1])
+            )
         for _k in (
             "column_mapping", "retired_cols", "bloom", "partition_by",
+            "partition_transforms",
         ):
             if not meta.get(_k):
                 meta.pop(_k, None)
@@ -2451,7 +2670,10 @@ def drop_column(path: str, name: str) -> int:
                 f"{refs} reference it; drop them first"
             )
         phys0 = _mapping(man).get(name, name)
-        if phys0 in _partition_by(man):
+        tr_srcs = {
+            t["src"] for t in _partition_transforms(man).values()
+        }
+        if phys0 in _partition_by(man) or phys0 in tr_srcs:
             raise ValueError(
                 f"cannot drop {name!r}: the table is partitioned by "
                 "it — overwrite with a new layout first"
@@ -2647,12 +2869,10 @@ def _eq_literals_from_condition(condition: str) -> dict[str, object]:
         if m is None or m.group("op") not in ("=", "=="):
             continue
         col = m.group("qcol") or m.group("col")
-        lit_s = m.group("lit")
-        out[col] = (
-            lit_s[1:-1]
-            if lit_s.startswith("'")
-            else (float(lit_s) if "." in lit_s else int(lit_s))
-        )
+        try:
+            out[col] = _parse_atom_literal(m.group("lit"))
+        except Exception:
+            continue
     return out
 
 
@@ -2893,6 +3113,29 @@ def _prune_manifest_files(
 
     stats = man.get("stats") or {}
     m = _mapping(man)  # stats are keyed by PHYSICAL name
+    transforms = _partition_transforms(man)
+    if transforms:
+        # hidden partitioning: a bound on a transform's SOURCE column
+        # implies a bound on the dir value (every supported transform
+        # is monotonic), and the dir values are folded into the stats
+        # — so `WHERE ts BETWEEN a AND b` prunes day-partition dirs
+        # the query never mentions (Iceberg's contract)
+        extra_bounds = {}
+        for dcol, tr in transforms.items():
+            if tr.get("fn") not in _MONOTONIC_TRANSFORMS:
+                continue
+            for c, (lo, hi) in bounds.items():
+                if m.get(c, c) != tr["src"]:
+                    continue
+                try:
+                    extra_bounds[dcol] = (
+                        _transform_value(tr, lo),
+                        _transform_value(tr, hi),
+                    )
+                except Exception:
+                    continue  # untranslatable literal: no extra prune
+        if extra_bounds:
+            bounds = {**bounds, **extra_bounds}
     kept, skipped = [], []
     for f in man["files"]:
         dead = False
@@ -3019,6 +3262,7 @@ def optimize(
         new_files, new_stats = _write_data(
             spark, df, path, mapping=_mapping(man),
             partition_by=_partition_by(man),
+            transforms=_partition_transforms(man),
         )
         v = _commit_replace(
             path, cur_v, man, set(man["files"]), new_files, new_stats,
@@ -3493,6 +3737,7 @@ def merge_into(
                 new_files, new_stats = _write_data(
                     spark, source, path, mapping=_mapping(man),
                     partition_by=_partition_by(man),
+                    transforms=_partition_transforms(man),
                 )
                 _enforce(
                     spark, path, man.get("constraints") or {},
@@ -3522,6 +3767,7 @@ def merge_into(
         new_files, new_stats = _write_data(
             spark, out, path, mapping=_mapping(man),
             partition_by=_partition_by(man),
+            transforms=_partition_transforms(man),
         )
         _enforce(
             spark, path, man.get("constraints") or {},
@@ -3916,6 +4162,7 @@ def merge_when(
             new_files, new_stats = _write_data(
                 spark, ins, path, mapping=_mapping(man),
                 partition_by=_partition_by(man),
+                transforms=_partition_transforms(man),
             )
             _enforce(
                 spark, path, man.get("constraints") or {},
@@ -3981,6 +4228,7 @@ def merge_when(
                 new_files, new_stats = _write_data(
                     spark, new_rows, path, mapping=_mapping(man),
                     partition_by=_partition_by(man),
+                    transforms=_partition_transforms(man),
                 )
             else:
                 new_files, new_stats = [], {}
@@ -4009,6 +4257,7 @@ def merge_when(
         new_files, new_stats = _write_data(
             spark, out, path, mapping=_mapping(man),
             partition_by=_partition_by(man),
+            transforms=_partition_transforms(man),
         )
         _enforce(
             spark, path, man.get("constraints") or {},
@@ -4124,6 +4373,7 @@ def delete_where(
             new_files, new_stats = _write_data(
                 spark, kept, path, mapping=_mapping(man),
                 partition_by=_partition_by(man),
+                transforms=_partition_transforms(man),
             )
         v = _commit_replace(
             path, base_v, man, set(touched), new_files, new_stats,
@@ -4282,6 +4532,7 @@ def update_where(
             new_files, new_stats = _write_data(
                 spark, rewritten, path, mapping=_mapping(man),
                 partition_by=_partition_by(man),
+                transforms=_partition_transforms(man),
             )
             _enforce(
                 spark, path, man.get("constraints") or {},
@@ -4312,6 +4563,7 @@ def update_where(
         new_files, new_stats = _write_data(
             spark, rewritten, path, mapping=_mapping(man),
             partition_by=_partition_by(man),
+            transforms=_partition_transforms(man),
         )
         _enforce(
             spark, path, man.get("constraints") or {},
@@ -4349,6 +4601,7 @@ def compact(
         new_files, new_stats = _write_data(
             spark, read(spark, path, version=cur_v).coalesce(n_files), path,
             mapping=_mapping(man), partition_by=_partition_by(man),
+            transforms=_partition_transforms(man),
         )
         v = _commit_replace(
             path, cur_v, man, set(man["files"]), new_files, new_stats,
@@ -4459,6 +4712,7 @@ def compact_files(
     new_files, new_stats = _write_data(
         spark, df, path, mapping=_mapping(cur0[1]),
         partition_by=_partition_by(cur0[1]),
+        transforms=_partition_transforms(cur0[1]),
     )
     v = _commit_replace(
         path, cur0[0], cur0[1], set(small), new_files, new_stats,
@@ -4526,6 +4780,10 @@ def clone(
         **(
             {"partition_by": _partition_by(man)}
             if _partition_by(man) else {}
+        ),
+        **(
+            {"partition_transforms": _partition_transforms(man)}
+            if _partition_transforms(man) else {}
         ),
         "cloned_from": src_path,
         "cloned_version": int(man["version"]),

@@ -1,0 +1,306 @@
+"""Hidden (transform) partitioning — Iceberg's partition-transform
+idea on this format (r11, public design: Iceberg spec's partition
+transforms).
+
+``commit(..., partition_by=["day(ts)"])`` lays files out under a
+SYNTHETIC dir column derived from a source column (``ts_day=.../``).
+The derived column never enters the schema: data files carry every
+schema column, so scans stay plain file-list scans (no basePath
+discovery — pinned), and queries keep filtering the SOURCE column;
+every supported transform is monotonic, so the stats pruner
+translates source bounds onto the folded dir values and a
+``WHERE ts BETWEEN …`` prunes day dirs the query never mentions.
+Predicate atoms now parse TIMESTAMP'…'/DATE'…' literals so DML
+probes translate too.
+
+Pinned here: layout + round-trip, hidden range pruning exactness
+(read_where, DML probe, merge probe), day/month/truncate(int+str)
+transforms, typed-literal predicate bounds, append inheritance +
+mismatch/mixing/bucket refusals, rename-of-source safety + drop
+refusal, DML layout preservation, optimize, clone, the Python Data
+Source, and the feature gate.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+
+
+def _ev(spark, lo=0, hi=720):
+    # one row per hour over 30 days from 2024-01-01
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "TIMESTAMP'2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,CAST(id AS INT),0,0)"
+        ).alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def _dirs_of(files, key):
+    return sorted(
+        {versioned._partition_segments(f)[key] for f in files}
+    )
+
+
+@pytest.fixture()
+def htbl(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned.commit(spark, _ev(spark), path, partition_by=["day(ts)"])
+    return path
+
+
+def test_layout_schema_and_round_trip(spark, htbl):
+    man = versioned._resolve_manifest(htbl, None)
+    assert man["partition_by"] == ["ts_day"]
+    assert man["partition_transforms"] == {
+        "ts_day": {"fn": "day", "src": "ts"}
+    }
+    assert "transform-partitioning" in man["required_features"]
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(htbl, "data"))
+        if not d.startswith(".")
+    )
+    assert len(dirs) == 30 and dirs[0] == "ts_day=2024-01-01"
+    got = versioned.read(spark, htbl)
+    # the derived column is HIDDEN: not in the schema, not in reads
+    assert got.columns == ["k", "ts", "v"]
+    assert _rows(got) == _rows(_ev(spark))
+
+
+def test_hidden_range_pruning_is_exact(spark, htbl):
+    man = versioned._resolve_manifest(htbl, None)
+    lo = datetime.datetime(2024, 1, 5, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 6, 23, 59, 59)
+    kept, skipped = versioned._prune_manifest_files(
+        man, {"ts": (lo, hi)}
+    )
+    assert _dirs_of(kept, "ts_day") == ["2024-01-05", "2024-01-06"]
+    assert skipped
+    got = versioned.read_where(spark, htbl, {"ts": (lo, hi)})
+    assert got.count() == 48
+    assert _rows(got) == _rows(
+        _ev(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    )
+
+
+def test_dml_probe_prunes_hidden_dirs(spark, htbl, monkeypatch):
+    calls = []
+    real = versioned._scan_live_pos
+
+    def spy(s_, m_, files=None):
+        calls.append(files)
+        return real(s_, m_, files)
+
+    monkeypatch.setattr(versioned, "_scan_live_pos", spy)
+    v, n = versioned.delete_where(
+        spark, htbl,
+        "ts >= TIMESTAMP'2024-01-10 00:00:00' AND "
+        "ts <= TIMESTAMP'2024-01-10 23:59:59'",
+    )
+    monkeypatch.undo()
+    assert n == 24
+    assert calls[0] is not None
+    assert _dirs_of(calls[0], "ts_day") == ["2024-01-10"]
+    assert versioned.read(spark, htbl).count() == 720 - 24
+    # the rewrite landed back under hidden dirs
+    man = versioned._resolve_manifest(htbl, None)
+    assert all("ts_day=" in f for f in man["files"])
+
+
+def test_merge_probe_prunes_hidden_dirs(spark, htbl, probe_files=None):
+    src = spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "TIMESTAMP'2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,CAST(id AS INT),0,0)"
+        ).alias("ts"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    # keys include ts: the merge probe's source range covers hours
+    # 100..109 = Jan 5 — files elsewhere are never planned
+    calls = []
+    real = versioned._scan_live_pos
+
+    def spy(s_, m_, files=None):
+        calls.append(files)
+        return real(s_, m_, files)
+
+    versioned._scan_live_pos = spy
+    try:
+        versioned.merge_into(spark, htbl, src, ["k", "ts"])
+    finally:
+        versioned._scan_live_pos = real
+    assert calls and all(c is not None for c in calls)
+    assert _dirs_of(calls[0], "ts_day") == ["2024-01-05"]
+    assert versioned.read(spark, htbl).filter("v = -1").count() == 10
+
+
+def test_month_and_truncate_transforms(spark, tmp_path):
+    t = str(tmp_path / "m")
+    df = spark.range(0, 1440, 24).select(  # one row per day, 60 days
+        F.col("id").alias("k"),
+        F.expr(
+            "TIMESTAMP'2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,CAST(id AS INT),0,0)"
+        ).alias("ts"),
+    )
+    versioned.commit(spark, df, t, partition_by=["month(ts)"])
+    man = versioned._resolve_manifest(t, None)
+    # 60 daily rows from 2024-01-01 span exactly two months
+    assert _dirs_of(man["files"], "ts_month") == [
+        "2024-01-01", "2024-02-01",
+    ]
+    kept, _ = versioned._prune_manifest_files(
+        man,
+        {"ts": (
+            datetime.datetime(2024, 2, 3),
+            datetime.datetime(2024, 2, 20),
+        )},
+    )
+    assert _dirs_of(kept, "ts_month") == ["2024-02-01"]
+
+    # integer truncate
+    t2 = str(tmp_path / "tr")
+    versioned.commit(
+        spark,
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+        ),
+        t2,
+        partition_by=["truncate(25, k)"],
+    )
+    man2 = versioned._resolve_manifest(t2, None)
+    assert _dirs_of(man2["files"], "k_trunc_25") == [
+        "0", "25", "50", "75"
+    ]
+    kept2, _ = versioned._prune_manifest_files(man2, {"k": (30, 60)})
+    assert _dirs_of(kept2, "k_trunc_25") == ["25", "50"]
+    assert versioned.read_where(spark, t2, {"k": (30, 60)}).count() == 31
+
+    # string truncate (prefix buckets)
+    t3 = str(tmp_path / "ts")
+    versioned.commit(
+        spark,
+        spark.createDataFrame(
+            [("alpha", 1), ("alto", 2), ("beta", 3), ("bend", 4)],
+            "w string, n int",
+        ),
+        t3,
+        partition_by=["truncate(2, w)"],
+    )
+    man3 = versioned._resolve_manifest(t3, None)
+    assert _dirs_of(man3["files"], "w_trunc_2") == ["al", "be"]
+    kept3, _ = versioned._prune_manifest_files(
+        man3, {"w": ("ba", "bz")}
+    )
+    assert _dirs_of(kept3, "w_trunc_2") == ["be"]
+
+
+def test_append_inherits_and_refusals(spark, htbl, tmp_path):
+    versioned.commit(spark, _ev(spark, 720, 744), htbl)  # inherits
+    man = versioned._resolve_manifest(htbl, None)
+    assert versioned.read(spark, htbl).count() == 744
+    assert "ts_day=2024-01-31" in " ".join(man["files"])
+    # same spec re-stated: accepted
+    versioned.commit(
+        spark, _ev(spark, 744, 750), htbl, partition_by=["day(ts)"]
+    )
+    # different transform refused
+    with pytest.raises(ValueError, match="laid out by"):
+        versioned.commit(
+            spark, _ev(spark, 750, 760), htbl,
+            partition_by=["month(ts)"],
+        )
+    # identity+transform mixing refused
+    with pytest.raises(ValueError, match="cannot mix"):
+        versioned.commit(
+            spark, _ev(spark), str(tmp_path / "mix"),
+            partition_by=["day(ts)", "v"],
+        )
+    # bucket refused with guidance
+    with pytest.raises(ValueError, match="bucket"):
+        versioned.commit(
+            spark, _ev(spark), str(tmp_path / "b"),
+            partition_by=["bucket(16, k)"],
+        )
+
+
+def test_rename_source_safe_drop_refused(spark, htbl):
+    versioned.rename_column(htbl, "ts", "event_ts")
+    # bounds keyed by the NEW logical name still translate (the
+    # transform records the PHYSICAL source)
+    man = versioned._resolve_manifest(htbl, None)
+    kept, _ = versioned._prune_manifest_files(
+        man,
+        {"event_ts": (
+            datetime.datetime(2024, 1, 7),
+            datetime.datetime(2024, 1, 7, 23),
+        )},
+    )
+    assert _dirs_of(kept, "ts_day") == ["2024-01-07"]
+    with pytest.raises(ValueError, match="partitioned by"):
+        versioned.drop_column(htbl, "event_ts")
+
+
+def test_optimize_and_clone_keep_hidden_layout(spark, htbl, tmp_path):
+    v, b, a = versioned.optimize(spark, htbl)
+    man = versioned._resolve_manifest(htbl, None)
+    assert all("ts_day=" in f for f in man["files"])
+    assert versioned.read(spark, htbl).count() == 720
+    dst = str(tmp_path / "clone")
+    versioned.clone(spark, htbl, dst)
+    man2 = versioned._resolve_manifest(dst, None)
+    assert man2["partition_transforms"] == {
+        "ts_day": {"fn": "day", "src": "ts"}
+    }
+    versioned.commit(spark, _ev(spark, 720, 730), dst)
+    assert versioned.read(spark, dst).count() == 730
+
+
+def test_python_datasource_and_changes(spark, htbl, tmp_path):
+    from integritychecksforvldbs_spark.sources import (
+        versioned_datasource as vds,
+    )
+
+    vds.register(spark)
+    native = versioned.read(spark, htbl)
+    pyds = spark.read.format("versioned").load(htbl)
+    assert pyds.columns == ["k", "ts", "v"]
+    assert _rows(pyds) == _rows(native)
+    versioned.commit(spark, _ev(spark, 720, 740), htbl)
+    ch = versioned.changes(spark, htbl, 1, 2)
+    assert ch.filter("_change_type = 'insert'").count() == 20
+
+
+def test_scans_stay_plain_file_scans(spark, htbl, monkeypatch):
+    """The synthetic dirs must NOT go through basePath discovery —
+    it would resurface the derived column.  Pinned by spying the
+    reader options."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    opts = []
+    orig = DataFrameReader.option
+
+    def spy(self, key, value):
+        opts.append(key)
+        return orig(self, key, value)
+
+    monkeypatch.setattr(DataFrameReader, "option", spy)
+    versioned.read(spark, htbl).count()
+    monkeypatch.undo()
+    assert "basePath" not in opts
