@@ -503,7 +503,10 @@ _DESC_DETAIL = re.compile(
 _CREATE = re.compile(
     r"^\s*CREATE\s+(?:(?P<orrep>OR\s+REPLACE)\s+)?TABLE\s+"
     r"(?P<tbl>[^\s;]+)\s+"
-    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<pby>[^()]+?)\s*\)\s+)?"
+    # entries may be transform calls — one paren nesting level:
+    # day(ts), truncate(8, k)
+    r"(?:PARTITIONED\s+BY\s*"
+    r"\(\s*(?P<pby>[^()]*(?:\([^()]*\)[^()]*)*?)\s*\)\s+)?"
     r"AS\s+(?P<q>.*)$",
     re.I | re.S,
 )
@@ -849,7 +852,8 @@ def versioned_sql(
             )
         pby = [
             c.strip().strip("`")
-            for c in (m.group("pby") or "").split(",")
+            # paren-aware: truncate(8, k) keeps its comma
+            for c in _split_top(m.group("pby") or "", r",")
             if c.strip()
         ]
         df = df.persist()

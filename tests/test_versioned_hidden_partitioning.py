@@ -304,3 +304,30 @@ def test_scans_stay_plain_file_scans(spark, htbl, monkeypatch):
     versioned.read(spark, htbl).count()
     monkeypatch.undo()
     assert "basePath" not in opts
+
+
+def test_sql_create_hidden_partitioned(spark, tmp_path):
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    path = str(tmp_path / "t")
+    register_table("h11", path)
+    try:
+        versioned_sql(
+            spark,
+            "CREATE TABLE h11 PARTITIONED BY (day(ts), truncate(2, w)) "
+            "AS VALUES (1, TIMESTAMP'2024-03-01 10:00:00', 'alpha'), "
+            "(2, TIMESTAMP'2024-03-02 11:00:00', 'beta') AS v(k, ts, w)",
+        )
+        man = versioned._resolve_manifest(path, None)
+        assert man["partition_by"] == ["ts_day", "w_trunc_2"]
+        assert man["partition_transforms"]["ts_day"]["fn"] == "day"
+        assert man["partition_transforms"]["w_trunc_2"]["n"] == 2
+        got = versioned_sql(spark, "SELECT k, w FROM h11 WHERE k = 2")
+        assert [tuple(r) for r in got.collect()] == [(2, "beta")]
+        row = versioned_sql(spark, "DESCRIBE DETAIL h11").collect()[0]
+        assert row["partition_by"] == "ts_day,w_trunc_2"
+    finally:
+        register_table("h11", None)
