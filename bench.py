@@ -194,8 +194,15 @@ def main() -> None:
                 "spread": spread,
                 "sf": sf,
                 # session-speed scalar + fixed-set subtotal: compare
-                # THESE across rounds before believing any total moved
+                # THESE across rounds before believing any total moved.
+                # Two calibrations bracket the timed loop: a start≫end
+                # pair means the session was still recovering from
+                # prior heavy work when timing began (measured locally:
+                # a bench right after a 50-min suite read 1.9× slower
+                # with load 0 — cache/JVM state, not contention — and
+                # recovered within minutes).
                 "calibration_sec": calibration,
+                "calibration_end_sec": _calibration_sec(spark, sf_dir),
                 "subtotals": {
                     "r10_16q": round(
                         sum(
