@@ -1080,13 +1080,84 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
     out = _sub_outside_strings(_TABLE_CHANGES, _sub_changes, stmt)
     out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, out)
     spans = _string_spans(out)
+    pruned = _bind_pruned_single_table(spark, out, spans)
     for name, path in _TABLES.items():
+        if name == pruned:
+            continue  # already bound to the file-pruned scan
         pat = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])", re.I)
         if any(
             not _in_spans(mm.start(), spans) for mm in pat.finditer(out)
         ):
             versioned.read(spark, path).createOrReplaceTempView(name)
     return spark.sql(out)
+
+
+# the ONE statement shape whose WHERE provably applies to every row of
+# the (single) table reference — the case file pruning is sound for
+_SIMPLE_SELECT = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<tbl>`?\w+`?)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?"
+    r"\s+WHERE\s+(?P<where>.+?)"
+    r"(?P<tail>\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?;?\s*$",
+    re.I | re.S,
+)
+
+
+def _bind_pruned_single_table(
+    spark: SparkSession, stmt: str, spans
+) -> str | None:
+    """When the statement is a SINGLE-TABLE ``SELECT … FROM <t> WHERE
+    <cond> …`` over a registered table, bind ``<t>``'s view to the
+    manifest-stats-PRUNED scan (:func:`~.versioned.read_where`) so the
+    SQL front door skips provably-dead files the way the Python API
+    does — at scale this is the difference between a SELECT planning
+    2% and 100% of a snapshot's objects.  Returns the bound name, or
+    None (ordinary full-snapshot binding).
+
+    Conservative by construction: any JOIN/UNION/INTERSECT/EXCEPT or a
+    second FROM anywhere (a subquery in the select list included)
+    bails; the WHERE bounds come from
+    :func:`~.versioned._bounds_from_condition`, which itself yields
+    nothing for OR/NOT/IN/functions; pruning only drops files whose
+    stats PROVE no row can satisfy the conjunction — and the
+    statement's own WHERE still evaluates over whatever survives, so
+    the answer is exact either way."""
+    m = _SIMPLE_SELECT.match(stmt)
+    if m is None:
+        return None
+    name = m.group("tbl").strip("`").lower()
+    path = _TABLES.get(name)
+    if path is None:
+        return None
+
+    def _count_outside(pat: str) -> int:
+        return sum(
+            1
+            for mm in re.finditer(pat, stmt, re.I)
+            if not _in_spans(mm.start(), spans)
+        )
+
+    if _count_outside(r"\b(JOIN|UNION|INTERSECT|EXCEPT|LATERAL)\b"):
+        return None
+    if _count_outside(r"\bFROM\b") != 1:
+        return None  # a subquery somewhere: its rows dodge the WHERE
+    if (
+        _count_outside(
+            rf"(?<![\w.]){re.escape(name)}(?![\w.])"
+        )
+        != 1
+    ):
+        return None
+    try:
+        bounds = versioned._bounds_from_condition(m.group("where"))
+        if not bounds:
+            return None
+        versioned.read_where(
+            spark, path, bounds
+        ).createOrReplaceTempView(name)
+        return name
+    except Exception:
+        return None
 
 
 __all__ = ["register_table", "versioned_sql"]

@@ -1,0 +1,96 @@
+"""SQL SELECT file pruning (r11): a single-table ``SELECT ... FROM t
+WHERE <cond>`` over a registered table binds the view to the
+manifest-stats-PRUNED scan, so the SQL front door skips provably-dead
+files like the Python read_where does.  Conservative by construction
+— any JOIN/UNION, second FROM (subqueries included), second reference
+to the table, or unboundable WHERE falls back to the full-snapshot
+binding; the statement's own WHERE always re-evaluates, so answers
+are exact either way (pinned against the unpruned run)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+from integritychecksforvldbs_spark.sources.versioned_sql import (
+    register_table,
+    versioned_sql,
+)
+
+
+@pytest.fixture()
+def stbl(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    versioned.commit(spark, df.repartitionByRange(10, "k"), path)
+    register_table("sp11", path)
+    yield path
+    register_table("sp11", None)
+
+
+@pytest.fixture()
+def prune_spy(monkeypatch):
+    calls = []
+    real = versioned.read_where
+
+    def spy(spark, path, bounds, version=None):
+        calls.append(bounds)
+        return real(spark, path, bounds, version)
+
+    monkeypatch.setattr(versioned, "read_where", spy)
+    return calls
+
+
+def test_simple_select_prunes_and_answers_exactly(
+    spark, stbl, prune_spy
+):
+    got = versioned_sql(
+        spark, "SELECT k, v FROM sp11 WHERE k >= 950 AND k < 960"
+    )
+    assert len(prune_spy) == 1 and set(prune_spy[0]) == {"k"}
+    lo, hi = prune_spy[0]["k"]
+    assert lo == 950 and hi is not None  # strict < bounds inclusively
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == [(k, k * 3) for k in range(950, 960)]
+    # aggregates and tails keep the shape simple enough to prune
+    prune_spy.clear()
+    got = versioned_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM sp11 WHERE k >= 990 "
+        "GROUP BY v % 2 ORDER BY n LIMIT 5",
+    )
+    assert len(prune_spy) == 1
+    assert sum(r.n for r in got.collect()) == 10
+
+
+def test_unsafe_shapes_never_prune(spark, stbl, prune_spy):
+    # a subquery's rows dodge the WHERE: second FROM bails
+    versioned_sql(
+        spark,
+        "SELECT * FROM sp11 WHERE k = 5 "
+        "AND v IN (SELECT v FROM sp11)",
+    )
+    # two references to the table: bails (also caught by FROM count)
+    versioned_sql(
+        spark,
+        "SELECT a.k FROM sp11 a WHERE a.k = 1",
+    )  # alias-qualified cond gives no bare bounds either
+    # OR disables bounds entirely
+    versioned_sql(spark, "SELECT * FROM sp11 WHERE k = 1 OR v = 6")
+    assert prune_spy == []
+
+
+def test_pruned_equals_unpruned(spark, stbl, monkeypatch):
+    q = "SELECT SUM(v) AS s FROM sp11 WHERE k >= 123 AND k <= 456"
+    got = versioned_sql(spark, q).collect()[0].s
+    from integritychecksforvldbs_spark.sources import versioned_sql as vs
+
+    monkeypatch.setattr(
+        vs, "_bind_pruned_single_table", lambda *a, **k: None
+    )
+    want = versioned_sql(spark, q).collect()[0].s
+    monkeypatch.undo()
+    assert got == want == sum(k * 3 for k in range(123, 457))
