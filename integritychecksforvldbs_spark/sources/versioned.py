@@ -3203,6 +3203,34 @@ def read_where(
     return _residual(_scan_live(spark, man, kept))
 
 
+def read_sql_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    version: int | None = None,
+) -> DataFrame:
+    """:func:`read` filtered by a SQL ``condition`` string, with
+    manifest-stats file skipping derived from the SAME conservative
+    predicate algebra the DML probes use (:func:`_bounds_from_condition`
+    — typed TIMESTAMP/DATE literals included, hidden-partition
+    transforms translated): the condition always re-applies as the
+    residual filter, so an unboundable predicate merely reads unpruned,
+    never wrong.  The string-condition twin of :func:`read_where` for
+    callers who think in WHERE clauses."""
+    from pyspark.sql import functions as F
+
+    bounds = {}
+    try:
+        bounds = _bounds_from_condition(condition)
+    except Exception:
+        bounds = {}
+    if bounds:
+        return read_where(spark, path, bounds, version).filter(
+            F.expr(condition)
+        )
+    return read(spark, path, version=version).filter(F.expr(condition))
+
+
 DEFAULT_OPTIMIZE_TARGET_BYTES = 128 * 1024 * 1024
 
 

@@ -331,3 +331,42 @@ def test_sql_create_hidden_partitioned(spark, tmp_path):
         assert row["partition_by"] == "ts_day,w_trunc_2"
     finally:
         register_table("h11", None)
+
+
+def test_read_sql_where_and_random_range_equivalence(spark, htbl):
+    """read_sql_where (string-condition twin of read_where) prunes
+    hidden dirs and re-applies the condition; a seeded sweep of random
+    ts ranges pins pruned == full-filter equality across partition
+    boundaries, empty ranges, and single-hour points."""
+    import random
+
+    got = versioned.read_sql_where(
+        spark, htbl,
+        "ts >= TIMESTAMP'2024-01-03 05:00:00' AND "
+        "ts <= TIMESTAMP'2024-01-04 01:00:00' AND v % 4 = 0",
+    )
+    full = versioned.read(spark, htbl).filter(
+        "ts >= TIMESTAMP'2024-01-03 05:00:00' AND "
+        "ts <= TIMESTAMP'2024-01-04 01:00:00' AND v % 4 = 0"
+    )
+    assert _rows(got) == _rows(full)
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 1, 1)
+    man = versioned._resolve_manifest(htbl, None)
+    for _ in range(8):
+        a, b = sorted(rng.randrange(0, 720) for _ in range(2))
+        lo = base + datetime.timedelta(hours=a)
+        hi = base + datetime.timedelta(hours=b, minutes=30)
+        kept, _sk = versioned._prune_manifest_files(
+            man, {"ts": (lo, hi)}
+        )
+        want_days = {
+            (base + datetime.timedelta(hours=h)).date().isoformat()
+            for h in range(a, min(b + 1, 720))
+        }
+        assert set(_dirs_of(kept, "ts_day")) == want_days
+        got_n = versioned.read_where(
+            spark, htbl, {"ts": (lo, hi)}
+        ).count()
+        assert got_n == b - a + 1  # inclusive hour range
