@@ -3654,6 +3654,19 @@ def rollback(
                     {"bloom": dict(man["bloom"])}
                     if man.get("bloom") else {}
                 ),
+                # the restored snapshot's partition layout governs its
+                # files' directory values and returns with them —
+                # without this a post-rollback scan of an identity
+                # layout silently NULL-FILLED the partition column
+                # (the basePath discovery never ran)
+                **(
+                    {"partition_by": _partition_by(man)}
+                    if _partition_by(man) else {}
+                ),
+                **(
+                    {"partition_transforms": _partition_transforms(man)}
+                    if _partition_transforms(man) else {}
+                ),
             },
         )
         if installed:

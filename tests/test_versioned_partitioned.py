@@ -394,3 +394,49 @@ def test_sql_optimize_where_partition_scoped(spark, tmp_path):
         assert cfg.get("auto") is True
     finally:
         register_table("p11o", None)
+
+
+def test_bloom_rollback_and_evolution_on_partitioned(spark, ptbl):
+    """Cross-feature coverage on the partitioned layout: Bloom
+    point-probe pruning composes with partition dirs, rollback
+    restores a pre-delete snapshot (the replace body carries the
+    layout), and additive schema evolution null-fills old files
+    through the basePath scan."""
+    # bloom over the scattered v column (k-clustered, v-scattered? v
+    # is k*2 — use k to get real pruning on the probe path instead)
+    versioned.build_bloom(spark, ptbl, "k")
+    man = versioned._resolve_manifest(ptbl, None)
+    kept = versioned._bloom_prune_files(
+        spark, man, {"k": 42}, man["files"]
+    )
+    assert 0 < len(kept) < len(man["files"])
+    # the survivors still live under partition dirs
+    assert all("c=" in os.path.basename(os.path.dirname(f)) for f in kept)
+
+    # delete then rollback: layout + values restored
+    before = _rows(versioned.read(spark, ptbl))
+    v_good = versioned._latest_committed(ptbl)[0]
+    versioned.delete_where(spark, ptbl, "c = 1")
+    assert versioned.read(spark, ptbl).filter("c = 1").count() == 0
+    versioned.rollback(spark, ptbl, version=v_good)
+    assert _rows(versioned.read(spark, ptbl)) == before
+    man = versioned._resolve_manifest(ptbl, None)
+    assert man["partition_by"] == ["c"]
+
+    # additive evolution: the appended column null-fills the old
+    # files through the basePath discovery scan
+    versioned.add_column(ptbl, "note", "string")
+    versioned.commit(
+        spark,
+        spark.range(100, 105).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("c"),
+            (F.col("id") * 2).alias("v"),
+            F.lit("new").alias("note"),
+        ),
+        ptbl,
+    )
+    got = versioned.read(spark, ptbl)
+    assert got.columns == ["k", "c", "v", "note"]
+    assert got.filter("note IS NULL").count() == 100
+    assert got.filter("note = 'new'").count() == 5
