@@ -370,3 +370,37 @@ def test_read_sql_where_and_random_range_equivalence(spark, htbl):
             spark, htbl, {"ts": (lo, hi)}
         ).count()
         assert got_n == b - a + 1  # inclusive hour range
+
+
+def test_hidden_dv_vacuum_constraints_cdf(spark, htbl):
+    """Cross-feature sweep on the hidden layout: merge-on-read DV
+    delete (plain scans carry the anti-filter), constraints on the
+    transform's SOURCE column, vacuum across expiry, and the change
+    feed across a hidden-partitioned append."""
+    versioned.set_constraints(
+        spark, htbl, {"ts_in_2024": "ts >= TIMESTAMP'2024-01-01'"}
+    )
+    v, n = versioned.delete_where(
+        spark, htbl, "k % 97 = 0", strategy="dv"
+    )
+    assert n > 0 and versioned.dv_info(htbl)
+    assert versioned.read(spark, htbl).count() == 720 - n
+    # constraint still enforced on appends
+    bad = spark.createDataFrame(
+        [(9999, datetime.datetime(2023, 12, 31), 0)],
+        "k long, ts timestamp, v long",
+    )
+    with pytest.raises(versioned.ConstraintViolation):
+        versioned.commit(spark, bad, htbl)
+    # CDF across a hidden append
+    base_v = versioned._latest_committed(htbl)[0]
+    versioned.commit(spark, _ev(spark, 720, 730), htbl)
+    ch = versioned.changes(spark, htbl, base_v, base_v + 1)
+    assert ch.filter("_change_type = 'insert'").count() == 10
+    # vacuum: expire everything below the tip; reads stay exact
+    want = versioned.read(spark, htbl).count()
+    removed = versioned.vacuum(htbl, keep_versions=1, min_age_s=0.0)
+    assert versioned.read(spark, htbl).count() == want
+    live = {versioned._local(f) for f in
+            versioned._resolve_manifest(htbl, None)["files"]}
+    assert not (set(removed) & live)
