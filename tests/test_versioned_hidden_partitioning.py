@@ -404,3 +404,59 @@ def test_hidden_dv_vacuum_constraints_cdf(spark, htbl):
     live = {versioned._local(f) for f in
             versioned._resolve_manifest(htbl, None)["files"]}
     assert not (set(removed) & live)
+
+
+def test_year_transform_and_sql_dml_pruning(spark, tmp_path):
+    """year() e2e + the SQL front door's DML probe pruning hidden
+    dirs through typed TIMESTAMP literals."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    t = str(tmp_path / "y")
+    df = spark.range(0, 1100, 100).select(  # ~every 4 days, 3 years
+        F.col("id").alias("k"),
+        F.expr(
+            "TIMESTAMP'2022-06-01 00:00:00' + "
+            "make_interval(0,0,0,CAST(id AS INT),0,0,0)"
+        ).alias("ts"),
+    )
+    versioned.commit(spark, df, t, partition_by=["year(ts)"])
+    man = versioned._resolve_manifest(t, None)
+    assert _dirs_of(man["files"], "ts_year") == [
+        "2022-01-01", "2023-01-01", "2024-01-01", "2025-01-01",
+    ]
+    register_table("hy11", t)
+    try:
+        calls = []
+        real = versioned._scan_live_pos
+
+        def spy(s_, m_, files=None):
+            calls.append(files)
+            return real(s_, m_, files)
+
+        versioned._scan_live_pos = spy
+        try:
+            m = versioned_sql(
+                spark,
+                "DELETE FROM hy11 WHERE "
+                "ts >= TIMESTAMP'2024-01-01 00:00:00' AND "
+                "ts < TIMESTAMP'2025-01-01 00:00:00'",
+            ).collect()[0]
+        finally:
+            versioned._scan_live_pos = real
+        assert m["n_deleted"] > 0
+        # the SQL DELETE's probe planned only 2024's dir (strict <
+        # bounds inclusively, so 2025 may also be admitted — never
+        # 2022/2023)
+        assert calls[0] is not None
+        probed = set(_dirs_of(calls[0], "ts_year"))
+        assert "2024-01-01" in probed
+        assert not probed & {"2022-01-01", "2023-01-01"}
+        assert (
+            versioned.read(spark, t)
+            .filter("year(ts) = 2024").count() == 0
+        )
+    finally:
+        register_table("hy11", None)
