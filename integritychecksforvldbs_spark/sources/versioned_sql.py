@@ -1116,12 +1116,17 @@ def _bind_pruned_single_table(
 
     Conservative by construction: any JOIN/UNION/INTERSECT/EXCEPT or a
     second FROM anywhere (a subquery in the select list included)
-    bails; the WHERE bounds come from
-    :func:`~.versioned._bounds_from_condition`, which itself yields
-    nothing for OR/NOT/IN/functions; pruning only drops files whose
-    stats PROVE no row can satisfy the conjunction — and the
-    statement's own WHERE still evaluates over whatever survives, so
-    the answer is exact either way."""
+    bails; the WHERE profile comes from
+    :func:`~.versioned._condition_profile` with the statement's own
+    table name and alias as the VERIFIED qualifiers (so ``o.o_custkey
+    = 5`` bounds, while an unverified ``s.inner`` — possibly a struct
+    access — contributes nothing), range bounds from comparisons /
+    BETWEEN / comparable IN-lists, membership points from ``=`` and
+    ``IN`` (probing the Bloom index per literal), and nothing for
+    OR/NOT/functions; pruning only drops files whose stats PROVE no
+    row can satisfy the conjunction — and the statement's own WHERE
+    still evaluates over whatever survives, so the answer is exact
+    either way."""
     m = _SIMPLE_SELECT.match(stmt)
     if m is None:
         return None
@@ -1149,11 +1154,18 @@ def _bind_pruned_single_table(
     ):
         return None
     try:
-        bounds = versioned._bounds_from_condition(m.group("where"))
-        if not bounds:
+        aliases = [name]
+        if m.group("alias") and m.group("alias").upper() not in (
+            "WHERE",
+        ):
+            aliases.append(m.group("alias"))
+        bounds, points = versioned._condition_profile(
+            m.group("where"), tuple(aliases)
+        )
+        if not bounds and not points:
             return None
         versioned.read_where(
-            spark, path, bounds
+            spark, path, bounds, points=points
         ).createOrReplaceTempView(name)
         return name
     except Exception:

@@ -340,3 +340,65 @@ def test_auto_refresh_on_append(spark, tmp_path, monkeypatch):
     man = versioned._resolve_manifest(t, None)
     (cfg,) = man["bloom"].values()
     assert cfg["auto"] is True
+
+
+def test_bloom_in_list_union_prunes(spark, tmp_path, probe_spy):
+    """r12 (VERDICT r11 #1): ``uid IN (a, b)`` probes the Bloom index
+    PER LITERAL and a file survives if either key might be present —
+    the union semantics IN demands (a single combined probe would
+    prune files holding only one of the keys)."""
+    t = str(tmp_path / "t")
+    df = _scattered(spark, t)
+    versioned.build_bloom(spark, t, "uid")
+    man = versioned._resolve_manifest(t, None)
+    # keys living at opposite ends of the ts-range layout: their
+    # admitted file sets differ, so the union is a real union
+    a, b = _uid_at(df, 5), _uid_at(df, 19_990)
+    kept_a = versioned._bloom_prune_files(
+        spark, man, {"uid": [a]}, man["files"]
+    )
+    kept_b = versioned._bloom_prune_files(
+        spark, man, {"uid": [b]}, man["files"]
+    )
+    kept_ab = versioned._bloom_prune_files(
+        spark, man, {"uid": [a, b]}, man["files"]
+    )
+    assert set(kept_ab) == set(kept_a) | set(kept_b)
+    assert len(kept_ab) < len(man["files"])
+    # and the IN-list DELETE probe plans only the union-admitted set
+    expected = df.filter(F.col("uid").isin(a, b)).count()
+    v, n = versioned.delete_where(spark, t, f"uid IN ({a}, {b})")
+    assert n == expected
+    probe_files = [c for c in probe_spy if c is not None]
+    assert probe_files and all(
+        set(c) <= set(kept_ab) for c in probe_files
+    )
+    assert (
+        versioned.read(spark, t).filter(F.col("uid").isin(a, b)).count()
+        == 0
+    )
+
+
+def test_carry_over_index_is_join_not_isin(spark):
+    """r12 (VERDICT r11 finding #1): the refresh's carry-over filter
+    is a broadcast semi-join against a small kept-paths frame, never
+    an O(files) In-literal-list — at ~1M files an ``isin(keep)`` is a
+    ~100 MB expression inside ONE plan (same family as the r10
+    driver-bitset collect).  1.5k synthetic index rows: the plan must
+    carry a LeftSemi join and no literal path list."""
+    n = 1_500
+    prev = spark.range(n).select(
+        F.concat(F.lit("file:///idx/f"), F.col("id")).alias("file"),
+        F.array(F.lit(1), F.lit(2)).alias("bits"),
+        F.lit(64).alias("n_bits"),
+        F.lit(3).alias("k"),
+    )
+    live = {f"/idx/f{i}" for i in range(0, n, 2)}  # odd half retired
+    carried, indexed = versioned._carry_over_index(spark, prev, live)
+    assert indexed == live
+    assert carried.count() == (n + 1) // 2
+    plan = carried._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    # the kept paths ride as DATA (a scanned/broadcast relation), not
+    # as plan text: at most a handful of path literals may appear
+    assert " IN (" not in plan and plan.count("/idx/f") < 10

@@ -79,8 +79,43 @@ def test_bounds_equality_tightens_both_ends():
 def test_bounds_disjunction_disables_pruning():
     assert versioned._bounds_from_condition("k >= 100 OR g = 1") == {}
     assert versioned._bounds_from_condition("NOT (k = 1)") == {}
-    assert versioned._bounds_from_condition("k BETWEEN 1 AND 2") == {}
-    assert versioned._bounds_from_condition("k IN (1, 2)") == {}
+    assert versioned._bounds_from_condition("k NOT IN (1, 2)") == {}
+
+
+def test_bounds_between_and_in_bound_since_r12():
+    assert versioned._bounds_from_condition("k BETWEEN 1 AND 2") == {
+        "k": (1, 2)
+    }
+    assert versioned._bounds_from_condition("k IN (3, 1, 2)") == {
+        "k": (1, 3)
+    }
+    # IN also yields a membership set the Bloom index can probe
+    b, p = versioned._condition_profile("k IN (3, 1, 2) AND v = 'x'")
+    assert b == {"k": (1, 3), "v": ("x", "x")}
+    assert p == {"k": [3, 1, 2], "v": ["x"]}
+    # a mixed-type list is incomparable: points only, no range
+    assert versioned._condition_profile("k IN (1, 'a')") == (
+        {},
+        {"k": [1, "a"]},
+    )
+    # a subquery body is not a literal list: nothing
+    assert versioned._condition_profile("k IN (SELECT x FROM t)") == (
+        {},
+        {},
+    )
+
+
+def test_bounds_alias_qualifiers_need_vouching():
+    # unverified qualifier could be a struct-field access: skipped
+    assert versioned._bounds_from_condition("o.k = 5") == {}
+    # the caller vouches for the alias (case-insensitive): stripped
+    assert versioned._bounds_from_condition("o.k = 5", ("O",)) == {
+        "k": (5, 5)
+    }
+    b, p = versioned._condition_profile(
+        "o.k BETWEEN 2 AND 9 AND o.k IN (3, 4)", ("o",)
+    )
+    assert b == {"k": (3, 4)} and p == {"k": [3, 4]}
 
 
 def test_bounds_unknown_atoms_contribute_nothing():
