@@ -503,19 +503,44 @@ def _parse_partition_spec(
         fn = m.group("fn").lower()
         col = m.group("col")
         n = int(m.group("n")) if m.group("n") else None
-        if fn == "bucket":
-            raise ValueError(
-                "bucket(...) partition transform is not supported: "
-                "its hash is not driver-computable for pruning — use "
-                "truncate(n, col) or build a Bloom index for point "
-                "probes instead"
-            )
         if col not in names:
             raise ValueError(
                 f"partition transform source {col!r} not in the schema"
             )
         dtype = schema[col].dataType
-        if fn in ("day", "month", "year"):
+        hash_kind = None
+        if fn == "bucket":
+            # Iceberg's bucket(n, col) re-expressed on Spark's own
+            # murmur3 (F.hash, seed 42) so the write path is one
+            # codegen'd JVM expression; the hash KIND is recorded in
+            # the spec because the driver-side pruning twin
+            # (functions/sparkhash.py) must hash a predicate literal
+            # with the column's width, not the literal's
+            if n is None or n <= 0:
+                raise ValueError(
+                    f"bucket needs a positive count: {ent!r}"
+                )
+            if isinstance(
+                dtype, (T.ByteType, T.ShortType, T.IntegerType)
+            ):
+                hash_kind = "int"
+            elif isinstance(dtype, T.LongType):
+                hash_kind = "long"
+            elif isinstance(dtype, T.StringType):
+                hash_kind = "string"
+            elif isinstance(dtype, T.DateType):
+                hash_kind = "date"
+            elif isinstance(
+                dtype, (T.TimestampType, T.TimestampNTZType)
+            ):
+                hash_kind = "timestamp"
+            else:
+                raise ValueError(
+                    "bucket() needs an integer/string/date/timestamp "
+                    f"column: {ent!r}"
+                )
+            dname = f"{col}_bucket_{n}"
+        elif fn in ("day", "month", "year"):
             if n is not None:
                 raise ValueError(f"{fn}() takes no width: {ent!r}")
             if not isinstance(
@@ -548,6 +573,7 @@ def _parse_partition_spec(
         transforms[dname] = {
             "fn": fn, "src": mapping.get(col, col),
             **({"n": n} if n is not None else {}),
+            **({"hash": hash_kind} if hash_kind is not None else {}),
         }
     if transforms and len(transforms) != len(dirs):
         raise ValueError(
@@ -574,6 +600,10 @@ def _transform_write_expr(tr: dict, src_type):
     if fn == "year":
         return F.trunc(F.to_date(F.col(src)), "year")
     n = int(tr["n"])
+    if fn == "bucket":
+        # one built-in murmur3 inside codegen; the Python twin
+        # (functions/sparkhash.py) reproduces it for pruning
+        return F.pmod(F.hash(F.col(src)), F.lit(n))
     if isinstance(src_type, T.StringType):
         return F.substring(F.col(src), 1, n)
     # integer floor-truncate (pmod keeps negatives Iceberg-correct)
@@ -583,14 +613,21 @@ def _transform_write_expr(tr: dict, src_type):
 def _transform_value(tr: dict, v):
     """Driver-side twin of :func:`_transform_write_expr` over a
     Python predicate-bound value (session tz pinned UTC, so the
-    timestamp→date folds agree).  Every supported transform is
+    timestamp→date folds agree).  day/month/year/truncate are
     MONOTONIC, which is what makes translating a (lo, hi) source
-    bound onto the dir value sound."""
+    bound onto the dir value sound; bucket is NOT — only POINT
+    predicates translate (the pruner enforces that)."""
     import datetime
 
     if v is None:
         return None
     fn = tr["fn"]
+    if fn == "bucket":
+        from integritychecksforvldbs_spark.functions.sparkhash import (
+            bucket_id,
+        )
+
+        return bucket_id(v, tr["hash"], int(tr["n"]))
     if fn in ("day", "month", "year"):
         d = v.date() if isinstance(v, datetime.datetime) else v
         if fn == "month":
@@ -3256,11 +3293,16 @@ def _prune_manifest_files(
         # the query never mentions (Iceberg's contract)
         extra_bounds = {}
         for dcol, tr in transforms.items():
-            if tr.get("fn") not in _MONOTONIC_TRANSFORMS:
-                continue
+            mono = tr.get("fn") in _MONOTONIC_TRANSFORMS
             for c, (lo, hi) in bounds.items():
                 if m.get(c, c) != tr["src"]:
                     continue
+                if not mono:
+                    # bucket: the hash is NOT monotonic — only a
+                    # POINT predicate names one dir; a range keeps
+                    # every bucket (documented, Iceberg's contract)
+                    if lo is None or lo != hi:
+                        continue
                 try:
                     extra_bounds[dcol] = (
                         _transform_value(tr, lo),
