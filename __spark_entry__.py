@@ -862,6 +862,72 @@ def _q_versioned_hidden_partition(
     )
 
 
+def _q_versioned_spec_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-spec evolution (r12; VERDICT r11 #4 — Iceberg's
+    ``ALTER TABLE … SET PARTITION SPEC``): the mirror commits the
+    first half of events under ``day(ts)``, evolves the spec to
+    ``month(ts)`` METADATA-ONLY (old files keep their day dirs, whose
+    transform moves to the spec history), appends the second half
+    under month dirs, then a ts-range read spanning the boundary is
+    asserted to prune via BOTH specs (each file by its own dir
+    stats) before aggregating to the plain-SQL answer."""
+    import datetime
+
+    from integritychecksforvldbs_spark.sources import versioned
+
+    split = datetime.datetime(2024, 1, 16, 0, 0, 0)
+    path = _mirror_path(sf_dir, "events_spec_evolved")
+    if versioned._read_manifest(path, 3) is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ev = _load(spark, sf_dir, "events")
+        versioned.commit(
+            spark, ev.filter(F.col("ts") < F.lit(split)), path,
+            partition_by=["day(ts)"],
+        )
+        v = versioned.set_partition_spec(spark, path, ["month(ts)"])
+        assert v == 2
+        versioned.commit(
+            spark, ev.filter(F.col("ts") >= F.lit(split)), path
+        )
+    man = versioned._resolve_manifest(path, None)
+    assert man["partition_spec_history"] == {
+        "ts_day": {"fn": "day", "src": "ts"}
+    }
+    lo = datetime.datetime(2024, 1, 14, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 20, 23, 59, 59, 999999)
+    kept, _ = versioned._prune_manifest_files(man, {"ts": (lo, hi)})
+    assert kept and len(kept) < len(man["files"])
+    for f in kept:  # each surviving file's own dir admits the range
+        seg = versioned._partition_segments(f)
+        if "ts_day" in seg:
+            d = datetime.date.fromisoformat(seg["ts_day"])
+            assert datetime.date(2024, 1, 14) <= d <= datetime.date(
+                2024, 1, 20
+            )
+        else:
+            assert seg["ts_month"] == "2024-01-01"
+    got = versioned.read_where(spark, path, {"ts": (lo, hi)})
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_VERSIONED_SPEC_EVOLUTION_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 23:59:59.999999'
+GROUP BY event_type
+"""
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3678,6 +3744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     out["multimodal_png_roundtrip"] = _q_multimodal_png
+    # r12 #4: spec evolution (below the cap; the partition family is
+    # gated in the head by partitioned_prune + bucket_point)
+    out["versioned_spec_evolution"] = _q_versioned_spec_evolution
     out["events_attribution"] = lambda spark, sf: joins.purchase_attribution(
         _load(spark, sf, "events")
     )
@@ -4574,6 +4643,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_partitioned_prune"] = _VERSIONED_PARTITIONED_ORACLE
     out["versioned_sql_in_prune"] = _VERSIONED_SQL_IN_PRUNE_ORACLE
     out["versioned_bucket_point"] = _VERSIONED_BUCKET_POINT_ORACLE
+    out["versioned_spec_evolution"] = _VERSIONED_SPEC_EVOLUTION_ORACLE
     out["versioned_partitioned_events"] = (
         _VERSIONED_PARTITIONED_EVENTS_ORACLE
     )
