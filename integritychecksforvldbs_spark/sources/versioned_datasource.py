@@ -246,6 +246,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
         max_files: int | None = None,
         skip_change_commits: bool = False,
         change_feed: bool = False,
+        schema_tracking_dir: str | None = None,
     ):
         self.path = path
         self.starting_version = starting_version
@@ -270,6 +271,18 @@ class _VersionedStreamReader(DataSourceStreamReader):
             mapping = None
             self._pinned_version = 0
         self._pinned_mapping = dict(mapping or {})
+        # opt-in schema tracking (Delta's schemaTrackingLocation): the
+        # reader persists the (logical → physical, dtype) bindings it
+        # pinned, and a RESTARTED reader validates the current table
+        # against them — a pure RENAME resumes (physical identity
+        # stable, so already-checkpointed offsets stay correct), while
+        # a re-bind (DROP+re-ADD, overwrite reset) or a dtype change
+        # is refused LOUDLY instead of silently null-filling on the
+        # restart path the pin cannot protect.  Mid-stream changes
+        # still fail loudly either way (_check_mapping_stable).
+        self._tracking_dir = schema_tracking_dir
+        if schema_tracking_dir:
+            self._reconcile_tracked_schema(schema)
         if change_feed:
             # _change_type/_commit_version are SYNTHESIZED per batch;
             # the files are read against the table schema alone
@@ -290,6 +303,66 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # land BELOW it, regressing the offset log and re-emitting
         # versions (duplicates).  Steady-state triggers are capped.
         self._last_emitted: int | None = None
+
+    def _reconcile_tracked_schema(self, schema: StructType) -> None:
+        """Validate this (re)start's pinned bindings against the
+        tracked ones, then persist the current state atomically.
+        The tracking file lives with the checkpoint (pass a dir on
+        shared storage on a real cluster — the reader runs on the
+        driver).  Allowed across a restart: renames (same physical,
+        same type under a new logical name), column adds, column
+        drops.  Refused: a logical name re-bound to a different
+        physical column, or a physical column changing type — rows
+        already delivered under the old binding and rows about to be
+        read would silently disagree."""
+        import json
+
+        fields = [
+            f for f in schema.fields
+            if not (
+                self.change_feed
+                and f.name in ("_change_type", "_commit_version")
+            )
+        ]
+        cols = {
+            f.name: [
+                self._pinned_mapping.get(f.name, f.name),
+                f.dataType.simpleString(),
+            ]
+            for f in fields
+        }
+        spath = os.path.join(self._tracking_dir, "schema_tracking.json")
+        if os.path.exists(spath):
+            with open(spath) as fh:
+                prev = json.load(fh)
+            pcols = prev.get("columns") or {}
+            prev_by_phys = {ph: tp for ph, tp in pcols.values()}
+            for lg, (ph, tp) in cols.items():
+                old = pcols.get(lg)
+                if old is not None and old[0] != ph:
+                    raise ValueError(
+                        f"streaming read of {self.path!r}: column "
+                        f"{lg!r} was tracked bound to physical "
+                        f"{old[0]!r} but the table now binds it to "
+                        f"{ph!r} (DROP+re-ADD or overwrite reset) — "
+                        "rows already delivered under the old binding "
+                        "cannot be reconciled; start a fresh "
+                        "checkpoint"
+                    )
+                if ph in prev_by_phys and prev_by_phys[ph] != tp:
+                    raise ValueError(
+                        f"streaming read of {self.path!r}: physical "
+                        f"column {ph!r} changed type "
+                        f"{prev_by_phys[ph]!r} → {tp!r} since the "
+                        "tracked schema — start a fresh checkpoint"
+                    )
+        os.makedirs(self._tracking_dir, exist_ok=True)
+        tmp = spath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": self._pinned_version, "columns": cols}, fh
+            )
+        os.replace(tmp, spath)
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -815,6 +888,9 @@ class VersionedDataSource(DataSource):
             max_files=int(mf) if mf is not None else None,
             skip_change_commits=scc,
             change_feed=self._change_feed(),
+            schema_tracking_dir=self.options.get(
+                "schemaTrackingLocation"
+            ),
         )
 
 

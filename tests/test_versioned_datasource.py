@@ -386,3 +386,149 @@ def test_cdf_stream_fails_loudly_on_midstream_mapping_change(
     )  # v3
     with pytest.raises(ValueError, match="mid-stream"):
         reader._cdf_partitions_between(1, 3)
+
+
+# ---------------------------------------------------------------------------
+# schema tracking (r12; VERDICT r11 #5 — Delta's schemaTrackingLocation)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_tracking_resumes_across_rename(spark, tmp_path):
+    """kill → RENAME → restart: the restarted reader validates the
+    rename against the tracked bindings (same physical, same type
+    under a new logical name) and resumes; the tracking file is
+    re-pinned to the new state."""
+    import json
+
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    track = str(tmp_path / "track")
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(1, "a")], "id int, name string"),
+        t,
+    )
+    r1 = _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema, schema_tracking_dir=track
+    )
+    assert len(r1._files_between(0, 1)) >= 1
+    state1 = json.load(open(f"{track}/schema_tracking.json"))
+    assert state1["columns"]["name"][0] == "name"
+    # stream dies; the table renames and appends while it is down
+    versioned.rename_column(t, "name", "label")
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(2, "b")], "id int, label string"),
+        t,
+    )
+    r2 = _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema, schema_tracking_dir=track
+    )  # resumes: pure rename
+    assert len(r2._files_between(0, 3)) >= 2
+    state2 = json.load(open(f"{track}/schema_tracking.json"))
+    assert "label" in state2["columns"] and "name" not in state2["columns"]
+    assert state2["columns"]["label"][0] == "name"  # physical stable
+
+
+def test_schema_tracking_refuses_rebind_on_restart(spark, tmp_path):
+    """DROP+re-ADD binds the same logical name to a FRESH physical
+    column: without tracking a restarted reader silently null-fills
+    the old files; with tracking the restart is refused loudly."""
+    import pytest as _pytest
+
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    track = str(tmp_path / "track")
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(1, "a")], "id int, name string"),
+        t,
+    )
+    _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema, schema_tracking_dir=track
+    )
+    versioned.drop_column(t, "name")
+    versioned.add_column(t, "name", "string")  # fresh physical name
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        _VersionedStreamReader(
+            t, 0, versioned.read(spark, t).schema,
+            schema_tracking_dir=track,
+        )
+    # without the tracking dir the old (unsafe-on-rebind) behavior is
+    # untouched — construction succeeds
+    _VersionedStreamReader(t, 0, versioned.read(spark, t).schema)
+
+
+def test_schema_tracking_allows_adds_and_drops(spark, tmp_path):
+    from integritychecksforvldbs_spark.sources.versioned_datasource import (
+        _VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    track = str(tmp_path / "track")
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(1, "a")], "id int, name string"),
+        t,
+    )
+    _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema, schema_tracking_dir=track
+    )
+    versioned.add_column(t, "extra", "long")
+    _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema, schema_tracking_dir=track
+    )
+    versioned.drop_column(t, "extra")
+    _VersionedStreamReader(
+        t, 0, versioned.read(spark, t).schema, schema_tracking_dir=track
+    )
+
+
+def test_schema_tracking_e2e_kill_rename_restart(registered, tmp_path):
+    """The verdict's done-criterion e2e: a checkpointed stream with
+    schemaTrackingLocation delivers, dies, the table RENAMES and
+    appends, and the restarted stream resumes past the rename with
+    correct VALUES (no null-fill) and no re-delivery."""
+    spark = registered
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    track = str(tmp_path / "track")
+    got: list[tuple] = []
+
+    def run():
+        (
+            spark.readStream.format("versioned")
+            .option("schemaTrackingLocation", track)
+            .load(path)
+            .writeStream.foreachBatch(
+                lambda df, _eid: got.extend(
+                    tuple(r) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        path,
+    )
+    run()
+    assert sorted(got) == [(1, "a"), (2, "b")]
+    versioned.rename_column(path, "name", "label")
+    versioned.commit(
+        spark,
+        spark.createDataFrame([(3, "c")], "id int, label string"),
+        path,
+    )
+    run()  # restarted reader validates the rename and resumes
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
