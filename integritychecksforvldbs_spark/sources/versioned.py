@@ -2042,16 +2042,17 @@ def _stat_lt(a, b) -> bool:
 
 def _dml_candidates(man: dict, condition: str) -> list[str] | None:
     """Manifest files a DELETE/UPDATE probe must scan, per the stats
-    bounds the condition implies — None when the condition yields no
-    usable bounds (probe everything).  Best-effort by contract: any
-    failure (a literal whose type disagrees with the column's stats,
-    exotic stat encodings) degrades to the unpruned probe, never to a
-    wrong answer — the probe's own predicate is always re-applied."""
+    bounds AND membership sets the condition implies — None when the
+    condition yields neither (probe everything).  Best-effort by
+    contract: any failure (a literal whose type disagrees with the
+    column's stats, exotic stat encodings) degrades to the unpruned
+    probe, never to a wrong answer — the probe's own predicate is
+    always re-applied."""
     try:
-        bounds = _bounds_from_condition(condition)
-        if not bounds:
+        bounds, points = _condition_profile(condition)
+        if not bounds and not points:
             return None
-        kept, _ = _prune_manifest_files(man, bounds)
+        kept, _ = _prune_manifest_files(man, bounds, points)
         return kept
     except Exception:
         return None
@@ -3289,18 +3290,55 @@ def stats_summary(
     return out
 
 
+def _same_stat_kind(a, b) -> bool:
+    """Whether a stat value and a predicate literal compare by VALUE
+    identity (same family) — a point-membership prune must never fire
+    across a type family (Spark would CAST ``'5' = 5`` to a match;
+    Python ``'5' == 5`` is False, which would wrongly kill the
+    file)."""
+    import datetime
+    import decimal
+
+    num = (int, float, decimal.Decimal)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    if isinstance(a, datetime.datetime) or isinstance(
+        b, datetime.datetime
+    ):  # datetime is a date subclass: check it first
+        return isinstance(a, datetime.datetime) and isinstance(
+            b, datetime.datetime
+        )
+    for t in (str, datetime.date):
+        if isinstance(a, t) and isinstance(b, t):
+            return True
+    return False
+
+
 def _prune_manifest_files(
-    man: dict, bounds: dict[str, tuple]
+    man: dict,
+    bounds: dict[str, tuple],
+    points: dict[str, list] | None = None,
 ) -> tuple[list[str], list[str]]:
     """(kept, skipped) under a conjunction of range predicates
-    ``{col: (lo, hi)}`` (either end ``None`` = open): a file is
-    skipped only when its manifest stats PROVE no row can match;
-    files without trustworthy stats are always kept — correctness
-    never depends on stats, they only remove provably-dead IO."""
+    ``{col: (lo, hi)}`` (either end ``None`` = open) and optional
+    exact-membership sets ``{col: [literals]}``: a file is skipped
+    only when its manifest stats PROVE no row can match; files
+    without trustworthy stats are always kept — correctness never
+    depends on stats, they only remove provably-dead IO.
+
+    Membership sets prune a file whose stats pin the column to ONE
+    exact value (min == max — partition-dir values are folded in
+    exactly this shape) not in the set: ``priority IN ('1-URGENT',
+    '5-LOW')`` keeps two partition dirs even though its (lo, hi)
+    envelope spans all five.  Same-type-family guarded (see
+    :func:`_same_stat_kind`)."""
     from integritychecksforvldbs_spark.sources.zonemap import _lt
 
     stats = man.get("stats") or {}
     m = _mapping(man)  # stats are keyed by PHYSICAL name
+    points = {c: list(v) for c, v in (points or {}).items() if v}
     # history first so a re-activated dir name reads its ACTIVE spec
     transforms = {
         **_partition_spec_history(man),
@@ -3311,8 +3349,11 @@ def _prune_manifest_files(
         # implies a bound on the dir value (every supported transform
         # is monotonic), and the dir values are folded into the stats
         # — so `WHERE ts BETWEEN a AND b` prunes day-partition dirs
-        # the query never mentions (Iceberg's contract)
+        # the query never mentions (Iceberg's contract).  Membership
+        # sets translate too — per-literal — which is what prunes an
+        # IN over a bucket key to the union of its buckets
         extra_bounds = {}
+        extra_points = {}
         for dcol, tr in transforms.items():
             mono = tr.get("fn") in _MONOTONIC_TRANSFORMS
             for c, (lo, hi) in bounds.items():
@@ -3331,13 +3372,25 @@ def _prune_manifest_files(
                     )
                 except Exception:
                     continue  # untranslatable literal: no extra prune
+            for c, lits in points.items():
+                if m.get(c, c) != tr["src"]:
+                    continue
+                try:
+                    extra_points[dcol] = [
+                        _transform_value(tr, v) for v in lits
+                    ]
+                except Exception:
+                    continue
         if extra_bounds:
             bounds = {**bounds, **extra_bounds}
+        if extra_points:
+            points = {**points, **extra_points}
     kept, skipped = [], []
     for f in man["files"]:
         dead = False
+        fcols = (stats.get(f) or {}).get("cols", {})
         for c, (lo, hi) in bounds.items():
-            ent = (stats.get(f) or {}).get("cols", {}).get(m.get(c, c))
+            ent = fcols.get(m.get(c, c))
             if ent is None or not ent["ok"]:
                 continue
             if ent["min"] is None:
@@ -3349,6 +3402,27 @@ def _prune_manifest_files(
             ):
                 dead = True
                 break
+        if not dead:
+            for c, lits in points.items():
+                ent = fcols.get(m.get(c, c))
+                if ent is None or not ent["ok"]:
+                    continue
+                if ent["min"] is None:
+                    dead = True
+                    break
+                vmin, vmax = (
+                    _dec_stat(ent["min"]), _dec_stat(ent["max"]),
+                )
+                try:
+                    if (
+                        vmin == vmax
+                        and all(_same_stat_kind(vmin, v) for v in lits)
+                        and all(vmin != v for v in lits)
+                    ):
+                        dead = True
+                        break
+                except Exception:
+                    continue  # exotic values: never prune on doubt
         (skipped if dead else kept).append(f)
     return kept, skipped
 
@@ -3378,7 +3452,7 @@ def read_where(
     from pyspark.sql import functions as F
 
     man = _resolve_manifest(path, version)
-    kept, _ = _prune_manifest_files(man, bounds)
+    kept, _ = _prune_manifest_files(man, bounds, points)
     # point bounds (lo == hi) probe the Bloom index too, alongside
     # any caller-declared membership sets
     eq: dict[str, list] = {

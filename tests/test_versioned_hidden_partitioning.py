@@ -232,11 +232,14 @@ def test_append_inherits_and_refusals(spark, htbl, tmp_path):
             spark, _ev(spark), str(tmp_path / "mix"),
             partition_by=["day(ts)", "v"],
         )
-    # bucket refused with guidance
+    # bucket is SUPPORTED since r12 (tests/test_versioned_bucket.py);
+    # what stays refused is a bucket over a non-hashable-kind column
     with pytest.raises(ValueError, match="bucket"):
         versioned.commit(
-            spark, _ev(spark), str(tmp_path / "b"),
-            partition_by=["bucket(16, k)"],
+            spark,
+            spark.range(4).select((F.col("id") * 1.5).alias("x")),
+            str(tmp_path / "b"),
+            partition_by=["bucket(16, x)"],
         )
 
 

@@ -1,0 +1,151 @@
+"""Point-set (membership) file pruning (r12 follow-through on the
+IN-list algebra): partition-dir values are folded into the stats as
+exact min==max bounds, so ``col IN (a, b)`` can prune to EXACTLY the
+named dirs even when its (min, max) envelope spans the whole table —
+and through the bucket transform, to the UNION of the listed keys'
+buckets.  Same-type-family guarded: a literal of another kind never
+kills a file (Spark would cast; Python equality would not).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.functions.sparkhash import bucket_id
+from integritychecksforvldbs_spark.sources import versioned
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPEC", "5-LOW"]
+
+
+@pytest.fixture()
+def ptbl(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in PRIORITIES]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("prio"),
+        (F.col("id") * 2).alias("v"),
+    )
+    versioned.commit(spark, df, path, partition_by=["prio"])
+    return path
+
+
+def test_in_list_prunes_identity_dirs_beyond_envelope(spark, ptbl):
+    """IN ('1-URGENT', '5-LOW'): the range envelope spans every
+    partition, the membership set keeps exactly two."""
+    man = versioned._resolve_manifest(ptbl, None)
+    bounds = {"prio": ("1-URGENT", "5-LOW")}
+    points = {"prio": ["1-URGENT", "5-LOW"]}
+    env_only, _ = versioned._prune_manifest_files(man, bounds)
+    assert len(env_only) == len(man["files"])  # envelope can't help
+    kept, _ = versioned._prune_manifest_files(man, bounds, points)
+    assert kept and all(
+        versioned._partition_segments(f)["prio"]
+        in ("1-URGENT", "5-LOW")
+        for f in kept
+    )
+    # and the SQL front door rides it end to end
+    got = versioned.read_sql_where(
+        spark, ptbl, "prio IN ('1-URGENT', '5-LOW')"
+    )
+    want = (
+        versioned.read(spark, ptbl)
+        .filter(F.col("prio").isin("1-URGENT", "5-LOW"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_in_list_dml_probe_prunes_to_named_dirs(
+    spark, ptbl, monkeypatch
+):
+    calls = []
+    real = versioned._scan_live_pos
+
+    def spy(spark, man, files=None):
+        calls.append(files)
+        return real(spark, man, files)
+
+    monkeypatch.setattr(versioned, "_scan_live_pos", spy)
+    want = (
+        versioned.read(spark, ptbl)
+        .filter("prio IN ('2-HIGH', '4-NOT SPEC') AND k % 3 = 0")
+        .count()
+    )
+    v, n = versioned.delete_where(
+        spark, ptbl, "prio IN ('2-HIGH', '4-NOT SPEC') AND k % 3 = 0"
+    )
+    assert n == want
+    probed = [c for c in calls if c is not None]
+    assert probed and all(
+        versioned._partition_segments(f)["prio"]
+        in ("2-HIGH", "4-NOT SPEC")
+        for c in probed
+        for f in c
+    )
+
+
+def test_in_list_prunes_bucket_union(spark, tmp_path):
+    path = str(tmp_path / "b")
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    versioned.commit(spark, df, path, partition_by=["bucket(8, k)"])
+    man = versioned._resolve_manifest(path, None)
+    a, b = 123, 601
+    want_dirs = {str(bucket_id(a, "long", 8)), str(bucket_id(b, "long", 8))}
+    kept, _ = versioned._prune_manifest_files(
+        man, {"k": (a, b)}, {"k": [a, b]}
+    )
+    assert kept and {
+        versioned._partition_segments(f)["k_bucket_8"] for f in kept
+    } <= want_dirs
+    got = versioned.read_sql_where(spark, path, f"k IN ({a}, {b})")
+    assert sorted(r.v for r in got.collect()) == sorted([a * 3, b * 3])
+
+
+def test_day_transform_point_set_translates(spark, tmp_path):
+    path = str(tmp_path / "d")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-01-01 06:00:00' + make_interval("
+            "0, 0, 0, CAST(id % 10 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+    )
+    versioned.commit(spark, df, path, partition_by=["day(ts)"])
+    man = versioned._resolve_manifest(path, None)
+    t1 = datetime.datetime(2024, 1, 2, 6, 0, 0)
+    t2 = datetime.datetime(2024, 1, 9, 6, 0, 0)
+    kept, _ = versioned._prune_manifest_files(
+        man, {"ts": (t1, t2)}, {"ts": [t1, t2]}
+    )
+    assert kept and all(
+        versioned._partition_segments(f)["ts_day"]
+        in ("2024-01-02", "2024-01-09")
+        for f in kept
+    )
+
+
+def test_type_family_guard_never_prunes_across_kinds(spark, tmp_path):
+    """An int literal against a string-pinned dir must NOT prune:
+    Spark would CAST '5' = 5 into a match."""
+    path = str(tmp_path / "g")
+    df = spark.range(40).select(
+        (F.col("id") % 2).cast("string").alias("s"),
+        F.col("id").alias("k"),
+    )
+    versioned.commit(spark, df, path, partition_by=["s"])
+    man = versioned._resolve_manifest(path, None)
+    kept, _ = versioned._prune_manifest_files(man, {}, {"s": [1]})
+    assert len(kept) == len(man["files"])  # int vs str: no prune
+    kept, _ = versioned._prune_manifest_files(man, {}, {"s": ["1"]})
+    assert kept and all(
+        versioned._partition_segments(f)["s"] == "1" for f in kept
+    )
