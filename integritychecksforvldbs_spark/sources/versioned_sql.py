@@ -59,6 +59,10 @@ registered via :func:`register_table` or an explicit path):
   DROP ride the table's column mapping (physical names in the
   immutable files never change; a re-added name binds a fresh
   physical name so dropped bytes cannot resurrect).
+- ``ALTER TABLE <t> SET PARTITION SPEC (month(ts)[, ...])`` —
+  metadata-only partition-spec evolution for transform layouts
+  (:func:`~.versioned.set_partition_spec`): old files keep their
+  dirs and keep pruning under the retired spec's history.
 - ``ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)`` /
   ``DROP CONSTRAINT <name>`` — commit-time CHECK constraints
   (:func:`~.versioned.set_constraints`; ADD validates the existing
@@ -555,6 +559,13 @@ _ALTER_DROP = re.compile(
     r"\(?\s*(?P<cols>[^();]+?)\s*\)?\s*;?\s*$",
     re.I | re.S,
 )
+# spec entries themselves carry parens (month(ts), bucket(8, k)), so
+# the body is greedy up to the LAST close-paren before end
+_ALTER_SET_SPEC = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[^\s;]+)\s+SET\s+PARTITION\s+SPEC\s*"
+    r"\(\s*(?P<spec>.*?)\s*\)\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 def _metrics(spark: SparkSession, **kv) -> DataFrame:
@@ -921,10 +932,22 @@ def versioned_sql(
             for piece in _split_top(m.group("cols"), r","):
                 v = versioned.drop_column(path, piece.strip().strip("`"))
             return _metrics(spark, version=v)
+        m = _ALTER_SET_SPEC.match(stmt)
+        if m:
+            path = _resolve(m.group("tbl"))
+            entries = [
+                p.strip()
+                for p in _split_top(m.group("spec"), r",")
+                if p.strip()
+            ]
+            v = versioned.set_partition_spec(spark, path, entries)
+            return _metrics(
+                spark, version=v, n_partition_entries=len(entries)
+            )
         raise ValueError(
             "only ALTER TABLE <t> ADD COLUMN[S] <name> <type>[, ...] | "
-            f"RENAME COLUMN <a> TO <b> | DROP COLUMN[S] <c>[, ...] is "
-            f"supported: {stmt!r}"
+            "RENAME COLUMN <a> TO <b> | DROP COLUMN[S] <c>[, ...] | "
+            f"SET PARTITION SPEC (entries...) is supported: {stmt!r}"
         )
     if head == "CONVERT":
         m = _CONVERT.match(stmt)

@@ -207,3 +207,68 @@ def test_rewrite_partitioned_migrates_identity_to_bucket(
         versioned._partition_segments(f)["k_bucket_4"] == b
         for f in kept
     )
+
+
+def test_sql_set_partition_spec_and_ctas_bucket(spark, tmp_path):
+    """The SQL front door speaks the new surface: CTAS PARTITIONED BY
+    a bucket transform, then ALTER TABLE ... SET PARTITION SPEC
+    evolves it metadata-only and pruning spans both specs."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(300).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 08:00:00' + make_interval("
+            "0, 0, 0, CAST(id % 6 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+    ).createOrReplaceTempView("spec_src")
+    register_table("spec_t", path)
+    try:
+        versioned_sql(
+            spark,
+            "CREATE TABLE spec_t PARTITIONED BY (bucket(4, k)) AS "
+            "SELECT * FROM spec_src",
+        )
+        man = versioned._resolve_manifest(path, None)
+        assert man["partition_by"] == ["k_bucket_4"]
+        out = versioned_sql(
+            spark,
+            "ALTER TABLE spec_t SET PARTITION SPEC (day(ts))",
+        ).collect()[0]
+        assert out.version == 2 and out.n_partition_entries == 1
+        man = versioned._resolve_manifest(path, None)
+        assert man["partition_transforms"] == {
+            "ts_day": {"fn": "day", "src": "ts"}
+        }
+        assert man["partition_spec_history"] == {
+            "k_bucket_4": {
+                "fn": "bucket", "src": "k", "n": 4, "hash": "long",
+            }
+        }
+        # a point probe on k still prunes via the HISTORY bucket dirs
+        from integritychecksforvldbs_spark.functions.sparkhash import (
+            bucket_id,
+        )
+
+        kept, _ = versioned._prune_manifest_files(
+            man, {"k": (77, 77)}
+        )
+        b = str(bucket_id(77, "long", 4))
+        assert kept and all(
+            versioned._partition_segments(f)["k_bucket_4"] == b
+            for f in kept
+        )
+        # unpartitioning via SQL: empty spec
+        out = versioned_sql(
+            spark, "ALTER TABLE spec_t SET PARTITION SPEC ()"
+        ).collect()[0]
+        assert out.version == 3
+        assert not versioned._partition_by(
+            versioned._resolve_manifest(path, None)
+        )
+    finally:
+        register_table("spec_t", None)
