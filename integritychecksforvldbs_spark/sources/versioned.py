@@ -1764,6 +1764,12 @@ def _scan_live_pos(
     return _to_logical(df, man), fcol, rcol
 
 
+# largest source key set a MERGE probe materializes driver-side for
+# membership pruning — CDC batches where it matters are far smaller;
+# beyond it the probe falls back to min/max bounds alone
+_MERGE_POINTS_CAP = 64
+
+
 def _merge_probe_candidates(
     spark: SparkSession, man: dict, source: DataFrame, keys: list[str]
 ) -> list[str] | None:
@@ -1776,7 +1782,15 @@ def _merge_probe_candidates(
     ``None`` = no pruning: a NULL source key matches null rows under
     eqNullSafe anywhere (so any null key bails), and any failure
     degrades to the unpruned probe.  Conservative by contract — the
-    key semi-join re-applies exact matching on whatever survives."""
+    key semi-join re-applies exact matching on whatever survives.
+
+    When a key's cardinality is SMALL (≤ :data:`_MERGE_POINTS_CAP`,
+    pre-screened by an approx-distinct in the same agg so a big
+    source never pays a second pass), its exact value set also rides
+    as a MEMBERSHIP prune: a CDC upsert keyed by a bucketed or
+    Bloom-indexed high-cardinality column — where min/max bounds are
+    useless — probes only the listed keys' buckets / admitted
+    files."""
     from pyspark.sql import functions as F
 
     try:
@@ -1788,16 +1802,31 @@ def _merge_probe_candidates(
                 F.min(k).alias(f"__mn{i}"),
                 F.max(k).alias(f"__mx{i}"),
                 F.sum(F.col(k).isNull().cast("long")).alias(f"__nl{i}"),
+                F.approx_count_distinct(k).alias(f"__ad{i}"),
             ]
         row = source.agg(*aggs).collect()[0]
         bounds: dict[str, tuple] = {}
+        points: dict[str, list] = {}
         for i, k in enumerate(keys):
             if int(row[f"__nl{i}"] or 0) > 0:
                 return None  # null keys match null rows in any file
             if row[f"__mn{i}"] is None:
                 return []  # empty source: nothing can match
             bounds[k] = (row[f"__mn{i}"], row[f"__mx{i}"])
-        kept, _ = _prune_manifest_files(man, bounds)
+            # approx ±5%: screen at 2× the cap, verify exactly below
+            if int(row[f"__ad{i}"] or 0) <= 2 * _MERGE_POINTS_CAP:
+                vals = [
+                    r[0]
+                    for r in source.select(k)
+                    .distinct()
+                    .limit(_MERGE_POINTS_CAP + 1)
+                    .collect()
+                ]
+                if 0 < len(vals) <= _MERGE_POINTS_CAP:
+                    points[k] = vals
+        kept, _ = _prune_manifest_files(man, bounds, points or None)
+        if points and (man.get("bloom") or {}):
+            kept = _bloom_prune_files(spark, man, points, kept)
         return kept
     except Exception:
         return None

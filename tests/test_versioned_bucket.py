@@ -216,3 +216,37 @@ def test_bucket_refusals(spark, tmp_path):
         versioned.commit(
             spark, df, str(tmp_path / "b"), partition_by=["bucket(4, x)"]
         )
+
+
+def test_merge_probe_prunes_to_source_key_buckets(
+    spark, btbl, monkeypatch
+):
+    """r12: a small CDC upsert keyed by the bucket column probes only
+    the SOURCE KEYS' buckets — min/max bounds are useless under a
+    hash layout, the membership point set is what prunes."""
+    calls = []
+    real = versioned._scan_live_pos
+
+    def spy(spark, man, files=None):
+        calls.append(files)
+        return real(spark, man, files)
+
+    monkeypatch.setattr(versioned, "_scan_live_pos", spy)
+    src = spark.createDataFrame(
+        [(5, 5_000, "x5"), (999, 9_000, "x999"), (1500, 15_000, "new")],
+        "k long, v long, name string",
+    )
+    want_buckets = {
+        str(sparkhash.bucket_id(k, "long", 8)) for k in (5, 999, 1500)
+    }
+    versioned.merge_into(spark, btbl, src, ["k"])
+    probed = [c for c in calls if c is not None]
+    assert probed and all(
+        versioned._partition_segments(f)["k_bucket_8"] in want_buckets
+        for c in probed
+        for f in c
+    )
+    got = versioned.read(spark, btbl)
+    assert got.filter("k = 5").collect()[0].v == 5_000
+    assert got.filter("k = 1500").collect()[0].name == "new"
+    assert got.count() == 1001
