@@ -1764,6 +1764,25 @@ def _scan_live_pos(
     return _to_logical(df, man), fcol, rcol
 
 
+def _wrapped_in_one_paren_pair(s: str) -> bool:
+    """Whether ``s`` is exactly ``( … )`` with the opening paren
+    matching the FINAL character.  Quote-blind on purpose: a paren
+    hidden in a string literal only makes this return False, and a
+    missed strip merely skips a prune (the atom regex then fails and
+    the caller stays conservative) — it can never mis-parse."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
 # largest source key set a MERGE probe materializes driver-side for
 # membership pruning — CDC batches where it matters are far smaller;
 # beyond it the probe falls back to min/max bounds alone
@@ -1954,8 +1973,6 @@ def _condition_profile(
     )
     from integritychecksforvldbs_spark.sources.zonemap import _lt
 
-    if _find_top(condition, r"\b(OR|NOT)\b") >= 0:
-        return {}, {}
     alias_set = {a.lower() for a in aliases if a}
     bounds: dict[str, tuple] = {}
     points: dict[str, list] = {}
@@ -1963,6 +1980,46 @@ def _condition_profile(
     def _qual_ok(m: re.Match) -> bool:
         qual = m.group("qq") or m.group("q")
         return qual is None or qual.lower() in alias_set
+
+    def _disjunction_points(piece: str):
+        """``(col, [literals])`` when ``piece`` is a pure SAME-COLUMN
+        disjunction of ``=`` / ``IN`` atoms — ``k = 5 OR k = 7`` is
+        the other spelling of an IN-list; None otherwise (any
+        non-equality disjunct, a second column, an unverified
+        qualifier: the disjunction could admit rows the membership
+        set excludes)."""
+        col, lits = None, []
+        for d in _split_top(piece, r"\bOR\b"):
+            d = d.strip()
+            while _wrapped_in_one_paren_pair(d):
+                d = d[1:-1].strip()
+            me = _BOUND_ATOM.match(d)
+            if me is not None and me.group("op") in ("=", "=="):
+                if not _qual_ok(me):
+                    return None
+                c = me.group("qcol") or me.group("col")
+                try:
+                    vals = [_parse_atom_literal(me.group("lit"))]
+                except Exception:
+                    return None
+            else:
+                mi = _IN_ATOM.match(d)
+                if mi is None or not _qual_ok(mi):
+                    return None
+                c = mi.group("qcol") or mi.group("col")
+                try:
+                    vals = [
+                        _parse_atom_literal(s)
+                        for s in _IN_LIT_SPLIT.findall(mi.group("lits"))
+                    ]
+                except Exception:
+                    return None
+            if col is None:
+                col = c
+            elif col != c:
+                return None
+            lits += vals
+        return (col, lits) if col is not None and lits else None
 
     def _tighten(col: str, op: str, lit) -> None:
         lo, hi = bounds.get(col, (None, None))
@@ -1981,11 +2038,56 @@ def _condition_profile(
             lits = [v for v in lits if any(v == p for p in points[col])]
         points[col] = lits
 
+    def _tighten_from_lits(col: str, lits: list) -> None:
+        try:  # min/max only when the literals are comparable
+            lo = hi = lits[0]
+            for v in lits[1:]:
+                if _lt(v, lo):
+                    lo = v
+                if _lt(hi, v):
+                    hi = v
+        except TypeError:
+            return  # mixed-type list: membership only, no range
+        _tighten(col, ">=", lo)
+        _tighten(col, "<=", hi)
+
+    if _find_top(condition, r"\bNOT\b") >= 0:
+        return {}, {}
+    if _find_top(condition, r"\bOR\b") >= 0:
+        # a top-level OR poisons conjunctive pruning — UNLESS the
+        # whole condition is one single-column equality disjunction,
+        # which is just an IN-list spelled out
+        dp = _disjunction_points(condition)
+        if dp is None:
+            return {}, {}
+        col, lits = dp
+        points[col] = lits
+        _tighten_from_lits(col, lits)
+        return bounds, points
+
     pieces = _split_top(condition, r"\bAND\b")
     i = 0
     while i < len(pieces):
         piece = pieces[i]
         i += 1
+        if piece.strip().startswith("("):
+            # a parenthesized conjunct: a same-column equality
+            # disjunction — `(k = 5 OR k = 7) AND …` — contributes
+            # its membership set; a merely-wrapped plain atom falls
+            # through to the ordinary matching below
+            p = piece.strip()
+            while _wrapped_in_one_paren_pair(p):
+                p = p[1:-1].strip()
+            if _find_top(p, r"\bNOT\b") >= 0:
+                continue  # a negated conjunct contributes nothing
+            if _find_top(p, r"\bOR\b") >= 0:
+                dp = _disjunction_points(p)
+                if dp is not None:
+                    col, lits = dp
+                    _narrow_points(col, lits)
+                    _tighten_from_lits(col, lits)
+                continue  # an unusable disjunction: nothing
+            piece = p
         bt = _BETWEEN_HEAD.match(piece)
         if bt is not None and i < len(pieces):
             nx = _BARE_LIT.match(pieces[i])

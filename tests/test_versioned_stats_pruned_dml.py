@@ -206,3 +206,39 @@ def test_pruned_equals_unpruned(spark, tmp_path):
     ra = sorted(tuple(r) for r in versioned.read(spark, a).collect())
     rb = sorted(tuple(r) for r in versioned.read(spark, b).collect())
     assert ra == rb and len(ra) == 229
+
+
+def test_or_disjunction_is_an_in_list_since_r12():
+    """`k = 5 OR k = 7` is the other spelling of an IN-list: a pure
+    SAME-COLUMN equality disjunction yields membership points and a
+    range envelope, whole-condition or parenthesized-conjunct; any
+    cross-column / non-equality / negated disjunct still disables."""
+    assert versioned._condition_profile("k = 5 OR k = 7") == (
+        {"k": (5, 7)},
+        {"k": [5, 7]},
+    )
+    assert versioned._condition_profile(
+        "p = 'a' OR p IN ('b', 'c')"
+    ) == ({"p": ("a", "c")}, {"p": ["a", "b", "c"]})
+    b, p = versioned._condition_profile(
+        "(k = 5 OR k = 7) AND v >= 2"
+    )
+    assert b == {"k": (5, 7), "v": (2, None)} and p == {"k": [5, 7]}
+    # conjunction narrows the membership set
+    assert versioned._condition_profile(
+        "(k = 5 OR k = 7) AND k IN (7, 9)"
+    ) == ({"k": (7, 7)}, {"k": [7]})
+    # wrapped plain atoms contribute their bounds now
+    assert versioned._condition_profile("(k >= 5) AND (k <= 9)") == (
+        {"k": (5, 9)},
+        {},
+    )
+    # still conservative where the algebra cannot be sound
+    assert versioned._condition_profile("k = 5 OR j = 7") == ({}, {})
+    assert versioned._condition_profile("k = 5 OR k > 7") == ({}, {})
+    assert versioned._condition_profile("k = 5 OR NOT (k = 7)") == (
+        {},
+        {},
+    )
+    b, p = versioned._condition_profile("(k = 5 OR v = 7) AND g = 1")
+    assert b == {"g": (1, 1)} and p == {"g": [1]}
