@@ -1913,6 +1913,14 @@ _IN_ATOM = re.compile(
     re.I,
 )
 _IN_LIT_SPLIT = re.compile(rf"{_LIT_PAT}", re.I)
+# `col LIKE '<pattern>'` — a PREFIX pattern (one trailing %, no other
+# wildcards/escapes) implies lexicographic range bounds; a pattern
+# with no wildcards at all is an equality
+_LIKE_ATOM = re.compile(
+    rf"^\s*{_QUAL_PAT}(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s+LIKE\s+"
+    r"'(?P<pat>[^']*)'\s*$",
+    re.I,
+)
 # first half of a top-level BETWEEN after the AND-split cuts it at
 # its own AND: `col BETWEEN lit` then a bare-literal next piece
 _BETWEEN_HEAD = re.compile(
@@ -2103,6 +2111,32 @@ def _condition_profile(
                 _tighten(col, ">=", lo)
                 _tighten(col, "<=", hi)
                 continue
+        lk = _LIKE_ATOM.match(piece)
+        if lk is not None:
+            if not _qual_ok(lk):
+                continue
+            col = lk.group("qcol") or lk.group("col")
+            pat = lk.group("pat")
+            if not any(ch in pat for ch in "%_\\"):
+                # no wildcards: LIKE 'abc' ≡ col = 'abc'
+                _narrow_points(col, [pat])
+                _tighten(col, "=", pat)
+            elif (
+                pat.endswith("%")
+                and len(pat) > 1
+                and not any(ch in pat[:-1] for ch in "%_\\")
+                and ord(pat[-2]) < 0x10FFFF
+            ):
+                # prefix match: every hit sorts in [prefix,
+                # prefix[:-1] + next-char] (UTF-8 byte order is
+                # code-point order, so parquet string stats agree)
+                prefix = pat[:-1]
+                _tighten(col, ">=", prefix)
+                _tighten(
+                    col, "<=",
+                    prefix[:-1] + chr(ord(prefix[-1]) + 1),
+                )
+            continue  # other patterns: no bound from this atom
         mi = _IN_ATOM.match(piece)
         if mi is not None:
             if not _qual_ok(mi):

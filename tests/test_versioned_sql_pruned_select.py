@@ -143,3 +143,36 @@ def test_pruned_equals_unpruned(spark, stbl, monkeypatch):
     want = versioned_sql(spark, q).collect()[0].s
     monkeypatch.undo()
     assert got == want == sum(k * 3 for k in range(123, 457))
+
+
+def test_like_prefix_prunes(spark, tmp_path, prune_spy, scan_spy):
+    """r12: `name LIKE 'prefix%'` implies lexicographic bounds
+    [prefix, prefix+1) — on a string-clustered table the SQL front
+    door plans only the admitted files; answers pinned unpruned."""
+    path = str(tmp_path / "lk")
+    df = spark.range(1000).select(
+        F.format_string("u%04d", F.col("id")).alias("name"),
+        F.col("id").alias("k"),
+    )
+    versioned.commit(spark, df.repartitionByRange(10, "name"), path)
+    register_table("sp12lk", path)
+    try:
+        got = versioned_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM sp12lk "
+            "WHERE name LIKE 'u012%'",
+        )
+        assert len(prune_spy) == 1
+        bounds, _points = prune_spy[0]
+        assert bounds == {"name": ("u012", "u013")}
+        man = versioned._resolve_manifest(path, None)
+        kept, _ = versioned._prune_manifest_files(man, bounds)
+        assert scan_spy[-1] == sorted(kept)
+        assert 0 < len(kept) < len(man["files"])
+        assert got.collect()[0].n == 10  # u0120..u0129
+        # a wildcard-free LIKE is an equality (Bloom-probeable point)
+        b, p = versioned._condition_profile("name LIKE 'u0500'")
+        assert b == {"name": ("u0500", "u0500")}
+        assert p == {"name": ["u0500"]}
+    finally:
+        register_table("sp12lk", None)
