@@ -1309,6 +1309,7 @@ def _file_stats_for_dir(
                 # null bounds, and pruning may always skip it
                 ent["cols"][c] = {
                     "min": None, "max": None, "nulls": 0, "ok": True,
+                    "nulls_ok": True,
                 }
                 continue
             ok, vmin, vmax = e.has_stats, e.vmin, e.vmax
@@ -1321,6 +1322,7 @@ def _file_stats_for_dir(
                 vmin = vmax = None
             ent["cols"][c] = {
                 "min": vmin, "max": vmax, "nulls": e.n_nulls, "ok": ok,
+                "nulls_ok": bool(e.nulls_ok),
             }
     return out
 
@@ -1436,6 +1438,7 @@ def _write_data(
                     "max": _enc_stat(v),
                     "nulls": 0 if v is not None else ent["n_rows"],
                     "ok": True,
+                    "nulls_ok": True,
                 }
             new_stats[final] = ent
         new_files.append(final)
@@ -2059,12 +2062,15 @@ def _condition_profile(
         _tighten(col, ">=", lo)
         _tighten(col, "<=", hi)
 
-    if _find_top(condition, r"\bNOT\b") >= 0:
-        return {}, {}
+    # a top-level OR is the one connective that BREAKS the AND-split:
+    # by precedence `x OR a AND b` is `x OR (a AND b)`, so the split
+    # pieces are not conjuncts and none may contribute.  NOT needs no
+    # global disable — it binds tighter than AND, so a NOT-piece is a
+    # whole conjunct and skipping it keeps a sound superset (which is
+    # also what lets `k >= 5 AND j IS NOT NULL` keep its k bound).
     if _find_top(condition, r"\bOR\b") >= 0:
-        # a top-level OR poisons conjunctive pruning — UNLESS the
-        # whole condition is one single-column equality disjunction,
-        # which is just an IN-list spelled out
+        # … UNLESS the whole condition is one single-column equality
+        # disjunction, which is just an IN-list spelled out
         dp = _disjunction_points(condition)
         if dp is None:
             return {}, {}
@@ -2196,6 +2202,56 @@ def _bounds_from_condition(
     return _condition_profile(condition, aliases)[0]
 
 
+_NULL_ATOM = re.compile(
+    rf"^\s*{_QUAL_PAT}(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s+IS\s+"
+    r"(?P<neg>NOT\s+)?NULL\s*$",
+    re.I,
+)
+
+
+def _null_preds_from_condition(
+    condition: str, aliases: tuple[str, ...] = ()
+) -> dict[str, bool]:
+    """``{col: wants_null}`` for top-level ``col IS [NOT] NULL``
+    conjuncts — the third pruning channel next to range bounds and
+    membership points: per-file NULL COUNTS ride the stats, so a
+    null-scrubbing ``DELETE WHERE col IS NULL`` probes only the
+    files that hold a null.  Same conservative algebra (top-level
+    OR/NOT disable; unverified qualifiers skip).  ``IS NOT NULL`` is
+    distinct from ``NOT``-the-connective: the atom regex claims it
+    before the disable check would see it."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        _find_top,
+        _split_top,
+    )
+
+    alias_set = {a.lower() for a in aliases if a}
+    out: dict[str, bool] = {}
+    for piece in _split_top(condition, r"\bAND\b"):
+        p = piece.strip()
+        while _wrapped_in_one_paren_pair(p):
+            p = p[1:-1].strip()
+        m = _NULL_ATOM.match(p)
+        if m is None:
+            # a top-level OR spans the AND-split (precedence): none
+            # of the pieces are conjuncts — disable everything.  A
+            # NOT-piece is just a conjunct we skip.
+            if _find_top(p, r"\bOR\b") >= 0:
+                return {}
+            continue
+        qual = m.group("qq") or m.group("q")
+        if qual is not None and qual.lower() not in alias_set:
+            continue
+        col = m.group("qcol") or m.group("col")
+        wants_null = m.group("neg") is None
+        if col in out and out[col] != wants_null:
+            # col IS NULL AND col IS NOT NULL: unsatisfiable — keep
+            # the stricter reading conservative (no special-casing)
+            continue
+        out[col] = wants_null
+    return out
+
+
 def _stat_lt(a, b) -> bool:
     from integritychecksforvldbs_spark.sources.zonemap import _lt
 
@@ -2215,9 +2271,10 @@ def _dml_candidates(man: dict, condition: str) -> list[str] | None:
     always re-applied."""
     try:
         bounds, points = _condition_profile(condition)
-        if not bounds and not points:
+        nulls = _null_preds_from_condition(condition)
+        if not bounds and not points and not nulls:
             return None
-        kept, _ = _prune_manifest_files(man, bounds, points)
+        kept, _ = _prune_manifest_files(man, bounds, points, nulls)
         return kept
     except Exception:
         return None
@@ -3485,6 +3542,7 @@ def _prune_manifest_files(
     man: dict,
     bounds: dict[str, tuple],
     points: dict[str, list] | None = None,
+    nulls: dict[str, bool] | None = None,
 ) -> tuple[list[str], list[str]]:
     """(kept, skipped) under a conjunction of range predicates
     ``{col: (lo, hi)}`` (either end ``None`` = open) and optional
@@ -3498,7 +3556,13 @@ def _prune_manifest_files(
     exactly this shape) not in the set: ``priority IN ('1-URGENT',
     '5-LOW')`` keeps two partition dirs even though its (lo, hi)
     envelope spans all five.  Same-type-family guarded (see
-    :func:`_same_stat_kind`)."""
+    :func:`_same_stat_kind`).
+
+    ``nulls`` (``{col: wants_null}``) prunes by the per-file null
+    COUNTS: ``col IS NULL`` skips files censused with zero nulls,
+    ``col IS NOT NULL`` skips all-null files — both physical counts,
+    so deletion vectors (which only remove rows) cannot unsound
+    them."""
     from integritychecksforvldbs_spark.sources.zonemap import _lt
 
     stats = man.get("stats") or {}
@@ -3588,6 +3652,26 @@ def _prune_manifest_files(
                         break
                 except Exception:
                     continue  # exotic values: never prune on doubt
+        if not dead and nulls:
+            n_rows = (stats.get(f) or {}).get("n_rows")
+            for c, wants_null in nulls.items():
+                ent = fcols.get(m.get(c, c))
+                # deliberately NOT gated on ent["ok"]: an all-null
+                # column has no min/max (ok=False) but a trustworthy
+                # null count — nulls_ok is this channel's own flag
+                if ent is None or not ent.get("nulls_ok"):
+                    continue
+                n_nulls = int(ent.get("nulls") or 0)
+                if wants_null and n_nulls == 0:
+                    dead = True  # IS NULL: the file holds no null
+                    break
+                if (
+                    not wants_null
+                    and n_rows is not None
+                    and n_nulls >= int(n_rows)
+                ):
+                    dead = True  # IS NOT NULL: every row is null
+                    break
         (skipped if dead else kept).append(f)
     return kept, skipped
 
@@ -3598,6 +3682,7 @@ def read_where(
     bounds: dict[str, tuple],
     version: int | None = None,
     points: dict[str, list] | None = None,
+    nulls: dict[str, bool] | None = None,
 ) -> DataFrame:
     """:func:`read` with manifest-stats file skipping: plan the scan
     over only the files whose stats admit a match for EVERY range in
@@ -3613,11 +3698,13 @@ def read_where(
     (``{col: [literals]}`` — the caller guarantees the true predicate
     implies ``col IN literals``): they probe the Bloom index as a
     per-literal union and re-apply as an ``isin`` residual, the
-    unclustered-high-cardinality prune min/max stats cannot make."""
+    unclustered-high-cardinality prune min/max stats cannot make.
+    ``nulls`` (``{col: wants_null}``) prunes by per-file null counts
+    and re-applies as ``isNull``/``isNotNull`` residuals."""
     from pyspark.sql import functions as F
 
     man = _resolve_manifest(path, version)
-    kept, _ = _prune_manifest_files(man, bounds, points)
+    kept, _ = _prune_manifest_files(man, bounds, points, nulls)
     # point bounds (lo == hi) probe the Bloom index too, alongside
     # any caller-declared membership sets
     eq: dict[str, list] = {
@@ -3648,6 +3735,10 @@ def read_where(
         for c, lits in (points or {}).items():
             if lits:
                 df = df.filter(F.col(c).isin(*[F.lit(v) for v in lits]))
+        for c, wants_null in (nulls or {}).items():
+            df = df.filter(
+                F.col(c).isNull() if wants_null else F.col(c).isNotNull()
+            )
         return df
 
     if not kept:
@@ -3681,12 +3772,16 @@ def read_sql_where(
 
     bounds: dict[str, tuple] = {}
     points: dict[str, list] = {}
+    nulls: dict[str, bool] = {}
     try:
         bounds, points = _condition_profile(condition, aliases)
+        nulls = _null_preds_from_condition(condition, aliases)
     except Exception:
-        bounds, points = {}, {}
-    if bounds or points:
-        df = read_where(spark, path, bounds, version, points=points)
+        bounds, points, nulls = {}, {}, {}
+    if bounds or points or nulls:
+        df = read_where(
+            spark, path, bounds, version, points=points, nulls=nulls
+        )
     else:
         df = read(spark, path, version=version)
     if aliases:
@@ -5572,6 +5667,7 @@ def convert_to_versioned(
                     "max": _enc_stat(v),
                     "nulls": 0 if v is not None else ent["n_rows"],
                     "ok": True,
+                    "nulls_ok": True,
                 }
     import time
 

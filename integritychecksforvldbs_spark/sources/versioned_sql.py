@@ -1185,10 +1185,13 @@ def _bind_pruned_single_table(
         bounds, points = versioned._condition_profile(
             m.group("where"), tuple(aliases)
         )
-        if not bounds and not points:
+        nulls = versioned._null_preds_from_condition(
+            m.group("where"), tuple(aliases)
+        )
+        if not bounds and not points and not nulls:
             return None
         versioned.read_where(
-            spark, path, bounds, points=points
+            spark, path, bounds, points=points, nulls=nulls
         ).createOrReplaceTempView(name)
         return name
     except Exception:

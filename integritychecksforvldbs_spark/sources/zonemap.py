@@ -52,6 +52,12 @@ class ZoneEntry:
     vmax: Any
     n_nulls: int
     has_stats: bool
+    # null COUNT validity, independent of min/max: an ALL-NULL column
+    # has no min/max (has_stats=False) but a perfectly trustworthy
+    # null_count, and a column ABSENT from the file is all-null by
+    # definition (schema-evolution null-fill) — both matter to
+    # IS [NOT] NULL pruning, which must never trust a silent 0
+    nulls_ok: bool = False
 
 
 def _naive_utc(v: Any) -> Any:
@@ -79,27 +85,36 @@ def _read_zones(path: str, columns: list[str]) -> dict[str, ZoneEntry]:
         out: dict[str, ZoneEntry] = {}
         for column in columns:
             if column not in idx:
+                # absent column: every row null-fills it on read
                 out[column] = ZoneEntry(
-                    path, int(md.num_rows), None, None, 0, False
+                    path, int(md.num_rows), None, None,
+                    int(md.num_rows), False, nulls_ok=True,
                 )
                 continue
             ci = idx[column]
             vmin = vmax = None
             n_nulls = 0
             ok = True
+            nulls_ok = True
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(ci).statistics
-                if st is None or not st.has_min_max:
+                if st is None:
+                    ok = nulls_ok = False
+                    continue
+                if st.null_count is None:
+                    nulls_ok = False
+                else:
+                    n_nulls += int(st.null_count)
+                if not st.has_min_max:
                     ok = False
                     continue
                 vmin = st.min if vmin is None else min(vmin, st.min)
                 vmax = st.max if vmax is None else max(vmax, st.max)
-                n_nulls += int(st.null_count or 0)
             if vmin is None:
                 ok = False
             out[column] = ZoneEntry(
                 path, int(md.num_rows), _naive_utc(vmin), _naive_utc(vmax),
-                n_nulls, ok,
+                n_nulls, ok, nulls_ok=nulls_ok,
             )
         return out
     except Exception:

@@ -149,3 +149,79 @@ def test_type_family_guard_never_prunes_across_kinds(spark, tmp_path):
     assert kept and all(
         versioned._partition_segments(f)["s"] == "1" for f in kept
     )
+
+
+# ---------------------------------------------------------------------------
+# null-count pruning (r12): IS NULL / IS NOT NULL as a third channel
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ntbl(spark, tmp_path):
+    """Three commits: one all-null j, one null-free j, one mixed."""
+    path = str(tmp_path / "n")
+    mk = lambda lo, hi, expr: (
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.expr(expr).alias("j")
+        ).coalesce(1)
+    )
+    versioned.commit(spark, mk(0, 100, "CAST(NULL AS LONG)"), path)
+    versioned.commit(spark, mk(100, 200, "id * 2"), path)
+    versioned.commit(
+        spark, mk(200, 300, "IF(id % 10 = 0, NULL, id)"), path
+    )
+    return path
+
+
+def test_null_pred_parser():
+    f = versioned._null_preds_from_condition
+    assert f("j IS NULL") == {"j": True}
+    assert f("j IS NOT NULL AND k >= 5") == {"j": False}
+    assert f("(j IS NULL) AND o.k IS NOT NULL", ("o",)) == {
+        "j": True, "k": False,
+    }
+    assert f("x.j IS NULL") == {}  # unverified qualifier
+    assert f("j IS NULL OR k = 1") == {}  # OR spans the split
+    # NOT-the-connective pieces are skipped, not poisonous
+    assert f("NOT (k = 1) AND j IS NULL") == {"j": True}
+    # and the range profile keeps its bound next to IS NOT NULL now
+    assert versioned._bounds_from_condition(
+        "k >= 5 AND j IS NOT NULL"
+    ) == {"k": (5, None)}
+
+
+def test_is_null_probe_scans_only_null_holding_files(
+    spark, ntbl, monkeypatch
+):
+    calls = []
+    real = versioned._scan_live_pos
+
+    def spy(spark, man, files=None):
+        calls.append(files)
+        return real(spark, man, files)
+
+    monkeypatch.setattr(versioned, "_scan_live_pos", spy)
+    man = versioned._resolve_manifest(ntbl, None)
+    kept, skipped = versioned._prune_manifest_files(
+        man, {}, nulls={"j": True}
+    )
+    assert len(kept) == 2 and len(skipped) == 1  # null-free file dies
+    v, n = versioned.delete_where(spark, ntbl, "j IS NULL")
+    assert n == 100 + 10
+    probed = [c for c in calls if c is not None]
+    assert probed and all(sorted(c) == sorted(kept) for c in probed)
+    assert versioned.read(spark, ntbl).filter("j IS NULL").count() == 0
+
+
+def test_is_not_null_read_skips_all_null_files(spark, ntbl):
+    man = versioned._resolve_manifest(ntbl, None)
+    kept, skipped = versioned._prune_manifest_files(
+        man, {}, nulls={"j": False}
+    )
+    assert len(kept) == 2 and len(skipped) == 1  # all-null file dies
+    got = versioned.read_sql_where(spark, ntbl, "j IS NOT NULL")
+    want = versioned.read(spark, ntbl).filter("j IS NOT NULL")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 100 + 90

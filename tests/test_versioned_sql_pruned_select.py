@@ -36,9 +36,11 @@ def prune_spy(monkeypatch):
     calls = []
     real = versioned.read_where
 
-    def spy(spark, path, bounds, version=None, points=None):
+    def spy(spark, path, bounds, version=None, points=None, nulls=None):
         calls.append((bounds, points))
-        return real(spark, path, bounds, version, points=points)
+        return real(
+            spark, path, bounds, version, points=points, nulls=nulls
+        )
 
     monkeypatch.setattr(versioned, "read_where", spy)
     return calls
