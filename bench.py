@@ -54,6 +54,15 @@ R10_SET = list(HEADLINE)
 # versioned orders mirror (build paid in the prebuild subprocess).
 HEADLINE.append("versioned_partitioned_prune")
 
+# BENCH_r11's exact query set (17 queries) — same cross-round contract
+# as R10_SET.
+R11_SET = list(HEADLINE)
+
+# r12: the SQL front door's alias+IN file pruning joins the headline —
+# an aggregate over the same partitioned mirror whose binding plans
+# only the two listed priorities' partition files.
+HEADLINE.append("versioned_sql_in_prune")
+
 
 def _prebuild_mirrors(sf_dir: str) -> None:
     """Materialize every on-disk mirror fixture the headline needs
@@ -207,6 +216,12 @@ def main() -> None:
                     "r10_16q": round(
                         sum(
                             timings[n] for n in R10_SET if n in timings
+                        ),
+                        3,
+                    ),
+                    "r11_17q": round(
+                        sum(
+                            timings[n] for n in R11_SET if n in timings
                         ),
                         3,
                     ),
