@@ -80,7 +80,9 @@ registered via :func:`register_table` or an explicit path):
   registers the name.
 - ``DROP TABLE [IF EXISTS] <t>`` unbinds the registration
   (external-table semantics — the table root stays on disk);
-  ``SHOW TABLES`` lists the registrations.
+  ``SHOW TABLES`` lists the registrations; ``SHOW PARTITIONS <t>``
+  lists a partitioned table's dir values with file/live-row counts,
+  metadata-only from the manifest.
 - ``SELECT ... FROM table_changes('<t>', from_v[, to_v]) ...`` — the
   batch change feed (:func:`~.versioned.changes`) as a table-valued
   reference inside any SELECT (Delta's TVF of the same name); rows
@@ -537,6 +539,9 @@ _DROP_TABLE = re.compile(
     re.I | re.S,
 )
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_SHOW_PARTITIONS = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<tbl>[^\s;]+)\s*;?\s*$", re.I
+)
 _CONVERT = re.compile(
     r"^\s*CONVERT\s+TO\s+VERSIONED\s+'(?P<src>[^']+)'\s+AT\s+"
     r"'(?P<dst>[^']+)'"
@@ -987,8 +992,59 @@ def versioned_sql(
         _TABLES.pop(name, None)
         return _metrics(spark, n_dropped=int(existed))
     if head == "SHOW":
+        m = _SHOW_PARTITIONS.match(stmt)
+        if m:
+            # metadata-only: dir values + file/live-row counts from
+            # the manifest (the stats carry DV dead counts), never a
+            # data-file open — at 100 TB this answers from KBs
+            path = _resolve(m.group("tbl"))
+            man = versioned._resolve_manifest(path, None)
+            pby = versioned._partition_by(man)
+            if not pby:
+                raise ValueError(
+                    f"{m.group('tbl')!r} is not partitioned"
+                )
+            stats = man.get("stats") or {}
+            dvs = man.get("dvs") or {}
+            agg: dict[tuple, list[int]] = {}
+            for f in man["files"]:
+                seg = versioned._partition_segments(f)
+                key = tuple(seg.get(c, "") for c in pby)
+                ent = agg.setdefault(key, [0, 0])
+                ent[0] += 1
+                fst = stats.get(f)
+                if fst is not None:
+                    ent[1] += int(fst["n_rows"]) - (
+                        int(dvs[f]["n"]) if f in dvs else 0
+                    )
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            return spark.createDataFrame(
+                sorted(
+                    (*k, n_files, n_rows)
+                    for k, (n_files, n_rows) in agg.items()
+                ),
+                StructType(
+                    [
+                        StructField(c, StringType(), False)
+                        for c in pby
+                    ]
+                    + [
+                        StructField("n_files", LongType(), False),
+                        StructField("n_rows", LongType(), False),
+                    ]
+                ),
+            )
         if not _SHOW_TABLES.match(stmt):
-            raise ValueError(f"only SHOW TABLES is supported: {stmt!r}")
+            raise ValueError(
+                f"only SHOW TABLES | SHOW PARTITIONS <t> is "
+                f"supported: {stmt!r}"
+            )
         rows = [(n, p) for n, p in sorted(_TABLES.items())]
         from pyspark.sql.types import StringType, StructField, StructType
 

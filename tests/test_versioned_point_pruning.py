@@ -225,3 +225,60 @@ def test_is_not_null_read_skips_all_null_files(spark, ntbl):
         map(tuple, want.collect())
     )
     assert got.count() == 100 + 90
+
+
+def test_show_partitions_metadata_only(spark, ptbl, monkeypatch):
+    """SHOW PARTITIONS answers from the manifest: dir values with
+    file/LIVE-row counts (DV dead rows excluded), no data-file open."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    versioned.delete_where(
+        spark, ptbl, "prio = '5-LOW' AND k < 100", strategy="dv"
+    )
+    register_table("showp", ptbl)
+    try:
+        # prove metadata-only: any scan attempt would blow up
+        monkeypatch.setattr(
+            versioned, "_scan_files",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("SHOW PARTITIONS opened a data file")
+            ),
+        )
+        got = {
+            r.prio: (r.n_files, r.n_rows)
+            for r in versioned_sql(
+                spark, "SHOW PARTITIONS showp"
+            ).collect()
+        }
+        monkeypatch.undo()
+        assert set(got) == set(PRIORITIES)
+        want = (
+            versioned.read(spark, ptbl)
+            .groupBy("prio").count().collect()
+        )
+        assert {r.prio: r["count"] for r in want} == {
+            p: n for p, (_f, n) in got.items()
+        }
+    finally:
+        register_table("showp", None)
+
+
+def test_show_partitions_refuses_unpartitioned(spark, tmp_path):
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    path = str(tmp_path / "u")
+    versioned.commit(
+        spark, spark.range(5).select(F.col("id").alias("k")), path
+    )
+    register_table("showu", path)
+    try:
+        with pytest.raises(ValueError, match="not partitioned"):
+            versioned_sql(spark, "SHOW PARTITIONS showu")
+    finally:
+        register_table("showu", None)
