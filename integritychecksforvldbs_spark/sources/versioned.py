@@ -3789,6 +3789,53 @@ def read_sql_where(
     return df.filter(F.expr(condition))
 
 
+def explain_pruning(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    version: int | None = None,
+    aliases: tuple[str, ...] = (),
+) -> dict:
+    """What the pruning stack would do for ``condition`` — the
+    diagnostic twin of :func:`read_sql_where` (EXPLAIN for file
+    skipping): the extracted range bounds / membership points /
+    null predicates, the file counts each stage admits, and which
+    Bloom columns fired.  Metadata-only; nothing is scanned."""
+    man = _resolve_manifest(path, version)
+    try:
+        bounds, points = _condition_profile(condition, aliases)
+    except Exception:
+        bounds, points = {}, {}
+    try:
+        nulls = _null_preds_from_condition(condition, aliases)
+    except Exception:
+        nulls = {}
+    total = len(man["files"])
+    kept, _ = _prune_manifest_files(man, bounds, points, nulls)
+    after_stats = len(kept)
+    bloom_cols = []
+    if points and (man.get("bloom") or {}):
+        bloom = man["bloom"]
+        m = _mapping(man)
+        bloom_cols = [
+            c for c in points if m.get(c, c) in bloom
+        ]
+        kept = _bloom_prune_files(spark, man, points, kept)
+    return {
+        "condition": condition,
+        "bounds": bounds,
+        "points": points,
+        "null_predicates": nulls,
+        "files_total": total,
+        "files_after_stats": after_stats,
+        "files_after_bloom": len(kept),
+        "bloom_columns": bloom_cols,
+        "pruned_pct": round(
+            100.0 * (total - len(kept)) / total, 2
+        ) if total else 0.0,
+    }
+
+
 DEFAULT_OPTIMIZE_TARGET_BYTES = 128 * 1024 * 1024
 
 

@@ -282,3 +282,16 @@ def test_show_partitions_refuses_unpartitioned(spark, tmp_path):
             versioned_sql(spark, "SHOW PARTITIONS showu")
     finally:
         register_table("showu", None)
+
+
+def test_explain_pruning_reports_every_channel(spark, ptbl):
+    ex = versioned.explain_pruning(
+        spark, ptbl, "prio IN ('1-URGENT', '5-LOW') AND k >= 0"
+    )
+    assert ex["bounds"]["prio"] == ("1-URGENT", "5-LOW")
+    assert ex["points"] == {"prio": ["1-URGENT", "5-LOW"]}
+    assert ex["files_after_stats"] < ex["files_total"]
+    assert ex["files_after_bloom"] == ex["files_after_stats"]  # no index
+    assert ex["pruned_pct"] > 0
+    ex2 = versioned.explain_pruning(spark, ptbl, "k % 3 = 0")
+    assert ex2["bounds"] == {} and ex2["pruned_pct"] == 0.0
