@@ -862,6 +862,58 @@ def _q_versioned_hidden_partition(
     )
 
 
+def _q_versioned_sql_predicates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r12 predicate algebra end-to-end in ONE statement: a
+    same-column OR-disjunction (the spelled-out IN), a LIKE prefix
+    (lexicographic bounds), and IS NOT NULL (null-count channel) —
+    explain_pruning is asserted to extract all three and the pruned
+    set to be the two named partitions before the read answers; the
+    oracle recomputes with a plain WHERE."""
+    from integritychecksforvldbs_spark.sources import versioned
+
+    path = _versioned_partitioned_path(spark, sf_dir)
+    cond = (
+        "(o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')"
+        " AND o_orderstatus LIKE 'F%' AND o_custkey IS NOT NULL"
+    )
+    ex = versioned.explain_pruning(spark, path, cond)
+    assert ex["points"] == {
+        "o_orderpriority": ["1-URGENT", "2-HIGH"]
+    }
+    assert ex["bounds"]["o_orderstatus"] == ("F", "G")
+    assert ex["null_predicates"] == {"o_custkey": False}
+    assert 0 < ex["files_after_stats"] < ex["files_total"]
+    man = versioned._resolve_manifest(path, None)
+    kept, _ = versioned._prune_manifest_files(
+        man, ex["bounds"], ex["points"], ex["null_predicates"]
+    )
+    assert all(
+        "o_orderpriority=1-URGENT" in f or "o_orderpriority=2-HIGH" in f
+        for f in kept
+    )
+    got = versioned.read_sql_where(spark, path, cond)
+    return got.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+_VERSIONED_SQL_PREDICATES_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus LIKE 'F%' AND o_custkey IS NOT NULL
+GROUP BY o_orderpriority
+"""
+
+
 def _q_versioned_spec_evolution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3747,6 +3799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12 #4: spec evolution (below the cap; the partition family is
     # gated in the head by partitioned_prune + bucket_point)
     out["versioned_spec_evolution"] = _q_versioned_spec_evolution
+    # r12: the full predicate algebra (OR-disjunction + LIKE prefix +
+    # IS NOT NULL) in one statement — below the cap, the family is
+    # gated in the head by versioned_sql_in_prune
+    out["versioned_sql_predicates"] = _q_versioned_sql_predicates
     out["events_attribution"] = lambda spark, sf: joins.purchase_attribution(
         _load(spark, sf, "events")
     )
@@ -4644,6 +4700,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_sql_in_prune"] = _VERSIONED_SQL_IN_PRUNE_ORACLE
     out["versioned_bucket_point"] = _VERSIONED_BUCKET_POINT_ORACLE
     out["versioned_spec_evolution"] = _VERSIONED_SPEC_EVOLUTION_ORACLE
+    out["versioned_sql_predicates"] = _VERSIONED_SQL_PREDICATES_ORACLE
     out["versioned_partitioned_events"] = (
         _VERSIONED_PARTITIONED_EVENTS_ORACLE
     )

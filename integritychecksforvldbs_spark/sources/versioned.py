@@ -2226,6 +2226,12 @@ def _null_preds_from_condition(
     )
 
     alias_set = {a.lower() for a in aliases if a}
+    # an OR at depth 0 of the WHOLE condition spans the AND-split
+    # (precedence): none of the pieces are conjuncts — disable.  An
+    # OR inside a parenthesized piece is contained by that conjunct
+    # and merely makes the piece contribute nothing.
+    if _find_top(condition, r"\bOR\b") >= 0:
+        return {}
     out: dict[str, bool] = {}
     for piece in _split_top(condition, r"\bAND\b"):
         p = piece.strip()
@@ -2233,12 +2239,7 @@ def _null_preds_from_condition(
             p = p[1:-1].strip()
         m = _NULL_ATOM.match(p)
         if m is None:
-            # a top-level OR spans the AND-split (precedence): none
-            # of the pieces are conjuncts — disable everything.  A
-            # NOT-piece is just a conjunct we skip.
-            if _find_top(p, r"\bOR\b") >= 0:
-                return {}
-            continue
+            continue  # unrecognized conjunct (incl. NOT-…): skipped
         qual = m.group("qq") or m.group("q")
         if qual is not None and qual.lower() not in alias_set:
             continue
