@@ -1,0 +1,143 @@
+"""Predicate-algebra soundness fuzzer (r12): random WHERE conditions
+drawn from the full supported grammar — comparisons (both literal
+orders), BETWEEN, IN-lists, LIKE, IS [NOT] NULL, parenthesized
+same-column OR-disjunctions, NOT-wrapped conjuncts, functions,
+modulo, cross-column ORs — over a table whose layout makes pruning
+BITE (range-clustered k, identity-partitioned g, nullable j), each
+asserting ``read_sql_where`` == plain ``read().filter``.  The
+profile may extract whatever it wants; the answers must be equal.
+This is the test that catches an unsound bound the moment a new atom
+joins the algebra.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from integritychecksforvldbs_spark.sources import versioned
+
+
+@pytest.fixture(scope="module")
+def ftbl(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("predfuzz") / "t")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias(
+            "g"
+        ),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("j"),
+        F.format_string("name-%03d", (F.col("id") % 50).cast("int"))
+        .alias("s"),
+    )
+    versioned.commit(
+        spark, df.repartitionByRange(8, "k"), path,
+        partition_by=None,
+    )
+    return path
+
+
+def _atoms(rng: random.Random) -> list[str]:
+    k = rng.randrange(0, 650)
+    k2 = rng.randrange(0, 650)
+    lo, hi = min(k, k2), max(k, k2)
+    g = f"g{rng.randrange(0, 5)}"
+    s = f"name-{rng.randrange(0, 60):03d}"
+    pool = [
+        f"k = {k}",
+        f"k >= {lo}",
+        f"k < {hi}",
+        f"{k} <= k",
+        f"k BETWEEN {lo} AND {hi}",
+        f"k IN ({k}, {k2}, {rng.randrange(0, 650)})",
+        f"g = '{g}'",
+        f"g IN ('g0', '{g}')",
+        f"(g = 'g1' OR g = '{g}')",
+        f"(k = {k} OR k = {k2})",
+        "j IS NULL",
+        "j IS NOT NULL",
+        f"j > {k}",
+        f"s LIKE 'name-0{rng.randrange(0, 10)}%'",
+        f"s LIKE '{s}'",
+        "s LIKE '%5'",
+        f"NOT (k = {k})",
+        f"k % 10 = {rng.randrange(0, 10)}",
+        f"length(s) > {rng.randrange(5, 10)}",
+        f"(k = {k} OR g = '{g}')",  # cross-column OR (parenthesized)
+    ]
+    rng.shuffle(pool)
+    return pool
+
+
+def test_random_conditions_prune_soundly(spark, ftbl):
+    rng = random.Random(120_12)
+    base = versioned.read(spark, ftbl).cache()
+    base.count()
+    try:
+        for i in range(40):
+            n = rng.randrange(1, 4)
+            picked = _atoms(rng)[:n]
+            # sometimes a bare top-level OR between the conjuncts
+            # (which must disable pruning, never corrupt the answer)
+            conn = (
+                " OR " if n > 1 and rng.random() < 0.3 else " AND "
+            )
+            cond = conn.join(picked)
+            got = sorted(
+                map(
+                    tuple,
+                    versioned.read_sql_where(
+                        spark, ftbl, cond
+                    ).collect(),
+                )
+            )
+            want = sorted(
+                map(tuple, base.filter(F.expr(cond)).collect())
+            )
+            assert got == want, f"case {i}: {cond!r}"
+    finally:
+        base.unpersist()
+
+
+def test_random_conditions_prune_soundly_partitioned(spark, tmp_path):
+    """Same grammar over an identity+Bloom table — the layouts where
+    points/null channels actually kill files."""
+    path = str(tmp_path / "p")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias(
+            "g"
+        ),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("j"),
+        F.format_string("name-%03d", (F.col("id") % 40).cast("int"))
+        .alias("s"),
+    )
+    versioned.commit(spark, df, path, partition_by=["g"])
+    versioned.build_bloom(spark, path, "k")
+    rng = random.Random(77)
+    base = versioned.read(spark, path).cache()
+    base.count()
+    try:
+        for i in range(25):
+            n = rng.randrange(1, 4)
+            cond = " AND ".join(_atoms(rng)[:n])
+            got = sorted(
+                map(
+                    tuple,
+                    versioned.read_sql_where(
+                        spark, path, cond
+                    ).collect(),
+                )
+            )
+            want = sorted(
+                map(tuple, base.filter(F.expr(cond)).collect())
+            )
+            assert got == want, f"case {i}: {cond!r}"
+    finally:
+        base.unpersist()
