@@ -1132,6 +1132,8 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
     Everything else is ordinary ``spark.sql`` — joins, CTEs, windows
     all work over the pinned snapshots."""
 
+    tt_views: dict[str, tuple[str, int]] = {}
+
     def _sub_tt(m: re.Match) -> str:
         name = m.group("tbl")
         if name.lower() not in _TABLES:
@@ -1145,6 +1147,9 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
         versioned.read(spark, path, version=ver).createOrReplaceTempView(
             view
         )
+        # remembered so the single-table WHERE binder can re-bind the
+        # view to the stats-PRUNED scan of that very version
+        tt_views[view.lower()] = (path, ver)
         return view
 
     def _sub_changes(m: re.Match) -> str:
@@ -1159,7 +1164,7 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
     out = _sub_outside_strings(_TABLE_CHANGES, _sub_changes, stmt)
     out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, out)
     spans = _string_spans(out)
-    pruned = _bind_pruned_single_table(spark, out, spans)
+    pruned = _bind_pruned_single_table(spark, out, spans, tt_views)
     for name, path in _TABLES.items():
         if name == pruned:
             continue  # already bound to the file-pruned scan
@@ -1183,7 +1188,10 @@ _SIMPLE_SELECT = re.compile(
 
 
 def _bind_pruned_single_table(
-    spark: SparkSession, stmt: str, spans
+    spark: SparkSession,
+    stmt: str,
+    spans,
+    tt_views: dict[str, tuple[str, int]] | None = None,
 ) -> str | None:
     """When the statement is a SINGLE-TABLE ``SELECT … FROM <t> WHERE
     <cond> …`` over a registered table, bind ``<t>``'s view to the
@@ -1210,7 +1218,12 @@ def _bind_pruned_single_table(
     if m is None:
         return None
     name = m.group("tbl").strip("`").lower()
+    version = None
     path = _TABLES.get(name)
+    if path is None and tt_views and name in tt_views:
+        # an already-substituted `VERSION|TIMESTAMP AS OF` view: the
+        # pruned binding reads the SAME pinned version
+        path, version = tt_views[name]
     if path is None:
         return None
 
@@ -1247,7 +1260,7 @@ def _bind_pruned_single_table(
         if not bounds and not points and not nulls:
             return None
         versioned.read_where(
-            spark, path, bounds, points=points, nulls=nulls
+            spark, path, bounds, version, points=points, nulls=nulls
         ).createOrReplaceTempView(name)
         return name
     except Exception:

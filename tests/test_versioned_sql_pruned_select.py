@@ -178,3 +178,36 @@ def test_like_prefix_prunes(spark, tmp_path, prune_spy, scan_spy):
         assert p == {"name": ["u0500"]}
     finally:
         register_table("sp12lk", None)
+
+
+def test_time_travel_select_prunes_old_version(
+    spark, tmp_path, prune_spy, scan_spy
+):
+    """r12: `FROM t VERSION AS OF n WHERE …` — the substituted
+    snapshot view re-binds to the PRUNED scan of that very version
+    (previously time travel always planned the full snapshot)."""
+    path = str(tmp_path / "tt")
+    v1 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    versioned.commit(spark, v1.repartitionByRange(5, "k"), path)
+    versioned.delete_where(spark, path, "k >= 50")  # v2 shrinks
+    register_table("sp12tt", path)
+    try:
+        got = versioned_sql(
+            spark,
+            "SELECT SUM(v) AS s FROM sp12tt VERSION AS OF 1 "
+            "WHERE k >= 90",
+        )
+        assert len(prune_spy) == 1
+        assert prune_spy[0][0] == {"k": (90, None)}
+        man1 = versioned._resolve_manifest(path, 1)
+        kept, _ = versioned._prune_manifest_files(
+            man1, {"k": (90, None)}
+        )
+        assert scan_spy[-1] == sorted(kept)
+        assert 0 < len(kept) < len(man1["files"])
+        # v1 still holds the rows v2 deleted — time travel + pruning
+        assert got.collect()[0].s == sum(k * 3 for k in range(90, 100))
+    finally:
+        register_table("sp12tt", None)
