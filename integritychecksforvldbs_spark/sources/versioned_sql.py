@@ -1165,8 +1165,13 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
     out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, out)
     spans = _string_spans(out)
     pruned = _bind_pruned_single_table(spark, out, spans, tt_views)
+    bound = (
+        {pruned}
+        if pruned
+        else _bind_pruned_inner_join(spark, out, spans, tt_views)
+    )
     for name, path in _TABLES.items():
-        if name == pruned:
+        if name in bound:
             continue  # already bound to the file-pruned scan
         pat = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])", re.I)
         if any(
@@ -1265,6 +1270,105 @@ def _bind_pruned_single_table(
         return name
     except Exception:
         return None
+
+
+# the ONE two-table shape side-pruning is sound for: a single INNER
+# join — outer joins NULL-EXTEND the other side, which would break
+# the null channel and membership reasoning
+_INNER_JOIN_SELECT = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<t1>`?\w+`?)"
+    r"(?:\s+(?:AS\s+)?(?P<a1>[A-Za-z_]\w*))?"
+    r"\s+(?:INNER\s+)?JOIN\s+(?P<t2>`?\w+`?)"
+    r"(?:\s+(?:AS\s+)?(?P<a2>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+WHERE\s+(?P<where>.+?)"
+    r"(?P<tail>\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?;?\s*$",
+    re.I | re.S,
+)
+
+
+def _bind_pruned_inner_join(
+    spark: SparkSession,
+    stmt: str,
+    spans,
+    tt_views: dict[str, tuple[str, int]] | None = None,
+) -> set[str]:
+    """Side-prune a single-INNER-JOIN SELECT — the 100 TB fact⋈dim
+    shape: each base table's view binds to the stats-pruned scan of
+    its OWN conjuncts (from ``ON AND WHERE``, profiled with that
+    side's verified alias).  Sound because an INNER join never
+    null-extends: a row provably failing its side's conjunct cannot
+    contribute to any surviving joined row.  Unqualified atoms hand
+    to BOTH sides safely — stats are name-keyed, so a column the
+    table lacks is a no-op, and a genuinely ambiguous bare name fails
+    Spark's analysis before any scan runs.  Conservative guards:
+    exactly one JOIN and one FROM, INNER only (any
+    LEFT/RIGHT/FULL/OUTER/SEMI/ANTI/CROSS/NATURAL keyword bails), no
+    UNION/LATERAL, distinct tables (a self-join shares one view
+    name), each referenced exactly once.  Returns the bound names
+    (empty = ordinary full-snapshot binding)."""
+    m = _INNER_JOIN_SELECT.match(stmt)
+    if m is None:
+        return set()
+
+    def _count_outside(pat: str) -> int:
+        return sum(
+            1
+            for mm in re.finditer(pat, stmt, re.I)
+            if not _in_spans(mm.start(), spans)
+        )
+
+    if _count_outside(
+        r"\b(UNION|INTERSECT|EXCEPT|LATERAL|CROSS|LEFT|RIGHT|FULL"
+        r"|OUTER|SEMI|ANTI|NATURAL)\b"
+    ):
+        return set()
+    if _count_outside(r"\bJOIN\b") != 1:
+        return set()
+    if _count_outside(r"\bFROM\b") != 1:
+        return set()
+    names = [
+        m.group("t1").strip("`").lower(),
+        m.group("t2").strip("`").lower(),
+    ]
+    if names[0] == names[1]:
+        return set()  # a self-join shares one view name
+    sides = []
+    for name, alias_g in zip(names, ("a1", "a2")):
+        version = None
+        path = _TABLES.get(name)
+        if path is None and tt_views and name in tt_views:
+            path, version = tt_views[name]
+        if path is None:
+            return set()
+        if _count_outside(rf"(?<![\w.]){re.escape(name)}(?![\w.])") != 1:
+            return set()
+        alias = m.group(alias_g)
+        aliases = [name] + (
+            [alias]
+            if alias
+            and alias.upper() not in ("JOIN", "ON", "WHERE", "INNER")
+            else []
+        )
+        sides.append((name, path, version, tuple(aliases)))
+    cond = f"{m.group('on')} AND {m.group('where')}"
+    bound: set[str] = set()
+    for name, path, version, aliases in sides:
+        try:
+            bounds, points = versioned._condition_profile(
+                cond, aliases
+            )
+            nulls = versioned._null_preds_from_condition(cond, aliases)
+            if not bounds and not points and not nulls:
+                continue
+            versioned.read_where(
+                spark, path, bounds, version, points=points,
+                nulls=nulls,
+            ).createOrReplaceTempView(name)
+            bound.add(name)
+        except Exception:
+            continue  # this side stays full-snapshot bound
+    return bound
 
 
 __all__ = ["register_table", "versioned_sql"]

@@ -211,3 +211,87 @@ def test_time_travel_select_prunes_old_version(
         assert got.collect()[0].s == sum(k * 3 for k in range(90, 100))
     finally:
         register_table("sp12tt", None)
+
+
+def test_inner_join_prunes_both_sides(
+    spark, tmp_path, prune_spy, scan_spy
+):
+    """r12: the fact⋈dim shape — each side of a single INNER JOIN
+    binds to the pruned scan of its OWN conjuncts (ON AND WHERE,
+    per-side verified aliases); answers pinned against the unpruned
+    plan; any OUTER flavor never prunes."""
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    fdf = spark.range(1000).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 100).alias("dk"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    ddf = spark.range(100).select(
+        F.col("id").alias("dk"), (F.col("id") % 7).alias("grp")
+    )
+    versioned.commit(spark, fdf.repartitionByRange(10, "fk"), fact)
+    versioned.commit(spark, ddf.repartitionByRange(5, "dk"), dim)
+    register_table("sp12f", fact)
+    register_table("sp12d", dim)
+    try:
+        q = (
+            "SELECT f.fk, f.amount, d.grp FROM sp12f f "
+            "JOIN sp12d d ON f.dk = d.dk "
+            "WHERE f.fk >= 900 AND d.dk <= 20"
+        )
+        got = versioned_sql(spark, q)
+        # both sides took the pruned binding with their own bounds
+        assert len(prune_spy) == 2
+        got_bounds = sorted(
+            (sorted(b.items()) for b, _p in prune_spy)
+        )
+        assert got_bounds == sorted(
+            [
+                sorted({"fk": (900, None)}.items()),
+                sorted({"dk": (None, 20)}.items()),
+            ]
+        )
+        # and each planned scan is the stats-admitted strict subset
+        manf = versioned._resolve_manifest(fact, None)
+        mand = versioned._resolve_manifest(dim, None)
+        keptf, _ = versioned._prune_manifest_files(
+            manf, {"fk": (900, None)}
+        )
+        keptd, _ = versioned._prune_manifest_files(
+            mand, {"dk": (None, 20)}
+        )
+        assert sorted(map(sorted, scan_spy)) == sorted(
+            map(sorted, [keptf, keptd])
+        )
+        assert 0 < len(keptf) < len(manf["files"])
+        assert 0 < len(keptd) < len(mand["files"])
+        rows = sorted(map(tuple, got.collect()))
+        want = [
+            (k, k * 2, (k % 100) % 7)
+            for k in range(900, 1000)
+            if k % 100 <= 20
+        ]
+        assert rows == sorted(want)
+        # OUTER flavors never prune
+        prune_spy.clear()
+        scan_spy.clear()
+        versioned_sql(
+            spark,
+            "SELECT f.fk FROM sp12f f LEFT JOIN sp12d d "
+            "ON f.dk = d.dk WHERE f.fk >= 900",
+        )
+        assert prune_spy == [] and scan_spy == []
+        # the ON clause's own literal conjuncts prune too
+        got2 = versioned_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM sp12f f JOIN sp12d d "
+            "ON f.dk = d.dk AND d.dk = 5 WHERE f.amount >= 0",
+        )
+        assert any(
+            p == {"dk": [5]} for _b, p in prune_spy
+        )
+        assert got2.collect()[0].n == 10
+    finally:
+        register_table("sp12f", None)
+        register_table("sp12d", None)
