@@ -914,6 +914,71 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_versioned_sql_join_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-INNER-JOIN side pruning (r12): over the partitioned
+    orders mirror joined to plain customer, each side of the join
+    binds to the pruned scan of its OWN conjuncts — the partition
+    point on orders is asserted (via the shared profile) to admit
+    only the 1-URGENT dir; the oracle recomputes the join in plain
+    SQL.  The mirror's 3-MEDIUM DELETE never touches this
+    partition."""
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    opath = _versioned_partitioned_path(spark, sf_dir)
+    cpath = _mirror_path(sf_dir, "customer_versioned_join")
+    if versioned._read_manifest(cpath, 1) is None:
+        import shutil
+
+        shutil.rmtree(cpath, ignore_errors=True)
+        versioned.commit(
+            spark,
+            _load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            cpath,
+        )
+    man = versioned._resolve_manifest(opath, None)
+    kept, _ = versioned._prune_manifest_files(
+        man, {"o_orderpriority": ("1-URGENT", "1-URGENT")}
+    )
+    assert kept and all("o_orderpriority=1-URGENT" in f for f in kept)
+    register_table("jp_orders", opath)
+    register_table("jp_cust", cpath)
+    try:
+        return versioned_sql(
+            spark,
+            """SELECT c.c_mktsegment,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      CAST(SUM(CAST(round(o.o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS total_cents
+               FROM jp_orders o JOIN jp_cust c
+                 ON o.o_custkey = c.c_custkey
+               WHERE o.o_orderpriority = '1-URGENT'
+                 AND c.c_custkey > 100
+               GROUP BY c.c_mktsegment""",
+        )
+    finally:
+        register_table("jp_orders", None)
+        register_table("jp_cust", None)
+
+
+_VERSIONED_SQL_JOIN_PRUNE_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT' AND c_custkey > 100
+GROUP BY c_mktsegment
+"""
+
+
 def _q_versioned_spec_evolution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3803,6 +3868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IS NOT NULL) in one statement — below the cap, the family is
     # gated in the head by versioned_sql_in_prune
     out["versioned_sql_predicates"] = _q_versioned_sql_predicates
+    # r12: single-INNER-JOIN side pruning (below the cap, same head
+    # family)
+    out["versioned_sql_join_prune"] = _q_versioned_sql_join_prune
     out["events_attribution"] = lambda spark, sf: joins.purchase_attribution(
         _load(spark, sf, "events")
     )
@@ -4701,6 +4769,7 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_bucket_point"] = _VERSIONED_BUCKET_POINT_ORACLE
     out["versioned_spec_evolution"] = _VERSIONED_SPEC_EVOLUTION_ORACLE
     out["versioned_sql_predicates"] = _VERSIONED_SQL_PREDICATES_ORACLE
+    out["versioned_sql_join_prune"] = _VERSIONED_SQL_JOIN_PRUNE_ORACLE
     out["versioned_partitioned_events"] = (
         _VERSIONED_PARTITIONED_EVENTS_ORACLE
     )
