@@ -82,7 +82,9 @@ registered via :func:`register_table` or an explicit path):
   (external-table semantics — the table root stays on disk);
   ``SHOW TABLES`` lists the registrations; ``SHOW PARTITIONS <t>``
   lists a partitioned table's dir values with file/live-row counts,
-  metadata-only from the manifest.
+  metadata-only from the manifest; ``EXPLAIN PRUNE <t> WHERE <cond>``
+  reports the pruning profile (bounds/points/null predicates) and
+  per-stage file counts without scanning anything.
 - ``SELECT ... FROM table_changes('<t>', from_v[, to_v]) ...`` — the
   batch change feed (:func:`~.versioned.changes`) as a table-valued
   reference inside any SELECT (Delta's TVF of the same name); rows
@@ -539,6 +541,11 @@ _DROP_TABLE = re.compile(
     re.I | re.S,
 )
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_EXPLAIN_PRUNE = re.compile(
+    r"^\s*EXPLAIN\s+PRUNE\s+(?P<tbl>[^\s;]+)\s+WHERE\s+"
+    r"(?P<where>.+?);?\s*$",
+    re.I | re.S,
+)
 _SHOW_PARTITIONS = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<tbl>[^\s;]+)\s*;?\s*$", re.I
 )
@@ -991,6 +998,54 @@ def versioned_sql(
         # one-line SQL statement
         _TABLES.pop(name, None)
         return _metrics(spark, n_dropped=int(existed))
+    if head == "EXPLAIN":
+        m = _EXPLAIN_PRUNE.match(stmt)
+        if m is None:
+            raise ValueError(
+                f"only EXPLAIN PRUNE <t> WHERE <cond> is supported: "
+                f"{stmt!r}"
+            )
+        import json as _json
+
+        ex = versioned.explain_pruning(
+            spark, _resolve(m.group("tbl")), m.group("where")
+        )
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [(
+                ex["condition"],
+                _json.dumps(
+                    {c: [str(b[0]), str(b[1])]
+                     for c, b in ex["bounds"].items()}
+                ),
+                _json.dumps(
+                    {c: [str(v) for v in vs]
+                     for c, vs in ex["points"].items()}
+                ),
+                _json.dumps(ex["null_predicates"]),
+                int(ex["files_total"]),
+                int(ex["files_after_stats"]),
+                int(ex["files_after_bloom"]),
+                float(ex["pruned_pct"]),
+            )],
+            StructType([
+                StructField("condition", StringType(), False),
+                StructField("bounds", StringType(), False),
+                StructField("points", StringType(), False),
+                StructField("null_predicates", StringType(), False),
+                StructField("files_total", LongType(), False),
+                StructField("files_after_stats", LongType(), False),
+                StructField("files_after_bloom", LongType(), False),
+                StructField("pruned_pct", DoubleType(), False),
+            ]),
+        )
     if head == "SHOW":
         m = _SHOW_PARTITIONS.match(stmt)
         if m:

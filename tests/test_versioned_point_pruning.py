@@ -295,3 +295,30 @@ def test_explain_pruning_reports_every_channel(spark, ptbl):
     assert ex["pruned_pct"] > 0
     ex2 = versioned.explain_pruning(spark, ptbl, "k % 3 = 0")
     assert ex2["bounds"] == {} and ex2["pruned_pct"] == 0.0
+
+
+def test_explain_prune_sql_verb(spark, ptbl):
+    import json
+
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    register_table("exp_t", ptbl)
+    try:
+        row = versioned_sql(
+            spark,
+            "EXPLAIN PRUNE exp_t WHERE "
+            "prio IN ('1-URGENT', '5-LOW') AND k IS NOT NULL",
+        ).collect()[0]
+        assert json.loads(row.points) == {
+            "prio": ["1-URGENT", "5-LOW"]
+        }
+        assert json.loads(row.null_predicates) == {"k": False}
+        assert row.files_after_stats < row.files_total
+        assert row.pruned_pct > 0
+        with pytest.raises(ValueError, match="EXPLAIN PRUNE"):
+            versioned_sql(spark, "EXPLAIN SELECT 1")
+    finally:
+        register_table("exp_t", None)
