@@ -250,3 +250,38 @@ def test_merge_probe_prunes_to_source_key_buckets(
     assert got.filter("k = 5").collect()[0].v == 5_000
     assert got.filter("k = 1500").collect()[0].name == "new"
     assert got.count() == 1001
+
+
+def test_bucket_and_bloom_compose_on_the_same_key(spark, tmp_path):
+    """A bucketed table ALSO Bloom-indexed on the key: a point probe
+    prunes to (its bucket's files) ∩ (bloom-admitted files) — the
+    two channels compose, never fight."""
+    path = str(tmp_path / "bb")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    versioned.commit(
+        spark,
+        df.repartition(4),  # several files PER bucket dir
+        path,
+        partition_by=["bucket(4, k)"],
+    )
+    versioned.build_bloom(spark, path, "k")
+    man = versioned._resolve_manifest(path, None)
+    probe = 1234
+    b = str(sparkhash.bucket_id(probe, "long", 4))
+    in_bucket = [
+        f for f in man["files"]
+        if versioned._partition_segments(f)["k_bucket_4"] == b
+    ]
+    assert len(in_bucket) > 1  # several files share the bucket
+    kept, _ = versioned._prune_manifest_files(
+        man, {"k": (probe, probe)}
+    )
+    assert set(kept) <= set(in_bucket)
+    admitted = versioned._bloom_prune_files(
+        spark, man, {"k": [probe]}, kept
+    )
+    assert set(admitted) <= set(kept)
+    got = versioned.read_where(spark, path, {"k": (probe, probe)})
+    assert [tuple(r) for r in got.collect()] == [(probe, probe * 3)]
