@@ -1916,6 +1916,31 @@ _IN_ATOM = re.compile(
     re.I,
 )
 _IN_LIT_SPLIT = re.compile(rf"{_LIT_PAT}", re.I)
+# date-truncating FUNCTION atoms — the spelling SQL users reach for
+# first on a timestamp column: `CAST(ts AS DATE) = '2024-01-05'`,
+# `to_date(ts) >= DATE'...'`, `year(ts) = 2024`.  DATE/TO_DATE/CAST
+# and YEAR are MONOTONIC in the column, so a comparison against a
+# literal translates to sound inclusive bounds on the column itself
+# (which the hidden-partition machinery then folds onto day/month
+# dirs).  month()/day() return month-/day-OF-period — not monotonic —
+# and are deliberately absent.
+_DATE_FN_HEAD = (
+    r"(?:(?P<fn>DATE|TO_DATE|YEAR)\s*\(\s*"
+    rf"{_QUAL_PAT}(?:`(?P<qcol>[^`]+)`|(?P<col>\w+))\s*\)"
+    r"|CAST\s*\(\s*"
+    r"(?:(?:`(?P<cqq>[^`]+)`|(?P<cq>\w+))\s*\.\s*)?"
+    r"(?:`(?P<cqcol>[^`]+)`|(?P<ccol>\w+))\s+AS\s+DATE\s*\))"
+)
+_DATE_FN_ATOM = re.compile(
+    rf"^\s*{_DATE_FN_HEAD}\s*"
+    r"(?P<op>>=|<=|==|=|<|>)\s*"
+    rf"(?P<lit>{_LIT_PAT})\s*$",
+    re.I,
+)
+_DATE_FN_BETWEEN_HEAD = re.compile(
+    rf"^\s*{_DATE_FN_HEAD}\s+BETWEEN\s+(?P<lit>{_LIT_PAT})\s*$",
+    re.I,
+)
 # `col LIKE '<pattern>'` — a PREFIX pattern (one trailing %, no other
 # wildcards/escapes) implies lexicographic range bounds; a pattern
 # with no wildcards at all is an equality
@@ -1932,6 +1957,46 @@ _BETWEEN_HEAD = re.compile(
     re.I,
 )
 _BARE_LIT = re.compile(rf"^\s*(?P<lit>{_LIT_PAT})\s*$", re.I)
+
+
+def _date_fn_range(fn: str | None, lit_s: str):
+    """``(bucket_start, bucket_end)`` datetimes of the truncation
+    bucket a DATE/TO_DATE/CAST-AS-DATE (fn None/DATE/TO_DATE) or
+    YEAR comparison literal names — the inclusive column bounds a
+    monotonic-truncation comparison implies; None when the literal
+    does not parse as the function's domain."""
+    import datetime
+
+    try:
+        lit = _parse_atom_literal(lit_s)
+    except Exception:
+        return None
+    if fn is not None and fn.upper() == "YEAR":
+        if isinstance(lit, bool) or not isinstance(lit, int):
+            return None
+        try:
+            return (
+                datetime.datetime(lit, 1, 1),
+                datetime.datetime(lit, 12, 31, 23, 59, 59, 999999),
+            )
+        except ValueError:
+            return None
+    if isinstance(lit, str):
+        try:
+            lit = datetime.date.fromisoformat(lit)
+        except ValueError:
+            return None
+    if isinstance(lit, datetime.datetime):
+        lit = lit.date()
+    if not isinstance(lit, datetime.date):
+        return None
+    start = datetime.datetime(lit.year, lit.month, lit.day)
+    return (
+        start,
+        start
+        + datetime.timedelta(days=1)
+        - datetime.timedelta(microseconds=1),
+    )
 
 
 def _parse_atom_literal(lit_s: str):
@@ -2117,6 +2182,48 @@ def _condition_profile(
                 _tighten(col, ">=", lo)
                 _tighten(col, "<=", hi)
                 continue
+        def _fn_qual_col(fm: re.Match):
+            qual = (
+                fm.group("qq") or fm.group("q")
+                or fm.group("cqq") or fm.group("cq")
+            )
+            if qual is not None and qual.lower() not in alias_set:
+                return None
+            return (
+                fm.group("qcol") or fm.group("col")
+                or fm.group("cqcol") or fm.group("ccol")
+            )
+
+        dbt = _DATE_FN_BETWEEN_HEAD.match(piece)
+        if dbt is not None and i < len(pieces):
+            nx = _BARE_LIT.match(pieces[i])
+            if nx is not None:
+                col = _fn_qual_col(dbt)
+                r1 = _date_fn_range(dbt.group("fn"), dbt.group("lit"))
+                r2 = _date_fn_range(dbt.group("fn"), nx.group("lit"))
+                i += 1  # the tail literal is spoken for either way
+                if col is not None and r1 and r2:
+                    _tighten(col, ">=", r1[0])
+                    _tighten(col, "<=", r2[1])
+                continue
+        dfa = _DATE_FN_ATOM.match(piece)
+        if dfa is not None:
+            col = _fn_qual_col(dfa)
+            rng = _date_fn_range(dfa.group("fn"), dfa.group("lit"))
+            if col is None or rng is None:
+                continue
+            start, end = rng
+            op = dfa.group("op")
+            if op in ("=", "=="):
+                _tighten(col, ">=", start)
+                _tighten(col, "<=", end)
+            elif op in (">", ">="):
+                # strict > truly starts at the NEXT bucket; the
+                # current bucket's start is a sound superset
+                _tighten(col, ">=", start)
+            else:  # <, <=
+                _tighten(col, "<=", end)
+            continue
         lk = _LIKE_ATOM.match(piece)
         if lk is not None:
             if not _qual_ok(lk):

@@ -322,3 +322,53 @@ def test_explain_prune_sql_verb(spark, ptbl):
             versioned_sql(spark, "EXPLAIN SELECT 1")
     finally:
         register_table("exp_t", None)
+
+
+# ---------------------------------------------------------------------------
+# date-function atoms (r12): CAST(ts AS DATE) / to_date / year
+# ---------------------------------------------------------------------------
+
+
+def test_date_fn_atoms_prune_hidden_day_dirs(spark, tmp_path):
+    """`CAST(ts AS DATE) = '2024-01-05'` — the spelling SQL users
+    reach for first — translates to ts bounds, which the hidden-
+    partition fold then turns into exactly ONE day dir; answers
+    pinned against the plain filter."""
+    path = str(tmp_path / "dfn")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-01-01 06:00:00' + make_interval("
+            "0, 0, 0, CAST(id % 10 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+    )
+    versioned.commit(spark, df, path, partition_by=["day(ts)"])
+    man = versioned._resolve_manifest(path, None)
+    for cond, days in [
+        ("CAST(ts AS DATE) = '2024-01-05'", {"2024-01-05"}),
+        (
+            "to_date(ts) BETWEEN DATE '2024-01-03' "
+            "AND DATE '2024-01-04'",
+            {"2024-01-03", "2024-01-04"},
+        ),
+        ("date(ts) >= '2024-01-09'", {"2024-01-09", "2024-01-10"}),
+    ]:
+        bounds, _p = versioned._condition_profile(cond)
+        kept, _ = versioned._prune_manifest_files(man, bounds)
+        assert kept and {
+            versioned._partition_segments(f)["ts_day"] for f in kept
+        } <= days, cond
+        got = versioned.read_sql_where(spark, path, cond)
+        want = versioned.read(spark, path).filter(F.expr(cond))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), cond
+    # year() bounds the whole year; month()/day() (not monotonic in
+    # the column) contribute nothing
+    assert versioned._condition_profile("year(ts) = 2024")[0] == {
+        "ts": (
+            datetime.datetime(2024, 1, 1),
+            datetime.datetime(2024, 12, 31, 23, 59, 59, 999999),
+        )
+    }
+    assert versioned._condition_profile("month(ts) = 1") == ({}, {})
