@@ -33,6 +33,10 @@ def ftbl(spark, tmp_path_factory):
         .alias("j"),
         F.format_string("name-%03d", (F.col("id") % 50).cast("int"))
         .alias("s"),
+        F.expr(
+            "timestamp'2024-01-01 06:00:00' + make_interval("
+            "0, 0, 0, CAST(id % 12 AS INT), 0, 0, 0)"
+        ).alias("ts"),
     )
     versioned.commit(
         spark, df.repartitionByRange(8, "k"), path,
@@ -68,6 +72,12 @@ def _atoms(rng: random.Random) -> list[str]:
         f"k % 10 = {rng.randrange(0, 10)}",
         f"length(s) > {rng.randrange(5, 10)}",
         f"(k = {k} OR g = '{g}')",  # cross-column OR (parenthesized)
+        f"CAST(ts AS DATE) = '2024-01-{rng.randrange(1, 15):02d}'",
+        f"to_date(ts) >= DATE '2024-01-{rng.randrange(1, 15):02d}'",
+        f"date(ts) BETWEEN '2024-01-0{rng.randrange(1, 9)}' "
+        f"AND '2024-01-{rng.randrange(9, 14)}'",
+        "year(ts) = 2024",
+        f"month(ts) = {rng.randrange(1, 13)}",  # never bounds
     ]
     rng.shuffle(pool)
     return pool
@@ -117,6 +127,10 @@ def test_random_conditions_prune_soundly_partitioned(spark, tmp_path):
         .alias("j"),
         F.format_string("name-%03d", (F.col("id") % 40).cast("int"))
         .alias("s"),
+        F.expr(
+            "timestamp'2024-01-01 06:00:00' + make_interval("
+            "0, 0, 0, CAST(id % 12 AS INT), 0, 0, 0)"
+        ).alias("ts"),
     )
     versioned.commit(spark, df, path, partition_by=["g"])
     versioned.build_bloom(spark, path, "k")
