@@ -285,3 +285,49 @@ def test_bucket_and_bloom_compose_on_the_same_key(spark, tmp_path):
     assert set(admitted) <= set(kept)
     got = versioned.read_where(spark, path, {"k": (probe, probe)})
     assert [tuple(r) for r in got.collect()] == [(probe, probe * 3)]
+
+
+def test_combined_day_and_bucket_spec_prunes_intersection(
+    spark, tmp_path
+):
+    """The realistic event-table layout: PARTITIONED BY (day(ts),
+    bucket(4, uid)) — a ts range picks day dirs, a uid point picks
+    one bucket, and together they prune to the intersection."""
+    import datetime
+
+    path = str(tmp_path / "c")
+    df = spark.range(1200).select(
+        (F.col("id") % 97).alias("uid"),
+        F.expr(
+            "timestamp'2024-01-01 06:00:00' + make_interval("
+            "0, 0, 0, CAST(id % 6 AS INT), 0, 0, 0)"
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    versioned.commit(
+        spark, df, path, partition_by=["day(ts)", "bucket(4, uid)"]
+    )
+    man = versioned._resolve_manifest(path, None)
+    assert set(man["partition_transforms"]) == {
+        "ts_day", "uid_bucket_4"
+    }
+    lo = datetime.datetime(2024, 1, 2, 0, 0)
+    hi = datetime.datetime(2024, 1, 3, 23, 59)
+    b = str(sparkhash.bucket_id(42, "long", 4))
+    kept, _ = versioned._prune_manifest_files(
+        man, {"ts": (lo, hi), "uid": (42, 42)}
+    )
+    assert kept
+    for f in kept:
+        seg = versioned._partition_segments(f)
+        assert seg["ts_day"] in ("2024-01-02", "2024-01-03")
+        assert seg["uid_bucket_4"] == b
+    got = versioned.read_where(
+        spark, path, {"ts": (lo, hi), "uid": (42, 42)}
+    )
+    want = df.filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi) & (F.col("uid") == 42)
+    )
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in want.collect()
+    )
