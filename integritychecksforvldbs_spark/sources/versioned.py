@@ -2245,10 +2245,13 @@ def _condition_profile(
                 # code-point order, so parquet string stats agree)
                 prefix = pat[:-1]
                 _tighten(col, ">=", prefix)
-                _tighten(
-                    col, "<=",
-                    prefix[:-1] + chr(ord(prefix[-1]) + 1),
-                )
+                nxt = ord(prefix[-1]) + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    # chr(0xD800) is an unpaired surrogate F.lit
+                    # cannot UTF-8-encode; any LARGER char is an
+                    # equally sound (just looser) upper bound
+                    nxt = 0xE000
+                _tighten(col, "<=", prefix[:-1] + chr(nxt))
             continue  # other patterns: no bound from this atom
         mi = _IN_ATOM.match(piece)
         if mi is not None:
@@ -3671,8 +3674,6 @@ def _prune_manifest_files(
     ``col IS NOT NULL`` skips all-null files — both physical counts,
     so deletion vectors (which only remove rows) cannot unsound
     them."""
-    from integritychecksforvldbs_spark.sources.zonemap import _lt
-
     stats = man.get("stats") or {}
     m = _mapping(man)  # stats are keyed by PHYSICAL name
     points = {c: list(v) for c, v in (points or {}).items() if v}
@@ -3734,8 +3735,13 @@ def _prune_manifest_files(
                 dead = True  # empty file: no row can match anything
                 break
             vmin, vmax = _dec_stat(ent["min"]), _dec_stat(ent["max"])
-            if (lo is not None and _lt(vmax, lo)) or (
-                hi is not None and _lt(hi, vmin)
+            # _stat_lt, NOT the raw zonemap._lt: a bound whose type
+            # disagrees with the column's stats (a date-fn atom over a
+            # STRING date column) must read unpruned, never raise —
+            # the contract is "unboundable predicates merely keep the
+            # file"
+            if (lo is not None and _stat_lt(vmax, lo)) or (
+                hi is not None and _stat_lt(hi, vmin)
             ):
                 dead = True
                 break
