@@ -2152,13 +2152,16 @@ def _condition_profile(
         if piece.strip().startswith("("):
             # a parenthesized conjunct: a same-column equality
             # disjunction — `(k = 5 OR k = 7) AND …` — contributes
-            # its membership set; a merely-wrapped plain atom falls
-            # through to the ordinary matching below
+            # its membership set; a wrapped CONJUNCTION — `(a AND
+            # b) AND …`, the shape an `(ON…) AND (WHERE…)` join
+            # profile produces — flattens back into the AND-split
+            # (splice-at-i: the sub-conjuncts process next, in order,
+            # so a BETWEEN head still sees its tail literal); a
+            # merely-wrapped plain atom falls through to the
+            # ordinary matching below
             p = piece.strip()
             while _wrapped_in_one_paren_pair(p):
                 p = p[1:-1].strip()
-            if _find_top(p, r"\bNOT\b") >= 0:
-                continue  # a negated conjunct contributes nothing
             if _find_top(p, r"\bOR\b") >= 0:
                 dp = _disjunction_points(p)
                 if dp is not None:
@@ -2166,6 +2169,11 @@ def _condition_profile(
                     _narrow_points(col, lits)
                     _tighten_from_lits(col, lits)
                 continue  # an unusable disjunction: nothing
+            if _find_top(p, r"\bAND\b") >= 0:
+                pieces[i:i] = _split_top(p, r"\bAND\b")
+                continue
+            if _find_top(p, r"\bNOT\b") >= 0:
+                continue  # a negated conjunct contributes nothing
             piece = p
         bt = _BETWEEN_HEAD.match(piece)
         if bt is not None and i < len(pieces):
@@ -2343,10 +2351,23 @@ def _null_preds_from_condition(
     if _find_top(condition, r"\bOR\b") >= 0:
         return {}
     out: dict[str, bool] = {}
-    for piece in _split_top(condition, r"\bAND\b"):
-        p = piece.strip()
+    pieces = _split_top(condition, r"\bAND\b")
+    i = 0
+    while i < len(pieces):
+        p = pieces[i].strip()
+        i += 1
         while _wrapped_in_one_paren_pair(p):
             p = p[1:-1].strip()
+        if (
+            _find_top(p, r"\bOR\b") < 0
+            and _find_top(p, r"\bAND\b") >= 0
+        ):
+            # a wrapped conjunction — `(a IS NULL AND b = 2)` or a
+            # join profile's `(ON…) AND (WHERE…)` — flattens back
+            # into the AND-split; an OR-containing piece stays
+            # opaque (its atoms are not conjuncts)
+            pieces[i:i] = _split_top(p, r"\bAND\b")
+            continue
         m = _NULL_ATOM.match(p)
         if m is None:
             continue  # unrecognized conjunct (incl. NOT-…): skipped

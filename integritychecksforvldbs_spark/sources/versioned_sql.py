@@ -190,6 +190,20 @@ def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
     return any(a <= pos < b for a, b in spans)
 
 
+def _strip_strings(s: str) -> str:
+    """``s`` with every quoted literal's CONTENT removed — for
+    checks that must not trip on punctuation inside data (a comma in
+    a join-chain piece is an implicit cross join only when it sits
+    outside quotes)."""
+    spans = _string_spans(s)
+    out, last = [], 0
+    for a, b in spans:
+        out.append(s[last:a])
+        last = b
+    out.append(s[last:])
+    return "".join(out)
+
+
 def _sub_outside_strings(pattern: re.Pattern, repl, s: str) -> str:
     """``pattern.sub(repl, s)`` restricted to matches that start
     outside string literals."""
@@ -1327,19 +1341,29 @@ def _bind_pruned_single_table(
         return None
 
 
-# the ONE two-table shape side-pruning is sound for: a single INNER
-# join — outer joins NULL-EXTEND the other side, which would break
+# the shape N-way side-pruning is sound for: a left-deep chain of
+# INNER joins — outer joins NULL-EXTEND a side, which would break
 # the null channel and membership reasoning
-_INNER_JOIN_SELECT = re.compile(
-    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<t1>`?\w+`?)"
-    r"(?:\s+(?:AS\s+)?(?P<a1>[A-Za-z_]\w*))?"
-    r"\s+(?:INNER\s+)?JOIN\s+(?P<t2>`?\w+`?)"
-    r"(?:\s+(?:AS\s+)?(?P<a2>[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<on>.+?)"
+_JOIN_CHAIN_SELECT = re.compile(
+    r"^\s*SELECT\s+(?P<cols>.*?)\s+FROM\s+(?P<chain>.+?)"
     r"\s+WHERE\s+(?P<where>.+?)"
     r"(?P<tail>\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?;?\s*$",
     re.I | re.S,
 )
+# the leading table reference of the chain: `name [AS alias]`
+_CHAIN_HEAD = re.compile(
+    r"^\s*(?P<tbl>`?\w+`?)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
+    re.S,
+)
+# each subsequent `JOIN`-split piece: `name [AS alias] ON <cond>`
+_CHAIN_JOIN = re.compile(
+    r"^\s*(?P<tbl>`?\w+`?)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)\s*$",
+    re.S,
+)
+_ALIAS_KEYWORDS = frozenset({"JOIN", "ON", "WHERE", "INNER"})
 
 
 def _bind_pruned_inner_join(
@@ -1348,21 +1372,28 @@ def _bind_pruned_inner_join(
     spans,
     tt_views: dict[str, tuple[str, int]] | None = None,
 ) -> set[str]:
-    """Side-prune a single-INNER-JOIN SELECT — the 100 TB fact⋈dim
-    shape: each base table's view binds to the stats-pruned scan of
-    its OWN conjuncts (from ``ON AND WHERE``, profiled with that
-    side's verified alias).  Sound because an INNER join never
-    null-extends: a row provably failing its side's conjunct cannot
-    contribute to any surviving joined row.  Unqualified atoms hand
-    to BOTH sides safely — stats are name-keyed, so a column the
-    table lacks is a no-op, and a genuinely ambiguous bare name fails
-    Spark's analysis before any scan runs.  Conservative guards:
-    exactly one JOIN and one FROM, INNER only (any
+    """Side-prune a SELECT over a left-deep chain of INNER joins —
+    fact⋈dim and the star fact⋈dim⋈dim, the dominant 100 TB
+    analytics shapes: each base table's view binds to the
+    stats-pruned scan of its OWN conjuncts (every ON plus the WHERE,
+    AND-joined, profiled with that side's verified alias).  Sound
+    because an INNER join never null-extends, in a chain of them
+    every ON and the WHERE apply conjunctively to each surviving
+    joined row — so a base row provably failing any conjunct over
+    only its columns cannot contribute to any output row; the
+    multi-object composition of the reference's per-database command
+    set (DIC:1352-1365) has the same per-member independence.
+    Unqualified atoms hand to EVERY side safely — stats are
+    name-keyed, so a column the table lacks is a no-op, and a
+    genuinely ambiguous bare name fails Spark's analysis before any
+    scan runs.  Conservative guards: one FROM, INNER only (any
     LEFT/RIGHT/FULL/OUTER/SEMI/ANTI/CROSS/NATURAL keyword bails), no
-    UNION/LATERAL, distinct tables (a self-join shares one view
-    name), each referenced exactly once.  Returns the bound names
-    (empty = ordinary full-snapshot binding)."""
-    m = _INNER_JOIN_SELECT.match(stmt)
+    UNION/LATERAL, no comma-list FROM, every chain member a bare
+    registered name (subqueries in FROM fail the head regex),
+    distinct tables (a self-join shares one view name), each
+    referenced exactly once.  Returns the bound names (empty =
+    ordinary full-snapshot binding)."""
+    m = _JOIN_CHAIN_SELECT.match(stmt)
     if m is None:
         return set()
 
@@ -1378,18 +1409,29 @@ def _bind_pruned_inner_join(
         r"|OUTER|SEMI|ANTI|NATURAL)\b"
     ):
         return set()
-    if _count_outside(r"\bJOIN\b") != 1:
-        return set()
     if _count_outside(r"\bFROM\b") != 1:
         return set()
-    names = [
-        m.group("t1").strip("`").lower(),
-        m.group("t2").strip("`").lower(),
+    pieces = _split_top(m.group("chain"), r"\bJOIN\b")
+    if len(pieces) < 2:
+        return set()
+    if _count_outside(r"\bJOIN\b") != len(pieces) - 1:
+        return set()  # a JOIN hides somewhere the chain didn't parse
+    if any("," in _strip_strings(p) for p in pieces):
+        return set()  # comma-list FROM: an implicit cross join
+    # `a INNER JOIN b` splits to a trailing INNER on the prior piece
+    pieces = [
+        re.sub(r"\s+INNER\s*$", "", p, flags=re.I) for p in pieces
     ]
-    if names[0] == names[1]:
+    parsed = [_CHAIN_HEAD.match(pieces[0])] + [
+        _CHAIN_JOIN.match(p) for p in pieces[1:]
+    ]
+    if any(p is None for p in parsed):
+        return set()
+    names = [p.group("tbl").strip("`").lower() for p in parsed]
+    if len(set(names)) != len(names):
         return set()  # a self-join shares one view name
     sides = []
-    for name, alias_g in zip(names, ("a1", "a2")):
+    for name, p in zip(names, parsed):
         version = None
         path = _TABLES.get(name)
         if path is None and tt_views and name in tt_views:
@@ -1398,15 +1440,17 @@ def _bind_pruned_inner_join(
             return set()
         if _count_outside(rf"(?<![\w.]){re.escape(name)}(?![\w.])") != 1:
             return set()
-        alias = m.group(alias_g)
+        alias = p.group("alias")
         aliases = [name] + (
             [alias]
-            if alias
-            and alias.upper() not in ("JOIN", "ON", "WHERE", "INNER")
+            if alias and alias.upper() not in _ALIAS_KEYWORDS
             else []
         )
         sides.append((name, path, version, tuple(aliases)))
-    cond = f"{m.group('on')} AND {m.group('where')}"
+    cond = " AND ".join(
+        [f"({p.group('on')})" for p in parsed[1:]]
+        + [f"({m.group('where')})"]
+    )
     bound: set[str] = set()
     for name, path, version, aliases in sides:
         try:

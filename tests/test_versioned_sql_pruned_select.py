@@ -295,3 +295,123 @@ def test_inner_join_prunes_both_sides(
     finally:
         register_table("sp12f", None)
         register_table("sp12d", None)
+
+
+def test_star_join_prunes_every_side(spark, tmp_path, prune_spy, scan_spy):
+    """r13: the fact⋈dim⋈dim star — a left-deep chain of INNER
+    joins binds EVERY base table to the pruned scan of its own
+    conjuncts (all ONs + WHERE); per-side file sets asserted against
+    the manifest; answers pinned against the unpruned plan."""
+    fact = str(tmp_path / "sfact")
+    d1 = str(tmp_path / "sd1")
+    d2 = str(tmp_path / "sd2")
+    fdf = spark.range(1000).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 50).alias("ck"),
+        (F.col("id") % 10).alias("nk"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    cdf = spark.range(50).select(
+        F.col("id").alias("ck"), (F.col("id") % 5).alias("seg")
+    )
+    ndf = spark.range(10).select(
+        F.col("id").alias("nk"), F.concat(F.lit("n"), F.col("id")).alias("nm")
+    )
+    versioned.commit(spark, fdf.repartitionByRange(10, "fk"), fact)
+    versioned.commit(spark, cdf.repartitionByRange(5, "ck"), d1)
+    versioned.commit(spark, ndf.repartitionByRange(2, "nk"), d2)
+    register_table("sp13f", fact)
+    register_table("sp13c", d1)
+    register_table("sp13n", d2)
+    try:
+        q = (
+            "SELECT f.fk, c.seg, n.nm FROM sp13f f "
+            "JOIN sp13c c ON f.ck = c.ck "
+            "INNER JOIN sp13n n ON f.nk = n.nk "
+            "WHERE f.fk >= 800 AND c.ck <= 20 AND n.nk >= 5 "
+            "ORDER BY f.fk"
+        )
+        got = versioned_sql(spark, q)
+        assert len(prune_spy) == 3
+        got_bounds = sorted(sorted(b.items()) for b, _p in prune_spy)
+        assert got_bounds == sorted(
+            [
+                sorted({"fk": (800, None)}.items()),
+                sorted({"ck": (None, 20)}.items()),
+                sorted({"nk": (5, None)}.items()),
+            ]
+        )
+        # every planned scan is its side's stats-admitted subset
+        kepts = []
+        for path, bounds in [
+            (fact, {"fk": (800, None)}),
+            (d1, {"ck": (None, 20)}),
+            (d2, {"nk": (5, None)}),
+        ]:
+            man = versioned._resolve_manifest(path, None)
+            kept, _ = versioned._prune_manifest_files(man, bounds)
+            assert 0 < len(kept) < len(man["files"])
+            kepts.append(sorted(kept))
+        assert sorted(map(sorted, scan_spy)) == sorted(kepts)
+        rows = [tuple(r) for r in got.collect()]
+        want = [
+            (k, (k % 50) % 5, f"n{k % 10}")
+            for k in range(800, 1000)
+            if k % 50 <= 20 and k % 10 >= 5
+        ]
+        assert rows == sorted(want)
+    finally:
+        register_table("sp13f", None)
+        register_table("sp13c", None)
+        register_table("sp13n", None)
+
+
+def test_star_join_guards_bail_conservatively(
+    spark, tmp_path, prune_spy
+):
+    """Any OUTER flavor anywhere in the chain, a comma-list FROM, or
+    a repeated table reference keeps the full-snapshot binding (and
+    the answer stays exact)."""
+    a = str(tmp_path / "ga")
+    b = str(tmp_path / "gb")
+    c = str(tmp_path / "gc")
+    for p, n in [(a, "k"), (b, "k"), (c, "k")]:
+        versioned.commit(
+            spark,
+            spark.range(100).select(F.col("id").alias(n)),
+            p,
+        )
+    register_table("sp13ga", a)
+    register_table("sp13gb", b)
+    register_table("sp13gc", c)
+    try:
+        # LEFT at the tail of a 3-chain: NO side prunes
+        got = versioned_sql(
+            spark,
+            "SELECT ga.k FROM sp13ga ga JOIN sp13gb gb ON ga.k = gb.k "
+            "LEFT JOIN sp13gc gc ON ga.k = gc.k WHERE ga.k >= 90",
+        )
+        assert prune_spy == []
+        assert got.count() == 10
+        # comma-list FROM (implicit cross join): no pruning
+        got2 = versioned_sql(
+            spark,
+            "SELECT ga.k FROM sp13ga ga, sp13gb gb "
+            "WHERE ga.k = gb.k AND ga.k >= 95",
+        )
+        assert prune_spy == []
+        assert got2.count() == 5
+        # a comma INSIDE a string literal is not a comma-list FROM:
+        # the qualified ga-side still binds pruned (gb's profile is
+        # empty — every conjunct is ga-qualified or cross-column)
+        got3 = versioned_sql(
+            spark,
+            "SELECT ga.k FROM sp13ga ga JOIN sp13gb gb "
+            "ON ga.k = gb.k WHERE ga.k >= 98 AND 'a,b' = 'a,b'",
+        )
+        assert [b for b, _p in prune_spy] == [{"k": (98, None)}]
+        assert got3.count() == 2
+    finally:
+        register_table("sp13ga", None)
+        register_table("sp13gb", None)
+        register_table("sp13gc", None)
