@@ -2393,6 +2393,46 @@ def _stat_lt(a, b) -> bool:
         return False  # incomparable (mixed types): never tightens
 
 
+def _condition_profiles(
+    condition: str, aliases: tuple[str, ...] = ()
+) -> list[tuple[dict, dict, dict]] | None:
+    """Disjunctive pruning profiles for ``condition``: a list of
+    ``(bounds, points, nulls)`` BRANCHES such that every row the
+    condition admits satisfies at least one branch — so a file is
+    provably dead only when EVERY branch proves it dead, and the
+    union of per-branch kept sets is a sound scan.  One branch for a
+    pure conjunction (the classic :func:`_condition_profile`); one
+    branch per disjunct when a top-level OR splits into disjuncts
+    that EACH profile to something — which is what lets the
+    anti-range ``k < 5 OR k > 100`` skip a clustered table's middle
+    files and the cross-column ``k = 5 OR j = 7`` prune at all
+    (both shapes disabled pruning before r13).  Nested ORs flatten
+    recursively; any disjunct that profiles empty admits every row,
+    so the whole condition returns ``None`` (read unpruned) — the
+    contract stays "pruning may only remove provably-dead IO"."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        _find_top,
+        _split_top,
+    )
+
+    bounds, points = _condition_profile(condition, aliases)
+    nulls = _null_preds_from_condition(condition, aliases)
+    if bounds or points or nulls:
+        return [(bounds, points, nulls)]
+    if _find_top(condition, r"\bOR\b") < 0:
+        return None
+    out: list[tuple[dict, dict, dict]] = []
+    for d in _split_top(condition, r"\bOR\b"):
+        d = d.strip()
+        while _wrapped_in_one_paren_pair(d):
+            d = d[1:-1].strip()
+        sub = _condition_profiles(d, aliases)
+        if not sub:
+            return None  # this disjunct admits everything
+        out.extend(sub)
+    return out
+
+
 def _dml_candidates(man: dict, condition: str) -> list[str] | None:
     """Manifest files a DELETE/UPDATE probe must scan, per the stats
     bounds AND membership sets the condition implies — None when the
@@ -2402,12 +2442,15 @@ def _dml_candidates(man: dict, condition: str) -> list[str] | None:
     probe, never to a wrong answer — the probe's own predicate is
     always re-applied."""
     try:
-        bounds, points = _condition_profile(condition)
-        nulls = _null_preds_from_condition(condition)
-        if not bounds and not points and not nulls:
+        branches = _condition_profiles(condition)
+        if not branches:
             return None
-        kept, _ = _prune_manifest_files(man, bounds, points, nulls)
-        return kept
+        keep: dict[str, None] = {}
+        for bounds, points, nulls in branches:
+            kept, _ = _prune_manifest_files(man, bounds, points, nulls)
+            for f in kept:
+                keep[f] = None
+        return [f for f in man["files"] if f in keep]
     except Exception:
         return None
 
@@ -3885,6 +3928,55 @@ def read_where(
     return _residual(_scan_live(spark, man, kept))
 
 
+def _branch_kept_files(
+    spark: SparkSession, man: dict, branches
+) -> list[str]:
+    """Files at least ONE branch of a disjunctive profile keeps —
+    per branch the full stats prune plus the Bloom probe for its
+    equality/membership literals, unioned in manifest order.  Stops
+    probing branches early once nothing is pruned anymore."""
+    keep: dict[str, None] = {}
+    for bounds, points, nulls in branches:
+        kept, _ = _prune_manifest_files(man, bounds, points, nulls)
+        eq: dict[str, list] = {
+            c: [lo]
+            for c, (lo, hi) in bounds.items()
+            if lo is not None and lo == hi
+        }
+        for c, lits in (points or {}).items():
+            if lits and c not in eq:
+                eq[c] = list(lits)
+        if eq and (man.get("bloom") or {}):
+            kept = _bloom_prune_files(spark, man, eq, kept)
+        for f in kept:
+            keep[f] = None
+        if len(keep) == len(man["files"]):
+            break
+    return [f for f in man["files"] if f in keep]
+
+
+def _read_where_branches(
+    spark: SparkSession,
+    path: str,
+    branches,
+    version: int | None = None,
+) -> DataFrame:
+    """The union-of-branches read behind a top-level OR: one scan
+    over :func:`_branch_kept_files`.  Emits NO residual filter —
+    every caller re-applies the original condition (the
+    :func:`read_sql_where` tail filter / the SQL statement's own
+    WHERE), which Catalyst pushes into the surviving scans'
+    row groups."""
+    man = _resolve_manifest(path, version)
+    kept = _branch_kept_files(spark, man, branches)
+    if not kept:
+        sch = _manifest_schema(man)
+        if sch is None:
+            return read(spark, path, version).limit(0)
+        return spark.createDataFrame([], sch)
+    return _scan_live(spark, man, kept)
+
+
 def read_sql_where(
     spark: SparkSession,
     path: str,
@@ -3905,18 +3997,19 @@ def read_sql_where(
     returned frame so the residual's ``o.col`` qualifiers resolve."""
     from pyspark.sql import functions as F
 
-    bounds: dict[str, tuple] = {}
-    points: dict[str, list] = {}
-    nulls: dict[str, bool] = {}
     try:
-        bounds, points = _condition_profile(condition, aliases)
-        nulls = _null_preds_from_condition(condition, aliases)
+        branches = _condition_profiles(condition, aliases)
     except Exception:
-        bounds, points, nulls = {}, {}, {}
-    if bounds or points or nulls:
+        branches = None
+    if branches and len(branches) == 1:
+        bounds, points, nulls = branches[0]
         df = read_where(
             spark, path, bounds, version, points=points, nulls=nulls
         )
+    elif branches:
+        # top-level OR whose disjuncts each profile: union of the
+        # per-branch kept sets; the tail filter below is the residual
+        df = _read_where_branches(spark, path, branches, version)
     else:
         df = read(spark, path, version=version)
     if aliases:
@@ -3935,32 +4028,55 @@ def explain_pruning(
     diagnostic twin of :func:`read_sql_where` (EXPLAIN for file
     skipping): the extracted range bounds / membership points /
     null predicates, the file counts each stage admits, and which
-    Bloom columns fired.  Metadata-only; nothing is scanned."""
+    Bloom columns fired.  A top-level OR that profiles per-disjunct
+    reports the UNION across its branches (``or_branches`` > 1; the
+    ``bounds``/``points``/``null_predicates`` fields then describe
+    only the single-conjunction case and stay empty).  Metadata-only;
+    nothing is scanned."""
     man = _resolve_manifest(path, version)
     try:
-        bounds, points = _condition_profile(condition, aliases)
+        branches = _condition_profiles(condition, aliases) or []
     except Exception:
-        bounds, points = {}, {}
-    try:
-        nulls = _null_preds_from_condition(condition, aliases)
-    except Exception:
-        nulls = {}
+        branches = []
     total = len(man["files"])
-    kept, _ = _prune_manifest_files(man, bounds, points, nulls)
-    after_stats = len(kept)
-    bloom_cols = []
-    if points and (man.get("bloom") or {}):
-        bloom = man["bloom"]
+    bounds, points, nulls = (
+        branches[0] if len(branches) == 1 else ({}, {}, {})
+    )
+    if not branches:
+        after_stats = total
+        kept = list(man["files"])
+        bloom_cols: list[str] = []
+    else:
+        bloom = man.get("bloom") or {}
         m = _mapping(man)
-        bloom_cols = [
-            c for c in points if m.get(c, c) in bloom
-        ]
-        kept = _bloom_prune_files(spark, man, points, kept)
+        stats_keep: dict[str, None] = {}
+        final_keep: dict[str, None] = {}
+        bloom_cols = []
+        for b_bounds, b_points, b_nulls in branches:
+            b_kept, _ = _prune_manifest_files(
+                man, b_bounds, b_points, b_nulls
+            )
+            for f in b_kept:
+                stats_keep[f] = None
+            if b_points and bloom:
+                bloom_cols += [
+                    c
+                    for c in b_points
+                    if m.get(c, c) in bloom and c not in bloom_cols
+                ]
+                b_kept = _bloom_prune_files(
+                    spark, man, b_points, b_kept
+                )
+            for f in b_kept:
+                final_keep[f] = None
+        after_stats = len(stats_keep)
+        kept = [f for f in man["files"] if f in final_keep]
     return {
         "condition": condition,
         "bounds": bounds,
         "points": points,
         "null_predicates": nulls,
+        "or_branches": len(branches),
         "files_total": total,
         "files_after_stats": after_stats,
         "files_after_bloom": len(kept),

@@ -1325,17 +1325,25 @@ def _bind_pruned_single_table(
             "WHERE",
         ):
             aliases.append(m.group("alias"))
-        bounds, points = versioned._condition_profile(
+        branches = versioned._condition_profiles(
             m.group("where"), tuple(aliases)
         )
-        nulls = versioned._null_preds_from_condition(
-            m.group("where"), tuple(aliases)
-        )
-        if not bounds and not points and not nulls:
+        if not branches:
             return None
-        versioned.read_where(
-            spark, path, bounds, version, points=points, nulls=nulls
-        ).createOrReplaceTempView(name)
+        if len(branches) == 1:
+            bounds, points, nulls = branches[0]
+            df = versioned.read_where(
+                spark, path, bounds, version,
+                points=points, nulls=nulls,
+            )
+        else:
+            # top-level OR, each disjunct profiled: the view binds to
+            # the union of per-branch kept sets; the statement's own
+            # WHERE is the residual
+            df = versioned._read_where_branches(
+                spark, path, branches, version
+            )
+        df.createOrReplaceTempView(name)
         return name
     except Exception:
         return None

@@ -72,6 +72,9 @@ def _atoms(rng: random.Random) -> list[str]:
         f"k % 10 = {rng.randrange(0, 10)}",
         f"length(s) > {rng.randrange(5, 10)}",
         f"(k = {k} OR g = '{g}')",  # cross-column OR (parenthesized)
+        f"(k < {lo} OR k > {hi})",  # anti-range (r13 union-prunes)
+        f"(k < {lo} OR j IS NULL OR g = '{g}')",
+        f"(k BETWEEN {lo} AND {hi} OR s LIKE 'name-00%')",
         f"CAST(ts AS DATE) = '2024-01-{rng.randrange(1, 15):02d}'",
         f"to_date(ts) >= DATE '2024-01-{rng.randrange(1, 15):02d}'",
         f"date(ts) BETWEEN '2024-01-0{rng.randrange(1, 9)}' "
@@ -92,7 +95,9 @@ def test_random_conditions_prune_soundly(spark, ftbl):
             n = rng.randrange(1, 4)
             picked = _atoms(rng)[:n]
             # sometimes a bare top-level OR between the conjuncts
-            # (which must disable pruning, never corrupt the answer)
+            # (r13: union-prunes per-disjunct when every disjunct
+            # profiles, reads unpruned otherwise — either way the
+            # answer must be exact)
             conn = (
                 " OR " if n > 1 and rng.random() < 0.3 else " AND "
             )
