@@ -1237,7 +1237,8 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
     bound = (
         {pruned}
         if pruned
-        else _bind_pruned_inner_join(spark, out, spans, tt_views)
+        else _bind_pruned_subquery_in(spark, out, spans, tt_views)
+        or _bind_pruned_inner_join(spark, out, spans, tt_views)
     )
     for name, path in _TABLES.items():
         if name in bound:
@@ -1347,6 +1348,188 @@ def _bind_pruned_single_table(
         return name
     except Exception:
         return None
+
+
+# a WHERE conjunct of the shape `col IN (SELECT …)` — the subquery
+# is captured greedily to the conjunct's own closing paren (the
+# AND-split hands us a balanced piece)
+_IN_SUBQ_CONJ = re.compile(
+    r"^\s*(?:(?P<q>[A-Za-z_]\w*)\.)?(?P<col>\w+)"
+    r"\s+IN\s*\(\s*(?P<sub>SELECT\b.*)\)\s*$",
+    re.I | re.S,
+)
+# the subquery shape the probe supports: single bare column from a
+# single registered table, optional WHERE — anything richer bails
+_SUBQ_SHAPE = re.compile(
+    r"^\s*SELECT\s+(?:DISTINCT\s+)?(?P<scol>\w+)\s+"
+    r"FROM\s+(?P<stbl>`?\w+`?)"
+    r"(?:\s+WHERE\s+(?P<swhere>.+?))?\s*$",
+    re.I | re.S,
+)
+# subquery tables above this manifest-estimated live-row count are
+# never probed at bind time: the win is pruning a FACT scan by a
+# small dim's keys, and a huge subquery's envelope rarely prunes —
+# so don't pay its evaluation twice
+_SUBQ_PROBE_MAX_ROWS = 5_000_000
+
+
+def _bind_pruned_subquery_in(
+    spark: SparkSession,
+    stmt: str,
+    spans,
+    tt_views: dict[str, tuple[str, int]] | None = None,
+) -> set[str]:
+    """Prune a ``SELECT … FROM t WHERE col IN (SELECT …) [AND …]``
+    through the MERGE-probe key-set machinery: evaluate the (small,
+    single-table) subquery at bind time, fold its keys into the outer
+    profile — always the min/max envelope from one aggregate, plus
+    the exact value set as membership points (Bloom-probed) when an
+    approx-distinct prescreen says it fits
+    :data:`~.versioned._MERGE_POINTS_CAP` — and bind the outer table
+    to the pruned scan; the reference's include-set evaluation over
+    explicit name lists (IC:300-308) is the same explicit-keys
+    pattern.  The subquery's table view is then PINNED to the very
+    DataFrame the probe evaluated, so the statement's semi-join sees
+    the bind-time snapshot (and its pruned scan) even if a commit
+    lands mid-statement — which is also what makes the key-set fold
+    sound.  Guards: exactly two FROMs (the outer and the subquery),
+    no JOIN/UNION/LATERAL, exactly one IN-subquery conjunct, subquery
+    table registered / distinct from the outer / referenced once /
+    manifest-estimated under :data:`_SUBQ_PROBE_MAX_ROWS` live rows
+    (a big subquery binds unpruned — no second-pass blowup), no
+    ``NOT IN`` (null semantics).  The statement's own WHERE always
+    re-evaluates.  Returns the bound names (empty = no binding)."""
+    from pyspark.sql import functions as F
+
+    m = _SIMPLE_SELECT.match(stmt)
+    if m is None:
+        return set()
+    name = m.group("tbl").strip("`").lower()
+    version = None
+    path = _TABLES.get(name)
+    if path is None and tt_views and name in tt_views:
+        path, version = tt_views[name]
+    if path is None:
+        return set()
+
+    def _count_outside(pat: str) -> int:
+        return sum(
+            1
+            for mm in re.finditer(pat, stmt, re.I)
+            if not _in_spans(mm.start(), spans)
+        )
+
+    if _count_outside(
+        r"\b(JOIN|UNION|INTERSECT|EXCEPT|LATERAL)\b"
+    ):
+        return set()
+    if _count_outside(r"\bFROM\b") != 2:
+        return set()
+    if _count_outside(rf"(?<![\w.]){re.escape(name)}(?![\w.])") != 1:
+        return set()
+    aliases = [name]
+    if m.group("alias") and m.group("alias").upper() not in ("WHERE",):
+        aliases.append(m.group("alias"))
+    conjs = _split_top(m.group("where"), r"\bAND\b")
+    sub_idx = None
+    parsed = None
+    for idx, cj in enumerate(conjs):
+        p = cj.strip()
+        if re.search(r"\bNOT\s+IN\b", p, re.I):
+            return set()  # NOT IN: null semantics, never prune
+        ms = _IN_SUBQ_CONJ.match(p)
+        if ms is not None:
+            if parsed is not None:
+                return set()  # two IN-subqueries: bail
+            sub_idx, parsed = idx, ms
+    if parsed is None:
+        return set()
+    qual = parsed.group("q")
+    if qual and qual.lower() not in {a.lower() for a in aliases}:
+        return set()
+    col = parsed.group("col")
+    mshape = _SUBQ_SHAPE.match(parsed.group("sub"))
+    if mshape is None:
+        return set()
+    stbl = mshape.group("stbl").strip("`").lower()
+    spath = _TABLES.get(stbl)
+    if spath is None or stbl == name:
+        return set()
+    if _count_outside(rf"(?<![\w.]){re.escape(stbl)}(?![\w.])") != 1:
+        return set()
+    try:
+        man2 = versioned._resolve_manifest(spath, None)
+        est = versioned._live_rows_estimate(man2, man2["files"])
+        if est is None or est > _SUBQ_PROBE_MAX_ROWS:
+            return set()
+        swhere = mshape.group("swhere")
+        sub_df = (
+            versioned.read_sql_where(spark, spath, swhere)
+            if swhere
+            else versioned.read(spark, spath)
+        )
+        scol = mshape.group("scol")
+        row = sub_df.agg(
+            F.min(scol).alias("mn"),
+            F.max(scol).alias("mx"),
+            F.approx_count_distinct(scol).alias("ad"),
+        ).collect()[0]
+        if row.mn is None:
+            return set()  # empty subquery: IN () admits nothing —
+            # rare enough that the full scan is fine (and exact)
+        cap = versioned._MERGE_POINTS_CAP
+        sub_points = None
+        # approx ±5%: screen at 2× the cap, verify exactly below
+        if int(row.ad or 0) <= 2 * cap:
+            vals = [
+                r[0]
+                for r in sub_df.select(scol)
+                .where(F.col(scol).isNotNull())
+                .distinct()
+                .limit(cap + 1)
+                .collect()
+            ]
+            if 0 < len(vals) <= cap:
+                sub_points = vals
+        rest = [c for i2, c in enumerate(conjs) if i2 != sub_idx]
+        bounds: dict[str, tuple] = {}
+        points: dict[str, list] = {}
+        nulls: dict[str, bool] = {}
+        if rest:
+            rest_cond = " AND ".join(f"({c.strip()})" for c in rest)
+            bounds, points = versioned._condition_profile(
+                rest_cond, tuple(aliases)
+            )
+            nulls = versioned._null_preds_from_condition(
+                rest_cond, tuple(aliases)
+            )
+        lo, hi = bounds.get(col, (None, None))
+        if lo is None or versioned._stat_lt(lo, row.mn):
+            lo = row.mn
+        if hi is None or versioned._stat_lt(row.mx, hi):
+            hi = row.mx
+        bounds[col] = (lo, hi)
+        if sub_points is not None:
+            if col in points:  # conjunction: intersect; an empty
+                # intersection keeps the tighter nonempty set (sound
+                # superset, same stance as read_where's eq merge)
+                inter = [
+                    v
+                    for v in sub_points
+                    if any(v == p for p in points[col])
+                ]
+                points[col] = inter or points[col]
+            else:
+                points[col] = sub_points
+        versioned.read_where(
+            spark, path, bounds, version, points=points, nulls=nulls
+        ).createOrReplaceTempView(name)
+        # pin the subquery's view to the probed DataFrame: same
+        # snapshot, pruned scan; its WHERE re-applies idempotently
+        sub_df.createOrReplaceTempView(stbl)
+        return {name, stbl}
+    except Exception:
+        return set()
 
 
 # the shape N-way side-pruning is sound for: a left-deep chain of

@@ -415,3 +415,117 @@ def test_star_join_guards_bail_conservatively(
         register_table("sp13ga", None)
         register_table("sp13gb", None)
         register_table("sp13gc", None)
+
+
+def test_subquery_in_prunes_fact_scan(spark, tmp_path, prune_spy, scan_spy):
+    """r13: ``WHERE dk IN (SELECT …)`` over a small dim evaluates the
+    subquery at bind time and folds its exact keys into the fact
+    profile — on an identity-partitioned fact the scan plans exactly
+    the listed keys' partitions; answer pinned against the unpruned
+    plan."""
+    fact = str(tmp_path / "sqf")
+    dim = str(tmp_path / "sqd")
+    fdf = spark.range(1000).select(
+        F.col("id").alias("fk"),
+        (F.col("id") % 10).alias("dk"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    ddf = spark.range(10).select(
+        F.col("id").alias("dk"), (F.col("id") % 3).alias("grp")
+    )
+    versioned.commit(spark, fdf, fact, partition_by=["dk"])
+    versioned.commit(spark, ddf, dim)
+    register_table("sq13f", fact)
+    register_table("sq13d", dim)
+    try:
+        q = (
+            "SELECT SUM(amount) AS s FROM sq13f "
+            "WHERE dk IN (SELECT dk FROM sq13d WHERE grp = 0)"
+        )
+        got = versioned_sql(spark, q)
+        # the outer bind carried the dim's exact keys as membership
+        # points plus their min/max envelope
+        keys = sorted(k for k in range(10) if k % 3 == 0)
+        assert any(
+            sorted(p.get("dk", [])) == keys for _b, p in prune_spy
+        )
+        # the planned fact scan is exactly the listed keys' partitions
+        man = versioned._resolve_manifest(fact, None)
+        kept, _ = versioned._prune_manifest_files(
+            man, {"dk": (min(keys), max(keys))}, {"dk": keys}
+        )
+        assert sorted(kept) in [sorted(c) for c in scan_spy]
+        assert 0 < len(kept) < len(man["files"])
+        want = sum(k * 2 for k in range(1000) if (k % 10) % 3 == 0)
+        assert got.collect()[0].s == want
+        # AND-merge: a residual conjunct tightens the same profile
+        prune_spy.clear()
+        got2 = versioned_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM sq13f "
+            "WHERE dk IN (SELECT dk FROM sq13d WHERE grp = 0) "
+            "AND fk >= 500",
+        )
+        assert any(
+            b.get("fk") == (500, None) and sorted(p.get("dk", [])) == keys
+            for b, p in prune_spy
+        )
+        assert got2.collect()[0].n == sum(
+            1 for k in range(500, 1000) if (k % 10) % 3 == 0
+        )
+    finally:
+        register_table("sq13f", None)
+        register_table("sq13d", None)
+
+
+def test_subquery_in_big_dim_binds_unpruned(
+    spark, tmp_path, prune_spy, monkeypatch
+):
+    """A subquery table over the probe-size gate never evaluates at
+    bind time — the statement binds full-snapshot (exact answer, no
+    double evaluation)."""
+    from integritychecksforvldbs_spark.sources import versioned_sql as vs
+
+    fact = str(tmp_path / "bqf")
+    dim = str(tmp_path / "bqd")
+    versioned.commit(
+        spark,
+        spark.range(200).select(
+            F.col("id").alias("fk"), (F.col("id") % 10).alias("dk")
+        ),
+        fact,
+    )
+    versioned.commit(
+        spark,
+        spark.range(10).select(F.col("id").alias("dk")),
+        dim,
+    )
+    monkeypatch.setattr(vs, "_SUBQ_PROBE_MAX_ROWS", 5)
+    probe_reads = []
+    real_rsw = versioned.read_sql_where
+    monkeypatch.setattr(
+        versioned,
+        "read_sql_where",
+        lambda *a, **k: probe_reads.append(a) or real_rsw(*a, **k),
+    )
+    register_table("bq13f", fact)
+    register_table("bq13d", dim)
+    try:
+        got = versioned_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM bq13f "
+            "WHERE dk IN (SELECT dk FROM bq13d WHERE dk >= 8)",
+        )
+        assert prune_spy == [] and probe_reads == []
+        assert got.collect()[0].n == 40
+        # NOT IN never prunes either
+        got2 = versioned_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM bq13f "
+            "WHERE dk NOT IN (SELECT dk FROM bq13d WHERE dk >= 8)",
+        )
+        assert prune_spy == []
+        assert got2.collect()[0].n == 160
+    finally:
+        register_table("bq13f", None)
+        register_table("bq13d", None)
