@@ -1846,7 +1846,9 @@ def _merge_probe_candidates(
                 ]
                 if 0 < len(vals) <= _MERGE_POINTS_CAP:
                     points[k] = vals
-        kept, _ = _prune_manifest_files(man, bounds, points or None)
+        kept, _ = _prune_manifest_files(
+            man, bounds, points or None, spark=spark
+        )
         if points and (man.get("bloom") or {}):
             kept = _bloom_prune_files(spark, man, points, kept)
         return kept
@@ -2433,7 +2435,11 @@ def _condition_profiles(
     return out
 
 
-def _dml_candidates(man: dict, condition: str) -> list[str] | None:
+def _dml_candidates(
+    man: dict,
+    condition: str,
+    spark: SparkSession | None = None,
+) -> list[str] | None:
     """Manifest files a DELETE/UPDATE probe must scan, per the stats
     bounds AND membership sets the condition implies — None when the
     condition yields neither (probe everything).  Best-effort by
@@ -2447,7 +2453,9 @@ def _dml_candidates(man: dict, condition: str) -> list[str] | None:
             return None
         keep: dict[str, None] = {}
         for bounds, points, nulls in branches:
-            kept, _ = _prune_manifest_files(man, bounds, points, nulls)
+            kept, _ = _prune_manifest_files(
+                man, bounds, points, nulls, spark=spark
+            )
             for f in kept:
                 keep[f] = None
         return [f for f in man["files"] if f in keep]
@@ -3539,7 +3547,7 @@ def _probe_candidates(
     pruning (:func:`_dml_candidates`) narrowed further by the Bloom
     index on equality atoms.  None = no pruning applies (probe the
     whole visible set)."""
-    cand = _dml_candidates(man, condition)
+    cand = _dml_candidates(man, condition, spark=spark)
     eq = {}
     try:
         eq = _eq_literals_from_condition(condition)
@@ -3713,11 +3721,18 @@ def _same_stat_kind(a, b) -> bool:
     return False
 
 
+# file count past which the stats prune runs as a distributed
+# metadata job instead of the driver loop (Iceberg-scale manifests:
+# ~1M files × several conjuncts is seconds of serial driver CPU)
+_PRUNE_DISTRIBUTED_MIN_FILES = 50_000
+
+
 def _prune_manifest_files(
     man: dict,
     bounds: dict[str, tuple],
     points: dict[str, list] | None = None,
     nulls: dict[str, bool] | None = None,
+    spark: SparkSession | None = None,
 ) -> tuple[list[str], list[str]]:
     """(kept, skipped) under a conjunction of range predicates
     ``{col: (lo, hi)}`` (either end ``None`` = open) and optional
@@ -3787,70 +3802,142 @@ def _prune_manifest_files(
             bounds = {**bounds, **extra_bounds}
         if extra_points:
             points = {**points, **extra_points}
+    if (
+        spark is not None
+        and len(man["files"]) >= _PRUNE_DISTRIBUTED_MIN_FILES
+    ):
+        return _prune_manifest_files_distributed(
+            spark, man, stats, m, bounds, points, nulls
+        )
     kept, skipped = [], []
     for f in man["files"]:
-        dead = False
-        fcols = (stats.get(f) or {}).get("cols", {})
-        for c, (lo, hi) in bounds.items():
-            ent = fcols.get(m.get(c, c))
-            if ent is None or not ent["ok"]:
-                continue
-            if ent["min"] is None:
-                dead = True  # empty file: no row can match anything
-                break
-            vmin, vmax = _dec_stat(ent["min"]), _dec_stat(ent["max"])
-            # _stat_lt, NOT the raw zonemap._lt: a bound whose type
-            # disagrees with the column's stats (a date-fn atom over a
-            # STRING date column) must read unpruned, never raise —
-            # the contract is "unboundable predicates merely keep the
-            # file"
-            if (lo is not None and _stat_lt(vmax, lo)) or (
-                hi is not None and _stat_lt(hi, vmin)
-            ):
-                dead = True
-                break
-        if not dead:
-            for c, lits in points.items():
-                ent = fcols.get(m.get(c, c))
-                if ent is None or not ent["ok"]:
-                    continue
-                if ent["min"] is None:
-                    dead = True
-                    break
-                vmin, vmax = (
-                    _dec_stat(ent["min"]), _dec_stat(ent["max"]),
-                )
-                try:
-                    if (
-                        vmin == vmax
-                        and all(_same_stat_kind(vmin, v) for v in lits)
-                        and all(vmin != v for v in lits)
-                    ):
-                        dead = True
-                        break
-                except Exception:
-                    continue  # exotic values: never prune on doubt
-        if not dead and nulls:
-            n_rows = (stats.get(f) or {}).get("n_rows")
-            for c, wants_null in nulls.items():
-                ent = fcols.get(m.get(c, c))
-                # deliberately NOT gated on ent["ok"]: an all-null
-                # column has no min/max (ok=False) but a trustworthy
-                # null count — nulls_ok is this channel's own flag
-                if ent is None or not ent.get("nulls_ok"):
-                    continue
-                n_nulls = int(ent.get("nulls") or 0)
-                if wants_null and n_nulls == 0:
-                    dead = True  # IS NULL: the file holds no null
-                    break
-                if (
-                    not wants_null
-                    and n_rows is not None
-                    and n_nulls >= int(n_rows)
-                ):
-                    dead = True  # IS NOT NULL: every row is null
-                    break
+        fent = stats.get(f) or {}
+        dead = _file_is_dead(
+            fent.get("cols", {}),
+            fent.get("n_rows"),
+            m,
+            bounds,
+            points,
+            nulls,
+        )
         (skipped if dead else kept).append(f)
+    return kept, skipped
+
+
+def _file_is_dead(
+    fcols: dict,
+    n_rows,
+    m: dict,
+    bounds: dict[str, tuple],
+    points: dict[str, list],
+    nulls: dict[str, bool] | None,
+) -> bool:
+    """One file's provably-dead verdict from its stat entry — the
+    pure per-file kernel of :func:`_prune_manifest_files`, factored
+    out so the distributed path evaluates EXACTLY the same code on
+    executors (no Spark-expression re-derivation to drift)."""
+    for c, (lo, hi) in bounds.items():
+        ent = fcols.get(m.get(c, c))
+        if ent is None or not ent["ok"]:
+            continue
+        if ent["min"] is None:
+            return True  # empty file: no row can match anything
+        vmin, vmax = _dec_stat(ent["min"]), _dec_stat(ent["max"])
+        # _stat_lt, NOT the raw zonemap._lt: a bound whose type
+        # disagrees with the column's stats (a date-fn atom over a
+        # STRING date column) must read unpruned, never raise —
+        # the contract is "unboundable predicates merely keep the
+        # file"
+        if (lo is not None and _stat_lt(vmax, lo)) or (
+            hi is not None and _stat_lt(hi, vmin)
+        ):
+            return True
+    for c, lits in (points or {}).items():
+        ent = fcols.get(m.get(c, c))
+        if ent is None or not ent["ok"]:
+            continue
+        if ent["min"] is None:
+            return True
+        vmin, vmax = _dec_stat(ent["min"]), _dec_stat(ent["max"])
+        try:
+            if (
+                vmin == vmax
+                and all(_same_stat_kind(vmin, v) for v in lits)
+                and all(vmin != v for v in lits)
+            ):
+                return True
+        except Exception:
+            continue  # exotic values: never prune on doubt
+    for c, wants_null in (nulls or {}).items():
+        ent = fcols.get(m.get(c, c))
+        # deliberately NOT gated on ent["ok"]: an all-null
+        # column has no min/max (ok=False) but a trustworthy
+        # null count — nulls_ok is this channel's own flag
+        if ent is None or not ent.get("nulls_ok"):
+            continue
+        n_nulls = int(ent.get("nulls") or 0)
+        if wants_null and n_nulls == 0:
+            return True  # IS NULL: the file holds no null
+        if (
+            not wants_null
+            and n_rows is not None
+            and n_nulls >= int(n_rows)
+        ):
+            return True  # IS NOT NULL: every row is null
+    return False
+
+
+def _prune_manifest_files_distributed(
+    spark: SparkSession,
+    man: dict,
+    stats: dict,
+    m: dict,
+    bounds: dict[str, tuple],
+    points: dict[str, list],
+    nulls: dict[str, bool] | None,
+) -> tuple[list[str], list[str]]:
+    """The executor-side twin of the driver stats loop for manifests
+    past :data:`_PRUNE_DISTRIBUTED_MIN_FILES`: the per-file stat
+    entries stream through an Arrow-batched ``mapInPandas`` running
+    the SAME :func:`_file_is_dead` kernel (the typed profile rides
+    the closure), and only the PRUNABLE paths come back to the
+    driver — the manifest-planning pattern Iceberg distributes the
+    same way.  At ~1M files this turns seconds of serial driver CPU
+    per conjunct into one short metadata job."""
+    import json as _json
+
+    rows = [(f, _json.dumps(stats.get(f) or {})) for f in man["files"]]
+    df = spark.createDataFrame(rows, "path string, stats string")
+
+    def _part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            dead = []
+            for s in pdf["stats"]:
+                fent = _json.loads(s)
+                dead.append(
+                    _file_is_dead(
+                        fent.get("cols", {}),
+                        fent.get("n_rows"),
+                        m,
+                        bounds,
+                        points,
+                        nulls,
+                    )
+                )
+            out = pdf[["path"]][pd.Series(dead, index=pdf.index)]
+            yield out
+
+    n_part = min(64, len(rows) // 25_000 + 1)
+    dead_set = {
+        r.path
+        for r in df.repartition(n_part).mapInPandas(
+            _part, "path string"
+        ).collect()
+    }
+    kept = [f for f in man["files"] if f not in dead_set]
+    skipped = [f for f in man["files"] if f in dead_set]
     return kept, skipped
 
 
@@ -3882,7 +3969,9 @@ def read_where(
     from pyspark.sql import functions as F
 
     man = _resolve_manifest(path, version)
-    kept, _ = _prune_manifest_files(man, bounds, points, nulls)
+    kept, _ = _prune_manifest_files(
+        man, bounds, points, nulls, spark=spark
+    )
     # point bounds (lo == hi) probe the Bloom index too, alongside
     # any caller-declared membership sets
     eq: dict[str, list] = {
@@ -3937,7 +4026,9 @@ def _branch_kept_files(
     probing branches early once nothing is pruned anymore."""
     keep: dict[str, None] = {}
     for bounds, points, nulls in branches:
-        kept, _ = _prune_manifest_files(man, bounds, points, nulls)
+        kept, _ = _prune_manifest_files(
+            man, bounds, points, nulls, spark=spark
+        )
         eq: dict[str, list] = {
             c: [lo]
             for c, (lo, hi) in bounds.items()
@@ -4054,7 +4145,7 @@ def explain_pruning(
         bloom_cols = []
         for b_bounds, b_points, b_nulls in branches:
             b_kept, _ = _prune_manifest_files(
-                man, b_bounds, b_points, b_nulls
+                man, b_bounds, b_points, b_nulls, spark=spark
             )
             for f in b_kept:
                 stats_keep[f] = None
@@ -5694,7 +5785,7 @@ def compact_files(
         # Conservative by contract: an undecidable file stays a
         # candidate, and the rewrite re-splits rows by partitionBy, so
         # scope only ever bounds IO, never correctness.
-        scoped = _dml_candidates(cur0[1], where)
+        scoped = _dml_candidates(cur0[1], where, spark=spark)
         if scoped is not None:
             candidates = scoped
     small = []
