@@ -129,6 +129,39 @@ def _wait_for_quiet_machine() -> tuple[float, bool]:
     return round(load, 2), load >= quiet
 
 
+# best quiet-session calibration this box has recorded (the judge's
+# r11/r12 clean readings sat at 0.13-0.16s); a run whose calibration
+# exceeds 1.3x this floor was NOT taken on a quiet session, whatever
+# the load average says
+CAL_FLOOR_SEC = 0.145
+CAL_CONTENDED_RATIO = 1.3
+LOAD_CONTENDED = 2.0
+
+
+def _contended_verdict(
+    load_1m: float,
+    calibration: float,
+    calibration_end: float | None = None,
+) -> bool:
+    """Whether this bench run may assert quiet conditions.  The r12
+    artifact stamped ``contended: false`` at load 6.72 with a
+    calibration 1.6x the clean floor (the quarter-of-32-CPUs wait
+    threshold passed it) and cost the round its adjudication run —
+    so the flag now distrusts ITS OWN measurements: load over
+    ~2, or either bracketing calibration over 1.3x the recorded
+    clean floor, stamps contended=true."""
+    if load_1m > LOAD_CONTENDED:
+        return True
+    if calibration > CAL_CONTENDED_RATIO * CAL_FLOOR_SEC:
+        return True
+    if (
+        calibration_end is not None
+        and calibration_end > CAL_CONTENDED_RATIO * CAL_FLOOR_SEC
+    ):
+        return True
+    return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -193,6 +226,10 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    calibration_end = _calibration_sec(spark, sf_dir)
+    contended = contended or _contended_verdict(
+        load_at_start, calibration, calibration_end
+    )
     print(
         json.dumps(
             {
@@ -211,7 +248,7 @@ def main() -> None:
                 # with load 0 — cache/JVM state, not contention — and
                 # recovered within minutes).
                 "calibration_sec": calibration,
-                "calibration_end_sec": _calibration_sec(spark, sf_dir),
+                "calibration_end_sec": calibration_end,
                 "subtotals": {
                     "r10_16q": round(
                         sum(
@@ -226,9 +263,12 @@ def main() -> None:
                         3,
                     ),
                 },
-                # self-diagnosing record: a true reading was taken on a
-                # quiet machine; contended=true says "distrust the
-                # magnitudes, the box never quieted within the wait"
+                # self-diagnosing record: a true reading was taken on
+                # a quiet machine; contended=true says "distrust the
+                # magnitudes" — the box never quieted within the
+                # wait, the load was over ~2 at start, or either
+                # bracketing calibration exceeded 1.3x the clean
+                # floor (_contended_verdict)
                 "load_1m_at_start": load_at_start,
                 "contended": contended,
             }
