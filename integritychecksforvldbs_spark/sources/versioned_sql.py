@@ -1238,6 +1238,7 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
         {pruned}
         if pruned
         else _bind_pruned_subquery_in(spark, out, spans, tt_views)
+        or _bind_pruned_cte_bodies(spark, out, spans, tt_views)
         or _bind_pruned_inner_join(spark, out, spans, tt_views)
     )
     for name, path in _TABLES.items():
@@ -1348,6 +1349,164 @@ def _bind_pruned_single_table(
         return name
     except Exception:
         return None
+
+
+def _match_paren(s: str, open_pos: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``open_pos`` (string
+    literals skipped); -1 when unbalanced."""
+    depth = 0
+    in_str: str | None = None
+    i = open_pos
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+_WITH_HEAD = re.compile(r"^\s*WITH\s+", re.I)
+_WITH_RECURSIVE = re.compile(r"^\s*WITH\s+RECURSIVE\b", re.I)
+_CTE_NAME = re.compile(r"\s*(?P<name>`?\w+`?)\s+AS\s*\(", re.I)
+
+
+def _parse_with(stmt: str):
+    """``WITH a AS (…), b AS (…) <main>`` → ``([(name, body), …],
+    main)``; None when the statement is not a WITH (or is RECURSIVE /
+    malformed — callers then leave the full-snapshot binding)."""
+    m = _WITH_HEAD.match(stmt)
+    if m is None or _WITH_RECURSIVE.match(stmt):
+        return None
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        mn = _CTE_NAME.match(stmt, i)
+        if mn is None:
+            return None
+        open_pos = mn.end() - 1
+        close = _match_paren(stmt, open_pos)
+        if close < 0:
+            return None
+        ctes.append(
+            (
+                mn.group("name").strip("`").lower(),
+                stmt[open_pos + 1 : close],
+            )
+        )
+        i = close + 1
+        mc = re.compile(r"\s*,").match(stmt, i)
+        if mc:
+            i = mc.end()
+            continue
+        break
+    return ctes, stmt[i:]
+
+
+def _bind_pruned_cte_bodies(
+    spark: SparkSession,
+    stmt: str,
+    spans,
+    tt_views: dict[str, tuple[str, int]] | None = None,
+) -> set[str]:
+    """Per-CTE-body file pruning: each ``WITH x AS (SELECT … FROM t
+    WHERE …)`` body is exactly the single-table shape
+    :func:`_bind_pruned_single_table` handles — so scope the guards
+    to the BODY instead of the whole statement and bind each body's
+    table to the pruned scan of that body's own WHERE.  Sound when
+    the table's only reference in the WHOLE statement is this body's
+    FROM (checked): then the narrowed view has exactly one consumer,
+    whose WHERE re-evaluates over it.  Guards per body: no
+    JOIN/UNION/LATERAL, one FROM, registered table, profilable WHERE
+    (OR-union branches included); statement-level: not RECURSIVE, no
+    CTE name shadowing a registered table (Spark would resolve the
+    CTE, making the view binding dead and the reference count
+    ambiguous).  Returns the bound names."""
+    parsed = _parse_with(stmt)
+    if parsed is None:
+        return set()
+    ctes, _main = parsed
+    cte_names = {n for n, _ in ctes}
+    if any(
+        n in _TABLES or (tt_views and n in tt_views)
+        for n in cte_names
+    ):
+        return set()
+
+    def _count_outside(pat: str) -> int:
+        return sum(
+            1
+            for mm in re.finditer(pat, stmt, re.I)
+            if not _in_spans(mm.start(), spans)
+        )
+
+    bound: set[str] = set()
+    for _cname, body in ctes:
+        bm = _SIMPLE_SELECT.match(body)
+        if bm is None:
+            continue
+        bspans = _string_spans(body)
+
+        def _count_body(pat: str) -> int:
+            return sum(
+                1
+                for mm in re.finditer(pat, body, re.I)
+                if not _in_spans(mm.start(), bspans)
+            )
+
+        if _count_body(
+            r"\b(JOIN|UNION|INTERSECT|EXCEPT|LATERAL)\b"
+        ):
+            continue
+        if _count_body(r"\bFROM\b") != 1:
+            continue
+        name = bm.group("tbl").strip("`").lower()
+        if name in cte_names or name in bound:
+            continue
+        version = None
+        path = _TABLES.get(name)
+        if path is None and tt_views and name in tt_views:
+            path, version = tt_views[name]
+        if path is None:
+            continue
+        if (
+            _count_outside(rf"(?<![\w.]){re.escape(name)}(?![\w.])")
+            != 1
+        ):
+            continue
+        try:
+            aliases = [name]
+            if bm.group("alias") and bm.group("alias").upper() not in (
+                "WHERE",
+            ):
+                aliases.append(bm.group("alias"))
+            branches = versioned._condition_profiles(
+                bm.group("where"), tuple(aliases)
+            )
+            if not branches:
+                continue
+            if len(branches) == 1:
+                b, p, nl = branches[0]
+                df = versioned.read_where(
+                    spark, path, b, version, points=p, nulls=nl
+                )
+            else:
+                df = versioned._read_where_branches(
+                    spark, path, branches, version
+                )
+            df.createOrReplaceTempView(name)
+            bound.add(name)
+        except Exception:
+            continue
+    return bound
 
 
 # a WHERE conjunct of the shape `col IN (SELECT …)` — the subquery

@@ -529,3 +529,72 @@ def test_subquery_in_big_dim_binds_unpruned(
     finally:
         register_table("bq13f", None)
         register_table("bq13d", None)
+
+
+def test_cte_bodies_prune_independently(
+    spark, tmp_path, prune_spy, scan_spy
+):
+    """r13: each WITH body is the single-table shape scoped to the
+    BODY — a two-CTE statement binds both bodies' tables to their own
+    pruned scans (file sets asserted); answers pinned unpruned."""
+    t1 = str(tmp_path / "c1")
+    t2 = str(tmp_path / "c2")
+    versioned.commit(
+        spark,
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartitionByRange(10, "k"),
+        t1,
+    )
+    versioned.commit(
+        spark,
+        spark.range(500).select(
+            F.col("id").alias("j"), (F.col("id") % 7).alias("w")
+        ).repartitionByRange(5, "j"),
+        t2,
+    )
+    register_table("ct13a", t1)
+    register_table("ct13b", t2)
+    try:
+        q = (
+            "WITH hot AS (SELECT k, v FROM ct13a WHERE k >= 900), "
+            "cold AS (SELECT j, w FROM ct13b b WHERE b.j < 100) "
+            "SELECT (SELECT COUNT(*) FROM hot) AS nh, "
+            "(SELECT COUNT(*) FROM cold) AS nc"
+        )
+        got = versioned_sql(spark, q)
+        assert len(prune_spy) == 2
+        got_bounds = sorted(sorted(b.items()) for b, _p in prune_spy)
+        assert got_bounds == sorted(
+            [
+                sorted({"k": (900, None)}.items()),
+                sorted({"j": (None, 100)}.items()),
+            ]
+        )
+        kepts = []
+        for path, bounds in [
+            (t1, {"k": (900, None)}),
+            (t2, {"j": (None, 100)}),
+        ]:
+            man = versioned._resolve_manifest(path, None)
+            kept, _ = versioned._prune_manifest_files(man, bounds)
+            assert 0 < len(kept) < len(man["files"])
+            kepts.append(sorted(kept))
+        assert sorted(map(sorted, scan_spy)) == sorted(kepts)
+        row = got.collect()[0]
+        assert (row.nh, row.nc) == (100, 100)
+        # a table referenced BOTH in a body and the main query never
+        # binds narrowed (the second consumer would see pruned rows)
+        prune_spy.clear()
+        got2 = versioned_sql(
+            spark,
+            "WITH hot AS (SELECT k FROM ct13a WHERE k >= 990) "
+            "SELECT (SELECT COUNT(*) FROM hot) AS nh, "
+            "(SELECT COUNT(*) FROM ct13a) AS nall",
+        )
+        assert prune_spy == []
+        row2 = got2.collect()[0]
+        assert (row2.nh, row2.nall) == (10, 1000)
+    finally:
+        register_table("ct13a", None)
+        register_table("ct13b", None)
