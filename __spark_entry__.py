@@ -1045,6 +1045,309 @@ GROUP BY event_type
 """
 
 
+def _q_versioned_sql_star_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-deep INNER-join chain (star) side pruning (r13; VERDICT
+    r12 #1): ``orders ⋈ customer ⋈ nation`` — every base table binds
+    to the pruned scan of its OWN conjuncts (all ONs + WHERE,
+    per-side verified aliases).  The binder itself is asserted
+    in-gate to bind ALL THREE sides, and each side's pruned file set
+    is asserted against the shared profile machinery + partition dir
+    names before the front door answers; the oracle recomputes the
+    star in plain SQL.  Reference analogue: the multi-object command
+    composition of DatabaseIntegrityCheck.sql:1352-1365."""
+    import shutil
+
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources import (
+        versioned_sql as vsql,
+    )
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    opath = _versioned_partitioned_path(spark, sf_dir)
+    cpath = _mirror_path(sf_dir, "customer_versioned_star")
+    npath = _mirror_path(sf_dir, "nation_versioned_star")
+    if versioned._read_manifest(cpath, 1) is None:
+        shutil.rmtree(cpath, ignore_errors=True)
+        versioned.commit(
+            spark,
+            _load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment")
+            .repartitionByRange(4, "c_mktsegment"),
+            cpath,
+        )
+    if versioned._read_manifest(npath, 1) is None:
+        shutil.rmtree(npath, ignore_errors=True)
+        versioned.commit(
+            spark,
+            _load(spark, sf_dir, "nation"),
+            npath,
+            partition_by=["n_regionkey"],
+        )
+    stmt = (
+        "SELECT n.n_name, c.c_mktsegment, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS total_cents "
+        "FROM st_orders o "
+        "JOIN st_cust c ON o.o_custkey = c.c_custkey "
+        "INNER JOIN st_nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderpriority = '2-HIGH' "
+        "AND c.c_mktsegment = 'BUILDING' "
+        "AND n.n_regionkey = 2 "
+        "GROUP BY n.n_name, c.c_mktsegment"
+    )
+    # the same (ON…)+(WHERE…) conjunction the binder profiles
+    cond = (
+        "(o.o_custkey = c.c_custkey) AND "
+        "(c.c_nationkey = n.n_nationkey) AND "
+        "(o.o_orderpriority = '2-HIGH' AND "
+        "c.c_mktsegment = 'BUILDING' AND n.n_regionkey = 2)"
+    )
+    for path, aliases, want_dir in [
+        (opath, ("st_orders", "o"), "o_orderpriority=2-HIGH"),
+        (npath, ("st_nation", "n"), "n_regionkey=2"),
+        (cpath, ("st_cust", "c"), None),
+    ]:
+        bounds, points = versioned._condition_profile(cond, aliases)
+        man = versioned._resolve_manifest(path, None)
+        kept, _ = versioned._prune_manifest_files(man, bounds, points)
+        assert kept and len(kept) < len(man["files"])
+        if want_dir is not None:  # partition layouts: exact dirs
+            assert all(want_dir in f for f in kept)
+    register_table("st_orders", opath)
+    register_table("st_cust", cpath)
+    register_table("st_nation", npath)
+    try:
+        spans = vsql._string_spans(stmt)
+        bound = vsql._bind_pruned_inner_join(spark, stmt, spans)
+        assert bound == {"st_orders", "st_cust", "st_nation"}
+        return versioned_sql(spark, stmt)
+    finally:
+        register_table("st_orders", None)
+        register_table("st_cust", None)
+        register_table("st_nation", None)
+
+
+_VERSIONED_SQL_STAR_PRUNE_ORACLE = """
+SELECT n_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderpriority = '2-HIGH'
+  AND c_mktsegment = 'BUILDING'
+  AND n_regionkey = 2
+GROUP BY n_name, c_mktsegment
+"""
+
+
+def _q_versioned_sql_subquery_in(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``WHERE col IN (SELECT …)`` pruning (r13; VERDICT r12 #3):
+    a 5-row priority dim's ``klass = 'hot'`` keys — evaluated at
+    bind time through the MERGE-probe prescreen (approx-distinct →
+    exact ≤64-key set) — prune the partitioned orders mirror to
+    exactly the two hot priorities' partition dirs.  The binder is
+    asserted in-gate to bind BOTH tables, and the kept file set is
+    asserted by dir name; the oracle inlines the (deterministic)
+    dim keys as a plain IN list.  Reference analogue: include-set
+    evaluation over explicit name lists (IC:300-308)."""
+    import shutil
+
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources import (
+        versioned_sql as vsql,
+    )
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    opath = _versioned_partitioned_path(spark, sf_dir)
+    dpath = _mirror_path(sf_dir, "priority_dim_versioned")
+    if versioned._read_manifest(dpath, 1) is None:
+        shutil.rmtree(dpath, ignore_errors=True)
+        dim = spark.createDataFrame(
+            [
+                ("1-URGENT", "hot"),
+                ("2-HIGH", "hot"),
+                ("3-MEDIUM", "warm"),
+                ("4-NOT SPECIFIED", "cold"),
+                ("5-LOW", "cold"),
+            ],
+            "pr string, klass string",
+        )
+        versioned.commit(spark, dim, dpath)
+    stmt = (
+        "SELECT o.o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS total_cents "
+        "FROM sq_orders o "
+        "WHERE o.o_orderpriority IN "
+        "(SELECT pr FROM sq_dim WHERE klass = 'hot') "
+        "GROUP BY o.o_orderstatus"
+    )
+    man = versioned._resolve_manifest(opath, None)
+    kept, _ = versioned._prune_manifest_files(
+        man,
+        {"o_orderpriority": ("1-URGENT", "2-HIGH")},
+        {"o_orderpriority": ["1-URGENT", "2-HIGH"]},
+    )
+    assert kept and len(kept) < len(man["files"])
+    assert all(
+        "o_orderpriority=1-URGENT" in f or "o_orderpriority=2-HIGH" in f
+        for f in kept
+    )
+    register_table("sq_orders", opath)
+    register_table("sq_dim", dpath)
+    try:
+        spans = vsql._string_spans(stmt)
+        bound = vsql._bind_pruned_subquery_in(spark, stmt, spans)
+        assert bound == {"sq_orders", "sq_dim"}
+        return versioned_sql(spark, stmt)
+    finally:
+        register_table("sq_orders", None)
+        register_table("sq_dim", None)
+
+
+_VERSIONED_SQL_SUBQUERY_IN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+"""
+
+
+def _q_versioned_sql_or_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-union pruning (r13; VERDICT r12 #2): the anti-range
+    ``o_orderpriority < '2' OR o_orderpriority > '4Z'`` — the shape
+    that DISABLED pruning before r13 — profiles per-disjunct and
+    keeps the UNION of the two branches' file sets: exactly the
+    1-URGENT and 5-LOW partition dirs (asserted), skipping the three
+    middle priorities.  The oracle recomputes with the same OR in
+    plain SQL (the mirror's baked 3-MEDIUM DELETE sits entirely in
+    the skipped middle)."""
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    opath = _versioned_partitioned_path(spark, sf_dir)
+    cond = "o_orderpriority < '2' OR o_orderpriority > '4Z'"
+    branches = versioned._condition_profiles(cond)
+    assert branches is not None and len(branches) == 2
+    man = versioned._resolve_manifest(opath, None)
+    kept = versioned._branch_kept_files(spark, man, branches)
+    assert kept and len(kept) < len(man["files"])
+    assert all(
+        "o_orderpriority=1-URGENT" in f or "o_orderpriority=5-LOW" in f
+        for f in kept
+    )
+    register_table("ou_orders", opath)
+    try:
+        return versioned_sql(
+            spark,
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM ou_orders "
+            f"WHERE {cond} "
+            "GROUP BY o_orderpriority, o_orderstatus",
+        )
+    finally:
+        register_table("ou_orders", None)
+
+
+_VERSIONED_SQL_OR_UNION_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderpriority < '2' OR o_orderpriority > '4Z'
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+def _q_versioned_sql_cte_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-CTE-body pruning (r13; VERDICT r12 #6): a two-CTE
+    statement — urgent orders and BUILDING customers — binds each
+    body's table to the pruned scan of that body's own WHERE (the
+    binder is asserted in-gate to bind both; the orders body's file
+    set is asserted by dir name); the oracle recomputes the joined
+    CTEs as one plain statement."""
+    import shutil
+
+    from integritychecksforvldbs_spark.sources import versioned
+    from integritychecksforvldbs_spark.sources import (
+        versioned_sql as vsql,
+    )
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    opath = _versioned_partitioned_path(spark, sf_dir)
+    cpath = _mirror_path(sf_dir, "customer_versioned_star")
+    if versioned._read_manifest(cpath, 1) is None:
+        shutil.rmtree(cpath, ignore_errors=True)
+        versioned.commit(
+            spark,
+            _load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment")
+            .repartitionByRange(4, "c_mktsegment"),
+            cpath,
+        )
+    stmt = (
+        "WITH urgent AS (SELECT o_custkey, o_totalprice "
+        "FROM cte_orders WHERE o_orderpriority = '1-URGENT'), "
+        "bld AS (SELECT c_custkey FROM cte_cust "
+        "WHERE c_mktsegment = 'BUILDING') "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(round(u.o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS total_cents "
+        "FROM urgent u JOIN bld b ON u.o_custkey = b.c_custkey"
+    )
+    man = versioned._resolve_manifest(opath, None)
+    kept, _ = versioned._prune_manifest_files(
+        man, {"o_orderpriority": ("1-URGENT", "1-URGENT")}
+    )
+    assert kept and all("o_orderpriority=1-URGENT" in f for f in kept)
+    register_table("cte_orders", opath)
+    register_table("cte_cust", cpath)
+    try:
+        spans = vsql._string_spans(stmt)
+        bound = vsql._bind_pruned_cte_bodies(spark, stmt, spans)
+        assert bound == {"cte_orders", "cte_cust"}
+        return versioned_sql(spark, stmt)
+    finally:
+        register_table("cte_orders", None)
+        register_table("cte_cust", None)
+
+
+_VERSIONED_SQL_CTE_PRUNE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT' AND c_mktsegment = 'BUILDING'
+"""
+
+
 def _q_versioned_constrained_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3853,8 +4156,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cap)
     del out["multimodal_png_roundtrip"]
     out["versioned_bucket_point"] = _q_versioned_bucket_point
+    # r13 centerpiece: left-deep INNER-join chain (star) side pruning
+    # (VERDICT r12 #1) — takes the head slot of events_incident_counts
+    # (the temporal family stays gated by events_asof_purchase +
+    # events_sessions in the head; the banded-range row re-registers
+    # below the cap).  The star gate subsumes r12's single-join shape
+    # (same binder, N=1), so versioned_sql_join_prune stays below the
+    # cap.
+    del out["events_incident_counts"]
+    out["versioned_sql_star_prune"] = _q_versioned_sql_star_prune
+    # r13 #3: subquery-IN pruning through the MERGE-probe key-set
+    # machinery — takes the head slot of text_rarity_repetition (the
+    # text family stays gated by text_doc_suite + text_winnow in the
+    # head; the row re-registers below the cap)
+    del out["text_rarity_repetition"]
+    out["versioned_sql_subquery_in"] = _q_versioned_sql_subquery_in
 
     # ================= past the 50-row driver cap =================
+    out["events_incident_counts"] = _q_incident_counts
+    out["text_rarity_repetition"] = _q_text_rarity_repetition
+    # r13 #2: OR-union (anti-range) pruning — below the cap, the
+    # versioned-SQL family is gated in the head by star_prune +
+    # subquery_in + in_prune
+    out["versioned_sql_or_union"] = _q_versioned_sql_or_union
+    # r13 #6: per-CTE-body pruning — below the cap, same head family
+    out["versioned_sql_cte_prune"] = _q_versioned_sql_cte_prune
     out["events_conversion_funnel"] = lambda spark, sf: (
         analytics.conversion_funnel(
             _load(spark, sf, "events"), ["view", "click", "purchase"]
@@ -4770,6 +5096,12 @@ FROM ({dedup.ngram_jaccard_increment_oracle(_INC_BASE_SQL, _INC_NEW_SQL)}) t
     out["versioned_spec_evolution"] = _VERSIONED_SPEC_EVOLUTION_ORACLE
     out["versioned_sql_predicates"] = _VERSIONED_SQL_PREDICATES_ORACLE
     out["versioned_sql_join_prune"] = _VERSIONED_SQL_JOIN_PRUNE_ORACLE
+    out["versioned_sql_star_prune"] = _VERSIONED_SQL_STAR_PRUNE_ORACLE
+    out["versioned_sql_subquery_in"] = (
+        _VERSIONED_SQL_SUBQUERY_IN_ORACLE
+    )
+    out["versioned_sql_or_union"] = _VERSIONED_SQL_OR_UNION_ORACLE
+    out["versioned_sql_cte_prune"] = _VERSIONED_SQL_CTE_PRUNE_ORACLE
     out["versioned_partitioned_events"] = (
         _VERSIONED_PARTITIONED_EVENTS_ORACLE
     )

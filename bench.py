@@ -63,6 +63,15 @@ R11_SET = list(HEADLINE)
 # only the two listed priorities' partition files.
 HEADLINE.append("versioned_sql_in_prune")
 
+# BENCH_r12's exact query set (18 queries) — same cross-round contract
+# as R10_SET/R11_SET.
+R12_SET = list(HEADLINE)
+
+# r13: the star-join side pruning joins the headline — the three-table
+# INNER chain over the partitioned orders mirror + customer + nation
+# mirrors, every side bound to its own pruned scan.
+HEADLINE.append("versioned_sql_star_prune")
+
 
 def _prebuild_mirrors(sf_dir: str) -> None:
     """Materialize every on-disk mirror fixture the headline needs
@@ -259,6 +268,12 @@ def main() -> None:
                     "r11_17q": round(
                         sum(
                             timings[n] for n in R11_SET if n in timings
+                        ),
+                        3,
+                    ),
+                    "r12_18q": round(
+                        sum(
+                            timings[n] for n in R12_SET if n in timings
                         ),
                         3,
                     ),
