@@ -160,3 +160,96 @@ def test_random_conditions_prune_soundly_partitioned(spark, tmp_path):
             assert got == want, f"case {i}: {cond!r}"
     finally:
         base.unpersist()
+
+
+def test_random_join_chains_prune_soundly(spark, tmp_path):
+    """r13 (VERDICT r12 #1 fuzzer extension): random fact⋈dim[⋈dim]
+    INNER chains with conditions drawn from the atom pool on any
+    side — the front door's side-pruned binding must answer exactly
+    like the plain spark.sql join over unpruned views."""
+    from integritychecksforvldbs_spark.sources.versioned_sql import (
+        register_table,
+        versioned_sql,
+    )
+
+    fact = str(tmp_path / "jf")
+    d1 = str(tmp_path / "jd1")
+    d2 = str(tmp_path / "jd2")
+    fdf = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 40).alias("ck"),
+        (F.col("id") % 8).alias("nk"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    cdf = spark.range(40).select(
+        F.col("id").alias("ck"), (F.col("id") % 5).alias("seg")
+    )
+    ndf = spark.range(8).select(
+        F.col("id").alias("nk"), (F.col("id") % 3).alias("rg")
+    )
+    versioned.commit(spark, fdf.repartitionByRange(6, "k"), fact)
+    versioned.commit(spark, cdf.repartitionByRange(3, "ck"), d1)
+    versioned.commit(spark, ndf, d2)
+    register_table("fz_f", fact)
+    register_table("fz_c", d1)
+    register_table("fz_n", d2)
+    fdf2, cdf2, ndf2 = (
+        versioned.read(spark, fact),
+        versioned.read(spark, d1),
+        versioned.read(spark, d2),
+    )
+    fdf2.createOrReplaceTempView("pl_f")
+    cdf2.createOrReplaceTempView("pl_c")
+    ndf2.createOrReplaceTempView("pl_n")
+    rng = random.Random(13_13)
+
+    def _conds():
+        k = rng.randrange(0, 650)
+        pool = [
+            f"f.k >= {k}",
+            f"f.k < {k}",
+            f"c.seg = {rng.randrange(0, 5)}",
+            f"c.ck IN ({rng.randrange(0, 40)}, {rng.randrange(0, 40)})",
+            f"n.rg = {rng.randrange(0, 3)}",
+            f"f.amount % 10 = {rng.randrange(0, 10)}",
+            f"(f.k < {k} OR f.k > {k + 100})",
+            f"n.nk BETWEEN {rng.randrange(0, 4)} AND {rng.randrange(4, 9)}",
+        ]
+        rng.shuffle(pool)
+        return pool
+
+    try:
+        for i in range(15):
+            three = rng.random() < 0.6
+            pool = _conds()
+            if not three:
+                # two-table: no third alias is bound — drop n-atoms
+                pool = [c for c in pool if "n." not in c]
+            picked = pool[: rng.randrange(1, 4)] or ["f.k >= 0"]
+            where = " AND ".join(picked)
+            shape = (
+                "FROM {ff} f JOIN {cc} c ON f.ck = c.ck "
+                + ("INNER JOIN {nn} n ON f.nk = n.nk " if three else "")
+            )
+            sel = "SELECT f.k, f.amount, c.seg" + (
+                ", n.rg" if three else ""
+            )
+            q_pruned = (
+                f"{sel} "
+                + shape.format(ff="fz_f", cc="fz_c", nn="fz_n")
+                + f"WHERE {where}"
+            )
+            q_plain = (
+                f"{sel} "
+                + shape.format(ff="pl_f", cc="pl_c", nn="pl_n")
+                + f"WHERE {where}"
+            )
+            got = sorted(
+                map(tuple, versioned_sql(spark, q_pruned).collect())
+            )
+            want = sorted(map(tuple, spark.sql(q_plain).collect()))
+            assert got == want, f"case {i}: {q_pruned!r}"
+    finally:
+        register_table("fz_f", None)
+        register_table("fz_c", None)
+        register_table("fz_n", None)

@@ -22,8 +22,39 @@ from integritychecksforvldbs_spark.sources import versioned
 
 _VERBS = [
     "append", "delete", "update", "optimize", "rollback", "clone",
-    "vacuum", "set_spec",
+    "vacuum", "set_spec", "sql",
 ]
+
+
+def _sql_cases(lo: int, g: int):
+    """(condition, python-predicate) pairs the ``sql`` verb rotates
+    through — each shape exercises a distinct binder path: plain
+    range (single-table prune), IN-list (membership points), OR
+    anti-range (r13 branch union), partition equality, null channel.
+    The predicate is the model-side twin the answer must equal."""
+    hi = lo + 9
+    return [
+        (
+            f"k >= {lo} AND k <= {hi}",
+            lambda k, v: lo <= k <= hi,
+        ),
+        (
+            f"k IN ({lo}, {lo + 3}, {lo + 7})",
+            lambda k, v: k in (lo, lo + 3, lo + 7),
+        ),
+        (
+            f"k < {lo} OR k > {lo + 40}",
+            lambda k, v: k < lo or k > lo + 40,
+        ),
+        (
+            f"g = {g} AND k >= {lo}",
+            lambda k, v: k % 3 == g and k >= lo,
+        ),
+        (
+            f"v IS NOT NULL AND k <= {hi}",
+            lambda k, v: k <= hi,
+        ),
+    ]
 
 OPS = st.lists(
     st.tuples(st.sampled_from(_VERBS), st.integers(0, 999)),
@@ -139,12 +170,52 @@ def test_crossfeature_walk_matches_model(
         elif verb == "vacuum":
             versioned.vacuum(path, keep_versions=1, min_age_s=0.0)
             min_alive = max(model_at)
-        else:  # set_spec — evolve transform layouts, skip identity
+        elif verb == "set_spec":  # evolve transforms, skip identity
             if alt_spec is None:
                 continue
             target = alt_spec if arg % 2 == 0 else spec
             v = versioned.set_partition_spec(spark, path, target)
             model_at[v] = dict(model)
+        else:  # sql — the front door answers the model too (r13;
+            # VERDICT r12 #8: binder-vs-Python-API divergence caught
+            # by the walk, not just the curated suites)
+            from integritychecksforvldbs_spark.sources.versioned_sql import (
+                register_table,
+                versioned_sql,
+            )
+
+            lo = (arg * 7) % 60
+            cond, pred = _sql_cases(lo, arg % 3)[
+                arg % len(_sql_cases(lo, arg % 3))
+            ]
+            tname = f"xw{abs(hash(path)) % 10**6}"
+            register_table(tname, path)
+            try:
+                if arg % 4 == 0:
+                    stmt = (
+                        f"WITH a AS (SELECT k, v FROM {tname} "
+                        f"WHERE {cond}) SELECT k, v FROM a"
+                    )
+                else:
+                    stmt = f"SELECT k, v FROM {tname} WHERE {cond}"
+                got_sql = {
+                    (r.k, r.v)
+                    for r in versioned_sql(spark, stmt).collect()
+                }
+                want_sql = {
+                    (k, v2)
+                    for k, v2 in model.items()
+                    if pred(k, v2)
+                }
+                assert got_sql == want_sql, f"sql({cond!r})"
+                # EXPLAIN PRUNE must describe, never crash
+                ex = versioned_sql(
+                    spark,
+                    f"EXPLAIN PRUNE {tname} WHERE {cond}",
+                ).collect()
+                assert len(ex) == 1
+            finally:
+                register_table(tname, None)
 
         # THE invariant: after every step, the snapshot answers the
         # model, and a stats-pruned ranged read answers it too
