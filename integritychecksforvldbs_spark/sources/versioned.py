@@ -478,13 +478,27 @@ def _partition_spec_history(man: dict) -> dict[str, dict]:
     return dict(man.get("partition_spec_history") or {})
 
 
+def _identity_dir_keys(man: dict) -> set[str]:
+    """Dir-column names whose files do NOT carry the column in their
+    footers (hive-style identity dirs — active spec or a retired one
+    in the history): exactly the files basePath discovery must
+    reconstruct.  Transform dirs are synthetic (files carry every
+    schema column) and never appear here."""
+    tr = _partition_transforms(man)
+    keys = {d for d in _partition_by(man) if d not in tr}
+    for d, t in _partition_spec_history(man).items():
+        if t.get("fn") == "identity":
+            keys.add(d)
+    return keys
+
+
 _TRANSFORM_SPEC = re.compile(
     r"^\s*(?P<fn>day|month|year|truncate|bucket)\s*\(\s*"
     r"(?:(?P<n>\d+)\s*,\s*)?(?P<col>[A-Za-z_]\w*)\s*\)\s*$",
     re.I,
 )
 
-_MONOTONIC_TRANSFORMS = {"day", "month", "year", "truncate"}
+_MONOTONIC_TRANSFORMS = {"day", "month", "year", "truncate", "identity"}
 
 
 def _parse_partition_spec(
@@ -633,6 +647,8 @@ def _transform_value(tr: dict, v):
     if v is None:
         return None
     fn = tr["fn"]
+    if fn == "identity":
+        return v  # history identity dirs: dir value IS the column
     if fn == "bucket":
         from integritychecksforvldbs_spark.functions.sparkhash import (
             bucket_id,
@@ -1601,22 +1617,28 @@ def _scan_files(
         # transform (hidden) partitioning: the dirs are SYNTHETIC —
         # the files carry every schema column, so the plain file-list
         # scan is exact and discovery must NOT run (it would resurface
-        # the derived dir as a column)
-        pby = (
-            _partition_by(man)
-            if not _partition_transforms(man)
-            else []
-        )
-        if pby and files:
+        # the derived dir as a column).  Identity dirs (active OR a
+        # retired spec's — r13 identity spec evolution) strip the
+        # column from the footers, so THOSE files need basePath
+        # discovery — decided PER FILE by its own dir segments, which
+        # is what lets one snapshot mix layouts across a spec change.
+        ident = _identity_dir_keys(man)
+        groups: dict[str, list[str]] = {}
+        plain: list[str] = []
+        for f in files:
+            if ident and any(
+                k in _partition_segments(f) for k in ident
+            ):
+                groups.setdefault(_partition_base(f), []).append(f)
+            else:
+                plain.append(f)
+        if groups:
             # partition columns live in the directory names, not the
             # footers: basePath discovery reconstructs them JVM-side
             # (values cast per the declared schema, zero Python).  A
             # snapshot can reference files under SEVERAL roots (a
             # clone's source files next to its own appends), and Spark
             # takes one basePath per scan — group by base and union.
-            groups: dict[str, list[str]] = {}
-            for f in files:
-                groups.setdefault(_partition_base(f), []).append(f)
             parts = []
             for b in sorted(groups):
                 p = (
@@ -1624,6 +1646,9 @@ def _scan_files(
                     .option("basePath", b)
                     .parquet(*groups[b])
                 )
+                parts.append(per_scan(p) if per_scan is not None else p)
+            if plain:
+                p = spark.read.schema(sch).parquet(*plain)
                 parts.append(per_scan(p) if per_scan is not None else p)
             df = parts[0]
             for p in parts[1:]:
@@ -1639,7 +1664,7 @@ def _scan_files(
             # address columns by name, so discovery's ordering is fine
             return df
         df = _to_logical(df, man)
-        if pby:
+        if groups:
             # discovery appends partition columns after the data ones:
             # restore the declared order (per_scan extras, if any,
             # ride along after them)
@@ -4267,9 +4292,14 @@ def set_partition_spec(
     byte; appends after the change must inherit the new spec, and a
     source column only HISTORY references may now be dropped.
 
-    Refused — use :func:`rewrite_partitioned` instead — when either
-    side is an IDENTITY layout (identity dirs strip real columns from
-    the files: changing them moves bytes) or when a new dir name
+    IDENTITY layouts evolve metadata-only too (r13 — Iceberg tracks
+    per-file specs for identity as well): the retired identity dirs
+    enter the history as ``{"fn": "identity"}`` records, old files
+    keep their hive dirs (the scan reconstructs their stripped
+    column per file, new files carry it in their footers), and
+    pruning is untouched — identity dir values were folded into each
+    file's stats at commit time.  Refused — use
+    :func:`rewrite_partitioned` instead — only when a new dir name
     collides with a history entry of a DIFFERENT definition (a
     re-keyed source would translate bounds onto stats derived from
     the old column).  Returns the committed version (the current one
@@ -4286,29 +4316,34 @@ def set_partition_spec(
             )
         old_dirs = _partition_by(man)
         old_tr = _partition_transforms(man)
-        if old_dirs and not old_tr:
-            raise ValueError(
-                f"{path!r} has an IDENTITY partition layout "
-                f"({old_dirs}): its files do not carry the partition "
-                "column — use rewrite_partitioned to migrate"
-            )
         new_dirs, new_tr = _parse_partition_spec(
             partition_by or [], sch, _mapping(man)
         )
-        if new_dirs and not new_tr:
-            raise ValueError(
-                f"identity layout {partition_by!r} needs the column "
-                "in every file: use rewrite_partitioned to migrate"
-            )
         if new_dirs == old_dirs and new_tr == old_tr:
             return base_v  # already this spec: no-op
-        history = {**_partition_spec_history(man), **old_tr}
+        # identity entries ride the history as {"fn": "identity"}
+        # records (r13; Iceberg tracks per-file specs for identity
+        # too): old identity files keep their hive dirs, and the scan
+        # reconstructs their stripped column per file via
+        # _identity_dir_keys — so evolution stays metadata-only in
+        # BOTH directions
+        old_ident = {
+            d: {"fn": "identity", "src": d}
+            for d in old_dirs
+            if d not in old_tr
+        }
+        history = {
+            **_partition_spec_history(man), **old_tr, **old_ident,
+        }
         for d, tr in list(history.items()):
-            if d in new_tr:
-                if new_tr[d] != tr:
+            new_def = new_tr.get(d)
+            if new_def is None and d in new_dirs:
+                new_def = {"fn": "identity", "src": d}
+            if new_def is not None:
+                if new_def != tr:
                     raise ValueError(
                         f"partition dir {d!r} was previously laid out "
-                        f"as {tr!r} and would now mean {new_tr[d]!r} — "
+                        f"as {tr!r} and would now mean {new_def!r} — "
                         "old files' dir stats no longer translate; "
                         "use rewrite_partitioned"
                     )

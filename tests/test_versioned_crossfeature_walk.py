@@ -63,7 +63,9 @@ OPS = st.lists(
 )
 
 _SPECS = {
-    "identity": (["g"], None),
+    # r13: identity layouts evolve metadata-only too — the walk now
+    # toggles identity <-> day(ts) like the transform kinds
+    "identity": (["g"], ["day(ts)"]),
     "day": (["day(ts)"], ["month(ts)"]),
     "bucket": (["bucket(4, k)"], ["bucket(8, k)"]),
 }

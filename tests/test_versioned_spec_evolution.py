@@ -159,18 +159,47 @@ def test_history_only_source_may_be_dropped(spark, tmp_path):
     assert "ts" not in versioned.read(spark, path).columns
 
 
-def test_identity_layouts_are_refused_with_pointer(spark, tmp_path):
+def test_identity_layouts_evolve_metadata_only(spark, tmp_path):
+    """r13 (previously refused with a rewrite_partitioned pointer):
+    identity specs evolve in place in both directions — retired
+    identity dirs ride the history, old files reconstruct their
+    stripped column per file, new files carry it."""
     path = str(tmp_path / "i")
     df = spark.range(50).select(
         F.col("id").alias("k"), (F.col("id") % 3).alias("g")
     )
+    want = sorted(map(tuple, df.collect()))
     versioned.commit(spark, df, path, partition_by=["g"])
-    with pytest.raises(ValueError, match="rewrite_partitioned"):
-        versioned.set_partition_spec(spark, path, ["truncate(10, k)"])
+    files1 = sorted(versioned._resolve_manifest(path, None)["files"])
+    v = versioned.set_partition_spec(spark, path, ["truncate(10, k)"])
+    man = versioned._resolve_manifest(path, None)
+    assert v == 2 and sorted(man["files"]) == files1
+    assert man["partition_spec_history"] == {
+        "g": {"fn": "identity", "src": "g"}
+    }
+    got = sorted(map(tuple, versioned.read(spark, path).collect()))
+    assert got == want
+    # flat → identity is metadata-only too: old flat files carry the
+    # column in their footers, new files strip it under dirs
     path2 = str(tmp_path / "j")
     versioned.commit(spark, df, path2)
-    with pytest.raises(ValueError, match="rewrite_partitioned"):
-        versioned.set_partition_spec(spark, path2, ["g"])
+    v2 = versioned.set_partition_spec(spark, path2, ["g"])
+    man2 = versioned._resolve_manifest(path2, None)
+    assert v2 == 2 and man2["partition_by"] == ["g"]
+    versioned.commit(
+        spark,
+        spark.range(50, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+        path2,
+    )
+    man3 = versioned._resolve_manifest(path2, None)
+    newf = set(man3["files"]) - set(man2["files"])
+    assert newf and all("g=" in f for f in newf)
+    got2 = sorted(map(tuple, versioned.read(spark, path2).collect()))
+    assert got2 == sorted(
+        (k, k % 3) for k in range(60)
+    )
 
 
 def test_rewrite_partitioned_migrates_identity_to_bucket(
