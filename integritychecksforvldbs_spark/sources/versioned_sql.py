@@ -37,7 +37,14 @@ registered via :func:`register_table` or an explicit path):
   ...`` — every registered table reference is materialized as the
   requested snapshot view and the rewritten statement runs through
   ``spark.sql`` unchanged otherwise (joins, CTEs, aggregates all
-  work; ts is epoch seconds or an ISO-8601 literal).
+  work; ts is epoch seconds or an ISO-8601 literal).  File pruning
+  binds conservatively profiled shapes to manifest-stats-pruned
+  scans: single-table WHERE (OR-union branches included), left-deep
+  chains of INNER joins (each side by its own ON+WHERE conjuncts),
+  ``col IN (SELECT …)`` over a small registered table (bind-time
+  key-set probe), and per-CTE-body WHEREs; everything else binds the
+  full snapshot, and the statement's own predicates always
+  re-evaluate, so answers are exact either way.
 - ``CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (c[, ...])] AS
   SELECT …|VALUES …`` — creates (or, with OR REPLACE, overwrites) the
   table from the query, optionally hive-partitioned
@@ -60,9 +67,10 @@ registered via :func:`register_table` or an explicit path):
   immutable files never change; a re-added name binds a fresh
   physical name so dropped bytes cannot resurrect).
 - ``ALTER TABLE <t> SET PARTITION SPEC (month(ts)[, ...])`` —
-  metadata-only partition-spec evolution for transform layouts
-  (:func:`~.versioned.set_partition_spec`): old files keep their
-  dirs and keep pruning under the retired spec's history.
+  metadata-only partition-spec evolution (transform AND identity
+  layouts, :func:`~.versioned.set_partition_spec`): old files keep
+  their dirs and keep pruning under the retired spec's history;
+  retired identity dirs reconstruct their stripped column per file.
 - ``ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)`` /
   ``DROP CONSTRAINT <name>`` — commit-time CHECK constraints
   (:func:`~.versioned.set_constraints`; ADD validates the existing
