@@ -1,0 +1,44 @@
+"""Dump .explain("formatted") for the bench headline queries into
+plans/r13/<query>_<suffix>.txt (judge-checkable plan evidence).
+
+Usage: python scripts/capture_plans.py <suffix> [query-substr ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as benchmod  # noqa: E402
+import __spark_entry__ as mod  # noqa: E402
+from integritychecksforvldbs_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r13",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="capture-plans")
+    qs = mod.queries()
+    names = [n for n in benchmod.HEADLINE if n in qs]
+    if only:
+        names = [n for n in names if any(s in n for s in only)]
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
