@@ -592,7 +592,16 @@ def simhash_dup_pairs(
     n_chunks = max_hamming + 1
     width = SIMHASH_BITS // n_chunks + (1 if SIMHASH_BITS % n_chunks else 0)
     mask = (1 << width) - 1
-    sig = simhash_df(df, text_col, id_col, weighted)
+    # The chunk self-join consumes sig on BOTH sides, so without a cache
+    # the tokenize + 60-bit-vote aggregation (the expensive part) runs
+    # twice; persist() is the difference between 1.67 s and 1.21 s at
+    # sf0.1.  Tiny footprint — (doc_id, one long) per doc — and the
+    # ContextCleaner reclaims it when the consumed result's references
+    # drop (same contract as minhash_lsh_pairs' shl cache above).  A
+    # groupBy(chunk)+collect_list row-local pair expansion was tried and
+    # is ~2.3× slower: the struct lists defeat codegen and re-shuffle
+    # doc payloads the join never moves.
+    sig = simhash_df(df, text_col, id_col, weighted).persist()
     chunks = sig.select(
         "doc_id",
         "simhash",
