@@ -144,8 +144,12 @@ def _q_checkalloc_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = spark.createDataFrame(
         [(o, p) for o, p, _ in files], "object_name string, path string"
     )
+    # mapping is one row per data file (path -> object); at any scale it
+    # is catalog-metadata-sized, so force the hash build instead of the
+    # SMJ the planner picks for two local relations (both sides would
+    # otherwise sort-shuffle on the path string).
     return (
-        stats.join(mapping, "path")
+        stats.join(F.broadcast(mapping), "path")
         .groupBy("object_name")
         .agg(F.sum("footer_row_count").cast("long").alias("footer_rows"))
     )

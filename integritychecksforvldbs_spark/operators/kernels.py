@@ -354,7 +354,12 @@ def _fk_orphan_counts_fused(
             ]
         )
         if dedup_parents:
-            parent = parent.dropDuplicates()
+            # single-partition dedup: the fused path only fires for
+            # catalog-proven broadcast-small parents, so one task holds
+            # the keys comfortably and the distinct loses its
+            # partial→Exchange→final shuffle (one AQE stage round-trip
+            # per parent instead of three).
+            parent = parent.coalesce(1).dropDuplicates()
         cond = [
             j[c] == parent[f"_p{idx}_{i}"] for i, c in enumerate(fk.columns)
         ]

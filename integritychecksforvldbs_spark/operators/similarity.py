@@ -9,11 +9,11 @@ Three tiers:
    oracle for the other tiers.  The window shuffles |corpus|×|Q|
    score rows — fine to ~10⁹·Q, the verification scale.
 2. **Local-top-k prefilter** (:func:`brute_force_topk_prefiltered`) —
-   same scores, but each partition keeps only its own top-k per query
-   (Arrow-batched ``mapInPandas``; scoring itself stays JVM-side)
-   before the global window.  Shuffle volume drops from |corpus|×|Q|
-   to k×|partitions|×|Q| — the 100 TB path.  Output is provably
-   identical to tier 1 (global top-k ⊆ union of partition top-ks).
+   same scores; Spark's partial ``WindowGroupLimit`` (3.5+) keeps each
+   partition's top-k per query below the exchange, so shuffle volume
+   drops from |corpus|×|Q| to k×|partitions|×|Q| — the 100 TB path —
+   with no Python boundary at all.  Output is provably identical to
+   tier 1 (global top-k ⊆ union of partition top-ks).
 3. **SRP-LSH ANN** (:func:`srp_ann_topk`) — sign-random-projection
    bucketing: b deterministic hyperplanes → b-bit bucket id; corpus
    is scored only inside the query's bucket (multi-probe: buckets
@@ -97,41 +97,19 @@ def brute_force_topk(
 def brute_force_topk_prefiltered(
     corpus: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
-    """Tier 1 with a per-partition top-k prefilter before the window.
+    """Tier 1 with the per-partition top-k prefilter before the window.
 
-    The global top-k per query is contained in the union of partition
-    top-ks, so the result is identical to :func:`brute_force_topk`;
-    only the shuffle shrinks (k rows per partition per query).  The
-    prefilter is the one place Python touches data — an Arrow-batched
-    ``mapInPandas`` doing a nlargest per batch; scoring is JVM-side.
+    Spark 3.5+ plans ``row_number() ... WHERE rank <= k`` with a
+    partial ``WindowGroupLimit`` BELOW the exchange, so every map task
+    already emits at most k rows per query — the exact shuffle
+    reduction the old Arrow ``mapInPandas`` nlargest prefilter bought
+    (k × |partitions| × |Q| rows), but entirely in the JVM with no
+    Python boundary.  The prefilter was therefore redundant: dropping
+    it removed the MapInPandas node and its worker round-trip while
+    keeping the result provably identical (the global top-k is
+    contained in the union of partition top-ks either way).
     """
-    scored = _score_pairs(corpus, queries)
-
-    def local_topk(batches):
-        import pandas as pd
-
-        buf: list = []
-        for pdf in batches:
-            buf.append(pdf)
-        if not buf:
-            return
-        df = pd.concat(buf, ignore_index=True)
-        df = (
-            df.sort_values(["query_id", "cos_raw", "vec_id"], ascending=[True, False, True])
-            .groupby("query_id", sort=False)
-            .head(k)
-        )
-        yield df
-
-    local = scored.mapInPandas(local_topk, schema=scored.schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("vec_id")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("cos_raw", 6).alias("cosine"))
-    )
+    return brute_force_topk(corpus, queries, k=k)
 
 
 def topk_oracle(
