@@ -70,7 +70,12 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     t = text_col
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(f"CAST(size(filter(split({t}, ' '), x -> x <> '')) AS BIGINT)").alias(
+        # counts runs of non-space without materializing the token
+        # array (== size(filter(split(t, ' '), x -> x <> '')): split
+        # breaks on single spaces only, so tokens are exactly the
+        # maximal [^ ]+ runs); the array form pays an allocation per
+        # row that the count never needs
+        F.expr(f"CAST(regexp_count({t}, '[^ ]+') AS BIGINT)").alias(
             "n_tokens_ws"
         ),
         F.expr(
@@ -101,9 +106,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     between engines; the input ratios are exact int/int divisions."""
     t = text_col
     en = _sql_list(STOPWORDS["en"])
+    # n_tokens via regexp_count: same value as the split-filter form
+    # (see token_stats) without allocating the token array per row
     expr = f"""
     named_struct(
-      'n_tokens', size(filter(split({t}, ' '), x -> x <> '')),
+      'n_tokens', regexp_count({t}, '[^ ]+'),
       'n_punct', size(regexp_extract_all({t}, '{_spark_re(PUNCT_REGEX)}', 0)),
       'n_digit', size(regexp_extract_all({t}, '{_spark_re(DIGIT_REGEX)}', 0)),
       'n_stop', size(filter(split(lower({t}), ' '), x -> x IN ({en}))),

@@ -72,18 +72,33 @@ def hourly_counts(
     batch-equivalent the oracle checks.
     """
     streaming = events.isStreaming
-    if streaming:
-        events = events.withWatermark("ts", watermark)
+    if not streaming:
+        # batch: group directly on window(ts, W).start — Catalyst
+        # simplifies the struct extraction, so the grouping key is the
+        # 8-byte start timestamp instead of the 16-byte (start, end)
+        # struct and the end-of-window half is never computed; both
+        # exchanges of the distinct-agg expansion shuffle the narrower
+        # key.  Same rows as grouping on the struct: a tumbling window
+        # is uniquely identified by its start.
+        return (
+            events.groupBy(
+                F.window("ts", window).getField("start").alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+        )
+    events = events.withWatermark("ts", watermark)
     # exact distinct is unsupported in streaming aggs → HLL there,
-    # exact in the batch-equivalent the oracle checks
-    n_users = (
-        F.approx_count_distinct("user_id") if streaming else F.countDistinct("user_id")
-    )
+    # exact in the batch-equivalent the oracle checks; the streaming
+    # agg keeps the full window struct (the state/watermark key)
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            n_users.cast("long").alias("n_users"),
+            F.approx_count_distinct("user_id").cast("long").alias("n_users"),
         )
         .select(
             F.col("w.start").alias("window_start"),
