@@ -1127,10 +1127,12 @@ def _q_versioned_sql_star_prune(
     register_table("st_cust", cpath)
     register_table("st_nation", npath)
     try:
-        spans = vsql._string_spans(stmt)
-        bound = vsql._bind_pruned_inner_join(spark, stmt, spans)
-        assert bound == {"st_orders", "st_cust", "st_nation"}
-        return versioned_sql(spark, stmt)
+        # the answering call's own binding is the assertion surface
+        # (vsql.LAST_BOUND) — pre-running the binder separately paid
+        # the whole profile+read_where pass twice per gate
+        out = versioned_sql(spark, stmt)
+        assert vsql.LAST_BOUND == {"st_orders", "st_cust", "st_nation"}
+        return out
     finally:
         register_table("st_orders", None)
         register_table("st_cust", None)
@@ -1214,10 +1216,10 @@ def _q_versioned_sql_subquery_in(
     register_table("sq_orders", opath)
     register_table("sq_dim", dpath)
     try:
-        spans = vsql._string_spans(stmt)
-        bound = vsql._bind_pruned_subquery_in(spark, stmt, spans)
-        assert bound == {"sq_orders", "sq_dim"}
-        return versioned_sql(spark, stmt)
+        # assert from the answering call's binding (see star_prune)
+        out = versioned_sql(spark, stmt)
+        assert vsql.LAST_BOUND == {"sq_orders", "sq_dim"}
+        return out
     finally:
         register_table("sq_orders", None)
         register_table("sq_dim", None)
@@ -1334,10 +1336,10 @@ def _q_versioned_sql_cte_prune(
     register_table("cte_orders", opath)
     register_table("cte_cust", cpath)
     try:
-        spans = vsql._string_spans(stmt)
-        bound = vsql._bind_pruned_cte_bodies(spark, stmt, spans)
-        assert bound == {"cte_orders", "cte_cust"}
-        return versioned_sql(spark, stmt)
+        # assert from the answering call's binding (see star_prune)
+        out = versioned_sql(spark, stmt)
+        assert vsql.LAST_BOUND == {"cte_orders", "cte_cust"}
+        return out
     finally:
         register_table("cte_orders", None)
         register_table("cte_cust", None)

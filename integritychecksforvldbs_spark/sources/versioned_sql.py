@@ -607,6 +607,14 @@ def _metrics(spark: SparkSession, **kv) -> DataFrame:
     return spark.createDataFrame([tuple(int(v) for v in kv.values())], cols)
 
 
+# Diagnostic: the table names the LAST _select bound to file-pruned
+# scans (empty = ordinary full-snapshot bindings).  Gates assert
+# against THIS instead of pre-running the binder a second time — the
+# binding (profile + read_where per side) is driver-side py4j work
+# that used to be paid twice per gated statement.
+LAST_BOUND: frozenset[str] = frozenset()
+
+
 def versioned_sql(
     spark: SparkSession, statement: str, strategy: str = "auto"
 ) -> DataFrame:
@@ -1238,6 +1246,8 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
         feed.createOrReplaceTempView(view)
         return view
 
+    global LAST_BOUND
+    LAST_BOUND = frozenset()
     out = _sub_outside_strings(_TABLE_CHANGES, _sub_changes, stmt)
     out = _sub_outside_strings(_TIME_TRAVEL, _sub_tt, out)
     spans = _string_spans(out)
@@ -1249,6 +1259,7 @@ def _select(spark: SparkSession, stmt: str) -> DataFrame:
         or _bind_pruned_cte_bodies(spark, out, spans, tt_views)
         or _bind_pruned_inner_join(spark, out, spans, tt_views)
     )
+    LAST_BOUND = frozenset(bound)
     for name, path in _TABLES.items():
         if name in bound:
             continue  # already bound to the file-pruned scan
