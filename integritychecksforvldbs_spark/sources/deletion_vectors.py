@@ -254,6 +254,12 @@ def apply_dvs(
 # point-delete fast path; bigger sets take the distributed anti-join
 DV_INLINE_MAX_RANGES = 64
 DV_INLINE_MAX_FILES = 16
+# second inline tier for SCATTERED point deletes (many singleton
+# islands, few total rows — e.g. a GDPR batch): the dead set inlines
+# as ``row_index IN <set>`` (Catalyst plans InSet: one hash-set probe
+# per row, no join stage).  4096 longs is ~32 KB of plan payload —
+# far cheaper than a broadcast-join stage at any scale
+DV_INLINE_MAX_POSITIONS = 4096
 
 
 def inline_ranges(dvs: dict[str, dict]) -> dict | None:
@@ -261,7 +267,10 @@ def inline_ranges(dvs: dict[str, dict]) -> dict | None:
     carry in the PLAN itself, else None.  Artifact bytes scale with
     ISLANDS, not positions — a contiguous million-row delete is one
     tiny range (inline it), a pathological scatter is a big artifact
-    (don't even read it driver-side)."""
+    (don't even read it driver-side).  Inline when EITHER the island
+    count fits :data:`DV_INLINE_MAX_RANGES` (range comparisons) or the
+    expanded position count fits :data:`DV_INLINE_MAX_POSITIONS` (an
+    ``IN <set>`` filter — :func:`dead_ranges_pred` picks the form)."""
     if len(dvs) > DV_INLINE_MAX_FILES:
         return None
     for e in dvs.values():
@@ -271,7 +280,14 @@ def inline_ranges(dvs: dict[str, dict]) -> dict | None:
         except OSError:
             return None
     per_file = {f: read_dv_ranges(e) for f, e in dvs.items()}
-    if sum(len(r) for r in per_file.values()) > DV_INLINE_MAX_RANGES:
+    if sum(len(r) for r in per_file.values()) > DV_INLINE_MAX_RANGES and (
+        sum(
+            int(e) - int(s) + 1
+            for r in per_file.values()
+            for s, e in r
+        )
+        > DV_INLINE_MAX_POSITIONS
+    ):
         return None
     # an EMPTY range list (a defensively-tolerated degenerate artifact:
     # hand-repaired log or an external writer) kills no rows — drop the
@@ -284,9 +300,17 @@ def inline_ranges(dvs: dict[str, dict]) -> dict | None:
 
 def dead_ranges_pred(ranges: list[list[int]], rcol: str):
     """Column true exactly at the positions in ``ranges`` — pure
-    whole-stage-codegen comparisons on the native row index."""
+    whole-stage-codegen comparisons on the native row index.  A
+    scattered set (many islands, few rows) becomes ``IN <set>`` —
+    Catalyst converts it to InSet, one hash probe per row regardless
+    of island count; long islands keep the O(islands) range form."""
     import functools
 
+    total = sum(int(e) - int(s) + 1 for s, e in ranges)
+    if len(ranges) > 8 and total <= DV_INLINE_MAX_POSITIONS:
+        return F.col(rcol).isin(
+            [p for s, e in ranges for p in range(int(s), int(e) + 1)]
+        )
     return functools.reduce(
         lambda a, b: a | b,
         [

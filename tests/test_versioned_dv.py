@@ -436,3 +436,40 @@ def test_batch_mask_ranges():
     assert dvmod.batch_mask_ranges([[2, 3]], offset=10, n_rows=5) is None
     m2 = dvmod.batch_mask_ranges([[8, 12]], offset=10, n_rows=5)
     assert list(m2) == [False, False, False, True, True]
+
+
+def test_scattered_point_delete_inlines_as_in_set(spark, tmp_path):
+    """A scatter of singleton islands past DV_INLINE_MAX_RANGES but
+    under DV_INLINE_MAX_POSITIONS stays on the inline fast path: the
+    read plans ONE scan relation with a NOT-IN-set row-index filter —
+    no sidecar scan, no join stage — and the live rows are exact."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 30_000), path)
+    # every 100th row: 300 singleton islands, 300 positions
+    v, n = versioned.delete_where(spark, path, "k % 100 = 0", strategy="dv")
+    assert n == 300
+    (entry,) = versioned.dv_info(path).values()
+    ranges = dvmod.read_dv_ranges(entry)
+    assert len(ranges) > dvmod.DV_INLINE_MAX_RANGES
+    assert sum(e - s + 1 for s, e in ranges) <= dvmod.DV_INLINE_MAX_POSITIONS
+    assert dvmod.inline_ranges(versioned.dv_info(path)) is not None
+    df = versioned.read(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "INSET" in plan
+    assert df.count() == 29_700
+    assert df.filter("k % 100 = 0").count() == 0
+    assert df.filter("k = 101").count() == 1
+
+
+def test_scatter_past_position_cap_falls_back_to_anti_join(spark, tmp_path):
+    """Past DV_INLINE_MAX_POSITIONS with too many islands the inline
+    probe declines and the distributed anti-join still gives exact
+    results (the pre-existing fallback contract)."""
+    path = str(tmp_path / "tbl")
+    versioned.commit(spark, _mk(spark, 0, 30_000), path)
+    v, n = versioned.delete_where(spark, path, "k % 6 = 0", strategy="dv")
+    assert n == 5000
+    assert dvmod.inline_ranges(versioned.dv_info(path)) is None
+    df = versioned.read(spark, path)
+    assert df.count() == 25_000
+    assert df.filter("k % 6 = 0").count() == 0
