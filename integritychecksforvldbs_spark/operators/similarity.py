@@ -479,25 +479,25 @@ SQ_LEVELS = 255
 
 
 def sq_params(df: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
-    """Per-dimension (lo, hi) quantization ranges in ONE fused
-    aggregation: 2·dim partial min/max aggregates, a single result
-    row collected to the driver.  Dimension count comes from one
-    ``first()`` probe.  For dims beyond a few thousand the posexplode
-    + groupBy(dim) form would replace the wide agg; embedding tables
-    in practice sit at 128-4096 dims, well inside this shape."""
-    probe = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
-    if probe is None:
+    """Per-dimension (lo, hi) quantization ranges in ONE job:
+    posexplode → groupBy(dim) with map-side partial min/max (each
+    task emits at most dim rows), dim tiny rows collected.  Replaces
+    the former first()-probe + 2·dim-expression wide agg: one job
+    instead of two, no O(dim) codegen surface, and no dim ceiling."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    if not rows:
         raise ValueError("sq_params: no non-NULL vectors to quantize")
-    dim = len(probe[0])
-    aggs = []
-    for i in range(dim):
-        e = F.element_at(F.col(vec_col), i + 1).cast("double")
-        aggs.append(F.min(e).alias(f"lo{i}"))
-        aggs.append(F.max(e).alias(f"hi{i}"))
-    row = df.agg(*aggs).first()
-    los = [float(row[f"lo{i}"]) for i in range(dim)]
-    his = [float(row[f"hi{i}"]) for i in range(dim)]
-    return los, his
+    rows.sort(key=lambda r: r["pos"])
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
 
 
 def _lit_array(xs: list) -> str:
@@ -563,9 +563,10 @@ def sq_ann_topk(
     """
     queries = queries.filter(F.col("embedding").isNotNull())
     if los is None or his is None:
-        if corpus.filter(F.col("embedding").isNotNull()).select("vec_id").first() is None:
+        try:
+            los, his = sq_params(corpus)
+        except ValueError:  # no non-NULL vectors: nothing to rank
             return _empty_topk(corpus, queries)
-        los, his = sq_params(corpus)
     qcodes = sq_quantize(corpus, los, his).select("vec_id", "codes")
     recon = sq_dequantize_expr(los, his)
     approx = (

@@ -74,11 +74,14 @@ def test_vocabulary_shuffle_budget(docs):
 
 
 def test_rarity_score_shuffle_budget(docs):
-    """TF-IDF shape: token df agg + join-back + per-doc agg. Three
-    key-shuffles is the declarative budget (df table, token join,
-    doc regroup) — AQE may broadcast the df table at runtime, but the
-    static plan must not exceed the budget."""
-    assert plan_data_shuffles(text.rarity_score(docs)) <= 3
+    """TF-IDF shape over the COLLAPSED (doc, token, cnt) stream:
+    per-doc token-count agg, df agg, join-back, doc regroup.  Four
+    key-shuffles is the declarative budget — the extra exchange vs
+    the raw-stream form buys every later shuffle carrying one row per
+    distinct (doc, token), and df_count degrades from a two-phase
+    countDistinct to a plain count.  AQE may broadcast the df table
+    at runtime, but the static plan must not exceed the budget."""
+    assert plan_data_shuffles(text.rarity_score(docs)) <= 4
 
 
 def test_pii_scrub_is_shuffle_free(docs):
