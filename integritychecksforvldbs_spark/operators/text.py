@@ -457,37 +457,51 @@ def repetition_stats(
     <n-token doc ``sequence(1, size-n+1)`` would count DOWN and slice
     would throw (the round-2 shingle crash; dedup.py shingle_arrays).
     Fractions are int/int IEEE divisions, bitwise-equal cross-engine.
+
+    The token and gram arrays are MATERIALIZED in staged projections:
+    a subexpression inlined inside a ``transform``/``filter`` lambda
+    is re-evaluated per ELEMENT (Catalyst does not hoist
+    loop-invariant lambda subtrees), so the old single-expression form
+    re-split the text O(n_tokens) times per row — quadratic per doc.
     """
     t = text_col
-    toks = f"filter(split({t}, ' '), x -> x <> '')"
     g2 = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        "CASE WHEN size(ts) >= 2 THEN "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     g3 = (
-        f"CASE WHEN size({toks}) >= 3 THEN "
-        f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
-        f"' ', element_at({toks}, i + 2))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        "CASE WHEN size(ts) >= 3 THEN "
+        "transform(sequence(1, size(ts) - 2), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), "
+        "' ', element_at(ts, i + 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     top = (
-        f"array_max(transform(array_distinct({toks}), "
-        f"g -> size(filter({toks}, x -> x = g))))"
+        "array_max(transform(array_distinct(ts), "
+        "g -> size(filter(ts, x -> x = g))))"
     )
     expr = f"""
     named_struct(
-      'n_tokens', size({toks}),
-      'n_g2', size({g2}),
-      'd_g2', size(array_distinct({g2})),
-      'n_g3', size({g3}),
-      'd_g3', size(array_distinct({g3})),
-      'top', CASE WHEN size({toks}) = 0 THEN 0 ELSE {top} END
+      'n_tokens', size(ts),
+      'n_g2', size(g2s),
+      'd_g2', size(array_distinct(g2s)),
+      'n_g3', size(g3s),
+      'd_g3', size(array_distinct(g3s)),
+      'top', CASE WHEN size(ts) = 0 THEN 0 ELSE {top} END
     )
     """
-    s = df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("m"))
+    s = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"filter(split({t}, ' '), x -> x <> '')").alias("ts"),
+        )
+        .select(
+            "doc_id", "ts", F.expr(g2).alias("g2s"), F.expr(g3).alias("g3s")
+        )
+        .select("doc_id", F.expr(expr).alias("m"))
+    )
     frac = lambda n, d: F.when(  # noqa: E731
         F.col(f"m.{n}") == 0, F.lit(0.0)
     ).otherwise((F.col(f"m.{n}") - F.col(f"m.{d}")) / F.col(f"m.{n}"))
@@ -523,16 +537,21 @@ def gopher_filter(
     """
     t = text_col
     en = _sql_list(STOPWORDS["en"])
-    toks = f"filter(split({t}, ' '), x -> x <> '')"
+    # split once into a column: the three token-array consumers each
+    # re-ran filter(split(...)) when inlined
     expr = f"""
     named_struct(
-      'n_words', CAST(size({toks}) AS BIGINT),
-      'sum_len', CAST(aggregate({toks}, 0, (acc, x) -> acc + length(x)) AS BIGINT),
-      'n_stop', CAST(size(filter(split(lower({t}), ' '), x -> x IN ({en}))) AS BIGINT),
-      'n_alpha', CAST(size(filter({toks}, x -> x rlike '[A-Za-z]')) AS BIGINT)
+      'n_words', CAST(size(ts) AS BIGINT),
+      'sum_len', CAST(aggregate(ts, 0, (acc, x) -> acc + length(x)) AS BIGINT),
+      'n_stop', CAST(size(filter(split(lower(__gf_text), ' '), x -> x IN ({en}))) AS BIGINT),
+      'n_alpha', CAST(size(filter(ts, x -> x rlike '[A-Za-z]')) AS BIGINT)
     )
     """
-    s = df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("m"))
+    s = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(t).alias("__gf_text"),
+        F.expr(f"filter(split({t}, ' '), x -> x <> '')").alias("ts"),
+    ).select(F.col("doc_id"), F.expr(expr).alias("m"))
     mwl = F.when(
         F.col("m.n_words") > 0, F.expr("m.sum_len * 100 DIV m.n_words")
     ).otherwise(F.lit(0)).cast("long")
@@ -616,6 +635,18 @@ LM_SCALE = 1_000_000
 LM_MODEL_SIZE = 50_000
 
 
+# consecutive-token bigrams from a materialized token array ``ts``:
+# zip_with(ts[1..n-1], ts[2..n]) pairs each token with its successor.
+# slice clips at the array end, and the CASE guard keeps the
+# expression total on <2-token docs (sequence/slice would error)
+_GRAM2_FROM_TS = (
+    "CASE WHEN size(ts) >= 2 THEN "
+    "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), "
+    "(x, y) -> concat(x, ' ', y)) "
+    "ELSE cast(array() AS array<string>) END"
+)
+
+
 def lm_bigram_model(
     df: DataFrame,
     k: int = LM_MODEL_SIZE,
@@ -635,17 +666,20 @@ def lm_bigram_model(
     material regardless of corpus size.
     """
     t, i = text_col, id_col
-    toks = f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)"
+    # gram build via zip_with over two slices: no per-element array
+    # indexing, so even when Catalyst inlines the tokenizer into a
+    # pushed-down filter (CollapseProject/InferFiltersFromGenerate do
+    # exactly that) the cost stays LINEAR in tokens — the old
+    # element_at(toks, j)-per-lambda-element form re-tokenized per
+    # element, quadratic per doc
     grams = df.select(
-        F.explode(
-            F.expr(
-                f"CASE WHEN size({toks}) >= 2 THEN "
-                f"transform(sequence(1, size({toks}) - 1), "
-                f"j -> concat(element_at({toks}, j), ' ', element_at({toks}, j + 1))) "
-                f"ELSE cast(array() AS array<string>) END"
-            )
-        ).alias("gram"),
         F.col(i).alias("doc_id"),
+        F.expr(
+            f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)"
+        ).alias("ts"),
+    ).select(
+        F.explode(F.expr(_GRAM2_FROM_TS)).alias("gram"),
+        "doc_id",
     )
     return (
         grams.groupBy("gram")
@@ -692,19 +726,21 @@ def lm_transition_surprise(
     t, i = text_col, id_col
     if model is None:
         model = lm_bigram_model(df, k=k, text_col=t, id_col=i)
-    toks = f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)"
+    # zip_with/slice gram build (see _GRAM2_FROM_TS: inline-safe,
+    # linear under filter pushdown).  No pre-explode size filter:
+    # explode of an empty array already emits nothing, and the old
+    # size(grams) > 0 predicate was pushed below the projections with
+    # the whole gram builder re-inlined into the scan filter.  The
+    # empty branch tests size(ts) < 2 — exactly the docs whose gram
+    # array is empty — without ever building grams.
     base = df.select(
         F.col(i).alias("doc_id"),
         F.expr(
-            f"CASE WHEN size({toks}) >= 2 THEN "
-            f"transform(sequence(1, size({toks}) - 1), "
-            f"j -> concat(element_at({toks}, j), ' ', element_at({toks}, j + 1))) "
-            f"ELSE cast(array() AS array<string>) END"
-        ).alias("grams"),
+            f"regexp_extract_all(lower({t}), '{_spark_re(TOKEN_REGEX)}', 0)"
+        ).alias("ts"),
     )
     scored = (
-        base.filter(F.size("grams") > 0)
-        .select("doc_id", F.explode("grams").alias("gram"))
+        base.select("doc_id", F.explode(F.expr(_GRAM2_FROM_TS)).alias("gram"))
         .join(F.broadcast(model), "gram", "left")
         .groupBy("doc_id")
         .agg(
@@ -721,7 +757,7 @@ def lm_transition_surprise(
             .alias("surprise_sum"),
         )
     )
-    empty = base.filter(F.size("grams") == 0).select(
+    empty = base.filter(F.size("ts") < 2).select(
         "doc_id",
         F.lit(0).cast("long").alias("n_bigrams"),
         F.lit(0).cast("long").alias("n_oov"),
