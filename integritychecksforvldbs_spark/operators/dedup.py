@@ -925,9 +925,15 @@ def _lsh_candidate_pairs(
             for t in range(n_tables)
         ]
     )
+    # both sides of the self-join consume the bucket frame: without a
+    # persist the SRP signature computation (n_tables × n_bits dot
+    # products per vector) runs twice — the same discipline the
+    # minhash/simhash signature frames have (ContextCleaner reclaims
+    # the blocks; the returned frame still depends on them, so no
+    # eager unpersist)
     keyed = nd.select("id", F.explode(buckets).alias("tb")).select(
         "id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
-    )
+    ).persist()
     a = keyed.select(F.col("id").alias("vec_id_a"), "t", "b")
     b = keyed.select(F.col("id").alias("vec_id_b"), "t", "b")
     return (
