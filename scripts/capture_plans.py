@@ -27,7 +27,9 @@ def main() -> None:
     qs = mod.queries()
     names = [n for n in benchmod.HEADLINE if n in qs]
     if only:
-        names = [n for n in names if any(s in n for s in only)]
+        # match against the full registry so non-headline queries a
+        # round touches can also commit plan evidence
+        names = [n for n in qs if any(s in n for s in only)]
     for name in names:
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

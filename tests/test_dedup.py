@@ -277,3 +277,84 @@ def test_semantic_dedup_trained_codebook_tier(spark):
     # surface, labeled by codebook position instead of stride id
     assert got >= {(0, 1), (0, 2), (1, 2), (4, 5)}
     assert out.columns == ["cluster_id", "vec_id_a", "vec_id_b", "cosine"]
+
+
+def _cosine_pairs_expr_reference(df, threshold):
+    """The pre-kernel expression form, verbatim — the semantic
+    reference the vectorized path must match bit-for-bit."""
+    nd = dedup.with_norm(df, "embedding").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"), "norm"
+    )
+    a = nd.select(
+        F.col("id").alias("vec_id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = nd.select(
+        F.col("id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            (dedup._dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def test_cosine_kernel_bitwise_matches_expression(spark, tmp_path):
+    """The vectorized all-pairs kernel reproduces the expression
+    path's fold order exactly — including NULL ids/vectors (never
+    pair).  The corpus is
+    round-tripped through parquet so the expression reference runs on
+    a plain scan (a LocalRelation union sends its cartesian down a
+    pathologically slow interpreted path — pre-existing, not what
+    production queries do)."""
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    extra = spark.createDataFrame(
+        [
+            (None, [1.0, 0.0]),  # NULL id: joins NULL -> no pair
+            (9001, None),        # NULL vector: cosine NULL -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "emb_edges")
+    base.unionByName(extra).write.parquet(p)
+    df = spark.read.parquet(p)
+    got = dedup.cosine_dup_pairs(df, threshold=0.45)
+    assert "MapInPandas" in got._jdf.queryExecution().executedPlan().toString()
+    new = {(r[0], r[1]): r[2] for r in got.collect()}
+    ref = {
+        (r[0], r[1]): r[2]
+        for r in _cosine_pairs_expr_reference(df, threshold=0.45).collect()
+    }
+    assert new == ref and len(new) > 0
+
+
+def test_cosine_kernel_fallback_on_zero_norm(spark):
+    """A zero-norm vector must keep the expression path's ANSI
+    DIVIDE_BY_ZERO behavior, so the kernel declines."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dedup.cosine_dup_pairs(df, threshold=0.9)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        got.collect()
+
+
+def test_cosine_kernel_fallback_on_ragged_dims(spark):
+    """Ragged vector lengths change zip_with's NULL-padding semantics,
+    so the kernel must decline and the expression path answer."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dedup.cosine_dup_pairs(df, threshold=0.9)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    pairs = {(r[0], r[1]) for r in got.collect()}
+    assert pairs == {(1, 2)}  # the cross-length pair folds to NULL
