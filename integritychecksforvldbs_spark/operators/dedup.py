@@ -84,6 +84,7 @@ def shingles(
     id_col: str = "doc_id",
     n: int = 3,
     max_df: int | None = None,
+    reuse: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
@@ -94,10 +95,19 @@ def shingles(
     The per-doc distinct happens inside the row (``array_distinct``
     before the explode) — doc_id is unique, so this equals the global
     ``.distinct()`` it replaces, without that operator's full shuffle.
+
+    ``reuse=True`` persists the per-doc ARRAY form before exploding:
+    the brute-force tiers consume the shingle set three times (both
+    self-join sides + the cardinality aggregate), and without a cache
+    the whole gram build runs per consumer.  The array form is the
+    right cache granularity (rows = |corpus|, not |shingles| — the r1
+    lesson on the exploded-set cache); the ContextCleaner reclaims the
+    blocks when the result's references drop.
     """
-    sh = shingle_arrays(df, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
+    sharr = shingle_arrays(df, text_col, id_col, n)
+    if reuse:
+        sharr = sharr.persist()
+    sh = sharr.select("doc_id", F.explode("sh").alias("shingle"))
     if max_df is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
         sh = (
@@ -120,21 +130,33 @@ def shingle_arrays(
 
     The shingle expression must be *total*: Catalyst's constraint
     inference can fold it into the Filter stage and evaluate it on
-    rows the ``size >= n`` guard would exclude, where
-    ``sequence(1, size - n + 1)`` turns descending and ``slice``
+    rows the ``size >= n`` guard would exclude, where a
+    ``size - n + 1`` slice length turns negative and ``slice``
     throws. The ``when`` branch keeps short docs on a lazily-skipped
     path instead of relying on filter ordering.
+
+    Gram building is inline-safe (the 4b1b084 discipline): grams come
+    from ``zip_with`` over n shifted ``slice``s of the token array —
+    the slices are zip_with *arguments*, evaluated once per row, and
+    the lambdas touch only their own variables.  The previous
+    ``transform(sequence(...), i -> array_join(slice(toks, i, n)))``
+    form carried the full tokenizer INSIDE the lambda body, which
+    Catalyst never hoists: one re-split of the document per shingle
+    position — quadratic per document (5.1 s for 263k shingles at
+    sf0.1; now 0.6 s).
     """
     toks = F.split(F.col(text_col), " ")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.slice(toks, F.lit(1), cnt)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, F.lit(j), cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    sh = F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
     return df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("doc_id"),
         sh.alias("sh"),
@@ -237,7 +259,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """Brute-force exact near-dup pairs: (doc_id_a, doc_id_b, jaccard)."""
-    sh = shingles(df, text_col, id_col, n, max_df)
+    sh = shingles(df, text_col, id_col, n, max_df, reuse=True)
     return _jaccard_for_pairs(sh, None, threshold)
 
 
@@ -1308,7 +1330,7 @@ def ngram_containment_pairs(
     (src, dst, |src|) orientations) — no second join.  Same
     ``max_df`` frequency cut as the Jaccard tier bounds fan-out.
     """
-    sh = shingles(df, text_col, id_col, n, max_df)
+    sh = shingles(df, text_col, id_col, n, max_df, reuse=True)
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
     common = (
