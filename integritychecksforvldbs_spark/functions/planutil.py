@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(df: DataFrame, rebalance: bool = False) -> DataFrame:
     """Materialize ``df`` and return a frame whose plan is a scan of
     the materialized blocks (``localCheckpoint(eager=True)``) —
     downstream plans stop compounding.
@@ -31,5 +31,43 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     reclaimed by the ContextCleaner once the frame is unreachable —
     do NOT ``unpersist()`` a checkpointed frame (that would destroy
     its only copy).
+
+    ``rebalance=True`` restores cluster parallelism when the
+    materialized frame collapsed below it: AQE rightly coalesces a
+    shrunken join output to one small partition, but a checkpoint
+    FREEZES that layout, and every CPU-heavy consumer downstream
+    (gram building, signatures) then runs on one core (measured: the
+    curation funnel's dedup+decontamination stages ran 11 s
+    single-threaded on a 1-partition survivors frame).  The check
+    fires only when partitions < defaultParallelism — which at scale
+    implies the frame is at most cores × the AQE advisory size, so
+    the extra round-robin shuffle is bounded by construction.
     """
-    return df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=True)
+    if rebalance:
+        p = out.sparkSession.sparkContext.defaultParallelism
+        if out.rdd.getNumPartitions() < p:
+            out = out.repartition(p).localCheckpoint(eager=True)
+    return out
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism IFF the frame's
+    current partitioning sits below it.
+
+    Small reference-scale inputs (a single-row-group parquet file, an
+    AQE-coalesced intermediate) plan as one scan task, so CPU-heavy
+    per-row pipelines downstream (gram building, signatures, hashing)
+    run on one core regardless of cluster size.  The repartition
+    shuffles the payload once — bounded by construction, because it
+    only fires when the input has fewer partitions than cores, which
+    at 100 TB means the input is small (a large scan already splits
+    into ≥ cores tasks).  Round-robin keeps results identical: every
+    consumer here is row-local work feeding keyed aggregations/joins.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # un-plannable input (streaming frame): leave as-is
+        return df
+    return df.repartition(p) if cur < p else df
