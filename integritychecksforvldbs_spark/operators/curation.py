@@ -1118,6 +1118,71 @@ CDC_MOD = 1_000_000_007
 CDC_DIVISOR = 64
 
 
+def _cdc_chunks_vectorized(
+    df: DataFrame, window: int, divisor: int, text_col: str, id_col: str
+) -> DataFrame | None:
+    """Content-defined chunking as a NumPy mapInPandas kernel — exact
+    integer math, so the output is identical to the expression path
+    (and the DuckDB oracle) by construction: code points via a utf-32
+    decode (= ``ascii(substring(t, i, 1))``), the rolling window hash
+    as ``window`` vectorized fused passes of ``(h*base + c) % mod``
+    over int64 (the same left fold the SQL ``aggregate`` computes, no
+    float anywhere), chunk hashes via ``hashlib.md5`` over the UTF-8
+    bytes of the code-point slice (= ``md5(substring(...))``).
+
+    The expression path costs O(n·window) INTERPRETED lambda steps per
+    document (~5 s at sf0.1); the kernel does the same arithmetic in
+    O(window) vectorized passes.  Returns None (caller keeps the
+    expression path as semantic reference) for non-bigint ids."""
+    if dict(df.dtypes).get(id_col) != "bigint":
+        return None
+    from integritychecksforvldbs_spark.functions.planutil import fan_out
+
+    b_, m = CDC_BASE, CDC_MOD
+    base = fan_out(
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        )
+    )
+
+    def kernel(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "chunk_idx": [], "chunk_len": [], "chunk_hash": []}
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                n = len(txt)
+                if n >= window:
+                    codes = np.frombuffer(
+                        txt.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    L = n - window + 1
+                    h = np.zeros(L, dtype=np.int64)
+                    for k in range(window):  # the window fold, vectorized
+                        h = (h * b_ + codes[k : k + L]) % m
+                    ends = np.nonzero(h % divisor == 0)[0] + window  # 1-based i
+                    ends = ends[ends < n].tolist()
+                else:
+                    ends = []
+                bounds = [0, *ends, n]
+                for ci in range(len(bounds) - 1):
+                    a, b2 = bounds[ci], bounds[ci + 1]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(ci)
+                    out["chunk_len"].append(b2 - a)
+                    out["chunk_hash"].append(
+                        hashlib.md5(txt[a:b2].encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        kernel, "doc_id long, chunk_idx long, chunk_len long, chunk_hash string"
+    )
+
+
 def content_defined_chunks(
     df: DataFrame,
     window: int = CDC_WINDOW,
@@ -1144,6 +1209,9 @@ def content_defined_chunks(
     reversed position list); all row-local, whole-stage codegen, cost
     O(n·window) per doc.
     """
+    fast = _cdc_chunks_vectorized(df, window, divisor, text_col, id_col)
+    if fast is not None:
+        return fast
     w, b_, m, d = window, CDC_BASE, CDC_MOD, divisor
     t, i_ = text_col, id_col
     base = df.filter(

@@ -90,3 +90,35 @@ def test_content_chunk_dedup_counts(docs):
     assert shared  # the re-synced tail chunk appears in docs 1 and 2
     for h in shared:
         assert out[h][1] == 1  # deterministic first owner
+
+
+def test_cdc_kernel_matches_expression_path(spark):
+    """The NumPy kernel (bigint ids) and the expression path (forced
+    via an int id) produce identical chunk rows — including unicode
+    code points, sub-window docs, empty and NULL texts."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.sources.loader import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (900001, "héllo wörld é" * 40),  # non-ASCII code points
+            (900002, "x"),                   # shorter than the window
+            (900003, None),                  # filtered
+            (900004, ""),                    # filtered
+        ],
+        "doc_id long, text string",
+    )
+    df = df.unionByName(extra)
+    fast = curation.content_defined_chunks(df)
+    assert "MapInPandas" in fast._jdf.queryExecution().executedPlan().toString()
+    slow = curation.content_defined_chunks(
+        df.withColumn("doc_id", F.col("doc_id").cast("int"))
+    )
+    assert "MapInPandas" not in slow._jdf.queryExecution().executedPlan().toString()
+    got = {tuple(r) for r in fast.collect()}
+    ref = {(int(a), b, c, d) for a, b, c, d in (tuple(r) for r in slow.collect())}
+    assert got == ref and len(got) > 0
