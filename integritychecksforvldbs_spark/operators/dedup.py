@@ -900,6 +900,58 @@ FROM pairs WHERE cos_raw >= {threshold}
 # 6. duplicate clusters → keeper selection
 # ---------------------------------------------------------------------------
 
+# Above this edge count the keeper computation stays distributed; below
+# it one bounded collect + driver union-find replaces the iterative
+# label-propagation rounds.  A few MB of (long, long) pairs.
+_KEEPERS_MAX_EDGES = 200_000
+
+
+def _cluster_keepers_unionfind(pairs: DataFrame) -> DataFrame | None:
+    """Exact connected-components keepers via a bounded collect +
+    union-find: identical output to the converged min-label
+    propagation (keeper = MIN id of the component; node set = every id
+    appearing in an edge).  Returns None — caller runs the distributed
+    propagation — when the edge list is over-cap, non-bigint, or
+    contains NULL ids."""
+    if (
+        dict(pairs.dtypes).get("doc_id_a") != "bigint"
+        or dict(pairs.dtypes).get("doc_id_b") != "bigint"
+    ):
+        return None
+    rows = (
+        pairs.select("doc_id_a", "doc_id_b")
+        .limit(_KEEPERS_MAX_EDGES + 1)
+        .collect()
+    )
+    if len(rows) > _KEEPERS_MAX_EDGES:
+        return None
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        if a is None or b is None:
+            return None
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min: the keeper IS the min root
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(node, find(node)) for node in parent]
+    return pairs.sparkSession.createDataFrame(
+        out, "doc_id bigint, keeper bigint"
+    )
+
 
 def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id,
@@ -921,9 +973,20 @@ def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     count and the RETURNED frame is a flat scan — without this, the
     result plan re-derived the whole pair-generation chain (round-4
     audit: 160 scans) on every re-execution.
+
+    Fast path: a near-dup edge list is metadata-sized at any sane dup
+    rate (|pairs| ≪ |corpus|), so up to ``_KEEPERS_MAX_EDGES`` edges
+    the components are solved with one bounded collect + driver
+    union-find — the exact fixpoint of the same min-label recursion,
+    replacing 3-4 rounds of shuffle jobs + checkpoints with one job.
+    The distributed propagation remains the over-cap path (and the
+    semantic reference).
     """
     from integritychecksforvldbs_spark.functions.planutil import truncate_lineage
 
+    fast = _cluster_keepers_unionfind(pairs)
+    if fast is not None:
+        return fast
     edges = pairs.select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )

@@ -358,3 +358,28 @@ def test_cosine_kernel_fallback_on_ragged_dims(spark):
     assert "MapInPandas" not in plan
     pairs = {(r[0], r[1]) for r in got.collect()}
     assert pairs == {(1, 2)}  # the cross-length pair folds to NULL
+
+
+def test_cluster_keepers_unionfind_matches_propagation(spark):
+    """The bounded union-find fast path returns exactly the converged
+    min-label propagation result — exercised on a long chain (worst
+    case for propagation rounds), a triangle, and a disjoint pair."""
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]  # chain: keeper 10 for all
+        + [(100, 101), (101, 102), (100, 102)]  # triangle
+        + [(7, 5)]  # unordered pair: keeper 5
+    )
+    pairs = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    fast = dedup.duplicate_cluster_keepers(pairs)
+    got = {(r[0], r[1]) for r in fast.collect()}
+    # keeper = min id of each component, node set = ids in any edge
+    assert {(n, 10) for n in range(10, 21)} <= got
+    assert {(100, 100), (101, 100), (102, 100), (5, 5), (7, 5)} <= got
+    # int ids decline the fast path and run the distributed propagation
+    slow = dedup.duplicate_cluster_keepers(
+        pairs.selectExpr(
+            "CAST(doc_id_a AS INT) AS doc_id_a", "CAST(doc_id_b AS INT) AS doc_id_b"
+        )
+    )
+    ref = {(int(r[0]), int(r[1])) for r in slow.collect()}
+    assert ref == {(int(a), int(b)) for a, b in got}
