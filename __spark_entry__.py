@@ -2383,7 +2383,15 @@ def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         BROADCAST_THRESHOLD_BYTES,
     )
 
-    tables = {t: _load(spark, sf_dir, t) for t in TABLES}
+    # load only the tables the FK graph touches (children + parents):
+    # every load_table call is driver work the timed run pays for
+    needed: set[str] = set()
+    for t in TABLES:
+        exp = expectations_for(t)
+        if exp.foreign_keys:
+            needed.add(t)
+            needed.update(fk.parent_table for fk in exp.foreign_keys)
+    tables = {t: _load(spark, sf_dir, t) for t in TABLES if t in needed}
     # pin the broadcast hint only for parents the catalog proves small;
     # catalog sizing sums part-files, so directory-backed tables work too
     sizes = _catalog_sizes(spark, sf_dir)

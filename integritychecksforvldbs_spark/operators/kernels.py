@@ -360,8 +360,13 @@ def _fk_orphan_counts_fused(
             # partial→Exchange→final shuffle (one AQE stage round-trip
             # per parent instead of three).
             parent = parent.coalesce(1).dropDuplicates()
+        # name-based refs: the _p{idx}_{i} aliases are unique across the
+        # whole chain, so F.col never ambiguates — and unlike df[c]
+        # attribute refs it does not force a re-analysis of the growing
+        # join plan on every iteration (O(N^2) driver work for an
+        # N-join chain).
         cond = [
-            j[c] == parent[f"_p{idx}_{i}"] for i, c in enumerate(fk.columns)
+            F.col(c) == F.col(f"_p{idx}_{i}") for i, c in enumerate(fk.columns)
         ]
         j = j.join(F.broadcast(parent), cond, "left")
     counters = []
