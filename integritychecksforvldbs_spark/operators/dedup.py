@@ -326,14 +326,13 @@ def minhash_signatures(sharr: DataFrame, num_hashes: int = 32) -> DataFrame:
     sh = sharr.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("base")
     )
+    # parsed-SQL expression construction — see _minhash_signatures_hashed
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64({i}, base)) AS h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
-    )
+    arr = ", ".join(f"h{i}" for i in range(num_hashes))
+    return sig.select("doc_id", F.expr(f"array({arr}) AS mh"))
 
 
 def lsh_candidate_pairs(
@@ -344,17 +343,19 @@ def lsh_candidate_pairs(
     The only shuffle of the LSH tier — and it moves (doc_id, band,
     bucket) triples, not shingles: bytes ∝ corpus row count, not
     token count."""
-    band_hashes = F.array(
-        *[
-            F.expr(
-                f"xxhash64({b}, "
-                + ", ".join(
-                    f"mh[{b * rows_per_band + j}]" for j in range(rows_per_band)
-                )
-                + ")"
+    # one parsed expression for the whole banding array (vs bands+1
+    # py4j constructor round trips — see _minhash_signatures_hashed)
+    band_hashes = F.expr(
+        "array("
+        + ", ".join(
+            f"xxhash64({b}, "
+            + ", ".join(
+                f"mh[{b * rows_per_band + j}]" for j in range(rows_per_band)
             )
+            + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     buckets = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
@@ -449,14 +450,17 @@ def _minhash_signatures_hashed(shl_df: DataFrame, num_hashes: int) -> DataFrame:
     (doc_id, shl array<bigint>) — identical output, skips re-hashing
     the strings."""
     sh = shl_df.select("doc_id", F.explode("shl").alias("base"))
+    # expressions built as parsed SQL strings: the F.min(F.xxhash64(
+    # F.lit(i), col)) chain costs ~5 py4j round trips per hash — ~160
+    # driver round trips per call — where one F.expr parse costs 1.
+    # SQL `{i}` is the same IntegerType literal as F.lit(i), so the
+    # hashes are bit-identical.
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64({i}, base)) AS h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
-    )
+    arr = ", ".join(f"h{i}" for i in range(num_hashes))
+    return sig.select("doc_id", F.expr(f"array({arr}) AS mh"))
 
 
 def minhash_lsh_increment_pairs(
@@ -489,17 +493,17 @@ def minhash_lsh_increment_pairs(
     sig_i = _minhash_signatures_hashed(shl_i, num_hashes)
 
     def buckets(sig: DataFrame, out_id: str) -> DataFrame:
-        band_hashes = F.array(
-            *[
-                F.expr(
-                    f"xxhash64({b}, "
-                    + ", ".join(
-                        f"mh[{b * rows_per_band + j}]" for j in range(rows_per_band)
-                    )
-                    + ")"
+        band_hashes = F.expr(
+            "array("
+            + ", ".join(
+                f"xxhash64({b}, "
+                + ", ".join(
+                    f"mh[{b * rows_per_band + j}]" for j in range(rows_per_band)
                 )
+                + ")"
                 for b in range(bands)
-            ]
+            )
+            + ")"
         )
         return sig.select(
             F.col("doc_id").alias(out_id),
