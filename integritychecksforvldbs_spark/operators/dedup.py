@@ -724,25 +724,40 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 
-def _dot(a: str, b: str) -> Column:
-    """Strict left-to-right double-precision fold — the same summation
-    order DuckDB's list_reduce uses, so cross-engine values are
-    bitwise equal."""
+def _dot_expr(a: str, b: str) -> Column:
+    """The SEMANTIC REFERENCE dot: strict left-to-right double fold —
+    the same summation order DuckDB's list_reduce uses, so
+    cross-engine values are bitwise equal.  veccompute.pair_dot is the
+    bit-identical vectorized twin (parity pinned by
+    tests/test_veccompute.py); see :func:`_dot` for why the expression
+    form stays the production path for pair scoring."""
     return F.expr(
         f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
         "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     )
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn(
-        "norm",
-        F.sqrt(
-            F.expr(
-                f"aggregate(CAST({vec_col} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x)"
-            )
-        ),
+def _norm_expr(vec_col: str) -> Column:
+    """Reference norm² fold (see :func:`_dot_expr`)."""
+    return F.expr(
+        f"aggregate(CAST({vec_col} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x)"
     )
+
+
+def _dot(a: str, b: str) -> Column:
+    """The production dot IS the expression fold: an Arrow pandas-UDF
+    twin (veccompute.pair_dot, bit-identical) was A/B-measured SLOWER
+    on every pair-scoring path — per-pair dims are small (~64), so the
+    Python-boundary round trip + per-row Arrow conversion exceeds the
+    interpreted-lambda cost (ann_topk_prefiltered 0.50s expr vs 2.18s
+    UDF; dedup_embedding_both 1.26 vs 2.76 same-session min-of-4).
+    The kernels win only where per-row fold work is ~n_tables×n_bits
+    larger — the SRP bucket/IVF cell assignments use them."""
+    return _dot_expr(a, b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_norm_expr(vec_col)))
 
 
 # Above this corpus size the vectorized all-pairs kernel would collect
@@ -1122,19 +1137,17 @@ def _lsh_candidate_pairs(
     out to ``n_tables`` rows, and the self-join is equi on
     (table, bucket) — only same-bucket rows ever meet, so the shuffle
     carries (id, table, bucket) triples, never vectors."""
-    from integritychecksforvldbs_spark.operators.similarity import (
-        _bucket_expr,
-        srp_planes,
+    from integritychecksforvldbs_spark.functions.veccompute import (
+        srp_bucket_array,
     )
+    from integritychecksforvldbs_spark.operators.similarity import srp_planes
 
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                _bucket_expr("v", srp_planes(dim, n_bits, seed=seed + t)).alias("b"),
-            )
-            for t in range(n_tables)
-        ]
+    # all n_tables bucket ids in ONE vectorized kernel pass (the
+    # per-plane aggregate/zip_with lambdas are interpreted — n_tables ×
+    # n_bits × dim interpreted steps per vector; bit-identical parity
+    # pinned by tests/test_veccompute.py)
+    buckets = srp_bucket_array(
+        "v", [srp_planes(dim, n_bits, seed=seed + t) for t in range(n_tables)]
     )
     # both sides of the self-join consume the bucket frame: without a
     # persist the SRP signature computation (n_tables × n_bits dot
@@ -1142,8 +1155,8 @@ def _lsh_candidate_pairs(
     # minhash/simhash signature frames have (ContextCleaner reclaims
     # the blocks; the returned frame still depends on them, so no
     # eager unpersist)
-    keyed = nd.select("id", F.explode(buckets).alias("tb")).select(
-        "id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    keyed = nd.select(
+        "id", F.posexplode(buckets).alias("t", "b")
     ).persist()
     a = keyed.select(F.col("id").alias("vec_id_a"), "t", "b")
     b = keyed.select(F.col("id").alias("vec_id_b"), "t", "b")

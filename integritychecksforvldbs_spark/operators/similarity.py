@@ -171,6 +171,15 @@ def _array_sql(xs: list[float]) -> str:
     return "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + ")"
 
 
+def _argmax_cell_vec(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Vectorized twin of :func:`_cell_expr` (bit-identical folds and
+    first-position tie behavior — tests/test_veccompute.py); the
+    expression form stays as the semantic reference."""
+    from integritychecksforvldbs_spark.functions.veccompute import argmax_cell
+
+    return argmax_cell(vec_col, centroids)
+
+
 def _neighbors_within_hamming(bucket: int, n_bits: int, h: int) -> list[int]:
     """All bucket ids within hamming distance ≤ h (multi-probe set)."""
     out = {bucket}
@@ -249,7 +258,7 @@ def ivf_ann_topk(
         "vec_id",
         F.col("embedding").alias("cv"),
         F.col("norm").alias("cn"),
-        _cell_expr("embedding", centroids).alias("cell"),
+        _argmax_cell_vec("embedding", centroids).alias("cell"),
     )
     q_rows = (
         with_norm(queries).filter(F.col("embedding").isNotNull()).collect()
@@ -322,17 +331,22 @@ def srp_ann_topk(
 
     c = with_norm(corpus)
     q = with_norm(queries)
-    bucket_cols_c = []
-    bucket_cols_q = []
-    for t in range(n_tables):
-        planes = srp_planes(dim, n_planes, seed + t)
-        bucket_cols_c.append(_bucket_expr("embedding", planes))
-        bucket_cols_q.append(_bucket_expr("embedding", planes))
+    from integritychecksforvldbs_spark.functions.veccompute import (
+        srp_bucket_array,
+    )
+
+    tables = [srp_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+    # corpus side: all n_tables buckets in one vectorized kernel pass
+    # (the per-plane expression form stays on the ≤|queries| driver
+    # rows below; bit-identical — tests/test_veccompute.py)
+    bucket_cols_q = [_bucket_expr("embedding", p) for p in tables]
     c = c.select(
         "vec_id",
         F.col("embedding").alias("cv"),
         F.col("norm").alias("cn"),
-        F.posexplode(F.array(*bucket_cols_c)).alias("table_id", "bucket"),
+        F.posexplode(srp_bucket_array("embedding", tables)).alias(
+            "table_id", "bucket"
+        ),
     )
     q_rows = q.select(
         "query_id",
@@ -398,7 +412,7 @@ def ivf_write_partitioned(
     centroids = kmeans_centroids(corpus, k=n_cells, seed=seed)
     spark = corpus.sparkSession
     (
-        corpus.withColumn("cell", _cell_expr("embedding", centroids))
+        corpus.withColumn("cell", _argmax_cell_vec("embedding", centroids))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -839,7 +853,7 @@ def ivf_pq_write(
     spark = corpus.sparkSession
     (
         pq_encode(corpus, books)
-        .withColumn("cell", _cell_expr("embedding", centroids))
+        .withColumn("cell", _argmax_cell_vec("embedding", centroids))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
