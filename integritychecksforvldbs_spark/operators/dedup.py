@@ -1229,6 +1229,52 @@ def cosine_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _fuzzy_pairs_deletion1(base: DataFrame) -> DataFrame:
+    """ed ≤ 1 pairs from ``(id, s, l)`` via the single-deletion
+    neighborhood: explode {s} ∪ del(s, i), equi-join on the variant,
+    length-band filter, exact levenshtein verification.  See the
+    dispatch comment in :func:`fuzzy_dup_pairs`."""
+    variants = base.select(
+        "id",
+        "l",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(s), CASE WHEN l >= 1 THEN "
+                "transform(sequence(1, l), i -> "
+                "concat(substring(s, 1, i - 1), substring(s, i + 1, l))) "
+                "ELSE array() END))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("l").alias("l_a"), "v"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("l").alias("l_b"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("l_a") - F.col("l_b")) <= 1)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sv = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    tv = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sv, "id_a")
+        .join(tv, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("levenshtein(s_a, s_b)").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
 def fuzzy_dup_pairs(
     df: DataFrame,
     string_col: str = "title",
@@ -1265,6 +1311,20 @@ def fuzzy_dup_pairs(
     base = df.select(
         F.col(id_col).alias("id"), s_norm.alias("s"), F.length(s_norm).alias("l")
     )
+    if d == 1:
+        # deletion-neighborhood candidates (FastSS / SymSpell): ed(a,b) ≤ 1
+        # guarantees a common member between {a} ∪ single-deletions(a)
+        # and the same for b (substitution: delete the differing
+        # position from both; insert/delete: the shorter string IS a
+        # deletion of the longer) — so the equi-join on the variant
+        # misses no true pair, and the levenshtein verification below
+        # keeps the result exactly equal to the q-gram path.  The win:
+        # variant keys are near-unique strings, so the join fans out
+        # ∝ true matches — the q-gram path's (gram, occ) join explodes
+        # quadratically on hot grams ('er ', 'ow ' in 30% of titles:
+        # 33.7M joined rows for 5.2k titles at sf0.1).  Neighborhood
+        # size is l+1 per string — linear scan, linear shuffle.
+        return _fuzzy_pairs_deletion1(base)
     short_cut = q * (d + 1) - 1  # longer side ≤ this → bound is vacuous
 
     # -- q-gram candidate path (both sides long enough for the bound)

@@ -90,3 +90,36 @@ def test_fuzzy_pairs_matches_duckdb(spark, duck):
     )
     b = sorted(duck.execute(dedup.fuzzy_dup_oracle("fuzzy_t")).fetchall())
     assert a == b
+
+
+def test_fuzzy_deletion_path_equals_qgram_path(spark):
+    """d=1 dispatches to the deletion-neighborhood candidates; the
+    q-gram blocked path (still the d>1 engine) must produce the exact
+    same verified pair set on the same input."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 18))),
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, title string")
+    fast = sorted(
+        tuple(r) for r in dedup.fuzzy_dup_pairs(df, max_dist=1).collect()
+    )
+    s_norm = F.lower(F.trim(F.col("title")))
+    base = df.select(
+        F.col("doc_id").alias("id"), s_norm.alias("s"), F.length(s_norm).alias("l")
+    )
+    assert fast == sorted(
+        tuple(r) for r in dedup._fuzzy_pairs_deletion1(base).collect()
+    )
+    # cross-check against the q-gram engine by asking for d=2 and
+    # post-filtering to d<=1: supersets must agree on the d=1 slice
+    qgram_d2 = dedup.fuzzy_dup_pairs(df, max_dist=2).filter(F.col("dist") <= 1)
+    assert fast == sorted(tuple(r) for r in qgram_d2.collect())
