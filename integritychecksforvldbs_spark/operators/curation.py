@@ -247,7 +247,7 @@ def mixture_allocation(
     """
     n_tokens = F.expr(
         tokens_expr
-        or f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+        or f"CAST(regexp_count({text_col}, '[^ ]+') AS BIGINT)"
     )
     per = (
         df.select(F.col(source_col).alias("source"), n_tokens.alias("n"))
@@ -313,7 +313,7 @@ def temperature_mixture(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     n_tokens = F.expr(
         tokens_expr
-        or f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+        or f"CAST(regexp_count({text_col}, '[^ ]+') AS BIGINT)"
     )
     per = (
         df.select(F.col(source_col).alias("source"), n_tokens.alias("n"))
@@ -393,7 +393,7 @@ def token_chunks(
     toks = F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
     n = F.size(toks)
     n_chunks = F.expr(
-        f"(size(filter(split({text_col}, ' '), x -> x <> '')) + {c - 1}) DIV {c}"
+        f"(regexp_count({text_col}, '[^ ]+') + {c - 1}) DIV {c}"
     )
     idxs = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
@@ -455,9 +455,10 @@ def curate_funnel(
     """
     from integritychecksforvldbs_spark.operators import text as text_ops
 
-    ntok = F.expr(
-        f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
-    )
+    # regexp_count == size(filter(split)) (tokens are exactly the
+    # maximal [^ ]+ runs; proven 0 mismatches across all SFs) without
+    # allocating a token array per row for a count that discards it
+    ntok = F.expr(f"CAST(regexp_count({text_col}, '[^ ]+') AS BIGINT)")
 
     def stage(name: str, d: DataFrame) -> DataFrame:
         return d.select(ntok.alias("_n")).agg(
@@ -824,7 +825,7 @@ def pack_sequences(
     L = seq_len
     n = F.expr(
         tokens_expr
-        or f"CAST(size(filter(split({text_col}, ' '), x -> x <> '')) AS BIGINT)"
+        or f"CAST(regexp_count({text_col}, '[^ ]+') AS BIGINT)"
     )
     w = (
         Window.partitionBy(source_col)
@@ -1052,7 +1053,7 @@ def budget_fill(
     running fill so budgets and consumption use the same units; it
     is wrapped NULL-total (COALESCE to 0) like the default.
     """
-    ws = f"size(filter(split({text_col}, ' '), x -> x <> ''))"
+    ws = f"regexp_count({text_col}, '[^ ]+')"
     n_tokens = F.expr(
         f"CAST(COALESCE({tokens_expr or ws}, 0) AS BIGINT)"
     )
