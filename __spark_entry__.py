@@ -4426,19 +4426,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             index_mark
         ) < os.path.getmtime(mirror_mark):
             bloomskip.build_bloom_index(spark, path, "o_orderkey")
-        out_df: DataFrame | None = None
-        for key in (2, 7, 33, 1000):
-            part = bloomskip.bloom_read(spark, path, "o_orderkey", key).select(
-                "o_orderkey",
-                "o_custkey",
-                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
-                    "total_cents"
-                ),
-                "o_orderpriority",
-            )
-            out_df = part if out_df is None else out_df.unionByName(part)
-        assert out_df is not None
-        return out_df
+        # batched probe: one listing + one index read + one probe-hash
+        # job for all four keys — same union of per-key pruned scans
+        # (bloom_read in a loop paid ~5 driver round-trips per key)
+        return bloomskip.bloom_read_many(
+            spark, path, "o_orderkey", [2, 7, 33, 1000]
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "total_cents"
+            ),
+            "o_orderpriority",
+        )
 
     out["bloom_pruned_scan"] = _q_bloom_pruned
 

@@ -99,13 +99,23 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, *paths: str) -> DataFrame:
-    """``spark.read.parquet`` with transparent ns/NTZ timestamp handling."""
+def load_table(
+    spark: SparkSession, *paths: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """``spark.read.parquet`` with transparent ns/NTZ timestamp handling.
+
+    ``schema``: optional caller-known read schema (e.g. reusing the
+    source table's when re-reading a pruned file subset) — skips
+    footer inference; only honored on the plain (non-nanos) branch,
+    where the parquet read with an explicit schema is byte-identical
+    to the inferred one."""
     try:
         ns_cols = _nanos_columns(paths[0])
     except Exception:
         ns_cols = []
     if not ns_cols:
+        if schema is not None:
+            return normalize_ntz(spark.read.schema(schema).parquet(*paths))
         return normalize_ntz(_read_parquet(spark, *paths))
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -103,3 +103,25 @@ def test_bloom_prune_collects_paths_never_bitsets(
 def test_bloom_read_semijoin_no_false_negatives(spark, clustered):
     got = bloomskip.bloom_read(spark, clustered, "k", 4242)
     assert [tuple(r) for r in got.collect()] == [(4242, 4242 % 97)]
+
+
+def test_bloom_read_many_equals_loop(spark, clustered):
+    """The batched probe must return exactly the union of per-value
+    bloom_read results (present keys, absent keys, and an empty
+    batch)."""
+    keys = [4242, 7, 10**9, 123]
+    batched = sorted(
+        tuple(r)
+        for r in bloomskip.bloom_read_many(
+            spark, clustered, "k", keys
+        ).collect()
+    )
+    loop = []
+    for key in keys:
+        loop.extend(
+            tuple(r)
+            for r in bloomskip.bloom_read(spark, clustered, "k", key).collect()
+        )
+    assert batched == sorted(loop)
+    empty = bloomskip.bloom_read_many(spark, clustered, "k", [])
+    assert empty.count() == 0
