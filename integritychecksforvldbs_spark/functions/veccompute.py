@@ -124,6 +124,56 @@ def srp_bucket_array(vec_col: str | Column, planes_tables: list[list[list[float]
     return _buckets(vec_col)
 
 
+def pq_codes(vec_col: str | Column, books: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace argmin-L2 centroid ids over the
+    row-normalized vector — the vectorized twin of similarity's
+    ``_pq_code_expr`` over its ``__nv`` normalization (m·k interpreted
+    folds per vector otherwise).  Exact reproduction: norm² as the
+    multiply-accumulate fold, per-element ``x / max(norm, 1e-12)``,
+    per-centroid ``(x-y)²`` folds in dimension order, first-position
+    argmin (NaN dists sort above every double in Spark's array_min, so
+    they are replaced with +inf before argmin); a NULL/ragged vector
+    yields the expression's array of m NULLs."""
+    B = [np.asarray(b, dtype=np.float64) for b in books]  # (k, d) each
+    msub = len(B)
+    d = B[0].shape[1] if msub else 0
+    dim = msub * d
+
+    @F.pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        n = len(v)
+        out: list = [[None] * msub] * n
+        lv = _lens(v)
+        idx = np.nonzero(lv == dim)[0]
+        if len(idx):
+            V = np.stack([np.asarray(v.iloc[i], dtype=np.float64) for i in idx])
+            nacc = np.zeros(len(idx), dtype=np.float64)
+            for j in range(dim):  # exact norm² fold
+                nacc = nacc + V[:, j] * V[:, j]
+            norms = np.maximum(np.sqrt(nacc), 1e-12)
+            NV = V / norms[:, None]  # per-element divide, same as transform
+            codes = np.empty((len(idx), msub), dtype=np.int32)
+            for j, book in enumerate(B):
+                k = book.shape[0]
+                dists = np.empty((len(idx), k), dtype=np.float64)
+                S = NV[:, j * d : (j + 1) * d]
+                for c in range(k):
+                    acc = np.zeros(len(idx), dtype=np.float64)
+                    for t in range(d):  # exact (x-y)² fold order
+                        diff = S[:, t] - book[c, t]
+                        acc = acc + diff * diff
+                    dists[:, c] = acc
+                dists = np.where(np.isnan(dists), np.inf, dists)
+                codes[:, j] = np.argmin(dists, axis=1).astype(np.int32)
+            rows = list(out)
+            for pos, i in enumerate(idx):
+                rows[i] = codes[pos].tolist()
+            out = rows
+        return pd.Series(out)
+
+    return _codes(vec_col)
+
+
 def argmax_cell(vec_col: str | Column, centroids: list[list[float]]) -> Column:
     """1-based id of the max-dot centroid — exactly
     ``array_position(array(dots...), array_max(array(dots...)))`` with

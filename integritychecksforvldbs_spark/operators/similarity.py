@@ -722,22 +722,12 @@ def pq_encode(
     float32; 64-dim → 8 bytes/vector at m=8, k=16).  This is the
     persisted artifact: at 100 TB the float column stays cold and only
     candidate rows are ever fetched for re-rank."""
-    norm = (
-        f"sqrt(aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
-        f"CAST({vec_col} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
-        f"(acc, x) -> acc + x))"
-    )
-    return (
-        corpus.withColumn(
-            "__nv",
-            F.expr(
-                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
-                f"x -> x / greatest({norm}, 1e-12d))"
-            ),
-        )
-        .withColumn(code_col, _pq_code_expr("__nv", books))
-        .drop("__nv")
-    )
+    from integritychecksforvldbs_spark.functions.veccompute import pq_codes
+
+    # one vectorized kernel pass replaces the m·k interpreted
+    # (x-y)² folds per vector (and the ~20 KB dists SQL the expression
+    # form parsed per call); parity pinned by tests/test_veccompute.py
+    return corpus.withColumn(code_col, pq_codes(vec_col, books))
 
 
 def pq_ann_topk(

@@ -113,3 +113,46 @@ def test_argmax_cell_bit_equal_and_ties(spark):
     ).collect()
     for r in out:
         assert r["e"] == r["k"], r
+
+
+def test_pq_codes_bit_equal(spark):
+    """Kernel PQ codes == the expression path (__nv normalization +
+    _pq_code_expr) including NULL vectors and first-position ties."""
+    from integritychecksforvldbs_spark.functions.veccompute import pq_codes
+    from integritychecksforvldbs_spark.operators.similarity import (
+        _pq_code_expr,
+        pq_train,
+    )
+
+    dim, m = 16, 4
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(256)
+    ]
+    rows.append((9001, None))
+    rows.append((9002, [0.0] * dim))  # zero vector: norm floor + ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, m=m, k=8, sample=128)
+    norm = (
+        "sqrt(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
+        "(acc, x) -> acc + x))"
+    )
+    ref = (
+        df.withColumn(
+            "__nv",
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+                f"x -> x / greatest({norm}, 1e-12d))"
+            ),
+        )
+        .select("vec_id", _pq_code_expr("__nv", books).alias("e"))
+    )
+    got = df.select("vec_id", pq_codes("embedding", books).alias("k"))
+    e = {r["vec_id"]: r["e"] for r in ref.collect()}
+    g = {r["vec_id"]: r["k"] for r in got.collect()}
+    assert e.keys() == g.keys()
+    for vid in e:
+        assert list(e[vid] or []) == [
+            x for x in (g[vid] or [])
+        ] or e[vid] == g[vid], (vid, e[vid], g[vid])
