@@ -212,9 +212,75 @@ FROM {table}
 # document fingerprints
 # ---------------------------------------------------------------------------
 
+def _fingerprint_vectorized(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame | None:
+    """The document hash as a NumPy mapInPandas kernel — exact integer
+    math, identical to the expression fold by algebra: the left fold
+    h_i = (h_{i-1}·b + c_i) mod m equals Σ c_i·b^{n-i} mod m, computed
+    with precomputed powers of b mod m and chunked modular sums (every
+    intermediate < 2^63: codes < 2^21, powers < 2^30, ≤4096-term
+    partial sums).  Code points via utf-32 decode =
+    ``ascii(substring(t, i, 1))`` (the CDC-chunk kernel's proven
+    equivalence).  The expression path stays as the semantic
+    reference; non-bigint ids fall back (None)."""
+    if dict(df.dtypes).get(id_col) != "bigint":
+        return None
+    from integritychecksforvldbs_spark.functions.planutil import fan_out
+
+    b_, m = FP_BASE, FP_MOD
+    base = fan_out(
+        df.filter(F.expr(f"length({text_col}) > 0")).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        )
+    )
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        pows = np.array([1], dtype=np.int64)  # b^0 .. grown per batch
+
+        def grow(n: int):
+            nonlocal pows
+            if len(pows) >= n:
+                return
+            cur = pows.tolist()
+            last = cur[-1]
+            while len(cur) < n:
+                last = (last * b_) % m
+                cur.append(last)
+            pows = np.array(cur, dtype=np.int64)
+
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["_text"]):
+                codes = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                grow(n)
+                terms = codes * pows[:n][::-1]
+                total = 0
+                for s in range(0, n, 4096):
+                    total = (total + int(terms[s : s + 4096].sum())) % m
+                ids.append(doc_id)
+                fps.append(total)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return base.mapInPandas(kernel, "doc_id bigint, fingerprint bigint")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling hash of the whole document:
-    fold (acc·{base} + code(char)) mod {mod} left-to-right."""
+    fold (acc·{base} + code(char)) mod {mod} left-to-right.
+    Dispatches to the vectorized kernel (bit-identical — see
+    :func:`_fingerprint_vectorized`); the expression fold below is the
+    semantic reference and the non-bigint-id fallback (the per-char
+    lambda is interpreted: ~n steps per document)."""
+    fast = _fingerprint_vectorized(df, text_col, id_col)
+    if fast is not None:
+        return fast
     t = text_col
     expr = (
         f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))), "

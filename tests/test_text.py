@@ -233,3 +233,43 @@ def test_strip_markup_matches_duckdb(tables, duck):
     a = sorted(tuple(r) for r in T.strip_markup(tables["documents"]).collect())
     b = sorted(duck.execute(T.strip_markup_oracle()).fetchall())
     assert a == b
+
+
+def test_fingerprint_kernel_equals_expression(spark):
+    """The vectorized fingerprint == the interpreted fold, including
+    unicode, single-char, empty (filtered), NULL (filtered), and a
+    doc longer than the 4096-term modular-sum chunk."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.operators.text import (
+        FP_BASE,
+        FP_MOD,
+        fingerprint,
+    )
+
+    rows = [
+        (1, ""),
+        (2, None),
+        (3, "a"),
+        (4, "héllo wörld é中文 𝄞"),
+        (5, "xyz " * 3000),
+        (6, "The quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = (
+        "aggregate(transform(sequence(1, length(text)), "
+        "i -> ascii(substring(text, i, 1))), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )
+    ref = {
+        r["doc_id"]: r["fp"]
+        for r in df.filter(F.expr("length(text) > 0"))
+        .select("doc_id", F.expr(expr).alias("fp"))
+        .collect()
+    }
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert got == ref
+    # non-bigint ids take the expression fallback, same values
+    df2 = df.withColumn("doc_id", F.col("doc_id").cast("int"))
+    got2 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df2).collect()}
+    assert got2 == ref
