@@ -141,8 +141,14 @@ def _q_checkalloc_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     objs = list_objects(spark, "db", sf_dir)
     files = [(o.object_name, f.path, f.size) for o in objs for f in o.files]
     stats = footer_stats_df(spark, [FileMeta(p, s) for _, p, s in files])
-    mapping = spark.createDataFrame(
-        [(o, p) for o, p, _ in files], "object_name string, path string"
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    mapping = local_relation(
+        spark,
+        [(o, p) for o, p, _ in files],
+        [("object_name", "STRING"), ("path", "STRING")],
     )
     # mapping is one row per data file (path -> object); at any scale it
     # is catalog-metadata-sized, so force the hash build instead of the

@@ -967,9 +967,19 @@ def _cluster_keepers_unionfind(pairs: DataFrame) -> DataFrame | None:
             else:
                 parent[ra] = rb
     out = [(node, find(node)) for node in parent]
-    return pairs.sparkSession.createDataFrame(
-        out, "doc_id bigint, keeper bigint"
-    )
+    spark = pairs.sparkSession
+    if len(out) <= 10_000:
+        # VALUES LocalRelation (no Python-RDD re-evaluation per
+        # action); the big-component case keeps createDataFrame —
+        # megabyte SQL texts are their own pathology
+        from integritychecksforvldbs_spark.functions.planutil import (
+            local_relation,
+        )
+
+        return local_relation(
+            spark, out, [("doc_id", "BIGINT"), ("keeper", "BIGINT")]
+        )
+    return spark.createDataFrame(out, "doc_id bigint, keeper bigint")
 
 
 def duplicate_cluster_keepers(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -1595,10 +1605,19 @@ def pair_set_metrics(
     # round via Spark F.round (HALF_UP, matching DuckDB ROUND) — a
     # Python round() here is banker's rounding and diverges from the
     # oracle on exactly-representable ties (round(1/128, 6))
-    return spark.createDataFrame(
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    return local_relation(
+        spark,
         [(n_p, n_t, tp, fp, fn, prec, rec, f1)],
-        "n_predicted long, n_truth long, tp long, fp long, fn long, "
-        "precision double, recall double, f1 double",
+        [
+            ("n_predicted", "BIGINT"), ("n_truth", "BIGINT"),
+            ("tp", "BIGINT"), ("fp", "BIGINT"), ("fn", "BIGINT"),
+            ("precision", "DOUBLE"), ("recall", "DOUBLE"),
+            ("f1", "DOUBLE"),
+        ],
     ).select(
         "n_predicted", "n_truth", "tp", "fp", "fn",
         F.round("precision", round_to).alias("precision"),

@@ -272,10 +272,19 @@ def ivf_ann_topk(
         # cells are 1-based (array_position)
         for cell in (np.argsort(-sims)[:nprobe] + 1).tolist():
             probe_rows.append((r["query_id"], int(cell)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    qdf = spark.createDataFrame(
-        [(r["query_id"], r["embedding"], r["norm"]) for r in q_rows],
-        "query_id long, qv array<float>, qn double",
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    # VALUES LocalRelations: createDataFrame(list) ships a Python RDD
+    # whose workers re-spin on EVERY action (~0.26 s per frame)
+    probes = local_relation(
+        spark, probe_rows, [("query_id", "BIGINT"), ("cell", "INT")]
+    )
+    qdf = local_relation(
+        spark,
+        [(r["query_id"], list(r["embedding"]), r["norm"]) for r in q_rows],
+        [("query_id", "BIGINT"), ("qv", "ARRAY<FLOAT>"), ("qn", "DOUBLE")],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id")
@@ -361,10 +370,19 @@ def srp_ann_topk(
         for t in range(n_tables)
         for nb in _neighbors_within_hamming(r[f"b{t}"], n_planes, probe_hamming)
     ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, table_id int, bucket int")
-    qdf = spark.createDataFrame(
-        [(r["query_id"], r["qv"], r["qn"]) for r in q_rows],
-        "query_id long, qv array<float>, qn double",
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    probes = local_relation(
+        spark,
+        probe_rows,
+        [("query_id", "BIGINT"), ("table_id", "INT"), ("bucket", "INT")],
+    )
+    qdf = local_relation(
+        spark,
+        [(r["query_id"], list(r["qv"]), r["qn"]) for r in q_rows],
+        [("query_id", "BIGINT"), ("qv", "ARRAY<FLOAT>"), ("qn", "DOUBLE")],
     )
     cands = (
         c.join(F.broadcast(probes), ["table_id", "bucket"])
@@ -462,10 +480,19 @@ def ivf_topk_partition_pruned(
     c = with_norm(corpus).select(
         "vec_id", F.col("embedding").alias("cv"), F.col("norm").alias("cn"), "cell"
     )
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    qdf = spark.createDataFrame(
-        [(r["query_id"], r["embedding"], r["norm"]) for r in q_rows],
-        "query_id long, qv array<float>, qn double",
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    # VALUES LocalRelations: createDataFrame(list) ships a Python RDD
+    # whose workers re-spin on EVERY action (~0.26 s per frame)
+    probes = local_relation(
+        spark, probe_rows, [("query_id", "BIGINT"), ("cell", "INT")]
+    )
+    qdf = local_relation(
+        spark,
+        [(r["query_id"], list(r["embedding"]), r["norm"]) for r in q_rows],
+        [("query_id", "BIGINT"), ("qv", "ARRAY<FLOAT>"), ("qn", "DOUBLE")],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id")
@@ -773,8 +800,14 @@ def pq_ann_topk(
             for j, book in enumerate(books)
         ]
         lut_rows.append((r["query_id"], lut))
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>"
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    luts = local_relation(
+        spark,
+        lut_rows,
+        [("query_id", "BIGINT"), ("lut", "ARRAY<ARRAY<DOUBLE>>")],
     )
 
     adc = (
@@ -917,9 +950,17 @@ def ivf_pq_topk(
     pruned = spark.read.parquet(path).filter(
         F.col("cell").isin(sorted(probed_cells))
     )
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>"
+    from integritychecksforvldbs_spark.functions.planutil import (
+        local_relation,
+    )
+
+    probes = local_relation(
+        spark, probe_rows, [("query_id", "BIGINT"), ("cell", "INT")]
+    )
+    luts = local_relation(
+        spark,
+        lut_rows,
+        [("query_id", "BIGINT"), ("lut", "ARRAY<ARRAY<DOUBLE>>")],
     )
     adc = (
         f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc + "
@@ -941,9 +982,10 @@ def ivf_pq_topk(
     c = with_norm(pruned.select("vec_id", "embedding")).select(
         "vec_id", F.col("embedding").alias("cv"), F.col("norm").alias("cn")
     )
-    qdf = spark.createDataFrame(
-        [(r["query_id"], r["embedding"], r["norm"]) for r in q_rows],
-        "query_id long, qv array<float>, qn double",
+    qdf = local_relation(
+        spark,
+        [(r["query_id"], list(r["embedding"]), r["norm"]) for r in q_rows],
+        [("query_id", "BIGINT"), ("qv", "ARRAY<FLOAT>"), ("qn", "DOUBLE")],
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id")

@@ -365,7 +365,25 @@ def footer_stats_df(spark: SparkSession, files: list[FileMeta]) -> DataFrame:
         return spark.createDataFrame([], FOOTER_SCHEMA)
     pairs = [(f.path, f.size) for f in files]
     if len(pairs) <= DRIVER_SIDE_FOOTER_LIMIT:
-        return spark.createDataFrame([_read_footer(p) for p in pairs], FOOTER_SCHEMA)
+        from integritychecksforvldbs_spark.functions.planutil import (
+            local_relation,
+        )
+
+        # a VALUES LocalRelation, not createDataFrame(list): the
+        # Python-RDD route re-spins Python workers on every action
+        return local_relation(
+            spark,
+            [tuple(r) for r in (_read_footer(p) for p in pairs)],
+            [
+                ("path", "STRING"),
+                ("size", "BIGINT"),
+                ("footer_row_count", "BIGINT"),
+                ("num_row_groups", "INT"),
+                ("n_columns", "INT"),
+                ("footer_ok", "BOOLEAN"),
+                ("error", "STRING"),
+            ],
+        )
     slices = min(len(pairs), spark.sparkContext.defaultParallelism * 2)
     rows = spark.sparkContext.parallelize(pairs, slices).map(_read_footer)
     return spark.createDataFrame(rows, FOOTER_SCHEMA)
