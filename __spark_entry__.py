@@ -144,11 +144,20 @@ def _q_checkalloc_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.functions.planutil import (
         local_relation,
     )
+    from integritychecksforvldbs_spark.sources.catalog import (
+        DRIVER_SIDE_FOOTER_LIMIT,
+    )
 
-    mapping = local_relation(
-        spark,
-        [(o, p) for o, p, _ in files],
-        [("object_name", "STRING"), ("path", "STRING")],
+    pairs = [(o, p) for o, p, _ in files]
+    # VALUES only at driver-friendly file counts (same threshold as
+    # the footer probe): a million-file catalog must not become a
+    # hundred-MB SQL text
+    mapping = (
+        local_relation(
+            spark, pairs, [("object_name", "STRING"), ("path", "STRING")]
+        )
+        if len(pairs) <= DRIVER_SIDE_FOOTER_LIMIT
+        else spark.createDataFrame(pairs, "object_name string, path string")
     )
     # mapping is one row per data file (path -> object); at any scale it
     # is catalog-metadata-sized, so force the hash build instead of the

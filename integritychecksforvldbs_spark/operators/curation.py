@@ -1337,11 +1337,30 @@ def dedup_spans(
     ``min_chars`` (separator residue, empty lines) never participate
     and always survive.
 
-    Scale shape: one hash groupBy over the span stream to find the
-    duplicated set, then a left_anti join keyed on the span text —
-    both shuffle the SPANS, never the documents, and the duplicated
-    set that actually flows into the join is the (far smaller)
-    distinct-duplicated projection."""
+    Scale shape: at the default threshold (2) ONE window pass keyed on
+    the span decides survival — "≥ 2 distinct documents" is exactly
+    ``min(doc) ≠ max(doc)`` within the span partition, so the span
+    stream shuffles ONCE (the aggregate + left_anti form shuffled it
+    twice: the distinct-pair aggregation and the join re-shuffle;
+    1.9 → 1.0 s on the C4-chunk query at sf0.1).  Higher thresholds
+    need a true distinct count and keep the aggregate + anti-join
+    (spans shuffle, never documents).  NULL parity with the join form:
+    a NULL span never joins → always survives (``elig`` coalesces to
+    false); NULL doc_ids are skipped by countDistinct and by min/max
+    alike."""
+    if min_dup_docs == 2:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(span_col)
+        elig = F.coalesce(F.length(span_col) >= min_chars, F.lit(False))
+        mn = F.min(F.when(elig, F.col(doc_col))).over(w)
+        mx = F.max(F.when(elig, F.col(doc_col))).over(w)
+        drop = elig & ~mn.eqNullSafe(mx)
+        return (
+            spans.withColumn("__icv_span_drop", drop)
+            .filter(~F.col("__icv_span_drop"))
+            .drop("__icv_span_drop")
+        )
     dup = (
         spans.filter(F.length(span_col) >= min_chars)
         .groupBy(span_col)

@@ -156,3 +156,48 @@ def test_temperature_mixture_rejects_nonpositive_t(tables):
 
     with _pytest.raises(ValueError, match="temperature"):
         curation.temperature_mixture(tables["documents"], temperature=0.0)
+
+
+def test_dedup_spans_window_equals_antijoin(spark):
+    """min_dup_docs=2 dispatches to the one-window form; it must equal
+    the aggregate+anti-join engine (still used for other thresholds)
+    on NULL spans, NULL doc_ids, short spans, and within-doc repeats."""
+    from pyspark.sql import functions as F
+
+    from integritychecksforvldbs_spark.operators.curation import dedup_spans
+
+    rows = [
+        (1, "alpha beta"), (2, "alpha beta"),          # cross-doc dup
+        (3, "gamma"), (3, "gamma"),                     # same-doc repeat
+        (4, None), (5, None),                           # NULL spans
+        (None, "delta"), (6, "delta"),                  # NULL doc id
+        (7, ""), (8, ""),                               # short (min_chars)
+        (9, "unique one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_text string")
+    key = lambda t: (t[0] is None, t[0], t[1] is None, t[1])
+    fast = sorted(
+        (
+            (r["doc_id"], r["chunk_text"])
+            for r in dedup_spans(df, min_dup_docs=2).collect()
+        ),
+        key=key,
+    )
+    # force the anti-join engine via an equivalent threshold-3 call on
+    # a frame where every dup span is tripled: simpler — rebuild the
+    # reference inline
+    dup = (
+        df.filter(F.length("chunk_text") >= 1)
+        .groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk_text")
+    )
+    ref = sorted(
+        (
+            (r["doc_id"], r["chunk_text"])
+            for r in df.join(dup, on="chunk_text", how="left_anti").collect()
+        ),
+        key=key,
+    )
+    assert fast == ref
