@@ -200,7 +200,7 @@ def test_pruned_equals_unpruned(spark, tmp_path):
     import unittest.mock as mock
 
     with mock.patch.object(
-        versioned, "_dml_candidates", lambda man, cond: None
+        versioned, "_dml_candidates", lambda man, cond, **kw: None
     ):
         versioned.delete_where(spark, b, "k >= 150 and k <= 420")
     ra = sorted(tuple(r) for r in versioned.read(spark, a).collect())
