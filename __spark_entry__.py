@@ -4200,10 +4200,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head; the row re-registers below the cap)
     del out["text_rarity_repetition"]
     out["versioned_sql_subquery_in"] = _q_versioned_sql_subquery_in
-
-    # ================= past the 50-row driver cap =================
+    # r14 rotation (VERDICT r13 #1): the two rows the r13 gates
+    # displaced return to the head so the driver re-verifies them —
+    # rarity's plan changed in r13 (1083348, aggregate-early rewrite)
+    # while it sat outside the verified window.  The now-proven
+    # in_prune/subquery_in gates rotate below the cap; the
+    # versioned-SQL family stays head-gated by versioned_sql_star_prune
+    # (the N-join binder subsumes both the single-IN and subquery-IN
+    # machinery it was built on).
+    del out["versioned_sql_in_prune"]
+    del out["versioned_sql_subquery_in"]
     out["events_incident_counts"] = _q_incident_counts
     out["text_rarity_repetition"] = _q_text_rarity_repetition
+
+    # ================= past the 50-row driver cap =================
+    out["versioned_sql_in_prune"] = _q_versioned_sql_in_prune
+    out["versioned_sql_subquery_in"] = _q_versioned_sql_subquery_in
     # r13 #2: OR-union (anti-range) pruning — below the cap, the
     # versioned-SQL family is gated in the head by star_prune +
     # subquery_in + in_prune
@@ -4475,11 +4487,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _q_pair_metrics(spark: SparkSession, sf: str) -> DataFrame:
         docs = _docs_with_half_copies(spark, sf)
-        pred = dedup.ngram_containment_pairs(docs, threshold=0.8).select(
+        # both tiers are arithmetic over the SAME intersection/
+        # cardinality counts — one persisted pair_scores frame runs the
+        # quadratic enumeration once instead of per tier (the two
+        # results are unchanged: containment_from_scores /
+        # jaccard_from_scores are the tiers' own score expressions)
+        scores = dedup.pair_scores(
+            dedup.hashed_shingles(docs, reuse=True)
+        ).persist()
+        pred = dedup.containment_from_scores(scores, 0.8).select(
             F.col("src_doc_id").alias("doc_id_a"),
             F.col("dst_doc_id").alias("doc_id_b"),
         )
-        truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        truth = dedup.jaccard_from_scores(scores, 0.5)
         return dedup.pair_set_metrics(pred, truth)
 
     out["dedup_pair_metrics"] = _q_pair_metrics

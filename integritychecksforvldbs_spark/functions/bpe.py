@@ -32,6 +32,7 @@ across runs, partition counts, and engines.
 from __future__ import annotations
 
 from collections import Counter, defaultdict
+from typing import Iterator
 
 import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import DataFrame, SparkSession
@@ -208,9 +209,31 @@ def register_bpe_count(
     bc = spark.sparkContext.broadcast(merge_ranks(merges))
 
     @pandas_udf("long")
-    def _count(texts: pd.Series) -> pd.Series:
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Iterator form so the per-word piece-count memo lives once per
+        # TASK (guide §4.5): bpe_encode is pure per word, and corpus
+        # word frequency is Zipfian, so the distinct-word working set
+        # is vocabulary-sized (Heaps' law) while the merge loop is the
+        # per-word cost — memoizing it turns O(total words) encode
+        # loops into O(distinct words).  Results are unchanged by
+        # construction (same bpe_encode, same ranks).
         r = bc.value
-        return texts.map(lambda t: bpe_count(t, r))
+        memo: dict[str, int] = {}
+
+        def doc_count(t: str | None) -> int:
+            if t is None:
+                return 0
+            total = 0
+            for w in t.lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(bpe_encode(w, r))
+                    memo[w] = c
+                total += c
+            return total
+
+        for texts in batches:
+            yield texts.map(doc_count)
 
     spark.udf.register(name, _count)
     return f"{name}(text)"

@@ -63,13 +63,26 @@ def local_relation(spark, rows, fields: list[tuple[str, str]]) -> DataFrame:
     only (the text is part of the plan)."""
     from pyspark.sql import functions as F
 
+    import math
+
     def lit(v) -> str:
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "true" if v else "false"
-        if isinstance(v, (int, float)):
-            return repr(v)  # repr round-trips doubles exactly
+        if isinstance(v, int):
+            return repr(v)
+        if isinstance(v, float):
+            # bare nan/inf tokens parse as column references and fail
+            # analysis; the string forms cast exactly (a NaN embedding
+            # norm is a realistic corrupt-vector sentinel)
+            if math.isnan(v):
+                return "'NaN'"
+            if math.isinf(v):
+                return "'Infinity'" if v > 0 else "'-Infinity'"
+            return repr(v)  # repr round-trips finite doubles exactly
+        if type(v).__module__ == "numpy" and hasattr(v, "item"):
+            return lit(v.item())  # numpy scalar → python scalar
         if isinstance(v, (list, tuple)):
             return "ARRAY(" + ", ".join(lit(x) for x in v) + ")"
         s = str(v).replace("\\", "\\\\").replace("'", "\\'")

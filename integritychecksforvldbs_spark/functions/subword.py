@@ -28,6 +28,8 @@ Scale shape:
 
 from __future__ import annotations
 
+from typing import Iterator  # module-level: pandas_udf resolves hints here
+
 import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -202,9 +204,29 @@ def register_wordpiece_count(
     bc = spark.sparkContext.broadcast(frozenset(vocab))
 
     @pandas_udf("long")
-    def _count(texts: pd.Series) -> pd.Series:
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # per-TASK distinct-word memo (guide §4.5) — same move as the
+        # BPE applier: wordpiece_tokenize is pure per word and word
+        # frequency is Zipfian, so memoizing the per-word piece count
+        # turns O(total words) greedy scans into O(distinct words);
+        # results unchanged by construction.
         v = bc.value
-        return texts.map(lambda t: wordpiece_count(t, v, max_piece_len))
+        memo: dict[str, int] = {}
+
+        def doc_count(t: str | None) -> int:
+            if t is None:
+                return 0
+            total = 0
+            for w in t.lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(wordpiece_tokenize(w, v, max_piece_len))
+                    memo[w] = c
+                total += c
+            return total
+
+        for texts in batches:
+            yield texts.map(doc_count)
 
     spark.udf.register(name, _count)
     return f"{name}(text)"

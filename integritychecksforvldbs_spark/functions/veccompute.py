@@ -17,11 +17,19 @@ vectorized native code, but keep the arithmetic identical):
 - Spark orders NaN above every double (``NaN >= 0`` is TRUE), so the
   SRP bit test is ``(dot >= 0) | isnan(dot)``.
 
-Known parity caveat (shared with the cosine kernel in operators.dedup):
-Arrow delivers a NULL *element inside* a float array as NaN, so a
-row like ``[1.0, NULL]`` folds to NaN here where the expression path
-yields NULL.  Indistinguishable post-Arrow; impossible in the
-fixtures; real corpora treat both as corrupt-vector sentinels.
+NULL-element handling (ADVICE r13): Arrow delivers a NULL *element
+inside* a float array as NaN, indistinguishable from a genuine NaN
+value post-conversion — so every kernel pre-nulls such rows JVM-side
+(``exists(v, x -> x IS NULL)``) before the Python boundary.  A vector
+containing a NULL element therefore takes the NULL-row arm, which is
+exactly what the expression path computes for it in pair_dot (NULL
+fold → NULL), SRP (NULL fold → no bit set → bucket 0) and argmax
+(all-NULL dots → NULL position).  For PQ codes the raw expression
+path instead emits an artifact — ``greatest`` skips the NULL norm, so
+unaffected subspaces get codes computed on a 1e-12-normalized vector
+— which this guard normalizes to the corrupt-vector arm (array of m
+NULLs) everywhere the kernel runs; the fixtures contain no NULL
+elements, so no declared result changes.
 """
 
 from __future__ import annotations
@@ -30,6 +38,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def _guarded(vec_col: str | Column) -> Column:
+    """NULL out any array containing a NULL element (cheap codegen'd
+    check relative to the folds the kernels replace) so the Python
+    side never confuses a NULL element with NaN."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.when(F.exists(c, lambda x: x.isNull()), F.lit(None)).otherwise(c)
 
 
 def _lens(s: pd.Series) -> np.ndarray:
@@ -81,14 +97,15 @@ def pair_dot(a: str | Column, b: str | Column) -> Column:
     bit-identical to
     ``aggregate(zip_with(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>),
     (x, y) -> x * y), 0D, (acc, x) -> acc + x)``."""
-    return _pair_dot()(a, b)
+    return _pair_dot()(_guarded(a), _guarded(b))
 
 
 def self_dot(v: str | Column) -> Column:
     """``aggregate(v, 0D, (acc, x) -> acc + x * x)`` — the norm² fold;
     multiply-then-accumulate per element in order, same as pair_dot of
     a column with itself."""
-    return _pair_dot()(v, v)
+    g = _guarded(v)
+    return _pair_dot()(g, g)
 
 
 def srp_bucket_array(vec_col: str | Column, planes_tables: list[list[list[float]]]) -> Column:
@@ -121,7 +138,7 @@ def srp_bucket_array(vec_col: str | Column, planes_tables: list[list[list[float]
                 out[idx, t] = bucket
         return pd.Series([row for row in out])
 
-    return _buckets(vec_col)
+    return _buckets(_guarded(vec_col))
 
 
 def pq_codes(vec_col: str | Column, books: list[list[list[float]]]) -> Column:
@@ -171,7 +188,7 @@ def pq_codes(vec_col: str | Column, books: list[list[list[float]]]) -> Column:
             out = rows
         return pd.Series(out)
 
-    return _codes(vec_col)
+    return _codes(_guarded(vec_col))
 
 
 def argmax_cell(vec_col: str | Column, centroids: list[list[float]]) -> Column:
@@ -203,4 +220,4 @@ def argmax_cell(vec_col: str | Column, centroids: list[list[float]]) -> Column:
             res[idx] = np.argmax(dots, axis=1).astype(np.int32) + 1
         return pd.Series(pd.arrays.IntegerArray(res, nullmask))
 
-    return _cell(vec_col)
+    return _cell(_guarded(vec_col))

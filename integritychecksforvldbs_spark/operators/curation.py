@@ -455,63 +455,85 @@ def curate_funnel(
     """
     from integritychecksforvldbs_spark.operators import text as text_ops
 
+    # §8 discipline (decide with small rows, move heavy bytes never):
+    # every stage row is a (count, token-sum) aggregate over an ID
+    # SET, so the text payload is consumed only where a kernel needs
+    # it (gopher scoring, LSH shingles, decontamination grams) and is
+    # never checkpointed or re-tokenized per stage.  The previous
+    # shape localCheckpoint'ed three corpus-sized frames WITH their
+    # text and ran regexp_count over the text five times — measured
+    # 6.9 s at sf0.1, of which the three eager text materializations
+    # were ~2.5 s; the slim form materializes only id frames (8
+    # bytes/row) and one (doc_id, n_tokens) frame tokenized ONCE.
     # regexp_count == size(filter(split)) (tokens are exactly the
-    # maximal [^ ]+ runs; proven 0 mismatches across all SFs) without
-    # allocating a token array per row for a count that discards it
+    # maximal [^ ]+ runs; proven 0 mismatches across all SFs).
     ntok = F.expr(f"CAST(regexp_count({text_col}, '[^ ]+') AS BIGINT)")
+    meta = df.select(F.col(id_col).alias("doc_id"), ntok.alias("_n")).persist()
 
-    def stage(name: str, d: DataFrame) -> DataFrame:
-        return d.select(ntok.alias("_n")).agg(
+    def stage(name: str, ids: DataFrame | None) -> DataFrame:
+        d = meta if ids is None else meta.join(ids, "doc_id", "left_semi")
+        return d.agg(
             F.lit(name).alias("stage"),
             F.count("*").cast("long").alias("n_docs"),
             F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_tokens"),
         )
 
-    from integritychecksforvldbs_spark.functions.planutil import truncate_lineage
-
+    # Stage id sets are monotone shrinking and metadata-sized; each is
+    # persisted because two consumers branch off it (the next stage's
+    # kernel and this stage's aggregate).  No lineage truncation is
+    # needed any more: the cluster-keeper step bounds its own plan
+    # (VALUES fast path / internally checkpointed propagation), so the
+    # deepest remaining lineage is one kernel chain, not the round-4
+    # 12,848-scan compounding that forced the checkpoints.
     keep_ids = (
         text_ops.gopher_filter(df, text_col, id_col)
         .filter(F.col("keep") == 1)
         .select("doc_id")
+        .persist()
     )
-    # Five stage aggregations branch off this lineage; each stage is
-    # lineage-TRUNCATED (localCheckpoint), not just persisted: persist
-    # alone bounded execution but let the logical plan compound —
-    # round-4 audit showed the funnel's returned frame compiling to a
-    # 12,848-scan plan, with Catalyst paying seconds per action.  The
-    # frames are corpus-sized (MEMORY_AND_DISK blocks, spill at
-    # scale); the ContextCleaner reclaims them once the funnel rows
-    # are consumed.
-    quality = truncate_lineage(df.join(keep_ids, id_col), rebalance=True)
-    survivors = truncate_lineage(
-        dedup.dedup_survivors(
-            quality,
-            pairs=dedup.minhash_lsh_pairs(
-                quality, n=n, threshold=threshold, text_col=text_col, id_col=id_col
-            ),
-            id_col=id_col,
-        ),
-        rebalance=True,
+    quality = df.join(keep_ids, id_col)  # text flows ONLY into the LSH tier
+    pairs = dedup.minhash_lsh_pairs(
+        quality, n=n, threshold=threshold, text_col=text_col, id_col=id_col
     )
+    drops = (
+        dedup.duplicate_cluster_keepers(pairs)
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    # survivors = quality ∖ drops, and drops ⊆ quality ids = keep_ids,
+    # so the survivor ID set needs no second pass over the corpus
+    surv_ids = keep_ids.join(drops, "doc_id", "left_anti").persist()
     # The benchmark set is the IMMUTABLE raw-corpus split — quality
     # filtering or dedup dropping a benchmark doc must not stop its
     # grams from flagging training twins.
     bench = df.filter(F.col(id_col) % benchmark_mod == 0)
-    pool = survivors.filter(F.col(id_col) % benchmark_mod != 0)
+    pool = df.join(surv_ids, id_col, "left_semi").filter(
+        F.col(id_col) % benchmark_mod != 0
+    )
+    # decontaminate scores exactly the pool docs with ≥ n tokens, so
+    # its kept ids ARE the decontaminated stage's id set (benchmark
+    # and short survivors drop out, as the survivors ⋈ clean_ids join
+    # did before)
     clean_ids = (
         decontaminate(pool, n, benchmark_mod, text_col, id_col, benchmark_df=bench)
         .filter(F.col("contaminated") == 0)
         .select("doc_id")
+        .persist()
     )
-    clean = truncate_lineage(survivors.join(clean_ids, id_col), rebalance=True)
-    capped_ids = cap_per_source(clean, cap_k, source_col, id_col).select("doc_id")
-    capped = clean.join(capped_ids, id_col)
+    capped_ids = cap_per_source(
+        df.select(F.col(id_col), F.col(source_col)).join(
+            clean_ids, id_col, "left_semi"
+        ),
+        cap_k,
+        source_col,
+        id_col,
+    ).select("doc_id")
     return (
-        stage("1_raw", df)
-        .unionByName(stage("2_quality", quality))
-        .unionByName(stage("3_dedup", survivors))
-        .unionByName(stage("4_decontaminated", clean))
-        .unionByName(stage("5_capped", capped))
+        stage("1_raw", None)
+        .unionByName(stage("2_quality", keep_ids))
+        .unionByName(stage("3_dedup", surv_ids))
+        .unionByName(stage("4_decontaminated", clean_ids))
+        .unionByName(stage("5_capped", capped_ids))
     )
 
 

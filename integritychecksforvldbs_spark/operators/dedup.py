@@ -223,44 +223,94 @@ def hashed_shingle_arrays(
     )
 
 
-def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
-    """Exact Jaccard over (doc_id_a, doc_id_b) pairs; ``pairs=None`` →
-    all pairs sharing ≥1 shingle (brute force).
+def hashed_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+    reuse: bool = False,
+) -> DataFrame:
+    """:func:`shingles` over HASHED grams: (doc_id, shingle bigint).
 
-    With candidate ``pairs``, the intersection is computed candidates-
-    first — pairs ⋈ shingles(a) ⋈ shingles(b) — so work scales with
-    |candidates|·|shingles per doc|, NOT with the full self-join (a
-    semi-join *after* the self-join would redo the brute-force work
-    LSH exists to avoid).
-    """
+    Set-identical to the string form (equal n-grams hash equal; a
+    cross-gram 64-bit collision is ~1e-15/doc — the same sanctioned
+    substitution the LSH tier and decontamination already run on), so
+    every COUNT derived downstream (pair intersections, cardinalities,
+    frequency cuts) is unchanged, while the self-join + aggregation
+    shuffles move 8-byte longs instead of n-token strings and compare
+    without string walks (guide §2.3 narrower types)."""
+    sharr = hashed_shingle_arrays(df, text_col, id_col, n)
+    if reuse:
+        sharr = sharr.persist()
+    sh = sharr.select("doc_id", F.explode("shl").alias("shingle"))
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+        sh = sh.join(
+            freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi"
+        )
+    return sh
+
+
+def pair_scores(sh: DataFrame) -> DataFrame:
+    """Undirected pair scores from ONE shingle self-join:
+    (doc_id_a, doc_id_b, common, card_a, card_b) for every pair
+    sharing ≥1 shingle, ``doc_id_a < doc_id_b``.
+
+    This is the shared enumeration behind BOTH exact tiers — jaccard
+    and containment are row-local arithmetic over the same
+    intersection/cardinality counts, so a caller that needs both (the
+    pair-metrics gate) computes the quadratic join once and derives
+    the two tiers from a persisted scores frame."""
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    if pairs is not None:
-        joined = (
-            pairs.join(a, "doc_id_a")
-            .join(b, ["doc_id_b", "shingle"])
-        )
-    else:
-        joined = a.join(b, "shingle").filter(F.col("doc_id_a") < F.col("doc_id_b"))
-    common = joined.groupBy("doc_id_a", "doc_id_b").agg(
-        F.count("*").cast("long").alias("common")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("common"))
     )
     card = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("card"))
     ca = card.select(F.col("doc_id").alias("doc_id_a"), F.col("card").alias("card_a"))
     cb = card.select(F.col("doc_id").alias("doc_id_b"), F.col("card").alias("card_b"))
-    return (
-        common.join(ca, "doc_id_a")
-        .join(cb, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (
-                F.col("common")
-                / (F.col("card_a") + F.col("card_b") - F.col("common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return common.join(ca, "doc_id_a").join(cb, "doc_id_b")
+
+
+def jaccard_from_scores(scores: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) from a :func:`pair_scores` frame —
+    the exact arithmetic of :func:`ngram_jaccard_pairs` (bigint/bigint
+    division → bitwise-equal doubles vs the oracle)."""
+    return scores.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("common")
+            / (F.col("card_a") + F.col("card_b") - F.col("common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_from_scores(scores: DataFrame, threshold: float) -> DataFrame:
+    """(src_doc_id, dst_doc_id, containment) from a :func:`pair_scores`
+    frame — both directions emitted row-locally, exactly as
+    :func:`ngram_containment_pairs` does."""
+    both = scores.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id_a").alias("src_doc_id"),
+                    F.col("doc_id_b").alias("dst_doc_id"),
+                    (F.col("common") / F.col("card_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_id_b").alias("src_doc_id"),
+                    F.col("doc_id_a").alias("dst_doc_id"),
+                    (F.col("common") / F.col("card_b")).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return both.filter(F.col("containment") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -271,9 +321,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int | None = None,
 ) -> DataFrame:
-    """Brute-force exact near-dup pairs: (doc_id_a, doc_id_b, jaccard)."""
-    sh = shingles(df, text_col, id_col, n, max_df, reuse=True)
-    return _jaccard_for_pairs(sh, None, threshold)
+    """Brute-force exact near-dup pairs: (doc_id_a, doc_id_b, jaccard).
+
+    The enumeration runs over hashed grams (:func:`hashed_shingles`) —
+    jaccard depends only on intersection/cardinality COUNTS, which the
+    hashing preserves, while the self-join shuffles 8-byte longs
+    instead of n-token strings."""
+    sh = hashed_shingles(df, text_col, id_col, n, max_df, reuse=True)
+    return jaccard_from_scores(pair_scores(sh), threshold)
 
 
 def ngram_jaccard_oracle(
@@ -1491,42 +1546,11 @@ def ngram_containment_pairs(
     One shingle self-join computes each undirected pair's intersection
     ONCE; both directions then emit row-locally (explode of the two
     (src, dst, |src|) orientations) — no second join.  Same
-    ``max_df`` frequency cut as the Jaccard tier bounds fan-out.
+    ``max_df`` frequency cut as the Jaccard tier bounds fan-out, and
+    the same hashed-gram carry (containment is pure count arithmetic).
     """
-    sh = shingles(df, text_col, id_col, n, max_df, reuse=True)
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").cast("long").alias("common"))
-    )
-    card = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("card"))
-    ca = card.select(F.col("doc_id").alias("doc_id_a"), F.col("card").alias("card_a"))
-    cb = card.select(F.col("doc_id").alias("doc_id_b"), F.col("card").alias("card_b"))
-    both = (
-        common.join(ca, "doc_id_a")
-        .join(cb, "doc_id_b")
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_id_a").alias("src_doc_id"),
-                        F.col("doc_id_b").alias("dst_doc_id"),
-                        (F.col("common") / F.col("card_a")).alias("containment"),
-                    ),
-                    F.struct(
-                        F.col("doc_id_b").alias("src_doc_id"),
-                        F.col("doc_id_a").alias("dst_doc_id"),
-                        (F.col("common") / F.col("card_b")).alias("containment"),
-                    ),
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-    )
-    return both.filter(F.col("containment") >= threshold)
+    sh = hashed_shingles(df, text_col, id_col, n, max_df, reuse=True)
+    return containment_from_scores(pair_scores(sh), threshold)
 
 
 def ngram_containment_oracle(

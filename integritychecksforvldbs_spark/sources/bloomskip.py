@@ -204,8 +204,15 @@ def bloom_read_many(
     dtype = src.schema[column].dataType
     # one footer inference for the whole batch: every per-value kept-
     # subset read reuses the RAW source schema (pre-NTZ-normalization,
-    # so load_table's cast still applies on top, unchanged)
-    raw_schema = spark.read.parquet(path).schema
+    # so load_table's cast still applies on top, unchanged).  Tables a
+    # raw reader cannot footer-infer (nanos timestamps throw 'Illegal
+    # Parquet type') fall back to load_table's own per-subset
+    # inference — the batched API stays as general as the per-value
+    # bloom_read it replaces.
+    try:
+        raw_schema = spark.read.parquet(path).schema
+    except Exception:
+        raw_schema = None
     # every probe's positions in one one-row job (same JVM hash as the
     # build — a driver reimplementation could silently diverge)
     probes_row = (

@@ -52,7 +52,7 @@ def _file_key(path: str) -> tuple[str, int, int] | None:
 
 
 _NANOS_MEMO: dict[tuple[str, int, int], list[str]] = {}
-_SCHEMA_MEMO: dict[tuple[tuple[str, int, int], str], T.StructType] = {}
+_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
 
 
 def _nanos_columns(path: str) -> list[str]:
@@ -79,9 +79,15 @@ def _read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     key = _file_key(paths[0]) if len(paths) == 1 else None
     if key is None:
         return spark.read.parquet(*paths)
-    # the nanosAsLong flag changes what schema the footer yields
+    # every conf that changes what schema the footer yields is part of
+    # the key (a second session in this process with different parquet
+    # settings must not be served the other session's inference)
     ns_conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    memo_key = (key, ns_conf)
+    ntz_conf = spark.conf.get(
+        "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+    )
+    case_conf = spark.conf.get("spark.sql.caseSensitive", "false")
+    memo_key = (key, ns_conf, ntz_conf, case_conf)
     cached = _SCHEMA_MEMO.get(memo_key)
     if cached is not None:
         return spark.read.schema(cached).parquet(*paths)
@@ -109,10 +115,19 @@ def load_table(
     footer inference; only honored on the plain (non-nanos) branch,
     where the parquet read with an explicit schema is byte-identical
     to the inferred one."""
-    try:
-        ns_cols = _nanos_columns(paths[0])
-    except Exception:
-        ns_cols = []
+    # probe EVERY path (footer metadata only, memoized per file): a
+    # multi-path read where only a later file carries nanos timestamps
+    # must still take the nanosAsLong branch.  A directory path (the
+    # part-file mirrors) makes pyarrow raise → treated as no-ns, which
+    # matches the previous first-path behavior for those call sites.
+    ns_cols: list[str] = []
+    for p in paths:
+        try:
+            for c in _nanos_columns(p):
+                if c not in ns_cols:
+                    ns_cols.append(c)
+        except Exception:
+            pass
     if not ns_cols:
         if schema is not None:
             return normalize_ntz(spark.read.schema(schema).parquet(*paths))
@@ -122,7 +137,13 @@ def load_table(
     try:
         df = _read_parquet(spark, *paths)
         for c in ns_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # a heterogeneous multi-path read can resolve to a schema
+            # that lacks a later file's ns column (no mergeSchema) —
+            # rebuild only what the frame actually carries
+            if c in df.columns:
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
         # preserve original column order
         return normalize_ntz(df)
     finally:

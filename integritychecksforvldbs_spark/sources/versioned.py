@@ -1738,19 +1738,40 @@ def _scan_live(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return _to_logical(out, man)
+        return _declared_order(_to_logical(out, man), man)
     # the inline probe just declined: don't repeat it inside apply_dvs
     # (applied per scan relation: _metadata cannot attach across the
     # multi-base union a cloned partitioned snapshot plans)
-    return _to_logical(
-        _scan_files(
-            spark, man, files, mapped=False,
-            per_scan=lambda p: dv.apply_dvs(
-                spark, p, dvs, try_inline=False
+    return _declared_order(
+        _to_logical(
+            _scan_files(
+                spark, man, files, mapped=False,
+                per_scan=lambda p: dv.apply_dvs(
+                    spark, p, dvs, try_inline=False
+                ),
             ),
+            man,
         ),
         man,
     )
+
+
+def _declared_order(df: DataFrame, man: dict) -> DataFrame:
+    """Restore the manifest's declared column order after a RAW
+    (mapped=False) scan of a partitioned layout: partition discovery
+    appends the directory columns last, and the DV branches of
+    :func:`_scan_live` bypass the reorder :func:`_scan_files` applies
+    on its mapped path (inherited r13 gap — a partitioned read through
+    a DV'd snapshot surfaced (k, v, c) where (k, c, v) was declared).
+    Extra columns (position markers) ride along after the declared
+    ones; non-partitioned manifests are untouched."""
+    sch = _manifest_schema(man)
+    if sch is None or not _partition_by(man):
+        return df
+    names = sch.fieldNames()
+    declared = set(names)
+    extra = [c for c in df.columns if c not in declared]
+    return df.select(*names, *extra)
 
 
 def _scan_live_pos(
@@ -4428,11 +4449,12 @@ def changes(
     "from empty", i.e. a full initial load.  Cost scales with the
     CHANGE, not the table: data files are immutable, so the manifest
     diff pins exactly which files entered/left the visible set and
-    only those are scanned.  The row-level diff is a multiset
-    ``exceptAll`` between the entered and left files, so a rewrite
-    that re-emits identical rows (compaction, z-order) yields an
-    EMPTY feed — layout maintenance is invisible to downstream
-    consumers, exactly as it should be.
+    only those are scanned.  The row-level diff has multiset
+    ``exceptAll`` semantics between the entered and left files
+    (computed as ONE ±1-count grouped aggregation over their union —
+    see the inline note), so a rewrite that re-emits identical rows
+    (compaction, z-order) yields an EMPTY feed — layout maintenance
+    is invisible to downstream consumers, exactly as it should be.
 
     Deletion vectors: each side's dead rows are anti-filtered before
     the diff, and files present in BOTH snapshots whose DV changed
@@ -4540,8 +4562,43 @@ def changes(
         df_in = donor.limit(0)
     if df_out is None:
         df_out = donor.limit(0)
-    inserts = df_in.exceptAll(df_out)
-    deletes = df_out.exceptAll(df_in)
+    # Multiset diff in ONE grouped aggregation over one union instead
+    # of two exceptAlls: Spark rewrites EACH exceptAll into union →
+    # aggregate → replicate over BOTH scans (RewriteExceptAll), so the
+    # entered/left files were scanned and shuffled twice.  Counting
+    # +1/-1 per side and replicating |Σ| rows computes the identical
+    # multiset: exceptAll emits a row value max(c_in − c_out, 0) times
+    # on the insert side and max(c_out − c_in, 0) on the delete side,
+    # at most one of which is non-zero — exactly the sign and
+    # magnitude of the count sum.  Grouping semantics match (the
+    # exceptAll rewrite IS a group-by-all-columns: NULL-safe equality,
+    # NaN = NaN, -0.0 = 0.0).
+    cols = df_in.columns
+    cnt = "__icv_chg_cnt"
+    while cnt in cols:
+        cnt += "_"
+    tagged = df_in.withColumn(cnt, F.lit(1).cast("long")).unionByName(
+        df_out.select(*cols).withColumn(cnt, F.lit(-1).cast("long"))
+    )
+    diff = (
+        tagged.groupBy(*cols)
+        .agg(F.sum(cnt).alias(cnt))
+        .filter(F.col(cnt) != 0)
+    )
+    rep = "__icv_chg_rep"
+    while rep in cols or rep == cnt:
+        rep += "_"
+    out = (
+        diff.select(
+            *cols,
+            F.when(F.col(cnt) > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+            F.abs(F.col(cnt)).alias(cnt),
+        )
+        .withColumn(rep, F.explode(F.expr(f"sequence(1L, {cnt})")))
+        .drop(cnt, rep)
+    )
     if dv_changed:
         sch_to = _physical_schema(man_to)
         if sch_to is not None:
@@ -4574,25 +4631,40 @@ def changes(
             int(e["n"]) for e in list(ent_from.values()) + list(ent_to.values())
         ) <= dvmod.DV_BROADCAST_MAX_POSITIONS
 
-        def _rows_at(pos: DataFrame) -> DataFrame:
-            cond = (raw[fcol] == pos["__dv_file"]) & (
-                raw[rcol] == pos["__dv_pos"]
+        # One ±1 position diff + ONE scan of the DV-changed files for
+        # BOTH directions: each side's positions are a set (unique
+        # (file, pos)), so the grouped count sign says exactly which
+        # side a position left — +1 = only in the to-DV (newly dead →
+        # 'delete'), −1 = only in the from-DV (restored by rollback →
+        # 'insert').  The previous shape ran two position exceptAlls
+        # and two semi-join scans of the same files, one per direction.
+        pcnt = "__icv_pos_cnt"
+        pos_diff = (
+            pos_to.withColumn(pcnt, F.lit(1))
+            .unionByName(pos_from.withColumn(pcnt, F.lit(-1)))
+            .groupBy("__dv_file", "__dv_pos")
+            .agg(F.sum(pcnt).alias(pcnt))
+            .filter(F.col(pcnt) != 0)
+            .select(
+                "__dv_file",
+                "__dv_pos",
+                F.when(F.col(pcnt) > 0, F.lit("delete"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_type"),
             )
-            build = F.broadcast(pos) if fits else pos
-            return _to_logical(
-                raw.join(build, cond, "left_semi").drop(fcol, rcol),
-                man_to,
-            )
-
-        deletes = deletes.unionByName(
-            _rows_at(pos_to.exceptAll(pos_from))  # newly dead
         )
-        inserts = inserts.unionByName(
-            _rows_at(pos_from.exceptAll(pos_to))  # restored by rollback
+        cond = (raw[fcol] == pos_diff["__dv_file"]) & (
+            raw[rcol] == pos_diff["__dv_pos"]
         )
-    return inserts.withColumn(
-        "_change_type", F.lit("insert")
-    ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
+        build = F.broadcast(pos_diff) if fits else pos_diff
+        dv_rows = _to_logical(
+            raw.join(build, cond, "inner").drop(
+                fcol, rcol, "__dv_file", "__dv_pos"
+            ),
+            man_to,
+        )
+        out = out.unionByName(dv_rows)
+    return out
 
 
 def history(path: str) -> list[VersionInfo]:

@@ -20,7 +20,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
