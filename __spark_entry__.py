@@ -2396,6 +2396,7 @@ def _q_tokens_bpe_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from integritychecksforvldbs_spark.operators.kernels import (
         BROADCAST_THRESHOLD_BYTES,
+        fk_orphan_counts_union_sql,
     )
 
     # load only the tables the FK graph touches (children + parents):
@@ -2413,15 +2414,13 @@ def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = {
         t for t in TABLES if sizes.get(t, BROADCAST_THRESHOLD_BYTES) < BROADCAST_THRESHOLD_BYTES
     }
-    out: DataFrame | None = None
-    for t in TABLES:
-        exp = expectations_for(t)
-        if not exp.foreign_keys:
-            continue
-        part = fk_orphan_counts_df(tables, exp, broadcast_parents=small)
-        out = part if out is None else out.unionByName(part)
-    assert out is not None
-    return out
+    # ONE parsed-SQL union over every FK spec: a single parse + analysis
+    # pass instead of per-child DataFrame chains + unionByName re-analysis
+    # (r14: construction was ~54% of this query's wall time)
+    exps = [expectations_for(t) for t in TABLES]
+    return fk_orphan_counts_union_sql(
+        spark, tables, [e for e in exps if e.foreign_keys], broadcast_parents=small
+    )
 
 
 def _fk_oracle() -> str:

@@ -329,6 +329,131 @@ def fk_orphan_counts_df(
     return out
 
 
+def fk_orphan_counts_union_sql(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    exps: list[TableExpectations],
+    broadcast_parents: set[str] | None = None,
+) -> DataFrame:
+    """Every child's FK orphan counts in ONE ``spark.sql`` call.
+
+    Semantically identical to unioning :func:`fk_orphan_counts_df`
+    over ``exps`` — same fused broadcast chain per all-small-parent
+    child (COALESCE'd single-partition parent dedup for multi-FK
+    children, BROADCAST-hinted left joins, one conditional-count
+    aggregation, ``inline``-unpivoted to the per-FK schema) and the
+    same per-FK LEFT ANTI fallback when any parent is too big to
+    broadcast.  The difference is pure construction cost: building
+    the N-child chain through the DataFrame API is ~150 py4j round
+    trips and one analyzer pass per ``join``/``unionByName`` (measured
+    0.63 s of the 1.2 s query at sf0.1, ~54%); one parsed SQL text is
+    a single parse + ONE analysis pass (guide §7.3 — plan
+    construction is serial driver time no executor can hide).
+    """
+    broadcast_parents = broadcast_parents or set()
+    arms: list[str] = []
+    refs: dict[str, DataFrame] = {}
+
+    def ref(t: str) -> str:
+        key = f"t_{t}"
+        refs[key] = tables[t]
+        return "{" + key + "}"
+
+    for exp in exps:
+        if not exp.foreign_keys:
+            continue
+        fused = all(
+            fk.parent_table in broadcast_parents for fk in exp.foreign_keys
+        )
+        if fused:
+            dedup = len(exp.foreign_keys) > 1
+            child_cols = sorted(
+                {c for fk in exp.foreign_keys for c in fk.columns}
+            )
+            joins, counters, structs, hints = [], [], [], []
+            for idx, fk in enumerate(exp.foreign_keys):
+                alias = f"p{idx}"
+                hints.append(f"BROADCAST({alias})")
+                proj = ", ".join(
+                    f"{p} AS _p{idx}_{i}"
+                    for i, p in enumerate(fk.parent_columns)
+                )
+                inner = f"SELECT /*+ COALESCE(1) */ {proj} FROM {ref(fk.parent_table)}"
+                side = (
+                    f"(SELECT DISTINCT * FROM ({inner}))"
+                    if dedup
+                    else f"(SELECT {proj} FROM {ref(fk.parent_table)})"
+                )
+                on = " AND ".join(
+                    f"c.{c} = {alias}._p{idx}_{i}"
+                    for i, c in enumerate(fk.columns)
+                )
+                joins.append(f"LEFT JOIN {side} {alias} ON {on}")
+                nn = " AND ".join(
+                    f"c.{c} IS NOT NULL" for c in fk.columns
+                )
+                counters.append(
+                    f"CAST(SUM(CASE WHEN {nn} AND {alias}._p{idx}_0 IS NULL "
+                    f"THEN 1 ELSE 0 END) AS BIGINT) AS _o{idx}"
+                )
+                structs.append(
+                    f"named_struct("
+                    f"'child_table', '{exp.table}', "
+                    f"'fk_columns', '{'_'.join(fk.columns)}', "
+                    f"'parent_table', '{fk.parent_table}', "
+                    f"'orphan_rows', _o{idx})"
+                )
+            child = (
+                f"(SELECT {', '.join(child_cols)} FROM {ref(exp.table)}) c"
+            )
+            agg = (
+                f"SELECT /*+ {', '.join(hints)} */ {', '.join(counters)} "
+                f"FROM {child} {' '.join(joins)}"
+            )
+            arms.append(
+                f"SELECT inline(array({', '.join(structs)})) FROM ({agg})"
+            )
+        else:
+            for fk in exp.foreign_keys:
+                nn = " AND ".join(
+                    f"{c} IS NOT NULL" for c in fk.columns
+                )
+                on = " AND ".join(
+                    f"c.{cc} = p.{pc}"
+                    for cc, pc in zip(fk.columns, fk.parent_columns)
+                )
+                hint = (
+                    "/*+ BROADCAST(p) */ "
+                    if fk.parent_table in broadcast_parents
+                    else ""
+                )
+                arms.append(
+                    f"SELECT {hint}"
+                    f"'{exp.table}' AS child_table, "
+                    f"'{'_'.join(fk.columns)}' AS fk_columns, "
+                    f"'{fk.parent_table}' AS parent_table, "
+                    f"CAST(COUNT(*) AS BIGINT) AS orphan_rows "
+                    f"FROM (SELECT {', '.join(fk.columns)} FROM {ref(exp.table)} "
+                    f"WHERE {nn}) c "
+                    f"LEFT ANTI JOIN {ref(fk.parent_table)} p ON {on}"
+                )
+    if not arms:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("child_table", T.StringType()),
+                    T.StructField("fk_columns", T.StringType()),
+                    T.StructField("parent_table", T.StringType()),
+                    T.StructField("orphan_rows", T.LongType()),
+                ]
+            ),
+        )
+    return spark.sql("\nUNION ALL\n".join(arms), **refs)
+
+
 def _fk_orphan_counts_fused(
     tables: dict[str, DataFrame], exp: TableExpectations
 ) -> DataFrame:
