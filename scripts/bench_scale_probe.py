@@ -47,6 +47,14 @@ def main() -> None:
     spark.catalog.clearCache()
     timings = {}
     for n in names:
+        # shed the PREVIOUS query's persisted frames: queries persist
+        # intermediates for intra-query reuse and Spark's CacheManager
+        # keeps those entries for the session; at this replica's size
+        # the accumulated blocks from 5 earlier queries measurably
+        # squeezed the later ones (dedup_pairs read 36 s mid-sequence
+        # vs 7.8 s in a fresh session at the same core count).  Reps
+        # of ONE query keep bench.py's warm-rep semantics.
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()

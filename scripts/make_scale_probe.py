@@ -105,9 +105,21 @@ def main() -> None:
                 else:
                     cols[name] = col
             copies.append(pa.table(cols))
-        out = pa.concat_tables(copies)
-        pq.write_table(out, f"{out_dir}/{tbl}.parquet")
-        print(f"{tbl}: {base.num_rows} -> {out.num_rows} rows")
+        # ONE FILE PER COPY (directory-backed table): Spark's scan
+        # parallelism on these small-compressed fixtures is file-count
+        # bound (the whole 10x lineitem is <1 maxPartitionBytes split
+        # as a single file), so a monolithic file would cap every scan
+        # stage at 1-2 tasks and the c8-vs-c32 probe would read ≈1 for
+        # the same reason sf0.1 does.  n_copies part files give the
+        # scan n_copies-way parallelism — the thing the probe exists
+        # to measure.
+        tdir = f"{out_dir}/{tbl}.parquet"
+        os.makedirs(tdir, exist_ok=True)
+        n_rows = 0
+        for k, t in enumerate(copies):
+            pq.write_table(t, f"{tdir}/part-{k:03d}.parquet")
+            n_rows += t.num_rows
+        print(f"{tbl}: {base.num_rows} -> {n_rows} rows / {len(copies)} files")
 
 
 if __name__ == "__main__":
