@@ -654,24 +654,31 @@ def simhash_df(
     toks = f"filter(split({t}, ' '), x -> x <> '')"
     if not weighted:
         toks = f"array_distinct({toks})"
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.expr(toks)).alias("t")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
-    )
-    sums = tok.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    # ONE parsed SQL text (r14): the 60 per-bit SUM expressions were 60
+    # F.expr py4j round trips + a fresh analysis per groupBy/select —
+    # ~0.4 s of pure driver construction per variant at steady state
+    # (dedup_simhash_both builds TWO).  Expressions are byte-identical
+    # to the Column chain they replace; plan and results unchanged.
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{j}"
+        for j in range(SIMHASH_BITS)
     )
     combine = " + ".join(
         f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(SIMHASH_BITS)
     )
-    return sums.select("doc_id", F.expr(combine).alias("simhash"))
+    sql = (
+        f"SELECT doc_id, {combine} AS simhash FROM ("
+        f"  SELECT doc_id, {sums} FROM ("
+        f"    SELECT doc_id,"
+        f"           CAST(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT) AS h"
+        f"    FROM ("
+        f"      SELECT {id_col} AS doc_id, explode({toks}) AS tk FROM {{d}}"
+        f"    )"
+        f"  ) GROUP BY doc_id"
+        f")"
+    )
+    return df.sparkSession.sql(sql, d=df)
 
 
 def simhash_dup_pairs(
@@ -701,6 +708,13 @@ def simhash_dup_pairs(
     # is ~2.3× slower: the struct lists defeat codegen and re-shuffle
     # doc payloads the join never moves.
     sig = simhash_df(df, text_col, id_col, weighted).persist()
+    # NOTE (r14): the pair expansion stays a DataFrame chain on purpose.
+    # A parsed-SQL form over a `{s}` placeholder was tried and REVERTED:
+    # the SQL formatter resolves the placeholder through a temp view,
+    # which does NOT canonicalize to the persisted plan — the after-plan
+    # lost every InMemoryTableScan (16 → 0), recomputing the signature
+    # aggregation on BOTH join sides.  The ~15 py4j calls here are noise
+    # next to that.
     chunks = sig.select(
         "doc_id",
         "simhash",
